@@ -1,0 +1,214 @@
+package graft.hub
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.lit
+import org.apache.spark.sql.types.StructType
+
+import PathParser.UserWarning
+
+/** Spark-native counterpart of the reference's `ModelOutputHandler`
+  * (model_output.py:23) — one instance per model-output file:
+  *
+  *   parse path → derive schema from hub config → read CSV/parquet with
+  *   null-normalization + cast → append/overwrite `round_id`/`model_id`
+  *   constants → write `<file_name>.parquet` to the user-facing location
+  *   (or delete its counterpart).
+  *
+  * Construction mirrors the reference `__init__` (model_output.py:65-128):
+  * missing `tasks.json` is fatal, unsupported/missing file extension raises
+  * [[PathParser.UserWarning]] (callers skip the file), un-parseable file
+  * names raise `IllegalArgumentException`.
+  *
+  * @param schemaOverride test seam mirroring the reference's mocked
+  *        `_get_schema` (conftest.py:119-201): bypasses tasks.json.
+  */
+final class ModelOutputHandler(
+    spark: SparkSession,
+    hubPath: String,
+    moPath: String,
+    outputPathRaw: String,
+    schemaOverride: Option[StructType] = None) {
+
+  private def joinPaths(base: String, rel: String): String =
+    if (rel.startsWith("/") || rel.contains("://")) rel
+    else base.stripSuffix("/") + "/" + rel
+
+  val inputFile: String = PathParser.sanitizePath(joinPaths(hubPath, moPath))
+  val outputPath: String = PathParser.sanitizePath(outputPathRaw)
+
+  val config: Option[HubConfig] =
+    if (schemaOverride.isDefined) None
+    else {
+      val c = HubConfig.load(hubPath, spark.sessionState.newHadoopConf())
+      if (c.isEmpty)
+        throw new java.io.FileNotFoundException(s"could not read tasks.json for hub_path=$hubPath")
+      c
+    }
+
+  val fileName: String = PathParser.stem(inputFile)
+  val fileType: String = PathParser.suffix(inputFile)
+
+  if (PathParser.suffix(joinPaths(hubPath, moPath)).isEmpty)
+    throw new UserWarning("Input file has no extension")
+  if (!PathParser.SupportedFileTypes(fileType))
+    throw new UserWarning(s"Input file type $fileType is not supported")
+
+  private val parts = PathParser.parseFile(fileName)
+  val roundId: String = parts.roundId
+  val modelId: String = parts.modelId
+
+  def schema: StructType =
+    schemaOverride.getOrElse(HubSchema.deriveSchema(config.get))
+
+  /** op-1/2/3: schema-directed read with sentinel null-normalization (CSV)
+    * or cast-on-read (parquet).
+    */
+  def readFile(): DataFrame =
+    ModelOutputReader.read(spark, inputFile, fileType, schema)
+
+  /** op-8/9: constant `round_id`/`model_id` columns from the file name.
+    * `withColumn` replaces in place (keeping column position) when the
+    * column already exists, else appends — exactly the reference's dict-merge
+    * semantics (model_output.py:298-308), with `lit()` instead of
+    * materialized arrays so Catalyst constant-folds it.
+    */
+  def addColumns(df: DataFrame): DataFrame =
+    df.withColumn("round_id", lit(roundId))
+      .withColumn("model_id", lit(modelId))
+
+  /** op-4: write exactly `<output_path>/<file_name>.parquet`. */
+  def writeParquet(df: DataFrame): String =
+    ModelOutputWriter.writeSingleParquet(df, outputPath, fileName)
+
+  /** read → transform → write; returns the output path (add_model_output). */
+  def addModelOutput(): String = writeParquet(addColumns(readFile()))
+
+  /** op-5: delete the transformed counterpart (delete_model_output). */
+  def deleteModelOutput(): Unit =
+    ModelOutputWriter.deleteSingleParquet(spark, outputPath, fileName)
+}
+
+object ModelOutputHandler {
+
+  /** Factory mirroring `ModelOutputHandler.from_s3` (model_output.py:137-189).
+    * Paths keep the reference's quirks (only the first `originPrefix`
+    * segment dropped; destination `"."` for files directly under the prefix).
+    */
+  def fromS3(
+      spark: SparkSession,
+      bucketName: String,
+      s3Key: String,
+      originPrefix: String = "raw",
+      scheme: String = "s3a"): ModelOutputHandler = {
+    val p = PathParser.fromS3(bucketName, s3Key, originPrefix)
+    new ModelOutputHandler(
+      spark,
+      p.hubPath.replace("s3://", s"$scheme://"),
+      p.moPath,
+      p.outputPath.replace("s3://", s"$scheme://"))
+  }
+}
+
+/** Event-driven entry points mirroring the reference Lambda dispatch
+  * (faas/lambda_function.py:22-62): one storage event = one file = one batch
+  * run; `UserWarning`s and other per-file failures are logged and skipped so
+  * a bad file never takes down the pipeline.
+  */
+object HubTransform {
+
+  final case class EventResult(key: String, action: String, outputPath: Option[String], error: Option[String])
+
+  def handleEvent(
+      spark: SparkSession,
+      eventName: String,
+      bucketName: String,
+      s3Key: String,
+      originPrefix: String = "raw",
+      scheme: String = "s3a"): EventResult = {
+    val key = PathParser.unquote(s3Key) // S3 keys arrive URL-encoded (lambda_function.py:31)
+    try {
+      val p = PathParser.fromS3(bucketName, key, originPrefix)
+      dispatch(
+        spark, eventName,
+        p.hubPath.replace("s3://", s"$scheme://"),
+        p.moPath,
+        p.outputPath.replace("s3://", s"$scheme://"))
+    } catch {
+      case w: UserWarning => EventResult(key, "skip", None, Some(w.getMessage))
+      case scala.util.control.NonFatal(e) =>
+        EventResult(key, "error", None, Some(s"${e.getClass.getSimpleName}: ${e.getMessage}"))
+    }
+  }
+
+  /** Verb dispatch with explicit paths (the reference's lambda_handler body):
+    * `objectcreated` → add, `objectremoved` → delete, anything else → skip;
+    * `UserWarning` → skip the file; other failures → logged error, no rethrow.
+    */
+  def dispatch(
+      spark: SparkSession,
+      eventName: String,
+      hubPath: String,
+      moPath: String,
+      outputPath: String,
+      schemaOverride: Option[StructType] = None): EventResult = {
+    val verb = eventName.toLowerCase
+    try {
+      if (verb.contains("objectcreated")) {
+        val out = new ModelOutputHandler(spark, hubPath, moPath, outputPath, schemaOverride).addModelOutput()
+        EventResult(moPath, "add", Some(out), None)
+      } else if (verb.contains("objectremoved")) {
+        new ModelOutputHandler(spark, hubPath, moPath, outputPath, schemaOverride).deleteModelOutput()
+        EventResult(moPath, "delete", None, None)
+      } else {
+        EventResult(moPath, "skip", None, Some(s"unsupported event $eventName"))
+      }
+    } catch {
+      case w: UserWarning => EventResult(moPath, "skip", None, Some(w.getMessage))
+      case scala.util.control.NonFatal(e) =>
+        EventResult(moPath, "error", None, Some(s"${e.getClass.getSimpleName}: ${e.getMessage}"))
+    }
+  }
+
+  /** Local/library entry (reference README.md:19-36): transform one file. */
+  def add(
+      spark: SparkSession,
+      hubPath: String,
+      moPath: String,
+      outputPath: String,
+      schemaOverride: Option[StructType] = None): String =
+    new ModelOutputHandler(spark, hubPath, moPath, outputPath, schemaOverride).addModelOutput()
+
+  /** Batch backfill: transform every supported file under a directory —
+    * the engine equivalent of the reference's re-trigger ops script
+    * (faas/lambda_retrigger_model_output_add.py:13-62).
+    */
+  def addDirectory(
+      spark: SparkSession,
+      hubPath: String,
+      rawDir: String,
+      outputPath: String): Seq[EventResult] = {
+    val conf = spark.sessionState.newHadoopConf()
+    val dir = new org.apache.hadoop.fs.Path(PathParser.sanitizePath(joinAbs(hubPath, rawDir)))
+    val fs = dir.getFileSystem(conf)
+    if (!fs.exists(dir)) return Nil
+    val it = fs.listFiles(dir, true)
+    val results = scala.collection.mutable.ArrayBuffer.empty[EventResult]
+    while (it.hasNext) {
+      val f = it.next().getPath
+      val rel = f.toString
+      try {
+        val out = new ModelOutputHandler(spark, hubPath, rel, outputPath).addModelOutput()
+        results += EventResult(rel, "add", Some(out), None)
+      } catch {
+        case w: UserWarning => results += EventResult(rel, "skip", None, Some(w.getMessage))
+        case scala.util.control.NonFatal(e) =>
+          results += EventResult(rel, "error", None, Some(e.getMessage))
+      }
+    }
+    results.toSeq
+  }
+
+  private def joinAbs(base: String, rel: String): String =
+    if (rel.startsWith("/") || rel.contains("://")) rel
+    else base.stripSuffix("/") + "/" + rel
+}
