@@ -1,0 +1,181 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import Tables._
+
+/** Time/event operators over the `events` table: tumbling / sliding /
+  * session windows (the batch duals of the Structured Streaming queries in
+  * graft.streaming), an as-of join, and JSON prop extraction.
+  *
+  * Timestamp parity: `events.ts` is parquet `timestamp[ns]`; Spark reads it
+  * at microsecond precision (ns floor-truncated) while DuckDB keeps ns — so
+  * every oracle mirrors the µs truncation (`date_trunc('microseconds', ts)`)
+  * and timestamps are projected as formatted strings, never raw values.
+  *
+  * Scale: all window aggregations shuffle once on their grouping keys; the
+  * as-of join is a single partition-by-user sort (no per-row subquery — the
+  * oracle's correlated subquery is the semantic spec, not the plan).
+  */
+object Events {
+
+  private def fmt(c: org.apache.spark.sql.Column) =
+    date_format(c, "yyyy-MM-dd HH:mm:ss")
+
+  /** Tumbling 1-hour windows per event type (batch dual of streaming agg). */
+  def qEventsHourly(spark: SparkSession, dir: String): DataFrame = {
+    val ev = events(spark, dir)
+    ev.groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+      .select(
+        fmt(col("window.start")).as("window_start"),
+        col("event_type"), col("n"), col("sum_value"))
+      .orderBy(col("window_start"), col("event_type"))
+  }
+
+  val qEventsHourlySql: String =
+    """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+      |  event_type, count(*) AS n,
+      |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      |FROM events
+      |GROUP BY 1, 2
+      |ORDER BY window_start, event_type""".stripMargin
+
+  /** Sliding windows (1 hour size, 30 min slide): each event lands in two
+    * windows; Spark's `window()` does the fan-out natively.
+    */
+  def qEventsSliding(spark: SparkSession, dir: String): DataFrame = {
+    val ev = events(spark, dir)
+    ev.groupBy(window(col("ts"), "1 hour", "30 minutes"))
+      .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+      .select(fmt(col("window.start")).as("window_start"), col("n"), col("sum_value"))
+      .orderBy(col("window_start"))
+  }
+
+  val qEventsSlidingSql: String =
+    """SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS window_start,
+      |  count(*) AS n,
+      |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      |FROM (
+      |  SELECT e.value,
+      |    to_timestamp((floor(epoch_us(e.ts) / 1800000000) - k.k) * 1800)::TIMESTAMP AS ws
+      |  FROM events e CROSS JOIN (SELECT unnest([0, 1]) AS k) k)
+      |GROUP BY ws
+      |ORDER BY window_start""".stripMargin
+
+  /** Session windows per user (5-minute gap). Batch dual of
+    * `session_window` streaming aggregation; output start + last-event time
+    * + size per session.
+    */
+  def qEventsSessions(spark: SparkSession, dir: String): DataFrame = {
+    val ev = events(spark, dir)
+    ev.groupBy(session_window(col("ts"), "5 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n"), max(col("ts")).as("last_ts"))
+      .select(
+        col("user_id"),
+        fmt(col("session_window.start")).as("session_start"),
+        fmt(col("last_ts")).as("last_event"),
+        col("n"))
+      .orderBy(col("user_id"), col("session_start"))
+  }
+
+  /** Gaps-and-islands formulation of the same sessionization. */
+  val qEventsSessionsSql: String =
+    """WITH e AS (
+      |  SELECT user_id, date_trunc('microseconds', ts) AS ts FROM events
+      |), flagged AS (
+      |  SELECT user_id, ts,
+      |    CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+      |              >= INTERVAL 5 MINUTE
+      |         OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+      |         THEN 1 ELSE 0 END AS new_session
+      |  FROM e
+      |), sessions AS (
+      |  SELECT user_id, ts,
+      |    sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      |  FROM flagged
+      |)
+      |SELECT user_id,
+      |  strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+      |  strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS last_event,
+      |  count(*) AS n
+      |FROM sessions
+      |GROUP BY user_id, session_id
+      |ORDER BY user_id, session_start""".stripMargin
+
+  /** As-of join: for every `purchase`, the most recent strictly-earlier
+    * `click` by the same user. Implemented Spark-first as one sort per user
+    * partition (union + last(ignoreNulls) running value), not a per-row
+    * lookup — O(n log n), one shuffle, scales to any fact size.
+    */
+  def qEventsAsof(spark: SparkSession, dir: String): DataFrame = {
+    val ev = events(spark, dir)
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    ev.withColumn("click_ts", when(col("event_type") === "click", col("ts")))
+      .withColumn("asof_click", last(col("click_ts"), ignoreNulls = true).over(w))
+      .filter(col("event_type") === "purchase")
+      .select(
+        col("event_id"), col("user_id"),
+        fmt(col("ts")).as("purchase_ts"),
+        fmt(col("asof_click")).as("click_ts"))
+      .orderBy(col("event_id"))
+  }
+
+  /** Correlated-subquery spec of the as-of (µs-mirrored). Note the window
+    * formulation above excludes the current ROW, so a click at the exact
+    * same µs as the purchase but a smaller event_id still qualifies — the
+    * oracle encodes (ts, event_id) lexicographic "earlier".
+    */
+  val qEventsAsofSql: String =
+    """WITH e AS (
+      |  SELECT event_id, user_id, event_type, date_trunc('microseconds', ts) AS ts
+      |  FROM events
+      |)
+      |SELECT a.event_id, a.user_id,
+      |  strftime(a.ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts,
+      |  strftime((
+      |    SELECT max(b.ts) FROM e b
+      |    WHERE b.user_id = a.user_id AND b.event_type = 'click'
+      |      AND (b.ts < a.ts OR (b.ts = a.ts AND b.event_id < a.event_id))
+      |  ), '%Y-%m-%d %H:%M:%S') AS click_ts
+      |FROM e a
+      |WHERE a.event_type = 'purchase'
+      |ORDER BY a.event_id""".stripMargin
+
+  /** JSON prop extraction + aggregation (`props` is a JSON string). */
+  def qEventsJson(spark: SparkSession, dir: String): DataFrame = {
+    val ev = events(spark, dir)
+    ev.select(col("event_type"), get_json_object(col("props"), "$.k").cast(LongType).as("k"))
+      .groupBy(col("event_type"))
+      .agg(count(col("k")).as("n"), sum(col("k")).as("sum_k"), max(col("k")).as("max_k"))
+      .orderBy(col("event_type"))
+  }
+
+  val qEventsJsonSql: String =
+    """SELECT event_type, count(k) AS n, sum(k) AS sum_k, max(k) AS max_k
+      |FROM (SELECT event_type, CAST(json_extract(props, '$.k') AS BIGINT) AS k FROM events)
+      |GROUP BY event_type
+      |ORDER BY event_type""".stripMargin
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_events_hourly" -> (qEventsHourly _),
+    "q_events_sliding" -> (qEventsSliding _),
+    "q_events_sessions" -> (qEventsSessions _),
+    "q_events_asof" -> (qEventsAsof _),
+    "q_events_json" -> (qEventsJson _),
+  )
+
+  def oracle: Map[String, String] = Map(
+    "q_events_hourly" -> qEventsHourlySql,
+    "q_events_sliding" -> qEventsSlidingSql,
+    "q_events_sessions" -> qEventsSessionsSql,
+    "q_events_asof" -> qEventsAsofSql,
+    "q_events_json" -> qEventsJsonSql,
+  )
+}

@@ -1,0 +1,353 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import Tables._
+
+/** Relational operator surface over the TPC-H-ish testdata (SURVEY.md
+  * §2.5-2.7 extension mapping): aggregations, multi-way joins, broadcast
+  * joins, semi/anti joins, window functions, set ops, rollup, top-k.
+  *
+  * Every query ends in a total ORDER BY so the driver's hash compare is
+  * deterministic; money aggregates use the exact-decimal construction from
+  * [[Tables]].
+  *
+  * Scale design: fact-fact joins shuffle on their keys and rely on AQE;
+  * dimension joins (`region`/`nation`/`supplier`/`part`/`customer`) are
+  * explicitly `broadcast()` so no shuffle of the fact side happens at any
+  * scale factor; aggregates are partial (map-side combine) by construction.
+  */
+object Relational {
+
+  /** TPC-H Q1-style pricing summary: full-scan groupBy aggregate. */
+  def q01PricingSummary(spark: SparkSession, dir: String): DataFrame = {
+    val li = table(spark, dir, "lineitem")
+    li.groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        dsum(col("l_quantity")).as("sum_qty"),
+        dsum(col("l_extendedprice")).as("sum_base_price"),
+        dsumExpr(discPrice(col("l_extendedprice"), col("l_discount"))).as("sum_disc_price"),
+        dsumExpr(charge(col("l_extendedprice"), col("l_discount"), col("l_tax"))).as("sum_charge"),
+        davg(col("l_quantity")).as("avg_qty"),
+        davg(col("l_extendedprice")).as("avg_price"),
+        davg(col("l_discount")).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+  }
+
+  val q01Sql: String =
+    """SELECT l_returnflag, l_linestatus,
+      |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) * (CAST(1 AS DECIMAL(18,2)) + CAST(l_tax AS DECIMAL(18,2)))) AS DOUBLE) AS sum_charge,
+      |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / CAST(count(l_quantity) AS DOUBLE) AS avg_qty,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / CAST(count(l_extendedprice) AS DOUBLE) AS avg_price,
+      |  CAST(sum(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / CAST(count(l_discount) AS DOUBLE) AS avg_disc,
+      |  count(*) AS count_order
+      |FROM lineitem
+      |GROUP BY l_returnflag, l_linestatus
+      |ORDER BY l_returnflag, l_linestatus""".stripMargin
+
+  /** TPC-H Q3-style: shuffled fact-fact join + broadcast customer dim,
+    * top-10 revenue orders for one market segment.
+    */
+  def q03TopOrders(spark: SparkSession, dir: String): DataFrame = {
+    val cust = table(spark, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+    val ord = table(spark, dir, "orders")
+    val li = table(spark, dir, "lineitem")
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("o_orderkey"), col("o_orderpriority"))
+      .agg(dsumExpr(discPrice(col("l_extendedprice"), col("l_discount"))).as("revenue"))
+      .orderBy(col("revenue").desc, col("o_orderkey"))
+      .limit(10)
+  }
+
+  val q03Sql: String =
+    """SELECT o_orderkey, o_orderpriority,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |WHERE c_mktsegment = 'BUILDING'
+      |GROUP BY o_orderkey, o_orderpriority
+      |ORDER BY revenue DESC, o_orderkey
+      |LIMIT 10""".stripMargin
+
+  /** TPC-H Q5-style: 6-way join, dims broadcast, revenue per nation. */
+  def q05LocalSupplierVolume(spark: SparkSession, dir: String): DataFrame = {
+    val region = table(spark, dir, "region").filter(col("r_name") === "ASIA")
+    val nation = table(spark, dir, "nation")
+    val cust = table(spark, dir, "customer")
+    val supp = table(spark, dir, "supplier")
+    val ord = table(spark, dir, "orders")
+    val li = table(spark, dir, "lineitem")
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey") &&
+        col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(nation), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("n_name"))
+      .agg(dsumExpr(discPrice(col("l_extendedprice"), col("l_discount"))).as("revenue"))
+      .orderBy(col("revenue").desc, col("n_name"))
+  }
+
+  val q05Sql: String =
+    """SELECT n_name,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN supplier ON l_suppkey = s_suppkey
+      |JOIN customer ON o_custkey = c_custkey AND c_nationkey = s_nationkey
+      |JOIN nation ON s_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |WHERE r_name = 'ASIA'
+      |GROUP BY n_name
+      |ORDER BY revenue DESC, n_name""".stripMargin
+
+  /** Broadcast dim join: per-brand shipped volume. */
+  def qBrandVolume(spark: SparkSession, dir: String): DataFrame = {
+    val part = table(spark, dir, "part")
+    val li = table(spark, dir, "lineitem")
+    li.join(broadcast(part), col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"))
+      .agg(
+        dsum(col("l_quantity")).as("sum_qty"),
+        count(lit(1)).as("n_lines"))
+      .orderBy(col("p_brand"))
+  }
+
+  val qBrandVolumeSql: String =
+    """SELECT p_brand,
+      |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+      |  count(*) AS n_lines
+      |FROM lineitem JOIN part ON l_partkey = p_partkey
+      |GROUP BY p_brand
+      |ORDER BY p_brand""".stripMargin
+
+  /** Left-semi join (EXISTS): orders having a high-quantity line. */
+  def qSemiJoin(spark: SparkSession, dir: String): DataFrame = {
+    val ord = table(spark, dir, "orders")
+    val bigLines = table(spark, dir, "lineitem").filter(col("l_quantity") >= 45)
+    ord.join(bigLines, ord("o_orderkey") === bigLines("l_orderkey"), "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  val qSemiJoinSql: String =
+    """SELECT o_orderpriority, count(*) AS n_orders
+      |FROM orders
+      |WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey AND l_quantity >= 45)
+      |GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin
+
+  /** Left-anti join (NOT EXISTS): orders with no high-quantity line. */
+  def qAntiJoin(spark: SparkSession, dir: String): DataFrame = {
+    val ord = table(spark, dir, "orders")
+    val bigLines = table(spark, dir, "lineitem").filter(col("l_quantity") >= 48)
+    ord.join(bigLines, ord("o_orderkey") === bigLines("l_orderkey"), "left_anti")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  val qAntiJoinSql: String =
+    """SELECT o_orderpriority, count(*) AS n_orders
+      |FROM orders
+      |WHERE NOT EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey AND l_quantity >= 48)
+      |GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin
+
+  /** Window ranking: top-3 orders per customer (row_number ≤ 3). */
+  def qWindowTop3(spark: SparkSession, dir: String): DataFrame = {
+    val ord = table(spark, dir, "orders")
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    ord.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select(col("o_custkey"), col("rn"), col("o_orderkey"), col("o_totalprice"))
+      .orderBy(col("o_custkey"), col("rn"))
+  }
+
+  val qWindowTop3Sql: String =
+    """SELECT o_custkey, rn, o_orderkey, o_totalprice FROM (
+      |  SELECT o_custkey, o_orderkey, o_totalprice,
+      |    row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      |  FROM orders) t
+      |WHERE rn <= 3
+      |ORDER BY o_custkey, rn""".stripMargin
+
+  /** Running (cumulative) exact-decimal sum per supplier over ship time. */
+  def qRunningSupplier(spark: SparkSession, dir: String): DataFrame = {
+    val li = table(spark, dir, "lineitem").filter(col("l_suppkey") <= 3)
+    val w = Window.partitionBy(col("l_suppkey"))
+      .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    li.select(
+        col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+        sum(dec(col("l_quantity"))).over(w).cast(DoubleType).as("running_qty"))
+      .orderBy(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"))
+  }
+
+  val qRunningSupplierSql: String =
+    """SELECT l_suppkey, l_orderkey, l_linenumber,
+      |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) OVER (
+      |    PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_qty
+      |FROM lineitem
+      |WHERE l_suppkey <= 3
+      |ORDER BY l_suppkey, l_orderkey, l_linenumber""".stripMargin
+
+  /** Set ops: big spenders EXCEPT one segment, UNION-distinct small sample,
+    * INTERSECT — exercised in one query tree.
+    */
+  def qSetOps(spark: SparkSession, dir: String): DataFrame = {
+    val cust = table(spark, dir, "customer")
+    val ord = table(spark, dir, "orders")
+    val bigSpenders = ord.filter(col("o_totalprice") > 400000).select(col("o_custkey").as("key"))
+    val building = cust.filter(col("c_mktsegment") === "BUILDING").select(col("c_custkey").as("key"))
+    val machinery = cust.filter(col("c_mktsegment") === "MACHINERY").select(col("c_custkey").as("key"))
+    bigSpenders.intersect(building.union(machinery))
+      .orderBy(col("key"))
+  }
+
+  val qSetOpsSql: String =
+    """(SELECT o_custkey AS key FROM orders WHERE o_totalprice > 400000)
+      |INTERSECT
+      |(SELECT c_custkey AS key FROM customer WHERE c_mktsegment = 'BUILDING'
+      | UNION
+      | SELECT c_custkey AS key FROM customer WHERE c_mktsegment = 'MACHINERY')
+      |ORDER BY key""".stripMargin
+
+  /** EXCEPT (distinct) — customers that ordered but never with high priority. */
+  def qExcept(spark: SparkSession, dir: String): DataFrame = {
+    val ord = table(spark, dir, "orders")
+    ord.select(col("o_custkey").as("key"))
+      .except(ord.filter(col("o_orderpriority") === "1-URGENT").select(col("o_custkey").as("key")))
+      .orderBy(col("key"))
+  }
+
+  val qExceptSql: String =
+    """(SELECT o_custkey AS key FROM orders)
+      |EXCEPT
+      |(SELECT o_custkey AS key FROM orders WHERE o_orderpriority = '1-URGENT')
+      |ORDER BY key""".stripMargin
+
+  /** ROLLUP over (returnflag, linestatus) with ALL labels. */
+  def qRollup(spark: SparkSession, dir: String): DataFrame = {
+    val li = table(spark, dir, "lineitem")
+    li.rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("sum_qty"))
+      .select(
+        coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
+        col("n"), col("sum_qty"))
+      .orderBy(col("returnflag"), col("linestatus"))
+  }
+
+  val qRollupSql: String =
+    """SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+      |       coalesce(l_linestatus, 'ALL') AS linestatus,
+      |       count(*) AS n,
+      |       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+      |FROM lineitem
+      |GROUP BY ROLLUP (l_returnflag, l_linestatus)
+      |ORDER BY returnflag, linestatus""".stripMargin
+
+  /** CUBE over (orderstatus, orderpriority). */
+  def qCube(spark: SparkSession, dir: String): DataFrame = {
+    val ord = table(spark, dir, "orders")
+    ord.cube(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("sum_price"))
+      .select(
+        coalesce(col("o_orderstatus"), lit("ALL")).as("orderstatus"),
+        coalesce(col("o_orderpriority"), lit("ALL")).as("orderpriority"),
+        col("n"), col("sum_price"))
+      .orderBy(col("orderstatus"), col("orderpriority"))
+  }
+
+  val qCubeSql: String =
+    """SELECT coalesce(o_orderstatus, 'ALL') AS orderstatus,
+      |       coalesce(o_orderpriority, 'ALL') AS orderpriority,
+      |       count(*) AS n,
+      |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+      |FROM orders
+      |GROUP BY CUBE (o_orderstatus, o_orderpriority)
+      |ORDER BY orderstatus, orderpriority""".stripMargin
+
+  /** Global top-k → Spark plans TakeOrderedAndProject (no full sort). */
+  def qTopKOrders(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(20)
+
+  val qTopKOrdersSql: String =
+    """SELECT o_orderkey, o_custkey, o_totalprice
+      |FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 20""".stripMargin
+
+  /** distinct (op-12 analogue on the testdata). */
+  def qDistinctSegments(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "customer")
+      .select(col("c_mktsegment")).distinct().orderBy(col("c_mktsegment"))
+
+  val qDistinctSegmentsSql: String =
+    "SELECT DISTINCT c_mktsegment FROM customer ORDER BY c_mktsegment"
+
+  /** Monthly order rollup on a timestamp column (date_trunc parity). */
+  def qOrdersPerMonth(spark: SparkSession, dir: String): DataFrame = {
+    val ord = table(spark, dir, "orders")
+    ord.groupBy(date_trunc("month", col("o_orderdate")).cast(DateType).as("month"))
+      .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("sum_price"))
+      .orderBy(col("month"))
+  }
+
+  val qOrdersPerMonthSql: String =
+    """SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+      |  count(*) AS n_orders,
+      |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+      |FROM orders
+      |GROUP BY 1 ORDER BY month""".stripMargin
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q01_pricing_summary" -> (q01PricingSummary _),
+    "q03_top_orders" -> (q03TopOrders _),
+    "q05_local_supplier_volume" -> (q05LocalSupplierVolume _),
+    "q_brand_volume" -> (qBrandVolume _),
+    "q_semi_join" -> (qSemiJoin _),
+    "q_anti_join" -> (qAntiJoin _),
+    "q_window_top3" -> (qWindowTop3 _),
+    "q_running_supplier" -> (qRunningSupplier _),
+    "q_set_ops" -> (qSetOps _),
+    "q_except" -> (qExcept _),
+    "q_rollup" -> (qRollup _),
+    "q_cube" -> (qCube _),
+    "q_topk_orders" -> (qTopKOrders _),
+    "q_distinct_segments" -> (qDistinctSegments _),
+    "q_orders_per_month" -> (qOrdersPerMonth _),
+  )
+
+  def oracle: Map[String, String] = Map(
+    "q01_pricing_summary" -> q01Sql,
+    "q03_top_orders" -> q03Sql,
+    "q05_local_supplier_volume" -> q05Sql,
+    "q_brand_volume" -> qBrandVolumeSql,
+    "q_semi_join" -> qSemiJoinSql,
+    "q_anti_join" -> qAntiJoinSql,
+    "q_window_top3" -> qWindowTop3Sql,
+    "q_running_supplier" -> qRunningSupplierSql,
+    "q_set_ops" -> qSetOpsSql,
+    "q_except" -> qExceptSql,
+    "q_rollup" -> qRollupSql,
+    "q_cube" -> qCubeSql,
+    "q_topk_orders" -> qTopKOrdersSql,
+    "q_distinct_segments" -> qDistinctSegmentsSql,
+    "q_orders_per_month" -> qOrdersPerMonthSql,
+  )
+}

@@ -1,0 +1,63 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Table access + cross-engine-deterministic aggregation helpers.
+  *
+  * Float parity rule (see SURVEY.md §5): the driver hash-compares our
+  * results against DuckDB, and `sum(double)` is order-dependent in the last
+  * bits — a distributed partial-aggregate tree will not bit-match another
+  * engine. So money-column aggregates are computed EXACTLY: cast to decimal
+  * (exact, order-independent sum), cast the final value back to double
+  * (deterministic rounding, identical in both engines). The oracle SQL uses
+  * the same construction.
+  *
+  * Scale note: decimal hash-aggregation is marginally slower than double but
+  * stays inside whole-stage codegen and map-side partial aggregation; at
+  * 100 TB the shuffle stays one row per group either way.
+  */
+object Tables {
+
+  def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    spark.read.parquet(s"$sfDir/$name.parquet")
+
+  /** `events` with its parquet `timestamp[ns]` column as a usable timestamp.
+    *
+    * Spark 4 has no nanosecond timestamp type and rejects TIMESTAMP(NANOS)
+    * parquet columns (PARQUET_TYPE_ILLEGAL) — so read the raw int64 via
+    * `spark.sql.legacy.parquet.nanosAsLong` and floor-divide to microseconds
+    * (`DIV 1000`, integer division — a double division would lose precision
+    * above 2^53 ns). DuckDB keeps ns; every oracle mirrors this truncation
+    * with `date_trunc('microseconds', ts)` / `epoch_us`.
+    */
+  def events(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    table(spark, sfDir, "events")
+      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+  }
+
+  /** 2-decimal money column as exact decimal. */
+  def dec(c: Column): Column = c.cast(DecimalType(18, 2))
+
+  /** Exact sum of a 2-decimal money column, surfaced as double. */
+  def dsum(c: Column): Column = sum(dec(c)).cast(DoubleType)
+
+  /** Exact sum of an arbitrary-decimal expression, surfaced as double. */
+  def dsumExpr(e: Column): Column = sum(e).cast(DoubleType)
+
+  /** Exact-sum-based average surfaced as double (sum exact in decimal, one
+    * IEEE division — bit-identical across engines).
+    */
+  def davg(c: Column): Column =
+    sum(dec(c)).cast(DoubleType) / count(c).cast(DoubleType)
+
+  /** `l_extendedprice * (1 - l_discount)` as exact decimal. */
+  def discPrice(price: Column, discount: Column): Column =
+    dec(price) * (lit(1).cast(DecimalType(18, 2)) - dec(discount))
+
+  /** `l_extendedprice * (1 - l_discount) * (1 + l_tax)` as exact decimal. */
+  def charge(price: Column, discount: Column, tax: Column): Column =
+    discPrice(price, discount) * (lit(1).cast(DecimalType(18, 2)) + dec(tax))
+}
