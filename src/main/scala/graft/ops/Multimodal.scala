@@ -1,0 +1,111 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import Tables._
+
+/** Multimodal column handling: media payloads as opaque `binary` columns
+  * with typed metadata, processed in partition-batched form.
+  *
+  * The container has no image/audio codecs, so the decode step is a
+  * clearly-marked deterministic STUB ([[fakeDecode]]) — but the Spark-side
+  * plumbing is real and is what the 100 TB design cares about: binary
+  * payloads never leave the executor, the decode runs batched inside
+  * `mapPartitions` (one codec init per partition, the same shape a JNI
+  * codec or Python `mapInPandas` worker would use), and features come back
+  * as a typed Dataset.
+  */
+object Multimodal {
+
+  final case class MediaRow(doc_id: Long, media_type: String, content: Array[Byte])
+  final case class MediaFeatures(
+      doc_id: Long,
+      media_type: String,
+      byte_len: Long,
+      first_byte: Int,
+      width: Int,
+      height: Int,
+      n_frames: Int)
+
+  /** STUB decode: in production this would be an image/audio/video codec
+    * call on the byte payload (libjpeg/ffmpeg behind JNI, or an Arrow batch
+    * handed to a Python worker). Here it derives deterministic pseudo
+    * -metadata from the bytes so the full pipeline — including the oracle
+    * comparison — stays testable. Feature definitions are mirrored in
+    * [[qMultimodalFeaturesSql]].
+    */
+  def fakeDecode(row: MediaRow): MediaFeatures = {
+    val len = row.content.length.toLong
+    val first = if (row.content.isEmpty) -1 else row.content(0) & 0xff
+    val width = (64 + len % 577).toInt
+    val height = (64 + (len * 7) % 419).toInt
+    val frames = if (row.media_type == "video") (1 + len % 30).toInt else 1
+    MediaFeatures(row.doc_id, row.media_type, len, first, width, height, frames)
+  }
+
+  /** `documents` dressed up as a media table: payload = utf-8 bytes of the
+    * text, modality assigned round-robin. At 100 TB this is the real shape:
+    * parquet binary column + metadata, partitioned by modality.
+    */
+  def mediaTable(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "documents")
+      .select(
+        col("doc_id"),
+        element_at(array(lit("image"), lit("audio"), lit("video")),
+          (col("doc_id") % 3 + 1).cast("int")).as("media_type"),
+        encode(col("text"), "UTF-8").as("content"))
+
+  /** Batched stub-decode over the binary column via typed mapPartitions. */
+  def qMultimodalFeatures(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    mediaTable(spark, dir)
+      .as[MediaRow]
+      .mapPartitions { rows =>
+        // one "codec init" per partition, then batch-process
+        rows.grouped(64).flatMap(batch => batch.map(fakeDecode))
+      }
+      .toDF()
+      .orderBy(col("doc_id"))
+  }
+
+  val qMultimodalFeaturesSql: String =
+    """SELECT doc_id,
+      |  CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS media_type,
+      |  octet_length(encode(text)) AS byte_len,
+      |  CASE WHEN octet_length(encode(text)) = 0 THEN -1 ELSE ascii(substring(text, 1, 1)) END AS first_byte,
+      |  CAST(64 + octet_length(encode(text)) % 577 AS INTEGER) AS width,
+      |  CAST(64 + (octet_length(encode(text)) * 7) % 419 AS INTEGER) AS height,
+      |  CASE WHEN doc_id % 3 = 2 THEN CAST(1 + octet_length(encode(text)) % 30 AS INTEGER) ELSE 1 END AS n_frames
+      |FROM documents
+      |ORDER BY doc_id""".stripMargin
+
+  /** Binary + array + map columns through a parquet round-trip — the
+    * storage contract for multimodal payloads (exercised as a query so the
+    * driver's Verify write IS the round-trip).
+    */
+  def qMultimodalRoundtrip(spark: SparkSession, dir: String): DataFrame =
+    mediaTable(spark, dir)
+      .select(
+        col("doc_id"), col("media_type"), col("content"),
+        octet_length(col("content")).as("byte_len"))
+      .orderBy(col("doc_id"))
+
+  val qMultimodalRoundtripSql: String =
+    """SELECT doc_id,
+      |  CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS media_type,
+      |  encode(text) AS content,
+      |  octet_length(encode(text)) AS byte_len
+      |FROM documents
+      |ORDER BY doc_id""".stripMargin
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_multimodal_features" -> (qMultimodalFeatures _),
+    "q_multimodal_roundtrip" -> (qMultimodalRoundtrip _),
+  )
+
+  def oracle: Map[String, String] = Map(
+    "q_multimodal_features" -> qMultimodalFeaturesSql,
+    "q_multimodal_roundtrip" -> qMultimodalRoundtripSql,
+  )
+}

@@ -1,0 +1,190 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import Tables._
+import TextOps._
+
+/** Text-analysis operators over `documents`: token counting, quality
+  * scoring, n-gram-heuristic language ID, content fingerprinting, global
+  * token frequency.
+  *
+  * All pure column expressions (codegen'd, no UDFs), each mirrored exactly
+  * in DuckDB SQL. Ratios divide exact integers in double — bit-identical
+  * across engines; outputs are additionally rounded to 6 digits.
+  *
+  * Scale: everything is a narrow projection or a single explode+aggregate;
+  * nothing is quadratic and nothing collects to the driver.
+  */
+object TextAnalysis {
+
+  private val StopwordsEn = Seq("the", "a", "of", "and", "to", "in", "is", "on", "for", "with")
+  private val StopwordsEs = Seq("el", "la", "de", "y", "que", "en", "los", "del", "se", "las")
+  private val StopwordsDe = Seq("der", "die", "das", "und", "zu", "den", "von", "mit", "ist", "im")
+  private val StopwordsFr = Seq("le", "la", "les", "de", "des", "et", "un", "une", "du", "est")
+
+  private def stopCount(toks: Column, words: Seq[String]): Column =
+    size(filter(toks, t => array_contains(array(words.map(lit): _*), t)))
+
+  private def sqlStopCount(words: Seq[String]): String =
+    s"len(list_filter(t, x -> list_contains([${words.map(w => s"'$w'").mkString(", ")}], x)))"
+
+  /** Per-doc token statistics. */
+  def qTextStats(spark: SparkSession, dir: String): DataFrame = {
+    val docs = table(spark, dir, "documents")
+    docs
+      .select(col("doc_id"), col("n_chars"), length(col("text")).as("len"),
+        tokens(col("text")).as("t"))
+      .select(
+        col("doc_id"), col("n_chars"), col("len"),
+        size(col("t")).cast(LongType).as("n_tokens"),
+        size(array_distinct(col("t"))).cast(LongType).as("n_distinct_tokens"),
+        // ratios of exact ints: one IEEE division, bit-identical across
+        // engines — deliberately NOT rounded (decimal rounding of exact
+        // half-ties diverges between engines)
+        (intArraySum(transform(col("t"), s => length(s).cast(LongType))).cast(DoubleType)
+          / size(col("t")).cast(DoubleType)).as("avg_token_len"))
+      .orderBy(col("doc_id"))
+  }
+
+  val qTextStatsSql: String =
+    """SELECT doc_id, n_chars, length(text) AS len,
+      |  len(t) AS n_tokens,
+      |  len(list_distinct(t)) AS n_distinct_tokens,
+      |  CAST(list_sum(list_transform(t, s -> length(s))) AS DOUBLE) / CAST(len(t) AS DOUBLE) AS avg_token_len
+      |FROM (SELECT doc_id, n_chars, text, regexp_split_to_array(lower(text), '\s+') AS t FROM documents)
+      |ORDER BY doc_id""".stripMargin
+
+  /** Heuristic quality score: stopword ratio, type-token ratio, length
+    * band — the standard cheap pre-filters of LLM data pipelines.
+    */
+  def qTextQuality(spark: SparkSession, dir: String): DataFrame = {
+    val docs = table(spark, dir, "documents")
+    val withT = docs.select(col("doc_id"), col("source"), tokens(col("text")).as("t"))
+    val nTok = size(col("t")).cast(DoubleType)
+    val stopRatio = stopCount(col("t"), StopwordsEn).cast(DoubleType) / nTok
+    val ttr = size(array_distinct(col("t"))).cast(DoubleType) / nTok
+    val lengthOk = (size(col("t")) >= 10 && size(col("t")) <= 1000).cast(IntegerType)
+    withT
+      .select(col("doc_id"), col("source"),
+        stopRatio.as("stop_ratio"), ttr.as("type_token_ratio"), lengthOk.as("length_ok"))
+      .withColumn("quality_score",
+        (col("stop_ratio") * 2 + col("type_token_ratio") + col("length_ok")) / 4)
+      .orderBy(col("doc_id"))
+  }
+
+  val qTextQualitySql: String = {
+    val stop = sqlStopCount(StopwordsEn)
+    s"""SELECT doc_id, source, stop_ratio, type_token_ratio, length_ok,
+       |  (stop_ratio * 2 + type_token_ratio + length_ok) / 4 AS quality_score
+       |FROM (
+       |  SELECT doc_id, source,
+       |    CAST($stop AS DOUBLE) / CAST(len(t) AS DOUBLE) AS stop_ratio,
+       |    CAST(len(list_distinct(t)) AS DOUBLE) / CAST(len(t) AS DOUBLE) AS type_token_ratio,
+       |    CAST(len(t) >= 10 AND len(t) <= 1000 AS INTEGER) AS length_ok
+       |  FROM (SELECT doc_id, source, regexp_split_to_array(lower(text), '\\s+') AS t FROM documents))
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  /** Stopword-count language ID (argmax over per-language scores, ties →
+    * lexicographically first language, 'und' when all scores zero).
+    */
+  def qTextLangid(spark: SparkSession, dir: String): DataFrame = {
+    val docs = table(spark, dir, "documents")
+    val withT = docs.select(col("doc_id"), col("lang"), tokens(col("text")).as("t"))
+    val scored = withT.select(
+      col("doc_id"), col("lang"),
+      stopCount(col("t"), StopwordsDe).as("c_de"),
+      stopCount(col("t"), StopwordsEn).as("c_en"),
+      stopCount(col("t"), StopwordsEs).as("c_es"),
+      stopCount(col("t"), StopwordsFr).as("c_fr"))
+    val best = greatest(col("c_de"), col("c_en"), col("c_es"), col("c_fr"))
+    scored
+      .withColumn("pred",
+        when(best === 0, lit("und"))
+          .when(col("c_de") === best, lit("de"))
+          .when(col("c_en") === best, lit("en"))
+          .when(col("c_es") === best, lit("es"))
+          .otherwise(lit("fr")))
+      .select(col("doc_id"), col("lang"), col("pred"),
+        col("c_de"), col("c_en"), col("c_es"), col("c_fr"),
+        (col("pred") === col("lang")).cast(IntegerType).as("hit"))
+      .orderBy(col("doc_id"))
+  }
+
+  val qTextLangidSql: String = {
+    val de = sqlStopCount(StopwordsDe)
+    val en = sqlStopCount(StopwordsEn)
+    val es = sqlStopCount(StopwordsEs)
+    val fr = sqlStopCount(StopwordsFr)
+    s"""SELECT doc_id, lang, pred, c_de, c_en, c_es, c_fr,
+       |  CAST(pred = lang AS INTEGER) AS hit
+       |FROM (
+       |  SELECT doc_id, lang, c_de, c_en, c_es, c_fr,
+       |    CASE WHEN greatest(c_de, c_en, c_es, c_fr) = 0 THEN 'und'
+       |         WHEN c_de = greatest(c_de, c_en, c_es, c_fr) THEN 'de'
+       |         WHEN c_en = greatest(c_de, c_en, c_es, c_fr) THEN 'en'
+       |         WHEN c_es = greatest(c_de, c_en, c_es, c_fr) THEN 'es'
+       |         ELSE 'fr' END AS pred
+       |  FROM (
+       |    SELECT doc_id, lang,
+       |      $de AS c_de, $en AS c_en, $es AS c_es, $fr AS c_fr
+       |    FROM (SELECT doc_id, lang, regexp_split_to_array(lower(text), '\\s+') AS t FROM documents)))
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  /** Content fingerprint: md5 over whitespace-normalized text (the cheap
+    * exact-dedup key), plus a 16-hex-prefix shard id a 100 TB pipeline
+    * would bucket by.
+    */
+  def qTextFingerprint(spark: SparkSession, dir: String): DataFrame = {
+    val docs = table(spark, dir, "documents")
+    docs
+      .select(col("doc_id"),
+        md5(concat_ws(" ", tokens(col("text")))).as("fp"))
+      .withColumn("shard", substring(col("fp"), 1, 2))
+      .orderBy(col("doc_id"))
+  }
+
+  val qTextFingerprintSql: String =
+    """SELECT doc_id, fp, substring(fp, 1, 2) AS shard
+      |FROM (SELECT doc_id,
+      |  md5(array_to_string(regexp_split_to_array(lower(text), '\s+'), ' ')) AS fp
+      |  FROM documents)
+      |ORDER BY doc_id""".stripMargin
+
+  /** Global token frequency top-50 (explode → count → top-k). */
+  def qTokenFreq(spark: SparkSession, dir: String): DataFrame = {
+    val docs = table(spark, dir, "documents")
+    docs
+      .select(explode(tokens(col("text"))).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("token"))
+      .limit(50)
+  }
+
+  val qTokenFreqSql: String =
+    """SELECT token, count(*) AS n
+      |FROM (SELECT unnest(regexp_split_to_array(lower(text), '\s+')) AS token FROM documents)
+      |GROUP BY token
+      |ORDER BY n DESC, token
+      |LIMIT 50""".stripMargin
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_text_stats" -> (qTextStats _),
+    "q_text_quality" -> (qTextQuality _),
+    "q_text_langid" -> (qTextLangid _),
+    "q_text_fingerprint" -> (qTextFingerprint _),
+    "q_token_freq" -> (qTokenFreq _),
+  )
+
+  def oracle: Map[String, String] = Map(
+    "q_text_stats" -> qTextStatsSql,
+    "q_text_quality" -> qTextQualitySql,
+    "q_text_langid" -> qTextLangidSql,
+    "q_text_fingerprint" -> qTextFingerprintSql,
+    "q_token_freq" -> qTokenFreqSql,
+  )
+}

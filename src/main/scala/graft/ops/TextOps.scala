@@ -1,0 +1,45 @@
+package graft.ops
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Shared text primitives for the dedup / text-analysis packs.
+  *
+  * Tokenization is `lower(text)` split on `\s+` — mirrored verbatim in every
+  * DuckDB oracle as `regexp_split_to_array(lower(text), '\s+')` so the two
+  * engines see identical token streams.
+  */
+object TextOps {
+
+  def tokens(c: Column): Column = split(lower(c), "\\s+")
+
+  /** Distinct word k-shingles, e.g. k=3 → "a b c" strings. Uses only
+    * codegen'd higher-order functions (no UDF).
+    */
+  def shingleSet(toks: Column, k: Int): Column =
+    array_distinct(
+      transform(
+        sequence(lit(0), size(toks) - k),
+        i => concat_ws(" ", slice(toks, i + 1, lit(k)))))
+
+  /** Sum of an integer-valued array (exact — no FP concerns). */
+  def intArraySum(arr: Column): Column =
+    aggregate(arr, lit(0L), (acc, x) => acc + x)
+
+  /** Exact dot product of two float vectors in double (left-to-right fold —
+    * same order DuckDB's list_sum uses; results additionally rounded at the
+    * query layer).
+    */
+  def dot(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => x.cast(DoubleType) * y.cast(DoubleType)),
+      lit(0.0),
+      (acc, x) => acc + x)
+
+  def norm(a: Column): Column =
+    sqrt(aggregate(
+      transform(a, x => x.cast(DoubleType) * x.cast(DoubleType)),
+      lit(0.0),
+      (acc, x) => acc + x))
+}

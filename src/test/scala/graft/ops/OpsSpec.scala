@@ -1,0 +1,76 @@
+package graft.ops
+
+import graft.{SparkEntry, SparkFunSuite}
+
+/** Sanity + determinism for the operator packs at sf0.001. Full value
+  * correctness is pinned by the DuckDB oracle harness (tools/parity.py /
+  * the driver's Verify gate); these specs cover what the oracle can't:
+  * the rows-only queries, cross-query consistency, and non-emptiness.
+  */
+class OpsSpec extends SparkFunSuite {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("entry (flagship) returns rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("every registered query runs and returns rows at sf0.001") {
+    val counts = SparkEntry.queries.map { case (name, fn) =>
+      name -> fn(spark, sf).count()
+    }
+    val empty = counts.filter(_._2 == 0)
+    assert(empty.isEmpty, s"empty queries: ${empty.keys.mkString(", ")}")
+  }
+
+  test("every oracle key has a matching query") {
+    val missing = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(missing.isEmpty, s"oracle without query: $missing")
+  }
+
+  test("minhash LSH finds the same near-dup pairs as the exact jaccard join") {
+    val exact = Dedup.qDedupNgramJaccard(spark, sf).collect().map(r => (r.getLong(0), r.getLong(1)))
+    val lsh = Dedup.qDedupMinhashLsh(spark, sf).collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(exact.nonEmpty)
+    assert(lsh.toSet == exact.toSet)
+  }
+
+  test("simhash near-dup pairs: deterministic, bounded hamming, finds planted dups") {
+    val pairs = Dedup.qDedupSimhash(spark, sf).collect()
+    assert(pairs.nonEmpty)
+    assert(pairs.forall(_.getInt(2) <= Dedup.SimhashHammingMax))
+    val again = Dedup.qDedupSimhash(spark, sf).collect()
+    assert(pairs.map(r => (r.getLong(0), r.getLong(1))).toSeq ==
+      again.map(r => (r.getLong(0), r.getLong(1))).toSeq)
+    // the strongest text near-dups (jaccard ≥ 0.97 planted pairs) should
+    // overwhelmingly collide in simhash space too
+    val exact = Dedup.qDedupNgramJaccard(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val sim = pairs.map(r => (r.getLong(0), r.getLong(1))).toSet
+    val overlap = exact.intersect(sim).size.toDouble / exact.size
+    assert(overlap >= 0.8, s"simhash found only ${overlap * 100}%% of planted near-dups")
+  }
+
+  test("LSH top-k recall vs brute force") {
+    def neighbors(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(2))).groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val brute = neighbors(Similarity.qSimTopK(spark, sf))
+    val lsh = neighbors(Similarity.qSimLshTopK(spark, sf))
+    val recalls = brute.map { case (q, nbrs) =>
+      lsh.getOrElse(q, Set.empty).intersect(nbrs).size.toDouble / nbrs.size
+    }
+    val mean = recalls.sum / recalls.size
+    assert(mean >= 0.4, s"mean LSH recall@10 = $mean — too low for 16-bit signatures")
+  }
+
+  test("multimodal stub decode features are consistent with payload bytes") {
+    val rows = Multimodal.qMultimodalFeatures(spark, sf).collect()
+    assert(rows.length > 0)
+    rows.foreach { r =>
+      val len = r.getAs[Long]("byte_len")
+      assert(r.getAs[Int]("width") == (64 + len % 577).toInt)
+      val mt = r.getAs[String]("media_type")
+      if (mt != "video") assert(r.getAs[Int]("n_frames") == 1)
+    }
+  }
+}
