@@ -1,0 +1,103 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
+import org.apache.spark.sql.types._
+
+/** Structured Streaming surface over the `events` table shape: watermarked
+  * tumbling/sliding/session window aggregations and custom per-key state —
+  * the streaming duals of the batch queries in graft.ops.Events.
+  *
+  * Scale design: each aggregation is a standard stateful shuffle on the
+  * window/grouping key backed by the state store (RocksDB on a real
+  * cluster); watermarks bound state size; `Trigger.AvailableNow` gives
+  * batch-catchup semantics for backfills.
+  */
+object EventStreams {
+
+  /** Raw parquet schema of the events table (`ts` is int64 nanoseconds —
+    * Spark 4 has no ns timestamp, see graft.ops.Tables.events).
+    */
+  val rawSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", LongType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType),
+  ))
+
+  /** File-source stream of events with `ts` as a microsecond timestamp. */
+  def eventStream(spark: SparkSession, path: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.readStream
+      .schema(rawSchema)
+      .parquet(path)
+      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+  }
+
+  /** Watermarked tumbling-window counts per event type. */
+  def hourlyCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+      .select(col("window.start").as("window_start"), col("event_type"), col("n"), col("sum_value"))
+
+  /** Watermarked sliding-window counts (1 hour / 30 min). */
+  def slidingCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour", "30 minutes"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("window_start"), col("n"))
+
+  /** Watermarked session windows per user (5-minute gap). */
+  def sessionCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .groupBy(session_window(col("ts"), "5 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("session_window.start").as("session_start"), col("user_id"), col("n"))
+
+  final case class Ev(event_id: Long, user_id: Long, event_type: String)
+  final case class UserCount(user_id: Long, n: Long)
+
+  /** Custom keyed state: running per-user event counts via
+    * flatMapGroupsWithState (the `mapGroupsWithState` family — arbitrary
+    * state the built-in windows can't express).
+    */
+  def runningUserCounts(events: DataFrame): Dataset[UserCount] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .select(col("event_id"), col("user_id"), col("event_type"))
+      .as[Ev]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(
+        (userId: Long, evs: Iterator[Ev], state: GroupState[UserCount]) => {
+          val prev = state.getOption.map(_.n).getOrElse(0L)
+          val next = UserCount(userId, prev + evs.size)
+          state.update(next)
+          Iterator(next)
+        })
+  }
+
+  /** Run any streaming DataFrame to a named in-memory table with
+    * batch-catchup semantics; returns the materialized table.
+    */
+  def runToMemory(
+      df: DataFrame,
+      queryName: String,
+      outputMode: String = "complete"): DataFrame = {
+    val q = df.writeStream
+      .format("memory")
+      .queryName(queryName)
+      .outputMode(outputMode)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    df.sparkSession.table(queryName)
+  }
+}

@@ -1,0 +1,101 @@
+package graft.streaming
+
+import graft.SparkFunSuite
+import org.apache.spark.sql.functions._
+
+/** Streaming semantics vs their batch duals at sf0.001, plus the hub
+  * directory-watch mode (discover → per-file transform → exactly-once).
+  */
+class StreamingSpec extends SparkFunSuite {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  /** File sources stream DIRECTORIES — stage the single events file. */
+  private lazy val eventsPath: String = {
+    val d = tmpDir("events-stream")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sf/events.parquet"),
+      java.nio.file.Paths.get(s"$d/events.parquet"))
+    d
+  }
+
+  test("streaming tumbling window counts equal batch aggregation") {
+    val stream = EventStreams.hourlyCounts(EventStreams.eventStream(spark, eventsPath))
+    val got = EventStreams.runToMemory(stream, "t_hourly")
+      .groupBy().agg(sum("n")).head().getLong(0)
+    val want = graft.ops.Tables.events(spark, sf).count()
+    assert(got == want) // every event lands in exactly one tumbling window
+
+    val batch = graft.ops.Tables.events(spark, sf)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("window_start"), col("event_type"), col("n"))
+    val streamRows = spark.table("t_hourly")
+      .select("window_start", "event_type", "n").collect().map(_.toSeq).toSet
+    val batchRows = batch.collect().map(_.toSeq).toSet
+    assert(streamRows == batchRows)
+  }
+
+  test("streaming sliding windows double-count each event") {
+    val stream = EventStreams.slidingCounts(EventStreams.eventStream(spark, eventsPath))
+    val got = EventStreams.runToMemory(stream, "t_sliding")
+      .groupBy().agg(sum("n")).head().getLong(0)
+    val want = graft.ops.Tables.events(spark, sf).count() * 2
+    assert(got == want)
+  }
+
+  test("streaming session windows match batch sessionization") {
+    val stream = EventStreams.sessionCounts(EventStreams.eventStream(spark, eventsPath))
+    val got = EventStreams.runToMemory(stream, "t_sessions")
+    val batch = graft.ops.Tables.events(spark, sf)
+      .groupBy(session_window(col("ts"), "5 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n"))
+    assert(got.count() == batch.count())
+    assert(got.groupBy().agg(sum("n")).head().getLong(0) ==
+      graft.ops.Tables.events(spark, sf).count())
+  }
+
+  test("flatMapGroupsWithState running user counts reach per-user totals") {
+    val stream = EventStreams.runningUserCounts(EventStreams.eventStream(spark, eventsPath))
+    val got = EventStreams.runToMemory(stream.toDF(), "t_usercounts", outputMode = "update")
+      .groupBy(col("user_id")).agg(max(col("n")).as("n"))
+    val want = graft.ops.Tables.events(spark, sf)
+      .groupBy(col("user_id")).agg(count(lit(1)).as("n"))
+    val g = got.collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val w = want.collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(g == w)
+  }
+
+  test("hub directory watch: discovers new files exactly once") {
+    val hub = tmpDir("hub-stream")
+    val out = tmpDir("hub-stream-out")
+    val ckpt = tmpDir("hub-stream-ckpt")
+    new java.io.File(s"$hub/raw").mkdirs()
+    def writeCsv(name: String): Unit =
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(s"$hub/raw/$name"),
+        "location,value\nearth,1.5\nvulcan,2.5\n")
+    writeCsv("2420-01-01-team-model.csv")
+    writeCsv("2420-01-02-team-model.csv")
+
+    val r1 = HubStream.processNewFiles(
+      spark, hub, "raw", out, ckpt, Some(new org.apache.spark.sql.types.StructType()))
+    assert(r1.count(_.action == "add") == 2)
+    assert(new java.io.File(s"$out/2420-01-01-team-model.parquet").isFile)
+    assert(new java.io.File(s"$out/2420-01-02-team-model.parquet").isFile)
+
+    // second run: nothing new → nothing reprocessed
+    val r2 = HubStream.processNewFiles(
+      spark, hub, "raw", out, ckpt, Some(new org.apache.spark.sql.types.StructType()))
+    assert(r2.isEmpty)
+
+    // a new file plus a bad one: only the new file is added, bad one skipped
+    writeCsv("2420-01-03-team-model.csv")
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$hub/raw/notes.txt"), "hi")
+    val r3 = HubStream.processNewFiles(
+      spark, hub, "raw", out, ckpt, Some(new org.apache.spark.sql.types.StructType()))
+    assert(r3.count(_.action == "add") == 1)
+    assert(r3.count(_.action == "skip") == 1)
+    assert(new java.io.File(s"$out/2420-01-03-team-model.parquet").isFile)
+  }
+}
