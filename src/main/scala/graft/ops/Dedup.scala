@@ -28,6 +28,10 @@ object Dedup {
       .select(col("doc_id"), tokens(col("text")).as("t"))
       .filter(size(col("t")) >= ShingleK)
       .select(col("doc_id"), explode(shingleSet(col("t"), ShingleK)).as("s"))
+      // referenced 3-4× per query (sizes + both join sides); persist so the
+      // tokenize+shingle scan runs once. At 100 TB this materializes to a
+      // shuffle-stage output / checkpoint table instead of executor memory.
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
   }
 
   /** Exact dedup: deterministic survivor = min doc_id per identical text.

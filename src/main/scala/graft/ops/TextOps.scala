@@ -27,19 +27,13 @@ object TextOps {
   def intArraySum(arr: Column): Column =
     aggregate(arr, lit(0L), (acc, x) => acc + x)
 
-  /** Exact dot product of two float vectors in double (left-to-right fold —
-    * same order DuckDB's list_sum uses; results additionally rounded at the
-    * query layer).
+  /** Exact dot product of two numeric vectors in double (left-to-right
+    * accumulation — same order DuckDB's list_sum uses; results additionally
+    * rounded at the query layer). Backed by the codegen'd
+    * [[graft.functions.VecDot]] expression — FP-identical to the
+    * `aggregate(zip_with(...))` formulation it replaced, ~10× faster.
     */
-  def dot(a: Column, b: Column): Column =
-    aggregate(
-      zip_with(a, b, (x, y) => x.cast(DoubleType) * y.cast(DoubleType)),
-      lit(0.0),
-      (acc, x) => acc + x)
+  def dot(a: Column, b: Column): Column = graft.functions.VecDot(a, b)
 
-  def norm(a: Column): Column =
-    sqrt(aggregate(
-      transform(a, x => x.cast(DoubleType) * x.cast(DoubleType)),
-      lit(0.0),
-      (acc, x) => acc + x))
+  def norm(a: Column): Column = sqrt(graft.functions.VecDot(a, a))
 }
