@@ -315,6 +315,127 @@ object Relational {
       |FROM orders
       |GROUP BY 1 ORDER BY month""".stripMargin
 
+  /** TPC-H Q6-style selective filter + single aggregate (pushdown case). */
+  def q06ForecastRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val li = table(spark, dir, "lineitem")
+    li.filter(
+        col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1998-01-01").cast("timestamp") &&
+          col("l_discount").between(0.04, 0.07) && col("l_quantity") < 24)
+      .agg(dsumExpr(dec(col("l_extendedprice")) * dec(col("l_discount"))).as("revenue"),
+        count(lit(1)).as("n_lines"))
+  }
+
+  val q06Sql: String =
+    """SELECT
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+      |  count(*) AS n_lines
+      |FROM lineitem
+      |WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+      |  AND l_discount BETWEEN 0.04 AND 0.07 AND l_quantity < 24""".stripMargin
+
+  /** TPC-H Q17-style correlated aggregate: lines far below their part's
+    * average quantity. Expressed as an agg-join (the decorrelated plan) —
+    * the exact-decimal average keeps the predicate bit-identical.
+    */
+  def q17SmallQuantity(spark: SparkSession, dir: String): DataFrame = {
+    val li = table(spark, dir, "lineitem")
+    val avgPerPart = li.groupBy(col("l_partkey").as("pk"))
+      .agg((sum(dec(col("l_quantity"))).cast(DoubleType) /
+        count(col("l_quantity")).cast(DoubleType)).as("avg_qty"))
+    li.join(avgPerPart, col("l_partkey") === col("pk"))
+      .filter(col("l_quantity") < col("avg_qty") * 0.5)
+      .agg((dsum(col("l_extendedprice")) / lit(7.0)).as("avg_yearly"),
+        count(lit(1)).as("n_lines"))
+  }
+
+  val q17Sql: String =
+    """SELECT
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0 AS avg_yearly,
+      |  count(*) AS n_lines
+      |FROM lineitem l
+      |JOIN (
+      |  SELECT l_partkey AS pk,
+      |    CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / CAST(count(l_quantity) AS DOUBLE) AS avg_qty
+      |  FROM lineitem GROUP BY l_partkey) a ON l.l_partkey = a.pk
+      |WHERE l.l_quantity < a.avg_qty * 0.5""".stripMargin
+
+  /** Pivot (orderstatus columns per priority) — conditional-agg oracle. */
+  def qPivot(spark: SparkSession, dir: String): DataFrame = {
+    val ord = table(spark, dir, "orders")
+    ord.groupBy(col("o_orderpriority"))
+      .pivot("o_orderstatus", Seq("F", "O", "P"))
+      .agg(count(lit(1)))
+      .na.fill(0L)
+      .orderBy(col("o_orderpriority"))
+  }
+
+  val qPivotSql: String =
+    """SELECT o_orderpriority,
+      |  count(*) FILTER (WHERE o_orderstatus = 'F') AS "F",
+      |  count(*) FILTER (WHERE o_orderstatus = 'O') AS "O",
+      |  count(*) FILTER (WHERE o_orderstatus = 'P') AS "P"
+      |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
+  /** Exact distinct counts per group (count-distinct expand path). */
+  def qDistinctCounts(spark: SparkSession, dir: String): DataFrame = {
+    val li = table(spark, dir, "lineitem")
+    li.groupBy(col("l_returnflag"))
+      .agg(
+        countDistinct(col("l_partkey")).as("n_parts"),
+        countDistinct(col("l_suppkey")).as("n_supps"),
+        count(lit(1)).as("n_lines"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  val qDistinctCountsSql: String =
+    """SELECT l_returnflag,
+      |  count(DISTINCT l_partkey) AS n_parts,
+      |  count(DISTINCT l_suppkey) AS n_supps,
+      |  count(*) AS n_lines
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
+  /** TPC-H Q7-style nation-pair volume, exercised through the raw
+    * `spark.sql` surface (temp views + SQL text) — same engine, SQL front
+    * door.
+    */
+  def q07SqlSurface(spark: SparkSession, dir: String): DataFrame = {
+    table(spark, dir, "lineitem").createOrReplaceTempView("v_lineitem")
+    table(spark, dir, "orders").createOrReplaceTempView("v_orders")
+    table(spark, dir, "customer").createOrReplaceTempView("v_customer")
+    table(spark, dir, "supplier").createOrReplaceTempView("v_supplier")
+    table(spark, dir, "nation").createOrReplaceTempView("v_nation")
+    spark.sql(
+      """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+        |  year(l_shipdate) AS ship_year,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS volume
+        |FROM v_lineitem
+        |JOIN v_orders ON l_orderkey = o_orderkey
+        |JOIN v_supplier ON l_suppkey = s_suppkey
+        |JOIN v_customer ON o_custkey = c_custkey
+        |JOIN v_nation n1 ON s_nationkey = n1.n_nationkey
+        |JOIN v_nation n2 ON c_nationkey = n2.n_nationkey
+        |WHERE n1.n_name IN ('NATION_3', 'NATION_8') AND n2.n_name IN ('NATION_3', 'NATION_8')
+        |  AND n1.n_name <> n2.n_name
+        |GROUP BY 1, 2, 3
+        |ORDER BY 1, 2, 3""".stripMargin)
+  }
+
+  val q07Sql: String =
+    """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+      |  year(l_shipdate) AS ship_year,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS volume
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN supplier ON l_suppkey = s_suppkey
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation n1 ON s_nationkey = n1.n_nationkey
+      |JOIN nation n2 ON c_nationkey = n2.n_nationkey
+      |WHERE n1.n_name IN ('NATION_3', 'NATION_8') AND n2.n_name IN ('NATION_3', 'NATION_8')
+      |  AND n1.n_name <> n2.n_name
+      |GROUP BY 1, 2, 3
+      |ORDER BY 1, 2, 3""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> (q01PricingSummary _),
     "q03_top_orders" -> (q03TopOrders _),
@@ -331,6 +452,11 @@ object Relational {
     "q_topk_orders" -> (qTopKOrders _),
     "q_distinct_segments" -> (qDistinctSegments _),
     "q_orders_per_month" -> (qOrdersPerMonth _),
+    "q06_forecast_revenue" -> (q06ForecastRevenue _),
+    "q17_small_quantity" -> (q17SmallQuantity _),
+    "q_pivot" -> (qPivot _),
+    "q_distinct_counts" -> (qDistinctCounts _),
+    "q07_sql_surface" -> (q07SqlSurface _),
   )
 
   def oracle: Map[String, String] = Map(
@@ -349,5 +475,10 @@ object Relational {
     "q_topk_orders" -> qTopKOrdersSql,
     "q_distinct_segments" -> qDistinctSegmentsSql,
     "q_orders_per_month" -> qOrdersPerMonthSql,
+    "q06_forecast_revenue" -> q06Sql,
+    "q17_small_quantity" -> q17Sql,
+    "q_pivot" -> qPivotSql,
+    "q_distinct_counts" -> qDistinctCountsSql,
+    "q07_sql_surface" -> q07Sql,
   )
 }
