@@ -1,0 +1,50 @@
+package graft
+
+import org.apache.spark.sql.{Column, SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.expressions.Expression
+
+import graft.functions.VecDot
+
+/** Session wiring for the graft engine: custom function registration (SQL
+  * + Column surfaces) and the recommended session configuration.
+  */
+object GraftSession {
+
+  /** Register graft's custom expressions on an existing session so SQL text
+    * can call them (`SELECT vec_dot(a, b) ...`). Idempotent.
+    */
+  def registerFunctions(spark: SparkSession): Unit = {
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "vec_dot",
+      (exprs: Seq[Expression]) => functions.VecDot(exprs(0), exprs(1)),
+      "built-in")
+  }
+
+  /** Builder with the engine's recommended configuration; callers add
+    * master/memory. `nanosAsLong` is set up front so parquet ns timestamps
+    * read consistently across the whole session (see SCALE.md).
+    */
+  def builder(): SparkSession.Builder =
+    SparkSession.builder()
+      .withExtensions(new GraftExtensions)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.adaptive.enabled", "true")
+
+  /** Column-API surface for the custom expressions. */
+  def vec_dot(a: Column, b: Column): Column = VecDot(a, b)
+}
+
+/** `SparkSessionExtensions` hook — usable via
+  * `spark.sql.extensions=graft.GraftExtensions` or
+  * `SparkSession.builder().withExtensions(new GraftExtensions)`.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(e: SparkSessionExtensions): Unit = {
+    e.injectFunction((
+      org.apache.spark.sql.catalyst.FunctionIdentifier("vec_dot"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[VecDot].getName, "vec_dot"),
+      (exprs: Seq[Expression]) => VecDot(exprs(0), exprs(1))))
+  }
+}

@@ -134,17 +134,20 @@ object Dedup {
     */
   def qDedupMinhashLsh(spark: SparkSession, dir: String): DataFrame = {
     val sh = docShingles(spark, dir)
-    val hashed = sh.select(col("doc_id"), col("s"),
+    val hashed = sh.select(col("doc_id"),
       pmod(xxhash64(col("s")), lit(HashPrime)).as("base"))
-    val minAggs = hashCoefs.zipWithIndex.map { case ((a, b), i) =>
-      min(pmod(col("base") * a + b, lit(HashPrime))).as(s"h$i")
-    }
-    val sig = hashed.groupBy(col("doc_id")).agg(minAggs.head, minAggs.tail: _*)
+    // whole 64-hash signature in ONE typed-imperative aggregate buffer —
+    // 64 separate min() columns blow Spark's codegen field limit and
+    // de-codegen the entire stage (see graft.functions.MinHashAgg)
+    val sig = hashed.groupBy(col("doc_id"))
+      .agg(graft.functions.MinHashAgg(
+        col("base"), hashCoefs.map(_._1), hashCoefs.map(_._2), HashPrime).as("sig"))
 
     val bandStructs = (0 until NumBands).map { bd =>
       struct(
         lit(bd).as("band"),
-        xxhash64((0 until RowsPerBand).map(r => col(s"h${bd * RowsPerBand + r}")): _*).as("bv"))
+        xxhash64((0 until RowsPerBand).map(r =>
+          element_at(col("sig"), bd * RowsPerBand + r + 1)): _*).as("bv"))
     }
     val banded = sig
       .select(col("doc_id"), explode(array(bandStructs: _*)).as("e"))

@@ -63,6 +63,18 @@ class OpsSpec extends SparkFunSuite {
     assert(mean >= 0.4, s"mean LSH recall@10 = $mean — too low for 16-bit signatures")
   }
 
+  test("vec_dot is SQL-callable after registration") {
+    graft.GraftSession.registerFunctions(spark)
+    val r = spark.sql(
+      "SELECT vec_dot(array(CAST(1.0 AS FLOAT), CAST(2.0 AS FLOAT)), " +
+        "array(CAST(3.0 AS FLOAT), CAST(4.0 AS FLOAT))) AS d").head().getDouble(0)
+    assert(r == 11.0)
+    // mixed float/double arrays work too
+    val r2 = spark.sql("SELECT vec_dot(array(1.0D, 2.0D), array(CAST(3.0 AS FLOAT), CAST(4.0 AS FLOAT))) AS d")
+      .head().getDouble(0)
+    assert(r2 == 11.0)
+  }
+
   test("multimodal stub decode features are consistent with payload bytes") {
     val rows = Multimodal.qMultimodalFeatures(spark, sf).collect()
     assert(rows.length > 0)
