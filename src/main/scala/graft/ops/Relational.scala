@@ -436,6 +436,31 @@ object Relational {
       |GROUP BY 1, 2, 3
       |ORDER BY 1, 2, 3""".stripMargin
 
+  /** Exact interpolated percentiles per group (sort-based aggregate;
+    * interpolation arithmetic verified bit-identical to DuckDB's
+    * quantile_cont in round 1).
+    */
+  def qPercentiles(spark: SparkSession, dir: String): DataFrame = {
+    val li = table(spark, dir, "lineitem")
+    li.groupBy(col("l_returnflag"))
+      .agg(percentile(col("l_extendedprice"), array(lit(0.25), lit(0.5), lit(0.75), lit(0.99))).as("p"))
+      .select(
+        col("l_returnflag"),
+        element_at(col("p"), 1).as("p25"),
+        element_at(col("p"), 2).as("p50"),
+        element_at(col("p"), 3).as("p75"),
+        element_at(col("p"), 4).as("p99"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  val qPercentilesSql: String =
+    """SELECT l_returnflag,
+      |  quantile_cont(l_extendedprice, 0.25) AS p25,
+      |  quantile_cont(l_extendedprice, 0.5) AS p50,
+      |  quantile_cont(l_extendedprice, 0.75) AS p75,
+      |  quantile_cont(l_extendedprice, 0.99) AS p99
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> (q01PricingSummary _),
     "q03_top_orders" -> (q03TopOrders _),
@@ -457,6 +482,7 @@ object Relational {
     "q_pivot" -> (qPivot _),
     "q_distinct_counts" -> (qDistinctCounts _),
     "q07_sql_surface" -> (q07SqlSurface _),
+    "q_percentiles" -> (qPercentiles _),
   )
 
   def oracle: Map[String, String] = Map(
@@ -480,5 +506,6 @@ object Relational {
     "q_pivot" -> qPivotSql,
     "q_distinct_counts" -> qDistinctCountsSql,
     "q07_sql_surface" -> q07Sql,
+    "q_percentiles" -> qPercentilesSql,
   )
 }
