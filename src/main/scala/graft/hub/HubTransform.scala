@@ -181,31 +181,50 @@ object HubTransform {
   /** Batch backfill: transform every supported file under a directory —
     * the engine equivalent of the reference's re-trigger ops script
     * (faas/lambda_retrigger_model_output_add.py:13-62).
+    *
+    * Files are independent single-stage jobs, so they are submitted from a
+    * driver-side thread pool (`parallelism` concurrent Spark jobs) — the
+    * scheduler interleaves their tasks across executors. This is how the
+    * per-file one-file-out contract scales to thousands of files: across
+    * files, not within one (see SCALE.md).
     */
   def addDirectory(
       spark: SparkSession,
       hubPath: String,
       rawDir: String,
-      outputPath: String): Seq[EventResult] = {
+      outputPath: String,
+      parallelism: Int = 8,
+      schemaOverride: Option[StructType] = None): Seq[EventResult] = {
     val conf = spark.sessionState.newHadoopConf()
     val dir = new org.apache.hadoop.fs.Path(PathParser.sanitizePath(joinAbs(hubPath, rawDir)))
     val fs = dir.getFileSystem(conf)
     if (!fs.exists(dir)) return Nil
     val it = fs.listFiles(dir, true)
-    val results = scala.collection.mutable.ArrayBuffer.empty[EventResult]
-    while (it.hasNext) {
-      val f = it.next().getPath
-      val rel = f.toString
-      try {
-        val out = new ModelOutputHandler(spark, hubPath, rel, outputPath).addModelOutput()
-        results += EventResult(rel, "add", Some(out), None)
-      } catch {
-        case w: UserWarning => results += EventResult(rel, "skip", None, Some(w.getMessage))
-        case scala.util.control.NonFatal(e) =>
-          results += EventResult(rel, "error", None, Some(e.getMessage))
+    val files = scala.collection.mutable.ArrayBuffer.empty[String]
+    // local Hadoop paths stringify as "file:/..." — strip so path joining
+    // and stem parsing see a plain absolute path; remote schemes
+    // ("s3a://...") keep their authority form
+    while (it.hasNext) files += it.next().getPath.toString.stripPrefix("file:")
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(math.max(1, parallelism))
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.fromExecutorService(pool)
+    try {
+      val futures = files.sorted.map { rel =>
+        scala.concurrent.Future {
+          try {
+            val out = new ModelOutputHandler(spark, hubPath, rel, outputPath, schemaOverride).addModelOutput()
+            EventResult(rel, "add", Some(out), None)
+          } catch {
+            case w: UserWarning => EventResult(rel, "skip", None, Some(w.getMessage))
+            case scala.util.control.NonFatal(e) =>
+              EventResult(rel, "error", None, Some(e.getMessage))
+          }
+        }
       }
-    }
-    results.toSeq
+      scala.concurrent.Await.result(
+        scala.concurrent.Future.sequence(futures.toSeq),
+        scala.concurrent.duration.Duration.Inf)
+    } finally pool.shutdown()
   }
 
   private def joinAbs(base: String, rel: String): String =

@@ -34,6 +34,10 @@ object ModelOutputWriter {
       if (!fs.exists(outDir)) fs.mkdirs(outDir)
       if (!fs.rename(part, target))
         throw new IllegalStateException(s"rename $part -> $target failed")
+      // local Hadoop FS tracks renamed checksum sidecars — the contract is
+      // ONE file out, so drop them (no-op on S3A)
+      val crc = new Path(target.getParent, s".${target.getName}.crc")
+      if (fs.exists(crc)) fs.delete(crc, false)
     } finally fs.delete(tmp, true)
     target.toString
   }

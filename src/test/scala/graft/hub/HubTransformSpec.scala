@@ -203,6 +203,25 @@ class HubTransformSpec extends SparkFunSuite {
       handler("raw/prefix1/prefix2/2420-01-01.csv", out, new StructType()))
   }
 
+  test("addDirectory backfills all files in parallel, skipping bad ones") {
+    val hub = tmpDir("hub-dir")
+    val out = tmpDir("hub-dir-out")
+    new java.io.File(s"$hub/raw/nested").mkdirs()
+    for (d <- Seq("2420-01-01", "2420-01-02", "2420-01-03"))
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(s"$hub/raw/$d-team-model.csv"),
+        "location,value\nearth,1.5\n")
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$hub/raw/nested/2420-01-04-team-model.csv"),
+      "location,value\nvulcan,2.5\n")
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$hub/raw/junk.txt"), "x")
+    val results = HubTransform.addDirectory(
+      spark, hub, "raw", out, parallelism = 4, schemaOverride = Some(new StructType()))
+    assert(results.count(_.action == "add") == 4)
+    assert(results.count(_.action == "skip") == 1)
+    assert(new java.io.File(out).listFiles().count(_.getName.endsWith(".parquet")) == 4)
+  }
+
   test("event dispatch skips bad files, routes verbs (faas/lambda_function.py:22-62)") {
     val hub = tmpDir("hub")
     val out = tmpDir("hub-out")
