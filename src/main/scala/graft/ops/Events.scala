@@ -114,16 +114,15 @@ object Events {
     */
   def qEventsAsof(spark: SparkSession, dir: String): DataFrame = {
     val ev = events(spark, dir)
-    val w = Window.partitionBy(col("user_id"))
-      .orderBy(col("ts"), col("event_id"))
-      .rowsBetween(Window.unboundedPreceding, -1)
-    ev.withColumn("click_ts", when(col("event_type") === "click", col("ts")))
-      .withColumn("asof_click", last(col("click_ts"), ignoreNulls = true).over(w))
-      .filter(col("event_type") === "purchase")
+    AsOfJoin.join(
+        left = ev.filter(col("event_type") === "purchase"),
+        right = ev.filter(col("event_type") === "click"),
+        key = "user_id", time = "ts", tiebreak = "event_id",
+        rightPayload = Seq("ts"))
       .select(
         col("event_id"), col("user_id"),
         fmt(col("ts")).as("purchase_ts"),
-        fmt(col("asof_click")).as("click_ts"))
+        fmt(col("asof_ts")).as("click_ts"))
       .orderBy(col("event_id"))
   }
 

@@ -1,0 +1,162 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DoubleType
+
+import TextOps._
+
+/** Reusable, table-agnostic text-deduplication operators: a user points
+  * them at ANY DataFrame with an id + text column (the `documents`-table
+  * queries in [[Dedup]] are thin bindings of these).
+  *
+  * Output pair frames are always (id_a, id_b, measure) with id_a < id_b,
+  * ordered — ready for a connected-components / keep-min-survivor pass.
+  */
+object TextDedup {
+
+  final case class MinHashConfig(
+      shingleK: Int = 3,
+      numHashes: Int = 64,
+      numBands: Int = 16,
+      prime: Long = 1000000007L,
+      seed: Long = 20260812L) {
+    require(numHashes % numBands == 0, "numHashes must divide into bands")
+    val rowsPerBand: Int = numHashes / numBands
+
+    /** Deterministic affine coefficients over the base hash mod `prime`. */
+    lazy val coefs: Array[(Long, Long)] = {
+      val rnd = new scala.util.Random(seed)
+      Array.fill(numHashes)(
+        (1L + math.floorMod(rnd.nextLong(), prime - 1), math.floorMod(rnd.nextLong(), prime)))
+    }
+  }
+
+  /** (id, shingle) relation: distinct word-k-shingles per document,
+    * persisted because dedup pipelines reference it several times (sizes +
+    * both join sides). At 100 TB materialize to a table instead.
+    */
+  def shingles(docs: DataFrame, id: Column, text: Column, k: Int): DataFrame =
+    docs
+      .select(id.as("id"), tokens(text).as("t"))
+      .filter(size(col("t")) >= k)
+      .select(col("id"), explode(shingleSet(col("t"), k)).as("s"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+  /** Exact dedup: deterministic survivor (min id) + fingerprint per
+    * distinct text. One hash aggregation.
+    */
+  def exact(docs: DataFrame, id: Column, text: Column): DataFrame =
+    docs
+      .groupBy(text.as("text"))
+      .agg(min(id).as("id"), count(lit(1)).as("n_copies"))
+      .select(col("id"), md5(col("text")).as("fp"), col("n_copies"))
+      .orderBy(col("id"))
+
+  /** (id_a, id_b, common) candidates + per-id set sizes → thresholded
+    * Jaccard pairs. Exact integer division — bit-stable across engines.
+    */
+  private[ops] def jaccardFromCommons(
+      commons: DataFrame, sizes: DataFrame, threshold: Double): DataFrame =
+    commons
+      .join(sizes.toDF("id_a", "na"), Seq("id_a"))
+      .join(sizes.toDF("id_b", "nb"), Seq("id_b"))
+      .select(
+        col("id_a"), col("id_b"),
+        (col("common").cast(DoubleType) /
+          (col("na") + col("nb") - col("common")).cast(DoubleType)).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+      .orderBy(col("id_a"), col("id_b"))
+
+  /** Exact n-gram Jaccard pairs via the inverted shingle index. Skew
+    * warning: the join key is the shingle — at scale use
+    * [[minhashLshPairs]], which only verifies candidates.
+    */
+  def jaccardPairs(
+      docs: DataFrame, id: Column, text: Column,
+      k: Int = 3, threshold: Double = 0.8): DataFrame = {
+    val sh = shingles(docs, id, text, k)
+    val sizes = sh.groupBy(col("id")).agg(count(lit(1)).as("n")).toDF("id", "n")
+    val commons = sh.toDF("id_a", "s")
+      .join(sh.toDF("id_b", "s"), Seq("s"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("common"))
+    jaccardFromCommons(commons, sizes, threshold)
+  }
+
+  /** MinHash + LSH near-dup pairs with exact-Jaccard verification — the
+    * 100 TB text-dedup pipeline. Identical final semantics to
+    * [[jaccardPairs]] at the same threshold, minus any pair the banding
+    * misses (P(miss | J≥0.8) ≈ 2e-4 with the default 16×4 config).
+    */
+  def minhashLshPairs(
+      docs: DataFrame, id: Column, text: Column,
+      cfg: MinHashConfig = MinHashConfig(), threshold: Double = 0.8): DataFrame = {
+    val sh = shingles(docs, id, text, cfg.shingleK)
+    val hashed = sh.select(col("id"), pmod(xxhash64(col("s")), lit(cfg.prime)).as("base"))
+    val sig = hashed.groupBy(col("id"))
+      .agg(graft.functions.MinHashAgg(
+        col("base"), cfg.coefs.map(_._1), cfg.coefs.map(_._2), cfg.prime).as("sig"))
+
+    val bandStructs = (0 until cfg.numBands).map { bd =>
+      struct(
+        lit(bd).as("band"),
+        xxhash64((0 until cfg.rowsPerBand).map(r =>
+          element_at(col("sig"), bd * cfg.rowsPerBand + r + 1)): _*).as("bv"))
+    }
+    val banded = sig
+      .select(col("id"), explode(array(bandStructs: _*)).as("e"))
+      .select(col("id"), col("e.band").as("band"), col("e.bv").as("bv"))
+
+    val candidates = banded.toDF("id_a", "band", "bv")
+      .join(banded.toDF("id_b", "band", "bv"), Seq("band", "bv"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"))
+      .distinct()
+
+    val commons = candidates
+      .join(sh.toDF("id_a", "s"), Seq("id_a"))
+      .join(sh.toDF("id_b", "s"), Seq("id_b", "s"))
+      .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("common"))
+    val sizes = sh.groupBy(col("id")).agg(count(lit(1)).as("n")).toDF("id", "n")
+    jaccardFromCommons(commons, sizes, threshold)
+  }
+
+  /** SimHash near-dup pairs: 64-bit signature, 16-bit block collision
+    * candidates, exact Hamming verification. Note: a colliding block is
+    * GUARANTEED only for Hamming ≤ 3 (4 blocks); pairs at 4..maxHamming
+    * are found with high (not certain) probability.
+    */
+  def simhashPairs(
+      docs: DataFrame, id: Column, text: Column, maxHamming: Int = 6): DataFrame = {
+    val toks = docs
+      .select(id.as("id"), explode(tokens(text)).as("tok"))
+      .groupBy(col("id"), col("tok")).agg(count(lit(1)).as("cnt"))
+      .withColumn("base", xxhash64(col("tok")))
+    val bitSums = (0 until 64).map { j =>
+      sum((shiftrightunsigned(col("base"), j).bitwiseAND(lit(1L)) * 2 - 1) * col("cnt")).as(s"b$j")
+    }
+    val agg = toks.groupBy(col("id")).agg(bitSums.head, bitSums.tail: _*)
+    val simhash = (0 until 64)
+      .map(j => when(col(s"b$j") > 0, lit(1L << j)).otherwise(lit(0L)))
+      .reduce((x, y) => x.bitwiseOR(y))
+    val sigs = agg.select(col("id"), simhash.as("sim"))
+
+    val blocks = (0 until 4).map { k =>
+      struct(lit(k).as("blk"),
+        shiftrightunsigned(col("sim"), k * 16).bitwiseAND(lit(0xffffL)).as("bv"))
+    }
+    val banded = sigs
+      .select(col("id"), col("sim"), explode(array(blocks: _*)).as("e"))
+      .select(col("id"), col("sim"), col("e.blk").as("blk"), col("e.bv").as("bv"))
+
+    banded.toDF("id_a", "sim_a", "blk", "bv")
+      .join(banded.toDF("id_b", "sim_b", "blk", "bv"), Seq("blk", "bv"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        bit_count(col("sim_a").bitwiseXOR(col("sim_b"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+      .orderBy(col("id_a"), col("id_b"))
+  }
+}

@@ -1,0 +1,92 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import TextOps.{dot, norm}
+
+/** Reusable vector-similarity operators over any DataFrame with an id +
+  * `array<float|double>` embedding column ([[Similarity]] / [[Dedup]]
+  * queries are thin bindings over the `embeddings` table).
+  */
+object VectorSearch {
+
+  /** id/embedding/nrm normalized view. */
+  private def withNorm(df: DataFrame, id: Column, vec: Column): DataFrame =
+    df.select(id.as("id"), vec.as("v"), norm(vec).as("nrm"))
+
+  /** All pairs with cosine ≥ threshold (brute force, broadcast-one-side).
+    * O(n²) — exact baseline / verification shape; use [[lshTopK]]-style
+    * bucketing at scale.
+    */
+  def cosinePairs(df: DataFrame, id: Column, vec: Column, threshold: Double): DataFrame = {
+    val n = withNorm(df, id, vec)
+    n.toDF("id_a", "va", "na")
+      .join(n.toDF("id_b", "vb", "nb"), col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        round(dot(col("va"), col("vb")) / (col("na") * col("nb")), 6).as("cos_sim"))
+      .filter(col("cos_sim") >= threshold)
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  /** Exact cosine top-k for a query subset: queries broadcast against one
+    * corpus scan; deterministic on (rounded cosine desc, id).
+    */
+  def cosineTopK(df: DataFrame, id: Column, vec: Column, queryIds: Seq[Long], k: Int): DataFrame = {
+    val corpus = withNorm(df, id, vec)
+    val queries = corpus.filter(col("id").isin(queryIds: _*)).toDF("qid", "qv", "qn")
+    val w = Window.partitionBy(col("qid")).orderBy(col("cos_sim").desc, col("id"))
+    broadcast(queries)
+      .join(corpus, col("id") =!= col("qid"))
+      .select(col("qid"), col("id"),
+        round(dot(col("qv"), col("v")) / (col("qn") * col("nrm")), 6).as("cos_sim"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("qid"), col("rnk"), col("id"), col("cos_sim"))
+      .orderBy(col("qid"), col("rnk"))
+  }
+
+  final case class LshConfig(numPlanes: Int = 16, bands: Int = 4, dim: Int = 64, seed: Long = 77070707L) {
+    require(numPlanes % bands == 0)
+    val bitsPerBand: Int = numPlanes / bands
+    lazy val planes: Array[Array[Double]] = {
+      val rnd = new scala.util.Random(seed)
+      Array.fill(numPlanes, dim)(if (rnd.nextBoolean()) 1.0 else -1.0)
+    }
+  }
+
+  /** Random-hyperplane LSH top-k: signature projection → band bucket join
+    * → exact re-rank within buckets. The billions-of-vectors shape.
+    */
+  def lshTopK(df: DataFrame, id: Column, vec: Column, queryIds: Seq[Long], k: Int,
+      cfg: LshConfig = LshConfig()): DataFrame = {
+    val corpus = withNorm(df, id, vec)
+    val planeCols = cfg.planes.zipWithIndex.map { case (p, j) =>
+      when(dot(array(p.map(lit).toIndexedSeq: _*), col("v")) >= 0, lit(1L << j)).otherwise(lit(0L))
+    }
+    val signed = corpus.withColumn("sig", planeCols.reduce((a, b) => a.bitwiseOR(b)))
+    val bands = (0 until cfg.bands).map { b =>
+      struct(lit(b).as("band"),
+        shiftrightunsigned(col("sig"), b * cfg.bitsPerBand)
+          .bitwiseAND(lit((1L << cfg.bitsPerBand) - 1)).as("bv"))
+    }
+    val banded = signed
+      .select(col("id"), col("v"), col("nrm"), explode(array(bands: _*)).as("e"))
+      .select(col("id"), col("v"), col("nrm"), col("e.band").as("band"), col("e.bv").as("bv"))
+
+    val queries = banded.filter(col("id").isin(queryIds: _*)).toDF("qid", "qv", "qn", "band", "bv")
+    val w = Window.partitionBy(col("qid")).orderBy(col("cos_sim").desc, col("id"))
+    broadcast(queries)
+      .join(banded, Seq("band", "bv"))
+      .filter(col("id") =!= col("qid"))
+      .select(col("qid"), col("qv"), col("qn"), col("id"), col("v"), col("nrm"))
+      .distinct()
+      .select(col("qid"), col("id"),
+        round(dot(col("qv"), col("v")) / (col("qn") * col("nrm")), 6).as("cos_sim"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("qid"), col("rnk"), col("id"), col("cos_sim"))
+      .orderBy(col("qid"), col("rnk"))
+  }
+}
