@@ -90,7 +90,34 @@ object Dedup {
        |      p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))) / (a.nrm * b.nrm), 6) >= $CosineThreshold
        |ORDER BY va, vb""".stripMargin
 
+  /** Survivor selection: every doc mapped to the min doc_id of its
+    * near-dup cluster (clusters from the exact-Jaccard pairs; singletons map
+    * to themselves).
+    */
+  def qDedupComponents(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = TextDedup.jaccardPairs(
+      table(spark, dir, "documents"), col("doc_id"), col("text"), ShingleK, JaccardThreshold)
+    val ids = table(spark, dir, "documents").select(col("doc_id").as("id"))
+    TextDedup.canonicalize(pairs, ids)
+      .withColumnRenamed("id", "doc_id")
+  }
+
+  /** Recursive-CTE closure spec of the same min-label components. */
+  val qDedupComponentsSql: String =
+    s"""WITH RECURSIVE pairs AS (
+       |  ${qDedupNgramSql.linesIterator.map("  " + _).mkString("\n").replace("ORDER BY da, db", "")}
+       |), edges AS (
+       |  SELECT da AS src, db AS dst FROM pairs
+       |  UNION ALL SELECT db AS src, da AS dst FROM pairs
+       |), walk(id, lbl) AS (
+       |  SELECT doc_id, doc_id FROM documents
+       |  UNION
+       |  SELECT e.dst, w.lbl FROM walk w JOIN edges e ON e.src = w.id
+       |)
+       |SELECT id AS doc_id, min(lbl) AS canonical FROM walk GROUP BY id ORDER BY doc_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_dedup_components" -> (qDedupComponents _),
     "q_dedup_exact" -> (qDedupExact _),
     "q_dedup_ngram_jaccard" -> (qDedupNgramJaccard _),
     "q_dedup_minhash_lsh" -> (qDedupMinhashLsh _),
@@ -99,6 +126,7 @@ object Dedup {
   )
 
   def oracle: Map[String, String] = Map(
+    "q_dedup_components" -> qDedupComponentsSql,
     "q_dedup_exact" -> qDedupExactSql,
     "q_dedup_ngram_jaccard" -> qDedupNgramSql,
     // MinHash+LSH has the same final semantics as the exact pair query —

@@ -122,6 +122,46 @@ object TextDedup {
     jaccardFromCommons(commons, sizes, threshold)
   }
 
+  /** Survivor selection over near-dup pairs: connected components by
+    * min-label propagation — every id maps to the smallest id in its
+    * duplicate cluster (`canonical == id` ⇒ keep, else drop).
+    *
+    * Iterates label propagation to fixpoint with a driver-side convergence
+    * check (each sweep is one join + aggregate; iterations ≈ component
+    * diameter). At 100 TB swap the sweep for the large-star/small-star
+    * formulation (O(log n) rounds) and checkpoint between rounds; the
+    * per-round dataflow is the same join + min-aggregate.
+    *
+    * @param pairs (id_a, id_b) near-dup edges
+    * @param ids   universe of ids (singletons map to themselves)
+    */
+  def canonicalize(pairs: DataFrame, ids: DataFrame, maxIters: Int = 15): DataFrame = {
+    val storage = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .persist(storage)
+    var labels = ids.select(col("id"), col("id").as("canonical")).persist(storage)
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIters) {
+      val prev = labels
+      val propagated = edges
+        .join(prev, col("src") === col("id"))
+        .select(col("dst").as("id"), col("canonical"))
+      val next = prev.union(propagated)
+        .groupBy(col("id")).agg(min(col("canonical")).as("canonical"))
+        .persist(storage)
+      val changed = next.join(prev.toDF("id", "prevLbl"), Seq("id"))
+        .filter(col("canonical") =!= col("prevLbl")).limit(1).count() > 0
+      prev.unpersist() // superseded generation — bound cache to one sweep
+      labels = next
+      converged = !changed
+      i += 1
+    }
+    edges.unpersist()
+    labels.orderBy(col("id"))
+  }
+
   /** SimHash near-dup pairs: 64-bit signature, 16-bit block collision
     * candidates, exact Hamming verification. Note: a colliding block is
     * GUARANTEED only for Hamming ≤ 3 (4 blocks); pairs at 4..maxHamming
