@@ -461,6 +461,29 @@ object Relational {
       |  quantile_cont(l_extendedprice, 0.99) AS p99
       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
+  /** Analytic window functions: lag deltas + dense_rank per partition. */
+  def qWindowLag(spark: SparkSession, dir: String): DataFrame = {
+    val li = table(spark, dir, "lineitem").filter(col("l_suppkey") <= 3)
+    val w = Window.partitionBy(col("l_suppkey"))
+      .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+    li.select(
+        col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+        col("l_quantity"),
+        (col("l_quantity") - lag(col("l_quantity"), 1).over(w)).as("qty_delta"),
+        dense_rank().over(
+          Window.partitionBy(col("l_suppkey")).orderBy(col("l_quantity").desc)).as("qty_rank"))
+      .orderBy(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"))
+  }
+
+  val qWindowLagSql: String =
+    """SELECT l_suppkey, l_orderkey, l_linenumber, l_quantity,
+      |  l_quantity - lag(l_quantity, 1) OVER (
+      |    PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber) AS qty_delta,
+      |  dense_rank() OVER (PARTITION BY l_suppkey ORDER BY l_quantity DESC) AS qty_rank
+      |FROM lineitem
+      |WHERE l_suppkey <= 3
+      |ORDER BY l_suppkey, l_orderkey, l_linenumber""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> (q01PricingSummary _),
     "q03_top_orders" -> (q03TopOrders _),
@@ -483,6 +506,7 @@ object Relational {
     "q_distinct_counts" -> (qDistinctCounts _),
     "q07_sql_surface" -> (q07SqlSurface _),
     "q_percentiles" -> (qPercentiles _),
+    "q_window_lag" -> (qWindowLag _),
   )
 
   def oracle: Map[String, String] = Map(
@@ -507,5 +531,6 @@ object Relational {
     "q_distinct_counts" -> qDistinctCountsSql,
     "q07_sql_surface" -> q07Sql,
     "q_percentiles" -> qPercentilesSql,
+    "q_window_lag" -> qWindowLagSql,
   )
 }
