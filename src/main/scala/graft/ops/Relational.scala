@@ -484,6 +484,98 @@ object Relational {
       |WHERE l_suppkey <= 3
       |ORDER BY l_suppkey, l_orderkey, l_linenumber""".stripMargin
 
+  /** TPC-H Q4-style: order-priority counts for orders with any late line. */
+  def q04OrderPriority(spark: SparkSession, dir: String): DataFrame = {
+    val ord = table(spark, dir, "orders")
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+    ord.join(
+        table(spark, dir, "lineitem").filter(col("l_quantity") >= 30),
+        ord("o_orderkey") === col("l_orderkey"), "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("order_count"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  val q04Sql: String =
+    """SELECT o_orderpriority, count(*) AS order_count
+      |FROM orders
+      |WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
+      |  AND EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey AND l_quantity >= 30)
+      |GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin
+
+  /** TPC-H Q12-style: conditional aggregation (CASE inside sum). */
+  def q12ShipPriority(spark: SparkSession, dir: String): DataFrame = {
+    val li = table(spark, dir, "lineitem")
+    val ord = table(spark, dir, "orders")
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+      .groupBy(col("l_returnflag"))
+      .agg(
+        sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L).otherwise(0L)).as("high_line_count"),
+        sum(when(!col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L).otherwise(0L)).as("low_line_count"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  val q12Sql: String =
+    """SELECT l_returnflag,
+      |  sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS high_line_count,
+      |  sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS low_line_count
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+      |GROUP BY l_returnflag
+      |ORDER BY l_returnflag""".stripMargin
+
+  /** TPC-H Q14-style: conditional revenue ratio (exact-decimal sums, one
+    * final IEEE division).
+    */
+  def q14PromoRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val li = table(spark, dir, "lineitem")
+    val part = table(spark, dir, "part")
+    li.join(broadcast(part), col("l_partkey") === col("p_partkey"))
+      .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1997-07-01").cast("timestamp"))
+      .agg(
+        (sum(when(col("p_type").startsWith("PROMO"),
+            discPrice(col("l_extendedprice"), col("l_discount"))).otherwise(lit(0).cast(DecimalType(18, 2))))
+          .cast(DoubleType) * 100.0 /
+          sum(discPrice(col("l_extendedprice"), col("l_discount"))).cast(DoubleType)).as("promo_revenue_pct"),
+        count(lit(1)).as("n_lines"))
+  }
+
+  val q14Sql: String =
+    """SELECT
+      |  CAST(sum(CASE WHEN p_type LIKE 'PROMO%'
+      |    THEN CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))
+      |    ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) * 100.0 /
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS promo_revenue_pct,
+      |  count(*) AS n_lines
+      |FROM lineitem JOIN part ON l_partkey = p_partkey
+      |WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1997-07-01'""".stripMargin
+
+  /** TPC-H Q19-style: disjunctive multi-predicate join filter. */
+  def q19DiscountedRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val li = table(spark, dir, "lineitem")
+    val part = table(spark, dir, "part")
+    li.join(broadcast(part), col("l_partkey") === col("p_partkey") &&
+        ((col("p_brand") === "Brand#1" && col("l_quantity").between(1, 20) && col("p_size").between(1, 10)) ||
+          (col("p_brand") === "Brand#2" && col("l_quantity").between(10, 30) && col("p_size").between(1, 20)) ||
+          (col("p_brand") === "Brand#3" && col("l_quantity").between(20, 40) && col("p_size").between(1, 30))))
+      .agg(dsumExpr(discPrice(col("l_extendedprice"), col("l_discount"))).as("revenue"),
+        count(lit(1)).as("n_lines"))
+  }
+
+  val q19Sql: String =
+    """SELECT
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+      |  count(*) AS n_lines
+      |FROM lineitem JOIN part ON l_partkey = p_partkey
+      |WHERE (p_brand = 'Brand#1' AND l_quantity BETWEEN 1 AND 20 AND p_size BETWEEN 1 AND 10)
+      |   OR (p_brand = 'Brand#2' AND l_quantity BETWEEN 10 AND 30 AND p_size BETWEEN 1 AND 20)
+      |   OR (p_brand = 'Brand#3' AND l_quantity BETWEEN 20 AND 40 AND p_size BETWEEN 1 AND 30)""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> (q01PricingSummary _),
     "q03_top_orders" -> (q03TopOrders _),
@@ -507,6 +599,10 @@ object Relational {
     "q07_sql_surface" -> (q07SqlSurface _),
     "q_percentiles" -> (qPercentiles _),
     "q_window_lag" -> (qWindowLag _),
+    "q04_order_priority" -> (q04OrderPriority _),
+    "q12_ship_priority" -> (q12ShipPriority _),
+    "q14_promo_revenue" -> (q14PromoRevenue _),
+    "q19_discounted_revenue" -> (q19DiscountedRevenue _),
   )
 
   def oracle: Map[String, String] = Map(
@@ -532,5 +628,9 @@ object Relational {
     "q07_sql_surface" -> q07Sql,
     "q_percentiles" -> qPercentilesSql,
     "q_window_lag" -> qWindowLagSql,
+    "q04_order_priority" -> q04Sql,
+    "q12_ship_priority" -> q12Sql,
+    "q14_promo_revenue" -> q14Sql,
+    "q19_discounted_revenue" -> q19Sql,
   )
 }
