@@ -147,14 +147,19 @@ object TextDedup {
       val prev = labels
       val propagated = edges
         .join(prev, col("src") === col("id"))
-        .select(col("dst").as("id"), col("canonical"))
-      val next = prev.union(propagated)
-        .groupBy(col("id")).agg(min(col("canonical")).as("canonical"))
+        .select(col("dst").as("id"), col("canonical"), lit(0).as("isSelf"))
+      // one aggregation yields the new label AND the old one (the isSelf
+      // row) so convergence needs no extra join
+      val next = prev.select(col("id"), col("canonical"), lit(1).as("isSelf"))
+        .union(propagated)
+        .groupBy(col("id"))
+        .agg(
+          min(col("canonical")).as("canonical"),
+          max(when(col("isSelf") === 1, col("canonical"))).as("prevLbl"))
         .persist(storage)
-      val changed = next.join(prev.toDF("id", "prevLbl"), Seq("id"))
-        .filter(col("canonical") =!= col("prevLbl")).limit(1).count() > 0
+      val changed = next.filter(col("canonical") < col("prevLbl")).limit(1).count() > 0
       prev.unpersist() // superseded generation — bound cache to one sweep
-      labels = next
+      labels = next.select(col("id"), col("canonical"))
       converged = !changed
       i += 1
     }
