@@ -172,7 +172,68 @@ object TextAnalysis {
       |ORDER BY n DESC, token
       |LIMIT 50""".stripMargin
 
+  /** GPT-2-style pre-tokenizer pattern (no lookahead, RE2/Java-portable):
+    * contractions, space-prefixed word/number runs, punctuation runs,
+    * whitespace runs.
+    */
+  val BpePattern: String = "'[a-z]+| ?[a-z]+| ?[0-9]+| ?[^a-z0-9\\s']+|\\s+"
+
+  /** BPE-ish token counting (regex pre-tokenization, the token-budget
+    * estimator of LLM data pipelines).
+    */
+  def qTextBpeTokens(spark: SparkSession, dir: String): DataFrame = {
+    val docs = table(spark, dir, "documents")
+    docs
+      .select(col("doc_id"),
+        regexp_extract_all(lower(col("text")), lit(BpePattern), lit(0)).as("bt"))
+      .select(
+        col("doc_id"),
+        size(col("bt")).cast(LongType).as("n_bpe_tokens"),
+        size(array_distinct(col("bt"))).cast(LongType).as("n_distinct_bpe"))
+      .orderBy(col("doc_id"))
+  }
+
+  val qTextBpeTokensSql: String =
+    s"""SELECT doc_id,
+       |  len(bt) AS n_bpe_tokens,
+       |  len(list_distinct(bt)) AS n_distinct_bpe
+       |FROM (SELECT doc_id,
+       |  regexp_extract_all(lower(text), '${BpePattern.replace("\\", "\\\\").replace("'", "''")}') AS bt
+       |  FROM documents)
+       |ORDER BY doc_id""".stripMargin
+
+  val RollingHashBase = 1000003L
+  val RollingHashPrime = 1000000007L
+
+  /** Polynomial rolling-hash document fingerprint over the token stream
+    * (`h = (h*B + tokenNum) mod P`, tokenNum from first-char code + token
+    * length) — the order-sensitive cheap fingerprint; exact integer
+    * arithmetic, mirrored via DuckDB list_reduce.
+    */
+  def qTextRollingFp(spark: SparkSession, dir: String): DataFrame = {
+    val docs = table(spark, dir, "documents")
+    val tokenNums = transform(tokens(col("text")),
+      t => (ascii(t).cast(LongType) * 131 + length(t)).cast(LongType))
+    docs
+      .select(col("doc_id"),
+        aggregate(tokenNums, lit(0L),
+          (acc, x) => pmod(acc * RollingHashBase + x, lit(RollingHashPrime))).as("rolling_fp"))
+      .orderBy(col("doc_id"))
+  }
+
+  val qTextRollingFpSql: String =
+    s"""SELECT doc_id,
+       |  list_reduce(
+       |    list_prepend(CAST(0 AS BIGINT),
+       |      list_transform(regexp_split_to_array(lower(text), '\\s+'),
+       |                     t -> CAST(ascii(t) AS BIGINT) * 131 + length(t))),
+       |    (acc, x) -> (acc * $RollingHashBase + x) % $RollingHashPrime) AS rolling_fp
+       |FROM documents
+       |ORDER BY doc_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_text_bpe_tokens" -> (qTextBpeTokens _),
+    "q_text_rolling_fp" -> (qTextRollingFp _),
     "q_text_stats" -> (qTextStats _),
     "q_text_quality" -> (qTextQuality _),
     "q_text_langid" -> (qTextLangid _),
@@ -181,6 +242,8 @@ object TextAnalysis {
   )
 
   def oracle: Map[String, String] = Map(
+    "q_text_bpe_tokens" -> qTextBpeTokensSql,
+    "q_text_rolling_fp" -> qTextRollingFpSql,
     "q_text_stats" -> qTextStatsSql,
     "q_text_quality" -> qTextQualitySql,
     "q_text_langid" -> qTextLangidSql,
