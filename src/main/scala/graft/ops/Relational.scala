@@ -576,7 +576,24 @@ object Relational {
       |   OR (p_brand = 'Brand#2' AND l_quantity BETWEEN 10 AND 30 AND p_size BETWEEN 1 AND 20)
       |   OR (p_brand = 'Brand#3' AND l_quantity BETWEEN 20 AND 40 AND p_size BETWEEN 1 AND 30)""".stripMargin
 
+  /** Nested output types through the gate: sorted set/list aggregation. */
+  def qNestedCollect(spark: SparkSession, dir: String): DataFrame = {
+    val ord = table(spark, dir, "orders")
+    ord.groupBy(col("o_orderstatus"))
+      .agg(
+        sort_array(collect_set(col("o_orderpriority"))).as("priorities"),
+        count(lit(1)).as("n"))
+      .orderBy(col("o_orderstatus"))
+  }
+
+  val qNestedCollectSql: String =
+    """SELECT o_orderstatus,
+      |  list_sort(list(DISTINCT o_orderpriority)) AS priorities,
+      |  count(*) AS n
+      |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_nested_collect" -> (qNestedCollect _),
     "q01_pricing_summary" -> (q01PricingSummary _),
     "q03_top_orders" -> (q03TopOrders _),
     "q05_local_supplier_volume" -> (q05LocalSupplierVolume _),
@@ -606,6 +623,7 @@ object Relational {
   )
 
   def oracle: Map[String, String] = Map(
+    "q_nested_collect" -> qNestedCollectSql,
     "q01_pricing_summary" -> q01Sql,
     "q03_top_orders" -> q03Sql,
     "q05_local_supplier_volume" -> q05Sql,

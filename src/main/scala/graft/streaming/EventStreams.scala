@@ -61,6 +61,26 @@ object EventStreams {
       .agg(count(lit(1)).as("n"))
       .select(col("session_window.start").as("session_start"), col("user_id"), col("n"))
 
+  /** Stream-stream interval join: purchases matched to same-user clicks in
+    * the preceding 30 minutes. Both sides watermarked so the state store
+    * can discard expired rows — the canonical streaming join shape.
+    */
+  def purchaseClickJoin(events: DataFrame): DataFrame = {
+    val purchases = events
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id").as("p_event_id"), col("user_id").as("p_user_id"), col("ts").as("p_ts"))
+      .withWatermark("p_ts", "1 hour")
+    val clicks = events
+      .filter(col("event_type") === "click")
+      .select(col("event_id").as("c_event_id"), col("user_id").as("c_user_id"), col("ts").as("c_ts"))
+      .withWatermark("c_ts", "1 hour")
+    purchases.join(
+      clicks,
+      col("p_user_id") === col("c_user_id") &&
+        col("c_ts") >= col("p_ts") - expr("INTERVAL 30 MINUTES") &&
+        col("c_ts") < col("p_ts"))
+  }
+
   final case class Ev(event_id: Long, user_id: Long, event_type: String)
   final case class UserCount(user_id: Long, n: Long)
 

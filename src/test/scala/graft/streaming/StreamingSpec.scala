@@ -66,6 +66,21 @@ class StreamingSpec extends SparkFunSuite {
     assert(g == w)
   }
 
+  test("stream-stream interval join matches the batch join") {
+    val stream = EventStreams.purchaseClickJoin(EventStreams.eventStream(spark, eventsPath))
+    val got = EventStreams.runToMemory(stream, "t_ssjoin", outputMode = "append").count()
+    val ev = graft.ops.Tables.events(spark, sf)
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("p_event_id"), col("user_id").as("p_user_id"), col("ts").as("p_ts"))
+    val c = ev.filter(col("event_type") === "click")
+      .select(col("event_id").as("c_event_id"), col("user_id").as("c_user_id"), col("ts").as("c_ts"))
+    val want = p.join(c,
+      col("p_user_id") === col("c_user_id") &&
+        col("c_ts") >= col("p_ts") - expr("INTERVAL 30 MINUTES") &&
+        col("c_ts") < col("p_ts")).count()
+    assert(got == want && want > 0)
+  }
+
   test("hub directory watch: discovers new files exactly once") {
     val hub = tmpDir("hub-stream")
     val out = tmpDir("hub-stream-out")
