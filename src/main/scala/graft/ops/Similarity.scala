@@ -46,9 +46,18 @@ object Similarity {
     rename(VectorSearch.lshTopK(
       table(spark, dir, "embeddings"), col("vec_id"), col("embedding"), QueryIds, K))
 
+  /** IVF (k-means coarse quantization, nprobe=4) top-k — the second scale
+    * path; rows-only (centroids are code-side metadata), recall asserted in
+    * OpsSpec.
+    */
+  def qSimIvfTopK(spark: SparkSession, dir: String): DataFrame =
+    rename(VectorSearch.ivfTopK(
+      table(spark, dir, "embeddings"), col("vec_id"), col("embedding"), QueryIds, K))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_sim_topk" -> (qSimTopK _),
     "q_sim_lsh_topk" -> (qSimLshTopK _), // rows-only (no oracle)
+    "q_sim_ivf_topk" -> (qSimIvfTopK _), // rows-only (no oracle)
   )
 
   def oracle: Map[String, String] = Map(

@@ -47,6 +47,74 @@ object VectorSearch {
       .orderBy(col("qid"), col("rnk"))
   }
 
+  final case class IvfConfig(numCentroids: Int = 16, iters: Int = 3, nprobe: Int = 4)
+
+  /** IVF-style ANN: coarse-quantize the corpus with k-means (Lloyd
+    * iterations expressed as DataFrame jobs, deterministic init from the
+    * smallest ids), then search only the `nprobe` nearest centroid buckets
+    * per query with exact re-rank.
+    *
+    * Centroids are control-plane metadata (numCentroids × dim doubles) —
+    * they live on the driver exactly like LSH planes; per-vector work stays
+    * fully distributed. This is the FAISS-IVF shape expressed relationally;
+    * at 100 TB the assignment column becomes the partition/bucket key of
+    * the stored table.
+    */
+  def ivfTopK(df: DataFrame, id: Column, vec: Column, queryIds: Seq[Long], k: Int,
+      cfg: IvfConfig = IvfConfig()): DataFrame = {
+    val corpus = withNorm(df, id, vec).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+    def sqDistTo(c: Array[Double]): Column =
+      TextOps.dot(col("v"), col("v")) - lit(2.0) * TextOps.dot(array(c.map(lit).toIndexedSeq: _*), col("v")) +
+        lit(c.map(x => x * x).sum)
+    // argmin via array functions — a when()-chain reduce would duplicate
+    // the accumulator subtree per step (exponential expression size)
+    def assignment(cents: Array[Array[Double]]): Column = {
+      val dists = array(cents.map(sqDistTo).toIndexedSeq: _*)
+      (array_position(dists, array_min(dists)) - 1).cast("int")
+    }
+
+    // deterministic init: the numCentroids smallest-id vectors
+    var centroids: Array[Array[Double]] = corpus.orderBy(col("id")).limit(cfg.numCentroids)
+      .select(col("v")).collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    for (_ <- 1 to cfg.iters) {
+      val means = corpus
+        .select(assignment(centroids).as("c"), posexplode(col("v")).as(Seq("pos", "x")))
+        .groupBy(col("c"), col("pos")).agg(avg(col("x")).as("m"))
+        .collect()
+      val byCluster = means.groupBy(_.getAs[Int]("c"))
+      centroids = centroids.indices.map { j =>
+        byCluster.get(j) match {
+          case Some(rows) => rows.sortBy(_.getAs[Int]("pos")).map(_.getAs[Double]("m")).toArray
+          case None       => centroids(j) // empty cluster keeps its centroid
+        }
+      }.toArray
+    }
+
+    val assigned = corpus.withColumn("bucket", assignment(centroids))
+    // nprobe nearest buckets per query vector
+    def probeBuckets(cents: Array[Array[Double]]): Column = {
+      val ds = cents.zipWithIndex.map { case (c, j) => struct(sqDistTo(c).as("d"), lit(j).as("j")) }
+      slice(transform(array_sort(array(ds.toIndexedSeq: _*)), s => s("j")), 1, cfg.nprobe)
+    }
+    val queries = assigned
+      .filter(col("id").isin(queryIds: _*))
+      .select(col("id").as("qid"), col("v").as("qv"), col("nrm").as("qn"),
+        explode(probeBuckets(centroids)).as("bucket"))
+
+    val w = Window.partitionBy(col("qid")).orderBy(col("cos_sim").desc, col("id"))
+    broadcast(queries)
+      .join(assigned, Seq("bucket"))
+      .filter(col("id") =!= col("qid"))
+      .select(col("qid"), col("id"),
+        round(dot(col("qv"), col("v")) / (col("qn") * col("nrm")), 6).as("cos_sim"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("qid"), col("rnk"), col("id"), col("cos_sim"))
+      .orderBy(col("qid"), col("rnk"))
+  }
+
   final case class LshConfig(numPlanes: Int = 16, bands: Int = 4, dim: Int = 64, seed: Long = 77070707L) {
     require(numPlanes % bands == 0)
     val bitsPerBand: Int = numPlanes / bands

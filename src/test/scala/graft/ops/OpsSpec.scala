@@ -51,16 +51,20 @@ class OpsSpec extends SparkFunSuite {
     assert(overlap >= 0.8, s"simhash found only ${overlap * 100}%% of planted near-dups")
   }
 
-  test("LSH top-k recall vs brute force") {
+  test("LSH and IVF top-k recall vs brute force") {
     def neighbors(df: org.apache.spark.sql.DataFrame) =
       df.collect().map(r => (r.getLong(0), r.getLong(2))).groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
     val brute = neighbors(Similarity.qSimTopK(spark, sf))
-    val lsh = neighbors(Similarity.qSimLshTopK(spark, sf))
-    val recalls = brute.map { case (q, nbrs) =>
-      lsh.getOrElse(q, Set.empty).intersect(nbrs).size.toDouble / nbrs.size
+    def meanRecall(approx: Map[Long, Set[Long]]): Double = {
+      val rs = brute.map { case (q, nbrs) =>
+        approx.getOrElse(q, Set.empty).intersect(nbrs).size.toDouble / nbrs.size
+      }
+      rs.sum / rs.size
     }
-    val mean = recalls.sum / recalls.size
-    assert(mean >= 0.4, s"mean LSH recall@10 = $mean — too low for 16-bit signatures")
+    val lsh = meanRecall(neighbors(Similarity.qSimLshTopK(spark, sf)))
+    assert(lsh >= 0.4, s"mean LSH recall@10 = $lsh — too low for 16-bit signatures")
+    val ivf = meanRecall(neighbors(Similarity.qSimIvfTopK(spark, sf)))
+    assert(ivf >= 0.4, s"mean IVF recall@10 = $ivf — too low for nprobe=4/16 centroids")
   }
 
   test("vec_dot is SQL-callable after registration") {
