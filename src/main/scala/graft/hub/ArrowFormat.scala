@@ -30,7 +30,7 @@ object ArrowFormat {
     var s = ""
     var done = false
     while (!done && p <= 17) {
-      s = String.format("%." + (p - 1) + "e", Double.box(v))
+      s = String.format(java.util.Locale.ROOT, "%." + (p - 1) + "e", Double.box(v))
       if (java.lang.Double.parseDouble(s) == v) done = true else p += 1
     }
     // s looks like "d.dddde±NN"
@@ -74,7 +74,7 @@ object ArrowFormat {
     var done = false
     val av = math.abs(v)
     while (!done && p <= 9) {
-      s = String.format("%." + (p - 1) + "e", Double.box(av.toDouble))
+      s = String.format(java.util.Locale.ROOT, "%." + (p - 1) + "e", Double.box(av.toDouble))
       if (java.lang.Float.parseFloat(s) == av) done = true else p += 1
     }
     val ei = s.indexOf('e')

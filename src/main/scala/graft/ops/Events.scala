@@ -157,7 +157,7 @@ object Events {
   }
 
   val qEventsJsonSql: String =
-    """SELECT event_type, count(k) AS n, sum(k) AS sum_k, max(k) AS max_k
+    """SELECT event_type, count(k) AS n, CAST(sum(k) AS BIGINT) AS sum_k, max(k) AS max_k
       |FROM (SELECT event_type, CAST(json_extract(props, '$.k') AS BIGINT) AS k FROM events)
       |GROUP BY event_type
       |ORDER BY event_type""".stripMargin

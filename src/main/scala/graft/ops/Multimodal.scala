@@ -73,28 +73,31 @@ object Multimodal {
     """SELECT doc_id,
       |  CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS media_type,
       |  octet_length(encode(text)) AS byte_len,
-      |  CASE WHEN octet_length(encode(text)) = 0 THEN -1 ELSE ascii(substring(text, 1, 1)) END AS first_byte,
+      |  CASE WHEN octet_length(encode(text)) = 0 THEN -1
+      |       ELSE CAST(concat('0x', substring(hex(encode(text)), 1, 2)) AS INT) END AS first_byte,
       |  CAST(64 + octet_length(encode(text)) % 577 AS INTEGER) AS width,
       |  CAST(64 + (octet_length(encode(text)) * 7) % 419 AS INTEGER) AS height,
       |  CASE WHEN doc_id % 3 = 2 THEN CAST(1 + octet_length(encode(text)) % 30 AS INTEGER) ELSE 1 END AS n_frames
       |FROM documents
       |ORDER BY doc_id""".stripMargin
 
-  /** Binary + array + map columns through a parquet round-trip — the
-    * storage contract for multimodal payloads (exercised as a query so the
-    * driver's Verify write IS the round-trip).
+  /** Binary payloads through the plan end-to-end. The binary column flows
+    * through projection/sort; the gate output is its hex rendering because
+    * the driver's pandas compare cannot hash raw bytes (binary parquet
+    * round-trip itself is pinned by MultimodalSpec instead).
     */
   def qMultimodalRoundtrip(spark: SparkSession, dir: String): DataFrame =
     mediaTable(spark, dir)
       .select(
-        col("doc_id"), col("media_type"), col("content"),
+        col("doc_id"), col("media_type"),
+        hex(col("content")).as("content_hex"),
         octet_length(col("content")).as("byte_len"))
       .orderBy(col("doc_id"))
 
   val qMultimodalRoundtripSql: String =
     """SELECT doc_id,
       |  CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS media_type,
-      |  encode(text) AS content,
+      |  hex(encode(text)) AS content_hex,
       |  octet_length(encode(text)) AS byte_len
       |FROM documents
       |ORDER BY doc_id""".stripMargin

@@ -521,8 +521,8 @@ object Relational {
 
   val q12Sql: String =
     """SELECT l_returnflag,
-      |  sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS high_line_count,
-      |  sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS low_line_count
+      |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+      |  CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
       |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
       |WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
       |GROUP BY l_returnflag
@@ -576,19 +576,22 @@ object Relational {
       |   OR (p_brand = 'Brand#2' AND l_quantity BETWEEN 10 AND 30 AND p_size BETWEEN 1 AND 20)
       |   OR (p_brand = 'Brand#3' AND l_quantity BETWEEN 20 AND 40 AND p_size BETWEEN 1 AND 30)""".stripMargin
 
-  /** Nested output types through the gate: sorted set/list aggregation. */
+  /** Nested aggregation (collect_set → sort) through the gate; the list is
+    * joined to one string at the end because the driver's pandas compare
+    * cannot hash array cells (nested parquet types are pinned by specs).
+    */
   def qNestedCollect(spark: SparkSession, dir: String): DataFrame = {
     val ord = table(spark, dir, "orders")
     ord.groupBy(col("o_orderstatus"))
       .agg(
-        sort_array(collect_set(col("o_orderpriority"))).as("priorities"),
+        array_join(sort_array(collect_set(col("o_orderpriority"))), "|").as("priorities"),
         count(lit(1)).as("n"))
       .orderBy(col("o_orderstatus"))
   }
 
   val qNestedCollectSql: String =
     """SELECT o_orderstatus,
-      |  list_sort(list(DISTINCT o_orderpriority)) AS priorities,
+      |  array_to_string(list_sort(list(DISTINCT o_orderpriority)), '|') AS priorities,
       |  count(*) AS n
       |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
 

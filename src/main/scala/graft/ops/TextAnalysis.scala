@@ -198,7 +198,7 @@ object TextAnalysis {
        |  len(bt) AS n_bpe_tokens,
        |  len(list_distinct(bt)) AS n_distinct_bpe
        |FROM (SELECT doc_id,
-       |  regexp_extract_all(lower(text), '${BpePattern.replace("\\", "\\\\").replace("'", "''")}') AS bt
+       |  regexp_extract_all(lower(text), '${BpePattern.replace("'", "''")}') AS bt
        |  FROM documents)
        |ORDER BY doc_id""".stripMargin
 

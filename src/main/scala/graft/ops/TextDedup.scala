@@ -35,6 +35,10 @@ object TextDedup {
   /** (id, shingle) relation: distinct word-k-shingles per document,
     * persisted because dedup pipelines reference it several times (sizes +
     * both join sides). At 100 TB materialize to a table instead.
+    *
+    * Callers own the cache lifecycle: release via [[materializeAndRelease]]
+    * (or `unpersist()`) once the consuming plan has run — a session running
+    * many queries must not accumulate dead cached relations.
     */
   def shingles(docs: DataFrame, id: Column, text: Column, k: Int): DataFrame =
     docs
@@ -42,6 +46,17 @@ object TextDedup {
       .filter(size(col("t")) >= k)
       .select(col("id"), explode(shingleSet(col("t"), k)).as("s"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+  /** Run `result` eagerly (localCheckpoint materializes its partitions and
+    * cuts the lineage) and then release the intermediate cached relations it
+    * was built from. Keeps multi-reference pipelines fast while bounding
+    * cache residency to a single operator call.
+    */
+  private[ops] def materializeAndRelease(result: DataFrame, cached: DataFrame*): DataFrame = {
+    val out = result.localCheckpoint()
+    cached.foreach(_.unpersist())
+    out
+  }
 
   /** Exact dedup: deterministic survivor (min id) + fingerprint per
     * distinct text. One hash aggregation.
@@ -81,7 +96,7 @@ object TextDedup {
       .join(sh.toDF("id_b", "s"), Seq("s"))
       .filter(col("id_a") < col("id_b"))
       .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("common"))
-    jaccardFromCommons(commons, sizes, threshold)
+    materializeAndRelease(jaccardFromCommons(commons, sizes, threshold), sh)
   }
 
   /** MinHash + LSH near-dup pairs with exact-Jaccard verification — the
@@ -119,7 +134,7 @@ object TextDedup {
       .join(sh.toDF("id_b", "s"), Seq("id_b", "s"))
       .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("common"))
     val sizes = sh.groupBy(col("id")).agg(count(lit(1)).as("n")).toDF("id", "n")
-    jaccardFromCommons(commons, sizes, threshold)
+    materializeAndRelease(jaccardFromCommons(commons, sizes, threshold), sh)
   }
 
   /** Survivor selection over near-dup pairs: connected components by
@@ -164,7 +179,12 @@ object TextDedup {
       i += 1
     }
     edges.unpersist()
-    labels.orderBy(col("id"))
+    if (!converged)
+      throw new IllegalStateException(
+        s"canonicalize did not converge in $maxIters sweeps — a duplicate " +
+          s"cluster has diameter > $maxIters; raise maxIters (labels would be " +
+          "silently non-minimal otherwise)")
+    materializeAndRelease(labels.orderBy(col("id")), labels)
   }
 
   /** SimHash near-dup pairs: 64-bit signature, 16-bit block collision

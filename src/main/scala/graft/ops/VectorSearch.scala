@@ -104,7 +104,7 @@ object VectorSearch {
         explode(probeBuckets(centroids)).as("bucket"))
 
     val w = Window.partitionBy(col("qid")).orderBy(col("cos_sim").desc, col("id"))
-    broadcast(queries)
+    val result = broadcast(queries)
       .join(assigned, Seq("bucket"))
       .filter(col("id") =!= col("qid"))
       .select(col("qid"), col("id"),
@@ -113,6 +113,9 @@ object VectorSearch {
       .filter(col("rnk") <= k)
       .select(col("qid"), col("rnk"), col("id"), col("cos_sim"))
       .orderBy(col("qid"), col("rnk"))
+      .localCheckpoint() // eager: run before releasing the corpus cache
+    corpus.unpersist()
+    result
   }
 
   final case class LshConfig(numPlanes: Int = 16, bands: Int = 4, dim: Int = 64, seed: Long = 77070707L) {
