@@ -19,13 +19,15 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    ops.Relational.queries ++ ops.Events.queries ++ ops.Dedup.queries ++
-      ops.Similarity.queries ++ ops.TextAnalysis.queries ++ ops.Multimodal.queries ++ ops.HubQueries.queries
+    ops.Relational.queries ++ ops.RelationalExt.queries ++ ops.Events.queries ++
+      ops.Dedup.queries ++ ops.Similarity.queries ++ ops.TextAnalysis.queries ++
+      ops.Multimodal.queries ++ ops.HubQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
     */
   def oracleSql: Map[String, String] =
-    ops.Relational.oracle ++ ops.Events.oracle ++ ops.Dedup.oracle ++
-      ops.Similarity.oracle ++ ops.TextAnalysis.oracle ++ ops.Multimodal.oracle ++ ops.HubQueries.oracle
+    ops.Relational.oracle ++ ops.RelationalExt.oracle ++ ops.Events.oracle ++
+      ops.Dedup.oracle ++ ops.Similarity.oracle ++ ops.TextAnalysis.oracle ++
+      ops.Multimodal.oracle ++ ops.HubQueries.oracle
 }
