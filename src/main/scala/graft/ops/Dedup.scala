@@ -65,10 +65,39 @@ object Dedup {
       table(spark, dir, "documents"), col("doc_id"), col("text"),
       TextDedup.MinHashConfig(shingleK = ShingleK), JaccardThreshold))
 
-  /** SimHash near-dup pairs (hash-dependent → rows-only check). */
+  /** SimHash near-dup pairs. The md5-derived 60-bit token hash and the
+    * completeness of 7-block candidate generation at Hamming ≤ 6 (see
+    * [[TextDedup.simhashPairs]]) make the result equal to the all-pairs
+    * brute force — which is exactly what the DuckDB oracle computes.
+    */
   def qDedupSimhash(spark: SparkSession, dir: String): DataFrame =
     asPair(TextDedup.simhashPairs(
       table(spark, dir, "documents"), col("doc_id"), col("text"), SimhashHammingMax))
+
+  /** Brute-force spec: recompute every 60-bit signature and compare all
+    * pairs — no banding, so any candidate-generation incompleteness in the
+    * Spark plan would surface as missing rows.
+    */
+  val qDedupSimhashSql: String =
+    s"""WITH tok AS (
+       |  SELECT doc_id, unnest(regexp_split_to_array(lower(text), '\\s+')) AS tok FROM documents
+       |), tc AS (
+       |  SELECT doc_id, tok, count(*) AS cnt FROM tok GROUP BY 1, 2
+       |), th AS (
+       |  SELECT doc_id, CAST(concat('0x', substring(md5(tok), 1, 15)) AS BIGINT) AS base, cnt FROM tc
+       |), bits AS (
+       |  SELECT doc_id, j, sum(CASE WHEN (base >> CAST(j AS INTEGER)) & 1 = 1 THEN cnt ELSE -cnt END) AS s
+       |  FROM th CROSS JOIN range(${TextDedup.SimhashBits}) r(j) GROUP BY 1, 2
+       |), sigs AS (
+       |  SELECT doc_id,
+       |    CAST(sum(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << CAST(j AS INTEGER)) ELSE 0 END) AS BIGINT) AS sim
+       |  FROM bits GROUP BY 1
+       |)
+       |SELECT a.doc_id AS da, b.doc_id AS db,
+       |  CAST(bit_count(xor(a.sim, b.sim)) AS INTEGER) AS hamming
+       |FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+       |WHERE bit_count(xor(a.sim, b.sim)) <= $SimhashHammingMax
+       |ORDER BY da, db""".stripMargin
 
   /** Embedding-cosine near-dup pairs (brute-force baseline shape). */
   def qDedupEmbedding(spark: SparkSession, dir: String): DataFrame =
@@ -132,7 +161,7 @@ object Dedup {
     // MinHash+LSH has the same final semantics as the exact pair query —
     // LSH recall at J≥0.8 is 1-2e-4 (and ~1 for the J≥0.97 pairs present).
     "q_dedup_minhash_lsh" -> qDedupNgramSql,
-    // q_dedup_simhash: hash-function-dependent → rows-only check.
+    "q_dedup_simhash" -> qDedupSimhashSql,
     "q_dedup_embedding" -> qDedupEmbeddingSql,
   )
 }

@@ -187,29 +187,54 @@ object TextDedup {
     materializeAndRelease(labels.orderBy(col("id")), labels)
   }
 
-  /** SimHash near-dup pairs: 64-bit signature, 16-bit block collision
-    * candidates, exact Hamming verification. Note: a colliding block is
-    * GUARANTEED only for Hamming ≤ 3 (4 blocks); pairs at 4..maxHamming
-    * are found with high (not certain) probability.
+  /** Number of signature bits for [[simhashPairs]] — 60 so the per-token
+    * base hash is exactly 15 hex chars of md5 (cross-engine computable)
+    * and the signature stays clear of the sign bit.
+    */
+  val SimhashBits = 60
+
+  /** Block bit-offsets for [[simhashPairs]] candidate generation: 7 blocks
+    * (widths 9,9,9,9,8,8,8) over 60 bits. By pigeonhole, two signatures
+    * within Hamming distance 6 agree on at least one of the 7 blocks, so
+    * block-collision candidate generation is COMPLETE for maxHamming ≤ 6 —
+    * the result equals the all-pairs brute force (which is how the DuckDB
+    * oracle verifies it).
+    */
+  private val SimhashBlockOffsets = Array(0, 9, 18, 27, 36, 44, 52)
+  private val SimhashBlockEnds = Array(9, 18, 27, 36, 44, 52, 60)
+
+  /** SimHash near-dup pairs: 60-bit signature, 7-block collision candidate
+    * generation (complete for Hamming ≤ 6, see [[SimhashBlockOffsets]]),
+    * exact Hamming verification.
+    *
+    * The per-token hash is the first 15 hex chars of md5 — deterministic
+    * and engine-portable, so the whole operator is oracle-checkable. The
+    * signature is built by [[graft.functions.SimHashAgg]] (one
+    * array-buffered aggregate; 60 separate `sum` columns would trip
+    * Spark's codegen field limit and de-codegen the stage).
+    *
+    * Scale: candidates are `Σ_blocks Σ_buckets |bucket|²` — block width
+    * should grow with corpus size (≈ log2 n bits) to keep buckets small;
+    * at 100 TB widen blocks / add a second-level split rather than
+    * brute-forcing buckets.
     */
   def simhashPairs(
       docs: DataFrame, id: Column, text: Column, maxHamming: Int = 6): DataFrame = {
+    require(maxHamming <= SimhashBlockOffsets.length - 1,
+      s"block candidate generation is complete only for maxHamming <= ${SimhashBlockOffsets.length - 1}")
     val toks = docs
       .select(id.as("id"), explode(tokens(text)).as("tok"))
       .groupBy(col("id"), col("tok")).agg(count(lit(1)).as("cnt"))
-      .withColumn("base", xxhash64(col("tok")))
-    val bitSums = (0 until 64).map { j =>
-      sum((shiftrightunsigned(col("base"), j).bitwiseAND(lit(1L)) * 2 - 1) * col("cnt")).as(s"b$j")
-    }
-    val agg = toks.groupBy(col("id")).agg(bitSums.head, bitSums.tail: _*)
-    val simhash = (0 until 64)
-      .map(j => when(col(s"b$j") > 0, lit(1L << j)).otherwise(lit(0L)))
-      .reduce((x, y) => x.bitwiseOR(y))
-    val sigs = agg.select(col("id"), simhash.as("sim"))
+      .withColumn("base",
+        conv(substring(md5(col("tok")), 1, 15), 16, 10).cast("long"))
+    val sigs = toks.groupBy(col("id"))
+      .agg(graft.functions.SimHashAgg(col("base"), col("cnt"), SimhashBits).as("sim"))
 
-    val blocks = (0 until 4).map { k =>
+    val blocks = SimhashBlockOffsets.indices.map { k =>
+      val width = SimhashBlockEnds(k) - SimhashBlockOffsets(k)
       struct(lit(k).as("blk"),
-        shiftrightunsigned(col("sim"), k * 16).bitwiseAND(lit(0xffffL)).as("bv"))
+        shiftrightunsigned(col("sim"), SimhashBlockOffsets(k))
+          .bitwiseAND(lit((1L << width) - 1)).as("bv"))
     }
     val banded = sigs
       .select(col("id"), col("sim"), explode(array(blocks: _*)).as("e"))
