@@ -155,17 +155,24 @@ object TextDedup {
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
       .persist(storage)
-    var labels = ids.select(col("id"), col("id").as("canonical")).persist(storage)
+    // Iterate ONLY over nodes with at least one edge: an isolated id can
+    // neither change its own label nor influence anyone else's, so every
+    // sweep shuffles just the edge-touched subset — at corpus scale orders
+    // of magnitude smaller than the universe. Singletons rejoin at the end.
+    var gen = edges.select(col("src").as("id")).distinct()
+      .select(col("id"), col("id").as("canonical"))
+      .persist(storage)
+    var labels: DataFrame = gen
     var converged = false
     var i = 0
     while (!converged && i < maxIters) {
-      val prev = labels
+      val prevGen = gen
       val propagated = edges
-        .join(prev, col("src") === col("id"))
+        .join(labels, col("src") === col("id"))
         .select(col("dst").as("id"), col("canonical"), lit(0).as("isSelf"))
       // one aggregation yields the new label AND the old one (the isSelf
       // row) so convergence needs no extra join
-      val next = prev.select(col("id"), col("canonical"), lit(1).as("isSelf"))
+      val next = labels.select(col("id"), col("canonical"), lit(1).as("isSelf"))
         .union(propagated)
         .groupBy(col("id"))
         .agg(
@@ -173,18 +180,28 @@ object TextDedup {
           max(when(col("isSelf") === 1, col("canonical"))).as("prevLbl"))
         .persist(storage)
       val changed = next.filter(col("canonical") < col("prevLbl")).limit(1).count() > 0
-      prev.unpersist() // superseded generation — bound cache to one sweep
+      gen = next
       labels = next.select(col("id"), col("canonical"))
+      // unpersist the EXACT superseded cached plan (a projection of it
+      // would not match the cache entry)
+      prevGen.unpersist()
       converged = !changed
       i += 1
     }
     edges.unpersist()
-    if (!converged)
+    if (!converged) {
+      gen.unpersist()
       throw new IllegalStateException(
         s"canonicalize did not converge in $maxIters sweeps — a duplicate " +
           s"cluster has diameter > $maxIters; raise maxIters (labels would be " +
           "silently non-minimal otherwise)")
-    materializeAndRelease(labels.orderBy(col("id")), labels)
+    }
+    // singletons map to themselves; the converged cluster labels are tiny
+    // relative to the universe, so this join broadcasts under AQE
+    val full = ids.select(col("id"))
+      .join(labels, Seq("id"), "left")
+      .select(col("id"), coalesce(col("canonical"), col("id")).as("canonical"))
+    materializeAndRelease(full.orderBy(col("id")), gen)
   }
 
   /** Number of signature bits for [[simhashPairs]] — 60 so the per-token

@@ -1,0 +1,89 @@
+package graft.ops
+
+import graft.SparkFunSuite
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.ExplainMode
+
+/** Physical-plan regression guards for the properties that make these
+  * queries scale: filter/projection pushdown into the parquet scan,
+  * broadcast (not shuffle) joins for dimension tables, map-side partial
+  * aggregation, whole-stage codegen, and top-k limit pushdown. Correctness
+  * is pinned by the oracle gate; THESE specs pin the plans, so a future
+  * edit that silently de-broadcasts a join or breaks pushdown fails CI
+  * rather than only showing up at 100 TB.
+  */
+class PlanShapeSpec extends SparkFunSuite {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def plan(df: DataFrame): String =
+    df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+
+  test("q06: shipdate/discount/quantity filters are pushed to the parquet scan") {
+    val p = plan(Relational.q06ForecastRevenue(spark, sf))
+    assert(p.contains("PushedFilters:"), p)
+    assert(p.contains("GreaterThanOrEqual(l_shipdate"), p)
+    assert(p.contains("LessThan(l_quantity"), p)
+  }
+
+  test("q06: scan reads only the four referenced lineitem columns") {
+    val p = plan(Relational.q06ForecastRevenue(spark, sf))
+    val readSchema = p.linesIterator.filter(_.contains("ReadSchema:")).mkString
+    assert(readSchema.contains("l_shipdate") && readSchema.contains("l_discount"), readSchema)
+    // the 12 unused columns must be pruned from the scan
+    assert(!readSchema.contains("l_comment") && !readSchema.contains("l_orderkey"), readSchema)
+  }
+
+  test("q05: all four dimension joins broadcast; no cartesian fallback") {
+    val p = plan(Relational.q05LocalSupplierVolume(spark, sf))
+    val broadcasts = p.linesIterator.count(_.contains("BroadcastHashJoin"))
+    assert(broadcasts >= 4, s"expected >=4 broadcast joins, got $broadcasts\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  /** Count plan NODES of a kind via the details-section headers
+    * ("(3) Exchange"), since the formatted explain prints each node twice
+    * (tree + details).
+    */
+  private def nodes(p: String, name: String): Int =
+    p.linesIterator.count(_.matches(s"\\(\\d+\\) $name.*"))
+
+  test("q01: aggregation is partial (map-side combine) then final") {
+    val p = plan(Relational.q01PricingSummary(spark, sf))
+    assert(p.contains("partial_sum"), p)
+    assert(nodes(p, "HashAggregate") == 2, s"expected partial+final HashAggregate\n$p")
+    // shuffles: one exchange between partial and final agg, one for the sort
+    assert(nodes(p, "Exchange") <= 2, s"unexpected extra shuffles\n$p")
+  }
+
+  test("q01: the aggregation pipeline stays inside whole-stage codegen") {
+    // the AQE-wrapped initial plan omits codegen annotations; plan without
+    // AQE to see the codegen ids (memory: plan.toString under AQE hides them)
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val p = plan(Relational.q01PricingSummary(spark, sf))
+      assert(p.contains("codegen id"), p)
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
+  test("q_topk_orders: order-by-limit compiles to TakeOrderedAndProject (no global sort)") {
+    val p = plan(Relational.qTopKOrders(spark, sf))
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("hub transform read->cast->constants plan is shuffle-free") {
+    import org.apache.spark.sql.functions.lit
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("origin_date", DateType), StructField("target", StringType),
+      StructField("horizon", LongType), StructField("location", StringType),
+      StructField("output_type", StringType), StructField("output_type_id", StringType),
+      StructField("value", DoubleType)))
+    val df = graft.hub.ModelOutputReader
+      .readCsv(spark, resource("unit/data/2024-07-07-teamabc-output_type_ids_numeric.csv"), schema)
+      .withColumn("round_id", lit("2024-07-07")).withColumn("model_id", lit("teamabc"))
+    val p = plan(df)
+    assert(!p.contains("Exchange"), p)
+  }
+}
