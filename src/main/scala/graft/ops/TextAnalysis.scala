@@ -20,16 +20,55 @@ import TextOps._
   */
 object TextAnalysis {
 
-  private val StopwordsEn = Seq("the", "a", "of", "and", "to", "in", "is", "on", "for", "with")
-  private val StopwordsEs = Seq("el", "la", "de", "y", "que", "en", "los", "del", "se", "las")
-  private val StopwordsDe = Seq("der", "die", "das", "und", "zu", "den", "von", "mit", "ist", "im")
-  private val StopwordsFr = Seq("le", "la", "les", "de", "des", "et", "un", "une", "du", "est")
+  private[ops] val StopwordsEn = Seq("the", "a", "of", "and", "to", "in", "is", "on", "for", "with")
+  private[ops] val StopwordsEs = Seq("el", "la", "de", "y", "que", "en", "los", "del", "se", "las")
+  private[ops] val StopwordsDe = Seq("der", "die", "das", "und", "zu", "den", "von", "mit", "ist", "im")
+  private[ops] val StopwordsFr = Seq("le", "la", "les", "de", "des", "et", "un", "une", "du", "est")
 
   private def stopCount(toks: Column, words: Seq[String]): Column =
     size(filter(toks, t => array_contains(array(words.map(lit): _*), t)))
 
-  private def sqlStopCount(words: Seq[String]): String =
+  private[ops] def sqlStopCount(words: Seq[String]): String =
     s"len(list_filter(t, x -> list_contains([${words.map(w => s"'$w'").mkString(", ")}], x)))"
+
+  // ---- reusable column builders (shared by the standalone queries and the
+  // ---- composite corpus pipeline; op order is part of the cross-engine
+  // ---- parity contract, so build the score from these, never inline) ----
+
+  private[ops] def stopRatioC(t: Column): Column =
+    stopCount(t, StopwordsEn).cast(DoubleType) / size(t).cast(DoubleType)
+
+  private[ops] def typeTokenRatioC(t: Column): Column =
+    size(array_distinct(t)).cast(DoubleType) / size(t).cast(DoubleType)
+
+  private[ops] def lengthOkC(t: Column): Column =
+    (size(t) >= 10 && size(t) <= 1000).cast(IntegerType)
+
+  /** `(stop_ratio*2 + ttr + length_ok) / 4` — exact op order mirrored in SQL. */
+  private[ops] def qualityScoreC(stopRatio: Column, ttr: Column, lengthOk: Column): Column =
+    (stopRatio * 2 + ttr + lengthOk) / 4
+
+  /** Stopword-argmax language prediction (ties → lexicographic, all-zero → 'und'). */
+  private[ops] def langPredC(t: Column): Column = {
+    val cDe = stopCount(t, StopwordsDe)
+    val cEn = stopCount(t, StopwordsEn)
+    val cEs = stopCount(t, StopwordsEs)
+    val cFr = stopCount(t, StopwordsFr)
+    val best = greatest(cDe, cEn, cEs, cFr)
+    when(best === 0, lit("und"))
+      .when(cDe === best, lit("de"))
+      .when(cEn === best, lit("en"))
+      .when(cEs === best, lit("es"))
+      .otherwise(lit("fr"))
+  }
+
+  /** DuckDB mirror of [[langPredC]] over `c_de..c_fr` count columns. */
+  private[ops] val langPredSql: String =
+    """CASE WHEN greatest(c_de, c_en, c_es, c_fr) = 0 THEN 'und'
+      |         WHEN c_de = greatest(c_de, c_en, c_es, c_fr) THEN 'de'
+      |         WHEN c_en = greatest(c_de, c_en, c_es, c_fr) THEN 'en'
+      |         WHEN c_es = greatest(c_de, c_en, c_es, c_fr) THEN 'es'
+      |         ELSE 'fr' END""".stripMargin
 
   /** Per-doc token statistics. */
   def qTextStats(spark: SparkSession, dir: String): DataFrame = {
@@ -63,15 +102,13 @@ object TextAnalysis {
   def qTextQuality(spark: SparkSession, dir: String): DataFrame = {
     val docs = table(spark, dir, "documents")
     val withT = docs.select(col("doc_id"), col("source"), tokens(col("text")).as("t"))
-    val nTok = size(col("t")).cast(DoubleType)
-    val stopRatio = stopCount(col("t"), StopwordsEn).cast(DoubleType) / nTok
-    val ttr = size(array_distinct(col("t"))).cast(DoubleType) / nTok
-    val lengthOk = (size(col("t")) >= 10 && size(col("t")) <= 1000).cast(IntegerType)
     withT
       .select(col("doc_id"), col("source"),
-        stopRatio.as("stop_ratio"), ttr.as("type_token_ratio"), lengthOk.as("length_ok"))
+        stopRatioC(col("t")).as("stop_ratio"),
+        typeTokenRatioC(col("t")).as("type_token_ratio"),
+        lengthOkC(col("t")).as("length_ok"))
       .withColumn("quality_score",
-        (col("stop_ratio") * 2 + col("type_token_ratio") + col("length_ok")) / 4)
+        qualityScoreC(col("stop_ratio"), col("type_token_ratio"), col("length_ok")))
       .orderBy(col("doc_id"))
   }
 
@@ -95,19 +132,13 @@ object TextAnalysis {
     val docs = table(spark, dir, "documents")
     val withT = docs.select(col("doc_id"), col("lang"), tokens(col("text")).as("t"))
     val scored = withT.select(
-      col("doc_id"), col("lang"),
+      col("doc_id"), col("lang"), col("t"),
       stopCount(col("t"), StopwordsDe).as("c_de"),
       stopCount(col("t"), StopwordsEn).as("c_en"),
       stopCount(col("t"), StopwordsEs).as("c_es"),
       stopCount(col("t"), StopwordsFr).as("c_fr"))
-    val best = greatest(col("c_de"), col("c_en"), col("c_es"), col("c_fr"))
     scored
-      .withColumn("pred",
-        when(best === 0, lit("und"))
-          .when(col("c_de") === best, lit("de"))
-          .when(col("c_en") === best, lit("en"))
-          .when(col("c_es") === best, lit("es"))
-          .otherwise(lit("fr")))
+      .withColumn("pred", langPredC(col("t")))
       .select(col("doc_id"), col("lang"), col("pred"),
         col("c_de"), col("c_en"), col("c_es"), col("c_fr"),
         (col("pred") === col("lang")).cast(IntegerType).as("hit"))

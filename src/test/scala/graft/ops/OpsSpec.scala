@@ -79,6 +79,22 @@ class OpsSpec extends SparkFunSuite {
     assert(r2 == 11.0)
   }
 
+  test("pipeline corpus: survivors are exact-unique and near-dup-free") {
+    import org.apache.spark.sql.functions.col
+    val out = Pipeline.qPipelineCorpus(spark, sf)
+    val rows = out.collect()
+    assert(rows.nonEmpty)
+    // no two survivors share a fingerprint (exact dedup held)
+    val fps = rows.map(_.getAs[String]("fp"))
+    assert(fps.distinct.length == fps.length)
+    // re-running near-dup pair generation over the survivors finds nothing
+    val docs = Tables.table(spark, sf, "documents")
+      .join(out.select(col("doc_id")), Seq("doc_id"), "left_semi")
+    val residual = TextDedup.jaccardPairs(
+      docs, col("doc_id"), col("text"), Dedup.ShingleK, Dedup.JaccardThreshold)
+    assert(residual.count() == 0, "near-dup pair survived the pipeline")
+  }
+
   test("multimodal stub decode features are consistent with payload bytes") {
     val rows = Multimodal.qMultimodalFeatures(spark, sf).collect()
     assert(rows.length > 0)
