@@ -81,6 +81,18 @@ object EventStreams {
         col("c_ts") < col("p_ts"))
   }
 
+  /** Streaming exact dedup on `event_id` — the streaming dual of
+    * [[graft.ops.TextDedup.exact]]'s groupBy: each key is remembered in the
+    * state store only within the watermark horizon, so state stays bounded
+    * while duplicates inside the horizon (the at-least-once delivery case)
+    * are dropped. Use `dropDuplicates` (unbounded state) only for
+    * replay-free sources.
+    */
+  def dedupedEvents(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark("event_id")
+
   final case class Ev(event_id: Long, user_id: Long, event_type: String)
   final case class UserCount(user_id: Long, n: Long)
 

@@ -55,6 +55,23 @@ class StreamingSpec extends SparkFunSuite {
       graft.ops.Tables.events(spark, sf).count())
   }
 
+  test("streaming dedup drops within-watermark duplicate event ids") {
+    // stage the SAME file twice — an at-least-once redelivery
+    val d = tmpDir("events-dup-stream")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sf/events.parquet"),
+      java.nio.file.Paths.get(s"$d/events-a.parquet"))
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sf/events.parquet"),
+      java.nio.file.Paths.get(s"$d/events-b.parquet"))
+    val stream = EventStreams.dedupedEvents(EventStreams.eventStream(spark, d))
+    val got = EventStreams.runToMemory(stream, "t_dedup", outputMode = "append")
+    val want = graft.ops.Tables.events(spark, sf)
+      .select("event_id").distinct().count()
+    assert(got.select("event_id").distinct().count() == want)
+    assert(got.count() == want, "duplicate event_id survived streaming dedup")
+  }
+
   test("flatMapGroupsWithState running user counts reach per-user totals") {
     val stream = EventStreams.runningUserCounts(EventStreams.eventStream(spark, eventsPath))
     val got = EventStreams.runToMemory(stream.toDF(), "t_usercounts", outputMode = "update")
