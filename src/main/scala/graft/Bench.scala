@@ -24,7 +24,10 @@ object Bench {
     // the alphabetically-first query isn't charged ~6 s of bring-up cost.
     spark.range(1 << 20).selectExpr("sum(id) AS s")
       .write.format("noop").mode("overwrite").save()
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // Optional subset for local iteration, e.g. SPARK_GRAFT_ONLY=q01_pricing_summary,q_dedup_exact
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").map(_.trim).toSet)
+    val selected = SparkEntry.queries.filter { case (n, _) => only.forall(_.contains(n)) }
+    val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       catch { case e: Throwable =>

@@ -118,25 +118,46 @@ object VectorSearch {
     result
   }
 
-  final case class LshConfig(numPlanes: Int = 16, bands: Int = 4, dim: Int = 64, seed: Long = 77070707L) {
+  /** ±1 hyperplane sign for (plane j, dim d): low bit of the first hex
+    * nibble of `md5("plane:j:d")`. Derived from a hash rather than a seeded
+    * PRNG so that ANY engine with an md5 function reproduces the planes —
+    * the DuckDB oracle recomputes them from the same formula.
+    */
+  def planeSign(j: Int, d: Int): Int = {
+    val digest = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"plane:$j:$d".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    if (((digest(0) >> 4) & 1) == 1) 1 else -1
+  }
+
+  final case class LshConfig(numPlanes: Int = 32, bands: Int = 8, dim: Int = 64, quantBits: Int = 20) {
     require(numPlanes % bands == 0)
     val bitsPerBand: Int = numPlanes / bands
-    lazy val planes: Array[Array[Double]] = {
-      val rnd = new scala.util.Random(seed)
-      Array.fill(numPlanes, dim)(if (rnd.nextBoolean()) 1.0 else -1.0)
-    }
+    val quantScale: Double = (1L << quantBits).toDouble
+    lazy val planes: Array[Array[Double]] =
+      Array.tabulate(numPlanes, dim)((j, d) => planeSign(j, d).toDouble)
   }
 
   /** Random-hyperplane LSH top-k: signature projection → band bucket join
     * → exact re-rank within buckets. The billions-of-vectors shape.
+    *
+    * Sign bits are taken over QUANTIZED components `floor(v_d * 2^quantBits)`
+    * rather than the raw floats: every projection is then a sum of 64 exact
+    * integers (|term| < 2^quantBits, sum < 2^(quantBits+6), well inside
+    * double/long exactness), so the signature — and therefore the candidate
+    * set — is bit-identical in any engine, which is what lets the DuckDB
+    * oracle hash-match this query instead of a rows-only check.
     */
   def lshTopK(df: DataFrame, id: Column, vec: Column, queryIds: Seq[Long], k: Int,
       cfg: LshConfig = LshConfig()): DataFrame = {
     val corpus = withNorm(df, id, vec)
+    val quantized = transform(col("v"),
+      x => floor(x.cast("double") * lit(cfg.quantScale)).cast("double"))
     val planeCols = cfg.planes.zipWithIndex.map { case (p, j) =>
-      when(dot(array(p.map(lit).toIndexedSeq: _*), col("v")) >= 0, lit(1L << j)).otherwise(lit(0L))
+      when(dot(array(p.map(lit).toIndexedSeq: _*), col("xq")) >= 0, lit(1L << j)).otherwise(lit(0L))
     }
-    val signed = corpus.withColumn("sig", planeCols.reduce((a, b) => a.bitwiseOR(b)))
+    val signed = corpus.withColumn("xq", quantized)
+      .withColumn("sig", planeCols.reduce((a, b) => a.bitwiseOR(b)))
+      .drop("xq")
     val bands = (0 until cfg.bands).map { b =>
       struct(lit(b).as("band"),
         shiftrightunsigned(col("sig"), b * cfg.bitsPerBand)

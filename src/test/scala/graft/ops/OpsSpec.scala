@@ -62,7 +62,7 @@ class OpsSpec extends SparkFunSuite {
       rs.sum / rs.size
     }
     val lsh = meanRecall(neighbors(Similarity.qSimLshTopK(spark, sf)))
-    assert(lsh >= 0.4, s"mean LSH recall@10 = $lsh — too low for 16-bit signatures")
+    assert(lsh >= 0.4, s"mean LSH recall@10 = $lsh — too low for 32-bit/8-band signatures")
     val ivf = meanRecall(neighbors(Similarity.qSimIvfTopK(spark, sf)))
     assert(ivf >= 0.4, s"mean IVF recall@10 = $ivf — too low for nprobe=4/16 centroids")
   }
