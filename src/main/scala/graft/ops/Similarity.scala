@@ -96,21 +96,97 @@ object Similarity {
   }
 
   /** IVF (k-means coarse quantization, nprobe=4) top-k — the second scale
-    * path; rows-only (centroids are code-side metadata), recall asserted in
-    * OpsSpec.
+    * path. Oracle-exact: the k-means runs in exact integer arithmetic (see
+    * [[VectorSearch.ivfTopK]]), so DuckDB replays the identical Lloyd
+    * iterations, bucket assignment, probe set, and re-ranked top-k.
     */
   def qSimIvfTopK(spark: SparkSession, dir: String): DataFrame =
     rename(VectorSearch.ivfTopK(
       table(spark, dir, "embeddings"), col("vec_id"), col("embedding"), QueryIds, K))
 
+  /** DuckDB replay of the integer k-means IVF pipeline: `cent<i>` holds
+    * (sum-vector, count) centroids, each Lloyd iteration is one
+    * dist→assign→recompute CTE block, and the scaled-integer distance
+    * `sum((N·x − S)²) / N²` matches Spark's expanded `N²Σx² − 2NΣSx + ΣS²`
+    * exactly because both are exact integer sums before the one division.
+    */
+  val qSimIvfTopKSql: String = {
+    val cfg = VectorSearch.IvfConfig()
+    val q = (1L << cfg.quantBits).toString
+    def iteration(i: Int): String =
+      s"""dist$i AS (
+         |  SELECT xq.vec_id, c.j,
+         |    CAST(sum((c.n * xq.x - c.s) * (c.n * xq.x - c.s)) AS DOUBLE)
+         |      / CAST(max(c.n) * max(c.n) AS DOUBLE) AS dist
+         |  FROM xq JOIN cent$i c USING (d) GROUP BY 1, 2
+         |), assign$i AS (
+         |  SELECT vec_id, j AS c FROM (
+         |    SELECT vec_id, j, row_number() OVER (PARTITION BY vec_id ORDER BY dist, j) AS rn
+         |    FROM dist$i)
+         |  WHERE rn = 1
+         |), cent${i + 1} AS (
+         |  SELECT m.j, m.d, m.s, m.n FROM (
+         |    SELECT a.c AS j, xq.d, sum(xq.x) AS s, count(*) AS n
+         |    FROM xq JOIN assign$i a USING (vec_id) GROUP BY 1, 2) m
+         |  UNION ALL
+         |  SELECT c.j, c.d, c.s, c.n FROM cent$i c
+         |  WHERE c.j NOT IN (SELECT DISTINCT c FROM assign$i)
+         |)""".stripMargin
+    val f = cfg.iters // final centroid generation index
+    s"""WITH xq AS (
+       |  SELECT vec_id, d,
+       |    CAST(floor(CAST(embedding[CAST(d + 1 AS INT)] AS DOUBLE) * $q) AS BIGINT) AS x
+       |  FROM embeddings CROSS JOIN range(${cfg.dim}) rd(d)
+       |), cent0 AS (
+       |  SELECT j, d, x AS s, CAST(1 AS BIGINT) AS n FROM (
+       |    SELECT vec_id, d, x, dense_rank() OVER (ORDER BY vec_id) - 1 AS j
+       |    FROM xq
+       |    WHERE vec_id IN (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT ${cfg.numCentroids}))
+       |), ${(0 until cfg.iters).map(iteration).mkString(", ")},
+       |distF AS (
+       |  SELECT xq.vec_id, c.j,
+       |    CAST(sum((c.n * xq.x - c.s) * (c.n * xq.x - c.s)) AS DOUBLE)
+       |      / CAST(max(c.n) * max(c.n) AS DOUBLE) AS dist
+       |  FROM xq JOIN cent$f c USING (d) GROUP BY 1, 2
+       |), assignF AS (
+       |  SELECT vec_id, j AS c FROM (
+       |    SELECT vec_id, j, row_number() OVER (PARTITION BY vec_id ORDER BY dist, j) AS rn
+       |    FROM distF)
+       |  WHERE rn = 1
+       |), probe AS (
+       |  SELECT vec_id AS q_vec_id, j AS bucket FROM (
+       |    SELECT vec_id, j, row_number() OVER (PARTITION BY vec_id ORDER BY dist, j) AS rn
+       |    FROM distF WHERE vec_id IN (${QueryIds.mkString(", ")}))
+       |  WHERE rn <= ${cfg.nprobe}
+       |), cand AS (
+       |  SELECT DISTINCT p.q_vec_id, a.vec_id
+       |  FROM probe p JOIN assignF a ON a.c = p.bucket AND a.vec_id <> p.q_vec_id
+       |), n AS (
+       |  SELECT vec_id, embedding,
+       |    sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+       |  FROM embeddings
+       |), p AS (
+       |  SELECT cand.q_vec_id, cand.vec_id,
+       |    round(list_sum(list_transform(list_zip(q.embedding, v.embedding),
+       |        z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE))) / (q.nrm * v.nrm), 6) AS cos_sim
+       |  FROM cand JOIN n q ON q.vec_id = cand.q_vec_id JOIN n v ON v.vec_id = cand.vec_id
+       |), r AS (
+       |  SELECT p.*, row_number() OVER (PARTITION BY q_vec_id ORDER BY cos_sim DESC, vec_id) AS rnk
+       |  FROM p
+       |)
+       |SELECT q_vec_id, rnk, vec_id, cos_sim FROM r WHERE rnk <= $K
+       |ORDER BY q_vec_id, rnk""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_sim_topk" -> (qSimTopK _),
     "q_sim_lsh_topk" -> (qSimLshTopK _),
-    "q_sim_ivf_topk" -> (qSimIvfTopK _), // rows-only (no oracle)
+    "q_sim_ivf_topk" -> (qSimIvfTopK _),
   )
 
   def oracle: Map[String, String] = Map(
     "q_sim_topk" -> qSimTopKSql,
     "q_sim_lsh_topk" -> qSimLshTopKSql,
+    "q_sim_ivf_topk" -> qSimIvfTopKSql,
   )
 }

@@ -47,55 +47,92 @@ object VectorSearch {
       .orderBy(col("qid"), col("rnk"))
   }
 
-  final case class IvfConfig(numCentroids: Int = 16, iters: Int = 3, nprobe: Int = 4)
+  final case class IvfConfig(numCentroids: Int = 16, iters: Int = 3, nprobe: Int = 4,
+      quantBits: Int = 14, dim: Int = 64)
+
+  /** A k-means centroid held EXACTLY as the integer component-sums of its
+    * members plus the member count — the mean `S/N` is never materialized,
+    * so no engine-specific floating-point rounding enters the iteration.
+    */
+  private final case class Centroid(s: Array[Long], n: Long)
 
   /** IVF-style ANN: coarse-quantize the corpus with k-means (Lloyd
     * iterations expressed as DataFrame jobs, deterministic init from the
     * smallest ids), then search only the `nprobe` nearest centroid buckets
     * per query with exact re-rank.
     *
-    * Centroids are control-plane metadata (numCentroids × dim doubles) —
-    * they live on the driver exactly like LSH planes; per-vector work stays
+    * Centroids are control-plane metadata (numCentroids × dim longs) — they
+    * live on the driver exactly like LSH planes; per-vector work stays
     * fully distributed. This is the FAISS-IVF shape expressed relationally;
     * at 100 TB the assignment column becomes the partition/bucket key of
     * the stored table.
+    *
+    * The whole training loop is EXACT INTEGER arithmetic, making the
+    * clustering bit-reproducible by any engine (the DuckDB oracle replays
+    * it as chained CTEs): components quantize to `x_d = floor(v_d·2^quantBits)`,
+    * a centroid is `(S, N)` (member component-sums + count), and the
+    * squared distance to the mean `S/N`, scaled by `N²`, is the integer
+    *   `D = N²·Σx² − 2N·Σ(S·x) + ΣS²  ( = N²·Σ(x − S/N)² )`.
+    * Assignment compares `D/N²` after ONE double division each — every
+    * input to the division is an exactly-computed integer, so the compared
+    * doubles (and argmin tie-breaks on centroid index) are deterministic.
+    * Magnitude envelope: |x| < 2^quantBits, so `D < N²·dim·2^(2·quantBits+2)`
+    * — with quantBits=14, dim=64 ANSI-safe in a long for N up to ~2^16
+    * members per cluster; raise/lower quantBits to trade resolution vs
+    * cluster-size headroom.
     */
   def ivfTopK(df: DataFrame, id: Column, vec: Column, queryIds: Seq[Long], k: Int,
       cfg: IvfConfig = IvfConfig()): DataFrame = {
-    val corpus = withNorm(df, id, vec).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val scale = (1L << cfg.quantBits).toDouble
+    // xq: integral-valued array<double> — VecDot accumulates integer
+    // products whose partial sums stay < 2^53, so the double math is exact.
+    val corpus = withNorm(df, id, vec)
+      .withColumn("xq", transform(col("v"), x => floor(x.cast("double") * lit(scale)).cast("double")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
-    def sqDistTo(c: Array[Double]): Column =
-      TextOps.dot(col("v"), col("v")) - lit(2.0) * TextOps.dot(array(c.map(lit).toIndexedSeq: _*), col("v")) +
-        lit(c.map(x => x * x).sum)
+    // D/N² per centroid, every integer exact (see scaladoc envelope)
+    def distTo(c: Centroid): Column = {
+      val a2 = TextOps.dot(col("xq"), col("xq")).cast("long")         // Σx²
+      val b = TextOps.dot(array(c.s.map(v => lit(v.toDouble)).toIndexedSeq: _*), col("xq"))
+        .cast("long")                                                  // Σ(S·x)
+      val c2 = c.s.map(v => v * v).sum                                 // ΣS²
+      (lit(c.n * c.n) * a2 - lit(2 * c.n) * b + lit(c2)).cast("double") /
+        lit((c.n * c.n).toDouble)
+    }
     // argmin via array functions — a when()-chain reduce would duplicate
-    // the accumulator subtree per step (exponential expression size)
-    def assignment(cents: Array[Array[Double]]): Column = {
-      val dists = array(cents.map(sqDistTo).toIndexedSeq: _*)
+    // the accumulator subtree per step (exponential expression size);
+    // array_position takes the FIRST minimum → ties break to the lowest j,
+    // mirrored by ORDER BY dist, j in the oracle.
+    def assignment(cents: Array[Centroid]): Column = {
+      val dists = array(cents.map(distTo).toIndexedSeq: _*)
       (array_position(dists, array_min(dists)) - 1).cast("int")
     }
 
-    // deterministic init: the numCentroids smallest-id vectors
-    var centroids: Array[Array[Double]] = corpus.orderBy(col("id")).limit(cfg.numCentroids)
-      .select(col("v")).collect()
-      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    // deterministic init: the numCentroids smallest-id vectors as singletons
+    var centroids: Array[Centroid] = corpus.orderBy(col("id")).limit(cfg.numCentroids)
+      .select(col("xq")).collect()
+      .map(r => Centroid(r.getSeq[Double](0).map(_.toLong).toArray, 1L))
     for (_ <- 1 to cfg.iters) {
-      val means = corpus
-        .select(assignment(centroids).as("c"), posexplode(col("v")).as(Seq("pos", "x")))
-        .groupBy(col("c"), col("pos")).agg(avg(col("x")).as("m"))
+      val sums = corpus
+        .select(assignment(centroids).as("c"), posexplode(col("xq")).as(Seq("pos", "x")))
+        .groupBy(col("c"), col("pos"))
+        .agg(sum(col("x").cast("long")).as("s"), count(lit(1)).as("n"))
         .collect()
-      val byCluster = means.groupBy(_.getAs[Int]("c"))
+      val byCluster = sums.groupBy(_.getAs[Int]("c"))
       centroids = centroids.indices.map { j =>
         byCluster.get(j) match {
-          case Some(rows) => rows.sortBy(_.getAs[Int]("pos")).map(_.getAs[Double]("m")).toArray
-          case None       => centroids(j) // empty cluster keeps its centroid
+          case Some(rows) =>
+            Centroid(rows.sortBy(_.getAs[Int]("pos")).map(_.getAs[Long]("s")).toArray,
+              rows.head.getAs[Long]("n"))
+          case None => centroids(j) // empty cluster keeps its centroid
         }
       }.toArray
     }
 
     val assigned = corpus.withColumn("bucket", assignment(centroids))
-    // nprobe nearest buckets per query vector
-    def probeBuckets(cents: Array[Array[Double]]): Column = {
-      val ds = cents.zipWithIndex.map { case (c, j) => struct(sqDistTo(c).as("d"), lit(j).as("j")) }
+    // nprobe nearest buckets per query vector (struct sort: dist, then j)
+    def probeBuckets(cents: Array[Centroid]): Column = {
+      val ds = cents.zipWithIndex.map { case (c, j) => struct(distTo(c).as("d"), lit(j).as("j")) }
       slice(transform(array_sort(array(ds.toIndexedSeq: _*)), s => s("j")), 1, cfg.nprobe)
     }
     val queries = assigned
