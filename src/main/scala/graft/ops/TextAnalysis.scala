@@ -262,7 +262,85 @@ object TextAnalysis {
        |FROM documents
        |ORDER BY doc_id""".stripMargin
 
+  /** Gopher-style repetition signals: fraction of tokens taken by the most
+    * frequent word, and of bigrams by the most frequent bigram — the
+    * standard "repetitious document" quality gates of LLM corpus cleaning.
+    * Distributed shape: explode → two-level aggregate (no per-row quadratic
+    * scans), so it holds at corpus scale. Fractions are IEEE divisions of
+    * exact integers — bit-identical cross-engine, left unrounded.
+    */
+  def qTextRepetition(spark: SparkSession, dir: String): DataFrame = {
+    val docs = table(spark, dir, "documents")
+      .select(col("doc_id"), tokens(col("text")).as("t"))
+    val words = docs.select(col("doc_id"), explode(col("t")).as("w"))
+      .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id")).agg(max(col("c")).as("topw"), sum(col("c")).as("nw"))
+    val bigrams = docs.filter(size(col("t")) >= 2)
+      .select(col("doc_id"),
+        explode(transform(sequence(lit(0), size(col("t")) - 2),
+          i => concat_ws(" ", slice(col("t"), i + 1, lit(2))))).as("b"))
+      .groupBy(col("doc_id"), col("b")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id")).agg(max(col("c")).as("topb"), sum(col("c")).as("nb"))
+    words.join(bigrams, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        (col("topw").cast(DoubleType) / col("nw").cast(DoubleType)).as("top_word_frac"),
+        coalesce(col("topb").cast(DoubleType) / col("nb").cast(DoubleType), lit(0.0))
+          .as("top_bigram_frac"))
+      .orderBy(col("doc_id"))
+  }
+
+  val qTextRepetitionSql: String =
+    """WITH tok AS (
+      |  SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS t FROM documents
+      |), w AS (
+      |  SELECT doc_id, max(c) AS topw, sum(c) AS nw FROM (
+      |    SELECT doc_id, w, count(*) AS c
+      |    FROM (SELECT doc_id, unnest(t) AS w FROM tok) GROUP BY 1, 2)
+      |  GROUP BY 1
+      |), b AS (
+      |  SELECT doc_id, max(c) AS topb, sum(c) AS nb FROM (
+      |    SELECT doc_id, b, count(*) AS c FROM (
+      |      SELECT doc_id,
+      |        unnest(list_transform(range(len(t) - 1),
+      |                              i -> array_to_string(t[i+1:i+2], ' '))) AS b
+      |      FROM tok WHERE len(t) >= 2) GROUP BY 1, 2)
+      |  GROUP BY 1
+      |)
+      |SELECT w.doc_id,
+      |  CAST(topw AS DOUBLE) / CAST(nw AS DOUBLE) AS top_word_frac,
+      |  COALESCE(CAST(topb AS DOUBLE) / CAST(nb AS DOUBLE), 0.0) AS top_bigram_frac
+      |FROM w LEFT JOIN b ON w.doc_id = b.doc_id
+      |ORDER BY w.doc_id""".stripMargin
+
+  /** Deny-list scrub pattern — word-boundary anchored, same RE2/Java-safe
+    * subset as [[BpePattern]] (the PII/blocked-term redaction shape: swap in
+    * email/phone/ID patterns in production).
+    */
+  val ScrubPattern: String = "\\bcustomer\\b"
+
+  /** Deny-list redaction: count matches and fingerprint the scrubbed text —
+    * the PII-scrub / blocked-term-removal op of corpus pipelines, as a pure
+    * codegen'd projection (regexp_extract_all + regexp_replace).
+    */
+  def qTextScrub(spark: SparkSession, dir: String): DataFrame = {
+    val docs = table(spark, dir, "documents")
+    docs.select(col("doc_id"),
+        size(regexp_extract_all(lower(col("text")), lit(ScrubPattern), lit(0)))
+          .cast(LongType).as("n_redacted"),
+        md5(regexp_replace(lower(col("text")), ScrubPattern, "[X]")).as("scrubbed_fp"))
+      .orderBy(col("doc_id"))
+  }
+
+  val qTextScrubSql: String =
+    s"""SELECT doc_id,
+       |  len(regexp_extract_all(lower(text), '$ScrubPattern')) AS n_redacted,
+       |  md5(regexp_replace(lower(text), '$ScrubPattern', '[X]', 'g')) AS scrubbed_fp
+       |FROM documents
+       |ORDER BY doc_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_text_repetition" -> (qTextRepetition _),
+    "q_text_scrub" -> (qTextScrub _),
     "q_text_bpe_tokens" -> (qTextBpeTokens _),
     "q_text_rolling_fp" -> (qTextRollingFp _),
     "q_text_stats" -> (qTextStats _),
@@ -273,6 +351,8 @@ object TextAnalysis {
   )
 
   def oracle: Map[String, String] = Map(
+    "q_text_repetition" -> qTextRepetitionSql,
+    "q_text_scrub" -> qTextScrubSql,
     "q_text_bpe_tokens" -> qTextBpeTokensSql,
     "q_text_rolling_fp" -> qTextRollingFpSql,
     "q_text_stats" -> qTextStatsSql,
