@@ -46,5 +46,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
         classOf[VecDot].getName, "vec_dot"),
       (exprs: Seq[Expression]) => VecDot(exprs(0), exprs(1))))
+    e.injectPlannerStrategy(_ => new graft.plans.TopKPerKeyStrategy)
   }
 }

@@ -595,7 +595,35 @@ object Relational {
       |  count(*) AS n
       |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
 
+  /** Top-2 lineitems per supplier via the NATIVE [[graft.plans.TopKPerKey]]
+    * operator (partial bounded heaps → ≤k-rows-per-key-per-partition
+    * shuffle → final heaps), not a window — the whole-operator
+    * LogicalPlan/Strategy/Exec path. Total order (price desc, orderkey,
+    * linenumber) makes ranks deterministic; the oracle states the same
+    * query as a filtered row_number window.
+    */
+  def qTopKNative(spark: SparkSession, dir: String): DataFrame = {
+    val li = table(spark, dir, "lineitem")
+      .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"))
+    graft.plans.TopKPerKey.perKey(li,
+        Seq(col("l_suppkey")),
+        Seq(col("l_extendedprice").desc, col("l_orderkey").asc, col("l_linenumber").asc),
+        k = 2)
+      .orderBy(col("l_suppkey"), col("rnk"))
+  }
+
+  val qTopKNativeSql: String =
+    """SELECT l_suppkey, l_orderkey, l_linenumber, l_extendedprice, rnk FROM (
+      |  SELECT l_suppkey, l_orderkey, l_linenumber, l_extendedprice,
+      |    row_number() OVER (
+      |      PARTITION BY l_suppkey
+      |      ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber) AS rnk
+      |  FROM lineitem)
+      |WHERE rnk <= 2
+      |ORDER BY l_suppkey, rnk""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_topk_native" -> (qTopKNative _),
     "q_nested_collect" -> (qNestedCollect _),
     "q01_pricing_summary" -> (q01PricingSummary _),
     "q03_top_orders" -> (q03TopOrders _),
@@ -626,6 +654,7 @@ object Relational {
   )
 
   def oracle: Map[String, String] = Map(
+    "q_topk_native" -> qTopKNativeSql,
     "q_nested_collect" -> qNestedCollectSql,
     "q01_pricing_summary" -> q01Sql,
     "q03_top_orders" -> q03Sql,

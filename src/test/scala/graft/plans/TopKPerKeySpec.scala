@@ -1,0 +1,83 @@
+package graft.plans
+
+import graft.SparkFunSuite
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.ExplainMode
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** The native top-k-per-key operator: window-equivalence (the semantics
+  * contract), the partial→exchange→final physical shape (the scale
+  * contract), shuffle elision on pre-clustered input, and edge cases.
+  */
+class TopKPerKeySpec extends SparkFunSuite {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def li = spark.read.parquet(s"$sf/lineitem.parquet")
+    .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"))
+
+  private def windowed(df: DataFrame, k: Int): DataFrame = {
+    val w = Window.partitionBy(col("l_suppkey"))
+      .orderBy(col("l_extendedprice").desc, col("l_orderkey").asc, col("l_linenumber").asc)
+    df.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= k)
+  }
+
+  private def native(df: DataFrame, k: Int): DataFrame =
+    TopKPerKey.perKey(df,
+      Seq(col("l_suppkey")),
+      Seq(col("l_extendedprice").desc, col("l_orderkey").asc, col("l_linenumber").asc),
+      k)
+
+  private def sorted(df: DataFrame): Seq[Seq[Any]] =
+    df.orderBy(col("l_suppkey"), col("rnk")).collect().map(_.toSeq).toSeq
+
+  test("matches the filtered row_number window exactly (total order)") {
+    for (k <- Seq(1, 2, 7)) {
+      assert(sorted(native(li, k)) == sorted(windowed(li, k)), s"k=$k")
+    }
+  }
+
+  test("k larger than every group degrades to the full input with ranks") {
+    val k = 100000
+    assert(sorted(native(li, k)) == sorted(windowed(li, k)))
+  }
+
+  test("plans as partial heaps -> key exchange -> final heaps, no sort") {
+    val p = native(li, 2).queryExecution
+      .explainString(ExplainMode.fromString("formatted"))
+    val partials = "\\bTopKPerKey\\b".r.findAllIn(p).size
+    assert(partials >= 2, s"expected partial+final TopKPerKey nodes:\n$p")
+    assert(p.contains("Exchange"), p)
+    assert(!p.contains("WindowExec") && !p.contains("RunningWindow"), p)
+    // the operator itself must not plan a per-partition full sort
+    assert(!p.split("\n").exists(l => l.trim.startsWith("(") && l.contains(") Sort")), p)
+  }
+
+  test("exchange is elided when the input is already clustered on the keys") {
+    val pre = li.repartition(col("l_suppkey"))
+    val p = native(pre, 2).queryExecution
+      .explainString(ExplainMode.fromString("formatted"))
+    // formatted explain prints each node twice (tree + detail); count the
+    // "(n) Exchange" detail headers only
+    val exchanges = "\\(\\d+\\) Exchange".r.findAllIn(p).size
+    assert(exchanges == 1, s"expected only the explicit repartition exchange:\n$p")
+    assert(sorted(native(pre, 2)) == sorted(windowed(li, 2)))
+  }
+
+  test("ties broken by the caller's tiebreak columns, ranks contiguous from 1") {
+    import spark.implicits._
+    // every price identical → order falls to (orderkey, linenumber)
+    val flat = li.withColumn("l_extendedprice", lit(1.0))
+    val got = sorted(native(flat, 3))
+    val want = sorted(windowed(flat, 3))
+    assert(got == want)
+    val ranksPerKey = got.groupBy(_.head).view.mapValues(_.map(_.last)).toMap
+    assert(ranksPerKey.values.forall(rs => rs == (1 to rs.size).toSeq))
+  }
+
+  test("empty input produces empty output") {
+    val empty = li.filter(col("l_suppkey") < -1)
+    assert(native(empty, 3).collect().isEmpty)
+  }
+}
