@@ -141,16 +141,39 @@ object TextDedup {
     * min-label propagation — every id maps to the smallest id in its
     * duplicate cluster (`canonical == id` ⇒ keep, else drop).
     *
-    * Iterates label propagation to fixpoint with a driver-side convergence
-    * check (each sweep is one join + aggregate; iterations ≈ component
+    * Strategy is SIZE-BASED, the same decision shape as broadcast-vs-shuffle
+    * join selection: near-dup edge lists are orders of magnitude smaller
+    * than the corpus (they exist only where documents overlap), so when the
+    * edge count fits `driverMaxEdges` the components are solved with exact
+    * union-find on the driver — one collect the size of the edge list, zero
+    * iterative shuffles — and the labels broadcast back to the universe.
+    * Above the threshold it falls back to distributed min-label propagation
+    * to fixpoint (each sweep one join + aggregate; iterations ≈ component
     * diameter). At 100 TB swap the sweep for the large-star/small-star
     * formulation (O(log n) rounds) and checkpoint between rounds; the
     * per-round dataflow is the same join + min-aggregate.
     *
     * @param pairs (id_a, id_b) near-dup edges
     * @param ids   universe of ids (singletons map to themselves)
+    * @param maxIters fixpoint sweep cap for the distributed path
+    * @param driverMaxEdges edge-count ceiling for the union-find fast path
+    *   (set 0 to force the distributed path; default ~4M edges ≈ 64 MB of
+    *   driver heap, the same order as a broadcast-join build side)
     */
-  def canonicalize(pairs: DataFrame, ids: DataFrame, maxIters: Int = 15): DataFrame = {
+  def canonicalize(pairs: DataFrame, ids: DataFrame, maxIters: Int = 15,
+      driverMaxEdges: Long = 1L << 22): DataFrame = {
+    val pairsLong = pairs.select(col("id_a").cast("long"), col("id_b").cast("long"))
+    if (pairsLong.count() <= driverMaxEdges) {
+      val edgeRows = pairsLong.collect()
+      val canon = unionFindMinLabels(edgeRows.iterator.map(r => (r.getLong(0), r.getLong(1))))
+      val spark = pairs.sparkSession
+      import spark.implicits._
+      val labels = broadcast(canon.toSeq.toDF("id", "canonical"))
+      return ids.select(col("id"))
+        .join(labels, Seq("id"), "left")
+        .select(col("id"), coalesce(col("canonical"), col("id")).as("canonical"))
+        .orderBy(col("id"))
+    }
     val storage = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
@@ -202,6 +225,37 @@ object TextDedup {
       .join(labels, Seq("id"), "left")
       .select(col("id"), coalesce(col("canonical"), col("id")).as("canonical"))
     materializeAndRelease(full.orderBy(col("id")), gen)
+  }
+
+  /** Exact min-label connected components over an edge iterator: union-find
+    * with path halving + union by smaller label root. Returns id →
+    * component-minimum for every edge-touched node (callers map singletons
+    * to themselves).
+    */
+  private[ops] def unionFindMinLabels(edges: Iterator[(Long, Long)]): Map[Long, Long] = {
+    val parent = scala.collection.mutable.LongMap.empty[Long]
+    def find(x0: Long): Long = {
+      var x = x0
+      var p = parent.getOrElse(x, x)
+      while (p != x) {
+        val gp = parent.getOrElse(p, p)
+        parent.update(x, gp) // path halving
+        x = gp
+        p = parent.getOrElse(x, x)
+      }
+      x
+    }
+    edges.foreach { case (a, b) =>
+      parent.getOrElseUpdate(a, a)
+      parent.getOrElseUpdate(b, b)
+      val ra = find(a)
+      val rb = find(b)
+      if (ra != rb) {
+        // smaller label wins the root → root IS the component minimum
+        if (ra < rb) parent.update(rb, ra) else parent.update(ra, rb)
+      }
+    }
+    parent.keys.map(k => k -> find(k)).toMap
   }
 
   /** Number of signature bits for [[simhashPairs]] — 60 so the per-token

@@ -28,6 +28,23 @@ class OpsSpec extends SparkFunSuite {
     assert(missing.isEmpty, s"oracle without query: $missing")
   }
 
+  test("canonicalize: union-find fast path and distributed sweeps agree") {
+    import spark.implicits._
+    // two components (one a chain of diameter 5, labels unordered), a
+    // cycle-closing edge, and singletons 100/101 from the universe
+    val pairs = Seq((7L, 3L), (3L, 9L), (9L, 1L), (1L, 5L), (5L, 7L), (20L, 30L))
+      .toDF("id_a", "id_b")
+    val ids = (Seq(1L, 3L, 5L, 7L, 9L, 20L, 30L, 100L, 101L)).toDF("id")
+    val want = Map(1L -> 1L, 3L -> 1L, 5L -> 1L, 7L -> 1L, 9L -> 1L,
+      20L -> 20L, 30L -> 20L, 100L -> 100L, 101L -> 101L)
+    val fast = TextDedup.canonicalize(pairs, ids)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val dist = TextDedup.canonicalize(pairs, ids, driverMaxEdges = 0)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fast == want)
+    assert(dist == want)
+  }
+
   test("minhash LSH finds the same near-dup pairs as the exact jaccard join") {
     val exact = Dedup.qDedupNgramJaccard(spark, sf).collect().map(r => (r.getLong(0), r.getLong(1)))
     val lsh = Dedup.qDedupMinhashLsh(spark, sf).collect().map(r => (r.getLong(0), r.getLong(1)))
