@@ -72,6 +72,26 @@ class PlanShapeSpec extends SparkFunSuite {
     assert(p.contains("TakeOrderedAndProject"), p)
   }
 
+  test("date-partitioned layout: scan prunes partitions and pushes the residual filter") {
+    import org.apache.spark.sql.functions._
+    // the 100 TB layout: fact tables written partitioned by day so
+    // time-bounded queries read only the matching directories
+    val out = tmpDir("events-parted")
+    Tables.events(spark, sf) // handles the parquet timestamp[ns] read
+      .withColumn("event_date", to_date(col("ts")))
+      .write.mode("overwrite").partitionBy("event_date").parquet(out)
+    val days = spark.read.parquet(out).select("event_date").distinct().count()
+    assert(days > 1, s"need multiple partitions to prove pruning, got $days")
+    val minDay = spark.read.parquet(out).selectExpr("min(event_date)").first().getDate(0)
+    val oneDay = spark.read.parquet(out)
+      .filter(col("event_date") === lit(minDay) && col("event_type") === "click")
+    val p = plan(oneDay)
+    assert(p.contains("PartitionFilters:"), p)
+    // the partition predicate must NOT appear as a data filter; the
+    // event_type predicate must be pushed to the reader
+    assert(p.contains("PushedFilters:") && p.contains("EqualTo(event_type,click)"), p)
+  }
+
   test("hub transform read->cast->constants plan is shuffle-free") {
     import org.apache.spark.sql.functions.lit
     import org.apache.spark.sql.types._
