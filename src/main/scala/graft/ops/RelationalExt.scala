@@ -295,18 +295,18 @@ object RelationalExt {
       |ORDER BY o_totalprice DESC, o_orderkey""".stripMargin
 
   /** Q20 pattern: suppliers that shipped more than 1/5 of some part's total
-    * quantity — two fact aggregates joined on the part key, threshold
-    * multiplied through to stay in exact decimal, then a semi join into
-    * the supplier dimension.
+    * quantity. ONE lineitem scan: the per-(part, supplier) aggregate is
+    * computed once and the per-part total comes from a window sum over that
+    * (already-reduced) relation — no second fact scan and no agg⋈agg
+    * shuffle join; the threshold is multiplied through to stay in exact
+    * decimal. Ends in a semi join into the supplier dimension.
     */
   def q20ExcessSuppliers(spark: SparkSession, dir: String): DataFrame = {
     val li = table(spark, dir, "lineitem")
     val perPartSupp = li.groupBy(col("l_partkey"), col("l_suppkey"))
       .agg(sum(dec(col("l_quantity"))).as("sq"))
-    val perPart = li.groupBy(col("l_partkey").as("pk"))
-      .agg(sum(dec(col("l_quantity"))).as("tq"))
     val excess = perPartSupp
-      .join(perPart, col("l_partkey") === col("pk"))
+      .withColumn("tq", sum(col("sq")).over(Window.partitionBy(col("l_partkey"))))
       .filter(col("sq") * 5 > col("tq"))
       .select(col("l_suppkey")).distinct()
     table(spark, dir, "supplier")
