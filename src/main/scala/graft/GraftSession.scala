@@ -47,5 +47,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         classOf[VecDot].getName, "vec_dot"),
       (exprs: Seq[Expression]) => VecDot(exprs(0), exprs(1))))
     e.injectPlannerStrategy(_ => new graft.plans.TopKPerKeyStrategy)
+    e.injectOptimizerRule(_ => graft.plans.NativeTopKRule)
   }
 }

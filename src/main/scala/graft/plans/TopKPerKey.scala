@@ -5,10 +5,11 @@ import scala.collection.mutable
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, AttributeReference, AttributeSet, Expression, GenericInternalRow, JoinedRow, SortOrder, UnsafeProjection, UnsafeRow}
+import org.apache.spark.sql.catalyst.expressions.{Alias, And, Ascending, Attribute, AttributeReference, AttributeSet, EqualTo, Expression, GenericInternalRow, JoinedRow, LessThan, LessThanOrEqual, Literal, PredicateHelper, RowNumber, SortOrder, UnsafeProjection, UnsafeRow, WindowExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.LazilyGeneratedOrdering
-import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnaryNode}
+import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan, Project, UnaryNode, Window, WindowGroupLimit}
 import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning, UnspecifiedDistribution}
+import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
 import org.apache.spark.sql.graftbridge.PlanBridge
 import org.apache.spark.sql.types.IntegerType
@@ -124,6 +125,73 @@ case class TopKPerKeyExec(
 
   override protected def withNewChildInternal(newChild: SparkPlan): TopKPerKeyExec =
     copy(child = newChild)
+}
+
+/** Optimizer rule: rewrite the classic
+  * `Filter(rnk <= k)` over `Window([row_number() AS rnk], part, order)`
+  * pattern into [[TopKPerKeyPlan]], so queries written with the standard
+  * window idiom execute as bounded heaps (see [[TopKPerKeyExec]]).
+  *
+  * Conservative matching: exactly one window expression, and it is
+  * row_number() with a non-empty ORDER BY; the filter must carry a
+  * `rnk <= lit` / `rnk < lit` / `rnk = 1` conjunct (other conjuncts stay
+  * as a residual Filter); an intervening Project must be pure
+  * attribute selection. A `WindowGroupLimit` the optimizer already pushed
+  * below the window is stripped — the partial heap phase subsumes it.
+  *
+  * Tie semantics: with a non-total ORDER BY, which tied rows row_number
+  * keeps is already execution-dependent in Spark; the heap may keep
+  * different (equally valid) tied rows than a sort would. Callers wanting
+  * reproducible output give a total order — same contract as the window.
+  *
+  * Session opt-in: injected by [[graft.GraftExtensions]] (with the
+  * strategy); not registered on plain sessions.
+  */
+object NativeTopKRule extends Rule[LogicalPlan] with PredicateHelper {
+
+  private def rankLimit(e: Expression, rank: Attribute): Option[Int] = e match {
+    case LessThanOrEqual(a: Attribute, Literal(k: Int, IntegerType)) if a.exprId == rank.exprId =>
+      Some(k)
+    case LessThan(a: Attribute, Literal(k: Int, IntegerType)) if a.exprId == rank.exprId =>
+      Some(k - 1)
+    case EqualTo(a: Attribute, Literal(1, IntegerType)) if a.exprId == rank.exprId =>
+      Some(1)
+    case _ => None
+  }
+
+  private def rowNumberAttr(w: Window): Option[AttributeReference] = w.windowExpressions match {
+    case Seq(a @ Alias(WindowExpression(_: RowNumber, _), _)) if w.orderSpec.nonEmpty =>
+      a.toAttribute match {
+        case ar: AttributeReference => Some(ar)
+        case _ => None
+      }
+    case _ => None
+  }
+
+  private def tryRewrite(cond: Expression, w: Window,
+      wrap: LogicalPlan => LogicalPlan): Option[LogicalPlan] =
+    rowNumberAttr(w).flatMap { rank =>
+      val conjuncts = splitConjunctivePredicates(cond)
+      val limits = conjuncts.flatMap(c => rankLimit(c, rank))
+      if (limits.isEmpty || limits.min <= 0) None
+      else {
+        val child = w.child match {
+          case wgl: WindowGroupLimit => wgl.child // partial heaps subsume it
+          case other => other
+        }
+        val topk = TopKPerKeyPlan(w.partitionSpec, w.orderSpec, limits.min, rank, child)
+        val residual = conjuncts.filter(c => rankLimit(c, rank).isEmpty)
+        Some(residual.reduceOption(And).map(Filter(_, wrap(topk))).getOrElse(wrap(topk)))
+      }
+    }
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformDown {
+    case f @ Filter(cond, w: Window) =>
+      tryRewrite(cond, w, identity).getOrElse(f)
+    case f @ Filter(cond, p @ Project(projList, w: Window))
+        if projList.forall(_.isInstanceOf[AttributeReference]) =>
+      tryRewrite(cond, w, rewritten => Project(projList, rewritten)).getOrElse(f)
+  }
 }
 
 object TopKPerKey {

@@ -80,4 +80,32 @@ class TopKPerKeySpec extends SparkFunSuite {
     val empty = li.filter(col("l_suppkey") < -1)
     assert(native(empty, 3).collect().isEmpty)
   }
+
+  test("NativeTopKRule rewrites the filtered row_number window to TopKPerKey") {
+    import org.apache.spark.sql.classic
+    val cs = spark.asInstanceOf[classic.SparkSession]
+    val prevOpt = cs.experimental.extraOptimizations
+    val prevStrat = cs.experimental.extraStrategies
+    cs.experimental.extraOptimizations = prevOpt :+ NativeTopKRule
+    cs.experimental.extraStrategies = prevStrat :+ new TopKPerKeyStrategy
+    try {
+      // plain window idiom — no graft API in sight
+      val q = windowed(li, 2).filter(col("l_extendedprice") > 0)
+      val p = q.queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+      assert("\\(\\d+\\) TopKPerKey".r.findAllIn(p).size == 2,
+        s"expected partial+final TopKPerKey from the rule:\n$p")
+      assert(!p.contains("( Window"), p)
+      assert(!"\\(\\d+\\) Window".r.findAllIn(p).hasNext, s"WindowExec survived the rewrite:\n$p")
+      // the non-rank conjunct must survive as a residual filter
+      assert("\\(\\d+\\) Filter".r.findAllIn(p).nonEmpty, p)
+      val got = q.orderBy(col("l_suppkey"), col("rnk")).collect().map(_.toSeq).toSeq
+      cs.experimental.extraOptimizations = prevOpt // plan the reference without the rule
+      val want = sorted(windowed(li, 2).filter(col("l_extendedprice") > 0))
+      assert(got == want)
+    } finally {
+      cs.experimental.extraOptimizations = prevOpt
+      cs.experimental.extraStrategies = prevStrat
+    }
+  }
 }
