@@ -116,6 +116,33 @@ object EventStreams {
         })
   }
 
+  final case class ValEv(user_id: Long, event_id: Long, value: Double)
+  final case class TopKState(entries: List[ValEv])
+
+  /** Streaming top-k per key — the streaming dual of
+    * [[graft.plans.TopKPerKey]]: per user, the k highest-value events seen
+    * so far, maintained as O(k) state per key in the state store and
+    * re-emitted on update. Order (value desc, event_id) is total, so the
+    * retained set is deterministic and equals the batch operator's result
+    * on the same data (spec-asserted).
+    */
+  def topKEventsPerUser(events: DataFrame, k: Int): Dataset[ValEv] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .select(col("user_id"), col("event_id"), col("value"))
+      .as[ValEv]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(
+        (userId: Long, evs: Iterator[ValEv], state: GroupState[TopKState]) => {
+          val merged = (state.getOption.map(_.entries).getOrElse(Nil) ++ evs)
+            .sortBy(e => (-e.value, e.event_id))
+            .take(k)
+          state.update(TopKState(merged))
+          merged.iterator
+        })
+  }
+
   /** Run any streaming DataFrame to a named in-memory table with
     * batch-catchup semantics; returns the materialized table.
     */

@@ -81,6 +81,12 @@ class TopKPerKeySpec extends SparkFunSuite {
     assert(native(empty, 3).collect().isEmpty)
   }
 
+  test("null keys form one group, same as the window") {
+    val withNulls = li.withColumn("l_suppkey",
+      when(col("l_suppkey") % 7 === 0, lit(null)).otherwise(col("l_suppkey")))
+    assert(sorted(native(withNulls, 2)) == sorted(windowed(withNulls, 2)))
+  }
+
   test("NativeTopKRule rewrites the filtered row_number window to TopKPerKey") {
     import org.apache.spark.sql.classic
     val cs = spark.asInstanceOf[classic.SparkSession]

@@ -83,6 +83,31 @@ class StreamingSpec extends SparkFunSuite {
     assert(g == w)
   }
 
+  test("streaming per-user top-k state converges to the batch top-k") {
+    val k = 3
+    val stream = EventStreams.topKEventsPerUser(
+      EventStreams.eventStream(spark, eventsPath), k)
+    // update mode re-emits a user's current top-k on every change; the
+    // LAST emission per user is the converged set — reduce via batch top-k
+    // over the emitted union, which equals it
+    val emitted = EventStreams.runToMemory(stream.toDF(), "t_topk", outputMode = "update")
+    val gotTop = graft.plans.TopKPerKey.perKey(
+        emitted.dropDuplicates("user_id", "event_id"),
+        Seq(col("user_id")), Seq(col("value").desc, col("event_id").asc), k)
+      .select("user_id", "event_id", "value", "rnk")
+      .collect().map(_.toSeq).toSet
+    val wantTop = graft.plans.TopKPerKey.perKey(
+        graft.ops.Tables.events(spark, sf).select("user_id", "event_id", "value"),
+        Seq(col("user_id")), Seq(col("value").desc, col("event_id").asc), k)
+      .select("user_id", "event_id", "value", "rnk")
+      .collect().map(_.toSeq).toSet
+    assert(gotTop == wantTop)
+    // and every batch-top-k row was actually emitted by the stream
+    val emittedSet = emitted.select("user_id", "event_id").collect().map(_.toSeq).toSet
+    val wantPairs = wantTop.map(r => Seq(r(0), r(1)))
+    assert(wantPairs.subsetOf(emittedSet))
+  }
+
   test("stream-stream interval join matches the batch join") {
     val stream = EventStreams.purchaseClickJoin(EventStreams.eventStream(spark, eventsPath))
     val got = EventStreams.runToMemory(stream, "t_ssjoin", outputMode = "append").count()
