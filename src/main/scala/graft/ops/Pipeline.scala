@@ -122,9 +122,68 @@ object Pipeline {
        |ORDER BY doc_id""".stripMargin
   }
 
+  /** Cross-modal near-dup verification: embedding-cosine pairs joined back
+    * to TEXT-side features of both endpoints — predicted-language agreement
+    * and token-count gap — the "do the vector neighbors make textual
+    * sense?" check a pipeline runs before trusting embedding dedup. The
+    * join keys are the (already tiny) pair ids, so the enrichment joins
+    * shuffle pair-sized relations, not the corpus.
+    */
+  def qPipelineCrossmodal(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = VectorSearch.cosinePairs(
+      table(spark, dir, "embeddings"), col("vec_id"), col("embedding"), Dedup.CosineThreshold)
+    val feat = table(spark, dir, "documents")
+      .select(col("doc_id"), tokens(col("text")).as("t"))
+      .select(col("doc_id"),
+        TextAnalysis.langPredC(col("t")).as("lang"),
+        size(col("t")).cast(LongType).as("ntok"))
+    pairs
+      .join(feat.toDF("id_a", "lang_a", "ntok_a"), Seq("id_a"))
+      .join(feat.toDF("id_b", "lang_b", "ntok_b"), Seq("id_b"))
+      .select(
+        col("id_a").as("va"), col("id_b").as("vb"), col("cos_sim"),
+        (col("lang_a") === col("lang_b")).cast(IntegerType).as("same_lang"),
+        abs(col("ntok_a") - col("ntok_b")).as("tok_diff"))
+      .orderBy(col("va"), col("vb"))
+  }
+
+  val qPipelineCrossmodalSql: String = {
+    val de = TextAnalysis.sqlStopCount(TextAnalysis.StopwordsDe)
+    val en = TextAnalysis.sqlStopCount(TextAnalysis.StopwordsEn)
+    val es = TextAnalysis.sqlStopCount(TextAnalysis.StopwordsEs)
+    val fr = TextAnalysis.sqlStopCount(TextAnalysis.StopwordsFr)
+    s"""WITH n AS (
+       |  SELECT vec_id, embedding,
+       |    sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+       |  FROM embeddings
+       |), p AS (
+       |  SELECT a.vec_id AS va, b.vec_id AS vb,
+       |    round(list_sum(list_transform(list_zip(a.embedding, b.embedding),
+       |        z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE))) / (a.nrm * b.nrm), 6) AS cos_sim
+       |  FROM n a JOIN n b ON a.vec_id < b.vec_id
+       |  WHERE round(list_sum(list_transform(list_zip(a.embedding, b.embedding),
+       |        z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE))) / (a.nrm * b.nrm), 6) >= ${Dedup.CosineThreshold}
+       |), cnts AS (
+       |  SELECT doc_id, t, $de AS c_de, $en AS c_en, $es AS c_es, $fr AS c_fr
+       |  FROM (SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS t FROM documents)
+       |), f AS (
+       |  SELECT doc_id,
+       |    ${TextAnalysis.langPredSql} AS lang,
+       |    len(t) AS ntok
+       |  FROM cnts
+       |)
+       |SELECT va, vb, cos_sim,
+       |  CAST(fa.lang = fb.lang AS INTEGER) AS same_lang,
+       |  abs(fa.ntok - fb.ntok) AS tok_diff
+       |FROM p JOIN f fa ON va = fa.doc_id JOIN f fb ON vb = fb.doc_id
+       |ORDER BY va, vb""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q_pipeline_corpus" -> (qPipelineCorpus _))
+    "q_pipeline_corpus" -> (qPipelineCorpus _),
+    "q_pipeline_crossmodal" -> (qPipelineCrossmodal _))
 
   def oracle: Map[String, String] = Map(
-    "q_pipeline_corpus" -> qPipelineCorpusSql)
+    "q_pipeline_corpus" -> qPipelineCorpusSql,
+    "q_pipeline_crossmodal" -> qPipelineCrossmodalSql)
 }
