@@ -80,12 +80,17 @@ case class TopKPerKeyExec(
   // the exchange below us clusters on keys; adding rank doesn't change that
   override def outputPartitioning: Partitioning = child.outputPartitioning
 
+  override lazy val metrics: Map[String, org.apache.spark.sql.execution.metric.SQLMetric] = Map(
+    "numOutputRows" -> org.apache.spark.sql.execution.metric.SQLMetrics
+      .createMetric(sparkContext, "number of output rows"))
+
   override protected def doExecute(): RDD[InternalRow] = {
     val kLocal = k
     val childOutput = child.output
     val keyExprs = keys
     val sortOrder = order
     val emitRank = rankAttr
+    val numOutputRows = longMetric("numOutputRows")
     child.execute().mapPartitions({ iter =>
       val keyProj = UnsafeProjection.create(keyExprs, childOutput)
       // "best" = first under the caller's ORDER BY; the max-heap keeps the
@@ -105,7 +110,7 @@ case class TopKPerKeyExec(
             else if (ord.compare(row, pq.head) < 0) { pq.dequeue(); pq.enqueue(row.copy()) }
         }
       }
-      emitRank match {
+      val out = emitRank match {
         case None =>
           heaps.iterator.flatMap { case (_, pq) => pq.dequeueAll.reverseIterator }
         case Some(attr) =>
@@ -120,6 +125,7 @@ case class TopKPerKeyExec(
             }
           }
       }
+      out.map { r => numOutputRows += 1; r }
     }, preservesPartitioning = true)
   }
 
