@@ -76,10 +76,12 @@ object VectorSearch {
     * Assignment compares `D/N²` after ONE double division each — every
     * input to the division is an exactly-computed integer, so the compared
     * doubles (and argmin tie-breaks on centroid index) are deterministic.
-    * Magnitude envelope: |x| < 2^quantBits, so `D < N²·dim·2^(2·quantBits+2)`
-    * — with quantBits=14, dim=64 ANSI-safe in a long for N up to ~2^16
-    * members per cluster; raise/lower quantBits to trade resolution vs
-    * cluster-size headroom.
+    * Magnitude envelope: |x| < 2^quantBits, so
+    * `D ≤ N²·dim·(2·2^quantBits)² = N²·2^(2·quantBits+2)·dim` — with
+    * quantBits=14, dim=64 that is `N²·2^36`, ANSI-safe in a long for
+    * clusters up to N ≈ 2^13 (~8k) members; lower quantBits to trade
+    * quantization resolution for cluster-size headroom (quantBits=10 →
+    * N ≈ 2^17).
     */
   def ivfTopK(df: DataFrame, id: Column, vec: Column, queryIds: Seq[Long], k: Int,
       cfg: IvfConfig = IvfConfig()): DataFrame = {
