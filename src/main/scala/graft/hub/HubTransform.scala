@@ -227,6 +227,66 @@ object HubTransform {
     } finally pool.shutdown()
   }
 
+  /** The whole hub as ONE queryable DataFrame: every supported
+    * model-output file under `hubPath/<rawDir>`, read with reference
+    * semantics (schema-directed read, null normalization, path-derived
+    * `round_id`/`model_id` constants) and unioned by name — files may
+    * carry different un-schema'd columns; missing ones are null.
+    *
+    * `roundIds`/`modelIds` predicates prune FILES on the driver before
+    * anything is read (the partition-pruning shape for path-encoded
+    * metadata — the file list is the partition index). Unparseable or
+    * unsupported files are skipped, mirroring the event loop.
+    *
+    * Scale: each file is an independent single-stage subplan, scheduled
+    * across executors like [[addDirectory]]; for standing workloads,
+    * transform once and query the parquet store partitioned by
+    * (round_id, model_id) instead of re-scanning raw CSV.
+    */
+  def readHub(
+      spark: SparkSession,
+      hubPath: String,
+      rawDir: String = "raw",
+      roundIds: Seq[String] = Nil,
+      modelIds: Seq[String] = Nil,
+      schemaOverride: Option[StructType] = None): DataFrame = {
+    val conf = spark.sessionState.newHadoopConf()
+    val dir = new org.apache.hadoop.fs.Path(PathParser.sanitizePath(joinAbs(hubPath, rawDir)))
+    val fs = dir.getFileSystem(conf)
+    val files = scala.collection.mutable.ArrayBuffer.empty[String]
+    if (fs.exists(dir)) {
+      val it = fs.listFiles(dir, true)
+      while (it.hasNext) files += it.next().getPath.toString.stripPrefix("file:")
+    }
+    val selected = files.sorted.toSeq.flatMap { f =>
+      val suffix = PathParser.suffix(f)
+      if (!PathParser.SupportedFileTypes(suffix)) None
+      else scala.util.Try(PathParser.parseFile(PathParser.stem(f))).toOption
+        .filter(p =>
+          (roundIds.isEmpty || roundIds.contains(p.roundId)) &&
+            (modelIds.isEmpty || modelIds.contains(p.modelId)))
+        .map(p => (f, suffix, p))
+    }
+    val schema = schemaOverride.getOrElse {
+      val c = HubConfig.load(hubPath, conf).getOrElse(throw new java.io.FileNotFoundException(
+        s"could not read tasks.json for hub_path=$hubPath"))
+      HubSchema.deriveSchema(c)
+    }
+    selected
+      .map { case (f, suffix, p) =>
+        ModelOutputReader.read(spark, f, suffix, schema)
+          .withColumn("round_id", lit(p.roundId))
+          .withColumn("model_id", lit(p.modelId))
+      }
+      .reduceOption((a, b) => a.unionByName(b, allowMissingColumns = true))
+      .getOrElse {
+        val empty = schema
+          .add("round_id", org.apache.spark.sql.types.StringType)
+          .add("model_id", org.apache.spark.sql.types.StringType)
+        spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], empty)
+      }
+  }
+
   private def joinAbs(base: String, rel: String): String =
     if (rel.startsWith("/") || rel.contains("://")) rel
     else base.stripSuffix("/") + "/" + rel

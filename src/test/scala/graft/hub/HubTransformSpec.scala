@@ -253,4 +253,45 @@ class HubTransformSpec extends SparkFunSuite {
     val r4 = HubTransform.handleEvent(spark, "ObjectCreated:Put", "bucket", "raw/2420-01-01%20x.txt", scheme = "file")
     assert(r4.key == "raw/2420-01-01 x.txt")
   }
+
+  test("readHub: whole hub as one table with driver-side file pruning") {
+    import org.apache.spark.sql.types.StructType
+    val hub = tmpDir("hub-table")
+    new java.io.File(s"$hub/raw/nested").mkdirs()
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$hub/raw/2420-01-01-teamA-modelX.csv"),
+      "location,value\nearth,1.5\nvulcan,2.5\n")
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$hub/raw/2420-01-02-teamA-modelX.csv"),
+      "location,value,extra\nmars,3.5,9\n") // extra un-schema'd column
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$hub/raw/nested/2420-01-01-teamB-modelY.csv"),
+      "location,value\nterra,4.5\n")
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$hub/raw/junk.txt"), "x")
+
+    val all = HubTransform.readHub(spark, hub, schemaOverride = Some(new StructType()))
+    assert(all.count() == 4)
+    assert(all.select("model_id").distinct().collect().map(_.getString(0)).sorted.toSeq ==
+      Seq("teamA-modelX", "teamB-modelY"))
+    // union-by-name: the extra column is null for files that lack it
+    assert(all.filter(all("extra").isNull).count() == 3)
+
+    // model predicate prunes FILES: only teamB's file is ever scanned
+    val onlyB = HubTransform.readHub(spark, hub,
+      modelIds = Seq("teamB-modelY"), schemaOverride = Some(new StructType()))
+    assert(onlyB.count() == 1)
+    assert(onlyB.inputFiles.length == 1 && onlyB.inputFiles.head.contains("teamB-modelY"))
+
+    // round predicate: two files for round 2420-01-01
+    val round1 = HubTransform.readHub(spark, hub,
+      roundIds = Seq("2420-01-01"), schemaOverride = Some(new StructType()))
+    assert(round1.count() == 3)
+    assert(round1.inputFiles.length == 2)
+
+    // empty result keeps the contract columns
+    val none = HubTransform.readHub(spark, hub,
+      modelIds = Seq("nope"), schemaOverride = Some(new StructType()))
+    assert(none.count() == 0)
+    assert(none.columns.toSeq == Seq("round_id", "model_id"))
+  }
 }
