@@ -43,15 +43,26 @@ class TopKPerKeySpec extends SparkFunSuite {
     assert(sorted(native(li, k)) == sorted(windowed(li, k)))
   }
 
-  test("plans as partial heaps -> key exchange -> final heaps, no sort") {
+  test("plans as partial heaps -> key exchange -> pruned sort -> final group-limit") {
     val p = native(li, 2).queryExecution
       .explainString(ExplainMode.fromString("formatted"))
     val partials = "\\bTopKPerKey\\b".r.findAllIn(p).size
     assert(partials >= 2, s"expected partial+final TopKPerKey nodes:\n$p")
     assert(p.contains("Exchange"), p)
     assert(!p.contains("WindowExec") && !p.contains("RunningWindow"), p)
-    // the operator itself must not plan a per-partition full sort
-    assert(!p.split("\n").exists(l => l.trim.startsWith("(") && l.contains(") Sort")), p)
+    // exactly one sort, and it runs over partial-pruned rows, not the full
+    // input: in the top-down tree, Sort sits between final TopKPerKey and
+    // the Exchange, with the partial TopKPerKey below the Exchange
+    val tree = p.split("\n").toSeq
+    def firstIdx(s: String) = tree.indexWhere(_.contains(s))
+    def lastIdx(s: String) = tree.lastIndexWhere(l => l.contains(s) && !l.trim.startsWith("("))
+    assert("\\(\\d+\\) Sort".r.findAllIn(p).size == 1, s"expected exactly one Sort:\n$p")
+    val finalTopK = firstIdx("TopKPerKey")
+    val sortIdx = firstIdx("Sort")
+    val exchIdx = firstIdx("Exchange")
+    val partialTopK = lastIdx("TopKPerKey")
+    assert(finalTopK < sortIdx && sortIdx < exchIdx && exchIdx < partialTopK,
+      s"sort must sit above the exchange (pruned rows), below the final phase:\n$p")
   }
 
   test("exchange is elided when the input is already clustered on the keys") {
@@ -85,6 +96,55 @@ class TopKPerKeySpec extends SparkFunSuite {
     val withNulls = li.withColumn("l_suppkey",
       when(col("l_suppkey") % 7 === 0, lit(null)).otherwise(col("l_suppkey")))
     assert(sorted(native(withNulls, 2)) == sorted(windowed(withNulls, 2)))
+  }
+
+  test("global top-k (no keys) plans AllTuples and matches the global window") {
+    import spark.implicits._
+    val w = Window.orderBy(col("l_extendedprice").desc, col("l_orderkey").asc,
+      col("l_linenumber").asc)
+    val want = li.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= 5)
+      .orderBy(col("rnk")).collect().map(_.toSeq).toSeq
+    val got = TopKPerKey.perKey(li, Seq.empty,
+      Seq(col("l_extendedprice").desc, col("l_orderkey").asc, col("l_linenumber").asc), 5)
+      .orderBy(col("rnk")).collect().map(_.toSeq).toSeq
+    assert(got == want)
+  }
+
+  test("partial key-cap: pass-through keeps results exact") {
+    val prev = spark.conf.getOption(TopKPerKey.maxPartialKeysConf)
+    spark.conf.set(TopKPerKey.maxPartialKeysConf, "1")
+    try {
+      assert(sorted(native(li, 3)) == sorted(windowed(li, 3)))
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(TopKPerKey.maxPartialKeysConf, v)
+        case None => spark.conf.unset(TopKPerKey.maxPartialKeysConf)
+      }
+    }
+  }
+
+  test("rule leaves a global (no PARTITION BY) filtered row_number query working") {
+    // regression: rewriting a global window used to produce
+    // ClusteredDistribution(Nil), which the planner rejects
+    import org.apache.spark.sql.classic
+    val cs = spark.asInstanceOf[classic.SparkSession]
+    val prevOpt = cs.experimental.extraOptimizations
+    val prevStrat = cs.experimental.extraStrategies
+    cs.experimental.extraOptimizations = prevOpt :+ NativeTopKRule
+    cs.experimental.extraStrategies = prevStrat :+ new TopKPerKeyStrategy
+    try {
+      val w = Window.orderBy(col("l_extendedprice").desc, col("l_orderkey").asc,
+        col("l_linenumber").asc)
+      val q = li.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= 4)
+      val got = q.orderBy(col("rnk")).collect().map(_.toSeq).toSeq
+      cs.experimental.extraOptimizations = prevOpt
+      val want = li.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= 4)
+        .orderBy(col("rnk")).collect().map(_.toSeq).toSeq
+      assert(got == want)
+    } finally {
+      cs.experimental.extraOptimizations = prevOpt
+      cs.experimental.extraStrategies = prevStrat
+    }
   }
 
   test("NativeTopKRule rewrites the filtered row_number window to TopKPerKey") {
