@@ -58,15 +58,22 @@ case class VecDot(left: Expression, right: Expression) extends BinaryExpression 
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) => {
-      val lGet = if (elemType(left) == FloatType) s"(double) $a.getFloat(i)" else s"$a.getDouble(i)"
-      val rGet = if (elemType(right) == FloatType) s"(double) $b.getFloat(i)" else s"$b.getDouble(i)"
+      // freshName everywhere: several VecDots commonly inline into ONE
+      // generated function (cosine = three dot products); fixed local names
+      // are a janino "Redefinition of local variable" compile error, and
+      // Spark's fallback silently runs the whole projection interpreted
+      val n = ctx.freshName("vecDotN")
+      val acc = ctx.freshName("vecDotAcc")
+      val i = ctx.freshName("vecDotI")
+      val lGet = if (elemType(left) == FloatType) s"(double) $a.getFloat($i)" else s"$a.getDouble($i)"
+      val rGet = if (elemType(right) == FloatType) s"(double) $b.getFloat($i)" else s"$b.getDouble($i)"
       s"""
-         |int n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double acc = 0.0;
-         |for (int i = 0; i < n; i++) {
-         |  acc += ($lGet) * ($rGet);
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $acc = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $acc += ($lGet) * ($rGet);
          |}
-         |${ev.value} = acc;
+         |${ev.value} = $acc;
        """.stripMargin
     })
 
