@@ -50,7 +50,8 @@ object Similarity {
 
   /** DuckDB mirror of the full LSH pipeline: same md5-derived ±1 planes,
     * same `floor(v_d * 2^20)` quantization (every projection an exact sum of
-    * integers → identical sign bits), same 4×4-bit banding, same rounded
+    * integers → identical sign bits), same 8×4-bit banding (LshConfig:
+    * 32 planes in 8 bands of 4), same rounded
     * cosine re-rank.
     */
   val qSimLshTopKSql: String = {

@@ -163,8 +163,11 @@ object TextDedup {
   def canonicalize(pairs: DataFrame, ids: DataFrame, maxIters: Int = 15,
       driverMaxEdges: Long = 1L << 22): DataFrame = {
     val pairsLong = pairs.select(col("id_a").cast("long"), col("id_b").cast("long"))
-    if (pairsLong.count() <= driverMaxEdges) {
-      val edgeRows = pairsLong.collect()
+    // decide driver-vs-distributed in ONE pass over the (often expensive)
+    // pairs plan: collect at most cap+1 edges; overflow → distributed path
+    val cap = math.min(driverMaxEdges, (Int.MaxValue - 2).toLong).toInt
+    val edgeRows = pairsLong.limit(cap + 1).collect()
+    if (edgeRows.length <= cap) {
       val canon = unionFindMinLabels(edgeRows.iterator.map(r => (r.getLong(0), r.getLong(1))))
       val spark = pairs.sparkSession
       import spark.implicits._
