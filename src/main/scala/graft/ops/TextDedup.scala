@@ -137,9 +137,9 @@ object TextDedup {
     materializeAndRelease(jaccardFromCommons(commons, sizes, threshold), sh)
   }
 
-  /** Survivor selection over near-dup pairs: connected components by
-    * min-label propagation — every id maps to the smallest id in its
-    * duplicate cluster (`canonical == id` ⇒ keep, else drop).
+  /** Survivor selection over near-dup pairs: connected components — every
+    * id maps to the smallest id in its duplicate cluster
+    * (`canonical == id` ⇒ keep, else drop).
     *
     * Strategy is SIZE-BASED, the same decision shape as broadcast-vs-shuffle
     * join selection: near-dup edge lists are orders of magnitude smaller
@@ -147,15 +147,15 @@ object TextDedup {
     * edge count fits `driverMaxEdges` the components are solved with exact
     * union-find on the driver — one collect the size of the edge list, zero
     * iterative shuffles — and the labels broadcast back to the universe.
-    * Above the threshold it falls back to distributed min-label propagation
-    * to fixpoint (each sweep one join + aggregate; iterations ≈ component
-    * diameter). At 100 TB swap the sweep for the large-star/small-star
-    * formulation (O(log n) rounds) and checkpoint between rounds; the
-    * per-round dataflow is the same join + min-aggregate.
+    * Above the threshold it runs the distributed alternating
+    * large-star/small-star rounds ([[largeSmallStarComponents]]) — the
+    * published two-phase MapReduce formulation whose round count grows
+    * with log of the largest component, NOT its diameter, with a
+    * localCheckpoint between rounds to cut iterative lineage.
     *
     * @param pairs (id_a, id_b) near-dup edges
     * @param ids   universe of ids (singletons map to themselves)
-    * @param maxIters fixpoint sweep cap for the distributed path
+    * @param maxIters round cap for the distributed path
     * @param driverMaxEdges edge-count ceiling for the union-find fast path
     *   (set 0 to force the distributed path; default ~4M edges ≈ 64 MB of
     *   driver heap, the same order as a broadcast-join build side)
@@ -177,57 +177,97 @@ object TextDedup {
         .select(col("id"), coalesce(col("canonical"), col("id")).as("canonical"))
         .orderBy(col("id"))
     }
-    val storage = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
-      .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
-      .persist(storage)
-    // Iterate ONLY over nodes with at least one edge: an isolated id can
-    // neither change its own label nor influence anyone else's, so every
-    // sweep shuffles just the edge-touched subset — at corpus scale orders
-    // of magnitude smaller than the universe. Singletons rejoin at the end.
-    var gen = edges.select(col("src").as("id")).distinct()
-      .select(col("id"), col("id").as("canonical"))
-      .persist(storage)
-    var labels: DataFrame = gen
-    var converged = false
-    var i = 0
-    while (!converged && i < maxIters) {
-      val prevGen = gen
-      val propagated = edges
-        .join(labels, col("src") === col("id"))
-        .select(col("dst").as("id"), col("canonical"), lit(0).as("isSelf"))
-      // one aggregation yields the new label AND the old one (the isSelf
-      // row) so convergence needs no extra join
-      val next = labels.select(col("id"), col("canonical"), lit(1).as("isSelf"))
-        .union(propagated)
-        .groupBy(col("id"))
-        .agg(
-          min(col("canonical")).as("canonical"),
-          max(when(col("isSelf") === 1, col("canonical"))).as("prevLbl"))
-        .persist(storage)
-      val changed = next.filter(col("canonical") < col("prevLbl")).limit(1).count() > 0
-      gen = next
-      labels = next.select(col("id"), col("canonical"))
-      // unpersist the EXACT superseded cached plan (a projection of it
-      // would not match the cache entry)
-      prevGen.unpersist()
-      converged = !changed
-      i += 1
-    }
-    edges.unpersist()
-    if (!converged) {
-      gen.unpersist()
-      throw new IllegalStateException(
-        s"canonicalize did not converge in $maxIters sweeps — a duplicate " +
-          s"cluster has diameter > $maxIters; raise maxIters (labels would be " +
-          "silently non-minimal otherwise)")
-    }
+    val (labels, last) = largeSmallStarComponents(pairsLong, maxIters)
     // singletons map to themselves; the converged cluster labels are tiny
     // relative to the universe, so this join broadcasts under AQE
     val full = ids.select(col("id"))
       .join(labels, Seq("id"), "left")
       .select(col("id"), coalesce(col("canonical"), col("id")).as("canonical"))
-    materializeAndRelease(full.orderBy(col("id")), gen)
+    materializeAndRelease(full.orderBy(col("id")), last)
+  }
+
+  /** Distributed connected components by alternating large-star /
+    * small-star rounds — the published two-phase MapReduce formulation.
+    * Each round is two join+min-aggregate passes over the EDGE set only
+    * (never the corpus universe), and the edge set monotonically collapses
+    * toward a forest of stars centered at each component's minimum id, in
+    * a number of rounds that grows with log of the component size — unlike
+    * min-label propagation, whose sweep count is the component DIAMETER
+    * (a 100 TB near-dup graph with one long chain runs forever under
+    * propagation, log-rounds here).
+    *
+    * Every round `localCheckpoint`s its edge set: iterative DataFrame
+    * lineage otherwise compounds (plan doubles per round) and re-executes
+    * on the convergence comparison. The previous round's blocks are
+    * released as soon as the next is materialized.
+    *
+    * @return (labels (id, canonical) for every edge-touched node, the
+    *   final checkpointed frame for the caller to unpersist) — wrapped so
+    *   callers control cache lifecycle
+    * @throws IllegalStateException past `maxRounds` (labels would be
+    *   silently wrong otherwise)
+    */
+  private[ops] def largeSmallStarComponents(
+      pairs: DataFrame, maxRounds: Int): (DataFrame, DataFrame) = {
+    val (stars, _) = largeSmallStarRounds(pairs, maxRounds)
+    // at convergence every non-minimum node carries exactly one edge to
+    // its component minimum; centers label themselves
+    val labels = stars.select(col("a").as("id"), col("b").as("canonical"))
+      .union(stars.select(col("b").as("id"), col("b").as("canonical")).distinct())
+      .groupBy(col("id")).agg(min(col("canonical")).as("canonical"))
+    (labels, stars)
+  }
+
+  /** The round loop of [[largeSmallStarComponents]], exposed for tests to
+    * assert the round count. Returns (converged star edges `(a, b)` with
+    * `a > b`, rounds taken).
+    */
+  private[ops] def largeSmallStarRounds(
+      pairs: DataFrame, maxRounds: Int): (DataFrame, Int) = {
+    var cur = pairs
+      .filter(col("id_a") =!= col("id_b"))
+      .select(
+        greatest(col("id_a"), col("id_b")).as("a"),
+        least(col("id_a"), col("id_b")).as("b"))
+      .distinct()
+      .localCheckpoint()
+    var rounds = 0
+    var converged = false
+    while (!converged && rounds < maxRounds) {
+      // large-star: every node u links its LARGER neighbors to the minimum
+      // of its neighborhood (incl. itself) — min(m) <= u < v keeps a > b
+      val sym = cur.select(col("a").as("u"), col("b").as("v"))
+        .union(cur.select(col("b").as("u"), col("a").as("v")))
+      // flat join, NOT collect_list adjacency: star centers have massive
+      // degree and a per-group array would pin whole neighborhoods in one
+      // aggregation buffer
+      val lMins = sym.groupBy(col("u")).agg(least(min(col("v")), col("u")).as("m"))
+      val large = sym.join(lMins, Seq("u"))
+        .filter(col("v") > col("u"))
+        .select(col("v").as("a"), col("m").as("b"))
+        .distinct()
+      // small-star: every node links its SMALLER neighbors and itself to
+      // the minimum among them
+      val sMins = large.groupBy(col("a")).agg(min(col("b")).as("m"))
+      val next = large.join(sMins, Seq("a"))
+        .filter(col("b") =!= col("m"))
+        .select(col("b").as("a"), col("m").as("b"))
+        .union(sMins.select(col("a"), col("m").as("b")))
+        .distinct()
+        .localCheckpoint()
+      val moved = next.except(cur).union(cur.except(next)).limit(1).count() > 0
+      cur.unpersist()
+      cur = next
+      converged = !moved
+      rounds += 1
+    }
+    if (!converged) {
+      cur.unpersist()
+      throw new IllegalStateException(
+        s"large-star/small-star did not converge in $maxRounds rounds; " +
+          "raise maxIters (labels would be silently wrong otherwise)")
+    }
+    (cur, rounds)
   }
 
   /** Exact min-label connected components over an edge iterator: union-find
