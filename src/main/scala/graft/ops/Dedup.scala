@@ -99,9 +99,16 @@ object Dedup {
        |WHERE bit_count(xor(a.sim, b.sim)) <= $SimhashHammingMax
        |ORDER BY da, db""".stripMargin
 
-  /** Embedding-cosine near-dup pairs (brute-force baseline shape). */
+  /** Embedding-cosine near-dup pairs — registered as the exact BLOCKED
+    * all-pairs join ([[VectorSearch.cosinePairsBlocked]]): bit-identical
+    * to the brute-force oracle, but an evenly-distributed equi-join
+    * instead of a nested-loop broadcast. (LSH banding is NOT usable here:
+    * at this 0.45 threshold it would miss ~21% of true pairs — see the
+    * operator scaladoc; [[VectorSearch.lshCosinePairs]] covers the
+    * high-threshold sub-quadratic case.)
+    */
   def qDedupEmbedding(spark: SparkSession, dir: String): DataFrame =
-    VectorSearch.cosinePairs(
+    VectorSearch.cosinePairsBlocked(
       table(spark, dir, "embeddings"), col("vec_id"), col("embedding"), CosineThreshold)
       .withColumnRenamed("id_a", "va").withColumnRenamed("id_b", "vb")
 

@@ -130,7 +130,7 @@ object Pipeline {
     * shuffle pair-sized relations, not the corpus.
     */
   def qPipelineCrossmodal(spark: SparkSession, dir: String): DataFrame = {
-    val pairs = VectorSearch.cosinePairs(
+    val pairs = VectorSearch.cosinePairsBlocked(
       table(spark, dir, "embeddings"), col("vec_id"), col("embedding"), Dedup.CosineThreshold)
     val feat = table(spark, dir, "documents")
       .select(col("doc_id"), tokens(col("text")).as("t"))

@@ -1,0 +1,69 @@
+package graft.ops
+
+import org.apache.spark.sql.execution.ExplainMode
+import org.apache.spark.sql.functions._
+
+import graft.SparkFunSuite
+
+/** The embedding-pair operators: the blocked all-pairs join must be
+  * bit-identical to the brute-force baseline (it is the registered shape
+  * behind `q_dedup_embedding`), planned as an equi-join (no nested loop);
+  * the LSH-verified pair generator must recover every planted high-cosine
+  * near-dup.
+  */
+class VectorPairsSpec extends SparkFunSuite {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def emb = spark.read.parquet(s"$sf/embeddings.parquet")
+
+  private def collectPairs(df: org.apache.spark.sql.DataFrame): Seq[(Long, Long, Double)] =
+    df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+
+  test("blocked all-pairs equals the brute-force baseline bit-exactly") {
+    for (blocks <- Seq(1, 5, 16)) {
+      val brute = collectPairs(VectorSearch.cosinePairs(
+        emb, col("vec_id"), col("embedding"), Dedup.CosineThreshold))
+      val blocked = collectPairs(VectorSearch.cosinePairsBlocked(
+        emb, col("vec_id"), col("embedding"), Dedup.CosineThreshold, blocks))
+      assert(blocked == brute, s"blocks=$blocks")
+      assert(brute.nonEmpty, "fixture has no qualifying pairs")
+    }
+  }
+
+  test("blocked all-pairs plans as an equi-join: no nested loop, no cartesian") {
+    val p = VectorSearch.cosinePairsBlocked(emb, col("vec_id"), col("embedding"),
+      Dedup.CosineThreshold).queryExecution
+      .explainString(ExplainMode.fromString("formatted"))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin")
+      || p.contains("BroadcastHashJoin"), s"expected an equi-join:\n$p")
+  }
+
+  test("registered q_dedup_embedding carries the blocked plan") {
+    val p = Dedup.qDedupEmbedding(spark, sf).queryExecution
+      .explainString(ExplainMode.fromString("formatted"))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("LSH-verified pairs recover planted near-duplicates at a high threshold") {
+    // plant near-copies: tiny alternating per-dim nudge, cosine ~0.999+
+    val base = emb.select(col("vec_id"), col("embedding"))
+    val planted = base.select(
+      (col("vec_id") + 100000L).as("vec_id"),
+      transform(col("embedding"),
+        (x, i) => x + when(pmod(i, lit(2)) === 0, lit(0.003f)).otherwise(lit(-0.003f)))
+        .as("embedding"))
+    val corpus = base.unionByName(planted)
+    val threshold = 0.95
+    val brute = collectPairs(VectorSearch.cosinePairs(
+      corpus, col("vec_id"), col("embedding"), threshold))
+    val lsh = collectPairs(VectorSearch.lshCosinePairs(
+      corpus, col("vec_id"), col("embedding"), threshold))
+    assert(lsh == brute)
+    // every original must pair with its planted copy
+    assert(brute.count { case (a, b, _) => b == a + 100000L } == emb.count())
+  }
+}
