@@ -21,7 +21,8 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     ops.Relational.queries ++ ops.RelationalExt.queries ++ ops.Events.queries ++
       ops.Dedup.queries ++ ops.Similarity.queries ++ ops.TextAnalysis.queries ++
-      ops.Multimodal.queries ++ ops.HubQueries.queries ++ ops.Pipeline.queries
+      ops.Multimodal.queries ++ ops.HubQueries.queries ++ ops.Pipeline.queries ++
+      ops.JoinShapes.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -29,5 +30,6 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     ops.Relational.oracle ++ ops.RelationalExt.oracle ++ ops.Events.oracle ++
       ops.Dedup.oracle ++ ops.Similarity.oracle ++ ops.TextAnalysis.oracle ++
-      ops.Multimodal.oracle ++ ops.HubQueries.oracle ++ ops.Pipeline.oracle
+      ops.Multimodal.oracle ++ ops.HubQueries.oracle ++ ops.Pipeline.oracle ++
+      ops.JoinShapes.oracle
 }

@@ -1,0 +1,115 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import Tables._
+
+/** Oracle-gated bindings for the JOIN-SHAPE operators ([[RangeJoin]],
+  * [[Skew]], bucketed co-located joins): each was previously pinned by
+  * plan-shape specs only; these queries put them under the DuckDB hash
+  * gate too. The salted and bucketed queries intentionally aggregate to
+  * compact deterministic outputs — the property under test is that the
+  * exotic join STRATEGY leaves the result multiset identical to the plain
+  * join the oracle states.
+  */
+object JoinShapes {
+
+  /** Bucketed interval join: events inside a 1-hour window after each
+    * purchase by the same user — point-in-interval via [[RangeJoin]]'s
+    * time-bucket equi-join (hash-partitioned on (user, bucket) + exact
+    * residual), never a nested loop.
+    */
+  def qRangeJoin(spark: SparkSession, dir: String): DataFrame = {
+    val ev = events(spark, dir)
+    val intervals = ev
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id").as("ukey"), col("event_id").as("window_id"),
+        col("ts").as("w_start"), (col("ts") + expr("INTERVAL 1 HOUR")).as("w_end"))
+    RangeJoin.pointInInterval(
+      ev.select(col("user_id"), col("event_id"), col("ts")),
+      intervals,
+      pointTs = "ts", start = "w_start", end = "w_end", bucketSeconds = 3600L,
+      pointKey = Some("user_id"), intervalKey = Some("ukey"))
+      .groupBy(col("user_id"), col("window_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .orderBy(col("user_id"), col("window_id"))
+  }
+
+  val qRangeJoinSql: String =
+    """WITH e AS (
+      |  SELECT event_id, date_trunc('microseconds', ts) AS ts, user_id, event_type
+      |  FROM events
+      |), p AS (
+      |  SELECT user_id AS ukey, event_id AS window_id, ts AS w_start,
+      |    ts + INTERVAL 1 HOUR AS w_end
+      |  FROM e WHERE event_type = 'purchase'
+      |)
+      |SELECT e.user_id, p.window_id, count(*) AS n_events
+      |FROM p JOIN e ON e.user_id = p.ukey AND e.ts >= p.w_start AND e.ts < p.w_end
+      |GROUP BY 1, 2
+      |ORDER BY 1, 2""".stripMargin
+
+  /** Salted fact⨝dimension join ([[Skew.saltedJoin]], 16 salt buckets)
+    * aggregated per part type — must equal the PLAIN join the oracle
+    * states: salting redistributes rows, never changes the multiset.
+    */
+  def qSaltedJoin(spark: SparkSession, dir: String): DataFrame =
+    Skew.saltedJoin(
+      table(spark, dir, "lineitem"), table(spark, dir, "part"),
+      "l_partkey", "p_partkey", saltBuckets = 16)
+      .groupBy(col("p_type"))
+      .agg(count(lit(1)).as("n_items"), dsum(col("l_quantity")).as("sum_qty"))
+      .orderBy(col("p_type"))
+
+  val qSaltedJoinSql: String =
+    """SELECT p_type,
+      |  count(*) AS n_items,
+      |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+      |FROM lineitem JOIN part ON l_partkey = p_partkey
+      |GROUP BY p_type
+      |ORDER BY p_type""".stripMargin
+
+  /** Fact-fact join over tables WRITTEN bucketed on the join key — the
+    * repeated-join shape where both shuffles are pre-paid at write time
+    * ([[graft.ops]] SCALE notes; plan shape pinned by BucketedJoinSpec).
+    * The query materializes bucketed copies, joins bucket-aligned, and
+    * must match the oracle's plain join over the raw parquet.
+    */
+  def qBucketedJoin(spark: SparkSession, dir: String): DataFrame = {
+    val wh = java.nio.file.Files.createTempDirectory("graft-bucketed").toString
+    table(spark, dir, "lineitem")
+      .write.mode("overwrite").bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+      .option("path", s"$wh/lineitem_b").saveAsTable("graft_q_lineitem_b")
+    table(spark, dir, "orders")
+      .write.mode("overwrite").bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+      .option("path", s"$wh/orders_b").saveAsTable("graft_q_orders_b")
+    val out = spark.table("graft_q_lineitem_b")
+      .join(spark.table("graft_q_orders_b"), col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_items"), dsum(col("l_extendedprice")).as("sum_price"))
+      .orderBy(col("o_orderpriority"))
+      .localCheckpoint() // eager — the backing tables are dropped below
+    spark.sql("DROP TABLE IF EXISTS graft_q_lineitem_b")
+    spark.sql("DROP TABLE IF EXISTS graft_q_orders_b")
+    out
+  }
+
+  val qBucketedJoinSql: String =
+    """SELECT o_orderpriority,
+      |  count(*) AS n_items,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_range_join" -> (qRangeJoin _),
+    "q_salted_join" -> (qSaltedJoin _),
+    "q_bucketed_join" -> (qBucketedJoin _))
+
+  def oracle: Map[String, String] = Map(
+    "q_range_join" -> qRangeJoinSql,
+    "q_salted_join" -> qSaltedJoinSql,
+    "q_bucketed_join" -> qBucketedJoinSql)
+}
