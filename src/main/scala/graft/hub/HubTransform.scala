@@ -1,7 +1,7 @@
 package graft.hub
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.lit
+import org.apache.spark.sql.functions.{broadcast, input_file_name, lit, regexp_replace}
 import org.apache.spark.sql.types.StructType
 
 import PathParser.UserWarning
@@ -238,10 +238,18 @@ object HubTransform {
     * metadata — the file list is the partition index). Unparseable or
     * unsupported files are skipped, mirroring the event loop.
     *
-    * Scale: each file is an independent single-stage subplan, scheduled
-    * across executors like [[addDirectory]]; for standing workloads,
-    * transform once and query the parquet store partitioned by
-    * (round_id, model_id) instead of re-scanning raw CSV.
+    * Scale: files are scanned in BULK — one FileSourceScan per group of
+    * like-shaped files (CSV grouped by identical header bytes, parquet by
+    * footer schema), not a per-file union chain, so a thousand-file hub
+    * plans a handful of scans whose splits schedule across executors.
+    * `round_id`/`model_id` come from `input_file_name()` joined to a
+    * BROADCAST driver-built (path → ids) map — [[PathParser]] stays the
+    * single parsing implementation and per-row work is one broadcast hash
+    * probe. CSV type inference for un-schema'd columns runs once per
+    * group (over the group's union, matching what the former per-file
+    * union would widen to). For standing workloads, transform once and
+    * query the parquet store partitioned by (round_id, model_id) instead
+    * of re-scanning raw CSV.
     */
   def readHub(
       spark: SparkSession,
@@ -272,12 +280,47 @@ object HubTransform {
         s"could not read tasks.json for hub_path=$hubPath"))
       HubSchema.deriveSchema(c)
     }
-    selected
-      .map { case (f, suffix, p) =>
-        ModelOutputReader.read(spark, f, suffix, schema)
-          .withColumn("round_id", lit(p.roundId))
-          .withColumn("model_id", lit(p.modelId))
+    // path → (round_id, model_id), broadcast-joined on input_file_name();
+    // normalize both sides to a bare absolute path
+    def normalize(p: String): String = p.replaceFirst("^file:/+", "/")
+    val metaDf = {
+      import org.apache.spark.sql.Row
+      val rows = selected.map { case (f, _, p) =>
+        Row(normalize(f), p.roundId, p.modelId)
       }
+      val st = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("__path", org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("round_id", org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("model_id", org.apache.spark.sql.types.StringType)))
+      spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), st)
+    }
+    def withPathMeta(df: DataFrame): DataFrame =
+      df.withColumn("__path", regexp_replace(input_file_name(), "^file:/+", "/"))
+        .join(broadcast(metaDf), Seq("__path"))
+        .drop("__path")
+
+    def headerOf(path: String): String = {
+      val in = fs.open(new org.apache.hadoop.fs.Path(path))
+      try {
+        val br = new java.io.BufferedReader(
+          new java.io.InputStreamReader(in, java.nio.charset.StandardCharsets.UTF_8))
+        Option(br.readLine()).getOrElse("")
+      } finally in.close()
+    }
+
+    val csvGroups = selected.filter(_._2 == ".csv")
+      .groupBy { case (f, _, _) => headerOf(f) }
+      .values.toSeq.sortBy(_.head._1)
+    val parquetGroups = selected.filter(s => s._2 == ".parquet" || s._2 == ".pqt")
+      .groupBy { case (f, _, _) => spark.read.parquet(f).schema }
+      .values.toSeq.sortBy(_.head._1)
+
+    val parts =
+      csvGroups.map(g =>
+        withPathMeta(ModelOutputReader.readCsv(spark, g.map(_._1), schema))) ++
+      parquetGroups.map(g =>
+        withPathMeta(ModelOutputReader.readParquet(spark, g.map(_._1), schema)))
+    parts
       .reduceOption((a, b) => a.unionByName(b, allowMissingColumns = true))
       .getOrElse {
         val empty = schema

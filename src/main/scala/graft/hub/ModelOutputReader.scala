@@ -49,13 +49,20 @@ object ModelOutputReader {
         throw new PathParser.UserWarning(s"Input file type $other is not supported")
     }
 
-  def readCsv(spark: SparkSession, path: String, schema: StructType): DataFrame = {
+  def readCsv(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    readCsv(spark, Seq(path), schema)
+
+  /** Multi-file variant: `paths` must share identical header bytes (the
+    * [[HubTransform.readHub]] grouping guarantees it) so one scan parses
+    * them all consistently.
+    */
+  def readCsv(spark: SparkSession, paths: Seq[String], schema: StructType): DataFrame = {
     val raw = spark.read
       .option("header", "true")
       .option("inferSchema", "false")
       .option("ignoreLeadingWhiteSpace", "false")
       .option("ignoreTrailingWhiteSpace", "false")
-      .csv(path)
+      .csv(paths: _*)
 
     val byName = schema.fields.map(f => f.name -> f.dataType).toMap
 
@@ -106,8 +113,14 @@ object ModelOutputReader {
     }.toMap
   }
 
-  def readParquet(spark: SparkSession, path: String, schema: StructType): DataFrame = {
-    val raw = spark.read.parquet(path)
+  def readParquet(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    readParquet(spark, Seq(path), schema)
+
+  /** Multi-file variant: `paths` must share one footer schema (the
+    * [[HubTransform.readHub]] grouping guarantees it).
+    */
+  def readParquet(spark: SparkSession, paths: Seq[String], schema: StructType): DataFrame = {
+    val raw = spark.read.parquet(paths: _*)
     // pyarrow `read_table(f, schema=empty)` keeps the file schema unchanged
     // (pinned empirically in round 1); mirror that.
     if (schema.isEmpty) return raw

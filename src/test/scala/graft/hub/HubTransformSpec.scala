@@ -271,6 +271,11 @@ class HubTransformSpec extends SparkFunSuite {
 
     val all = HubTransform.readHub(spark, hub, schemaOverride = Some(new StructType()))
     assert(all.count() == 4)
+    // bulk scan: one FileSourceScan per header GROUP (two headers here),
+    // never a per-file union chain
+    val phys = all.queryExecution.executedPlan.toString
+    assert(phys.split("FileScan csv").length - 1 == 2,
+      s"expected exactly 2 csv scans for 2 header groups:\n$phys")
     assert(all.select("model_id").distinct().collect().map(_.getString(0)).sorted.toSeq ==
       Seq("teamA-modelX", "teamB-modelY"))
     // union-by-name: the extra column is null for files that lack it
