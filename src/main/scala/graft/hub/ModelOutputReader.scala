@@ -20,8 +20,8 @@ import org.apache.spark.sql.types._
   * (pyarrow semantics pinned empirically in round 1).
   *
   * Scale: both paths are a single narrow projection over a parallel file
-  * scan — no shuffle, whole-stage codegen except the Arrow-format UDF, which
-  * only appears when a parquet file needs a float→string cast.
+  * scan — no shuffle, fully whole-stage codegen (the Arrow float→string
+  * cast is the native [[ArrowFormatString]] expression).
   */
 object ModelOutputReader {
 
@@ -29,16 +29,15 @@ object ModelOutputReader {
   val CsvNullSentinels: Seq[String] =
     Seq("na", "NA", "", " ", "null", "Null", "NaN", "nan")
 
-  private val arrowDoubleToString =
-    udf((v: java.lang.Double) => if (v == null) null else ArrowFormat.doubleToString(v))
-  private val arrowFloatToString =
-    udf((v: java.lang.Float) => if (v == null) null else ArrowFormat.floatToString(v))
-
-  /** Cast with Arrow-compatible float→string formatting. */
+  /** Cast with Arrow-compatible float→string formatting — a native
+    * codegen'd expression ([[ArrowFormatString]]), so the cast-on-read
+    * projection stays in whole-stage codegen.
+    */
   def arrowCast(c: Column, from: DataType, to: DataType): Column = (from, to) match {
-    case (DoubleType, StringType) => arrowDoubleToString(c)
-    case (FloatType, StringType)  => arrowFloatToString(c)
-    case _                        => c.cast(to)
+    case (DoubleType, StringType) | (FloatType, StringType) =>
+      org.apache.spark.sql.graftbridge.ColumnBridge.column(
+        ArrowFormatString(org.apache.spark.sql.graftbridge.ColumnBridge.expression(c)))
+    case _ => c.cast(to)
   }
 
   def read(spark: SparkSession, path: String, fileType: String, schema: StructType): DataFrame =

@@ -51,6 +51,23 @@ class ArrowFormatSpec extends AnyFunSuite {
       assert(ArrowFormat.doubleToString(v) == expected, s"value $v")
   }
 
+  test("ArrowFormatString expression: codegen path matches the formatter on goldens") {
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.catalyst.expressions.BoundReference
+    import org.apache.spark.sql.catalyst.expressions.codegen.GenerateUnsafeProjection
+    import org.apache.spark.sql.types.{DoubleType, FloatType}
+    // generate (no interpreter fallback) — a compile error fails the test
+    val proj = GenerateUnsafeProjection.generate(Seq(
+      ArrowFormatString(BoundReference(0, DoubleType, nullable = false)),
+      ArrowFormatString(BoundReference(1, FloatType, nullable = false))))
+    for (v <- Seq(0.0, -0.0, 111.0, 0.01, 2.597827508665773e-9, 1e16, 0.1 + 0.2,
+        1e-7, Double.NaN, Double.PositiveInfinity, -2.5)) {
+      val out = proj(InternalRow(v, v.toFloat))
+      assert(out.getUTF8String(0).toString == ArrowFormat.doubleToString(v), s"double $v")
+      assert(out.getUTF8String(1).toString == ArrowFormat.floatToString(v.toFloat), s"float $v")
+    }
+  }
+
   test("round-trip: formatted value parses back to the same double") {
     val rnd = new scala.util.Random(7)
     for (_ <- 1 to 2000) {

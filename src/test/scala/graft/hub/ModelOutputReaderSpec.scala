@@ -89,6 +89,11 @@ class ModelOutputReaderSpec extends SparkFunSuite {
     assert(got == Seq("0.99", null, null, "0", null, "111"))
     assert(df.collect().map(r => Option(r.getAs[String]("location")).orNull).toSeq ==
       Seq(null, "02", "02", null, "string location", "27"))
+    // the Arrow cast is a native expression: no UDF node, projection codegen'd
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("UDF") && !plan.contains("BatchEval"), plan)
+    // "*(1)" marks the codegen stage: the cast projection is inside it
+    assert(plan.contains("*(1) Project") && plan.contains("arrowformatstring"), plan)
   }
 
   test("csv inference for un-schema'd columns (conftest 4-row fixture, test_model_output.py:188-199)") {
