@@ -143,19 +143,38 @@ object EventStreams {
         })
   }
 
+  /** Back streaming state with the RocksDB provider — native memory +
+    * local-disk spill per state partition, the state store for large keyed
+    * state (the default HDFS-backed provider holds each partition's map on
+    * the executor heap). Session-wide toggle; returns the previous
+    * provider so callers can restore it.
+    */
+  def useRocksDBStateStore(spark: SparkSession): Option[String] = {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    prev
+  }
+
   /** Run any streaming DataFrame to a named in-memory table with
-    * batch-catchup semantics; returns the materialized table.
+    * batch-catchup semantics (`Trigger.AvailableNow`); returns the
+    * materialized table. With `checkpoint`, offsets and state survive
+    * across calls: a second run with the same checkpoint processes ONLY
+    * newly arrived files and resumes its state store — the backfill /
+    * catch-up loop.
     */
   def runToMemory(
       df: DataFrame,
       queryName: String,
-      outputMode: String = "complete"): DataFrame = {
-    val q = df.writeStream
+      outputMode: String = "complete",
+      checkpoint: Option[String] = None): DataFrame = {
+    val w = df.writeStream
       .format("memory")
       .queryName(queryName)
       .outputMode(outputMode)
       .trigger(Trigger.AvailableNow())
-      .start()
+    val q = checkpoint.fold(w)(c => w.option("checkpointLocation", c)).start()
     q.awaitTermination()
     df.sparkSession.table(queryName)
   }

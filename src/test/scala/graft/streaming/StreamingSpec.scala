@@ -36,6 +36,43 @@ class StreamingSpec extends SparkFunSuite {
     assert(streamRows == batchRows)
   }
 
+  test("RocksDB state store + AvailableNow: checkpointed catch-up across runs") {
+    val prev = EventStreams.useRocksDBStateStore(spark)
+    try {
+      assert(spark.conf.get("spark.sql.streaming.stateStore.providerClass")
+        .contains("RocksDBStateStoreProvider"))
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val raw = spark.read.schema(EventStreams.rawSchema).parquet(s"$sf/events.parquet")
+      val dir = tmpDir("events-catchup")
+      val ckpt = tmpDir("events-catchup-ckpt")
+      val firstHalf = raw.filter(col("event_id") % 2 === 0)
+      firstHalf.coalesce(1).write.mode("append").parquet(dir)
+
+      val q = EventStreams.hourlyCounts(EventStreams.eventStream(spark, dir))
+      val run1 = EventStreams.runToMemory(q, "t_catchup", checkpoint = Some(ckpt))
+      assert(run1.groupBy().agg(sum("n")).head().getLong(0) == firstHalf.count())
+
+      // new files arrive; the SAME checkpoint resumes offsets + RocksDB
+      // state and processes only the new arrivals
+      raw.filter(col("event_id") % 2 === 1).coalesce(1).write.mode("append").parquet(dir)
+      val run2 = EventStreams.runToMemory(q, "t_catchup", checkpoint = Some(ckpt))
+      assert(run2.groupBy().agg(sum("n")).head().getLong(0) == raw.count())
+
+      // and the caught-up result equals the batch dual on the full data
+      val batch = graft.ops.Tables.events(spark, sf)
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("window.start").as("window_start"), col("event_type"), col("n"))
+      assert(run2.select("window_start", "event_type", "n").collect().map(_.toSeq).toSet ==
+        batch.collect().map(_.toSeq).toSet)
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("streaming sliding windows double-count each event") {
     val stream = EventStreams.slidingCounts(EventStreams.eventStream(spark, eventsPath))
     val got = EventStreams.runToMemory(stream, "t_sliding")
