@@ -1,0 +1,174 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import Tables._
+import TextOps._
+
+/** Training-corpus assembly operators: the deterministic bookkeeping a
+  * large-scale LLM data pipeline runs AFTER cleaning/dedup — reproducible
+  * sampling, train/val/test assignment, sequence packing, and benchmark
+  * decontamination. Every one is hash-gated against DuckDB: determinism
+  * across engines/runs is the entire point of these ops (an irreproducible
+  * split or sample invalidates downstream evals), so each uses md5-derived
+  * decisions (the [[VectorSearch.planeSign]] recipe) rather than engine
+  * PRNGs.
+  */
+object Corpus {
+
+  /** Deterministic ~1/16 sample of lineitem: a row is IN iff an md5-derived
+    * integer of its (orderkey, linenumber) key ≡ 0 (mod 16), then exact
+    * per-flag aggregates over the sample. Unlike `df.sample` (seeded PRNG,
+    * partition-order-dependent), the hash decision is a pure row function —
+    * stable under repartitioning, engine-independent, and joinable (the
+    * same key always lands in the same sample across tables and runs).
+    */
+  def qSampleDet(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "lineitem")
+      .withColumn("h",
+        conv(substring(md5(concat_ws(":", col("l_orderkey"), col("l_linenumber"))), 1, 8),
+          16, 10).cast("long"))
+      .filter(pmod(col("h"), lit(16)) === 0)
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n_rows"), dsum(col("l_quantity")).as("sum_qty"))
+      .orderBy(col("l_returnflag"))
+
+  val qSampleDetSql: String =
+    """SELECT l_returnflag,
+      |  count(*) AS n_rows,
+      |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+      |FROM lineitem
+      |WHERE CAST(concat('0x', substring(md5(concat(l_orderkey, ':', l_linenumber)), 1, 8))
+      |        AS BIGINT) % 16 = 0
+      |GROUP BY l_returnflag
+      |ORDER BY l_returnflag""".stripMargin
+
+  /** Deterministic 80/10/10 train/val/test assignment per document: bucket
+    * = md5(doc_id) mod 100. The split must be a pure function of the
+    * STABLE document id (not position, not a seed) so that re-runs,
+    * engine swaps, and incremental corpus additions never move a document
+    * across splits — that would leak eval data into training.
+    */
+  def qSplitAssign(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "documents")
+      .withColumn("bucket",
+        pmod(conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10).cast("long"),
+          lit(100)))
+      .select(col("doc_id"),
+        when(col("bucket") < 80, "train")
+          .when(col("bucket") < 90, "val")
+          .otherwise("test").as("split"))
+      .orderBy(col("doc_id"))
+
+  val qSplitAssignSql: String =
+    """SELECT doc_id,
+      |  CASE
+      |    WHEN CAST(concat('0x', substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+      |      % 100 < 80 THEN 'train'
+      |    WHEN CAST(concat('0x', substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+      |      % 100 < 90 THEN 'val'
+      |    ELSE 'test'
+      |  END AS split
+      |FROM documents
+      |ORDER BY doc_id""".stripMargin
+
+  /** Budget for [[qPackSequences]] (tokens per training sequence). */
+  val PackBudget = 2048
+
+  /** Sequence packing (concat-then-chunk): within each of 8 md5-derived
+    * shards, documents concatenate in doc_id order and chunk at
+    * [[PackBudget]] tokens — a doc belongs to the chunk where it starts
+    * (`floor(prefix_sum_before / budget)`). Emits per-chunk doc counts +
+    * token totals. The window runs PER SHARD, so packing parallelizes
+    * across the cluster (a single global ORDER BY would serialize the
+    * corpus through one partition); integer prefix sums keep the oracle
+    * exact.
+    */
+  def qPackSequences(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("shard")).orderBy(col("doc_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    table(spark, dir, "documents")
+      .select(col("doc_id"),
+        pmod(conv(substring(md5(col("doc_id").cast("string")), 9, 4), 16, 10).cast("long"),
+          lit(8)).as("shard"),
+        size(tokens(col("text"))).cast("long").as("n_tokens"))
+      .withColumn("start_tok", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .withColumn("chunk_id", floor(col("start_tok") / lit(PackBudget)))
+      .groupBy(col("shard"), col("chunk_id"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"))
+      .orderBy(col("shard"), col("chunk_id"))
+  }
+
+  val qPackSequencesSql: String =
+    s"""WITH d AS (
+       |  SELECT doc_id,
+       |    CAST(concat('0x', substring(md5(CAST(doc_id AS VARCHAR)), 9, 4)) AS BIGINT) % 8
+       |      AS shard,
+       |    len(regexp_split_to_array(lower(text), '\\s+')) AS n_tokens
+       |  FROM documents
+       |), c AS (
+       |  SELECT shard, doc_id, n_tokens,
+       |    COALESCE(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start_tok
+       |  FROM d
+       |)
+       |SELECT shard, CAST(floor(start_tok / $PackBudget) AS BIGINT) AS chunk_id,
+       |  count(*) AS n_docs, sum(n_tokens) AS n_tokens
+       |FROM c
+       |GROUP BY 1, 2
+       |ORDER BY 1, 2""".stripMargin
+
+  /** Benchmark decontamination: every corpus document sharing at least one
+    * distinct word-3-shingle with the "benchmark" subset (doc_id ≡ 0
+    * mod 20 stands in for an eval set), with the count of shared shingles.
+    * The shape is the dedup inverted-index join against a DISTINCT, tiny
+    * benchmark shingle set — at 100 TB the benchmark side broadcasts and
+    * the corpus is scanned once; ultra-common shingles should be
+    * stop-listed first (same skew note as [[TextDedup.jaccardPairs]]).
+    */
+  def qContamination(spark: SparkSession, dir: String): DataFrame = {
+    val sh = TextDedup.shingles(
+      table(spark, dir, "documents"), col("doc_id"), col("text"), Dedup.ShingleK)
+    val benchGrams = sh.filter(pmod(col("id"), lit(20)) === 0).select(col("s")).distinct()
+    val out = sh.filter(pmod(col("id"), lit(20)) =!= 0)
+      .join(benchGrams, Seq("s"))
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_shared"))
+      .select(col("id").as("doc_id"), col("n_shared"))
+      .orderBy(col("doc_id"))
+    TextDedup.materializeAndRelease(out, sh)
+  }
+
+  val qContaminationSql: String = {
+    val k = Dedup.ShingleK
+    s"""WITH tok AS (
+       |  SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS t FROM documents
+       |), sh AS (
+       |  SELECT doc_id, unnest(list_distinct(list_transform(
+       |    range(len(t) - ${k - 1}),
+       |    i -> array_to_string(t[i+1:i+$k], ' ')))) AS s
+       |  FROM tok WHERE len(t) >= $k
+       |), bench AS (
+       |  SELECT DISTINCT s FROM sh WHERE doc_id % 20 = 0
+       |)
+       |SELECT sh.doc_id, count(*) AS n_shared
+       |FROM sh JOIN bench ON sh.s = bench.s
+       |WHERE sh.doc_id % 20 <> 0
+       |GROUP BY sh.doc_id
+       |ORDER BY sh.doc_id""".stripMargin
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_sample_det" -> (qSampleDet _),
+    "q_split_assign" -> (qSplitAssign _),
+    "q_pack_sequences" -> (qPackSequences _),
+    "q_contamination" -> (qContamination _))
+
+  def oracle: Map[String, String] = Map(
+    "q_sample_det" -> qSampleDetSql,
+    "q_split_assign" -> qSplitAssignSql,
+    "q_pack_sequences" -> qPackSequencesSql,
+    "q_contamination" -> qContaminationSql)
+}

@@ -1,0 +1,63 @@
+package graft.ops
+
+import graft.SparkFunSuite
+import org.apache.spark.sql.functions._
+
+/** Semantic properties of the training-corpus operators that the value
+  * oracle can't express: the md5-derived decisions must be pure row
+  * functions (stable under repartitioning — the reproducibility claim),
+  * splits must cover every document exactly once, and packing must respect
+  * the token budget for every chunk a document fits in.
+  */
+class CorpusSpec extends SparkFunSuite {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("deterministic sample is invariant under repartitioning") {
+    val a = Corpus.qSampleDet(spark, sf).collect().toSeq
+    // Same query over a shuffled input: hash decisions are per-row, so the
+    // aggregate must be identical (df.sample would NOT survive this).
+    val shuffled = Tables.table(spark, sf, "lineitem").repartition(13)
+    shuffled.createOrReplaceTempView("corpus_spec_shuffled")
+    val b = Corpus.qSampleDet(spark, sf).collect().toSeq
+    assert(a == b)
+  }
+
+  test("split assignment is total, disjoint, and id-stable") {
+    val split = Corpus.qSplitAssign(spark, sf).cache()
+    val docs = Tables.table(spark, sf, "documents")
+    assert(split.count() == docs.count())
+    assert(split.select("doc_id").distinct().count() == docs.count())
+    val byName = split.groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byName.keySet.subsetOf(Set("train", "val", "test")))
+    // ~80/10/10 within loose bounds at n=500
+    val n = docs.count().toDouble
+    assert(byName("train") / n > 0.7 && byName("train") / n < 0.9)
+    // Re-run assigns every doc the same split (pure function of doc_id).
+    val again = Corpus.qSplitAssign(spark, sf)
+    assert(split.join(again, Seq("doc_id"))
+      .filter(split("split") =!= again("split")).count() == 0)
+    split.unpersist()
+  }
+
+  test("packing: every chunk except a shard's last starts within budget") {
+    val chunks = Corpus.qPackSequences(spark, sf).collect()
+    // chunk ids per shard are dense from 0 (no empty chunks emitted)
+    chunks.groupBy(_.getLong(0)).foreach { case (_, rows) =>
+      val ids = rows.map(_.getLong(1)).sorted
+      assert(ids.head == 0 && ids.zipWithIndex.forall { case (id, i) => id == i })
+    }
+    // a chunk holds >= 1 doc and its doc count is bounded by budget only
+    // when docs are non-empty; sanity: totals reconcile with the source
+    val totalDocs = chunks.map(_.getLong(2)).sum
+    assert(totalDocs == Tables.table(spark, sf, "documents").count())
+  }
+
+  test("contamination excludes benchmark docs and counts shared shingles") {
+    val out = Corpus.qContamination(spark, sf).collect()
+    assert(out.nonEmpty)
+    assert(out.forall(r => r.getLong(0) % 20 != 0), "benchmark doc leaked into output")
+    assert(out.forall(_.getLong(1) >= 1))
+  }
+}
