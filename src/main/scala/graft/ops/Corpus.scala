@@ -25,7 +25,13 @@ object Corpus {
     * same key always lands in the same sample across tables and runs).
     */
   def qSampleDet(spark: SparkSession, dir: String): DataFrame =
-    table(spark, dir, "lineitem")
+    sampleAgg(table(spark, dir, "lineitem"))
+
+  /** The sample + aggregate of [[qSampleDet]] over any lineitem-shaped
+    * input — separated so specs can feed a repartitioned input and assert
+    * the decisions don't move. */
+  private[ops] def sampleAgg(lineitem: DataFrame): DataFrame =
+    lineitem
       .withColumn("h",
         conv(substring(md5(concat_ws(":", col("l_orderkey"), col("l_linenumber"))), 1, 8),
           16, 10).cast("long"))

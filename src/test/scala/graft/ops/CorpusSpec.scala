@@ -15,11 +15,11 @@ class CorpusSpec extends SparkFunSuite {
 
   test("deterministic sample is invariant under repartitioning") {
     val a = Corpus.qSampleDet(spark, sf).collect().toSeq
-    // Same query over a shuffled input: hash decisions are per-row, so the
-    // aggregate must be identical (df.sample would NOT survive this).
-    val shuffled = Tables.table(spark, sf, "lineitem").repartition(13)
-    shuffled.createOrReplaceTempView("corpus_spec_shuffled")
-    val b = Corpus.qSampleDet(spark, sf).collect().toSeq
+    // Same decisions over a shuffled, re-sliced input: the hash membership
+    // test is a pure row function, so the aggregate must be identical
+    // (df.sample's per-partition PRNG would NOT survive this).
+    val b = Corpus.sampleAgg(
+      Tables.table(spark, sf, "lineitem").repartition(13)).collect().toSeq
     assert(a == b)
   }
 
