@@ -103,13 +103,43 @@ object JoinShapes {
       |GROUP BY o_orderpriority
       |ORDER BY o_orderpriority""".stripMargin
 
+  /** Bloom-pruned fact⨝dim join ([[BloomPrune.bloomPrunedJoin]]): urgent
+    * orders' revenue by month, with lineitem Bloom-pruned on l_orderkey
+    * before the shuffle. Must equal the PLAIN join the oracle states —
+    * false positives die in the real join, so the pre-filter is invisible
+    * to the result.
+    */
+  def qBloomJoin(spark: SparkSession, dir: String): DataFrame = {
+    val urgent = table(spark, dir, "orders")
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_orderkey"), col("o_orderdate"))
+    BloomPrune.bloomPrunedJoin(
+      table(spark, dir, "lineitem"), urgent, "l_orderkey", "o_orderkey")
+      .groupBy(date_format(col("o_orderdate"), "yyyy-MM").as("order_month"))
+      .agg(count(lit(1)).as("n_items"),
+        dsumExpr(discPrice(col("l_extendedprice"), col("l_discount"))).as("revenue"))
+      .orderBy(col("order_month"))
+  }
+
+  val qBloomJoinSql: String =
+    """SELECT strftime(o_orderdate, '%Y-%m') AS order_month,
+      |  count(*) AS n_items,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+      |         * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |WHERE o_orderpriority = '1-URGENT'
+      |GROUP BY 1
+      |ORDER BY 1""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_range_join" -> (qRangeJoin _),
     "q_salted_join" -> (qSaltedJoin _),
-    "q_bucketed_join" -> (qBucketedJoin _))
+    "q_bucketed_join" -> (qBucketedJoin _),
+    "q_bloom_join" -> (qBloomJoin _))
 
   def oracle: Map[String, String] = Map(
     "q_range_join" -> qRangeJoinSql,
     "q_salted_join" -> qSaltedJoinSql,
-    "q_bucketed_join" -> qBucketedJoinSql)
+    "q_bucketed_join" -> qBucketedJoinSql,
+    "q_bloom_join" -> qBloomJoinSql)
 }
