@@ -33,7 +33,13 @@ object Bench {
       catch { case e: Throwable =>
         System.err.println(s"[bench] $name failed: ${e.getMessage}")
       }
-      name -> (System.nanoTime() - t0) / 1e9
+      val elapsed = (System.nanoTime() - t0) / 1e9
+      // Each query's consumed localCheckpoints/caches otherwise pile up in
+      // the block manager across the 70+-query run, squeezing execution
+      // memory for later queries (the roaming mid-suite slowdowns).
+      // Safe between queries: every result was fully materialized above.
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+      name -> elapsed
     }
     // Locale.ROOT: f"" uses the default locale — a comma decimal separator
     // would corrupt the JSON line.

@@ -137,7 +137,11 @@ object Corpus {
   def qContamination(spark: SparkSession, dir: String): DataFrame = {
     val sh = TextDedup.shingles(
       table(spark, dir, "documents"), col("doc_id"), col("text"), Dedup.ShingleK)
-    val benchGrams = sh.filter(pmod(col("id"), lit(20)) === 0).select(col("s")).distinct()
+    // the eval set is ~5% of docs and its DISTINCT shingles are a dim-sized
+    // relation — broadcast it so the corpus side never shuffles on the
+    // shingle string (a sort-merge join here sorts the whole corpus index)
+    val benchGrams = broadcast(
+      sh.filter(pmod(col("id"), lit(20)) === 0).select(col("s")).distinct())
     val out = sh.filter(pmod(col("id"), lit(20)) =!= 0)
       .join(benchGrams, Seq("s"))
       .groupBy(col("id"))
@@ -166,15 +170,80 @@ object Corpus {
        |ORDER BY sh.doc_id""".stripMargin
   }
 
+  /** Stratified (mixture-reweighting) sample: per-LANGUAGE keep rates —
+    * en 50%, zh 20%, rest 10% — applied with the same md5-bucket decision
+    * as [[qSampleDet]], so the realized mixture is deterministic and
+    * id-stable while rebalancing the corpus toward a target language
+    * distribution (the `sampleBy` use case, minus the seeded PRNG's
+    * partition-order dependence). One scan, no shuffle before the
+    * aggregate.
+    */
+  def qSampleStratified(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "documents")
+      .withColumn("bucket",
+        pmod(conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10).cast("long"),
+          lit(1000)))
+      .filter(col("bucket") <
+        when(col("lang") === "en", 500).when(col("lang") === "zh", 200).otherwise(100))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+      .orderBy(col("lang"))
+
+  val qSampleStratifiedSql: String =
+    """SELECT lang, count(*) AS n_docs, sum(n_chars) AS sum_chars
+      |FROM documents
+      |WHERE CAST(concat('0x', substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+      |    % 1000
+      |  < CASE WHEN lang = 'en' THEN 500 WHEN lang = 'zh' THEN 200 ELSE 100 END
+      |GROUP BY lang
+      |ORDER BY lang""".stripMargin
+
+  /** Length-outlier trim: drop documents outside the exact [p5, p95] of
+    * n_chars, report the surviving per-language profile. The bounds are a
+    * 1-row aggregate broadcast to the scan (scalar-subquery shape — the
+    * corpus is read once and filtered map-side, no self-join); exact
+    * `percentile` interpolation is bit-identical to DuckDB's
+    * `quantile_cont`, so the trim decisions hash-match. At 100 TB swap the
+    * exact percentile for `percentile_approx` at the same plan shape.
+    */
+  def qQuantileTrim(spark: SparkSession, dir: String): DataFrame = {
+    val docs = table(spark, dir, "documents")
+    val bounds = docs.agg(
+      expr("percentile(n_chars, 0.05)").as("lo"),
+      expr("percentile(n_chars, 0.95)").as("hi"))
+    docs.crossJoin(broadcast(bounds))
+      .filter(col("n_chars") >= col("lo") && col("n_chars") <= col("hi"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        (sum(col("n_chars")).cast("double") / count(lit(1)).cast("double")).as("avg_chars"))
+      .orderBy(col("lang"))
+  }
+
+  val qQuantileTrimSql: String =
+    """WITH b AS (
+      |  SELECT quantile_cont(n_chars, 0.05) AS lo, quantile_cont(n_chars, 0.95) AS hi
+      |  FROM documents
+      |)
+      |SELECT lang, count(*) AS n_docs,
+      |  CAST(sum(n_chars) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avg_chars
+      |FROM documents, b
+      |WHERE n_chars >= lo AND n_chars <= hi
+      |GROUP BY lang
+      |ORDER BY lang""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_sample_det" -> (qSampleDet _),
+    "q_sample_stratified" -> (qSampleStratified _),
     "q_split_assign" -> (qSplitAssign _),
     "q_pack_sequences" -> (qPackSequences _),
+    "q_quantile_trim" -> (qQuantileTrim _),
     "q_contamination" -> (qContamination _))
 
   def oracle: Map[String, String] = Map(
     "q_sample_det" -> qSampleDetSql,
+    "q_sample_stratified" -> qSampleStratifiedSql,
     "q_split_assign" -> qSplitAssignSql,
     "q_pack_sequences" -> qPackSequencesSql,
+    "q_quantile_trim" -> qQuantileTrimSql,
     "q_contamination" -> qContaminationSql)
 }

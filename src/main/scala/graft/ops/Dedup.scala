@@ -152,6 +152,47 @@ object Dedup {
        |)
        |SELECT id AS doc_id, min(lbl) AS canonical FROM walk GROUP BY id ORDER BY doc_id""".stripMargin
 
+  /** Incremental ingest dedup ([[TextDedup.minhashLshIncremental]]):
+    * "incoming" batch = doc_id ≡ 0 (mod 5), "existing corpus" = the rest;
+    * each incoming doc that near-duplicates a corpus doc reports its
+    * survivor (`dup_of`), best Jaccard, and duplicate count. The oracle is
+    * the exact cross-batch Jaccard join — banding must lose no pair.
+    */
+  def qDedupIncremental(spark: SparkSession, dir: String): DataFrame = {
+    val docs = table(spark, dir, "documents")
+    TextDedup.minhashLshIncremental(
+      docs.filter(pmod(col("doc_id"), lit(5)) =!= 0),
+      docs.filter(pmod(col("doc_id"), lit(5)) === 0),
+      col("doc_id"), col("text"),
+      TextDedup.MinHashConfig(shingleK = ShingleK), JaccardThreshold)
+      .withColumnRenamed("id", "doc_id")
+  }
+
+  val qDedupIncrementalSql: String =
+    s"""WITH tok AS (
+       |  SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS t FROM documents
+       |), sh AS (
+       |  SELECT doc_id, unnest(list_distinct(list_transform(
+       |    range(len(t) - ${ShingleK - 1}),
+       |    i -> array_to_string(t[i+1:i+$ShingleK], ' ')))) AS s
+       |  FROM tok WHERE len(t) >= $ShingleK
+       |), sizes AS (
+       |  SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
+       |), commons AS (
+       |  SELECT i.doc_id AS di, c.doc_id AS dc, count(*) AS common
+       |  FROM sh i JOIN sh c ON i.s = c.s
+       |  WHERE i.doc_id % 5 = 0 AND c.doc_id % 5 <> 0
+       |  GROUP BY 1, 2
+       |), pairs AS (
+       |  SELECT di, dc,
+       |    CAST(common AS DOUBLE) / CAST(x.n + y.n - common AS DOUBLE) AS j
+       |  FROM commons JOIN sizes x ON di = x.doc_id JOIN sizes y ON dc = y.doc_id
+       |  WHERE CAST(common AS DOUBLE) / CAST(x.n + y.n - common AS DOUBLE) >= $JaccardThreshold
+       |)
+       |SELECT di AS doc_id, min(dc) AS dup_of, max(j) AS best_jaccard,
+       |  count(*) AS n_dups
+       |FROM pairs GROUP BY di ORDER BY doc_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_dedup_components" -> (qDedupComponents _),
     "q_dedup_exact" -> (qDedupExact _),
@@ -159,6 +200,7 @@ object Dedup {
     "q_dedup_minhash_lsh" -> (qDedupMinhashLsh _),
     "q_dedup_simhash" -> (qDedupSimhash _),
     "q_dedup_embedding" -> (qDedupEmbedding _),
+    "q_dedup_incremental" -> (qDedupIncremental _),
   )
 
   def oracle: Map[String, String] = Map(
@@ -170,5 +212,6 @@ object Dedup {
     "q_dedup_minhash_lsh" -> qDedupNgramSql,
     "q_dedup_simhash" -> qDedupSimhashSql,
     "q_dedup_embedding" -> qDedupEmbeddingSql,
+    "q_dedup_incremental" -> qDedupIncrementalSql,
   )
 }

@@ -104,24 +104,34 @@ object TextDedup {
     * [[jaccardPairs]] at the same threshold, minus any pair the banding
     * misses (P(miss | J≥0.8) ≈ 2e-4 with the default 16×4 config).
     */
-  def minhashLshPairs(
-      docs: DataFrame, id: Column, text: Column,
-      cfg: MinHashConfig = MinHashConfig(), threshold: Double = 0.8): DataFrame = {
-    val sh = shingles(docs, id, text, cfg.shingleK)
+  /** (id, band, bv) LSH banding of the minhash signatures of a persisted
+    * (id, shingle) relation — `bv` hashes the band's signature rows, so
+    * two ids sharing any (band, bv) are banding candidates. This is the
+    * relation an incremental pipeline PRECOMPUTES and stores for the
+    * corpus side (keyed/bucketed by (band, bv)); see
+    * [[minhashLshIncremental]].
+    */
+  private[ops] def bandedSignatures(sh: DataFrame, cfg: MinHashConfig): DataFrame = {
     val hashed = sh.select(col("id"), pmod(xxhash64(col("s")), lit(cfg.prime)).as("base"))
     val sig = hashed.groupBy(col("id"))
       .agg(graft.functions.MinHashAgg(
         col("base"), cfg.coefs.map(_._1), cfg.coefs.map(_._2), cfg.prime).as("sig"))
-
     val bandStructs = (0 until cfg.numBands).map { bd =>
       struct(
         lit(bd).as("band"),
         xxhash64((0 until cfg.rowsPerBand).map(r =>
           element_at(col("sig"), bd * cfg.rowsPerBand + r + 1)): _*).as("bv"))
     }
-    val banded = sig
+    sig
       .select(col("id"), explode(array(bandStructs: _*)).as("e"))
       .select(col("id"), col("e.band").as("band"), col("e.bv").as("bv"))
+  }
+
+  def minhashLshPairs(
+      docs: DataFrame, id: Column, text: Column,
+      cfg: MinHashConfig = MinHashConfig(), threshold: Double = 0.8): DataFrame = {
+    val sh = shingles(docs, id, text, cfg.shingleK)
+    val banded = bandedSignatures(sh, cfg)
 
     val candidates = banded.toDF("id_a", "band", "bv")
       .join(banded.toDF("id_b", "band", "bv"), Seq("band", "bv"))
@@ -135,6 +145,52 @@ object TextDedup {
       .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("common"))
     val sizes = sh.groupBy(col("id")).agg(count(lit(1)).as("n")).toDF("id", "n")
     materializeAndRelease(jaccardFromCommons(commons, sizes, threshold), sh)
+  }
+
+  /** Incremental (cross-batch) near-dup detection: each INCOMING document
+    * checked against an EXISTING corpus — the daily-ingest shape — via the
+    * same banding as [[minhashLshPairs]], but candidates come ONLY from
+    * incoming×corpus band collisions (never corpus×corpus: the corpus is
+    * already deduped, re-pairing it would redo the whole corpus's work
+    * every ingest). Exact-Jaccard verification on the candidates; output
+    * one row per duplicated incoming id:
+    * `(id, dup_of = min matching corpus id, best_jaccard, n_dups)`.
+    *
+    * At 100 TB the corpus side of both joins is PRECOMPUTED and stored —
+    * [[bandedSignatures]] bucketed by (band, bv) and the shingle relation
+    * bucketed by id — so an ingest batch computes signatures for ITS OWN
+    * documents only and probes the stored index: per-batch cost is
+    * O(|batch| × bands + candidate verifications), independent of corpus
+    * size. Within-batch self-duplicates are a separate
+    * [[minhashLshPairs]] call on the batch alone.
+    */
+  def minhashLshIncremental(
+      corpus: DataFrame, incoming: DataFrame, id: Column, text: Column,
+      cfg: MinHashConfig = MinHashConfig(), threshold: Double = 0.8): DataFrame = {
+    val shC = shingles(corpus, id, text, cfg.shingleK)
+    val shI = shingles(incoming, id, text, cfg.shingleK)
+    val candidates = bandedSignatures(shI, cfg).toDF("id_i", "band", "bv")
+      .join(bandedSignatures(shC, cfg).toDF("id_c", "band", "bv"), Seq("band", "bv"))
+      .select(col("id_i"), col("id_c"))
+      .distinct()
+    val commons = candidates
+      .join(shI.toDF("id_i", "s"), Seq("id_i"))
+      .join(shC.toDF("id_c", "s"), Seq("id_c", "s"))
+      .groupBy(col("id_i"), col("id_c")).agg(count(lit(1)).as("common"))
+    val verified = commons
+      .join(shI.groupBy(col("id")).agg(count(lit(1)).as("ni")).toDF("id_i", "ni"), Seq("id_i"))
+      .join(shC.groupBy(col("id")).agg(count(lit(1)).as("nc")).toDF("id_c", "nc"), Seq("id_c"))
+      .select(col("id_i"), col("id_c"),
+        (col("common").cast(DoubleType) /
+          (col("ni") + col("nc") - col("common")).cast(DoubleType)).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+    val out = verified
+      .groupBy(col("id_i"))
+      .agg(min(col("id_c")).as("dup_of"), max(col("jaccard")).as("best_jaccard"),
+        count(lit(1)).as("n_dups"))
+      .withColumnRenamed("id_i", "id")
+      .orderBy(col("id"))
+    materializeAndRelease(out, shC, shI)
   }
 
   /** Survivor selection over near-dup pairs: connected components — every

@@ -54,6 +54,29 @@ class CorpusSpec extends SparkFunSuite {
     assert(totalDocs == Tables.table(spark, sf, "documents").count())
   }
 
+  test("stratified sample respects per-language rate ordering and is id-stable") {
+    val out = Corpus.qSampleStratified(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val base = Tables.table(spark, sf, "documents").groupBy("lang").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // realized keep-rates must order as the configured rates: en(0.5) >
+    // zh(0.2) > others(0.1), with slack for n≈70 strata
+    def rate(l: String) = out.getOrElse(l, 0L).toDouble / base(l)
+    assert(rate("en") > rate("zh") && rate("zh") > rate("de"))
+    assert(math.abs(rate("en") - 0.5) < 0.2, s"en rate ${rate("en")}")
+    val again = Corpus.qSampleStratified(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out == again)
+  }
+
+  test("quantile trim keeps ~90% of documents, inside the exact p5/p95") {
+    val docs = Tables.table(spark, sf, "documents")
+    val total = docs.count()
+    val kept = Corpus.qQuantileTrim(spark, sf).collect().map(_.getLong(1)).sum
+    assert(kept >= (total * 0.85).toLong && kept <= (total * 0.95).toLong,
+      s"kept $kept of $total")
+  }
+
   test("contamination excludes benchmark docs and counts shared shingles") {
     val out = Corpus.qContamination(spark, sf).collect()
     assert(out.nonEmpty)

@@ -52,6 +52,26 @@ class OpsSpec extends SparkFunSuite {
     assert(lsh.toSet == exact.toSet)
   }
 
+  test("incremental LSH dedup agrees with the exact cross-batch pairs") {
+    // ground truth: exact all-pairs jaccard, restricted to incoming(≡0 mod 5)
+    // × corpus pairs, grouped as the incremental op groups
+    val exactPairs = Dedup.qDedupNgramJaccard(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .flatMap { case (a, b, j) =>
+        (a % 5, b % 5) match {
+          case (0, c) if c != 0 => Some((a, b, j))
+          case (c, 0) if c != 0 => Some((b, a, j))
+          case _ => None
+        }
+      }
+    val want = exactPairs.groupBy(_._1).map { case (in, ms) =>
+      in -> ((ms.map(_._2).min, ms.map(_._3).max, ms.length.toLong))
+    }
+    val got = Dedup.qDedupIncremental(spark, sf).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2), r.getLong(3)))).toMap
+    assert(got == want)
+  }
+
   test("simhash near-dup pairs: deterministic, bounded hamming, finds planted dups") {
     val pairs = Dedup.qDedupSimhash(spark, sf).collect()
     assert(pairs.nonEmpty)
