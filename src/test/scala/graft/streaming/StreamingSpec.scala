@@ -160,6 +160,33 @@ class StreamingSpec extends SparkFunSuite {
     assert(got == want && want > 0)
   }
 
+  test("streaming ingest dedup flags exact corpus duplicates on arrival") {
+    import spark.implicits._
+    val corpus = graft.ops.Tables.table(spark, sf, "documents")
+      .filter(pmod(col("doc_id"), lit(5)) =!= 0)
+    val fps = IngestDedup.corpusFingerprints(corpus)
+
+    // two arrivals: one fresh doc, one copying a corpus text verbatim
+    val dir = tmpDir("ingest-dedup")
+    val copied = corpus.orderBy(col("doc_id")).limit(1)
+      .select(col("doc_id"), col("text")).head()
+    Seq((100000L, "a genuinely new document about nothing", "en", "spec", 38L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("append").parquet(dir)
+    Seq((100001L, copied.getString(1), "en", "spec", copied.getString(1).length.toLong))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("append").parquet(dir)
+
+    val flagged = EventStreams.runToMemory(
+      IngestDedup.flagExactDups(IngestDedup.docStream(spark, dir), fps),
+      "t_ingest_dedup", outputMode = "append")
+    val byId = flagged.collect().map(r => r.getLong(0) ->
+      (if (r.isNullAt(2)) None else Some(r.getLong(2)))).toMap
+    assert(byId(100000L).isEmpty, "fresh doc wrongly flagged as duplicate")
+    assert(byId(100001L).contains(copied.getLong(0)),
+      "copied doc must carry its corpus survivor id")
+  }
+
   test("hub directory watch: discovers new files exactly once") {
     val hub = tmpDir("hub-stream")
     val out = tmpDir("hub-stream-out")
