@@ -135,6 +135,15 @@ object Corpus {
     * stop-listed first (same skew note as [[TextDedup.jaccardPairs]]).
     */
   def qContamination(spark: SparkSession, dir: String): DataFrame = {
+    val (out, sh) = contaminationPlan(spark, dir)
+    TextDedup.materializeAndRelease(out, sh)
+  }
+
+  /** The unmaterialized contamination plan + its cached shingle relation —
+    * split out so plan-shape specs can inspect the join strategy (the
+    * checkpointed result [[qContamination]] returns plans as an RDD scan).
+    */
+  private[ops] def contaminationPlan(spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
     val sh = TextDedup.shingles(
       table(spark, dir, "documents"), col("doc_id"), col("text"), Dedup.ShingleK)
     // the eval set is ~5% of docs and its DISTINCT shingles are a dim-sized
@@ -148,7 +157,7 @@ object Corpus {
       .agg(count(lit(1)).as("n_shared"))
       .select(col("id").as("doc_id"), col("n_shared"))
       .orderBy(col("doc_id"))
-    TextDedup.materializeAndRelease(out, sh)
+    (out, sh)
   }
 
   val qContaminationSql: String = {

@@ -92,6 +92,31 @@ class PlanShapeSpec extends SparkFunSuite {
     assert(p.contains("PushedFilters:") && p.contains("EqualTo(event_type,click)"), p)
   }
 
+  test("q_bloom_join: bloom probe on the fact scan, equi hash join above") {
+    val p = plan(JoinShapes.qBloomJoin(spark, sf))
+    // the probe predicate is planned natively inside a Filter over the
+    // lineitem scan (construction puts it below the join; the UDF-free
+    // probe plan is separately pinned by BloomPruneSpec)
+    val filterDetail = p.linesIterator.filter(_.contains("might_contain")).mkString
+    assert(filterDetail.contains("l_orderkey"), s"probe must hash the fact key\n$p")
+    assert(p.contains("HashJoin"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("q_contamination: the benchmark shingle set joins as a broadcast") {
+    val (out, sh) = Corpus.contaminationPlan(spark, sf)
+    try {
+      val p = plan(out)
+      assert(p.contains("BroadcastHashJoin"), p)
+      assert(!p.contains("SortMergeJoin"), s"corpus side must not shuffle on the shingle\n$p")
+    } finally sh.unpersist()
+  }
+
+  test("q_dedup_embedding: blocked pair join plans no nested loop") {
+    val p = plan(Dedup.qDedupEmbedding(spark, sf))
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
+  }
+
   test("hub transform read->cast->constants plan is shuffle-free") {
     import org.apache.spark.sql.functions.lit
     import org.apache.spark.sql.types._
