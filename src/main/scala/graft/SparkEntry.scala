@@ -22,7 +22,8 @@ object SparkEntry {
     ops.Relational.queries ++ ops.RelationalExt.queries ++ ops.Events.queries ++
       ops.Dedup.queries ++ ops.Similarity.queries ++ ops.TextAnalysis.queries ++
       ops.Multimodal.queries ++ ops.HubQueries.queries ++ ops.Pipeline.queries ++
-      ops.JoinShapes.queries ++ ops.Corpus.queries ++ ops.SqlSurface.queries
+      ops.JoinShapes.queries ++ ops.Corpus.queries ++ ops.SqlSurface.queries ++
+      ops.Layout.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -31,5 +32,6 @@ object SparkEntry {
     ops.Relational.oracle ++ ops.RelationalExt.oracle ++ ops.Events.oracle ++
       ops.Dedup.oracle ++ ops.Similarity.oracle ++ ops.TextAnalysis.oracle ++
       ops.Multimodal.oracle ++ ops.HubQueries.oracle ++ ops.Pipeline.oracle ++
-      ops.JoinShapes.oracle ++ ops.Corpus.oracle ++ ops.SqlSurface.oracle
+      ops.JoinShapes.oracle ++ ops.Corpus.oracle ++ ops.SqlSurface.oracle ++
+      ops.Layout.oracle
 }

@@ -1,0 +1,81 @@
+package graft.ops
+
+import graft.SparkFunSuite
+import org.apache.spark.sql.functions._
+
+/** Pins the Z-order layout: the interleave is a bijection, the z-ordered
+  * write produces files whose per-file (a, b) bounding boxes are tight on
+  * BOTH dimensions — the property parquet min-max pruning needs — and a
+  * box filter touches fewer files than a single-column sort layout.
+  */
+class LayoutSpec extends SparkFunSuite {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("zkey2/unzkey2 round-trip is the identity over the full 8-bit grid") {
+    import spark.implicits._
+    val grid = spark.range(256 * 256)
+      .select((col("id") / 256).cast("long").as("a"),
+        (col("id") % 256).cast("long").as("b"))
+    val (ra, rb) = Layout.unzkey2(Layout.zkey2(col("a"), col("b"), 8), 8)
+    val bad = grid.select(col("a"), col("b"), ra.as("ra"), rb.as("rb"))
+      .filter(col("a") =!= col("ra") || col("b") =!= col("rb"))
+    assert(bad.count() === 0)
+  }
+
+  test("zkey2 is monotone in box granularity: equal high bits => same quadrant") {
+    import spark.implicits._
+    // the top 2 bits of the z-key are (a's msb, b's msb): rows in the same
+    // half-plane on both dimensions share the same top-2-bit prefix
+    val df = Seq((5L, 9L), (130L, 200L), (7L, 250L)).toDF("a", "b")
+      .select(shiftrightunsigned(Layout.zkey2(col("a"), col("b"), 8), 14).as("quad"),
+        (col("a") >= 128).cast("int") * 2 + (col("b") >= 128).cast("int"))
+    df.collect().foreach(r => assert(r.getLong(0) === r.getInt(1).toLong, r))
+  }
+
+  test("z-ordered write gives tight per-file boxes and prunes a box filter") {
+    val ev = Tables.events(spark, sf)
+      .select(col("event_id"), col("user_id"),
+        unix_timestamp(col("ts")).as("sec"))
+    val zDir = tmpDir("zorder")
+    val sDir = tmpDir("singlesort")
+    // quantize BOTH dimensions over their actual ranges so the interleaved
+    // bits carry equal information — the min/max pre-pass the scaladoc
+    // prescribes (control-plane scalars)
+    val Array(uLo, uHi, tLo, tHi) =
+      ev.agg(min("user_id"), max("user_id"), min("sec"), max("sec"))
+        .head().toSeq.map(_.asInstanceOf[Long].toDouble).toArray
+    Layout.writeZOrdered(ev,
+      Layout.quantize(col("user_id"), uLo, uHi + 1, 8),
+      Layout.quantize(col("sec"), tLo, tHi + 1, 8), 8, numFiles = 8, path = zDir)
+    // baseline: sorted by time only (the layout you get from ingest order)
+    ev.repartitionByRange(8, col("sec")).sortWithinPartitions(col("sec"))
+      .write.mode("overwrite").parquet(sDir)
+
+    def filesTouched(dir: String): Int = {
+      // which files contain rows in the (user, time) box?
+      val hit = spark.read.parquet(dir)
+        .filter(col("user_id").between(10, 20))
+        .select(input_file_name()).distinct().count()
+      hit.toInt
+    }
+    val zFiles = filesTouched(zDir)
+    val sFiles = filesTouched(sDir)
+    // time-sorted layout scatters every user over all files; z-order keeps
+    // a narrow user range in a subset of files
+    assert(zFiles < sFiles, s"z-order touched $zFiles files, time-sort $sFiles")
+
+    // and the per-file user_id spans must be tighter on average under z-order
+    def meanSpan(dir: String): Double = {
+      val spans = new java.io.File(dir).listFiles()
+        .filter(_.getName.endsWith(".parquet")).map { f =>
+          val r = spark.read.parquet(f.getAbsolutePath)
+            .agg(min("user_id"), max("user_id")).head()
+          r.getLong(1) - r.getLong(0)
+        }
+      spans.sum.toDouble / spans.length
+    }
+    assert(meanSpan(zDir) < meanSpan(sDir),
+      s"z=${meanSpan(zDir)} vs sort=${meanSpan(sDir)}")
+  }
+}
