@@ -179,15 +179,140 @@ object Similarity {
        |ORDER BY q_vec_id, rnk""".stripMargin
   }
 
+  /** Product-quantization ANN: per-subspace exact-integer codebooks, the
+    * corpus compressed to 4 one-byte codes, ranking via codebook lookups
+    * (see [[VectorSearch.pqTopK]]). Approximate index, EXACT oracle: the
+    * training loop and score arithmetic are deterministic in both engines.
+    */
+  val PqShortlist = 50
+
+  def qSimPqTopK(spark: SparkSession, dir: String): DataFrame =
+    rename(VectorSearch.pqTopK(
+      table(spark, dir, "embeddings"), col("vec_id"), col("embedding"), QueryIds, K,
+      shortlist = PqShortlist))
+
+  /** DuckDB replay of the full PQ pipeline: one k-means CTE chain per
+    * subspace (same exact-integer formulation as the IVF oracle), final
+    * per-subspace code assignment, then the ADC score with every division
+    * and addition in the same pinned order as the Spark expression.
+    */
+  val qSimPqTopKSql: String = {
+    val cfg = VectorSearch.PqConfig()
+    val q = (1L << cfg.quantBits).toString
+    val m = cfg.subspaces
+
+    def subspaceChain(j: Int): String = {
+      val off = j * cfg.subDim
+      def iteration(i: Int): String =
+        s"""d${j}_$i AS (
+           |  SELECT xq.vec_id, c.j,
+           |    CAST(sum((c.n * xq.x - c.s) * (c.n * xq.x - c.s)) AS DOUBLE)
+           |      / CAST(max(c.n) * max(c.n) AS DOUBLE) AS dist
+           |  FROM xq$j xq JOIN c${j}_$i c USING (d) GROUP BY 1, 2
+           |), a${j}_$i AS (
+           |  SELECT vec_id, j AS c FROM (
+           |    SELECT vec_id, j, row_number() OVER (PARTITION BY vec_id ORDER BY dist, j) AS rn
+           |    FROM d${j}_$i)
+           |  WHERE rn = 1
+           |), c${j}_${i + 1} AS (
+           |  SELECT m.j, m.d, m.s, m.n FROM (
+           |    SELECT a.c AS j, xq.d, sum(xq.x) AS s, count(*) AS n
+           |    FROM xq$j xq JOIN a${j}_$i a USING (vec_id) GROUP BY 1, 2) m
+           |  UNION ALL
+           |  SELECT c.j, c.d, c.s, c.n FROM c${j}_$i c
+           |  WHERE c.j NOT IN (SELECT DISTINCT c FROM a${j}_$i)
+           |)""".stripMargin
+      val f = cfg.iters
+      s"""xq$j AS (
+         |  SELECT vec_id, d,
+         |    CAST(floor(CAST(embedding[CAST(d + ${off + 1} AS INT)] AS DOUBLE) * $q) AS BIGINT) AS x
+         |  FROM embeddings CROSS JOIN range(${cfg.subDim}) rd$j(d)
+         |), c${j}_0 AS (
+         |  SELECT j, d, x AS s, CAST(1 AS BIGINT) AS n FROM (
+         |    SELECT vec_id, d, x, dense_rank() OVER (ORDER BY vec_id) - 1 AS j
+         |    FROM xq$j
+         |    WHERE vec_id IN (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT ${cfg.codebookSize}))
+         |), ${(0 until cfg.iters).map(iteration).mkString(", ")},
+         |dF$j AS (
+         |  SELECT xq.vec_id, c.j,
+         |    CAST(sum((c.n * xq.x - c.s) * (c.n * xq.x - c.s)) AS DOUBLE)
+         |      / CAST(max(c.n) * max(c.n) AS DOUBLE) AS dist
+         |  FROM xq$j xq JOIN c${j}_$f c USING (d) GROUP BY 1, 2
+         |), aF$j AS (
+         |  SELECT vec_id, j AS c FROM (
+         |    SELECT vec_id, j, row_number() OVER (PARTITION BY vec_id ORDER BY dist, j) AS rn
+         |    FROM dF$j)
+         |  WHERE rn = 1
+         |), ss$j AS (
+         |  SELECT j AS c, sum(s * s) AS ss, max(n) AS n FROM c${j}_$f GROUP BY 1
+         |), contrib$j AS (
+         |  SELECT qx.vec_id AS q_vec_id, a.vec_id,
+         |    CAST(sum(qx.x * c.s) AS DOUBLE) / CAST(max(c.n) AS DOUBLE) AS term
+         |  FROM aF$j a
+         |  JOIN c${j}_$f c ON c.j = a.c
+         |  JOIN xq$j qx ON qx.d = c.d
+         |  WHERE qx.vec_id IN (${QueryIds.mkString(", ")}) AND a.vec_id <> qx.vec_id
+         |  GROUP BY 1, 2
+         |), rec$j AS (
+         |  SELECT a.vec_id, CAST(ss.ss AS DOUBLE) / CAST(ss.n * ss.n AS DOUBLE) AS r
+         |  FROM aF$j a JOIN ss$j ss ON ss.c = a.c
+         |)""".stripMargin
+    }
+
+    val chains = (0 until m).map(subspaceChain).mkString(", ")
+    val termSum = (0 until m).map(j => s"c$j.term").reduce((a, b) => s"($a + $b)")
+    val recSum = (0 until m).map(j => s"r$j.r").reduce((a, b) => s"($a + $b)")
+    val contribJoins = (1 until m)
+      .map(j => s"JOIN contrib$j c$j USING (q_vec_id, vec_id)").mkString(" ")
+    val recJoins = (0 until m).map(j => s"JOIN rec$j r$j USING (vec_id)").mkString(" ")
+
+    s"""WITH $chains, qn AS (
+       |  SELECT vec_id AS q_vec_id,
+       |    CAST(sum(x * x) AS DOUBLE) AS qn2
+       |  FROM (
+       |    SELECT vec_id, CAST(floor(CAST(unnest(embedding) AS DOUBLE) * $q) AS BIGINT) AS x
+       |    FROM embeddings WHERE vec_id IN (${QueryIds.mkString(", ")}))
+       |  GROUP BY 1
+       |), scored AS (
+       |  SELECT c0.q_vec_id, c0.vec_id,
+       |    round($termSum / (sqrt(qn.qn2) * sqrt($recSum)), 6) AS pq_score
+       |  FROM contrib0 c0 $contribJoins $recJoins
+       |  JOIN qn USING (q_vec_id)
+       |), short AS (
+       |  SELECT q_vec_id, vec_id FROM (
+       |    SELECT scored.*,
+       |      row_number() OVER (PARTITION BY q_vec_id ORDER BY pq_score DESC, vec_id) AS rnk
+       |    FROM scored)
+       |  WHERE rnk <= $PqShortlist
+       |), nv AS (
+       |  SELECT vec_id, embedding,
+       |    sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+       |  FROM embeddings
+       |), exact AS (
+       |  SELECT short.q_vec_id, short.vec_id,
+       |    round(list_sum(list_transform(list_zip(q.embedding, v.embedding),
+       |        z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE))) / (q.nrm * v.nrm), 6) AS cos_sim
+       |  FROM short JOIN nv q ON q.vec_id = short.q_vec_id JOIN nv v ON v.vec_id = short.vec_id
+       |), r AS (
+       |  SELECT exact.*,
+       |    row_number() OVER (PARTITION BY q_vec_id ORDER BY cos_sim DESC, vec_id) AS rnk
+       |  FROM exact
+       |)
+       |SELECT q_vec_id, rnk, vec_id, cos_sim FROM r WHERE rnk <= $K
+       |ORDER BY q_vec_id, rnk""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_sim_topk" -> (qSimTopK _),
     "q_sim_lsh_topk" -> (qSimLshTopK _),
     "q_sim_ivf_topk" -> (qSimIvfTopK _),
+    "q_sim_pq_topk" -> (qSimPqTopK _),
   )
 
   def oracle: Map[String, String] = Map(
     "q_sim_topk" -> qSimTopKSql,
     "q_sim_lsh_topk" -> qSimLshTopKSql,
     "q_sim_ivf_topk" -> qSimIvfTopKSql,
+    "q_sim_pq_topk" -> qSimPqTopKSql,
   )
 }

@@ -102,6 +102,25 @@ class OpsSpec extends SparkFunSuite {
     assert(lsh >= 0.4, s"mean LSH recall@10 = $lsh — too low for 32-bit/8-band signatures")
     val ivf = meanRecall(neighbors(Similarity.qSimIvfTopK(spark, sf)))
     assert(ivf >= 0.4, s"mean IVF recall@10 = $ivf — too low for nprobe=4/16 centroids")
+    val pq = meanRecall(neighbors(Similarity.qSimPqTopK(spark, sf)))
+    assert(pq >= 0.4, s"mean PQ recall@10 = $pq — too low for 8x16 codebooks + 50-shortlist rerank")
+  }
+
+  test("PQ ADC-only ranking is deterministic and beats random ranking") {
+    import org.apache.spark.sql.functions.col
+    val emb = Tables.table(spark, sf, "embeddings")
+    def run() = VectorSearch.pqTopK(emb, col("vec_id"), col("embedding"),
+      Similarity.QueryIds, 10).collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    val a = run()
+    assert(a.toSeq == run().toSeq, "ADC ranking must be bit-deterministic across runs")
+    // pure ADC (no rerank) must still beat chance: random recall@10 over
+    // 499 candidates is ~0.02; require 5x that
+    val brute = Similarity.qSimTopK(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val adc = a.map(t => (t._1, t._3)).groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val rs = brute.map { case (q, nbrs) => adc.getOrElse(q, Set.empty).intersect(nbrs).size.toDouble / nbrs.size }
+    val recall = rs.sum / rs.size
+    assert(recall >= 0.1, s"ADC-only recall@10 = $recall — codebooks are not learning structure")
   }
 
   test("vec_dot is SQL-callable after registration") {
