@@ -48,6 +48,15 @@ class WinnowSpec extends SparkFunSuite {
     assert(density > 0.2 && density < 0.8, s"density $density out of band")
   }
 
+  test("fingerprint selection is one window pass: single Window node, no join") {
+    val docs = Tables.table(spark, sf, "documents")
+    val p = Winnow.fingerprints(docs, col("doc_id"), col("text"), 4, 4)
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(p.linesIterator.count(_.matches("\\(\\d+\\) Window.*")) === 1, p)
+    assert(!p.contains("Join"), p)
+  }
+
   test("planted near-duplicates surface as shared spans") {
     val jaccardPairs = Dedup.qDedupNgramJaccard(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
