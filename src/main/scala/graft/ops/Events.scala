@@ -162,12 +162,64 @@ object Events {
       |GROUP BY event_type
       |ORDER BY event_type""".stripMargin
 
+  /** Sequential-pattern (funnel) detection: per user, count views whose
+    * funnel completes — an (any) click strictly after the view, then a
+    * purchase strictly after that click, with the purchase inside 24 hours
+    * of the view. Two chained window passes over the stream ordered by
+    * (ts, event_id): pass 1 gives every event the earliest FOLLOWING
+    * purchase ts, pass 2 gives every view the earliest following click's
+    * purchase ts — no self-joins, no per-step tables. Scale:
+    * partition-local after a single shuffle on user_id; at 100 TB
+    * pre-bucket the events table on user_id and the exchange disappears.
+    */
+  def qEventsFunnel(spark: SparkSession, dir: String): DataFrame = {
+    val ev = events(spark, dir)
+      .filter(col("event_type").isin("view", "click", "purchase"))
+    val wFollowing = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(1, Window.unboundedFollowing)
+    ev
+      .select(col("user_id"), col("event_type"), col("ts"), col("event_id"),
+        min(when(col("event_type") === "purchase", col("ts"))).over(wFollowing).as("pts"))
+      .select(col("user_id"), col("event_type"), col("ts"), col("event_id"),
+        min(when(col("event_type") === "click", col("pts"))).over(wFollowing).as("cpts"))
+      .filter(col("event_type") === "view" &&
+        col("cpts") <= col("ts") + expr("INTERVAL 24 HOURS"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_funnels"))
+      .orderBy(col("user_id"))
+  }
+
+  val qEventsFunnelSql: String =
+    """WITH e AS (
+      |  SELECT user_id, event_type, date_trunc('microseconds', ts) AS ts, event_id
+      |  FROM events WHERE event_type IN ('view', 'click', 'purchase')
+      |), p1 AS (
+      |  SELECT user_id, event_type, ts, event_id,
+      |    min(CASE WHEN event_type = 'purchase' THEN ts END)
+      |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |            ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS pts
+      |  FROM e
+      |), p2 AS (
+      |  SELECT user_id, event_type, ts,
+      |    min(CASE WHEN event_type = 'click' THEN pts END)
+      |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |            ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS cpts
+      |  FROM p1
+      |)
+      |SELECT user_id, count(*) AS n_funnels
+      |FROM p2
+      |WHERE event_type = 'view' AND cpts <= ts + INTERVAL 24 HOURS
+      |GROUP BY user_id
+      |ORDER BY user_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_events_hourly" -> (qEventsHourly _),
     "q_events_sliding" -> (qEventsSliding _),
     "q_events_sessions" -> (qEventsSessions _),
     "q_events_asof" -> (qEventsAsof _),
     "q_events_json" -> (qEventsJson _),
+    "q_events_funnel" -> (qEventsFunnel _),
   )
 
   def oracle: Map[String, String] = Map(
@@ -176,5 +228,6 @@ object Events {
     "q_events_sessions" -> qEventsSessionsSql,
     "q_events_asof" -> qEventsAsofSql,
     "q_events_json" -> qEventsJsonSql,
+    "q_events_funnel" -> qEventsFunnelSql,
   )
 }

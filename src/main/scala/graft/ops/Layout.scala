@@ -95,6 +95,36 @@ object Layout {
 
   def oracle: Map[String, String] = Map("q_zorder_key" -> qZOrderKeySql)
 
+  /** Compact a directory of (typically many small) parquet files into
+    * ~`targetBytes` output files — the small-files problem: a 100 TB table
+    * accreted from streaming micro-batches or per-event writes ends up as
+    * millions of KB-sized files whose open/footer overhead dominates scan
+    * time. Output file count is sized from the INPUT byte total (cheap
+    * driver-side listing, no data pass); pass `sortCols` to restore a
+    * clustering (e.g. the z-key) while compacting, otherwise a
+    * round-robin `repartition` balances bytes evenly.
+    *
+    * At scale run this per partition-directory (compaction of a live table
+    * is per-partition and incremental); writing to a NEW directory + atomic
+    * swap is the caller's transaction boundary, mirroring how table formats
+    * commit compactions.
+    */
+  def compact(spark: org.apache.spark.sql.SparkSession, inDir: String, outDir: String,
+      targetBytes: Long = 128L * 1024 * 1024, sortCols: Seq[Column] = Nil): Int = {
+    val path = new org.apache.hadoop.fs.Path(inDir)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val totalBytes = fs.listStatus(path)
+      .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+      .map(_.getLen).sum
+    val nFiles = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
+    val df = spark.read.parquet(inDir)
+    val arranged =
+      if (sortCols.isEmpty) df.repartition(nFiles)
+      else df.repartitionByRange(nFiles, sortCols: _*).sortWithinPartitions(sortCols: _*)
+    arranged.write.mode("overwrite").parquet(outDir)
+    nFiles
+  }
+
   /** Write `df` clustered by the Morton order of two quantized key columns:
     * range-partition on the z-key (sampled boundaries → balanced files),
     * sort within partitions, drop the helper column, write parquet. Each

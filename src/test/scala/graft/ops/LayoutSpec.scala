@@ -33,6 +33,23 @@ class LayoutSpec extends SparkFunSuite {
     df.collect().foreach(r => assert(r.getLong(0) === r.getInt(1).toLong, r))
   }
 
+  test("compact bin-packs many small files into byte-sized outputs, content intact") {
+    val ev = Tables.events(spark, sf).select(col("event_id"), col("user_id"))
+    val smallDir = tmpDir("small")
+    ev.repartition(64).write.mode("overwrite").parquet(smallDir) // 64 tiny files
+    val outDir = tmpDir("compacted")
+    def parquetFiles(d: String) =
+      new java.io.File(d).listFiles().filter(_.getName.endsWith(".parquet"))
+    val inBytes = parquetFiles(smallDir).map(_.length()).sum
+    val n = Layout.compact(spark, smallDir, outDir, targetBytes = inBytes / 4)
+    assert(n <= 5, s"expected ~4 output files, planned $n")
+    assert(parquetFiles(outDir).length === n)
+    // identical content (multiset)
+    val a = spark.read.parquet(smallDir).collect().map(_.toSeq).sortBy(_.toString)
+    val b = spark.read.parquet(outDir).collect().map(_.toSeq).sortBy(_.toString)
+    assert(a.toSeq === b.toSeq)
+  }
+
   test("z-ordered write gives tight per-file boxes and prunes a box filter") {
     val ev = Tables.events(spark, sf)
       .select(col("event_id"), col("user_id"),
