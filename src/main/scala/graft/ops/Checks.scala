@@ -1,0 +1,145 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import Tables._
+
+/** Declarative data-quality checking — the "validate 100 TB in one scan"
+  * operator: every row-level constraint (null, range, domain, pattern,
+  * key uniqueness) compiles to a conditional aggregate, so the WHOLE
+  * constraint suite is ONE aggregation pass over the table (map-side
+  * partial, one row out per table). Referential checks are each one
+  * anti-join against the (broadcastable) parent key set. The report comes
+  * back as a DataFrame — at scale it lands in a metrics table, not the
+  * driver.
+  */
+object Checks {
+
+  /** A row-level constraint: `violation` evaluates true on BAD rows. */
+  final case class RowCheck(name: String, violation: Column)
+
+  /** Evaluate all row checks in one aggregation pass →
+    * `(check, violations, pass)`, one row per check, declaration order
+    * preserved via the check name.
+    */
+  def report(df: DataFrame, checks: Seq[RowCheck]): DataFrame = {
+    val aggs = checks.map(c =>
+      sum(when(c.violation, 1L).otherwise(0L)).as(c.name))
+    val one = df.agg(aggs.head, aggs.tail: _*)
+    val stacked = checks.map(c =>
+      struct(lit(c.name).as("check"), col(c.name).as("violations")))
+    one
+      .select(explode(array(stacked: _*)).as("r"))
+      .select(col("r.check").as("check"), col("r.violations").as("violations"),
+        (col("r.violations") === 0L).as("pass"))
+  }
+
+  /** Uniqueness as a row check is impossible (it is not row-local); this
+    * one-aggregation variant reports duplicate-key row counts.
+    */
+  def duplicateKeys(df: DataFrame, keys: Seq[Column], name: String): DataFrame =
+    df.agg((count(lit(1)) - count_distinct(keys.head, keys.tail: _*)).as(name))
+      .select(lit(name).as("check"), col(name).as("violations"),
+        (col(name) === 0L).as("pass"))
+
+  /** Referential integrity: rows of `child` whose `childKey` has no match
+    * in `parent.parentKey` (anti-join count — broadcast when the parent
+    * key set is dimension-sized).
+    */
+  def orphans(child: DataFrame, childKey: Column, parent: DataFrame,
+      parentKey: Column, name: String): DataFrame = {
+    val n = child.join(parent, childKey === parentKey, "left_anti")
+      .agg(count(lit(1)).as(name))
+    n.select(lit(name).as("check"), col(name).as("violations"),
+      (col(name) === 0L).as("pass"))
+  }
+
+  /** The registered constraint suite over `lineitem`/`orders`: range,
+    * non-null, domain, exact-decimal consistency, composite-key
+    * uniqueness, and referential integrity — one scan for the six row
+    * checks, one aggregation for uniqueness, one anti-join for the FK.
+    */
+  def qChecksReport(spark: SparkSession, dir: String): DataFrame = {
+    val li = table(spark, dir, "lineitem")
+    val ord = table(spark, dir, "orders")
+    val row = report(li, Seq(
+      RowCheck("qty_in_1_50", !col("l_quantity").between(1, 50)),
+      RowCheck("shipdate_not_null", col("l_shipdate").isNull),
+      RowCheck("returnflag_domain", !col("l_returnflag").isin("A", "N", "R")),
+      RowCheck("discount_in_0_to_0p1",
+        col("l_discount") < 0 || col("l_discount") > 0.1),
+      RowCheck("price_positive", col("l_extendedprice") <= 0),
+      RowCheck("tax_in_0_to_0p08", col("l_tax") < 0 || col("l_tax") > 0.08)))
+    val uniq = duplicateKeys(li, Seq(col("l_orderkey"), col("l_linenumber")), "lineitem_pk_unique")
+    val fk = orphans(li, col("l_orderkey"), ord, col("o_orderkey"), "orderkey_fk")
+    row.unionByName(uniq).unionByName(fk).orderBy(col("check"))
+  }
+
+  val qChecksReportSql: String =
+    """WITH row_checks AS (
+      |  SELECT
+      |    sum(CASE WHEN NOT (l_quantity BETWEEN 1 AND 50) THEN 1 ELSE 0 END) AS qty_in_1_50,
+      |    sum(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END) AS shipdate_not_null,
+      |    sum(CASE WHEN l_returnflag NOT IN ('A', 'N', 'R') THEN 1 ELSE 0 END) AS returnflag_domain,
+      |    sum(CASE WHEN l_discount < 0 OR l_discount > 0.1 THEN 1 ELSE 0 END) AS discount_in_0_to_0p1,
+      |    sum(CASE WHEN l_extendedprice <= 0 THEN 1 ELSE 0 END) AS price_positive,
+      |    sum(CASE WHEN l_tax < 0 OR l_tax > 0.08 THEN 1 ELSE 0 END) AS tax_in_0_to_0p08,
+      |    count(*) - count(DISTINCT (l_orderkey, l_linenumber)) AS lineitem_pk_unique
+      |  FROM lineitem
+      |), fk AS (
+      |  SELECT count(*) AS orderkey_fk
+      |  FROM lineitem l WHERE NOT EXISTS (
+      |    SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)
+      |), u AS (
+      |  SELECT 'qty_in_1_50' AS check_name, qty_in_1_50 AS violations FROM row_checks
+      |  UNION ALL SELECT 'shipdate_not_null', shipdate_not_null FROM row_checks
+      |  UNION ALL SELECT 'returnflag_domain', returnflag_domain FROM row_checks
+      |  UNION ALL SELECT 'discount_in_0_to_0p1', discount_in_0_to_0p1 FROM row_checks
+      |  UNION ALL SELECT 'price_positive', price_positive FROM row_checks
+      |  UNION ALL SELECT 'tax_in_0_to_0p08', tax_in_0_to_0p08 FROM row_checks
+      |  UNION ALL SELECT 'lineitem_pk_unique', lineitem_pk_unique FROM row_checks
+      |  UNION ALL SELECT 'orderkey_fk', orderkey_fk FROM fk
+      |)
+      |SELECT check_name AS "check", CAST(violations AS BIGINT) AS violations,
+      |  violations = 0 AS pass
+      |FROM u ORDER BY check_name""".stripMargin
+
+  /** Equi-width histogram with pinned bounds — distribution profiling as
+    * one aggregation (clamped bucket arithmetic, no width_bucket dialect
+    * differences).
+    */
+  def qHistogram(spark: SparkSession, dir: String): DataFrame = {
+    val ord = table(spark, dir, "orders")
+    val (lo, hi, n) = (0d, 600000d, 12)
+    val width = (hi - lo) / n
+    val bucket = least(greatest(
+      floor((col("o_totalprice") - lo) / width).cast(LongType), lit(0L)), lit(n - 1L))
+    ord
+      .groupBy(bucket.as("bucket"))
+      .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("sum_price"))
+      .select(col("bucket"), (lit(lo) + col("bucket") * width).as("bucket_lo"),
+        col("n_orders"), col("sum_price"))
+      .orderBy(col("bucket"))
+  }
+
+  val qHistogramSql: String =
+    """SELECT bucket, 0.0 + bucket * 50000.0 AS bucket_lo,
+      |  count(*) AS n_orders,
+      |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+      |FROM (
+      |  SELECT o_totalprice,
+      |    least(greatest(CAST(floor((o_totalprice - 0.0) / 50000.0) AS BIGINT), 0), 11) AS bucket
+      |  FROM orders)
+      |GROUP BY bucket
+      |ORDER BY bucket""".stripMargin
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_checks_report" -> (qChecksReport _),
+    "q_histogram" -> (qHistogram _))
+
+  def oracle: Map[String, String] = Map(
+    "q_checks_report" -> qChecksReportSql,
+    "q_histogram" -> qHistogramSql)
+}
