@@ -143,6 +143,73 @@ object EventStreams {
         })
   }
 
+  final case class FunnelEv(user_id: Long, event_type: String, ts: java.sql.Timestamp,
+      event_id: Long)
+  final case class PendingView(viewUs: Long, clickUs: Option[Long])
+  final case class FunnelState(pending: List[PendingView], maxSeenUs: Long)
+  final case class FunnelHit(user_id: Long, view_ts: java.sql.Timestamp,
+      purchase_ts: java.sql.Timestamp)
+
+  /** Streaming dual of [[graft.ops.Events.qEventsFunnel]]: per user, emit a
+    * hit when a view's earliest following click gains its earliest
+    * following purchase within `windowHours` of the view. State per key is
+    * the list of still-completable pending views (view ts + first click
+    * ts) — bounded: a view is dropped the moment it completes, fails (its
+    * deciding purchase arrived too late), or ages past the window relative
+    * to the key's max seen event time. Events are processed in (ts,
+    * event_id) order within each micro-batch; on a production stream add a
+    * watermark and delay-tolerant eviction for cross-batch reordering.
+    */
+  def funnelCompletions(events: DataFrame, windowHours: Int = 24): Dataset[FunnelHit] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val windowUs = windowHours.toLong * 3600L * 1000000L
+    def us(t: java.sql.Timestamp): Long = t.getTime * 1000L + (t.getNanos / 1000L) % 1000L
+    def fromUs(usv: Long): java.sql.Timestamp = {
+      val t = new java.sql.Timestamp((usv / 1000000L) * 1000L)
+      t.setNanos(((usv % 1000000L) * 1000L).toInt)
+      t
+    }
+    events
+      .filter(col("event_type").isin("view", "click", "purchase"))
+      .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+      .as[FunnelEv]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (userId: Long, evs: Iterator[FunnelEv], state: GroupState[FunnelState]) => {
+          var st = state.getOption.getOrElse(FunnelState(Nil, Long.MinValue))
+          val hits = List.newBuilder[FunnelHit]
+          evs.toSeq.sortBy(e => (us(e.ts), e.event_id)).foreach { e =>
+            val t = us(e.ts)
+            st = st.copy(maxSeenUs = math.max(st.maxSeenUs, t))
+            e.event_type match {
+              case "view" =>
+                st = st.copy(pending = st.pending :+ PendingView(t, None))
+              case "click" =>
+                // first click after each still-clickless view (rows are in
+                // order, so any clickless pending view precedes this click)
+                st = st.copy(pending = st.pending.map(p =>
+                  if (p.clickUs.isEmpty) p.copy(clickUs = Some(t)) else p))
+              case "purchase" =>
+                // this purchase is the FIRST one following every clicked
+                // pending view's first click — it decides each of them
+                val (decided, rest) = st.pending.partition(_.clickUs.isDefined)
+                decided.foreach { p =>
+                  if (t <= p.viewUs + windowUs)
+                    hits += FunnelHit(userId, fromUs(p.viewUs), fromUs(t))
+                  // else: too late — no later purchase can beat this one
+                }
+                st = st.copy(pending = rest)
+            }
+          }
+          // evict views that can no longer complete (any future purchase
+          // is later than maxSeen under in-order delivery)
+          st = st.copy(pending = st.pending.filter(_.viewUs + windowUs >= st.maxSeenUs))
+          state.update(st)
+          hits.result().iterator
+        })
+  }
+
   /** Back streaming state with the RocksDB provider — native memory +
     * local-disk spill per state partition, the state store for large keyed
     * state (the default HDFS-backed provider holds each partition's map on

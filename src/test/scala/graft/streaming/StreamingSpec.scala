@@ -145,6 +145,18 @@ class StreamingSpec extends SparkFunSuite {
     assert(wantPairs.subsetOf(emittedSet))
   }
 
+  test("streaming funnel state machine equals the batch funnel query") {
+    val stream = EventStreams.funnelCompletions(
+      EventStreams.eventStream(spark, eventsPath), windowHours = 24)
+    val got = EventStreams.runToMemory(stream.toDF(), "t_funnel", outputMode = "append")
+      .groupBy(col("user_id")).agg(count(lit(1)).as("n_funnels"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val want = graft.ops.Events.qEventsFunnel(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(want.nonEmpty, "fixture must produce at least one completed funnel")
+    assert(got == want)
+  }
+
   test("stream-stream interval join matches the batch join") {
     val stream = EventStreams.purchaseClickJoin(EventStreams.eventStream(spark, eventsPath))
     val got = EventStreams.runToMemory(stream, "t_ssjoin", outputMode = "append").count()
