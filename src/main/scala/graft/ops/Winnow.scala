@@ -71,10 +71,29 @@ object Winnow {
 
   /** Document pairs sharing ≥ `minShared` winnowing fingerprints, with the
     * shared count — the exact-substring-overlap candidate set.
+    *
+    * `maxDocFreq` (0 = off) stop-lists fingerprints present in more than
+    * that many documents BEFORE the self-join — the skew guard: a
+    * boilerplate fingerprint shared by f docs contributes f² candidate
+    * rows and lands on one shuffle key, so at corpus scale ultra-common
+    * fingerprints (license headers, templates) must be dropped. The cost
+    * is one extra aggregation on the (already small) selected-fingerprint
+    * relation; detection of genuinely rare shared spans is unaffected.
     */
   def sharedSpans(docs: DataFrame, id: Column, text: Column,
-      k: Int = 4, w: Int = 4, minShared: Int = 3): DataFrame = {
-    val fp = fingerprints(docs, id, text, k, w).select(col("id"), col("h")).distinct()
+      k: Int = 4, w: Int = 4, minShared: Int = 3, maxDocFreq: Long = 0L): DataFrame = {
+    val fpAll = fingerprints(docs, id, text, k, w).select(col("id"), col("h")).distinct()
+    val fp =
+      if (maxDocFreq <= 0) fpAll
+      else {
+        val rare = fpAll.groupBy(col("h"))
+          .agg(count(lit(1)).as("df"))
+          .filter(col("df") <= maxDocFreq)
+          .select(col("h"))
+        // join moves the key column first — restore (id, h) order for the
+        // positional toDF below
+        fpAll.join(rare, Seq("h"), "left_semi").select(col("id"), col("h"))
+      }
     fp.toDF("id_a", "h")
       .join(fp.toDF("id_b", "h"), Seq("h"))
       .filter(col("id_a") < col("id_b"))

@@ -48,6 +48,23 @@ class WinnowSpec extends SparkFunSuite {
     assert(density > 0.2 && density < 0.8, s"density $density out of band")
   }
 
+  test("stop-listing drops boilerplate fingerprints but keeps rare shared spans") {
+    import spark.implicits._
+    val boiler = (1 to 12).map(i => s"license$i").mkString(" ") // shared by ALL docs
+    val rare = (1 to 12).map(i => s"secret$i").mkString(" ")    // shared by 2 docs
+    val docs = (1L to 6L).map { i =>
+      val extra = if (i <= 2) s" $rare" else s" unique${i}a unique${i}b unique${i}c"
+      (i, s"$boiler doc${i}x doc${i}y doc${i}z$extra")
+    }.toDF("doc_id", "text")
+    // without stop-listing every pair shares the boilerplate
+    val all = Winnow.sharedSpans(docs, col("doc_id"), col("text"), 4, 4, 1)
+    assert(all.count() === 15) // all C(6,2) pairs
+    // stop-listing fingerprints in >2 docs keeps only the rare overlap
+    val rareOnly = Winnow.sharedSpans(docs, col("doc_id"), col("text"), 4, 4, 1, maxDocFreq = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(rareOnly.toSeq === Seq((1L, 2L)), rareOnly.mkString(","))
+  }
+
   test("fingerprint selection is one window pass: single Window node, no join") {
     val docs = Tables.table(spark, sf, "documents")
     val p = Winnow.fingerprints(docs, col("doc_id"), col("text"), 4, 4)
