@@ -1,7 +1,7 @@
 package graft.hub
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{broadcast, input_file_name, lit, regexp_replace}
+import org.apache.spark.sql.functions.{broadcast, col, count, input_file_name, lit, regexp_replace, sum, when}
 import org.apache.spark.sql.types.StructType
 
 import PathParser.UserWarning
@@ -80,8 +80,29 @@ final class ModelOutputHandler(
   def writeParquet(df: DataFrame): String =
     ModelOutputWriter.writeSingleParquet(df, outputPath, fileName)
 
+  /** Operational metrics of the last [[addModelOutput]] run, collected with
+    * `Dataset.observe` — aggregated ON the executors during the write pass
+    * itself (no second job, no extra scan): rows written and rows whose
+    * `output_type_id` is null after normalization. At scale these land in
+    * a metrics pipeline; an extra `count()` per file would double the read
+    * work.
+    */
+  @volatile var lastWriteMetrics: Option[Map[String, Any]] = None
+
   /** read → transform → write; returns the output path (add_model_output). */
-  def addModelOutput(): String = writeParquet(addColumns(readFile()))
+  def addModelOutput(): String = {
+    val obs = new org.apache.spark.sql.Observation()
+    val df = addColumns(readFile())
+    val observed =
+      if (df.columns.contains("output_type_id"))
+        df.observe(obs, count(lit(1)).as("rows_written"),
+          sum(when(col("output_type_id").isNull, 1L).otherwise(0L)).as("null_output_type_ids"))
+      else
+        df.observe(obs, count(lit(1)).as("rows_written"), sum(lit(0L)).as("null_output_type_ids"))
+    val out = writeParquet(observed)
+    lastWriteMetrics = Some(obs.get)
+    out
+  }
 
   /** op-5: delete the transformed counterpart (delete_model_output). */
   def deleteModelOutput(): Unit =

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import Tables._
@@ -102,13 +102,69 @@ object Multimodal {
       |FROM documents
       |ORDER BY doc_id""".stripMargin
 
+  /** Container magic bytes per modality (real PNG / RIFF / MPEG-PS
+    * signatures — what production payloads carry in their first bytes).
+    */
+  private val Magic: Map[String, Array[Byte]] = Map(
+    "image" -> Array(0x89.toByte, 'P'.toByte, 'N'.toByte, 'G'.toByte),
+    "audio" -> "RIFF".getBytes(java.nio.charset.StandardCharsets.US_ASCII),
+    "video" -> Array(0x00.toByte, 0x00.toByte, 0x01.toByte, 0xBA.toByte))
+
+  /** [[mediaTable]] with a REAL container signature prepended to each
+    * payload, the input shape for header-based sniffing.
+    */
+  def mediaTableWithHeaders(spark: SparkSession, dir: String): DataFrame =
+    mediaTable(spark, dir).select(
+      col("doc_id"), col("media_type"),
+      concat(
+        element_at(
+          array(lit(Magic("image")), lit(Magic("audio")), lit(Magic("video"))),
+          (col("doc_id") % 3 + 1).cast("int")),
+        col("content")).as("content"))
+
+  /** Magic-byte container detection — metadata WITHOUT a decoder: pure
+    * codegen byte compares on the binary column (the production trick for
+    * routing/validating 100 TB of media before any codec touches it).
+    */
+  def sniffContainer(content: Column): Column =
+    when(hex(substring(content, 1, 4)) === "89504E47", "png")
+      .when(hex(substring(content, 1, 2)) === "FFD8", "jpeg")
+      .when(hex(substring(content, 1, 4)) === "52494646", "wav")
+      .when(hex(substring(content, 1, 4)) === "000001BA", "mpeg")
+      .otherwise("unknown")
+
+  /** Sniffed container per modality. The oracle derives the expected
+    * container INDEPENDENTLY (from the doc_id→modality assignment, no
+    * byte inspection) — a hash match proves the byte sniffing classified
+    * every row correctly.
+    */
+  def qMultimodalSniff(spark: SparkSession, dir: String): DataFrame =
+    mediaTableWithHeaders(spark, dir)
+      .select(col("media_type"), sniffContainer(col("content")).as("container"))
+      .groupBy(col("media_type"), col("container"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("media_type"), col("container"))
+
+  val qMultimodalSniffSql: String =
+    """SELECT media_type, container, count(*) AS n
+      |FROM (
+      |  SELECT CASE CAST(doc_id % 3 AS INTEGER)
+      |           WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS media_type,
+      |         CASE CAST(doc_id % 3 AS INTEGER)
+      |           WHEN 0 THEN 'png' WHEN 1 THEN 'wav' ELSE 'mpeg' END AS container
+      |  FROM documents)
+      |GROUP BY 1, 2
+      |ORDER BY 1, 2""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_multimodal_features" -> (qMultimodalFeatures _),
     "q_multimodal_roundtrip" -> (qMultimodalRoundtrip _),
+    "q_multimodal_sniff" -> (qMultimodalSniff _),
   )
 
   def oracle: Map[String, String] = Map(
     "q_multimodal_features" -> qMultimodalFeaturesSql,
     "q_multimodal_roundtrip" -> qMultimodalRoundtripSql,
+    "q_multimodal_sniff" -> qMultimodalSniffSql,
   )
 }

@@ -70,6 +70,16 @@ class HubTransformSpec extends SparkFunSuite {
     assert(written.filter(col("output_type_id").isNull).count() == 2)
   }
 
+  test("observed write metrics match the written file (no extra scan)") {
+    val out = tmpDir("mo-out")
+    val h = handler(integ("2024-07-07-teamabc-output_type_ids_numeric.csv"), out, schemaOriginDate)
+    val written = spark.read.parquet(h.addModelOutput())
+    val m = h.lastWriteMetrics.get
+    assert(m("rows_written") === written.count())
+    assert(m("null_output_type_ids") ===
+      written.filter(col("output_type_id").isNull).count())
+  }
+
   test("csv: mixed output_type_ids → 8 nulls (integration :59-72)") {
     val out = tmpDir("mo-out")
     val h = handler(integ("2024-07-07-teamabc-output_type_ids_mixed.csv"), out, schemaOriginDateStrVal)

@@ -151,6 +151,21 @@ class OpsSpec extends SparkFunSuite {
     assert(residual.count() == 0, "near-dup pair survived the pipeline")
   }
 
+  test("magic-byte sniffing classifies all four containers and rejects garbage") {
+    import spark.implicits._
+    val payloads = Seq(
+      (Array(0x89.toByte, 'P'.toByte, 'N'.toByte, 'G'.toByte, 1.toByte), "png"),
+      (Array(0xFF.toByte, 0xD8.toByte, 0xFF.toByte), "jpeg"),
+      ("RIFFxxxxWAVE".getBytes("US-ASCII"), "wav"),
+      (Array(0x00.toByte, 0x00.toByte, 0x01.toByte, 0xBA.toByte), "mpeg"),
+      ("plain text".getBytes("US-ASCII"), "unknown"),
+      (Array.empty[Byte], "unknown"))
+    val got = payloads.map(_._1).toDF("content")
+      .select(Multimodal.sniffContainer(org.apache.spark.sql.functions.col("content")))
+      .collect().map(_.getString(0))
+    assert(got.toSeq === payloads.map(_._2))
+  }
+
   test("multimodal stub decode features are consistent with payload bytes") {
     val rows = Multimodal.qMultimodalFeatures(spark, sf).collect()
     assert(rows.length > 0)
