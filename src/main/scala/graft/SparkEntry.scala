@@ -23,7 +23,8 @@ object SparkEntry {
       ops.Dedup.queries ++ ops.Similarity.queries ++ ops.TextAnalysis.queries ++
       ops.Multimodal.queries ++ ops.HubQueries.queries ++ ops.Pipeline.queries ++
       ops.JoinShapes.queries ++ ops.Corpus.queries ++ ops.SqlSurface.queries ++
-      ops.Layout.queries ++ ops.Winnow.queries ++ ops.Checks.queries
+      ops.Layout.queries ++ ops.Winnow.queries ++ ops.Checks.queries ++
+      ops.FuzzyJoin.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -33,5 +34,6 @@ object SparkEntry {
       ops.Dedup.oracle ++ ops.Similarity.oracle ++ ops.TextAnalysis.oracle ++
       ops.Multimodal.oracle ++ ops.HubQueries.oracle ++ ops.Pipeline.oracle ++
       ops.JoinShapes.oracle ++ ops.Corpus.oracle ++ ops.SqlSurface.oracle ++
-      ops.Layout.oracle ++ ops.Winnow.oracle ++ ops.Checks.oracle
+      ops.Layout.oracle ++ ops.Winnow.oracle ++ ops.Checks.oracle ++
+      ops.FuzzyJoin.oracle
 }
