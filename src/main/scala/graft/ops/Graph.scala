@@ -1,0 +1,112 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import Tables._
+
+/** Relational graph analytics: PageRank as iterated join+aggregate — the
+  * companion to [[TextDedup.canonicalize]]'s connected components.
+  *
+  * The whole power iteration runs in INTEGER arithmetic (ranks in
+  * millionths of a unit, damping as `(85·x) DIV 100`, per-edge
+  * contributions as `rank DIV outdeg`): every partial sum is an exact
+  * long, so the result is bit-identical at any parallelism and the DuckDB
+  * oracle replays the iterations as chained CTEs — the same discipline
+  * that makes the IVF/PQ indexes hash-gated. Truncation loss (the
+  * remainder of each DIV) stays in the damping constant's favor and is
+  * identical in both engines.
+  *
+  * Scale: each iteration is one join of the edge list with the rank
+  * vector (shuffle on src) plus one aggregation (shuffle on dst) — the
+  * standard distributed PageRank shape. The edge list is iteration-
+  * invariant: persist it once, and pre-partition edges and ranks on the
+  * same key so the join exchange is reused each round. Results are
+  * localCheckpointed per iteration to keep the plan from growing
+  * exponentially.
+  */
+object Graph {
+
+  /** Integer PageRank over a directed edge list `(src, dst)`.
+    * Dangling-node mass is dropped (noted, identical in the oracle).
+    */
+  def pageRankInt(edges: DataFrame, iters: Int, scale: Long = 1000000L): DataFrame = {
+    val e = edges.select(col("src"), col("dst"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val outdeg = e.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
+    val vertices = e.select(col("src").as("v"))
+      .union(e.select(col("dst").as("v"))).distinct()
+      .localCheckpoint()
+    val base = (15L * scale) / 100L
+
+    var ranks = vertices.withColumn("rank", lit(scale))
+    for (_ <- 1 to iters) {
+      val contribs = e
+        .join(ranks, e("src") === ranks("v"))
+        .join(outdeg, "src")
+        .select(col("dst"), expr("rank DIV outdeg").as("c"))
+        .groupBy(col("dst"))
+        .agg(sum(col("c")).as("in_mass"))
+      ranks = vertices
+        .join(contribs, vertices("v") === contribs("dst"), "left")
+        .select(col("v"),
+          (lit(base) + expr("(85 * coalesce(in_mass, 0L)) DIV 100")).as("rank"))
+        .localCheckpoint()
+    }
+    e.unpersist()
+    ranks
+  }
+
+  /** Co-order part graph: directed edge for every ordered pair of distinct
+    * parts appearing in the same order (weightless; both directions
+    * present by construction).
+    */
+  def coOrderEdges(spark: SparkSession, dir: String): DataFrame = {
+    val li = table(spark, dir, "lineitem").select(col("l_orderkey"), col("l_partkey"))
+    li.toDF("ok", "src")
+      .join(li.toDF("ok", "dst"), Seq("ok"))
+      .filter(col("src") =!= col("dst"))
+      .select(col("src"), col("dst"))
+      .distinct()
+  }
+
+  /** Top-20 parts by 3-iteration integer PageRank over the co-order
+    * graph — "most central catalog items".
+    */
+  def qPageRank(spark: SparkSession, dir: String): DataFrame =
+    pageRankInt(coOrderEdges(spark, dir), iters = 3)
+      .select(col("v").as("part"), col("rank"))
+      .orderBy(col("rank").desc, col("part"))
+      .limit(20)
+
+  val qPageRankSql: String = {
+    def iteration(i: Int): String =
+      s"""r$i AS (
+         |  SELECT v.v, 150000 + (85 * coalesce(s.in_mass, 0)) // 100 AS rank
+         |  FROM verts v LEFT JOIN (
+         |    SELECT e.dst, sum(r.rank // o.outdeg) AS in_mass
+         |    FROM edges e
+         |    JOIN r${i - 1} r ON r.v = e.src
+         |    JOIN outdeg o ON o.src = e.src
+         |    GROUP BY e.dst) s ON s.dst = v.v
+         |)""".stripMargin
+    s"""WITH li AS (SELECT l_orderkey AS ok, l_partkey FROM lineitem),
+       |edges AS (
+       |  SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+       |  FROM li a JOIN li b ON a.ok = b.ok AND a.l_partkey <> b.l_partkey
+       |), outdeg AS (
+       |  SELECT src, count(*) AS outdeg FROM edges GROUP BY src
+       |), verts AS (
+       |  SELECT src AS v FROM edges UNION SELECT dst FROM edges
+       |), r0 AS (
+       |  SELECT v, CAST(1000000 AS BIGINT) AS rank FROM verts
+       |), ${(1 to 3).map(iteration).mkString(", ")}
+       |SELECT v AS part, CAST(rank AS BIGINT) AS rank FROM r3
+       |ORDER BY rank DESC, part LIMIT 20""".stripMargin
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    Map("q_pagerank" -> (qPageRank _))
+
+  def oracle: Map[String, String] = Map("q_pagerank" -> qPageRankSql)
+}
