@@ -135,11 +135,51 @@ object Checks {
       |GROUP BY bucket
       |ORDER BY bucket""".stripMargin
 
+  /** Contingency-table association profiling (lang × source over the
+    * document corpus): observed vs expected counts and the per-cell
+    * chi-square contribution. Expected counts and contributions are
+    * emitted PER CELL (rounded), never summed — a float sum across cells
+    * would be partition-order-dependent; the per-cell values are each one
+    * pinned-order division from exact integer marginals, deterministic in
+    * both engines. One aggregation + two broadcastable marginal joins.
+    */
+  def qContingency(spark: SparkSession, dir: String): DataFrame = {
+    val docs = table(spark, dir, "documents")
+    val cells = docs.groupBy(col("lang"), col("source")).agg(count(lit(1)).as("o"))
+    val rowT = docs.groupBy(col("lang")).agg(count(lit(1)).as("row_n"))
+    val colT = docs.groupBy(col("source")).agg(count(lit(1)).as("col_n"))
+    val total = docs.agg(count(lit(1)).cast(DoubleType).as("n")) // scalar-subquery shape
+    val e = (col("row_n") * col("col_n")).cast(DoubleType) / col("n")
+    cells
+      .join(broadcast(rowT), "lang")
+      .join(broadcast(colT), "source")
+      .crossJoin(broadcast(total))
+      .select(col("lang"), col("source"), col("o"),
+        round(e, 6).as("expected"),
+        round(pow(col("o").cast(DoubleType) - e, 2) / e, 6).as("chi2_term"))
+      .orderBy(col("lang"), col("source"))
+  }
+
+  val qContingencySql: String =
+    """WITH cells AS (
+      |  SELECT lang, source, count(*) AS o FROM documents GROUP BY 1, 2
+      |), rt AS (SELECT lang, count(*) AS row_n FROM documents GROUP BY 1),
+      |ct AS (SELECT source, count(*) AS col_n FROM documents GROUP BY 1),
+      |n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents)
+      |SELECT cells.lang, cells.source, cells.o,
+      |  round(CAST(row_n * col_n AS DOUBLE) / n.n, 6) AS expected,
+      |  round(pow(CAST(o AS DOUBLE) - CAST(row_n * col_n AS DOUBLE) / n.n, 2)
+      |        / (CAST(row_n * col_n AS DOUBLE) / n.n), 6) AS chi2_term
+      |FROM cells JOIN rt USING (lang) JOIN ct USING (source) CROSS JOIN n
+      |ORDER BY lang, source""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_checks_report" -> (qChecksReport _),
-    "q_histogram" -> (qHistogram _))
+    "q_histogram" -> (qHistogram _),
+    "q_contingency" -> (qContingency _))
 
   def oracle: Map[String, String] = Map(
     "q_checks_report" -> qChecksReportSql,
-    "q_histogram" -> qHistogramSql)
+    "q_histogram" -> qHistogramSql,
+    "q_contingency" -> qContingencySql)
 }

@@ -338,7 +338,59 @@ object TextAnalysis {
        |FROM documents
        |ORDER BY doc_id""".stripMargin
 
+  /** Collocation mining: adjacent-token bigrams ranked by LIFT
+    * `c_xy·N / (c_x·c_y)` — monotone-equivalent to PMI without the
+    * engine-divergent logarithm: numerator and denominator are exact
+    * integer products (< 2^53, exact in double) and the score is ONE
+    * IEEE division, deterministic in both engines. Min-count floor 5,
+    * top 30 by (lift desc, bigram). One explode + three aggregations;
+    * the unigram marginals broadcast.
+    */
+  def qCollocations(spark: SparkSession, dir: String): DataFrame = {
+    val docs = table(spark, dir, "documents")
+    val toks = docs.select(col("doc_id"), tokens(col("text")).as("t"))
+    val bigrams = toks
+      .select(explode(transform(sequence(lit(0), size(col("t")) - 2),
+        i => struct(element_at(col("t"), i + 1).as("w1"),
+          element_at(col("t"), i + 2).as("w2")))).as("b"))
+      .select(col("b.w1").as("w1"), col("b.w2").as("w2"))
+    val big = bigrams.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c_xy"))
+    val uni1 = bigrams.groupBy(col("w1")).agg(count(lit(1)).as("c_x"))
+    val uni2 = bigrams.groupBy(col("w2")).agg(count(lit(1)).as("c_y"))
+    val total = bigrams.agg(count(lit(1)).cast(DoubleType).as("n"))
+    big
+      .filter(col("c_xy") >= 5)
+      .join(broadcast(uni1), "w1")
+      .join(broadcast(uni2), "w2")
+      .crossJoin(broadcast(total))
+      .select(col("w1"), col("w2"), col("c_xy"),
+        round((col("c_xy").cast(DoubleType) * col("n"))
+          / (col("c_x") * col("c_y")).cast(DoubleType), 6).as("lift"))
+      .orderBy(col("lift").desc, col("w1"), col("w2"))
+      .limit(30)
+  }
+
+  val qCollocationsSql: String =
+    """WITH toks AS (
+      |  SELECT regexp_split_to_array(lower(text), '\s+') AS t FROM documents
+      |), bigrams AS (
+      |  SELECT u.w1, u.w2 FROM (
+      |    SELECT unnest(list_transform(range(len(t) - 1),
+      |      i -> {'w1': t[i + 1], 'w2': t[i + 2]})) AS u
+      |    FROM toks)
+      |), big AS (
+      |  SELECT w1, w2, count(*) AS c_xy FROM bigrams GROUP BY 1, 2
+      |), u1 AS (SELECT w1, count(*) AS c_x FROM bigrams GROUP BY 1),
+      |u2 AS (SELECT w2, count(*) AS c_y FROM bigrams GROUP BY 1),
+      |n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM bigrams)
+      |SELECT w1, w2, c_xy,
+      |  round(CAST(c_xy AS DOUBLE) * n.n / CAST(c_x * c_y AS DOUBLE), 6) AS lift
+      |FROM big JOIN u1 USING (w1) JOIN u2 USING (w2) CROSS JOIN n
+      |WHERE c_xy >= 5
+      |ORDER BY lift DESC, w1, w2 LIMIT 30""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_collocations" -> (qCollocations _),
     "q_text_repetition" -> (qTextRepetition _),
     "q_text_scrub" -> (qTextScrub _),
     "q_text_bpe_tokens" -> (qTextBpeTokens _),
@@ -351,6 +403,7 @@ object TextAnalysis {
   )
 
   def oracle: Map[String, String] = Map(
+    "q_collocations" -> qCollocationsSql,
     "q_text_repetition" -> qTextRepetitionSql,
     "q_text_scrub" -> qTextScrubSql,
     "q_text_bpe_tokens" -> qTextBpeTokensSql,
