@@ -213,7 +213,38 @@ object Events {
       |GROUP BY user_id
       |ORDER BY user_id""".stripMargin
 
+  /** Cohort retention: users grouped by first-activity week, counted
+    * distinct per (cohort week, activity week) — the classic retention
+    * matrix, all exact integer counts. Two aggregations + one broadcast
+    * join (the per-user cohort relation is |users|-sized).
+    */
+  def qEventsRetention(spark: SparkSession, dir: String): DataFrame = {
+    val ev = events(spark, dir)
+      .select(col("user_id"), date_trunc("week", col("ts")).as("wk"))
+    val cohort = ev.groupBy(col("user_id")).agg(min(col("wk")).as("cohort_wk"))
+    ev.join(broadcast(cohort), "user_id")
+      .groupBy(col("cohort_wk"), col("wk"))
+      .agg(countDistinct(col("user_id")).as("active_users"))
+      .select(fmt(col("cohort_wk")).as("cohort_week"), fmt(col("wk")).as("activity_week"),
+        col("active_users"))
+      .orderBy(col("cohort_week"), col("activity_week"))
+  }
+
+  val qEventsRetentionSql: String =
+    """WITH e AS (
+      |  SELECT user_id, date_trunc('week', date_trunc('microseconds', ts)) AS wk FROM events
+      |), c AS (
+      |  SELECT user_id, min(wk) AS cohort_wk FROM e GROUP BY 1
+      |)
+      |SELECT strftime(cohort_wk, '%Y-%m-%d %H:%M:%S') AS cohort_week,
+      |  strftime(wk, '%Y-%m-%d %H:%M:%S') AS activity_week,
+      |  count(DISTINCT user_id) AS active_users
+      |FROM e JOIN c USING (user_id)
+      |GROUP BY 1, 2
+      |ORDER BY cohort_week, activity_week""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_events_retention" -> (qEventsRetention _),
     "q_events_hourly" -> (qEventsHourly _),
     "q_events_sliding" -> (qEventsSliding _),
     "q_events_sessions" -> (qEventsSessions _),
@@ -223,6 +254,7 @@ object Events {
   )
 
   def oracle: Map[String, String] = Map(
+    "q_events_retention" -> qEventsRetentionSql,
     "q_events_hourly" -> qEventsHourlySql,
     "q_events_sliding" -> qEventsSlidingSql,
     "q_events_sessions" -> qEventsSessionsSql,

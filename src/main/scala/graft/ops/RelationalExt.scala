@@ -379,7 +379,75 @@ object RelationalExt {
       |    SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderdate >= TIMESTAMP '2000-06-01')
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** Gini concentration of order value: ranks via one range-partitioned
+    * sort (row_number over a global order — the one-reducer window is on
+    * the SORTED RANK assignment only; at 100 TB use zipWithIndex-style
+    * range partitioning), sums in exact decimal so the coefficient is one
+    * deterministic division from order-independent numerators.
+    * `G = (2·Σ i·x_i − (n+1)·Σ x_i) / (n·Σ x_i)` with x sorted ascending.
+    */
+  def qGini(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ord = table(spark, dir, "orders")
+    val w = Window.orderBy(col("o_totalprice"), col("o_orderkey"))
+    val ranked = ord.select(dec(col("o_totalprice")).as("x"),
+      row_number().over(w).cast(LongType).as("i"))
+    ranked
+      .agg(sum(col("x") * col("i")).as("ixsum"), sum(col("x")).as("xsum"),
+        count(lit(1)).as("n"))
+      .select(round(
+        (lit(2).cast(DecimalType(38, 2)) * col("ixsum")
+          - (col("n") + 1).cast(DecimalType(38, 2)) * col("xsum")).cast(DoubleType)
+          / (col("n").cast(DecimalType(38, 2)) * col("xsum")).cast(DoubleType), 6)
+        .as("gini"))
+  }
+
+  val qGiniSql: String =
+    """WITH r AS (
+      |  SELECT CAST(o_totalprice AS DECIMAL(18,2)) AS x,
+      |    CAST(row_number() OVER (ORDER BY o_totalprice, o_orderkey) AS BIGINT) AS i
+      |  FROM orders
+      |)
+      |SELECT round(
+      |  CAST(2 * sum(x * i) - (count(*) + 1) * sum(x) AS DOUBLE)
+      |    / CAST(count(*) * sum(x) AS DOUBLE), 6) AS gini
+      |FROM r""".stripMargin
+
+  /** Month-over-month revenue growth: lag window over the monthly
+    * aggregate (already one row per month — the window runs on a tiny
+    * relation), growth as one deterministic division, rounded.
+    */
+  def qMomGrowth(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ord = table(spark, dir, "orders")
+    val monthly = ord
+      .groupBy(trunc(to_date(col("o_orderdate")), "month").as("month"))
+      .agg(dsum(col("o_totalprice")).as("revenue"))
+    val w = Window.orderBy(col("month"))
+    monthly
+      .select(col("month"), col("revenue"),
+        lag(col("revenue"), 1).over(w).as("prev"))
+      .filter(col("prev").isNotNull)
+      .select(col("month"), col("revenue"),
+        round((col("revenue") - col("prev")) / col("prev"), 6).as("growth"))
+      .orderBy(col("month"))
+  }
+
+  val qMomGrowthSql: String =
+    """WITH m AS (
+      |  SELECT date_trunc('month', CAST(o_orderdate AS DATE)) AS month,
+      |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+      |  FROM orders GROUP BY 1
+      |), l AS (
+      |  SELECT month, revenue, lag(revenue, 1) OVER (ORDER BY month) AS prev FROM m
+      |)
+      |SELECT month, revenue, round((revenue - prev) / prev, 6) AS growth
+      |FROM l WHERE prev IS NOT NULL
+      |ORDER BY month""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_gini" -> (qGini _),
+    "q_mom_growth" -> (qMomGrowth _),
     "q02_min_cost_supplier" -> (q02MinCostSupplier _),
     "q08_market_share" -> (q08MarketShare _),
     "q09_product_profit" -> (q09ProductProfit _),
@@ -394,6 +462,8 @@ object RelationalExt {
     "q22_idle_customers" -> (q22IdleCustomers _))
 
   def oracle: Map[String, String] = Map(
+    "q_gini" -> qGiniSql,
+    "q_mom_growth" -> qMomGrowthSql,
     "q02_min_cost_supplier" -> q02Sql,
     "q08_market_share" -> q08Sql,
     "q09_product_profit" -> q09Sql,
