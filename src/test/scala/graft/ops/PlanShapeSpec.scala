@@ -117,6 +117,23 @@ class PlanShapeSpec extends SparkFunSuite {
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
   }
 
+  test("q_events_funnel: both window passes share one user_id shuffle") {
+    val p = plan(Events.qEventsFunnel(spark, sf))
+    // two Window nodes, but only one hashpartitioning exchange on user_id
+    // feeds them (plus the final presentation sorts) — no per-step joins
+    assert(nodes(p, "Window") === 2, p)
+    assert(!p.contains("Join"), p)
+    val userExchanges = p.linesIterator
+      .count(l => l.contains("hashpartitioning(user_id"))
+    assert(userExchanges <= 1, s"expected a single user_id exchange\n$p")
+  }
+
+  test("q_events_retention: the per-user cohort relation joins as a broadcast") {
+    val p = plan(Events.qEventsRetention(spark, sf))
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
   test("hub transform read->cast->constants plan is shuffle-free") {
     import org.apache.spark.sql.functions.lit
     import org.apache.spark.sql.types._
