@@ -379,19 +379,19 @@ object RelationalExt {
       |    SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderdate >= TIMESTAMP '2000-06-01')
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
-  /** Gini concentration of order value: ranks via one range-partitioned
-    * sort (row_number over a global order — the one-reducer window is on
-    * the SORTED RANK assignment only; at 100 TB use zipWithIndex-style
-    * range partitioning), sums in exact decimal so the coefficient is one
-    * deterministic division from order-independent numerators.
+  /** Gini concentration of order value. Ranks come from
+    * [[Rank.globalRank]] — range-partitioned distributed ranking, NOT the
+    * single-reducer `row_number() OVER (ORDER BY ...)` window — and the
+    * sums are exact decimal, so the coefficient is one deterministic
+    * division from order-independent numerators.
     * `G = (2·Σ i·x_i − (n+1)·Σ x_i) / (n·Σ x_i)` with x sorted ascending.
     */
   def qGini(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val ord = table(spark, dir, "orders")
-    val w = Window.orderBy(col("o_totalprice"), col("o_orderkey"))
-    val ranked = ord.select(dec(col("o_totalprice")).as("x"),
-      row_number().over(w).cast(LongType).as("i"))
+      .select(col("o_totalprice"), col("o_orderkey"))
+    val ranked = Rank
+      .globalRank(ord, Seq(col("o_totalprice"), col("o_orderkey")), numParts = 8, rankName = "i")
+      .select(dec(col("o_totalprice")).as("x"), col("i"))
     ranked
       .agg(sum(col("x") * col("i")).as("ixsum"), sum(col("x")).as("xsum"),
         count(lit(1)).as("n"))
