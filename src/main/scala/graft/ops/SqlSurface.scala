@@ -219,7 +219,78 @@ object SqlSurface {
       |WHERE o_orderkey % 100 = 0
       |ORDER BY o_orderkey""".stripMargin
 
+  /** RANGE-frame rolling aggregate: 7-day trailing revenue over the daily
+    * series — the frame is VALUE-based (`rangeBetween` on epoch days), so
+    * gaps in the calendar shrink the window, unlike a 7-ROW frame. Exact
+    * decimal sums; one partitioned-window pass over the (tiny) daily
+    * aggregate.
+    */
+  def qRollingRange(spark: SparkSession, dir: String): DataFrame = {
+    val ord = table(spark, dir, "orders")
+    val daily = ord
+      .groupBy(to_date(col("o_orderdate")).as("day"), col("o_orderpriority"))
+      .agg(sum(dec(col("o_totalprice"))).as("rev"))
+    val w = Window.partitionBy(col("o_orderpriority"))
+      .orderBy(datediff(col("day"), lit("1970-01-01")))
+      .rangeBetween(-6, Window.currentRow)
+    daily
+      .select(col("o_orderpriority"), col("day"),
+        col("rev").cast(DoubleType).as("day_rev"),
+        sum(col("rev")).over(w).cast(DoubleType).as("rolling_7d"))
+      .orderBy(col("o_orderpriority"), col("day"))
+  }
+
+  val qRollingRangeSql: String =
+    """WITH daily AS (
+      |  SELECT CAST(o_orderdate AS DATE) AS day, o_orderpriority,
+      |    sum(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+      |  FROM orders GROUP BY 1, 2
+      |)
+      |SELECT o_orderpriority, day,
+      |  CAST(rev AS DOUBLE) AS day_rev,
+      |  CAST(sum(rev) OVER (PARTITION BY o_orderpriority ORDER BY day
+      |    RANGE BETWEEN INTERVAL 6 DAYS PRECEDING AND CURRENT ROW) AS DOUBLE) AS rolling_7d
+      |FROM daily
+      |ORDER BY o_orderpriority, day""".stripMargin
+
+  /** Full outer join surface with BOTH unmatched sides genuinely populated:
+    * machinery-segment customers vs urgent-order counts. Customers in the
+    * segment with no urgent orders dangle left; urgent-order customers
+    * outside the segment dangle right (the synthetic data gives every
+    * customer at least one order, so the unfiltered join would never
+    * exercise the outer semantics). Coalesced key, sentinel name,
+    * deterministic order.
+    */
+  def qFullOuter(spark: SparkSession, dir: String): DataFrame = {
+    val cust = table(spark, dir, "customer")
+      .filter(col("c_mktsegment") === "MACHINERY")
+      .select(col("c_custkey"), col("c_name"))
+    val byCust = table(spark, dir, "orders")
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .groupBy(col("o_custkey")).agg(count(lit(1)).as("n_orders"))
+    cust.join(byCust, col("c_custkey") === col("o_custkey"), "full_outer")
+      .select(
+        coalesce(col("c_custkey"), col("o_custkey")).as("custkey"),
+        coalesce(col("c_name"), lit("<no-customer>")).as("name"),
+        coalesce(col("n_orders"), lit(0L)).as("n_orders"))
+      .orderBy(col("custkey"))
+  }
+
+  val qFullOuterSql: String =
+    """SELECT coalesce(c.c_custkey, o.o_custkey) AS custkey,
+      |  coalesce(c.c_name, '<no-customer>') AS name,
+      |  coalesce(o.n_orders, 0) AS n_orders
+      |FROM (SELECT c_custkey, c_name FROM customer
+      |      WHERE c_mktsegment = 'MACHINERY') c
+      |FULL OUTER JOIN (
+      |  SELECT o_custkey, count(*) AS n_orders FROM orders
+      |  WHERE o_orderpriority = '1-URGENT' GROUP BY 1) o
+      |ON c.c_custkey = o.o_custkey
+      |ORDER BY custkey""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_rolling_range" -> (qRollingRange _),
+    "q_full_outer" -> (qFullOuter _),
     "q_window_ntile" -> (qWindowNtile _),
     "q_window_dist" -> (qWindowDist _),
     "q_grouping_sets" -> (qGroupingSets _),
@@ -228,6 +299,8 @@ object SqlSurface {
     "q_date_funcs" -> (qDateFuncs _))
 
   def oracle: Map[String, String] = Map(
+    "q_rolling_range" -> qRollingRangeSql,
+    "q_full_outer" -> qFullOuterSql,
     "q_window_ntile" -> qWindowNtileSql,
     "q_window_dist" -> qWindowDistSql,
     "q_grouping_sets" -> qGroupingSetsSql,

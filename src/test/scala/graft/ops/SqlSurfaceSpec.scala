@@ -57,6 +57,41 @@ class SqlSurfaceSpec extends SparkFunSuite {
     assert(r.getInt(1) === 52) // ISO week of previous year
   }
 
+  test("rolling RANGE frame is value-based: calendar gaps shrink the window") {
+    val rows = SqlSurface.qRollingRange(spark, sf).collect()
+    // replay the frame definition directly: for every output row, rolling_7d
+    // must equal the sum of day_rev over rows of the same priority whose day
+    // falls within [day-6, day] — a ROWS-based frame would disagree wherever
+    // the daily series has a gap.
+    val byPrio = rows.groupBy(_.getString(0))
+    var gapChecked = false
+    byPrio.foreach { case (_, rs) =>
+      val series = rs.map(r => (r.getDate(1).toLocalDate, r.getDouble(2), r.getDouble(3)))
+      series.foreach { case (day, _, roll) =>
+        val expect = series.collect {
+          case (d, rev, _) if !d.isAfter(day) && !d.isBefore(day.minusDays(6)) => rev
+        }.sum
+        assert(math.abs(roll - expect) < 1e-6, s"$day: $roll vs $expect")
+      }
+      val sorted = series.map(_._1).sorted.toSeq
+      gapChecked ||= sorted.lazyZip(sorted.drop(1)).exists((a, b) => a.plusDays(1) != b)
+    }
+    assert(gapChecked, "fixture has no calendar gap — the RANGE/ROWS distinction is untested")
+  }
+
+  test("full outer join populates BOTH unmatched sides") {
+    val rows = SqlSurface.qFullOuter(spark, sf).collect()
+    // left-dangling: machinery customers with no urgent orders
+    assert(rows.exists(r => r.getString(1) != "<no-customer>" && r.getLong(2) == 0L),
+      "expected a segment customer with no urgent orders")
+    // right-dangling: urgent-order customers outside the segment
+    assert(rows.exists(r => r.getString(1) == "<no-customer>" && r.getLong(2) > 0L),
+      "expected an urgent-order customer outside the segment")
+    // coalesced key is never null and strictly increasing (deterministic order)
+    assert(rows.forall(!_.isNullAt(0)))
+    assert(rows.map(_.getLong(0)).toSeq == rows.map(_.getLong(0)).toSeq.sorted)
+  }
+
   test("array funcs agree with direct computation on a known row") {
     import spark.implicits._
     val df = Seq((1L, "The data the DATA x")).toDF("doc_id", "text")
