@@ -1,7 +1,7 @@
 package graft.hub
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{broadcast, col, count, input_file_name, lit, regexp_replace, sum, when}
+import org.apache.spark.sql.functions.{broadcast, coalesce, col, count, input_file_name, lit, regexp_replace, sum, when}
 import org.apache.spark.sql.types.StructType
 
 import PathParser.UserWarning
@@ -96,9 +96,11 @@ final class ModelOutputHandler(
     val observed =
       if (df.columns.contains("output_type_id"))
         df.observe(obs, count(lit(1)).as("rows_written"),
-          sum(when(col("output_type_id").isNull, 1L).otherwise(0L)).as("null_output_type_ids"))
+          coalesce(sum(when(col("output_type_id").isNull, 1L).otherwise(0L)), lit(0L))
+            .as("null_output_type_ids"))
       else
-        df.observe(obs, count(lit(1)).as("rows_written"), sum(lit(0L)).as("null_output_type_ids"))
+        df.observe(obs, count(lit(1)).as("rows_written"),
+          coalesce(sum(lit(0L)), lit(0L)).as("null_output_type_ids"))
     val out = writeParquet(observed)
     lastWriteMetrics = Some(obs.get)
     out
@@ -329,12 +331,34 @@ object HubTransform {
       } finally in.close()
     }
 
-    val csvGroups = selected.filter(_._2 == ".csv")
-      .groupBy { case (f, _, _) => headerOf(f) }
-      .values.toSeq.sortBy(_.head._1)
-    val parquetGroups = selected.filter(s => s._2 == ".parquet" || s._2 == ".pqt")
-      .groupBy { case (f, _, _) => spark.read.parquet(f).schema }
-      .values.toSeq.sortBy(_.head._1)
+    // grouping key = the file's parquet schema, read DIRECTLY from the
+    // footer (ParquetFileReader) — `spark.read.parquet(f).schema` would
+    // open a full datasource per file, a driver-side O(files) planning
+    // cost at thousand-file hubs. The raw MessageType string is enough to
+    // group by; no Spark schema conversion is needed here.
+    def footerSchemaKey(path: String): String = {
+      val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+        new org.apache.hadoop.fs.Path(path), conf)
+      val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+      try r.getFooter.getFileMetaData.getSchema.toString finally r.close()
+    }
+
+    // header/footer sniffs are independent metadata reads — run them in a
+    // bounded pool instead of sequentially on the listing thread
+    val (csvGroups, parquetGroups) = {
+      import scala.concurrent.{Await, ExecutionContext, Future}
+      import scala.concurrent.duration.Duration
+      implicit val ec: ExecutionContext = ExecutionContext.global
+      val csvKeyed = Future.traverse(selected.filter(_._2 == ".csv"))(t =>
+        Future(headerOf(t._1) -> t))
+      val pqKeyed = Future.traverse(
+        selected.filter(s => s._2 == ".parquet" || s._2 == ".pqt"))(t =>
+        Future(footerSchemaKey(t._1) -> t))
+      def grouped(keyed: Seq[(String, (String, String, PathParser.FileParts))]) =
+        keyed.groupBy(_._1).values.map(_.map(_._2)).toSeq.sortBy(_.head._1)
+      (grouped(Await.result(csvKeyed, Duration.Inf)),
+        grouped(Await.result(pqKeyed, Duration.Inf)))
+    }
 
     val parts =
       csvGroups.map(g =>

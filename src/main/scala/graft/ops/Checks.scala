@@ -25,8 +25,9 @@ object Checks {
     * preserved via the check name.
     */
   def report(df: DataFrame, checks: Seq[RowCheck]): DataFrame = {
+    require(checks.nonEmpty, "report() needs at least one RowCheck")
     val aggs = checks.map(c =>
-      sum(when(c.violation, 1L).otherwise(0L)).as(c.name))
+      coalesce(sum(when(c.violation, 1L).otherwise(0L)), lit(0L)).as(c.name))
     val one = df.agg(aggs.head, aggs.tail: _*)
     val stacked = checks.map(c =>
       struct(lit(c.name).as("check"), col(c.name).as("violations")))
@@ -38,11 +39,20 @@ object Checks {
 
   /** Uniqueness as a row check is impossible (it is not row-local); this
     * one-aggregation variant reports duplicate-key row counts.
+    *
+    * Counted over rows whose key columns are all non-null: Spark's
+    * `count_distinct` drops any tuple containing a null, so subtracting it
+    * from a raw `count(*)` would report every null-keyed row as a
+    * duplicate. Null-keyed rows are a different defect — pair this with a
+    * `RowCheck(_.isNull)` per key column when nullable keys are possible.
     */
-  def duplicateKeys(df: DataFrame, keys: Seq[Column], name: String): DataFrame =
-    df.agg((count(lit(1)) - count_distinct(keys.head, keys.tail: _*)).as(name))
+  def duplicateKeys(df: DataFrame, keys: Seq[Column], name: String): DataFrame = {
+    val allNonNull = keys.map(_.isNotNull).reduce(_ && _)
+    df.agg((coalesce(sum(when(allNonNull, 1L).otherwise(0L)), lit(0L))
+        - count_distinct(keys.head, keys.tail: _*)).as(name))
       .select(lit(name).as("check"), col(name).as("violations"),
         (col(name) === 0L).as("pass"))
+  }
 
   /** Referential integrity: rows of `child` whose `childKey` has no match
     * in `parent.parentKey` (anti-join count — broadcast when the parent
@@ -86,7 +96,9 @@ object Checks {
       |    sum(CASE WHEN l_discount < 0 OR l_discount > 0.1 THEN 1 ELSE 0 END) AS discount_in_0_to_0p1,
       |    sum(CASE WHEN l_extendedprice <= 0 THEN 1 ELSE 0 END) AS price_positive,
       |    sum(CASE WHEN l_tax < 0 OR l_tax > 0.08 THEN 1 ELSE 0 END) AS tax_in_0_to_0p08,
-      |    count(*) - count(DISTINCT (l_orderkey, l_linenumber)) AS lineitem_pk_unique
+      |    sum(CASE WHEN l_orderkey IS NOT NULL AND l_linenumber IS NOT NULL THEN 1 ELSE 0 END)
+      |      - count(DISTINCT (l_orderkey, l_linenumber))
+      |          FILTER (l_orderkey IS NOT NULL AND l_linenumber IS NOT NULL) AS lineitem_pk_unique
       |  FROM lineitem
       |), fk AS (
       |  SELECT count(*) AS orderkey_fk

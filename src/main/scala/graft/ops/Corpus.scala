@@ -121,7 +121,7 @@ object Corpus {
        |  FROM d
        |)
        |SELECT shard, CAST(floor(start_tok / $PackBudget) AS BIGINT) AS chunk_id,
-       |  count(*) AS n_docs, sum(n_tokens) AS n_tokens
+       |  count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS n_tokens
        |FROM c
        |GROUP BY 1, 2
        |ORDER BY 1, 2""".stripMargin
@@ -199,7 +199,7 @@ object Corpus {
       .orderBy(col("lang"))
 
   val qSampleStratifiedSql: String =
-    """SELECT lang, count(*) AS n_docs, sum(n_chars) AS sum_chars
+    """SELECT lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars
       |FROM documents
       |WHERE CAST(concat('0x', substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
       |    % 1000

@@ -215,14 +215,18 @@ object Events {
 
   /** Cohort retention: users grouped by first-activity week, counted
     * distinct per (cohort week, activity week) — the classic retention
-    * matrix, all exact integer counts. Two aggregations + one broadcast
-    * join (the per-user cohort relation is |users|-sized).
+    * matrix, all exact integer counts. Two aggregations + one join on
+    * user_id. The cohort relation is one row PER USER over the whole
+    * events table — at billions of users it exceeds any broadcast
+    * threshold, so the join strategy is left to AQE: it broadcasts at
+    * test scale (where the relation is dim-sized) and falls back to a
+    * shuffle join at scale instead of failing on a forced hint.
     */
   def qEventsRetention(spark: SparkSession, dir: String): DataFrame = {
     val ev = events(spark, dir)
       .select(col("user_id"), date_trunc("week", col("ts")).as("wk"))
     val cohort = ev.groupBy(col("user_id")).agg(min(col("wk")).as("cohort_wk"))
-    ev.join(broadcast(cohort), "user_id")
+    ev.join(cohort, "user_id")
       .groupBy(col("cohort_wk"), col("wk"))
       .agg(countDistinct(col("user_id")).as("active_users"))
       .select(fmt(col("cohort_wk")).as("cohort_week"), fmt(col("wk")).as("activity_week"),

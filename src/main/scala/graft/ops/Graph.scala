@@ -29,21 +29,36 @@ object Graph {
 
   /** Integer PageRank over a directed edge list `(src, dst)`.
     * Dangling-node mass is dropped (noted, identical in the oracle).
+    *
+    * `outdeg` is iteration-invariant, so it is fused into the edge relation
+    * ONCE up front — each round is a single `edges ⨝ ranks` join (not
+    * `edges ⨝ ranks ⨝ outdeg`) plus the one unavoidable shuffle of the
+    * aggregation on dst. Both iteration-invariant relations are
+    * hash-partitioned on their join key before checkpointing so the
+    * per-round joins find both sides already distributed on the key and
+    * add no exchange of their own.
     */
   def pageRankInt(edges: DataFrame, iters: Int, scale: Long = 1000000L): DataFrame = {
+    val parts = edges.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
     val e = edges.select(col("src"), col("dst"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val outdeg = e.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
+    // eager localCheckpoint: materializes (and caches) e, truncates lineage,
+    // and preserves the hash partitioning on src for every later join
+    val eo = e.join(outdeg, "src")
+      .repartition(parts, col("src"))
+      .localCheckpoint()
     val vertices = e.select(col("src").as("v"))
       .union(e.select(col("dst").as("v"))).distinct()
+      .repartition(parts, col("v"))
       .localCheckpoint()
+    e.unpersist()
     val base = (15L * scale) / 100L
 
     var ranks = vertices.withColumn("rank", lit(scale))
     for (_ <- 1 to iters) {
-      val contribs = e
-        .join(ranks, e("src") === ranks("v"))
-        .join(outdeg, "src")
+      val contribs = eo
+        .join(ranks, eo("src") === ranks("v"))
         .select(col("dst"), expr("rank DIV outdeg").as("c"))
         .groupBy(col("dst"))
         .agg(sum(col("c")).as("in_mass"))
@@ -53,7 +68,6 @@ object Graph {
           (lit(base) + expr("(85 * coalesce(in_mass, 0L)) DIV 100")).as("rank"))
         .localCheckpoint()
     }
-    e.unpersist()
     ranks
   }
 

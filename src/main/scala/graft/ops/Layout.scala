@@ -28,6 +28,7 @@ object Layout {
     * than corrupting the interleave.
     */
   def quantize(c: Column, lo: Double, hi: Double, bits: Int): Column = {
+    require(hi > lo, s"quantize bounds must satisfy hi > lo, got [$lo, $hi]")
     val cells = (1L << bits).toDouble
     val scaled = (c.cast(DoubleType) - lit(lo)) / lit(hi - lo) * lit(cells)
     least(greatest(floor(scaled).cast(LongType), lit(0L)), lit((1L << bits) - 1))

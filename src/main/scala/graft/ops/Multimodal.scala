@@ -156,15 +156,77 @@ object Multimodal {
       |GROUP BY 1, 2
       |ORDER BY 1, 2""".stripMargin
 
+  /** Image-modality rows carrying REAL container headers: even doc_id gets
+    * a PNG signature + IHDR chunk, odd doc_id a JPEG SOI + APP0(JFIF) + a
+    * VARIABLE-length COM segment + SOF0 — so a correct JPEG parse must
+    * walk the segment stream, not peek a fixed offset. Width/height are
+    * pure functions of doc_id; the document text rides behind the header
+    * as payload. Headers are assembled as hex strings (codegen concat +
+    * unhex), dims big-endian via `lpad(hex(...))`.
+    */
+  def imageTable(spark: SparkSession, dir: String): DataFrame = {
+    val w = (col("doc_id") % 509 + 16).cast("long")
+    val h = ((col("doc_id") * 3) % 479 + 16).cast("long")
+    val comLen = (col("doc_id") % 7 + 1).cast("int")
+    val pngHex = concat(
+      lit("89504E470D0A1A0A"), // signature
+      lit("0000000D49484452"), // IHDR length 13 + tag
+      lpad(hex(w), 8, "0"), lpad(hex(h), 8, "0"),
+      lit("0806000000"), // bit depth 8, RGBA, deflate, adaptive, no interlace
+      lit("00000000")) // CRC not validated by header parsing
+    val jpegHex = concat(
+      lit("FFD8"), // SOI
+      lit("FFE000104A46494600010100000100010000"), // APP0 JFIF, len 16
+      lit("FFFE"), lpad(hex(comLen + 2), 4, "0"),
+      lit("41414141414141").substr(lit(1), comLen * 2), // COM body, 1–7 bytes
+      lit("FFC0001108"), lpad(hex(h), 4, "0"), lpad(hex(w), 4, "0"), // SOF0
+      lit("03011100021101031101")) // 3 components
+    table(spark, dir, "documents")
+      .filter(col("doc_id") % 3 === 0)
+      .select(col("doc_id"),
+        unhex(concat(
+          when(col("doc_id") % 2 === 0, pngHex).otherwise(jpegHex),
+          hex(encode(col("text"), "UTF-8")))).as("content"))
+  }
+
+  /** Real header decode — the un-stubbed metadata path: sniff the
+    * container from magic bytes AND parse width×height out of the PNG
+    * IHDR / JPEG SOF0 with the codegen [[graft.functions.ImageDims]]
+    * expression. The oracle derives container and dims INDEPENDENTLY from
+    * the doc_id arithmetic (no byte inspection), so a hash match proves
+    * the byte-level parse of every row. One narrow projection, no
+    * shuffle before the sort.
+    */
+  def qMultimodalDims(spark: SparkSession, dir: String): DataFrame = {
+    val packed = graft.functions.ImageDims(col("content"))
+    imageTable(spark, dir)
+      .select(col("doc_id"),
+        sniffContainer(col("content")).as("container"),
+        shiftrightunsigned(packed, 32).as("width"),
+        packed.bitwiseAND(lit(0xFFFFFFFFL)).as("height"))
+      .orderBy(col("doc_id"))
+  }
+
+  val qMultimodalDimsSql: String =
+    """SELECT doc_id,
+      |  CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'jpeg' END AS container,
+      |  CAST(doc_id % 509 + 16 AS BIGINT) AS width,
+      |  CAST((doc_id * 3) % 479 + 16 AS BIGINT) AS height
+      |FROM documents
+      |WHERE doc_id % 3 = 0
+      |ORDER BY doc_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_multimodal_features" -> (qMultimodalFeatures _),
     "q_multimodal_roundtrip" -> (qMultimodalRoundtrip _),
     "q_multimodal_sniff" -> (qMultimodalSniff _),
+    "q_multimodal_dims" -> (qMultimodalDims _),
   )
 
   def oracle: Map[String, String] = Map(
     "q_multimodal_features" -> qMultimodalFeaturesSql,
     "q_multimodal_roundtrip" -> qMultimodalRoundtripSql,
     "q_multimodal_sniff" -> qMultimodalSniffSql,
+    "q_multimodal_dims" -> qMultimodalDimsSql,
   )
 }

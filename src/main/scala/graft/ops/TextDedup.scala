@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DoubleType
 
@@ -127,17 +128,62 @@ object TextDedup {
       .select(col("id"), col("e.band").as("band"), col("e.bv").as("bv"))
   }
 
+  /** Default collision-bucket cap for [[minhashLshPairs]] / [[simhashPairs]]:
+    * above this many members a bucket's candidates go linear (chain) instead
+    * of quadratic (all-pairs). 2^12 is far above any honest near-dup bucket
+    * (it would mean 4k+ near-identical documents colliding) while bounding
+    * the k² blowup of a degenerate one (botched crawl, boilerplate flood) to
+    * `cap·k` total work.
+    */
+  val DefaultBucketCap = 1 << 12
+
+  /** All-pairs candidates within buckets of ≤ `cap` members, plus a sorted
+    * consecutive-id CHAIN within each oversized bucket. The chain keeps the
+    * bucket CONNECTED — which is what the downstream connected-components
+    * survivor pass consumes — with k−1 pairs instead of k(k−1)/2, and every
+    * emitted pair still goes through exact verification. Recall trade-off
+    * (documented in SCALE.md): non-adjacent near-dup pairs inside an
+    * oversized bucket are only reported if some band/block pairs them, but
+    * a bucket that hot is overwhelmingly one duplicate cluster, where the
+    * chain verifies end-to-end and the component is identical.
+    *
+    * `keyCols` are the bucket key; `payload` columns ride along (e.g. the
+    * simhash signature needed for Hamming verification).
+    */
+  private def cappedBucketCandidates(
+      banded: DataFrame, keyCols: Seq[String], cap: Int,
+      payload: Seq[String] = Nil): DataFrame = {
+    val key = keyCols.map(col)
+    val sized = banded.withColumn("bsz",
+      count(lit(1)).over(Window.partitionBy(key: _*)))
+    val small = sized.filter(col("bsz") <= cap).drop("bsz")
+    val aCols = Seq(col("id").as("id_a")) ++ payload.map(c => col(c).as(s"${c}_a"))
+    val bCols = Seq(col("id").as("id_b")) ++ payload.map(c => col(c).as(s"${c}_b"))
+    val allPairs = small.select(key ++ aCols: _*)
+      .join(small.select(key ++ bCols: _*), keyCols)
+      .filter(col("id_a") < col("id_b"))
+    val w = Window.partitionBy(key: _*).orderBy(col("id"))
+    val chained = sized.filter(col("bsz") > cap)
+      .select(key ++
+        (Seq(lag(col("id"), 1).over(w).as("id_a")) ++
+          payload.map(c => lag(col(c), 1).over(w).as(s"${c}_a")) ++
+          bCols): _*)
+      .filter(col("id_a").isNotNull)
+    val out = Seq(col("id_a"), col("id_b")) ++
+      payload.flatMap(c => Seq(col(s"${c}_a"), col(s"${c}_b")))
+    allPairs.select(out: _*).union(chained.select(out: _*))
+  }
+
   def minhashLshPairs(
       docs: DataFrame, id: Column, text: Column,
-      cfg: MinHashConfig = MinHashConfig(), threshold: Double = 0.8): DataFrame = {
+      cfg: MinHashConfig = MinHashConfig(), threshold: Double = 0.8,
+      bucketCap: Int = DefaultBucketCap): DataFrame = {
     val sh = shingles(docs, id, text, cfg.shingleK)
     val banded = bandedSignatures(sh, cfg)
 
-    val candidates = banded.toDF("id_a", "band", "bv")
-      .join(banded.toDF("id_b", "band", "bv"), Seq("band", "bv"))
-      .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"))
-      .distinct()
+    val candidates =
+      cappedBucketCandidates(banded, Seq("band", "bv"), bucketCap)
+        .distinct()
 
     val commons = candidates
       .join(sh.toDF("id_a", "s"), Seq("id_a"))
@@ -385,11 +431,12 @@ object TextDedup {
     *
     * Scale: candidates are `Σ_blocks Σ_buckets |bucket|²` — block width
     * should grow with corpus size (≈ log2 n bits) to keep buckets small;
-    * at 100 TB widen blocks / add a second-level split rather than
-    * brute-forcing buckets.
+    * `bucketCap` bounds the degenerate hot bucket to a linear chain (see
+    * [[cappedBucketCandidates]]).
     */
   def simhashPairs(
-      docs: DataFrame, id: Column, text: Column, maxHamming: Int = 6): DataFrame = {
+      docs: DataFrame, id: Column, text: Column, maxHamming: Int = 6,
+      bucketCap: Int = DefaultBucketCap): DataFrame = {
     require(maxHamming <= SimhashBlockOffsets.length - 1,
       s"block candidate generation is complete only for maxHamming <= ${SimhashBlockOffsets.length - 1}")
     val toks = docs
@@ -410,9 +457,7 @@ object TextDedup {
       .select(col("id"), col("sim"), explode(array(blocks: _*)).as("e"))
       .select(col("id"), col("sim"), col("e.blk").as("blk"), col("e.bv").as("bv"))
 
-    banded.toDF("id_a", "sim_a", "blk", "bv")
-      .join(banded.toDF("id_b", "sim_b", "blk", "bv"), Seq("blk", "bv"))
-      .filter(col("id_a") < col("id_b"))
+    cappedBucketCandidates(banded, Seq("blk", "bv"), bucketCap, payload = Seq("sim"))
       .select(col("id_a"), col("id_b"),
         bit_count(col("sim_a").bitwiseXOR(col("sim_b"))).as("hamming"))
       .distinct()

@@ -18,9 +18,45 @@ import sys
 from pathlib import Path
 
 import duckdb
+import pyarrow as pa
 import pyarrow.parquet as pq
 
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+
+
+def hash_class(t, duck_side=False):
+    """Collapse an arrow type to the value class the driver's hash sees.
+    Calibrated against the r4 driver verdicts: int32 vs int64 PASSED,
+    DuckDB decimal128(26,1) vs Spark double PASSED, but DuckDB HUGEINT
+    (decimal128(38,0), from an un-cast integer sum()) vs Spark int64
+    FAILED — consistent with the driver coercing DuckDB DECIMAL/HUGEINT
+    columns to float (pandas-style), so a duck decimal against a Spark
+    integer is the failing combination. duck_side=True applies that
+    decimal→float coercion; the Spark side keeps decimal distinct so any
+    accidental un-cast Spark decimal output is flagged too."""
+    if duck_side and pa.types.is_decimal(t):
+        return "float"
+    if pa.types.is_integer(t):
+        return "int"
+    if pa.types.is_floating(t):
+        return "float"
+    if pa.types.is_decimal(t):
+        return "decimal"
+    if pa.types.is_boolean(t):
+        return "bool"
+    if pa.types.is_string(t) or pa.types.is_large_string(t):
+        return "str"
+    if pa.types.is_binary(t) or pa.types.is_large_binary(t):
+        return "bytes"
+    if pa.types.is_timestamp(t):
+        return "timestamp"
+    if pa.types.is_date(t):
+        return "date"
+    if pa.types.is_list(t) or pa.types.is_large_list(t):
+        return ("list", hash_class(t.value_type, duck_side))
+    if pa.types.is_struct(t):
+        return ("struct", tuple((f.name, hash_class(f.type, duck_side)) for f in t))
+    return str(t)
 
 
 def load_spark(out_dir: Path, name: str):
@@ -64,6 +100,24 @@ def main():
             continue
         if spark_tbl.num_rows != duck.num_rows:
             print(f"[FAIL] {name}: rows spark={spark_tbl.num_rows} duck={duck.num_rows}")
+            n_fail += 1
+            continue
+
+        # Type-exactness: the driver hashes value ENCODINGS, so e.g. DuckDB's
+        # HUGEINT/decimal128 sum() vs Spark's int64 hash-mismatches even when
+        # to_pylist() values compare equal. Compare the hash CLASS per column
+        # (not the exact arrow type — int32 vs int64 is proven-equal under
+        # the driver's hash) so local parity predicts the driver's verdict.
+        type_diff = []
+        for c in s_cols:
+            st = spark_tbl.schema.field(c).type
+            dt = duck.schema.field(c).type
+            if hash_class(st) != hash_class(dt, duck_side=True):
+                type_diff.append((c, st, dt))
+        if type_diff:
+            c, st, dt = type_diff[0]
+            more = f" (+{len(type_diff) - 1} more)" if len(type_diff) > 1 else ""
+            print(f"[FAIL] {name}: type mismatch col={c} spark={st} duck={dt}{more}")
             n_fail += 1
             continue
 
