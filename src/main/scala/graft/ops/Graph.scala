@@ -39,24 +39,22 @@ object Graph {
     * add no exchange of their own.
     */
   def pageRankInt(edges: DataFrame, iters: Int, scale: Long = 1000000L): DataFrame = {
-    val parts = edges.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
     val e = edges.select(col("src"), col("dst"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val outdeg = e.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
-    // eager localCheckpoint: materializes (and caches) e, truncates lineage,
-    // and preserves the hash partitioning on src for every later join
-    val eo = e.join(outdeg, "src")
-      .repartition(parts, col("src"))
-      .localCheckpoint()
+    // eager localCheckpoint: materializes the fused relation, truncates
+    // lineage, and preserves its hash partitioning for every later join —
+    // the e ⨝ outdeg join already distributes on src (no explicit
+    // repartition needed), and distinct leaves vertices distributed on v
+    val eo = e.join(outdeg, "src").localCheckpoint()
     val vertices = e.select(col("src").as("v"))
       .union(e.select(col("dst").as("v"))).distinct()
-      .repartition(parts, col("v"))
       .localCheckpoint()
     e.unpersist()
     val base = (15L * scale) / 100L
 
     var ranks = vertices.withColumn("rank", lit(scale))
-    for (_ <- 1 to iters) {
+    for (i <- 1 to iters) {
       val contribs = eo
         .join(ranks, eo("src") === ranks("v"))
         .select(col("dst"), expr("rank DIV outdeg").as("c"))
@@ -66,7 +64,11 @@ object Graph {
         .join(contribs, vertices("v") === contribs("dst"), "left")
         .select(col("v"),
           (lit(base) + expr("(85 * coalesce(in_mass, 0L)) DIV 100")).as("rank"))
-        .localCheckpoint()
+      // checkpoint only every few rounds: each eager checkpoint is a full
+      // materialization job, and a 3-4-round join chain is well within
+      // what Catalyst optimizes — lineage is cut before it compounds, not
+      // every round
+      if (i % 4 == 0 && i < iters) ranks = ranks.localCheckpoint()
     }
     ranks
   }
