@@ -375,6 +375,44 @@ object HubTransform {
       }
   }
 
+  /** Force re-trigger of the add pipeline over every file under
+    * `<hubPath>/<rawDir>` — the engine equivalent of the reference's
+    * metadata-touch ops script (faas/lambda_retrigger_model_output_add.py:
+    * 35-53: rewrite each object's metadata with a `manual-update`
+    * timestamp via copy-with-REPLACE so S3 emits a fresh
+    * `ObjectCreated:Copy` event and the Lambda re-runs).
+    *
+    * The filesystem translation does both halves of that trick
+    * faithfully: each file's modification time is touched (the metadata
+    * update — content untouched, exactly like the script), and the add
+    * event is re-fired through the SAME event entrypoint the bus would
+    * hit, as `ObjectCreated:Copy` — the event name S3 produces for a
+    * copy-with-replace. Unsupported/unparseable files flow through
+    * dispatch's skip path, mirroring the Lambda re-processing everything
+    * the script touched.
+    *
+    * @return per-file results; touched-file count == results count
+    */
+  def retriggerModelOutputAdd(
+      spark: SparkSession,
+      hubPath: String,
+      rawDir: String = "raw",
+      outputPath: String,
+      schemaOverride: Option[StructType] = None): Seq[EventResult] = {
+    val conf = spark.sessionState.newHadoopConf()
+    val dir = new org.apache.hadoop.fs.Path(PathParser.sanitizePath(joinAbs(hubPath, rawDir)))
+    val fs = dir.getFileSystem(conf)
+    if (!fs.exists(dir)) return Nil
+    val it = fs.listFiles(dir, true)
+    val files = scala.collection.mutable.ArrayBuffer.empty[String]
+    while (it.hasNext) files += it.next().getPath.toString.stripPrefix("file:")
+    val now = System.currentTimeMillis()
+    files.sorted.toSeq.map { f =>
+      fs.setTimes(new org.apache.hadoop.fs.Path(f), now, -1) // metadata touch
+      dispatch(spark, "ObjectCreated:Copy", hubPath, f, outputPath, schemaOverride)
+    }
+  }
+
   private def joinAbs(base: String, rel: String): String =
     if (rel.startsWith("/") || rel.contains("://")) rel
     else base.stripSuffix("/") + "/" + rel

@@ -216,11 +216,79 @@ object Multimodal {
       |WHERE doc_id % 3 = 0
       |ORDER BY doc_id""".stripMargin
 
+  /** Little-endian hex rendering of a numeric column as `bytes` bytes —
+    * RIFF sizes/fields are LE, so the big-endian `hex()` gets byte-swapped
+    * by reassembling its 2-char groups in reverse.
+    */
+  private def leHex(c: Column, bytes: Int): Column = {
+    val h = lpad(hex(c), bytes * 2, "0")
+    concat((0 until bytes).map(i => h.substr(lit(bytes * 2 - 2 * i - 1), lit(2))): _*)
+  }
+
+  /** Audio-modality rows carrying REAL RIFF/WAVE headers: a LIST(INFO)
+    * metadata chunk of doc_id-VARYING length (odd sizes included, so the
+    * even-offset chunk padding rule is exercised) precedes the `fmt `
+    * chunk — a correct parse must walk the chunk sequence. Sample rate,
+    * channels and bit depth are pure functions of doc_id; the document
+    * text rides as the `data` chunk payload.
+    */
+  def wavTable(spark: SparkSession, dir: String): DataFrame = {
+    val channels = (col("doc_id") % 2 + 1).cast("long")
+    val rate = (lit(8000) + (col("doc_id") % 40) * 1000).cast("long")
+    val bytesPerSample = (col("doc_id") % 3 + 1).cast("long")
+    val bits = bytesPerSample * 8
+    val listBody = (col("doc_id") % 7 + 1).cast("int") // 1..7 filler bytes
+    val listSize = listBody + 4 // "INFO" + filler
+    val dataLen = octet_length(encode(col("text"), "UTF-8")).cast("long")
+    val riffSize = lit(4L) + 8L + listSize.cast("long") + pmod(listSize.cast("long"), lit(2L)) +
+      (8L + 16L) + 8L + dataLen
+    val wavHex = concat(
+      lit("52494646"), leHex(riffSize, 4), lit("57415645"), // RIFF size WAVE
+      lit("4C495354"), leHex(listSize, 4), lit("494E464F"), // LIST size INFO
+      lit("41414141414141").substr(lit(1), listBody * 2), // filler
+      when(pmod(listSize, lit(2)) === 1, "00").otherwise(""), // even-offset pad
+      lit("666D7420"), leHex(lit(16), 4), // fmt , size 16
+      leHex(lit(1), 2), leHex(channels, 2), leHex(rate, 4), // PCM, channels, rate
+      leHex(rate * channels * bytesPerSample, 4), // byte rate
+      leHex(channels * bytesPerSample, 2), leHex(bits, 2), // block align, bits
+      lit("64617461"), leHex(dataLen, 4)) // data chunk header
+    table(spark, dir, "documents")
+      .filter(col("doc_id") % 3 === 1)
+      .select(col("doc_id"),
+        unhex(concat(wavHex, hex(encode(col("text"), "UTF-8")))).as("content"))
+  }
+
+  /** Real audio-header decode: parse sample rate / channels / bit depth
+    * out of the RIFF `fmt ` chunk with the codegen
+    * [[graft.functions.WavMeta]] expression. As with [[qMultimodalDims]],
+    * the oracle derives the expected fields INDEPENDENTLY from doc_id
+    * arithmetic — the hash match proves the chunk walk parsed every row.
+    */
+  def qMultimodalWav(spark: SparkSession, dir: String): DataFrame = {
+    val packed = graft.functions.WavMeta(col("content"))
+    wavTable(spark, dir)
+      .select(col("doc_id"),
+        shiftrightunsigned(packed, 32).as("sample_rate"),
+        shiftrightunsigned(packed, 16).bitwiseAND(lit(0xFFFFL)).as("channels"),
+        packed.bitwiseAND(lit(0xFFFFL)).as("bits_per_sample"))
+      .orderBy(col("doc_id"))
+  }
+
+  val qMultimodalWavSql: String =
+    """SELECT doc_id,
+      |  CAST(8000 + (doc_id % 40) * 1000 AS BIGINT) AS sample_rate,
+      |  CAST(doc_id % 2 + 1 AS BIGINT) AS channels,
+      |  CAST((doc_id % 3 + 1) * 8 AS BIGINT) AS bits_per_sample
+      |FROM documents
+      |WHERE doc_id % 3 = 1
+      |ORDER BY doc_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_multimodal_features" -> (qMultimodalFeatures _),
     "q_multimodal_roundtrip" -> (qMultimodalRoundtrip _),
     "q_multimodal_sniff" -> (qMultimodalSniff _),
     "q_multimodal_dims" -> (qMultimodalDims _),
+    "q_multimodal_wav" -> (qMultimodalWav _),
   )
 
   def oracle: Map[String, String] = Map(
@@ -228,5 +296,6 @@ object Multimodal {
     "q_multimodal_roundtrip" -> qMultimodalRoundtripSql,
     "q_multimodal_sniff" -> qMultimodalSniffSql,
     "q_multimodal_dims" -> qMultimodalDimsSql,
+    "q_multimodal_wav" -> qMultimodalWavSql,
   )
 }

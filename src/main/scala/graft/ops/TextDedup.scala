@@ -212,11 +212,24 @@ object TextDedup {
     */
   def minhashLshIncremental(
       corpus: DataFrame, incoming: DataFrame, id: Column, text: Column,
-      cfg: MinHashConfig = MinHashConfig(), threshold: Double = 0.8): DataFrame = {
+      cfg: MinHashConfig = MinHashConfig(), threshold: Double = 0.8,
+      bucketCap: Int = DefaultBucketCap): DataFrame = {
     val shC = shingles(corpus, id, text, cfg.shingleK)
     val shI = shingles(incoming, id, text, cfg.shingleK)
+    // hot-bucket bound for the bipartite probe: a degenerate corpus bucket
+    // (k_c near-identical stored docs) would pair EVERY colliding incoming
+    // doc with all k_c members. Keep the bucketCap SMALLEST corpus ids per
+    // bucket — deterministic, retains the bucket minimum, so `dup_of`
+    // (min matching corpus id) is unchanged; only `n_dups`/`best_jaccard`
+    // can differ for incoming docs whose duplicates exceed the cap in one
+    // bucket, which at the default 2^12 means 4k+ stored copies.
+    val cappedC = bandedSignatures(shC, cfg)
+      .withColumn("rn", org.apache.spark.sql.functions.row_number()
+        .over(Window.partitionBy(col("band"), col("bv")).orderBy(col("id"))))
+      .filter(col("rn") <= bucketCap)
+      .drop("rn")
     val candidates = bandedSignatures(shI, cfg).toDF("id_i", "band", "bv")
-      .join(bandedSignatures(shC, cfg).toDF("id_c", "band", "bv"), Seq("band", "bv"))
+      .join(cappedC.toDF("id_c", "band", "bv"), Seq("band", "bv"))
       .select(col("id_i"), col("id_c"))
       .distinct()
     val commons = candidates

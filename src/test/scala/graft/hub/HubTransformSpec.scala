@@ -309,4 +309,34 @@ class HubTransformSpec extends SparkFunSuite {
     assert(none.count() == 0)
     assert(none.columns.toSeq == Seq("round_id", "model_id"))
   }
+
+  test("retrigger touches metadata and re-fires add for every raw file " +
+      "(faas/lambda_retrigger_model_output_add.py:35-53)") {
+    val hub = tmpDir("hub-retrig")
+    val out = tmpDir("hub-retrig-out")
+    new java.io.File(s"$hub/raw").mkdirs()
+    for (d <- Seq("2420-01-01", "2420-01-02"))
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(s"$hub/raw/$d-team-model.csv"),
+        "location,value\nearth,1.5\n")
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$hub/raw/junk.txt"), "x")
+    // first pass: normal adds
+    HubTransform.addDirectory(spark, hub, "raw", out, schemaOverride = Some(new StructType()))
+    val outFile = new java.io.File(s"$out/2420-01-01-team-model.parquet")
+    val firstWrite = outFile.lastModified()
+    val rawBefore = new java.io.File(s"$hub/raw/2420-01-01-team-model.csv").lastModified()
+
+    Thread.sleep(1100) // ensure a visible mtime step (fs second granularity)
+    val results = HubTransform.retriggerModelOutputAdd(
+      spark, hub, "raw", out, Some(new StructType()))
+    // every file touched + dispatched: the csvs re-add, junk.txt skips —
+    // the same routing the reference Lambda applies to the re-fired events
+    assert(results.count(_.action == "add") == 2)
+    assert(results.count(_.action == "skip") == 1)
+    // metadata touch: the RAW file's mtime advanced, content untouched
+    assert(new java.io.File(s"$hub/raw/2420-01-01-team-model.csv").lastModified() > rawBefore)
+    // the add really re-ran: the transformed output was rewritten
+    assert(outFile.lastModified() > firstWrite)
+    assert(spark.read.parquet(outFile.getAbsolutePath).count() == 1)
+  }
 }

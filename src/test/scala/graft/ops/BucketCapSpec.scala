@@ -43,6 +43,20 @@ class BucketCapSpec extends SparkFunSuite {
     assert(rows.forall(_.getInt(2) === 0)) // identical text → Hamming 0
   }
 
+  test("incremental ingest: hot corpus bucket probes at most cap members, dup_of keeps the minimum") {
+    import spark.implicits._
+    val incoming = Seq((5000L, "alpha beta gamma delta epsilon zeta"),
+      (5001L, "alpha beta gamma delta epsilon zeta"),
+      (5002L, "totally different words here nothing shared"))
+      .toDF("doc_id", "text")
+    val out = TextDedup.minhashLshIncremental(
+      hotCorpus, incoming, col("doc_id"), col("text"), bucketCap = 32)
+    val rows = out.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3))).sorted
+    // both duplicate incoming docs verified against the 32 smallest bucket
+    // members only (bounded), and dup_of is still the bucket minimum
+    assert(rows === Seq((5000L, 0L, 32L), (5001L, 0L, 32L)))
+  }
+
   test("cap leaves a normal corpus bit-identical to the uncapped operator") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
     val capped = TextDedup.minhashLshPairs(docs, col("doc_id"), col("text"))
@@ -54,5 +68,12 @@ class BucketCapSpec extends SparkFunSuite {
     val uncappedSim = TextDedup.simhashPairs(
       docs, col("doc_id"), col("text"), bucketCap = Int.MaxValue)
     assert(cappedSim.collect().map(_.toSeq).toSeq === uncappedSim.collect().map(_.toSeq).toSeq)
+
+    val half = docs.filter(col("doc_id") % 2 === 0)
+    val rest = docs.filter(col("doc_id") % 2 =!= 0)
+    val cappedInc = TextDedup.minhashLshIncremental(half, rest, col("doc_id"), col("text"))
+    val uncappedInc = TextDedup.minhashLshIncremental(
+      half, rest, col("doc_id"), col("text"), bucketCap = Int.MaxValue)
+    assert(cappedInc.collect().map(_.toSeq).toSeq === uncappedInc.collect().map(_.toSeq).toSeq)
   }
 }
