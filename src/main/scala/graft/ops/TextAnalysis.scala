@@ -389,7 +389,102 @@ object TextAnalysis {
       |WHERE c_xy >= 5
       |ORDER BY lift DESC, w1, w2 LIMIT 30""".stripMargin
 
+  /** TF-IDF top terms per document — keyword extraction as two
+    * aggregations plus a broadcast of the (vocabulary-sized) document
+    * frequencies. The score is `tf·N/df` (the log-free rank-equivalent
+    * monotone in tf and 1/df): `tf·N` is an exact long product, one
+    * double division per term, rounded — bit-identical cross-engine, no
+    * `log()` whose libm rounding could differ. Ties break on the term.
+    * Scale: df and N are token-vocabulary/corpus-count metadata (tiny);
+    * the per-(doc,term) relation partitions by doc for the window.
+    */
+  def qTfidfTerms(spark: SparkSession, dir: String): DataFrame = {
+    val tok = table(spark, dir, "documents")
+      .select(col("doc_id"), explode(tokens(col("text"))).as("w"))
+    val tf = tok.groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("tf"))
+    val dfr = tf.groupBy(col("w")).agg(count(lit(1)).as("df"))
+    val n = tok.agg(countDistinct(col("doc_id")).as("n")) // scalar-subquery shape
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("score").desc, col("w"))
+    tf.join(broadcast(dfr), "w")
+      .crossJoin(broadcast(n))
+      .select(col("doc_id"), col("w"),
+        round((col("tf") * col("n")).cast(DoubleType) / col("df").cast(DoubleType), 6)
+          .as("score"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 3)
+      .select(col("doc_id"), col("rnk"), col("w").as("term"), col("score"))
+      .orderBy(col("doc_id"), col("rnk"))
+  }
+
+  val qTfidfTermsSql: String =
+    """WITH tok AS (
+      |  SELECT doc_id, unnest(regexp_split_to_array(lower(text), '\s+')) AS w FROM documents
+      |), tf AS (
+      |  SELECT doc_id, w, count(*) AS tf FROM tok GROUP BY 1, 2
+      |), dfr AS (
+      |  SELECT w, count(*) AS df FROM tf GROUP BY 1
+      |), n AS (
+      |  SELECT count(DISTINCT doc_id) AS n FROM tok
+      |), scored AS (
+      |  SELECT doc_id, w,
+      |    round(CAST(tf * n.n AS DOUBLE) / CAST(df AS DOUBLE), 6) AS score
+      |  FROM tf JOIN dfr USING (w) CROSS JOIN n
+      |)
+      |SELECT doc_id, rnk, w AS term, score FROM (
+      |  SELECT doc_id, w, score,
+      |    row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, w) AS rnk
+      |  FROM scored)
+      |WHERE rnk <= 3
+      |ORDER BY doc_id, rnk""".stripMargin
+
+  /** Vocabulary size for [[qVocabOov]] (top-K tokens by corpus count). */
+  val VocabK = 10
+
+  /** Vocabulary coverage: build the top-[[VocabK]] token vocabulary
+    * (count desc, token asc — fully deterministic), then per-document
+    * token count, out-of-vocabulary count, and OOV rate. The
+    * vocab-build + coverage-filter pair is the tokenizer-prep op of a
+    * training pipeline (docs with high OOV against a fixed vocab get
+    * routed or re-tokenized). The vocabulary is a broadcast relation;
+    * one explode+aggregate per doc otherwise.
+    */
+  def qVocabOov(spark: SparkSession, dir: String): DataFrame = {
+    val tok = table(spark, dir, "documents")
+      .select(col("doc_id"), explode(tokens(col("text"))).as("w"))
+    val vocab = tok.groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("w")).limit(VocabK)
+      .select(col("w"), lit(1).as("inv"))
+    tok.join(broadcast(vocab), Seq("w"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        coalesce(sum(when(col("inv").isNull, 1L).otherwise(0L)), lit(0L)).as("oov"))
+      .select(col("doc_id"), col("n_tokens"), col("oov"),
+        round(col("oov").cast(DoubleType) / col("n_tokens").cast(DoubleType), 6)
+          .as("oov_rate"))
+      .orderBy(col("doc_id"))
+  }
+
+  val qVocabOovSql: String =
+    s"""WITH tok AS (
+       |  SELECT doc_id, unnest(regexp_split_to_array(lower(text), '\\s+')) AS w FROM documents
+       |), vocab AS (
+       |  SELECT w FROM (
+       |    SELECT w, count(*) AS cnt FROM tok GROUP BY 1
+       |    ORDER BY cnt DESC, w LIMIT $VocabK)
+       |)
+       |SELECT doc_id,
+       |  count(*) AS n_tokens,
+       |  CAST(sum(CASE WHEN vocab.w IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS oov,
+       |  round(CAST(sum(CASE WHEN vocab.w IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+       |        / CAST(count(*) AS DOUBLE), 6) AS oov_rate
+       |FROM tok LEFT JOIN vocab ON tok.w = vocab.w
+       |GROUP BY doc_id
+       |ORDER BY doc_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_tfidf_terms" -> (qTfidfTerms _),
+    "q_vocab_oov" -> (qVocabOov _),
     "q_collocations" -> (qCollocations _),
     "q_text_repetition" -> (qTextRepetition _),
     "q_text_scrub" -> (qTextScrub _),
@@ -403,6 +498,8 @@ object TextAnalysis {
   )
 
   def oracle: Map[String, String] = Map(
+    "q_tfidf_terms" -> qTfidfTermsSql,
+    "q_vocab_oov" -> qVocabOovSql,
     "q_collocations" -> qCollocationsSql,
     "q_text_repetition" -> qTextRepetitionSql,
     "q_text_scrub" -> qTextScrubSql,
