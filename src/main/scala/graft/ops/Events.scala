@@ -247,7 +247,42 @@ object Events {
       |GROUP BY 1, 2
       |ORDER BY cohort_week, activity_week""".stripMargin
 
+  /** SCD2 (slowly-changing-dimension type 2) history build: each user's
+    * purchase events become version rows with `[valid_from, valid_to)`
+    * intervals — `valid_to` is the next version's timestamp (`lead`),
+    * open (null) on the current version. The standard warehouse op for
+    * turning a change stream into a queryable dimension history; one
+    * window per user partition, no self-join. Deterministic ordering via
+    * the unique event_id tie-break.
+    */
+  def qScd2History(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    events(spark, dir)
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id"), col("ts"), col("value"))
+      .withColumn("next_ts", lead(col("ts"), 1).over(w))
+      .select(col("user_id"), col("event_id"),
+        fmt(col("ts")).as("valid_from"),
+        fmt(col("next_ts")).as("valid_to"),
+        col("value"),
+        col("next_ts").isNull.as("is_current"))
+      .orderBy(col("user_id"), col("event_id"))
+  }
+
+  val qScd2HistorySql: String =
+    """SELECT user_id, event_id,
+      |  strftime(ts, '%Y-%m-%d %H:%M:%S') AS valid_from,
+      |  strftime(lead(ts, 1) OVER w, '%Y-%m-%d %H:%M:%S') AS valid_to,
+      |  value,
+      |  (lead(ts, 1) OVER w IS NULL) AS is_current
+      |FROM (
+      |  SELECT user_id, event_id, date_trunc('microseconds', ts) AS ts, value
+      |  FROM events WHERE event_type = 'purchase')
+      |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+      |ORDER BY user_id, event_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_scd2_history" -> (qScd2History _),
     "q_events_retention" -> (qEventsRetention _),
     "q_events_hourly" -> (qEventsHourly _),
     "q_events_sliding" -> (qEventsSliding _),
@@ -258,6 +293,7 @@ object Events {
   )
 
   def oracle: Map[String, String] = Map(
+    "q_scd2_history" -> qScd2HistorySql,
     "q_events_retention" -> qEventsRetentionSql,
     "q_events_hourly" -> qEventsHourlySql,
     "q_events_sliding" -> qEventsSlidingSql,

@@ -131,15 +131,65 @@ object JoinShapes {
       |GROUP BY 1
       |ORDER BY 1""".stripMargin
 
+  /** CDC merge/upsert — the canonical relational MERGE as one full-outer
+    * join with source precedence: matched keys take the incoming row,
+    * unmatched incoming rows insert, unmatched target rows survive. The
+    * incoming batch is derived deterministically from the target (every
+    * 10th key re-priced +1000, every 97th key re-inserted under a new key
+    * at double price — both exact double ops), and the merged relation is
+    * digested per priority so the gate pins the whole merge result.
+    *
+    * Scale: MERGE shuffles both sides on the key once — at 100 TB the
+    * target is bucketed/partitioned by the merge key so only the batch
+    * side moves; AQE broadcasts dim-sized batches.
+    */
+  def qMergeUpsert(spark: SparkSession, dir: String): DataFrame = {
+    val target = table(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"))
+    val source = target.filter(col("o_orderkey") % 10 === 0)
+      .withColumn("o_totalprice", col("o_totalprice") + 1000.0)
+      .unionByName(target.filter(col("o_orderkey") % 97 === 0)
+        .select((col("o_orderkey") + 100000000L).as("o_orderkey"),
+          col("o_orderpriority"), (col("o_totalprice") * 2).as("o_totalprice")))
+      .select(col("o_orderkey").as("s_key"), col("o_orderpriority").as("s_prio"),
+        col("o_totalprice").as("s_price"))
+    target.join(source, col("o_orderkey") === col("s_key"), "full_outer")
+      .select(
+        coalesce(col("s_prio"), col("o_orderpriority")).as("prio"),
+        coalesce(col("s_price"), col("o_totalprice")).as("price"))
+      .groupBy(col("prio"))
+      .agg(count(lit(1)).as("n_orders"), dsum(col("price")).as("sum_price"))
+      .orderBy(col("prio"))
+  }
+
+  val qMergeUpsertSql: String =
+    """WITH src AS (
+      |  SELECT o_orderkey AS s_key, o_orderpriority AS s_prio,
+      |    o_totalprice + 1000.0 AS s_price
+      |  FROM orders WHERE o_orderkey % 10 = 0
+      |  UNION ALL
+      |  SELECT o_orderkey + 100000000, o_orderpriority, o_totalprice * 2
+      |  FROM orders WHERE o_orderkey % 97 = 0
+      |), merged AS (
+      |  SELECT COALESCE(s.s_prio, t.o_orderpriority) AS prio,
+      |         COALESCE(s.s_price, t.o_totalprice) AS price
+      |  FROM orders t FULL OUTER JOIN src s ON t.o_orderkey = s.s_key
+      |)
+      |SELECT prio, count(*) AS n_orders,
+      |  CAST(sum(CAST(price AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+      |FROM merged GROUP BY prio ORDER BY prio""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_range_join" -> (qRangeJoin _),
     "q_salted_join" -> (qSaltedJoin _),
     "q_bucketed_join" -> (qBucketedJoin _),
-    "q_bloom_join" -> (qBloomJoin _))
+    "q_bloom_join" -> (qBloomJoin _),
+    "q_merge_upsert" -> (qMergeUpsert _))
 
   def oracle: Map[String, String] = Map(
     "q_range_join" -> qRangeJoinSql,
     "q_salted_join" -> qSaltedJoinSql,
     "q_bucketed_join" -> qBucketedJoinSql,
-    "q_bloom_join" -> qBloomJoinSql)
+    "q_bloom_join" -> qBloomJoinSql,
+    "q_merge_upsert" -> qMergeUpsertSql)
 }
