@@ -438,6 +438,85 @@ object TextAnalysis {
       |WHERE rnk <= 3
       |ORDER BY doc_id, rnk""".stripMargin
 
+  /** Statistical language-model fluency score: mean bigram LIFT per
+    * document — `c(w1w2)·N / (c(w1·)·c(·w2))`, the log-free
+    * rank-equivalent of pointwise mutual information (the same
+    * no-`log()` convention as [[qCollocations]], because libm rounding
+    * differs across engines). Documents whose word pairs co-occur no
+    * more than chance score ≈1; formulaic/boilerplate text scores high —
+    * the cheap corpus-statistics stand-in for LM-perplexity quality
+    * filtering.
+    *
+    * Float determinism: each per-position lift is one rounded division
+    * of exact integers, and the per-document mean folds those doubles in
+    * POSITION order (`array_sort` + left-fold `aggregate`, mirrored by
+    * DuckDB's `list_sum(list(... ORDER BY pos))`) — never an
+    * aggregation-order-dependent float sum.
+    *
+    * Scale: the three count relations are bigram-vocabulary-sized →
+    * broadcast; the corpus stream is exploded once and aggregated once
+    * per document.
+    */
+  def qLmBigramScore(spark: SparkSession, dir: String): DataFrame = {
+    val big = table(spark, dir, "documents")
+      .select(col("doc_id"), tokens(col("text")).as("t"))
+      .filter(size(col("t")) >= 2)
+      .select(col("doc_id"),
+        explode(transform(sequence(lit(0), size(col("t")) - 2),
+          i => struct(i.as("pos"), concat_ws(" ", slice(col("t"), i + 1, lit(2))).as("b")))).as("e"))
+      .select(col("doc_id"), col("e.pos").as("pos"), col("e.b").as("b"))
+    val cXy = big.groupBy(col("b")).agg(count(lit(1)).as("c_xy"))
+    val u1 = big.groupBy(substring_index(col("b"), " ", 1).as("w1"))
+      .agg(count(lit(1)).as("c_x"))
+    val u2 = big.groupBy(substring_index(col("b"), " ", -1).as("w2"))
+      .agg(count(lit(1)).as("c_y"))
+    val n = big.agg(count(lit(1)).as("n")) // scalar-subquery shape
+    big
+      .join(broadcast(cXy), "b")
+      .withColumn("w1", substring_index(col("b"), " ", 1))
+      .withColumn("w2", substring_index(col("b"), " ", -1))
+      .join(broadcast(u1), "w1")
+      .join(broadcast(u2), "w2")
+      .crossJoin(broadcast(n))
+      .select(col("doc_id"), col("pos"),
+        round((col("c_xy") * col("n")).cast(DoubleType) /
+          (col("c_x") * col("c_y")).cast(DoubleType), 6).as("lift"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        aggregate(
+          transform(array_sort(collect_list(struct(col("pos"), col("lift")))),
+            s => s("lift")),
+          lit(0.0), (acc, x) => acc + x).as("sum_lift"))
+      .select(col("doc_id"), col("n_bigrams"),
+        round(col("sum_lift") / col("n_bigrams").cast(DoubleType), 6).as("mean_lift"))
+      .orderBy(col("doc_id"))
+  }
+
+  val qLmBigramScoreSql: String =
+    """WITH tok AS (
+      |  SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS t FROM documents
+      |), big AS (
+      |  SELECT doc_id,
+      |    unnest(range(len(t) - 1)) AS pos,
+      |    unnest(list_transform(range(len(t) - 1), i -> array_to_string(t[i+1:i+2], ' '))) AS b
+      |  FROM tok WHERE len(t) >= 2
+      |), c AS (SELECT b, count(*) AS c_xy FROM big GROUP BY 1),
+      |u1 AS (SELECT split_part(b, ' ', 1) AS w1, count(*) AS c_x FROM big GROUP BY 1),
+      |u2 AS (SELECT split_part(b, ' ', 2) AS w2, count(*) AS c_y FROM big GROUP BY 1),
+      |n AS (SELECT count(*) AS n FROM big),
+      |lifts AS (
+      |  SELECT big.doc_id, big.pos,
+      |    round(CAST(c.c_xy * n.n AS DOUBLE) / CAST(u1.c_x * u2.c_y AS DOUBLE), 6) AS lift
+      |  FROM big
+      |  JOIN c USING (b)
+      |  JOIN u1 ON split_part(big.b, ' ', 1) = u1.w1
+      |  JOIN u2 ON split_part(big.b, ' ', 2) = u2.w2
+      |  CROSS JOIN n
+      |)
+      |SELECT doc_id, count(*) AS n_bigrams,
+      |  round(list_sum(list(lift ORDER BY pos)) / CAST(count(*) AS DOUBLE), 6) AS mean_lift
+      |FROM lifts GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   /** Vocabulary size for [[qVocabOov]] (top-K tokens by corpus count). */
   val VocabK = 10
 
@@ -485,6 +564,7 @@ object TextAnalysis {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_tfidf_terms" -> (qTfidfTerms _),
     "q_vocab_oov" -> (qVocabOov _),
+    "q_lm_bigram_score" -> (qLmBigramScore _),
     "q_collocations" -> (qCollocations _),
     "q_text_repetition" -> (qTextRepetition _),
     "q_text_scrub" -> (qTextScrub _),
@@ -500,6 +580,7 @@ object TextAnalysis {
   def oracle: Map[String, String] = Map(
     "q_tfidf_terms" -> qTfidfTermsSql,
     "q_vocab_oov" -> qVocabOovSql,
+    "q_lm_bigram_score" -> qLmBigramScoreSql,
     "q_collocations" -> qCollocationsSql,
     "q_text_repetition" -> qTextRepetitionSql,
     "q_text_scrub" -> qTextScrubSql,
