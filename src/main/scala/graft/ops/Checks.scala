@@ -185,13 +185,63 @@ object Checks {
       |FROM cells JOIN rt USING (lang) JOIN ct USING (source) CROSS JOIN n
       |ORDER BY lang, source""".stripMargin
 
+  /** Per-group 1.5σ outlier counts with NO floating point anywhere:
+    * prices become exact cents, and the z-score test `(x−μ)² > (1.5σ)²`
+    * is algebraically cleared of its divisions to
+    * `4·(x·n − S)² > 9·(n·Q − S²)` over the exact group sums
+    * `S = Σx, Q = Σx²` — every term an integer that fits comfortably in
+    * Spark's DECIMAL(38,0) / DuckDB's HUGEINT (≤ ~4e27 at this scale),
+    * so the variance comparison itself is bit-exact, not
+    * rounding-convention-dependent. The statistical-profiling op of a
+    * quality pipeline without the usual cross-engine stddev drift.
+    *
+    * Plan: one aggregation for the per-group sums (5 groups → broadcast
+    * back), one scan for the outlier test — no window, no second shuffle
+    * of the fact side.
+    */
+  def qOutlierOrders(spark: SparkSession, dir: String): DataFrame = {
+    val dec38 = DecimalType(38, 0)
+    val ord = table(spark, dir, "orders")
+      .select(col("o_orderpriority").as("prio"),
+        round(col("o_totalprice") * 100).cast(dec38).as("x"))
+    val stats = ord.groupBy(col("prio"))
+      .agg(count(lit(1)).cast(dec38).as("n"),
+        sum(col("x")).as("s"),
+        sum(col("x") * col("x")).as("q"))
+    val lhs = (col("x") * col("n") - col("s")) * (col("x") * col("n") - col("s")) * 4
+    val rhs = (col("n") * col("q") - col("s") * col("s")) * 9
+    ord.join(broadcast(stats), "prio")
+      .groupBy(col("prio"))
+      .agg(count(lit(1)).as("n_orders"),
+        coalesce(sum(when(lhs > rhs, 1L).otherwise(0L)), lit(0L)).as("n_outliers"))
+      .orderBy(col("prio"))
+  }
+
+  val qOutlierOrdersSql: String =
+    """WITH o AS (
+      |  SELECT o_orderpriority AS prio,
+      |    CAST(round(o_totalprice * 100) AS HUGEINT) AS x
+      |  FROM orders
+      |), stats AS (
+      |  SELECT prio, CAST(count(*) AS HUGEINT) AS n, sum(x) AS s, sum(x * x) AS q
+      |  FROM o GROUP BY 1
+      |)
+      |SELECT o.prio, count(*) AS n_orders,
+      |  CAST(sum(CASE WHEN 4 * (x * n - s) * (x * n - s) > 9 * (n * q - s * s)
+      |                THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+      |FROM o JOIN stats USING (prio)
+      |GROUP BY o.prio
+      |ORDER BY o.prio""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_checks_report" -> (qChecksReport _),
     "q_histogram" -> (qHistogram _),
-    "q_contingency" -> (qContingency _))
+    "q_contingency" -> (qContingency _),
+    "q_outlier_orders" -> (qOutlierOrders _))
 
   def oracle: Map[String, String] = Map(
     "q_checks_report" -> qChecksReportSql,
     "q_histogram" -> qHistogramSql,
-    "q_contingency" -> qContingencySql)
+    "q_contingency" -> qContingencySql,
+    "q_outlier_orders" -> qOutlierOrdersSql)
 }
