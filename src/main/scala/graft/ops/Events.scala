@@ -281,7 +281,50 @@ object Events {
       |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
       |ORDER BY user_id, event_id""".stripMargin
 
+  /** Time-series densification (gap filling): the complete hourly grid
+    * from the stream's first to last hour × every event type, with
+    * observed counts joined in and silent hours zero-filled — the
+    * resampling step every downstream window/forecast op assumes. The
+    * grid is generated from ONE global min/max aggregate (scalar
+    * broadcast) and is calendar-sized — tiny relative to the events
+    * stream, which is scanned once for the counts; the grid side of the
+    * final join broadcasts.
+    */
+  def qEventsDensify(spark: SparkSession, dir: String): DataFrame = {
+    val ev = events(spark, dir)
+      .select(date_trunc("hour", col("ts")).as("h"), col("event_type"))
+    val bounds = ev.agg(min(col("h")).as("lo"), max(col("h")).as("hi"))
+    val hours = bounds
+      .select(explode(sequence(col("lo"), col("hi"), expr("interval 1 hour"))).as("h"))
+    val types = ev.select(col("event_type")).distinct()
+    val counts = ev.groupBy(col("h"), col("event_type")).agg(count(lit(1)).as("n"))
+    broadcast(hours.crossJoin(types))
+      .join(counts, Seq("h", "event_type"), "left")
+      .select(fmt(col("h")).as("hour"), col("event_type"),
+        coalesce(col("n"), lit(0L)).as("n"))
+      .orderBy(col("hour"), col("event_type"))
+  }
+
+  val qEventsDensifySql: String =
+    """WITH e AS (
+      |  SELECT date_trunc('hour', date_trunc('microseconds', ts)) AS h, event_type
+      |  FROM events
+      |), hours AS (
+      |  SELECT unnest(generate_series(min(h), max(h), INTERVAL 1 HOUR)) AS h FROM e
+      |), types AS (
+      |  SELECT DISTINCT event_type FROM e
+      |), counts AS (
+      |  SELECT h, event_type, count(*) AS n FROM e GROUP BY 1, 2
+      |)
+      |SELECT strftime(hours.h, '%Y-%m-%d %H:%M:%S') AS hour,
+      |  types.event_type AS event_type,
+      |  COALESCE(counts.n, 0) AS n
+      |FROM hours CROSS JOIN types
+      |LEFT JOIN counts ON counts.h = hours.h AND counts.event_type = types.event_type
+      |ORDER BY hour, types.event_type""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_events_densify" -> (qEventsDensify _),
     "q_scd2_history" -> (qScd2History _),
     "q_events_retention" -> (qEventsRetention _),
     "q_events_hourly" -> (qEventsHourly _),
@@ -293,6 +336,7 @@ object Events {
   )
 
   def oracle: Map[String, String] = Map(
+    "q_events_densify" -> qEventsDensifySql,
     "q_scd2_history" -> qScd2HistorySql,
     "q_events_retention" -> qEventsRetentionSql,
     "q_events_hourly" -> qEventsHourlySql,
