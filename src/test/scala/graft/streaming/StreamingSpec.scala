@@ -231,4 +231,32 @@ class StreamingSpec extends SparkFunSuite {
     assert(r3.count(_.action == "skip") == 1)
     assert(new java.io.File(s"$out/2420-01-03-team-model.parquet").isFile)
   }
+
+  test("streaming CDC merge: per-micro-batch upserts converge to the batch merge") {
+    import spark.implicits._
+    val changeDir = tmpDir("cdc-changes")
+    val ckpt = tmpDir("cdc-ckpt")
+    // initial target: keys 1..5 at ver 0
+    val initial = (1L to 5L).map(k => (k, k * 10.0, 0L)).toDF("k", "v", "ver")
+    // batch 1: update k=2 (incl. an intra-batch older version that must
+    // lose), insert k=6; batch 2: update k=2 again, delete-free update k=5
+    Seq((2L, 99.0, 2L), (2L, 55.0, 1L), (6L, 60.0, 1L))
+      .toDF("k", "v", "ver").coalesce(1).write.parquet(s"$changeDir/b1")
+    Seq((2L, 77.0, 3L), (5L, 51.0, 1L))
+      .toDF("k", "v", "ver").coalesce(1).write.parquet(s"$changeDir/b2")
+    // stage files flat (the stream watches one directory)
+    val dir = tmpDir("cdc-flat")
+    var i = 0
+    for (b <- Seq("b1", "b2"); f <- new java.io.File(s"$changeDir/$b").listFiles()
+         if f.getName.endsWith(".parquet")) {
+      i += 1
+      java.nio.file.Files.copy(f.toPath, java.nio.file.Paths.get(f"$dir/c$i%02d.parquet"))
+    }
+    val result = CdcMergeStream.runMerge(spark, dir, ckpt, initial)
+      .orderBy("k").collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2)))
+    // expected: sequential merge, highest ver per key within a batch wins
+    assert(result.toSeq === Seq(
+      (1L, 10.0, 0L), (2L, 77.0, 3L), (3L, 30.0, 0L),
+      (4L, 40.0, 0L), (5L, 51.0, 1L), (6L, 60.0, 1L)))
+  }
 }
