@@ -244,13 +244,19 @@ class StreamingSpec extends SparkFunSuite {
       .toDF("k", "v", "ver").coalesce(1).write.parquet(s"$changeDir/b1")
     Seq((2L, 77.0, 3L), (5L, 51.0, 1L))
       .toDF("k", "v", "ver").coalesce(1).write.parquet(s"$changeDir/b2")
-    // stage files flat (the stream watches one directory)
+    // stage files flat (the stream watches one directory) with STRICTLY
+    // increasing modification times — the file source orders micro-batches
+    // by mtime, and identical stamps make batch order arbitrary (a CDC log
+    // supplies ordering in production; the test must pin it)
     val dir = tmpDir("cdc-flat")
     var i = 0
+    val base = System.currentTimeMillis() - 60000
     for (b <- Seq("b1", "b2"); f <- new java.io.File(s"$changeDir/$b").listFiles()
          if f.getName.endsWith(".parquet")) {
       i += 1
-      java.nio.file.Files.copy(f.toPath, java.nio.file.Paths.get(f"$dir/c$i%02d.parquet"))
+      val dst = java.nio.file.Paths.get(f"$dir/c$i%02d.parquet")
+      java.nio.file.Files.copy(f.toPath, dst)
+      assert(dst.toFile.setLastModified(base + i * 2000L))
     }
     val result = CdcMergeStream.runMerge(spark, dir, ckpt, initial)
       .orderBy("k").collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2)))
