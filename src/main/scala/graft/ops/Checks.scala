@@ -233,13 +233,73 @@ object Checks {
       |GROUP BY o.prio
       |ORDER BY o.prio""".stripMargin
 
+  /** Robust (MAD-based) outlier profile per order priority: median and
+    * median-absolute-deviation of order value, flagging rows with
+    * `|x − med| > 1.5·MAD` — the robust companion to the z-score profile
+    * of [[qOutlierOrders]] (medians don't move when the outliers do).
+    *
+    * Determinism: values are cents-scaled longs; Spark's exact
+    * `percentile` and DuckDB's `quantile_cont` both linearly interpolate,
+    * so medians land on k or k+0.5 — exact in double — and the threshold
+    * compare is written `2·dev > 3·mad` (all products exact in double far
+    * below 2^53), so no engine can round a boundary row differently.
+    *
+    * Scale: two aggregate passes (med, then MAD over deviations) with the
+    * 5-row stats relations broadcast back — exact grouped percentiles hold
+    * per-group values in memory, so at 100 TB swap both for
+    * `percentile_approx` at the same plan shape and keep the final
+    * conditional aggregate unchanged.
+    */
+  def qOutlierMad(spark: SparkSession, dir: String): DataFrame = {
+    val ord = table(spark, dir, "orders")
+      .select(col("o_orderpriority").as("prio"),
+        round(col("o_totalprice") * 100).cast(LongType).as("x"))
+    val med = ord.groupBy(col("prio"))
+      .agg(expr("percentile(x, 0.5)").as("med"))
+    val dev = ord.join(broadcast(med), "prio")
+      .select(col("prio"), col("med"), abs(col("x") - col("med")).as("dev"))
+    val mad = dev.groupBy(col("prio"))
+      .agg(expr("percentile(dev, 0.5)").as("mad"))
+    dev.join(broadcast(mad), "prio")
+      .groupBy(col("prio"))
+      .agg(count(lit(1)).as("n_orders"),
+        coalesce(sum(when(col("dev") * 2 > col("mad") * 3, 1L).otherwise(0L)), lit(0L))
+          .as("n_outliers"),
+        max(col("med")).as("med_cents"),
+        max(col("mad")).as("mad_cents"))
+      .orderBy(col("prio"))
+  }
+
+  val qOutlierMadSql: String =
+    """WITH o AS (
+      |  SELECT o_orderpriority AS prio,
+      |    CAST(round(o_totalprice * 100) AS BIGINT) AS x
+      |  FROM orders
+      |), m AS (
+      |  SELECT prio, quantile_cont(x, 0.5) AS med FROM o GROUP BY 1
+      |), d AS (
+      |  SELECT o.prio, m.med, abs(o.x - m.med) AS dev FROM o JOIN m USING (prio)
+      |), s AS (
+      |  SELECT prio, quantile_cont(dev, 0.5) AS mad FROM d GROUP BY 1
+      |)
+      |SELECT d.prio, count(*) AS n_orders,
+      |  CAST(sum(CASE WHEN d.dev * 2 > s.mad * 3 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_outliers,
+      |  max(d.med) AS med_cents,
+      |  max(s.mad) AS mad_cents
+      |FROM d JOIN s USING (prio)
+      |GROUP BY 1
+      |ORDER BY prio""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_outlier_mad" -> (qOutlierMad _),
     "q_checks_report" -> (qChecksReport _),
     "q_histogram" -> (qHistogram _),
     "q_contingency" -> (qContingency _),
     "q_outlier_orders" -> (qOutlierOrders _))
 
   def oracle: Map[String, String] = Map(
+    "q_outlier_mad" -> qOutlierMadSql,
     "q_checks_report" -> qChecksReportSql,
     "q_histogram" -> qHistogramSql,
     "q_contingency" -> qContingencySql,

@@ -240,7 +240,43 @@ object Corpus {
       |GROUP BY lang
       |ORDER BY lang""".stripMargin
 
+  /** Per-source quota sampling: a fixed budget of 10 documents per source,
+    * chosen deterministically by md5-hash order (the reproducible stand-in
+    * for "10 uniformly at random, stable across runs/engines/partitioning"),
+    * then a per-source profile of the picks. The quota selection runs
+    * through the native [[graft.plans.TopKPerKey]] bounded-heap operator —
+    * partial heaps of ≤ 10 rows per source on the map side, so the shuffle
+    * carries at most `sources × 10` rows no matter how large the corpus is
+    * (a filtered `row_number()` window would sort and shuffle every row).
+    */
+  def qSampleQuota(spark: SparkSession, dir: String): DataFrame = {
+    val docs = table(spark, dir, "documents")
+      .withColumn("h", md5(col("doc_id").cast("string")))
+    graft.plans.TopKPerKey
+      .perKey(docs, Seq(col("source")), Seq(col("h").asc, col("doc_id").asc), k = 10)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("sum_chars"),
+        min(col("h")).as("first_hash"))
+      .orderBy(col("source"))
+  }
+
+  val qSampleQuotaSql: String =
+    """WITH ranked AS (
+      |  SELECT source, n_chars, md5(CAST(doc_id AS VARCHAR)) AS h,
+      |    row_number() OVER (PARTITION BY source
+      |                       ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+      |  FROM documents
+      |)
+      |SELECT source, count(*) AS n_docs,
+      |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+      |  min(h) AS first_hash
+      |FROM ranked WHERE rn <= 10
+      |GROUP BY 1
+      |ORDER BY source""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_sample_quota" -> (qSampleQuota _),
     "q_sample_det" -> (qSampleDet _),
     "q_sample_stratified" -> (qSampleStratified _),
     "q_split_assign" -> (qSplitAssign _),
@@ -249,6 +285,7 @@ object Corpus {
     "q_contamination" -> (qContamination _))
 
   def oracle: Map[String, String] = Map(
+    "q_sample_quota" -> qSampleQuotaSql,
     "q_sample_det" -> qSampleDetSql,
     "q_sample_stratified" -> qSampleStratifiedSql,
     "q_split_assign" -> qSplitAssignSql,

@@ -323,7 +323,79 @@ object Events {
       |LEFT JOIN counts ON counts.h = hours.h AND counts.event_type = types.event_type
       |ORDER BY hour, types.event_type""".stripMargin
 
+  /** Last-touch attribution: each purchase is credited to the nearest
+    * PRECEDING non-purchase event by the same user (strictly earlier under
+    * the (ts, event_id) total order); purchases with no prior touch are
+    * `organic`. One `last(..., ignoreNulls)` window over the per-user
+    * stream — no self-join, no per-purchase subquery. Scale: a single
+    * shuffle on user_id; with the events table bucketed on user_id the
+    * exchange disappears entirely.
+    */
+  def qAttributionLastTouch(spark: SparkSession, dir: String): DataFrame = {
+    val ev = events(spark, dir)
+    val wPrior = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    ev.select(col("event_type"),
+        last(when(col("event_type") =!= "purchase", col("event_type")),
+          ignoreNulls = true).over(wPrior).as("touch"))
+      .filter(col("event_type") === "purchase")
+      .select(coalesce(col("touch"), lit("organic")).as("touch"))
+      .groupBy(col("touch"))
+      .agg(count(lit(1)).as("n_purchases"))
+      .orderBy(col("touch"))
+  }
+
+  val qAttributionLastTouchSql: String =
+    """WITH e AS (
+      |  SELECT event_id, user_id, event_type, date_trunc('microseconds', ts) AS ts
+      |  FROM events
+      |), t AS (
+      |  SELECT event_type,
+      |    last_value(CASE WHEN event_type <> 'purchase' THEN event_type END IGNORE NULLS)
+      |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS touch
+      |  FROM e
+      |)
+      |SELECT COALESCE(touch, 'organic') AS touch, count(*) AS n_purchases
+      |FROM t WHERE event_type = 'purchase'
+      |GROUP BY 1
+      |ORDER BY touch""".stripMargin
+
+  /** Event-transition bigrams: the first-order Markov transition counts of
+    * each user's event stream — `lag` over the (ts, event_id)-ordered
+    * per-user partition, then a count per (prev, next) pair. The standard
+    * sessionized-behavior profile; 25 output rows regardless of stream
+    * size, all post-window work is a map-side-combinable aggregate.
+    */
+  def qEventBigrams(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    events(spark, dir)
+      .select(col("event_type").as("next"),
+        lag(col("event_type"), 1).over(w).as("prev"))
+      .filter(col("prev").isNotNull)
+      .groupBy(col("prev"), col("next"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("prev"), col("next"))
+  }
+
+  val qEventBigramsSql: String =
+    """WITH e AS (
+      |  SELECT user_id, event_id, event_type, date_trunc('microseconds', ts) AS ts
+      |  FROM events
+      |), b AS (
+      |  SELECT lag(event_type, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev,
+      |    event_type AS next
+      |  FROM e
+      |)
+      |SELECT prev, next, count(*) AS n
+      |FROM b WHERE prev IS NOT NULL
+      |GROUP BY 1, 2
+      |ORDER BY n DESC, prev, next""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_attribution_last_touch" -> (qAttributionLastTouch _),
+    "q_event_bigrams" -> (qEventBigrams _),
     "q_events_densify" -> (qEventsDensify _),
     "q_scd2_history" -> (qScd2History _),
     "q_events_retention" -> (qEventsRetention _),
@@ -336,6 +408,8 @@ object Events {
   )
 
   def oracle: Map[String, String] = Map(
+    "q_attribution_last_touch" -> qAttributionLastTouchSql,
+    "q_event_bigrams" -> qEventBigramsSql,
     "q_events_densify" -> qEventsDensifySql,
     "q_scd2_history" -> qScd2HistorySql,
     "q_events_retention" -> qEventsRetentionSql,

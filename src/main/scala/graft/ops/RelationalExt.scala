@@ -445,7 +445,75 @@ object RelationalExt {
       |FROM l WHERE prev IS NOT NULL
       |ORDER BY month""".stripMargin
 
+  /** 2-D Pareto skyline (maximize `x`, minimize `y`): rows not dominated
+    * by any other row (`x' ≥ x ∧ y' ≤ y`, strict somewhere). Two phases:
+    *
+    *  1. LOCAL prune per input partition — the same sort-based sweep
+    *     keyed by `spark_partition_id()`, so it runs partition-local with
+    *     no exchange. A locally-dominated row is dominated globally (its
+    *     dominator exists regardless of co-partitioning), so dropping it
+    *     is always safe and the phase is conservative (keeps boundary
+    *     ties); survivors are a tiny frontier-ish candidate set.
+    *  2. GLOBAL exact sweep over the survivors: `dense_rank` on `x`
+    *     descending, a RANGE frame on that (integer) rank for "strictly
+    *     better x", and a per-x-partition min for tie dominance. Identical
+    *     duplicate points all survive — NOT-EXISTS dominance semantics.
+    *
+    * The global window is a single reducer, but it only ever sees phase-1
+    * survivors (frontier-sized, not input-sized) — the same shape DMBS
+    * skyline papers use (sort-filter-skyline with a pre-pruning pass).
+    */
+  def skyline2d(df: DataFrame, xName: String, yName: String, tieName: String): DataFrame = {
+    val (x, y, tie) = (col(xName), col(yName), col(tieName))
+    val wLocal = Window.partitionBy(col("_pid"))
+      .orderBy(x.desc, y.asc, tie.asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val pruned = df
+      .withColumn("_pid", spark_partition_id())
+      .withColumn("_pmin", min(y).over(wLocal))
+      .filter(col("_pmin").isNull || y <= col("_pmin"))
+      .drop("_pid", "_pmin")
+    val wStrict = Window.orderBy(col("_r"))
+      .rangeBetween(Window.unboundedPreceding, -1)
+    pruned
+      .withColumn("_r", dense_rank().over(Window.orderBy(x.desc)))
+      .withColumn("_minStrict", min(y).over(wStrict))
+      .withColumn("_minTie", min(y).over(Window.partitionBy(x)))
+      .filter((col("_minStrict").isNull || col("_minStrict") > y) && y === col("_minTie"))
+      .drop("_r", "_minStrict", "_minTie")
+  }
+
+  /** Customer efficiency frontier: customers for whom no other customer
+    * has both ≥ total spend and ≤ order count — dominance computed in
+    * exact decimal so the frontier is bit-stable across engines.
+    */
+  def qSkyline(spark: SparkSession, dir: String): DataFrame = {
+    val agg = table(spark, dir, "orders")
+      .groupBy(col("o_custkey"))
+      .agg(sum(dec(col("o_totalprice"))).as("spend"), count(lit(1)).as("n_orders"))
+    skyline2d(agg, "spend", "n_orders", "o_custkey")
+      .select(col("o_custkey").as("custkey"),
+        col("spend").cast(DoubleType).as("spend"), col("n_orders"))
+      .orderBy(col("spend").desc, col("custkey"))
+  }
+
+  val qSkylineSql: String =
+    """WITH agg AS (
+      |  SELECT o_custkey,
+      |    sum(CAST(o_totalprice AS DECIMAL(18,2))) AS spend,
+      |    count(*) AS n_orders
+      |  FROM orders GROUP BY 1
+      |)
+      |SELECT a.o_custkey AS custkey, CAST(a.spend AS DOUBLE) AS spend, a.n_orders
+      |FROM agg a
+      |WHERE NOT EXISTS (
+      |  SELECT 1 FROM agg b
+      |  WHERE b.spend >= a.spend AND b.n_orders <= a.n_orders
+      |    AND (b.spend > a.spend OR b.n_orders < a.n_orders))
+      |ORDER BY spend DESC, custkey""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_skyline" -> (qSkyline _),
     "q_gini" -> (qGini _),
     "q_mom_growth" -> (qMomGrowth _),
     "q02_min_cost_supplier" -> (q02MinCostSupplier _),
@@ -462,6 +530,7 @@ object RelationalExt {
     "q22_idle_customers" -> (q22IdleCustomers _))
 
   def oracle: Map[String, String] = Map(
+    "q_skyline" -> qSkylineSql,
     "q_gini" -> qGiniSql,
     "q_mom_growth" -> qMomGrowthSql,
     "q02_min_cost_supplier" -> q02Sql,

@@ -30,6 +30,32 @@ class ChecksSpec extends SparkFunSuite {
     assert(orph.getLong(1) === 1L && !orph.getBoolean(2))
   }
 
+  test("MAD outliers: planted median/MAD and the robustness property") {
+    val dir = "/root/testdata/sf0.001"
+    val out = Checks.qOutlierMad(spark, dir).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val (n, k, med, mad) =
+        (r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4))
+      assert(k >= 0 && k <= n)
+      assert(med > 0 && mad >= 0)
+      // robust flag rate: 1.5·MAD on unimodal data flags a minority
+      assert(k.toDouble / n < 0.5, s"flagged $k of $n")
+    }
+    // hand-computed fixture: odd count → exact middle; MAD of
+    // {1,2,3,4,100} is median{2,1,0,1,97} = 1; devs 2 (x=1) and 97
+    // (x=100) exceed 1.5·MAD = 1.5
+    import spark.implicits._
+    val df = Seq(1L, 2L, 3L, 4L, 100L).toDF("x")
+    val med = df.agg(expr("percentile(x, 0.5)")).head().getDouble(0)
+    assert(med === 3.0)
+    val mad = df.select(abs(col("x") - lit(med)).as("d"))
+      .agg(expr("percentile(d, 0.5)")).head().getDouble(0)
+    assert(mad === 1.0)
+    val flagged = df.filter(abs(col("x") - lit(med)) * 2 > lit(mad) * 3).count()
+    assert(flagged === 2L)
+  }
+
   test("the row-check suite is one scan: a single aggregate over one file scan") {
     val df = Checks.report(
       Tables.table(spark, "/root/testdata/sf0.001", "lineitem"),

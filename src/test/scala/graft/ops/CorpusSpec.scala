@@ -83,4 +83,22 @@ class CorpusSpec extends SparkFunSuite {
     assert(out.forall(r => r.getLong(0) % 20 != 0), "benchmark doc leaked into output")
     assert(out.forall(_.getLong(1) >= 1))
   }
+
+  test("quota sample: ≤10 docs per source, repartition-stable picks") {
+    val out = Corpus.qSampleQuota(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(out.nonEmpty)
+    assert(out.forall(_._2 <= 10L), "quota exceeded")
+    // picks are a pure function of doc_id hashes: re-running over a
+    // re-sliced corpus selects the same documents (same sum_chars)
+    val docs = Tables.table(spark, sf, "documents").repartition(13)
+    val again = graft.plans.TopKPerKey
+      .perKey(docs.withColumn("h", md5(col("doc_id").cast("string"))),
+        Seq(col("source")), Seq(col("h").asc, col("doc_id").asc), k = 10)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"),
+        min(col("h")).as("first_hash"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(out.sorted === again.sorted)
+  }
 }

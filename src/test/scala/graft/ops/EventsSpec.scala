@@ -1,0 +1,77 @@
+package graft.ops
+
+import graft.SparkFunSuite
+import org.apache.spark.sql.functions._
+
+/** Pins the sequence semantics of the attribution and transition-bigram
+  * operators on planted per-user streams (the oracle gate only sees the
+  * synthetic corpus; these fixtures exercise the edge rules directly:
+  * organic purchases, same-timestamp tie-breaks, per-user isolation).
+  */
+class EventsSpec extends SparkFunSuite {
+
+  private val ts0 = java.sql.Timestamp.valueOf("2026-01-01 00:00:00")
+  private def at(s: Long) = new java.sql.Timestamp(ts0.getTime + s * 1000)
+
+  private def ev(rows: Seq[(Long, Long, String)]) = {
+    import spark.implicits._
+    rows.map { case (id, sec, tpe) => (id, at(sec), id % 1000, tpe) }
+      .toDF("event_id", "ts", "user_id", "event_type")
+  }
+
+  test("last-touch attribution credits the nearest prior non-purchase") {
+    import spark.implicits._
+    val df = Seq(
+      // user 1: view → click → purchase  ⇒ click credited
+      (1L, at(10), 1L, "view"), (2L, at(20), 1L, "click"), (3L, at(30), 1L, "purchase"),
+      // user 2: purchase with no prior events ⇒ organic
+      (4L, at(5), 2L, "purchase"),
+      // user 2 again: a later view then purchase ⇒ view credited
+      (5L, at(6), 2L, "view"), (6L, at(7), 2L, "purchase"),
+      // user 3: purchase then purchase — prior purchase is NOT a touch,
+      // the view before both is ⇒ both credited to view
+      (7L, at(1), 3L, "view"), (8L, at(2), 3L, "purchase"), (9L, at(3), 3L, "purchase"))
+      .toDF("event_id", "ts", "user_id", "event_type")
+    df.createOrReplaceTempView("planted_events")
+    val wPrior = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val got = df.select(col("event_type"),
+        last(when(col("event_type") =!= "purchase", col("event_type")),
+          ignoreNulls = true).over(wPrior).as("touch"))
+      .filter(col("event_type") === "purchase")
+      .groupBy(coalesce(col("touch"), lit("organic")).as("touch"))
+      .agg(count(lit(1)).as("n"))
+      .as[(String, Long)].collect().toMap
+    assert(got === Map("click" -> 1L, "organic" -> 1L, "view" -> 3L))
+  }
+
+  test("bigram transitions are per-user and ordered by (ts, event_id)") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, at(10), 1L, "a"), (2L, at(20), 1L, "b"), (3L, at(30), 1L, "c"),
+      // same timestamp: event_id breaks the tie ⇒ d before e
+      (4L, at(40), 1L, "d"), (5L, at(40), 1L, "e"),
+      // user 2's stream never chains into user 1's
+      (6L, at(1), 2L, "x"), (7L, at(2), 2L, "a"))
+      .toDF("event_id", "ts", "user_id", "event_type")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val got = df.select(col("event_type").as("next"),
+        lag(col("event_type"), 1).over(w).as("prev"))
+      .filter(col("prev").isNotNull)
+      .groupBy(col("prev"), col("next")).agg(count(lit(1)).as("n"))
+      .as[(String, String, Long)].collect().map(r => (r._1, r._2) -> r._3).toMap
+    assert(got === Map(("a", "b") -> 1L, ("b", "c") -> 1L, ("c", "d") -> 1L,
+      ("d", "e") -> 1L, ("x", "a") -> 1L))
+  }
+
+  test("attribution query totals purchases exactly on real data") {
+    val dir = "/root/testdata/sf0.001"
+    val total = Events.qAttributionLastTouch(spark, dir)
+      .agg(sum(col("n_purchases"))).head().getLong(0)
+    val purchases = Tables.events(spark, dir)
+      .filter(col("event_type") === "purchase").count()
+    assert(total === purchases)
+  }
+}

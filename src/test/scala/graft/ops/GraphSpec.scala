@@ -39,4 +39,35 @@ class GraphSpec extends SparkFunSuite {
     assert(a === b)
     assert(a.nonEmpty && a.forall(_._2 >= 150000L))
   }
+
+  test("triangle counts: K4 plus a pendant open wedge, hand-computed") {
+    import spark.implicits._
+    // K4 on {1,2,3,4}: C(4,3)=4 triangles, each node in exactly 3.
+    // Pendant path 4-5, 5-6 (open wedge): no triangle, 5 and 6 absent
+    // from the counts (only triangle corners are emitted).
+    val oriented = Seq(
+      (1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L),
+      (4L, 5L), (5L, 6L)).toDF("src", "dst")
+    val r = Graph.triangleCounts(oriented).collect()
+      .map(x => (x.getLong(0), x.getLong(1))).toMap
+    assert(r === Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+  }
+
+  test("triangle counts are identical on the broadcast and shuffle paths") {
+    val li = Tables.table(spark, "/root/testdata/sf0.001", "lineitem")
+      .select(col("l_orderkey").as("ok"), col("l_partkey"))
+    val oriented = li.toDF("ok", "src")
+      .join(li.toDF("ok", "dst"), Seq("ok"))
+      .filter(col("src") < col("dst"))
+      .select(col("src"), col("dst"))
+      .distinct()
+    def counts(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(x => (x.getLong(0), x.getLong(1))).sorted.toSeq
+    val viaBroadcast = counts(Graph.triangleCounts(oriented))
+    // Zero cap forces the same input down the shuffle-join fallback (the
+    // beyond-broadcast 100 TB path) — results must not move.
+    val viaShuffle = counts(Graph.triangleCounts(oriented, broadcastCap = 0L))
+    assert(viaBroadcast === viaShuffle)
+    assert(viaBroadcast.nonEmpty)
+  }
 }

@@ -65,4 +65,40 @@ class RelationalExtSpec extends SparkFunSuite {
     // balance per nation is strictly positive
     assert(idleNations.filter(col("totacctbal") <= 0).count() === 0)
   }
+
+  test("skyline: planted dominance, x-ties, and duplicate frontier points") {
+    import spark.implicits._
+    // Frontier: (10,1), (20,2), (30,5). Dominated: (10,2) by (10,1)&(20,2),
+    // (25,5) by (30,5), (30,6) by (30,5). Duplicate point (20,2) appears
+    // twice under different ids — NOT-EXISTS semantics keeps both.
+    val pts = Seq(
+      (1L, 10L, 1L), (2L, 20L, 2L), (3L, 30L, 5L), (4L, 10L, 2L),
+      (5L, 25L, 5L), (6L, 30L, 6L), (7L, 20L, 2L))
+      .toDF("id", "x", "y")
+    val got = RelationalExt.skyline2d(pts, "x", "y", "id")
+      .select("id").as[Long].collect().sorted.toSeq
+    assert(got === Seq(1L, 2L, 3L, 7L))
+  }
+
+  test("skyline is invariant under repartitioning (local prune is safe)") {
+    import spark.implicits._
+    val pts = (1 to 500).map { i =>
+      (i.toLong, (i * 7919 % 101).toLong, (i * 104729 % 97).toLong)
+    }.toDF("id", "x", "y")
+    def ids(df: org.apache.spark.sql.DataFrame) =
+      RelationalExt.skyline2d(df, "x", "y", "id")
+        .select("id").as[Long].collect().sorted.toSeq
+    val a = ids(pts)
+    val b = ids(pts.repartition(13))
+    val c = ids(pts.coalesce(1))
+    assert(a === b && a === c && a.nonEmpty)
+    // brute-force oracle on the driver
+    val rows = pts.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val expect = rows.filter { case (_, x, y) =>
+      !rows.exists { case (_, x2, y2) =>
+        x2 >= x && y2 <= y && (x2 > x || y2 < y)
+      }
+    }.map(_._1).sorted.toSeq
+    assert(a === expect)
+  }
 }
