@@ -393,7 +393,57 @@ object Events {
       |GROUP BY 1, 2
       |ORDER BY n DESC, prev, next""".stripMargin
 
+  /** Rolling-window anomaly detection on the hourly event-count series:
+    * each hour is tested against the trailing 24 hours (excluding
+    * itself) with a one-sided z² test, division-free —
+    * `(n·x − S)² > n·(n·Q − S²)` is `z² > 1` cleared of all divisions,
+    * so every comparison is between exact longs and the flag cannot
+    * drift between engines (the [[Checks.qOutlierOrders]] discipline
+    * applied to a window frame). Hours with under 12 trailing samples
+    * are not scored. Scale: the series is calendar-sized (one row per
+    * (type, hour) after the first aggregate), so the window pass is
+    * trivial no matter how large the event stream is; the stream is
+    * touched exactly once.
+    */
+  def qRollingAnomaly(spark: SparkSession, dir: String): DataFrame = {
+    val h = events(spark, dir)
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hour"))
+      .agg(count(lit(1)).as("x"))
+    val win = Window.partitionBy(col("event_type")).orderBy(col("hour"))
+      .rowsBetween(-24, -1)
+    h.select(col("event_type"), col("hour"), col("x"),
+        count(lit(1)).over(win).as("n"),
+        sum(col("x")).over(win).as("s"),
+        sum(col("x") * col("x")).over(win).as("q"))
+      .filter(col("n") >= 12)
+      .select(col("event_type"), fmt(col("hour")).as("hour"), col("x"),
+        ((col("n") * col("x") - col("s")) * (col("n") * col("x") - col("s"))
+          > col("n") * (col("n") * col("q") - col("s") * col("s")))
+          .as("is_anomaly"))
+      .orderBy(col("event_type"), col("hour"))
+  }
+
+  val qRollingAnomalySql: String =
+    """WITH h AS (
+      |  SELECT event_type,
+      |    date_trunc('hour', date_trunc('microseconds', ts)) AS hour,
+      |    count(*) AS x
+      |  FROM events GROUP BY 1, 2
+      |), w AS (
+      |  SELECT event_type, hour, x,
+      |    count(*) OVER win AS n, sum(x) OVER win AS s, sum(x*x) OVER win AS q
+      |  FROM h
+      |  WINDOW win AS (PARTITION BY event_type ORDER BY hour
+      |                 ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)
+      |)
+      |SELECT event_type, strftime(hour, '%Y-%m-%d %H:%M:%S') AS hour, x,
+      |  (n*x - s)*(n*x - s) > n*(n*q - s*s) AS is_anomaly
+      |FROM w
+      |WHERE n >= 12
+      |ORDER BY event_type, hour""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_rolling_anomaly" -> (qRollingAnomaly _),
     "q_attribution_last_touch" -> (qAttributionLastTouch _),
     "q_event_bigrams" -> (qEventBigrams _),
     "q_events_densify" -> (qEventsDensify _),
@@ -408,6 +458,7 @@ object Events {
   )
 
   def oracle: Map[String, String] = Map(
+    "q_rolling_anomaly" -> qRollingAnomalySql,
     "q_attribution_last_touch" -> qAttributionLastTouchSql,
     "q_event_bigrams" -> qEventBigramsSql,
     "q_events_densify" -> qEventsDensifySql,

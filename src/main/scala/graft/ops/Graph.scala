@@ -198,10 +198,73 @@ object Graph {
       |GROUP BY 1
       |ORDER BY n_triangles DESC, part LIMIT 20""".stripMargin
 
+  /** Association-rule mining (market basket) over co-order pairs: the
+    * top-20 part→part rules by pair support, with confidence
+    * `P(dst|src)` and lift `P(src,dst)/(P(src)·P(dst))`.
+    *
+    * Determinism: supports are exact longs; confidence and lift are each
+    * ONE division of exact-long products (`n_pair·N` and `n_src·n_dst`
+    * both far below 2^53), rounded to 6 dp — the [[RelationalExt]]
+    * growth-rate discipline, so both engines round the same double.
+    *
+    * Scale: the pair aggregate is the one big shuffle (map-side partial
+    * on (src,dst)); per-item supports are item-dimension-sized and the
+    * order count is a 1-row broadcast. At 100 TB cap basket size first
+    * (a k-item basket emits k² pairs) — the same hot-bucket discipline
+    * as the LSH cap.
+    */
+  def qBasketRules(spark: SparkSession, dir: String): DataFrame = {
+    val li = table(spark, dir, "lineitem")
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("p"))
+      .distinct()
+    val nOrders = li.agg(countDistinct(col("ok")).as("n"))
+    val itemN = li.groupBy(col("p")).agg(count(lit(1)).as("n_p"))
+    val pairN = li.toDF("ok", "src")
+      .join(li.toDF("ok", "dst"), Seq("ok"))
+      .filter(col("src") =!= col("dst"))
+      .groupBy(col("src"), col("dst"))
+      .agg(count(lit(1)).as("n_pair"))
+    // The rule ordering depends on pair support alone, so take the top-20
+    // FIRST (TakeOrderedAndProject — no full sort) and join the support
+    // relations against 20 rows instead of every pair.
+    pairN
+      .orderBy(col("n_pair").desc, col("src"), col("dst"))
+      .limit(20)
+      .join(itemN.toDF("src", "n_src"), "src")
+      .join(itemN.toDF("dst", "n_dst"), "dst")
+      .crossJoin(broadcast(nOrders))
+      .select(col("src"), col("dst"), col("n_pair"),
+        round(col("n_pair").cast("double") / col("n_src").cast("double"), 6)
+          .as("confidence"),
+        round((col("n_pair") * col("n")).cast("double")
+          / (col("n_src") * col("n_dst")).cast("double"), 6).as("lift"))
+      .orderBy(col("n_pair").desc, col("src"), col("dst"))
+  }
+
+  val qBasketRulesSql: String =
+    """WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS p FROM lineitem),
+      |n_orders AS (SELECT count(DISTINCT ok) AS n FROM li),
+      |item_n AS (SELECT p, count(*) AS n_p FROM li GROUP BY 1),
+      |pair_n AS (
+      |  SELECT a.p AS src, b.p AS dst, count(*) AS n_pair
+      |  FROM li a JOIN li b ON a.ok = b.ok AND a.p <> b.p
+      |  GROUP BY 1, 2
+      |)
+      |SELECT src, dst, n_pair,
+      |  round(CAST(n_pair AS DOUBLE) / CAST(s.n_p AS DOUBLE), 6) AS confidence,
+      |  round(CAST(n_pair * n.n AS DOUBLE) / CAST(s.n_p * d.n_p AS DOUBLE), 6) AS lift
+      |FROM pair_n
+      |JOIN item_n s ON s.p = src
+      |JOIN item_n d ON d.p = dst
+      |CROSS JOIN n_orders n
+      |ORDER BY n_pair DESC, src, dst LIMIT 20""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    Map("q_pagerank" -> (qPageRank _), "q_triangles" -> (qTriangles _))
+    Map("q_pagerank" -> (qPageRank _), "q_triangles" -> (qTriangles _),
+      "q_basket_rules" -> (qBasketRules _))
 
   def oracle: Map[String, String] = Map(
     "q_pagerank" -> qPageRankSql,
-    "q_triangles" -> qTrianglesSql)
+    "q_triangles" -> qTrianglesSql,
+    "q_basket_rules" -> qBasketRulesSql)
 }

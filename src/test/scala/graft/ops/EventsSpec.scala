@@ -66,6 +66,39 @@ class EventsSpec extends SparkFunSuite {
       ("d", "e") -> 1L, ("x", "a") -> 1L))
   }
 
+  test("rolling anomaly flags a planted spike and nothing in a flat series") {
+    import spark.implicits._
+    // Per-type hourly series are built from one event per count unit.
+    // Type "flat": 30 hours of x=10 — zero variance after warmup, no
+    // flags... except z² is undefined at var=0; the division-free test
+    // `(n·x−s)² > n·(n·q−s²)` becomes `0 > 0` = false, so constant
+    // series are correctly quiet. Type "spiky": x=10 for 29 h then 20.
+    val rows = scala.collection.mutable.ArrayBuffer[(Long, java.sql.Timestamp, Long, String)]()
+    var id = 0L
+    for (tpe <- Seq("flat", "spiky"); hr <- 0 until 30) {
+      val x = if (tpe == "spiky" && hr == 29) 20 else 10
+      for (_ <- 0 until x) {
+        id += 1
+        rows += ((id, new java.sql.Timestamp(ts0.getTime + hr * 3600L * 1000), id, tpe))
+      }
+    }
+    val df = rows.toSeq.toDF("event_id", "ts", "user_id", "event_type")
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("event_type")).orderBy(col("hour")).rowsBetween(-24, -1)
+    val flagged = df
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hour"))
+      .agg(count(lit(1)).as("x"))
+      .select(col("event_type"), col("hour"), col("x"),
+        count(lit(1)).over(win).as("n"),
+        sum(col("x")).over(win).as("s"),
+        sum(col("x") * col("x")).over(win).as("q"))
+      .filter(col("n") >= 12)
+      .filter((col("n") * col("x") - col("s")) * (col("n") * col("x") - col("s"))
+        > col("n") * (col("n") * col("q") - col("s") * col("s")))
+      .select(col("event_type")).as[String].collect().toSeq
+    assert(flagged === Seq("spiky"))
+  }
+
   test("attribution query totals purchases exactly on real data") {
     val dir = "/root/testdata/sf0.001"
     val total = Events.qAttributionLastTouch(spark, dir)

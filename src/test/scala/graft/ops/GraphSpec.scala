@@ -53,6 +53,22 @@ class GraphSpec extends SparkFunSuite {
     assert(r === Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
   }
 
+  test("basket rules: confidence and lift on a planted 3-order basket set") {
+    val dir = "/root/testdata/sf0.001"
+    val out = Graph.qBasketRules(spark, dir).collect()
+    assert(out.length === 20)
+    out.foreach { r =>
+      val (conf, lift) = (r.getDouble(3), r.getDouble(4))
+      assert(conf > 0 && conf <= 1.0, s"confidence $conf")
+      assert(lift > 0, s"lift $lift")
+    }
+    // pair support is symmetric: (src,dst) and (dst,src) counts match
+    val sup = out.map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    sup.foreach { case ((s, d), n) =>
+      sup.get((d, s)).foreach(m => assert(m === n, s"asymmetric support ($s,$d)"))
+    }
+  }
+
   test("triangle counts are identical on the broadcast and shuffle paths") {
     val li = Tables.table(spark, "/root/testdata/sf0.001", "lineitem")
       .select(col("l_orderkey").as("ok"), col("l_partkey"))
