@@ -210,6 +210,39 @@ object EventStreams {
         })
   }
 
+  final case class TouchState(touch: Option[String])
+  final case class AttributionHit(user_id: Long, event_id: Long, touch: String)
+
+  /** Streaming dual of [[graft.ops.Events.qAttributionLastTouch]]: on
+    * every purchase, emit the user's running last non-purchase event type
+    * (`organic` when none yet). State per key is ONE small string — the
+    * minimal stateful-streaming shape: bounded regardless of history
+    * length, no eviction needed, RocksDB-friendly at billions of users.
+    * Events are processed in (ts, event_id) order within each
+    * micro-batch, same in-order contract as [[funnelCompletions]].
+    */
+  def lastTouchAttribution(events: DataFrame): Dataset[AttributionHit] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    def us(t: java.sql.Timestamp): Long = t.getTime * 1000L + (t.getNanos / 1000L) % 1000L
+    events
+      .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+      .as[FunnelEv]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (userId: Long, evs: Iterator[FunnelEv], state: GroupState[TouchState]) => {
+          var st = state.getOption.getOrElse(TouchState(None))
+          val hits = List.newBuilder[AttributionHit]
+          evs.toSeq.sortBy(e => (us(e.ts), e.event_id)).foreach { e =>
+            if (e.event_type == "purchase")
+              hits += AttributionHit(userId, e.event_id, st.touch.getOrElse("organic"))
+            else st = TouchState(Some(e.event_type))
+          }
+          state.update(st)
+          hits.result().iterator
+        })
+  }
+
   /** Back streaming state with the RocksDB provider — native memory +
     * local-disk spill per state partition, the state store for large keyed
     * state (the default HDFS-backed provider holds each partition's map on

@@ -157,6 +157,18 @@ class StreamingSpec extends SparkFunSuite {
     assert(got == want)
   }
 
+  test("streaming last-touch attribution equals the batch attribution query") {
+    val stream = EventStreams.lastTouchAttribution(
+      EventStreams.eventStream(spark, eventsPath))
+    val got = EventStreams.runToMemory(stream.toDF(), "t_attr", outputMode = "append")
+      .groupBy(col("touch")).agg(count(lit(1)).as("n_purchases"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    val want = graft.ops.Events.qAttributionLastTouch(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(want.nonEmpty)
+    assert(got == want)
+  }
+
   test("stream-stream interval join matches the batch join") {
     val stream = EventStreams.purchaseClickJoin(EventStreams.eventStream(spark, eventsPath))
     val got = EventStreams.runToMemory(stream, "t_ssjoin", outputMode = "append").count()
