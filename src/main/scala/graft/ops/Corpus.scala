@@ -275,7 +275,37 @@ object Corpus {
       |GROUP BY 1
       |ORDER BY source""".stripMargin
 
+  /** Length-weighted deterministic sampling: each document is kept with
+    * probability ∝ its length (`n_chars / 10⁴`, capped at 0.9999) — the
+    * importance-sampling step of corpus mixing (long documents carry
+    * more training signal per row). The keep decision compares the
+    * md5-derived bucket of doc_id against the weight threshold — a pure
+    * row function like [[qSampleDet]], so the sample is repartition-
+    * invariant, engine-independent, and reproducible run to run (a
+    * PRNG-weighted `sample` is none of those). Per-language profile of
+    * the picks, all exact integers.
+    */
+  def qSampleWeighted(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "documents")
+      .withColumn("bucket",
+        pmod(conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10).cast("long"),
+          lit(10000)))
+      .filter(col("bucket") < least(lit(9999), col("n_chars")))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+      .orderBy(col("lang"))
+
+  val qSampleWeightedSql: String =
+    """SELECT lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars
+      |FROM documents
+      |WHERE CAST(concat('0x', substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+      |    % 10000
+      |  < least(9999, n_chars)
+      |GROUP BY lang
+      |ORDER BY lang""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_sample_weighted" -> (qSampleWeighted _),
     "q_sample_quota" -> (qSampleQuota _),
     "q_sample_det" -> (qSampleDet _),
     "q_sample_stratified" -> (qSampleStratified _),
@@ -285,6 +315,7 @@ object Corpus {
     "q_contamination" -> (qContamination _))
 
   def oracle: Map[String, String] = Map(
+    "q_sample_weighted" -> qSampleWeightedSql,
     "q_sample_quota" -> qSampleQuotaSql,
     "q_sample_det" -> qSampleDetSql,
     "q_sample_stratified" -> qSampleStratifiedSql,

@@ -561,7 +561,70 @@ object TextAnalysis {
        |GROUP BY doc_id
        |ORDER BY doc_id""".stripMargin
 
+  /** Sparse TF-IDF similarity join: top-20 most similar document pairs
+    * by inverted-index dot product over word-trigram shingles — the
+    * classic IR retrieval join (weighted sparse vectors via a posting
+    * join), complementing the dense-vector paths in [[VectorSearch]]
+    * and the set-based Jaccard join in [[TextDedup]].
+    *
+    * Weights are exact longs (`tf · (N·1000 DIV df)`) so the pair scores
+    * are order-independent integer sums. Postings are pruned to
+    * 2 ≤ df ≤ 100: df=1 terms can't contribute to any pair, and the cap
+    * is the standard stop-posting cut that bounds per-term pair fanout
+    * at df² ≤ 10⁴ — the skew guard that keeps the self-join sub-
+    * quadratic regardless of corpus size (trigram shingles stay sparse;
+    * measured df ≤ 25 on this corpus at every scale).
+    */
+  def qSparseSimJoin(spark: SparkSession, dir: String): DataFrame = {
+    val grams = table(spark, dir, "documents")
+      .withColumn("t", tokens(col("text")))
+      .select(col("doc_id"),
+        explode(transform(
+          sequence(lit(0), size(col("t")) - 3),
+          i => concat_ws(" ", slice(col("t"), i + 1, lit(3))))).as("w"))
+    // tf feeds three consumers (df, N, postings) — materialize it once
+    // instead of re-running the shingle explode per consumer
+    val tf = grams.groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("tf"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val dfr = tf.groupBy(col("w")).agg(count(lit(1)).as("df"))
+    val n = tf.agg(countDistinct(col("doc_id")).as("n"))
+    val post = tf.join(dfr.filter(col("df").between(2, 100)), "w")
+      .crossJoin(broadcast(n))
+      .select(col("doc_id"), col("w"),
+        (col("tf") * expr("(n * 1000) DIV df")).as("wt"))
+    post.toDF("d1", "w", "w1")
+      .join(post.toDF("d2", "w", "w2"), Seq("w"))
+      .filter(col("d1") < col("d2"))
+      .groupBy(col("d1"), col("d2"))
+      .agg(sum(col("w1") * col("w2")).as("score"))
+      .orderBy(col("score").desc, col("d1"), col("d2"))
+      .limit(20)
+  }
+
+  val qSparseSimJoinSql: String =
+    """WITH tok AS (
+      |  SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS ts FROM documents
+      |), grams AS (
+      |  SELECT doc_id, ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS w
+      |  FROM tok, unnest(generate_series(1, len(ts) - 2)) AS g(i)
+      |), tf AS (
+      |  SELECT doc_id, w, count(*) AS tf FROM grams GROUP BY 1, 2
+      |), dfr AS (
+      |  SELECT w, count(*) AS df FROM tf GROUP BY 1
+      |), n AS (SELECT count(DISTINCT doc_id) AS n FROM tf),
+      |post AS (
+      |  SELECT tf.doc_id, tf.w, tf.tf * ((n.n * 1000) // dfr.df) AS wt
+      |  FROM tf JOIN dfr USING (w) CROSS JOIN n
+      |  WHERE dfr.df BETWEEN 2 AND 100
+      |)
+      |SELECT a.doc_id AS d1, b.doc_id AS d2,
+      |  CAST(sum(a.wt * b.wt) AS BIGINT) AS score
+      |FROM post a JOIN post b ON a.w = b.w AND a.doc_id < b.doc_id
+      |GROUP BY 1, 2
+      |ORDER BY score DESC, d1, d2 LIMIT 20""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_sparse_sim_join" -> (qSparseSimJoin _),
     "q_tfidf_terms" -> (qTfidfTerms _),
     "q_vocab_oov" -> (qVocabOov _),
     "q_lm_bigram_score" -> (qLmBigramScore _),
@@ -578,6 +641,7 @@ object TextAnalysis {
   )
 
   def oracle: Map[String, String] = Map(
+    "q_sparse_sim_join" -> qSparseSimJoinSql,
     "q_tfidf_terms" -> qTfidfTermsSql,
     "q_vocab_oov" -> qVocabOovSql,
     "q_lm_bigram_score" -> qLmBigramScoreSql,

@@ -84,6 +84,20 @@ class CorpusSpec extends SparkFunSuite {
     assert(out.forall(_.getLong(1) >= 1))
   }
 
+  test("weighted sample biases toward long documents and is id-stable") {
+    val docs = Tables.table(spark, sf, "documents")
+    val overallAvg = docs.agg(avg(col("n_chars"))).head().getDouble(0)
+    val out = Corpus.qSampleWeighted(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(out.nonEmpty)
+    // kept docs average longer than the corpus (selection ∝ length)
+    val keptAvg = out.map(_._3).sum.toDouble / out.map(_._2).sum
+    assert(keptAvg > overallAvg, s"kept avg $keptAvg vs corpus $overallAvg")
+    val again = Corpus.qSampleWeighted(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(out.toSeq === again.toSeq)
+  }
+
   test("quota sample: ≤10 docs per source, repartition-stable picks") {
     val out = Corpus.qSampleQuota(spark, sf).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
