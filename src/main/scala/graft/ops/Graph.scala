@@ -259,12 +259,86 @@ object Graph {
       |CROSS JOIN n_orders n
       |ORDER BY n_pair DESC, src, dst LIMIT 20""".stripMargin
 
+  /** k-core peeling profile: iteratively remove nodes of degree < k and
+    * report `(round, n_nodes, n_edges)` after each peel — the standard
+    * graph-densification diagnostic (how much of the graph survives at
+    * coreness k). `k` is derived from the input itself (¾ of the average
+    * degree, exact integer arithmetic) so the query is scale-free.
+    *
+    * Each round is one degree aggregate plus two semi-joins against the
+    * (shrinking) alive set, localCheckpointed so the plan doesn't stack
+    * across rounds — the same iterative-relational shape as
+    * [[pageRankInt]], but with a monotonically SHRINKING edge relation
+    * (peeling only deletes). The per-round scalars collected to the
+    * driver are control-plane (2 longs/round), not data-plane.
+    */
+  def kCoreProfile(edges: DataFrame, rounds: Int): DataFrame = {
+    val spark = edges.sparkSession
+    var e = edges.select(col("src"), col("dst")).localCheckpoint()
+    // ONE degree aggregate per round serves both the peel filter and the
+    // profile stats (the node-count/edge-sum of a degree relation ARE the
+    // round's stats) — no separate stats pass over the edge list.
+    def degrees(df: DataFrame): DataFrame =
+      df.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    def stats(deg: DataFrame): (Long, Long) = {
+      val r = deg.agg(count(lit(1)).as("v"),
+        coalesce(sum(col("deg")), lit(0L)).as("n")).head()
+      (r.getLong(0), r.getLong(1))
+    }
+    var deg = degrees(e)
+    val (v0, n0) = stats(deg)
+    val k = (n0 / v0) * 3 / 4
+    val profile = scala.collection.mutable.ArrayBuffer((0, v0, n0))
+    for (r <- 1 to rounds) {
+      val alive = deg.filter(col("deg") >= k).select(col("src"))
+      e = e.join(alive.toDF("src"), Seq("src"), "left_semi")
+        .join(alive.toDF("dst"), Seq("dst"), "left_semi")
+        .select(col("src"), col("dst"))
+        .localCheckpoint()
+      deg.unpersist(blocking = false)
+      deg = degrees(e)
+      val (v, n) = stats(deg)
+      profile += ((r, v, n))
+    }
+    deg.unpersist(blocking = false)
+    import spark.implicits._
+    profile.toSeq.toDF("round", "n_nodes", "n_edges")
+      .select(col("round"), col("n_nodes"), col("n_edges"))
+      .orderBy(col("round"))
+  }
+
+  /** 3-round peeling profile of the co-order part graph. */
+  def qKCore(spark: SparkSession, dir: String): DataFrame =
+    kCoreProfile(coOrderEdges(spark, dir), rounds = 3)
+
+  val qKCoreSql: String = {
+    def round(i: Int): String =
+      s"""d$i AS (SELECT src, count(*) AS deg FROM e${i - 1} GROUP BY 1),
+         |a$i AS (SELECT src FROM d$i, kv WHERE deg >= k),
+         |e$i AS (SELECT e.src, e.dst FROM e${i - 1} e
+         |  JOIN a$i s ON s.src = e.src JOIN a$i t ON t.src = e.dst)""".stripMargin
+    s"""WITH li AS (SELECT l_orderkey AS ok, l_partkey FROM lineitem),
+       |e0 AS (
+       |  SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+       |  FROM li a JOIN li b ON a.ok = b.ok AND a.l_partkey <> b.l_partkey
+       |), kv AS (
+       |  SELECT (count(*) // count(DISTINCT src)) * 3 // 4 AS k FROM e0
+       |), ${(1 to 3).map(round).mkString(", ")}
+       |SELECT 0 AS round, count(DISTINCT src) AS n_nodes, count(*) AS n_edges FROM e0
+       |UNION ALL SELECT 1, count(DISTINCT src), count(*) FROM e1
+       |UNION ALL SELECT 2, count(DISTINCT src), count(*) FROM e2
+       |UNION ALL SELECT 3, count(DISTINCT src), count(*) FROM e3
+       |ORDER BY round""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Map("q_pagerank" -> (qPageRank _), "q_triangles" -> (qTriangles _),
-      "q_basket_rules" -> (qBasketRules _))
+      "q_basket_rules" -> (qBasketRules _), "q_kcore" -> (qKCore _))
 
   def oracle: Map[String, String] = Map(
     "q_pagerank" -> qPageRankSql,
     "q_triangles" -> qTrianglesSql,
-    "q_basket_rules" -> qBasketRulesSql)
+    "q_basket_rules" -> qBasketRulesSql,
+    "q_kcore" -> qKCoreSql)
 }

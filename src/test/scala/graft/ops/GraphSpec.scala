@@ -53,6 +53,20 @@ class GraphSpec extends SparkFunSuite {
     assert(r === Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
   }
 
+  test("k-core peeling: K6 survives, the pendant is peeled in round 1") {
+    import spark.implicits._
+    // K6 on {1..6} (30 directed edges) + pendant 6-7 (2 directed).
+    // avg degree = 32/7 = 4 (int div), k = 4·3/4 = 3. Round 1 removes
+    // node 7 (deg 1 < 3); K6 (every deg ≥ 5) is then a fixed point.
+    val k6 = for {
+      a <- 1L to 6L; b <- 1L to 6L if a != b
+    } yield (a, b)
+    val edges = (k6 ++ Seq((6L, 7L), (7L, 6L))).toDF("src", "dst")
+    val profile = Graph.kCoreProfile(edges, rounds = 3).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(profile === Seq((0, 7L, 32L), (1, 6L, 30L), (2, 6L, 30L), (3, 6L, 30L)))
+  }
+
   test("basket rules: confidence and lift on a planted 3-order basket set") {
     val dir = "/root/testdata/sf0.001"
     val out = Graph.qBasketRules(spark, dir).collect()
