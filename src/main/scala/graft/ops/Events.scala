@@ -442,7 +442,47 @@ object Events {
       |WHERE n >= 12
       |ORDER BY event_type, hour""".stripMargin
 
+  /** Inter-purchase gap profile (time-to-event): per user, the gaps
+    * between consecutive purchases under the (ts, event_id) order, in
+    * exact microseconds (`unix_micros` longs — no timestamp-diff
+    * rounding), profiled per user cohort with exact-percentile parity.
+    * One per-user window, then a 10-row aggregate.
+    */
+  def qPurchaseGaps(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    events(spark, dir)
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), col("event_id"))
+      .withColumn("prev", lag(col("ts"), 1).over(w))
+      .filter(col("prev").isNotNull)
+      .select(pmod(col("user_id"), lit(10)).as("cohort"),
+        (unix_micros(col("ts")) - unix_micros(col("prev"))).as("gap"))
+      .groupBy(col("cohort"))
+      .agg(count(lit(1)).as("n_gaps"),
+        expr("percentile(gap, 0.5)").as("p50_gap_us"),
+        max(col("gap")).as("max_gap_us"))
+      .orderBy(col("cohort"))
+  }
+
+  val qPurchaseGapsSql: String =
+    """WITH p AS (
+      |  SELECT user_id, event_id, date_trunc('microseconds', ts) AS ts
+      |  FROM events WHERE event_type = 'purchase'
+      |), g AS (
+      |  SELECT user_id % 10 AS cohort,
+      |    epoch_us(ts) - epoch_us(lag(ts, 1)
+      |      OVER (PARTITION BY user_id ORDER BY ts, event_id)) AS gap
+      |  FROM p
+      |)
+      |SELECT cohort, count(*) AS n_gaps,
+      |  quantile_cont(gap, 0.5) AS p50_gap_us,
+      |  max(gap) AS max_gap_us
+      |FROM g WHERE gap IS NOT NULL
+      |GROUP BY 1
+      |ORDER BY cohort""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_purchase_gaps" -> (qPurchaseGaps _),
     "q_rolling_anomaly" -> (qRollingAnomaly _),
     "q_attribution_last_touch" -> (qAttributionLastTouch _),
     "q_event_bigrams" -> (qEventBigrams _),
@@ -458,6 +498,7 @@ object Events {
   )
 
   def oracle: Map[String, String] = Map(
+    "q_purchase_gaps" -> qPurchaseGapsSql,
     "q_rolling_anomaly" -> qRollingAnomalySql,
     "q_attribution_last_touch" -> qAttributionLastTouchSql,
     "q_event_bigrams" -> qEventBigramsSql,

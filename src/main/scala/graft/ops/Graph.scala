@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import Tables._
@@ -332,13 +333,75 @@ object Graph {
        |ORDER BY round""".stripMargin
   }
 
+  /** Synchronous label propagation: every node starts labeled with its
+    * own id; each round it adopts the most frequent label among its
+    * in-neighbors, ties broken by smallest label — fully deterministic
+    * (asynchronous LPA is run-order-dependent; the sync + total-order
+    * tie-break variant is reproducible at any parallelism, the same
+    * discipline as [[pageRankInt]]).
+    *
+    * Each round is one join (labels into edges, shuffle on src), one
+    * count aggregate on (dst,label), and one per-node argmax window
+    * (partitioned by node — no global window). Labels localCheckpoint
+    * per round. Round count is fixed — LPA oscillates on bipartite
+    * structures, so bounded rounds is the standard production choice.
+    */
+  def labelPropagation(edges: DataFrame, rounds: Int): DataFrame = {
+    val e = edges.select(col("src"), col("dst"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var labels = e.select(col("src").as("v")).distinct()
+      .withColumn("label", col("v")).localCheckpoint()
+    val w = Window.partitionBy(col("v")).orderBy(col("c").desc, col("label"))
+    for (_ <- 1 to rounds) {
+      labels = e.join(labels, e("src") === labels("v"))
+        .groupBy(e("dst").as("v"), col("label"))
+        .agg(count(lit(1)).as("c"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("v"), col("label"))
+        .localCheckpoint()
+    }
+    labels
+  }
+
+  /** Top-20 co-order communities by size after 2 LPA rounds. */
+  def qLabelProp(spark: SparkSession, dir: String): DataFrame =
+    labelPropagation(coOrderEdges(spark, dir), rounds = 2)
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n_members"))
+      .orderBy(col("n_members").desc, col("label"))
+      .limit(20)
+
+  val qLabelPropSql: String = {
+    def round(i: Int): String =
+      s"""n$i AS (
+         |  SELECT e.dst AS v, r.label, count(*) AS c
+         |  FROM e JOIN r${i - 1} r ON r.v = e.src GROUP BY 1, 2
+         |), r$i AS (
+         |  SELECT v, label FROM (
+         |    SELECT v, label,
+         |      row_number() OVER (PARTITION BY v ORDER BY c DESC, label) AS rn
+         |    FROM n$i) WHERE rn = 1
+         |)""".stripMargin
+    s"""WITH li AS (SELECT l_orderkey AS ok, l_partkey FROM lineitem),
+       |e AS (
+       |  SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+       |  FROM li a JOIN li b ON a.ok = b.ok AND a.l_partkey <> b.l_partkey
+       |), r0 AS (SELECT DISTINCT src AS v, src AS label FROM e),
+       |${(1 to 2).map(round).mkString(", ")}
+       |SELECT label, count(*) AS n_members FROM r2
+       |GROUP BY 1 ORDER BY n_members DESC, label LIMIT 20""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Map("q_pagerank" -> (qPageRank _), "q_triangles" -> (qTriangles _),
-      "q_basket_rules" -> (qBasketRules _), "q_kcore" -> (qKCore _))
+      "q_basket_rules" -> (qBasketRules _), "q_kcore" -> (qKCore _),
+      "q_label_prop" -> (qLabelProp _))
 
   def oracle: Map[String, String] = Map(
     "q_pagerank" -> qPageRankSql,
     "q_triangles" -> qTrianglesSql,
     "q_basket_rules" -> qBasketRulesSql,
-    "q_kcore" -> qKCoreSql)
+    "q_kcore" -> qKCoreSql,
+    "q_label_prop" -> qLabelPropSql)
 }

@@ -99,6 +99,26 @@ class EventsSpec extends SparkFunSuite {
     assert(flagged === Seq("spiky"))
   }
 
+  test("purchase gaps: planted exact microsecond differences") {
+    import spark.implicits._
+    // user 10 (cohort 0): purchases at +0s, +90s, +210s → gaps 90s, 120s
+    // user 11 (cohort 1): one purchase → no gap row
+    val df = Seq(
+      (1L, at(0), 10L, "purchase"), (2L, at(90), 10L, "purchase"),
+      (3L, at(210), 10L, "purchase"), (4L, at(50), 11L, "purchase"),
+      (5L, at(60), 10L, "click"))
+      .toDF("event_id", "ts", "user_id", "event_type")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val gaps = df.filter(col("event_type") === "purchase")
+      .withColumn("prev", lag(col("ts"), 1).over(w))
+      .filter(col("prev").isNotNull)
+      .select(col("user_id"),
+        (unix_micros(col("ts")) - unix_micros(col("prev"))).as("gap"))
+      .as[(Long, Long)].collect().sorted.toSeq
+    assert(gaps === Seq((10L, 90000000L), (10L, 120000000L)))
+  }
+
   test("attribution query totals purchases exactly on real data") {
     val dir = "/root/testdata/sf0.001"
     val total = Events.qAttributionLastTouch(spark, dir)

@@ -67,6 +67,20 @@ class GraphSpec extends SparkFunSuite {
     assert(profile === Seq((0, 7L, 32L), (1, 6L, 30L), (2, 6L, 30L), (3, 6L, 30L)))
   }
 
+  test("label propagation: two bridged triangles, hand-computed sync rounds") {
+    import spark.implicits._
+    // Triangles {1,2,3} and {4,5,6} bridged by 3-4. Sync LPA, min-label
+    // tie-break, labels initialized to ids:
+    //  r1: 1→2, 2→1, 3→1, 4→3, 5→4, 6→4
+    //  r2: 1→1 (both nbrs carry 1), 2→1, 3→1 (tie {2,1,3} → 1),
+    //      4→4 (nbr labels {1,4,4}), 5→3, 6→3 (tie {3,4} → 3)
+    val und = Seq((1L,2L),(1L,3L),(2L,3L),(4L,5L),(4L,6L),(5L,6L),(3L,4L))
+    val edges = (und ++ und.map(_.swap)).toDF("src", "dst")
+    val labels = Graph.labelPropagation(edges, rounds = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(labels === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L, 5L -> 3L, 6L -> 3L))
+  }
+
   test("basket rules: confidence and lift on a planted 3-order basket set") {
     val dir = "/root/testdata/sf0.001"
     val out = Graph.qBasketRules(spark, dir).collect()
