@@ -291,7 +291,86 @@ object Checks {
       |GROUP BY 1
       |ORDER BY prio""".stripMargin
 
+  /** k-anonymity suppression over quasi-identifiers (order month ×
+    * priority): groups smaller than k=5 are generalized to `*` and
+    * re-aggregated — the release-gate every training-data governance
+    * pipeline runs before publishing grouped statistics. Two aggregates
+    * (group sizes, then the suppressed rollup); nothing row-level leaves
+    * the plan, so the op is one scan + two dimension-sized shuffles at
+    * any corpus size.
+    */
+  def qKAnonymity(spark: SparkSession, dir: String): DataFrame = {
+    val g = table(spark, dir, "orders")
+      .groupBy(trunc(to_date(col("o_orderdate")), "month").as("month"),
+        col("o_orderpriority").as("prio"))
+      .agg(count(lit(1)).as("n"))
+    g.select(
+        when(col("n") >= 5, date_format(col("month"), "yyyy-MM")).otherwise("*").as("month"),
+        when(col("n") >= 5, col("prio")).otherwise("*").as("prio"),
+        col("n"))
+      .groupBy(col("month"), col("prio"))
+      .agg(sum(col("n")).as("n_orders"))
+      .orderBy(col("month"), col("prio"))
+  }
+
+  val qKAnonymitySql: String =
+    """WITH g AS (
+      |  SELECT date_trunc('month', CAST(o_orderdate AS DATE)) AS month,
+      |    o_orderpriority AS prio, count(*) AS n
+      |  FROM orders GROUP BY 1, 2
+      |)
+      |SELECT CASE WHEN n >= 5 THEN strftime(month, '%Y-%m') ELSE '*' END AS month,
+      |  CASE WHEN n >= 5 THEN prio ELSE '*' END AS prio,
+      |  CAST(sum(n) AS BIGINT) AS n_orders
+      |FROM g GROUP BY 1, 2
+      |ORDER BY month, prio""".stripMargin
+
+  /** Equi-depth (quantile-bucketed) histogram of order value: bucket
+    * boundaries are the exact quartiles (broadcast 1-row scalar, the
+    * [[Corpus.qQuantileTrim]] shape), so bucket populations are balanced
+    * by construction — the histogram that stays informative on skewed
+    * data where [[qHistogram]]'s fixed-width bins collapse. At 100 TB
+    * swap the exact percentiles for `percentile_approx` (same plan).
+    */
+  def qHistogramEquiDepth(spark: SparkSession, dir: String): DataFrame = {
+    val ord = table(spark, dir, "orders")
+    val bounds = ord.agg(
+      expr("percentile(o_totalprice, 0.25)").as("q1"),
+      expr("percentile(o_totalprice, 0.5)").as("q2"),
+      expr("percentile(o_totalprice, 0.75)").as("q3"))
+    ord.crossJoin(broadcast(bounds))
+      .select(
+        when(col("o_totalprice") < col("q1"), 0)
+          .when(col("o_totalprice") < col("q2"), 1)
+          .when(col("o_totalprice") < col("q3"), 2)
+          .otherwise(3).as("bucket"),
+        col("o_totalprice"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n"),
+        round(min(col("o_totalprice")), 2).as("lo"),
+        round(max(col("o_totalprice")), 2).as("hi"))
+      .orderBy(col("bucket"))
+  }
+
+  val qHistogramEquiDepthSql: String =
+    """WITH b AS (
+      |  SELECT quantile_cont(o_totalprice, 0.25) AS q1,
+      |         quantile_cont(o_totalprice, 0.5) AS q2,
+      |         quantile_cont(o_totalprice, 0.75) AS q3
+      |  FROM orders
+      |)
+      |SELECT CASE WHEN o_totalprice < q1 THEN 0 WHEN o_totalprice < q2 THEN 1
+      |            WHEN o_totalprice < q3 THEN 2 ELSE 3 END AS bucket,
+      |  count(*) AS n,
+      |  round(min(o_totalprice), 2) AS lo,
+      |  round(max(o_totalprice), 2) AS hi
+      |FROM orders, b
+      |GROUP BY 1
+      |ORDER BY bucket""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_k_anonymity" -> (qKAnonymity _),
+    "q_histogram_equidepth" -> (qHistogramEquiDepth _),
     "q_outlier_mad" -> (qOutlierMad _),
     "q_checks_report" -> (qChecksReport _),
     "q_histogram" -> (qHistogram _),
@@ -299,6 +378,8 @@ object Checks {
     "q_outlier_orders" -> (qOutlierOrders _))
 
   def oracle: Map[String, String] = Map(
+    "q_k_anonymity" -> qKAnonymitySql,
+    "q_histogram_equidepth" -> qHistogramEquiDepthSql,
     "q_outlier_mad" -> qOutlierMadSql,
     "q_checks_report" -> qChecksReportSql,
     "q_histogram" -> qHistogramSql,

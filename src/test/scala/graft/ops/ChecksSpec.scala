@@ -56,6 +56,28 @@ class ChecksSpec extends SparkFunSuite {
     assert(flagged === 2L)
   }
 
+  test("k-anonymity: no released group is smaller than k, totals preserved") {
+    val dir = "/root/testdata/sf0.001"
+    val out = Checks.qKAnonymity(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val released = out.filter(r => r._1 != "*" && r._2 != "*")
+    assert(released.nonEmpty && released.forall(_._3 >= 5L))
+    val total = out.map(_._3).sum
+    assert(total === Tables.table(spark, dir, "orders").count())
+    // suppression is all-or-nothing: a row is fully starred or not at all
+    assert(out.forall(r => (r._1 == "*") == (r._2 == "*")))
+  }
+
+  test("equi-depth histogram buckets are balanced within one row") {
+    val out = Checks.qHistogramEquiDepth(spark, "/root/testdata/sf0.01").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    assert(out.map(_._1).toSeq === Seq(0, 1, 2, 3))
+    val ns = out.map(_._2)
+    assert(ns.max - ns.min <= 1, s"unbalanced buckets: ${ns.toSeq}")
+    // bucket ranges are disjoint and ordered
+    out.sliding(2).foreach { case Array(a, b) => assert(a._4 <= b._3) }
+  }
+
   test("the row-check suite is one scan: a single aggregate over one file scan") {
     val df = Checks.report(
       Tables.table(spark, "/root/testdata/sf0.001", "lineitem"),
