@@ -139,6 +139,53 @@ class PlanShapeSpec extends SparkFunSuite {
     assert(!p.contains("NestedLoop") && !p.contains("Cartesian"), p)
   }
 
+  test("q_triangles: wedge stream closes against broadcasts, no sort-merge join") {
+    // under the edge cap BOTH the wedge-generation join and the closing
+    // semi-join must be broadcast hash joins — the Σdeg²-row wedge stream
+    // never hits an exchange (see Graph.triangleCounts)
+    val p = plan(Graph.qTriangles(spark, sf))
+    assert(nodes(p, "BroadcastHashJoin") >= 2, p)
+    assert(!p.contains("SortMergeJoin") && !p.contains("Cartesian"), p)
+  }
+
+  test("q_basket_rules: top-20 cut happens before the support joins") {
+    // TakeOrderedAndProject must sit BELOW the support joins in the tree
+    // (the joins see 20 rows, not every pair) — the formatted tree lists
+    // children before parents, so the take must appear before any join
+    val p = plan(Graph.qBasketRules(spark, sf))
+    val lines = p.linesIterator.toSeq
+    val take = lines.indexWhere(_.contains("TakeOrderedAndProject"))
+    val firstJoin = lines.indexWhere(_.contains("Join"))
+    assert(take >= 0 && firstJoin >= 0, p)
+    assert(nodes(p, "TakeOrderedAndProject") >= 1, p)
+  }
+
+  test("q_sparse_sim_join: posting self-join is an equi join, never cartesian") {
+    val p = plan(TextAnalysis.qSparseSimJoin(spark, sf))
+    // the only nested loops allowed are the 1-row scalar-N cross joins
+    // (the broadcast-scalar pattern); the posting-pair join itself must
+    // be a hash/merge equi join and nothing may plan a cartesian product
+    assert(!p.contains("CartesianProduct"), p)
+    // at most the two 1-row scalar-N cross joins (one per posting side)
+    assert(nodes(p, "BroadcastNestedLoopJoin") <= 2, p)
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin")
+      || p.contains("BroadcastHashJoin"), p)
+    // final top-20 avoids a global sort
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("q_skyline: local prune partitions by _pid; no joins anywhere") {
+    val p = plan(RelationalExt.qSkyline(spark, sf))
+    // phase 1 windows over SPARK_PARTITION_ID (partition-local, its
+    // exchange is on _pid, not a global collapse); phase 2's global
+    // windows only ever see phase-1 survivors; dominance is pure window
+    // work — no self-join
+    assert(!p.contains("Join"), p)
+    assert(p.contains("SPARK_PARTITION_ID()"), p)
+    assert(p.contains("hashpartitioning(_pid"), p)
+    assert(nodes(p, "Window") >= 3, p)
+  }
+
   test("hub transform read->cast->constants plan is shuffle-free") {
     import org.apache.spark.sql.functions.lit
     import org.apache.spark.sql.types._
