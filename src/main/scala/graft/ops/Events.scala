@@ -481,7 +481,63 @@ object Events {
       |GROUP BY 1
       |ORDER BY cohort""".stripMargin
 
+  /** Grouped linear-trend forecast: per event type, the OLS slope of the
+    * hourly count series and the one-step-ahead forecast — both computed
+    * from exact-integer sums only (`slope = (nΣxy − ΣxΣy)/(nΣx² −(Σx)²)`,
+    * forecast folded into one rational with the same denominator), so the
+    * sole floating-point step is the final rounded division and the
+    * result is bit-identical across engines and partitionings. One
+    * aggregate over the calendar-sized hourly series; the x index is a
+    * per-type row_number (dense, deterministic — hours are unique within
+    * a type).
+    */
+  def qTrendForecast(spark: SparkSession, dir: String): DataFrame = {
+    val h = events(spark, dir)
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hour"))
+      .agg(count(lit(1)).as("y"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("hour"))
+    val s = h.withColumn("x", row_number().over(w).cast(LongType))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"), sum(col("x") * col("x")).as("sxx"),
+        max(col("x")).as("xmax"))
+    s.select(col("event_type"), col("n").as("n_hours"),
+        round((col("n") * col("sxy") - col("sx") * col("sy")).cast(DoubleType)
+          / (col("n") * col("sxx") - col("sx") * col("sx")).cast(DoubleType), 6)
+          .as("slope"),
+        round(((col("sy") * col("sxx") - col("sx") * col("sxy"))
+          + (col("n") * col("sxy") - col("sx") * col("sy")) * (col("xmax") + 1))
+          .cast(DoubleType)
+          / (col("n") * col("sxx") - col("sx") * col("sx")).cast(DoubleType), 6)
+          .as("forecast_next"))
+      .orderBy(col("event_type"))
+  }
+
+  val qTrendForecastSql: String =
+    """WITH h AS (
+      |  SELECT event_type,
+      |    date_trunc('hour', date_trunc('microseconds', ts)) AS hour,
+      |    count(*) AS y
+      |  FROM events GROUP BY 1, 2
+      |), xy AS (
+      |  SELECT event_type,
+      |    CAST(row_number() OVER (PARTITION BY event_type ORDER BY hour) AS BIGINT) AS x,
+      |    y
+      |  FROM h
+      |), s AS (
+      |  SELECT event_type, count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+      |    sum(x*y) AS sxy, sum(x*x) AS sxx, max(x) AS xmax
+      |  FROM xy GROUP BY 1
+      |)
+      |SELECT event_type, CAST(n AS BIGINT) AS n_hours,
+      |  round(CAST(n*sxy - sx*sy AS DOUBLE) / CAST(n*sxx - sx*sx AS DOUBLE), 6)
+      |    AS slope,
+      |  round(CAST((sy*sxx - sx*sxy) + (n*sxy - sx*sy)*(xmax+1) AS DOUBLE)
+      |        / CAST(n*sxx - sx*sx AS DOUBLE), 6) AS forecast_next
+      |FROM s ORDER BY event_type""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_trend_forecast" -> (qTrendForecast _),
     "q_purchase_gaps" -> (qPurchaseGaps _),
     "q_rolling_anomaly" -> (qRollingAnomaly _),
     "q_attribution_last_touch" -> (qAttributionLastTouch _),
@@ -498,6 +554,7 @@ object Events {
   )
 
   def oracle: Map[String, String] = Map(
+    "q_trend_forecast" -> qTrendForecastSql,
     "q_purchase_gaps" -> qPurchaseGapsSql,
     "q_rolling_anomaly" -> qRollingAnomalySql,
     "q_attribution_last_touch" -> qAttributionLastTouchSql,

@@ -119,6 +119,30 @@ class EventsSpec extends SparkFunSuite {
     assert(gaps === Seq((10L, 90000000L), (10L, 120000000L)))
   }
 
+  test("trend forecast: exact slope on a planted linear series") {
+    import spark.implicits._
+    // type "up": y = 2x exactly (x = 1..5 hours, 2,4,6,8,10 events/hour)
+    // → slope 2, forecast at x=6 is 12. type "flat": constant 3 → slope 0.
+    val rows = scala.collection.mutable.ArrayBuffer[(Long, java.sql.Timestamp, Long, String)]()
+    var id = 0L
+    for (hr <- 1 to 5; tpe <- Seq("up", "flat")) {
+      val y = if (tpe == "up") 2 * hr else 3
+      for (_ <- 0 until y) {
+        id += 1
+        rows += ((id, new java.sql.Timestamp(ts0.getTime + hr * 3600L * 1000), id, tpe))
+      }
+    }
+    val dir = tmpDir("trend")
+    rows.toSeq.toDF("event_id", "ts", "user_id", "event_type")
+      .withColumn("value", lit(1.0)).withColumn("props", lit("{}"))
+      .withColumn("ts", expr("CAST(unix_micros(ts) * 1000 AS LONG)"))
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = Events.qTrendForecast(spark, dir).collect()
+      .map(r => r.getString(0) -> ((r.getDouble(2), r.getDouble(3)))).toMap
+    assert(got("up") === ((2.0, 12.0)))
+    assert(got("flat") === ((0.0, 3.0)))
+  }
+
   test("attribution query totals purchases exactly on real data") {
     val dir = "/root/testdata/sf0.001"
     val total = Events.qAttributionLastTouch(spark, dir)
