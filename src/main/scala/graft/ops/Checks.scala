@@ -368,7 +368,56 @@ object Checks {
       |GROUP BY 1
       |ORDER BY bucket""".stripMargin
 
+  /** Header-detail reconciliation: every order's header total vs the
+    * exact-decimal sum of its lineitem charges — the classic warehouse
+    * audit (a header with no detail rows is an orphan; a delta over one
+    * cent is a mismatch). Per-priority report of counts and the worst
+    * absolute drift. All comparisons in exact decimal; the single
+    * cast-to-double happens after rounding the already-exact max. The
+    * detail side aggregates BEFORE the join, so the join moves one row
+    * per order, not one per lineitem.
+    */
+  def qReconciliation(spark: SparkSession, dir: String): DataFrame = {
+    val ls = table(spark, dir, "lineitem")
+      .groupBy(col("l_orderkey"))
+      .agg(sum(charge(col("l_extendedprice"), col("l_discount"), col("l_tax")))
+        .as("detail"))
+    table(spark, dir, "orders")
+      .join(ls, col("o_orderkey") === col("l_orderkey"), "left")
+      .select(col("o_orderpriority").as("prio"),
+        col("detail").isNull.as("orphan"),
+        abs(dec(col("o_totalprice")) - coalesce(col("detail"), lit(0).cast(DecimalType(18, 2))))
+          .as("delta"))
+      .groupBy(col("prio"))
+      .agg(count(lit(1)).as("n_orders"),
+        coalesce(sum(when(col("orphan"), 1L).otherwise(0L)), lit(0L)).as("n_orphans"),
+        coalesce(sum(when(!col("orphan") && col("delta") > 0.01, 1L).otherwise(0L)), lit(0L))
+          .as("n_mismatched"),
+        round(max(col("delta")).cast(DoubleType), 2).as("max_abs_delta"))
+      .orderBy(col("prio"))
+  }
+
+  val qReconciliationSql: String =
+    """WITH ls AS (
+      |  SELECT l_orderkey,
+      |    sum(CAST(l_extendedprice AS DECIMAL(18,2))
+      |        * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))
+      |        * (CAST(1 AS DECIMAL(18,2)) + CAST(l_tax AS DECIMAL(18,2)))) AS detail
+      |  FROM lineitem GROUP BY 1
+      |)
+      |SELECT o.o_orderpriority AS prio, count(*) AS n_orders,
+      |  CAST(sum(CASE WHEN ls.detail IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_orphans,
+      |  CAST(sum(CASE WHEN ls.detail IS NOT NULL
+      |        AND ABS(CAST(o.o_totalprice AS DECIMAL(18,2)) - ls.detail) > 0.01
+      |        THEN 1 ELSE 0 END) AS BIGINT) AS n_mismatched,
+      |  round(CAST(max(ABS(CAST(o.o_totalprice AS DECIMAL(18,2)) - COALESCE(ls.detail, 0)))
+      |        AS DOUBLE), 2) AS max_abs_delta
+      |FROM orders o LEFT JOIN ls ON ls.l_orderkey = o.o_orderkey
+      |GROUP BY 1
+      |ORDER BY prio""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_reconciliation" -> (qReconciliation _),
     "q_k_anonymity" -> (qKAnonymity _),
     "q_histogram_equidepth" -> (qHistogramEquiDepth _),
     "q_outlier_mad" -> (qOutlierMad _),
@@ -378,6 +427,7 @@ object Checks {
     "q_outlier_orders" -> (qOutlierOrders _))
 
   def oracle: Map[String, String] = Map(
+    "q_reconciliation" -> qReconciliationSql,
     "q_k_anonymity" -> qKAnonymitySql,
     "q_histogram_equidepth" -> qHistogramEquiDepthSql,
     "q_outlier_mad" -> qOutlierMadSql,

@@ -78,6 +78,21 @@ class ChecksSpec extends SparkFunSuite {
     out.sliding(2).foreach { case Array(a, b) => assert(a._4 <= b._3) }
   }
 
+  test("reconciliation: orphan headers counted, totals cover every order") {
+    val dir = "/root/testdata/sf0.001"
+    val out = Checks.qReconciliation(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.nonEmpty)
+    assert(out.map(_._2).sum === Tables.table(spark, dir, "orders").count())
+    // the synthetic generator enforces NO header-detail invariant: every
+    // non-orphan order mismatches, and the 27 detail-less orders surface
+    // as orphans (counts pinned by the DuckDB cross-check)
+    assert(out.map(_._3).sum === 27L)
+    out.foreach { case (_, n, orphans, mismatched) =>
+      assert(orphans + mismatched === n)
+    }
+  }
+
   test("the row-check suite is one scan: a single aggregate over one file scan") {
     val df = Checks.report(
       Tables.table(spark, "/root/testdata/sf0.001", "lineitem"),
