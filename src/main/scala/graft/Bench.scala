@@ -58,6 +58,13 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     println(s"""{"metric":"total","value":${sec(total)},"unit":"sec","queries":$qs,"runs":$runs,"sf":"$sfDir"}""")
+    // Truncation-proof recap: harnesses that keep only the TAIL of stdout
+    // lose the head of the (long) line above — and with it the total.
+    // Repeat the headline numbers in a second, short line printed LAST so
+    // any tail capture retains them.
+    val top10 = results.sortBy(-_._2).take(10)
+      .map { case (k, v) => "\"" + k + "\":" + sec(v) }.mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":${sec(total)},"unit":"sec","n_queries":${results.size},"runs":$runs,"top10":$top10}""")
     spark.stop()
   }
 }

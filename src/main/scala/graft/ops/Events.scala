@@ -287,8 +287,12 @@ object Events {
     * resampling step every downstream window/forecast op assumes. The
     * grid is generated from ONE global min/max aggregate (scalar
     * broadcast) and is calendar-sized — tiny relative to the events
-    * stream, which is scanned once for the counts; the grid side of the
-    * final join broadcasts.
+    * stream, which is scanned once for the counts. The COUNTS side of
+    * the final join carries the broadcast hint: the grid is the
+    * preserved side of the left-outer join and a preserved side can
+    * never be the hash-build side, so a hint there would be silently
+    * ignored — the counts relation is post-aggregate calendar-sized
+    * anyway, the natural build side.
     */
   def qEventsDensify(spark: SparkSession, dir: String): DataFrame = {
     val ev = events(spark, dir)
@@ -298,8 +302,8 @@ object Events {
       .select(explode(sequence(col("lo"), col("hi"), expr("interval 1 hour"))).as("h"))
     val types = ev.select(col("event_type")).distinct()
     val counts = ev.groupBy(col("h"), col("event_type")).agg(count(lit(1)).as("n"))
-    broadcast(hours.crossJoin(types))
-      .join(counts, Seq("h", "event_type"), "left")
+    hours.crossJoin(types)
+      .join(broadcast(counts), Seq("h", "event_type"), "left")
       .select(fmt(col("h")).as("hour"), col("event_type"),
         coalesce(col("n"), lit(0L)).as("n"))
       .orderBy(col("hour"), col("event_type"))
@@ -396,8 +400,11 @@ object Events {
   /** Rolling-window anomaly detection on the hourly event-count series:
     * each hour is tested against the trailing 24 hours (excluding
     * itself) with a one-sided z² test, division-free —
-    * `(n·x − S)² > n·(n·Q − S²)` is `z² > 1` cleared of all divisions,
-    * so every comparison is between exact longs and the flag cannot
+    * `(n·x − S)² > n·(n·Q − S²)` is `z² > n` (population variance)
+    * cleared of all divisions — a deliberately conservative gate
+    * (~|z| > 4.9 at n = 24): the series is bursty at the hour grain and
+    * only order-of-magnitude spikes should page. Every comparison is
+    * between exact longs and the flag cannot
     * drift between engines (the [[Checks.qOutlierOrders]] discipline
     * applied to a window frame). Hours with under 12 trailing samples
     * are not scored. Scale: the series is calendar-sized (one row per

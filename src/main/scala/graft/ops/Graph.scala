@@ -28,6 +28,8 @@ import Tables._
   */
 object Graph {
 
+  private lazy val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
   /** Integer PageRank over a directed edge list `(src, dst)`.
     * Dangling-node mass is dropped (noted, identical in the oracle).
     *
@@ -160,6 +162,13 @@ object Graph {
     */
   val broadcastEdgeCap = 20L * 1000 * 1000
 
+  /** The [[triangleCounts]] probe-side decision, factored out pure so
+    * specs can pin it: within the cap the edge list broadcasts to both
+    * joins ("broadcast"); past it the joins shuffle ("shuffle").
+    */
+  def triangleStrategy(nEdges: Long, broadcastCap: Long): String =
+    if (nEdges <= broadcastCap) "broadcast" else "shuffle"
+
   def triangleCounts(oriented: DataFrame, broadcastCap: Long = broadcastEdgeCap): DataFrame = {
     val e = oriented.select(col("src"), col("dst"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -170,13 +179,24 @@ object Graph {
     // shuffle left is one row per node). Past the cap this silently
     // becomes plain shuffle joins — correct at any scale, just not free.
     val nEdges = e.count()
-    val probe = if (nEdges <= broadcastCap) broadcast(e) else e
+    val strategy = triangleStrategy(nEdges, broadcastCap)
+    val probe = if (strategy == "broadcast") broadcast(e) else e
+    if (strategy == "shuffle")
+      log.info(s"triangleCounts: $nEdges edges > broadcast cap $broadcastCap — " +
+        "falling back to shuffle joins for the wedge and closing joins")
     val tri = e.toDF("a", "b")
       .join(probe.toDF("b", "c"), "b")
       .join(probe.toDF("a", "c"), Seq("a", "c"), "left_semi")
-    tri.select(explode(array(col("a"), col("b"), col("c"))).as("node"))
+    val counts = tri
+      .select(explode(array(col("a"), col("b"), col("c"))).as("node"))
       .groupBy(col("node"))
       .agg(count(lit(1)).as("n_triangles"))
+      // eager materialization (node-sized — one row per triangle corner)
+      // so the edge cache can be released before returning: library
+      // callers otherwise accumulate dead blocks across invocations
+      .localCheckpoint()
+    e.unpersist(blocking = false)
+    counts
   }
 
   /** Top-20 parts by triangle participation in the co-order graph —
@@ -375,6 +395,9 @@ object Graph {
         .select(col("v"), col("label"))
         .localCheckpoint()
     }
+    // the final labels are already materialized by the eager checkpoint
+    // above, so the edge cache can be dropped before returning
+    e.unpersist(blocking = false)
     labels
   }
 

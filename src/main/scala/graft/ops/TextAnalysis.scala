@@ -569,11 +569,19 @@ object TextAnalysis {
     *
     * Weights are exact longs (`tf · (N·1000 DIV df)`) so the pair scores
     * are order-independent integer sums. Postings are pruned to
-    * 2 ≤ df ≤ 100: df=1 terms can't contribute to any pair, and the cap
-    * is the standard stop-posting cut that bounds per-term pair fanout
-    * at df² ≤ 10⁴ — the skew guard that keeps the self-join sub-
-    * quadratic regardless of corpus size (trigram shingles stay sparse;
-    * measured df ≤ 25 on this corpus at every scale).
+    * 2 ≤ df ≤ hi: df=1 terms can't contribute to any pair, and the
+    * upper cut is the standard stop-posting cut that bounds per-term
+    * pair fanout at df² — the skew guard that keeps the self-join
+    * sub-quadratic. `hi` is DERIVED from the corpus's own df
+    * distribution — `max(100, 20 × mean df)` in exact integer
+    * arithmetic, mirrored term-for-term in the oracle — not a blind
+    * constant: a denser corpus raises its posting budget
+    * proportionally instead of losing recall, while extreme
+    * stop-grams (> 20× the mean document frequency, the
+    * non-discriminative head of any heavy-tailed df distribution)
+    * are still cut before they readmit quadratic postings. On this
+    * corpus measured df ≤ 25 at every scale, so the floor of 100
+    * binds and results are unchanged.
     */
   def qSparseSimJoin(spark: SparkSession, dir: String): DataFrame = {
     val grams = table(spark, dir, "documents")
@@ -588,17 +596,29 @@ object TextAnalysis {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val dfr = tf.groupBy(col("w")).agg(count(lit(1)).as("df"))
     val n = tf.agg(countDistinct(col("doc_id")).as("n"))
-    val post = tf.join(dfr.filter(col("df").between(2, 100)), "w")
+    // data-derived stop-posting cut: one vocab-sized scalar aggregate,
+    // broadcast as a 1-row bound (the Corpus quantile-trim discipline)
+    val band = dfr.agg(
+      greatest(lit(100L), expr("(sum(df) * 20) DIV count(1)")).as("hi"))
+    val post = tf.join(dfr, "w")
+      .crossJoin(broadcast(band))
+      .filter(col("df") >= 2 && col("df") <= col("hi"))
       .crossJoin(broadcast(n))
       .select(col("doc_id"), col("w"),
         (col("tf") * expr("(n * 1000) DIV df")).as("wt"))
-    post.toDF("d1", "w", "w1")
+    val top = post.toDF("d1", "w", "w1")
       .join(post.toDF("d2", "w", "w2"), Seq("w"))
       .filter(col("d1") < col("d2"))
       .groupBy(col("d1"), col("d2"))
       .agg(sum(col("w1") * col("w2")).as("score"))
       .orderBy(col("score").desc, col("d1"), col("d2"))
       .limit(20)
+      // eager materialization (20 rows) so the tf cache can be released
+      // before returning — library callers otherwise accumulate dead
+      // blocks across invocations
+      .localCheckpoint()
+    tf.unpersist(blocking = false)
+    top
   }
 
   val qSparseSimJoinSql: String =
@@ -612,10 +632,12 @@ object TextAnalysis {
       |), dfr AS (
       |  SELECT w, count(*) AS df FROM tf GROUP BY 1
       |), n AS (SELECT count(DISTINCT doc_id) AS n FROM tf),
-      |post AS (
+      |band AS (
+      |  SELECT greatest(100, (sum(df) * 20) // count(*)) AS hi FROM dfr
+      |), post AS (
       |  SELECT tf.doc_id, tf.w, tf.tf * ((n.n * 1000) // dfr.df) AS wt
-      |  FROM tf JOIN dfr USING (w) CROSS JOIN n
-      |  WHERE dfr.df BETWEEN 2 AND 100
+      |  FROM tf JOIN dfr USING (w) CROSS JOIN n CROSS JOIN band
+      |  WHERE dfr.df >= 2 AND dfr.df <= band.hi
       |)
       |SELECT a.doc_id AS d1, b.doc_id AS d2,
       |  CAST(sum(a.wt * b.wt) AS BIGINT) AS score

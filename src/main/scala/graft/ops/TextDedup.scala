@@ -16,6 +16,16 @@ import TextOps._
   */
 object TextDedup {
 
+  private lazy val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
+  /** The [[canonicalize]] strategy decision, factored out pure so specs
+    * can pin it without building an edge relation: edge count within the
+    * driver cap → exact union-find on the driver ("union-find"); past it
+    * → distributed alternating large-star/small-star ("large-small-star").
+    */
+  def componentsStrategy(nEdges: Long, driverMaxEdges: Long): String =
+    if (nEdges <= driverMaxEdges) "union-find" else "large-small-star"
+
   final case class MinHashConfig(
       shingleK: Int = 3,
       numHashes: Int = 64,
@@ -282,6 +292,8 @@ object TextDedup {
     // pairs plan: collect at most cap+1 edges; overflow → distributed path
     val cap = math.min(driverMaxEdges, (Int.MaxValue - 2).toLong).toInt
     val edgeRows = pairsLong.limit(cap + 1).collect()
+    log.info(s"canonicalize: ${edgeRows.length} edge(s) sniffed against driver cap $cap — " +
+      s"taking the ${componentsStrategy(edgeRows.length.toLong, cap.toLong)} path")
     if (edgeRows.length <= cap) {
       val canon = unionFindMinLabels(edgeRows.iterator.map(r => (r.getLong(0), r.getLong(1))))
       val spark = pairs.sparkSession
