@@ -3,8 +3,11 @@ package graft
 import org.apache.spark.sql.SparkSession
 
 /** Per-round benchmark: runs every SparkEntry query against
-  * SPARK_GRAFT_SF_DIR and prints ONE JSON line
-  * `{"metric":"total","value":N,"unit":"sec","queries":{...},"sf":...}`.
+  * SPARK_GRAFT_SF_DIR and prints the headline JSON line
+  * `{"metric":"total","value":N,"unit":"sec","queries":{...},"sf":...}`,
+  * followed by one short `"metric":"total_recap"` line repeating the
+  * headline numbers (tail-truncation insurance — a consumer keying on
+  * `metric == "total"` sees exactly one line).
   *
   * Results are materialized through the `noop` sink — a bare `count()`
   * would let Catalyst prune projections and undercount the real work.
@@ -46,7 +49,7 @@ object Bench {
         // the block manager across the 70+-query run, squeezing execution
         // memory for later queries (the roaming mid-suite slowdowns).
         // Safe between queries: every result was fully materialized above.
-        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+        Caches.releaseAll(spark)
         elapsed
       }.min
       name -> best
@@ -64,7 +67,7 @@ object Bench {
     // any tail capture retains them.
     val top10 = results.sortBy(-_._2).take(10)
       .map { case (k, v) => "\"" + k + "\":" + sec(v) }.mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${sec(total)},"unit":"sec","n_queries":${results.size},"runs":$runs,"top10":$top10}""")
+    println(s"""{"metric":"total_recap","value":${sec(total)},"unit":"sec","n_queries":${results.size},"runs":$runs,"sf":"$sfDir","top10":$top10}""")
     spark.stop()
   }
 }

@@ -27,7 +27,7 @@ object Verify {
       }
       // release each query's consumed localCheckpoints/caches — they'd
       // otherwise accumulate block-manager residency across all queries
-      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+      Caches.releaseAll(spark)
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

@@ -30,8 +30,14 @@ object Graph {
 
   private lazy val log = org.slf4j.LoggerFactory.getLogger(getClass)
 
-  /** Integer PageRank over a directed edge list `(src, dst)`.
-    * Dangling-node mass is dropped (noted, identical in the oracle).
+  /** Integer PageRank over a directed edge list `(src, dst)`, WITH
+    * dangling-mass redistribution: each round the rank mass sitting on
+    * sink nodes (no out-edges) is summed and re-enters uniformly —
+    * `share = danglingSum DIV |V|` — instead of evaporating. Without the
+    * term, iterated ranks on graphs with sinks decay toward the base and
+    * under-rank everything upstream of a sink. On symmetric graphs (every
+    * node has out-edges) the term is exactly zero and the recurrence
+    * reduces to the classic one.
     *
     * `outdeg` is iteration-invariant, so it is fused into the edge relation
     * ONCE up front — each round is a single `edges ⨝ ranks` join (not
@@ -39,7 +45,11 @@ object Graph {
     * aggregation on dst. Both iteration-invariant relations are
     * hash-partitioned on their join key before checkpointing so the
     * per-round joins find both sides already distributed on the key and
-    * add no exchange of their own.
+    * add no exchange of their own. The dangling set and |V| are likewise
+    * iteration-invariant (node-dimension-sized, computed once); the
+    * per-round dangling sum stays in-plan as a broadcast 1-row relation —
+    * every term an exact long, so the result is bit-identical at any
+    * parallelism and the oracle replays it as chained CTEs.
     */
   def pageRankInt(edges: DataFrame, iters: Int, scale: Long = 1000000L): DataFrame = {
     val e = edges.select(col("src"), col("dst"))
@@ -53,11 +63,22 @@ object Graph {
     val vertices = e.select(col("src").as("v"))
       .union(e.select(col("dst").as("v"))).distinct()
       .localCheckpoint()
+    // sinks: vertices with no out-edges (absent from outdeg's key set)
+    val dangling = vertices
+      .join(outdeg.select(col("src")), vertices("v") === col("src"), "left_anti")
+      .localCheckpoint()
+    // |V| is a control-plane scalar (one long) baked into the per-round
+    // integer division below — not data-plane collection
+    val nV = vertices.count()
     e.unpersist()
     val base = (15L * scale) / 100L
 
     var ranks = vertices.withColumn("rank", lit(scale))
     for (i <- 1 to iters) {
+      // per-round dangling mass as a broadcast 1-row relation: exact long
+      // sum, then one integer division — truncation mirrored in the oracle
+      val share = ranks.join(dangling, Seq("v"), "left_semi")
+        .agg(expr(s"coalesce(sum(rank), CAST(0 AS BIGINT)) DIV $nV").as("dshare"))
       val contribs = eo
         .join(ranks, eo("src") === ranks("v"))
         .select(col("dst"), expr("rank DIV outdeg").as("c"))
@@ -65,30 +86,58 @@ object Graph {
         .agg(sum(col("c")).as("in_mass"))
       ranks = vertices
         .join(contribs, vertices("v") === contribs("dst"), "left")
+        .crossJoin(broadcast(share))
         .select(col("v"),
-          (lit(base) + expr("(85 * coalesce(in_mass, 0L)) DIV 100")).as("rank"))
-      // checkpoint only every few rounds: each eager checkpoint is a full
-      // materialization job, and a 3-4-round join chain is well within
-      // what Catalyst optimizes — lineage is cut before it compounds, not
-      // every round
-      if (i % 4 == 0 && i < iters) ranks = ranks.localCheckpoint()
+          (lit(base) + expr("(85 * (coalesce(in_mass, 0L) + dshare)) DIV 100")).as("rank"))
+      // ranks is referenced TWICE next round (contribution join + dangling
+      // sum): checkpoint each round so both branches re-read a node-sized
+      // materialization instead of doubling the join chain per round
+      if (i < iters) ranks = ranks.localCheckpoint()
     }
     ranks
   }
+
+  /** Default per-order basket cap for the co-order edge builders: the
+    * pair fan-out is quadratic in basket size, so one pathological
+    * 10⁶-item basket would emit 5·10¹¹ pairs on open-ended data. Capping
+    * each order to its `maxBasket` smallest part ids (deterministic —
+    * the set is sorted first) bounds per-order work at C(cap, 2) — the
+    * same hot-bucket discipline as the LSH bucket cap. TPC-H baskets
+    * hold ≤ 7 distinct parts, so the default never binds on this data
+    * and every oracle mirrors the cap term-for-term.
+    */
+  val defaultMaxBasket = 256
+
+  /** Oracle mirror of the basket cap: distinct (order, part) rows ranked
+    * by part id within each order, kept while `rn <= cap` — exactly the
+    * sorted-set prefix [[orientedCoOrderEdges]] keeps.
+    */
+  private def liCappedSql(cap: Int): String =
+    s"""li AS (
+       |  SELECT ok, l_partkey FROM (
+       |    SELECT ok, l_partkey,
+       |      row_number() OVER (PARTITION BY ok ORDER BY l_partkey) AS rn
+       |    FROM (SELECT DISTINCT l_orderkey AS ok, l_partkey FROM lineitem) d
+       |  ) r WHERE rn <= $cap
+       |)""".stripMargin
 
   /** Canonically oriented (`src < dst`) co-order part edges. Built by
     * collecting each order's part set and exploding its upper-triangle
     * pairs MAP-SIDE — one shuffle of the lineitem rows (groupBy order)
     * plus one distinct over the oriented pairs. The equivalent self-join
     * shuffles both join sides AND runs distinct over twice as many
-    * directed rows: measured 2.1 s vs 3.5 s warm at sf0.1. Basket
-    * (per-order set) sizes are bounded (≤7 here); cap them first on
-    * open-ended data — the pair fan-out is quadratic in basket size.
+    * directed rows: measured 2.1 s vs 3.5 s warm at sf0.1. Each order's
+    * sorted part set is capped at its `maxBasket` smallest ids before the
+    * pair explode (see [[defaultMaxBasket]]) so one huge basket can't go
+    * quadratic; GraphSpec plants a 1000-item order and pins the C(cap, 2)
+    * bound.
     */
-  def orientedCoOrderEdges(spark: SparkSession, dir: String): DataFrame =
+  def orientedCoOrderEdges(spark: SparkSession, dir: String,
+      maxBasket: Int = defaultMaxBasket): DataFrame =
     table(spark, dir, "lineitem")
       .select(col("l_orderkey").as("ok"), col("l_partkey"))
-      .groupBy(col("ok")).agg(sort_array(collect_set(col("l_partkey"))).as("ps"))
+      .groupBy(col("ok"))
+      .agg(slice(sort_array(collect_set(col("l_partkey"))), 1, maxBasket).as("ps"))
       .select(explode(flatten(transform(col("ps"), (x, i) =>
         transform(slice(col("ps"), i + 2, size(col("ps"))),
           y => struct(x.as("src"), y.as("dst")))))).as("e"))
@@ -100,8 +149,9 @@ object Graph {
     * present by construction — the oriented relation plus its swap, a
     * map-side union with no second distinct).
     */
-  def coOrderEdges(spark: SparkSession, dir: String): DataFrame = {
-    val o = orientedCoOrderEdges(spark, dir)
+  def coOrderEdges(spark: SparkSession, dir: String,
+      maxBasket: Int = defaultMaxBasket): DataFrame = {
+    val o = orientedCoOrderEdges(spark, dir, maxBasket)
     o.union(o.select(col("dst").as("src"), col("src").as("dst")))
   }
 
@@ -115,17 +165,26 @@ object Graph {
       .limit(20)
 
   val qPageRankSql: String = {
+    // each round mirrors pageRankInt exactly: the dangling share is the
+    // previous round's rank sum over sinks, integer-divided by |V| (zero
+    // on this symmetric graph — the term is replayed, not assumed away)
     def iteration(i: Int): String =
       s"""r$i AS (
-         |  SELECT v.v, 150000 + (85 * coalesce(s.in_mass, 0)) // 100 AS rank
-         |  FROM verts v LEFT JOIN (
+         |  SELECT v.v,
+         |    150000 + (85 * (coalesce(s.in_mass, 0) + d.share)) // 100 AS rank
+         |  FROM verts v
+         |  CROSS JOIN (
+         |    SELECT coalesce(sum(r.rank), 0) // (SELECT count(*) FROM verts) AS share
+         |    FROM r${i - 1} r LEFT JOIN outdeg o ON o.src = r.v
+         |    WHERE o.src IS NULL) d
+         |  LEFT JOIN (
          |    SELECT e.dst, sum(r.rank // o.outdeg) AS in_mass
          |    FROM edges e
          |    JOIN r${i - 1} r ON r.v = e.src
          |    JOIN outdeg o ON o.src = e.src
          |    GROUP BY e.dst) s ON s.dst = v.v
          |)""".stripMargin
-    s"""WITH li AS (SELECT l_orderkey AS ok, l_partkey FROM lineitem),
+    s"""WITH ${liCappedSql(defaultMaxBasket)},
        |edges AS (
        |  SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
        |  FROM li a JOIN li b ON a.ok = b.ok AND a.l_partkey <> b.l_partkey
@@ -140,20 +199,54 @@ object Graph {
        |ORDER BY rank DESC, part LIMIT 20""".stripMargin
   }
 
-  /** Per-node triangle counts over an UNDIRECTED edge list given in
-    * canonical `u < v` orientation: enumerate wedges `(a,b),(b,c)` with
-    * `a < b < c` by joining the oriented list with itself, close each
-    * wedge against the oriented list on `(a,c)`, then credit every
-    * triangle to all three corners.
+  /** Re-orients a canonically (`src < dst`) oriented undirected edge list
+    * by the (degree, id) total order — compact-forward: every edge points
+    * from its lower-(degree, id) endpoint to the higher one. Per-node
+    * triangle counts are ORIENTATION-INVARIANT (each triangle is
+    * enumerated exactly once under any acyclic total-order orientation),
+    * but the wedge stream [[triangleCounts]] materializes is
+    * Σ indeg·outdeg over the middle corner: under id-orientation one hub
+    * whose id falls mid-range among its neighbors contributes ~deg²/4
+    * wedges, while degree-orientation centers every wedge at its
+    * lowest-degree corner, bounding the stream by O(m^1.5) on ANY graph —
+    * the bound that survives power-law degree distributions at 100 TB.
+    * GraphSpec pins the wedge-count drop on a hub fixture and the count
+    * invariance between orientations.
     *
-    * Scale: the canonical id-orientation bounds the wedge count by
-    * Σ outdeg² — fine for near-regular co-occurrence graphs (measured:
-    * degree-ordering only cut wedges 17 % on this data). For power-law
-    * graphs re-orient by (degree, id) instead — the classic compact-
-    * forward trick that makes Σ outdeg² O(m^1.5) — by swapping the
-    * orientation rule; everything downstream is unchanged. Both wedge
-    * join and closing join are plain equi-joins (shuffle on b, then on
-    * (a, c)); nothing is ever collected to the driver.
+    * The degree relation is node-dimension-sized (two longs per node,
+    * strictly smaller than the edge list) so both attach joins broadcast
+    * it — the same sizing argument as [[triangleCounts]]'s edge
+    * broadcast; on graphs whose NODE dimension outgrows executor memory,
+    * drop the hint and the attach joins degrade to edge-linear shuffles
+    * (never wedge-sized).
+    */
+  def degreeOrient(oriented: DataFrame): DataFrame = {
+    // two consumers (degree aggregate + re-orient join): cache so the
+    // input plan runs once; released by the harness unpersist-all
+    val e = oriented.select(col("src"), col("dst"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val deg = e.select(explode(array(col("src"), col("dst"))).as("v"))
+      .groupBy(col("v")).agg(count(lit(1)).as("deg"))
+    val fwd = col("sdeg") < col("ddeg") ||
+      (col("sdeg") === col("ddeg") && col("src") < col("dst"))
+    e.join(broadcast(deg.toDF("src", "sdeg")), "src")
+      .join(broadcast(deg.toDF("dst", "ddeg")), "dst")
+      .select(when(fwd, col("src")).otherwise(col("dst")).as("src"),
+        when(fwd, col("dst")).otherwise(col("src")).as("dst"))
+  }
+
+  /** Per-node triangle counts over an UNDIRECTED edge list given in ANY
+    * acyclic total-order orientation (canonical `u < v`, or
+    * [[degreeOrient]]'s (degree, id) order for power-law graphs):
+    * enumerate wedges `(a,b),(b,c)` by joining the oriented list with
+    * itself, close each wedge against the oriented list on `(a,c)`, then
+    * credit every triangle to all three corners.
+    *
+    * Scale: the wedge stream is Σ indeg·outdeg over the middle corner —
+    * pass [[degreeOrient]]ed edges to keep that O(m^1.5) on skewed
+    * graphs. Both wedge join and closing join are plain equi-joins
+    * (shuffle on b, then on (a, c)) under the broadcast cap; nothing is
+    * ever collected to the driver.
     */
   /** Edge-count ceiling for broadcasting the edge list in
     * [[triangleCounts]] (2 longs/edge ≈ a few hundred MB at the cap —
@@ -187,32 +280,42 @@ object Graph {
     val tri = e.toDF("a", "b")
       .join(probe.toDF("b", "c"), "b")
       .join(probe.toDF("a", "c"), Seq("a", "c"), "left_semi")
-    val counts = tri
+    // Returned LIVE (no checkpoint): the caller gets an inspectable,
+    // composable plan — PlanShapeSpec certifies the broadcast strategy on
+    // it — and pays the computation once at its own sink instead of
+    // eagerly at construction. The edge cache is released by the harness
+    // unpersist-all after materialization (Bench/Verify between queries;
+    // CacheHygieneSpec pins the contract via Caches.releaseAll).
+    tri
       .select(explode(array(col("a"), col("b"), col("c"))).as("node"))
       .groupBy(col("node"))
       .agg(count(lit(1)).as("n_triangles"))
-      // eager materialization (node-sized — one row per triangle corner)
-      // so the edge cache can be released before returning: library
-      // callers otherwise accumulate dead blocks across invocations
-      .localCheckpoint()
-    e.unpersist(blocking = false)
-    counts
   }
 
   /** Top-20 parts by triangle participation in the co-order graph —
     * "parts whose co-purchase neighborhoods are most tightly knit".
     */
   def qTriangles(spark: SparkSession, dir: String): DataFrame =
-    triangleCounts(orientedCoOrderEdges(spark, dir))
+    triangleCounts(degreeOrient(orientedCoOrderEdges(spark, dir)))
       .select(col("node").as("part"), col("n_triangles"))
       .orderBy(col("n_triangles").desc, col("part"))
       .limit(20)
 
   val qTrianglesSql: String =
-    """WITH li AS (SELECT l_orderkey AS ok, l_partkey FROM lineitem),
-      |e AS (
+    s"""WITH ${liCappedSql(defaultMaxBasket)},
+      |e0 AS (
       |  SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
       |  FROM li a JOIN li b ON a.ok = b.ok AND a.l_partkey < b.l_partkey
+      |), deg AS (
+      |  SELECT v, count(*) AS deg FROM (
+      |    SELECT src AS v FROM e0 UNION ALL SELECT dst AS v FROM e0) u
+      |  GROUP BY 1
+      |), e AS (
+      |  SELECT CASE WHEN ds.deg < dd.deg OR (ds.deg = dd.deg AND e0.src < e0.dst)
+      |              THEN e0.src ELSE e0.dst END AS src,
+      |         CASE WHEN ds.deg < dd.deg OR (ds.deg = dd.deg AND e0.src < e0.dst)
+      |              THEN e0.dst ELSE e0.src END AS dst
+      |  FROM e0 JOIN deg ds ON ds.v = e0.src JOIN deg dd ON dd.v = e0.dst
       |), tri AS (
       |  SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
       |  FROM e e1 JOIN e e2 ON e2.src = e1.dst
@@ -238,20 +341,23 @@ object Graph {
     *
     * Scale: the pair aggregate is the one big shuffle (map-side partial
     * on (src,dst)); per-item supports are item-dimension-sized and the
-    * order count is a 1-row broadcast. At 100 TB cap basket size first
-    * (a k-item basket emits k² pairs) — the same hot-bucket discipline
-    * as the LSH cap.
+    * order count is a 1-row broadcast. A k-item basket emits k² pairs, so
+    * each order's sorted part set is capped at `maxBasket` before the
+    * explode (see [[defaultMaxBasket]]; item supports and the order count
+    * stay uncapped) — the same hot-bucket discipline as the LSH cap,
+    * mirrored in the oracle.
     */
-  def qBasketRules(spark: SparkSession, dir: String): DataFrame = {
+  def qBasketRules(spark: SparkSession, dir: String,
+      maxBasket: Int = defaultMaxBasket): DataFrame = {
     val li = table(spark, dir, "lineitem")
       .select(col("l_orderkey").as("ok"), col("l_partkey").as("p"))
       .distinct()
     val nOrders = li.agg(countDistinct(col("ok")).as("n"))
     val itemN = li.groupBy(col("p")).agg(count(lit(1)).as("n_p"))
     // pair supports are symmetric: count the upper-triangle pairs (map-
-    // side explode of each order's part set, one shuffle) and mirror
+    // side explode of each order's capped part set, one shuffle) and mirror
     val half = li.groupBy(col("ok"))
-      .agg(sort_array(collect_set(col("p"))).as("ps"))
+      .agg(slice(sort_array(collect_set(col("p"))), 1, maxBasket).as("ps"))
       .select(explode(flatten(transform(col("ps"), (x, i) =>
         transform(slice(col("ps"), i + 2, size(col("ps"))),
           y => struct(x.as("src"), y.as("dst")))))).as("e"))
@@ -277,12 +383,17 @@ object Graph {
   }
 
   val qBasketRulesSql: String =
-    """WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS p FROM lineitem),
+    s"""WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS p FROM lineitem),
+      |lic AS (
+      |  SELECT ok, p FROM (
+      |    SELECT ok, p, row_number() OVER (PARTITION BY ok ORDER BY p) AS rn
+      |    FROM li) r WHERE rn <= $defaultMaxBasket
+      |),
       |n_orders AS (SELECT count(DISTINCT ok) AS n FROM li),
       |item_n AS (SELECT p, count(*) AS n_p FROM li GROUP BY 1),
       |pair_n AS (
       |  SELECT a.p AS src, b.p AS dst, count(*) AS n_pair
-      |  FROM li a JOIN li b ON a.ok = b.ok AND a.p <> b.p
+      |  FROM lic a JOIN lic b ON a.ok = b.ok AND a.p <> b.p
       |  GROUP BY 1, 2
       |)
       |SELECT src, dst, n_pair,
@@ -353,7 +464,7 @@ object Graph {
          |a$i AS (SELECT src FROM d$i, kv WHERE deg >= k),
          |e$i AS (SELECT e.src, e.dst FROM e${i - 1} e
          |  JOIN a$i s ON s.src = e.src JOIN a$i t ON t.src = e.dst)""".stripMargin
-    s"""WITH li AS (SELECT l_orderkey AS ok, l_partkey FROM lineitem),
+    s"""WITH ${liCappedSql(defaultMaxBasket)},
        |e0 AS (
        |  SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
        |  FROM li a JOIN li b ON a.ok = b.ok AND a.l_partkey <> b.l_partkey
@@ -420,7 +531,7 @@ object Graph {
          |      row_number() OVER (PARTITION BY v ORDER BY c DESC, label) AS rn
          |    FROM n$i) WHERE rn = 1
          |)""".stripMargin
-    s"""WITH li AS (SELECT l_orderkey AS ok, l_partkey FROM lineitem),
+    s"""WITH ${liCappedSql(defaultMaxBasket)},
        |e AS (
        |  SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
        |  FROM li a JOIN li b ON a.ok = b.ok AND a.l_partkey <> b.l_partkey
@@ -432,8 +543,8 @@ object Graph {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Map("q_pagerank" -> (qPageRank _), "q_triangles" -> (qTriangles _),
-      "q_basket_rules" -> (qBasketRules _), "q_kcore" -> (qKCore _),
-      "q_label_prop" -> (qLabelProp _))
+      "q_basket_rules" -> ((s: SparkSession, d: String) => qBasketRules(s, d)),
+      "q_kcore" -> (qKCore _), "q_label_prop" -> (qLabelProp _))
 
   def oracle: Map[String, String] = Map(
     "q_pagerank" -> qPageRankSql,

@@ -613,11 +613,11 @@ object TextAnalysis {
       .agg(sum(col("w1") * col("w2")).as("score"))
       .orderBy(col("score").desc, col("d1"), col("d2"))
       .limit(20)
-      // eager materialization (20 rows) so the tf cache can be released
-      // before returning — library callers otherwise accumulate dead
-      // blocks across invocations
-      .localCheckpoint()
-    tf.unpersist(blocking = false)
+    // Returned LIVE (no checkpoint): the caller gets an inspectable,
+    // composable plan — PlanShapeSpec certifies the equi-join shape on
+    // it — and pays the computation once at its own sink. The tf cache
+    // is released by the harness unpersist-all after materialization
+    // (Bench/Verify between queries; CacheHygieneSpec pins the contract).
     top
   }
 

@@ -97,6 +97,82 @@ class GraphSpec extends SparkFunSuite {
     }
   }
 
+  test("dangling mass re-enters uniformly: path graph with a sink, hand-computed") {
+    import spark.implicits._
+    // 1 -> 2 -> 3; node 3 is a sink. Round r: share = rank(3) DIV 3,
+    // rank(v) = 150000 + 85·(in_mass + share) DIV 100 — all exact longs.
+    val edges = Seq((1L, 2L), (2L, 3L)).toDF("src", "dst")
+    val r1 = Graph.pageRankInt(edges, iters = 1).collect()
+      .map(x => (x.getLong(0), x.getLong(1))).toMap
+    // share = 1000000 DIV 3 = 333333
+    // node1: 150000 + 85·333333 DIV 100            = 433333
+    // node2/3: 150000 + 85·(1000000+333333) DIV 100 = 1283333
+    assert(r1 === Map(1L -> 433333L, 2L -> 1283333L, 3L -> 1283333L))
+    val r2 = Graph.pageRankInt(edges, iters = 2).collect()
+      .map(x => (x.getLong(0), x.getLong(1))).toMap
+    // share = 1283333 DIV 3 = 427777
+    // node1: 150000 + 85·427777 DIV 100             = 513610
+    // node2: 150000 + 85·(433333+427777) DIV 100    = 881943
+    // node3: 150000 + 85·(1283333+427777) DIV 100   = 1604443
+    assert(r2 === Map(1L -> 513610L, 2L -> 881943L, 3L -> 1604443L))
+  }
+
+  test("dangling term is zero on symmetric graphs (classic recurrence preserved)") {
+    import spark.implicits._
+    // 2-cycle fixed point must survive the dangling-mass term: no sinks,
+    // share = 0, rank stays at one unit exactly
+    val edges = Seq((1L, 2L), (2L, 1L)).toDF("src", "dst")
+    val r = Graph.pageRankInt(edges, iters = 4).collect()
+      .map(x => (x.getLong(0), x.getLong(1))).toMap
+    assert(r === Map(1L -> 1000000L, 2L -> 1000000L))
+  }
+
+  test("degree orientation collapses hub wedges; triangle counts are invariant") {
+    import spark.implicits._
+    // Power-law fixture: hub 500 joined to 100 leaves whose ids straddle
+    // it (50 below, 50 above), plus one leaf-leaf edge (10,20) closing a
+    // single triangle {10,20,500}. Under id-orientation the hub is the
+    // MIDDLE of 50·50 wedges; under (degree, id) orientation every hub
+    // edge points INTO the hub (leaf degree ≤ 2 < 100), so the only wedge
+    // left is the one that closes.
+    val hub = 500L
+    val leaves = (1L to 50L) ++ (951L to 1000L)
+    val canonical = (leaves.map(l => if (l < hub) (l, hub) else (hub, l)) :+ (10L, 20L))
+      .toDF("src", "dst")
+    def wedges(e: org.apache.spark.sql.DataFrame): Long =
+      e.toDF("a", "b").join(e.toDF("b", "c"), "b").count()
+    val reoriented = Graph.degreeOrient(canonical)
+    val (wId, wDeg) = (wedges(canonical), wedges(reoriented))
+    assert(wId >= 2500L, s"fixture must blow up under id-orientation, got $wId")
+    assert(wDeg <= wId / 100, s"degree orientation must collapse the hub wedges: $wDeg vs $wId")
+    def counts(df: org.apache.spark.sql.DataFrame) =
+      Graph.triangleCounts(df).collect().map(x => (x.getLong(0), x.getLong(1))).toMap
+    val viaDeg = counts(reoriented)
+    assert(viaDeg === counts(canonical), "counts are orientation-invariant")
+    assert(viaDeg === Map(10L -> 1L, 20L -> 1L, hub -> 1L))
+  }
+
+  test("basket cap bounds the per-order pair fan-out at C(cap, 2)") {
+    import spark.implicits._
+    // one pathological 1000-item order: uncapped the explode emits
+    // C(1000,2) = 499500 pairs; capped it keeps the cap's smallest part
+    // ids — C(10,2) = 45 pairs, deterministic
+    val dir = tmpDir("basket-cap")
+    (1L to 1000L).map(p => (1L, p)).toDF("l_orderkey", "l_partkey")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val capped = Graph.orientedCoOrderEdges(spark, dir, maxBasket = 10)
+    assert(capped.count() === 45L)
+    assert(capped.agg(max(col("dst"))).head().getLong(0) === 10L)
+    val uncapped = Graph.orientedCoOrderEdges(spark, dir, maxBasket = 1000)
+    assert(uncapped.count() === 499500L)
+  }
+
+  test("triangleStrategy pins the broadcast/shuffle boundary at the cap") {
+    assert(Graph.triangleStrategy(Graph.broadcastEdgeCap, Graph.broadcastEdgeCap) === "broadcast")
+    assert(Graph.triangleStrategy(Graph.broadcastEdgeCap + 1, Graph.broadcastEdgeCap) === "shuffle")
+    assert(Graph.triangleStrategy(0L, Graph.broadcastEdgeCap) === "broadcast")
+  }
+
   test("triangle counts are identical on the broadcast and shuffle paths") {
     val li = Tables.table(spark, "/root/testdata/sf0.001", "lineitem")
       .select(col("l_orderkey").as("ok"), col("l_partkey"))

@@ -25,6 +25,13 @@ class LargeSmallStarSpec extends SparkFunSuite {
     out
   }
 
+  test("componentsStrategy pins the union-find/distributed boundary at the cap") {
+    val cap = 1L << 22
+    assert(TextDedup.componentsStrategy(cap, cap) === "union-find")
+    assert(TextDedup.componentsStrategy(cap + 1, cap) === "large-small-star")
+    assert(TextDedup.componentsStrategy(0L, cap) === "union-find")
+  }
+
   test("property: large-star/small-star equals union-find min-label components") {
     val edgeGen = for {
       a <- Gen.choose(0L, 30L)

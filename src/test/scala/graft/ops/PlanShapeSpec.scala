@@ -162,12 +162,13 @@ class PlanShapeSpec extends SparkFunSuite {
 
   test("q_sparse_sim_join: posting self-join is an equi join, never cartesian") {
     val p = plan(TextAnalysis.qSparseSimJoin(spark, sf))
-    // the only nested loops allowed are the 1-row scalar-N cross joins
+    // the only nested loops allowed are the 1-row scalar cross joins
     // (the broadcast-scalar pattern); the posting-pair join itself must
     // be a hash/merge equi join and nothing may plan a cartesian product
     assert(!p.contains("CartesianProduct"), p)
-    // at most the two 1-row scalar-N cross joins (one per posting side)
-    assert(nodes(p, "BroadcastNestedLoopJoin") <= 2, p)
+    // at most the four 1-row scalar cross joins: corpus-N and the
+    // data-derived df band, one of each per posting side
+    assert(nodes(p, "BroadcastNestedLoopJoin") <= 4, p)
     assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin")
       || p.contains("BroadcastHashJoin"), p)
     // final top-20 avoids a global sort

@@ -39,6 +39,41 @@ class SkewAndTypedSpec extends SparkFunSuite {
     assert(a == b)
   }
 
+  test("AQE splits a skewed shuffle partition (the safety net behind manual salting)") {
+    // SCALE.md's fact-fact story: manual salting handles KNOWN hot keys;
+    // AQE's skew-join split is the runtime net for skew nobody predicted.
+    // Plant a 90%-hot key, shrink the skew thresholds to test scale, force
+    // a shuffled join, and assert the executed adaptive plan actually
+    // split the skewed partition.
+    val keys = Seq(
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "16KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "8KB",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1")
+    val saved = keys.map { case (k, _) => k -> spark.conf.getOption(k) }
+    keys.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      // ~90% of 200k left rows share k=7; 64-byte payload makes the hot
+      // partition ~14 MB >> threshold while the median partition is tiny
+      val left = spark.range(0, 200000).select(
+        when(col("id") % 10 =!= 0, lit(7L)).otherwise(col("id")).as("k"),
+        lpad(col("id").cast("string"), 64, "0").as("pad"))
+      val right = spark.range(0, 1000).select(col("id").as("k"), (col("id") * 2).as("v"))
+      val joined = left.join(right, "k")
+      // materialize through THIS QueryExecution (a write would clone the
+      // plan into its own execution and leave this one un-finalized)
+      joined.collect()
+      val p = joined.queryExecution.executedPlan.toString
+      assert(p.contains("isFinalPlan=true"), p)
+      assert(p.contains("skew=true") || p.contains("skewed"),
+        s"adaptive plan did not split the skewed partition\n$p")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("typed Dataset pipeline with a custom Aggregator") {
     import spark.implicits._
     val ds = spark.read.parquet(s"$sf/lineitem.parquet")
