@@ -70,29 +70,45 @@ object Graph {
     // |V| is a control-plane scalar (one long) baked into the per-round
     // integer division below — not data-plane collection
     val nV = vertices.count()
+    // Control-plane probe (one limit-1 job on the node-sized checkpoint):
+    // on a graph with no sinks the dangling share is STRUCTURALLY zero
+    // every round, so the branch — and the per-round checkpoint its
+    // second rank reference forces — is skipped and the classic
+    // single-reference recurrence runs unchanged. The oracle always
+    // replays the full term (it evaluates to zero on such graphs).
+    val hasDangling = !dangling.isEmpty
     e.unpersist()
     val base = (15L * scale) / 100L
 
     var ranks = vertices.withColumn("rank", lit(scale))
     for (i <- 1 to iters) {
-      // per-round dangling mass as a broadcast 1-row relation: exact long
-      // sum, then one integer division — truncation mirrored in the oracle
-      val share = ranks.join(dangling, Seq("v"), "left_semi")
-        .agg(expr(s"coalesce(sum(rank), CAST(0 AS BIGINT)) DIV $nV").as("dshare"))
       val contribs = eo
         .join(ranks, eo("src") === ranks("v"))
         .select(col("dst"), expr("rank DIV outdeg").as("c"))
         .groupBy(col("dst"))
         .agg(sum(col("c")).as("in_mass"))
-      ranks = vertices
+      val withMass = vertices
         .join(contribs, vertices("v") === contribs("dst"), "left")
-        .crossJoin(broadcast(share))
-        .select(col("v"),
-          (lit(base) + expr("(85 * (coalesce(in_mass, 0L) + dshare)) DIV 100")).as("rank"))
-      // ranks is referenced TWICE next round (contribution join + dangling
-      // sum): checkpoint each round so both branches re-read a node-sized
-      // materialization instead of doubling the join chain per round
-      if (i < iters) ranks = ranks.localCheckpoint()
+      ranks =
+        if (hasDangling) {
+          // per-round dangling mass as a broadcast 1-row relation: exact
+          // long sum, one integer division — truncation mirrored in the
+          // oracle
+          val share = ranks.join(dangling, Seq("v"), "left_semi")
+            .agg(expr(s"coalesce(sum(rank), CAST(0 AS BIGINT)) DIV $nV").as("dshare"))
+          withMass.crossJoin(broadcast(share))
+            .select(col("v"),
+              (lit(base) + expr("(85 * (coalesce(in_mass, 0L) + dshare)) DIV 100")).as("rank"))
+        } else withMass
+          .select(col("v"),
+            (lit(base) + expr("(85 * coalesce(in_mass, 0L)) DIV 100")).as("rank"))
+      // the dangling branch references ranks TWICE next round
+      // (contribution join + dangling sum): checkpoint each round so both
+      // branches re-read a node-sized materialization instead of doubling
+      // the join chain per round. The single-reference sink-free path
+      // only cuts lineage before a 4-round chain compounds.
+      val cut = if (hasDangling) i < iters else i % 4 == 0 && i < iters
+      if (cut) ranks = ranks.localCheckpoint()
     }
     ranks
   }
