@@ -304,7 +304,61 @@ object Corpus {
       |GROUP BY lang
       |ORDER BY lang""".stripMargin
 
+  /** Temperature (α = ½) source-mixing sample: per-source keep rates
+    * ∝ n_src^(α−1), normalized so the SMALLEST source keeps 100 % — the
+    * standard low-resource up-weighting of multilingual corpus mixing
+    * (sampling shares ∝ share^α flatten the source distribution; per-doc
+    * keep probability is share^(α−1) ∝ 1/√n_src). The keep decision is
+    * the same md5-bucket rule as [[qSampleDet]] against a per-source
+    * integer threshold `floor(10⁴·√(n_min/n_src))`.
+    *
+    * Cross-engine determinism: the threshold's float path is ONE IEEE
+    * division of exact longs, one correctly-rounded `sqrt`, one
+    * multiply by 10⁴ and a floor — every step bit-identical in Spark
+    * and DuckDB, so the realized sample hash-matches (the discipline
+    * that keeps [[qQuantileTrim]]'s percentile bounds gateable).
+    *
+    * Scale: source sizes are a dimension-sized aggregate broadcast back
+    * to the scan; the corpus is read once and filtered map-side — no
+    * shuffle before the final per-source profile.
+    */
+  def qSampleTemperature(spark: SparkSession, dir: String): DataFrame = {
+    val docs = table(spark, dir, "documents")
+    val sizes = docs.groupBy(col("source")).agg(count(lit(1)).as("n_src"))
+    val minN = sizes.agg(min(col("n_src")).as("n_min"))
+    val rates = sizes.crossJoin(broadcast(minN))
+      .select(col("source"), col("n_src"),
+        floor(lit(10000d) * sqrt(col("n_min").cast("double") / col("n_src").cast("double")))
+          .as("thr"))
+    docs.join(broadcast(rates), "source")
+      .withColumn("bucket",
+        pmod(conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10).cast("long"),
+          lit(10000)))
+      .filter(col("bucket") < col("thr"))
+      .groupBy(col("source"))
+      .agg(max(col("n_src")).as("n_src"), max(col("thr")).as("thr"),
+        count(lit(1)).as("n_kept"), sum(col("n_chars")).as("sum_chars"))
+      .orderBy(col("source"))
+  }
+
+  val qSampleTemperatureSql: String =
+    """WITH sizes AS (SELECT source, count(*) AS n_src FROM documents GROUP BY 1),
+      |mn AS (SELECT min(n_src) AS n_min FROM sizes),
+      |rates AS (
+      |  SELECT source, n_src,
+      |    CAST(floor(10000 * sqrt(CAST(n_min AS DOUBLE) / CAST(n_src AS DOUBLE))) AS BIGINT) AS thr
+      |  FROM sizes, mn
+      |)
+      |SELECT d.source, max(r.n_src) AS n_src, max(r.thr) AS thr,
+      |  count(*) AS n_kept, CAST(sum(d.n_chars) AS BIGINT) AS sum_chars
+      |FROM documents d JOIN rates r ON r.source = d.source
+      |WHERE CAST(concat('0x', substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+      |    % 10000 < r.thr
+      |GROUP BY 1
+      |ORDER BY d.source""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_sample_temperature" -> (qSampleTemperature _),
     "q_sample_weighted" -> (qSampleWeighted _),
     "q_sample_quota" -> (qSampleQuota _),
     "q_sample_det" -> (qSampleDet _),
@@ -315,6 +369,7 @@ object Corpus {
     "q_contamination" -> (qContamination _))
 
   def oracle: Map[String, String] = Map(
+    "q_sample_temperature" -> qSampleTemperatureSql,
     "q_sample_weighted" -> qSampleWeightedSql,
     "q_sample_quota" -> qSampleQuotaSql,
     "q_sample_det" -> qSampleDetSql,

@@ -98,6 +98,26 @@ class CorpusSpec extends SparkFunSuite {
     assert(out.toSeq === again.toSeq)
   }
 
+  test("temperature sample: smallest source kept whole, thresholds flatten with size") {
+    val rows = Corpus.qSampleTemperature(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.nonEmpty)
+    // per-source: kept ⊆ source, threshold in (0, 10000]
+    rows.foreach { case (s, nSrc, thr, nKept) =>
+      assert(nKept <= nSrc, s"$s keeps more than it has")
+      assert(thr > 0 && thr <= 10000, s"$s threshold $thr out of range")
+    }
+    // the smallest source's threshold is exactly 10⁴ (√(n_min/n_min)=1),
+    // so every one of its documents survives — the α-sampling guarantee
+    // that low-resource sources are never down-sampled
+    val (_, nMin, thrMin, keptMin) = rows.minBy(_._2)
+    assert(thrMin === 10000L && keptMin === nMin)
+    // thresholds are non-increasing in source size (flattening, not
+    // amplifying, the source distribution)
+    val bySize = rows.sortBy(_._2).map(_._3)
+    assert(bySize.zip(bySize.tail).forall { case (a, b) => b <= a })
+  }
+
   test("quota sample: ≤10 docs per source, repartition-stable picks") {
     val out = Corpus.qSampleQuota(spark, sf).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
