@@ -1,0 +1,132 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import Tables._
+
+/** BPE merge induction — TOKENIZER TRAINING, not tokenization: the
+  * iterative most-frequent-adjacent-pair merging that builds a BPE
+  * vocabulary (Sennrich et al.'s procedure), complementing
+  * [[TextAnalysis.qTextBpeTokens]] which only APPLIES a GPT-2-style
+  * pre-tokenizer pattern.
+  *
+  * Structure, chosen for scale: the corpus collapses ONCE into a
+  * word-frequency table (the only pass over the data — one shuffle,
+  * map-side partial counts), capped at the `vocabWords` most frequent
+  * [a-z]+ words (ties by word — deterministic). Every merge round then
+  * runs on that VOCABULARY-sized dimension table: adjacent-pair counts
+  * weighted by word frequency, the arg-max pair (total order:
+  * count desc, pair asc), and a literal-string merge of the winning
+  * pair in every word representation. Per-round state is ~vocabWords
+  * rows regardless of corpus size — the classic reason BPE training is
+  * feasible at 100 TB: the heavy lifting is one aggregation, the
+  * iteration is metadata-sized.
+  *
+  * Determinism & the oracle: word representations are space-delimited
+  * symbol strings (`" l o w "`); a merge of pair (a, b) is
+  * `replace(repr, " a b ", " a b " → " ab ")` — non-overlapping,
+  * left-to-right in both engines, which IS BPE's greedy-left merge
+  * order. Counts are exact longs; the arg-max per round collects ONE
+  * row to the driver (control-plane, like the k-core stats). The
+  * DuckDB oracle replays every round as chained CTEs and must produce
+  * the identical merge table.
+  */
+object BpeTrain {
+
+  val VocabWords = 2000
+  val MergeRounds = 10
+
+  /** The learned merge table: one row per round — the merged pair and
+    * its weighted adjacency count at merge time.
+    */
+  def bpeMerges(docs: DataFrame, vocabWords: Int, rounds: Int): DataFrame = {
+    val spark = docs.sparkSession
+    val wf = docs
+      .select(explode(TextOps.tokens(col("text"))).as("w"))
+      .filter(col("w").rlike("^[a-z]+$"))
+      .groupBy(col("w")).agg(count(lit(1)).as("freq"))
+      .orderBy(col("freq").desc, col("w"))
+      .limit(vocabWords)
+    // " a b c " — leading/trailing spaces make every symbol boundary a
+    // literal " x y " window for the merge replace
+    var words = wf
+      .select(concat(lit(" "), regexp_replace(col("w"), "(.)", "$1 ")).as("repr"),
+        col("freq"))
+      .localCheckpoint() // vocab-sized; each round reads the state twice
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+    var done = false
+    for (r <- 1 to rounds if !done) {
+      val top = words
+        .select(col("freq"), split(trim(col("repr")), " ").as("t"))
+        // guard: sequence(0, -1) would DESCEND in Spark — drop fully
+        // merged single-symbol words before building pair indices
+        .filter(size(col("t")) >= 2)
+        .select(col("freq"), explode(expr(
+          "transform(sequence(0, size(t) - 2), i -> struct(t[i] AS a, t[i + 1] AS b))")).as("p"))
+        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+        .agg(sum(col("freq")).as("cnt"))
+        .orderBy(col("cnt").desc, col("a"), col("b"))
+        .limit(1)
+        .collect() // control-plane: the single arg-max row per round
+      if (top.isEmpty) done = true
+      else {
+        val (a, b, cnt) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+        merges += ((r, a, b, cnt))
+        words = words
+          .withColumn("_s", lit(s" $a $b "))
+          .withColumn("_r", lit(s" $a$b "))
+          .withColumn("repr", expr("replace(repr, _s, _r)"))
+          .select(col("repr"), col("freq"))
+          .localCheckpoint() // next round's state, vocab-sized
+      }
+    }
+    import spark.implicits._
+    merges.toSeq.toDF("round", "a", "b", "cnt")
+      .select(col("round"), col("a"), col("b"), col("cnt"))
+      .orderBy(col("round"))
+  }
+
+  /** 10 merge rounds over the 2000 most frequent words of `documents`. */
+  def qBpeMerges(spark: SparkSession, dir: String): DataFrame =
+    bpeMerges(table(spark, dir, "documents"), VocabWords, MergeRounds)
+
+  /** Every per-round CTE is MATERIALIZED and each is referenced with a
+    * single 1-row cross join: a plain (inlined) CTE chain re-expands the
+    * whole prefix at every reference — exponential plan blow-up and one
+    * parquet re-open per expansion ("too many open files" observed at
+    * 10 rounds).
+    */
+  val qBpeMergesSql: String = {
+    def round(i: Int): String =
+      s"""m$i AS MATERIALIZED (
+         |  SELECT $i AS round, a, b, cnt FROM (
+         |    SELECT l[i] AS a, l[i+1] AS b, sum(freq) AS cnt
+         |    FROM (SELECT str_split(trim(repr), ' ') AS l, freq FROM w${i - 1}) s,
+         |         unnest(generate_series(1, len(l) - 1)) AS g(i)
+         |    GROUP BY 1, 2)
+         |  ORDER BY cnt DESC, a, b LIMIT 1
+         |), w$i AS MATERIALIZED (
+         |  SELECT replace(repr, ' ' || m.a || ' ' || m.b || ' ',
+         |                 ' ' || m.a || m.b || ' ') AS repr, freq
+         |  FROM w${i - 1}, m$i m
+         |)""".stripMargin
+    s"""WITH tok AS (
+       |  SELECT unnest(regexp_split_to_array(lower(text), '\\s+')) AS w FROM documents
+       |), wf AS MATERIALIZED (
+       |  SELECT w, count(*) AS freq FROM tok
+       |  WHERE regexp_full_match(w, '[a-z]+')
+       |  GROUP BY 1 ORDER BY freq DESC, w LIMIT $VocabWords
+       |), w0 AS MATERIALIZED (
+       |  SELECT ' ' || regexp_replace(w, '(.)', '\\1 ', 'g') AS repr, freq FROM wf
+       |), ${(1 to MergeRounds).map(round).mkString(", ")}
+       |SELECT round, a, b, CAST(cnt AS BIGINT) AS cnt
+       |FROM (${(1 to MergeRounds).map(i => s"SELECT * FROM m$i").mkString(" UNION ALL ")}) u
+       |ORDER BY round""".stripMargin
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    Map("q_bpe_merges" -> (qBpeMerges _))
+
+  def oracle: Map[String, String] = Map("q_bpe_merges" -> qBpeMergesSql)
+}
