@@ -557,15 +557,92 @@ object Graph {
        |GROUP BY 1 ORDER BY n_members DESC, label LIMIT 20""".stripMargin
   }
 
+  /** Frontier BFS from a seed node: per-round shortest hop distances up to
+    * `rounds` hops. Classic Pregel-style expansion expressed relationally —
+    * each round joins the edge list with ONLY the newly-discovered frontier
+    * (not the whole distance relation), so per-round work is proportional
+    * to the frontier's out-edges; the anti-join against the accumulated
+    * distance relation is what keeps re-expansion out. Frontiers are
+    * localCheckpointed (node-dimension-sized) and the distance relation is
+    * a union of those materialized leaves — lineage depth stays at
+    * `rounds`, never compounds.
+    *
+    * Determinism: hop distances are graph properties (no FP, no
+    * tie-breaks); the oracle replays the same recurrence as chained
+    * min-relaxation CTEs — after round k both formulations hold exactly
+    * the nodes at shortest distance ≤ k.
+    *
+    * Scale: the standard distributed BFS — one equi-join (shuffle on src)
+    * plus one distinct and one anti-join per round, all on frontier-sized
+    * relations. On a 100 TB graph the edge relation is the only big side
+    * and it is iteration-invariant: persist once, joined `rounds` times.
+    */
+  def bfsDistances(edges: DataFrame, rounds: Int): DataFrame = {
+    val e = edges.select(col("src"), col("dst"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // seed = min vertex id, kept in-plan as a 1-row relation (control-plane
+    // scalar; never collected)
+    var frontier = e.agg(min(col("src")).as("v"))
+      .withColumn("d", lit(0L)).localCheckpoint()
+    var dist = frontier
+    for (k <- 1 to rounds) {
+      val cand = e.join(frontier.select(col("v").as("src")), Seq("src"))
+        .select(col("dst").as("v")).distinct()
+      frontier = cand.join(dist, Seq("v"), "left_anti")
+        .withColumn("d", lit(k.toLong)).localCheckpoint()
+      dist = dist.union(frontier)
+    }
+    e.unpersist(blocking = false)
+    dist
+  }
+
+  /** Hop-distance profile of the co-order graph from its smallest part id:
+    * nodes reached per BFS level within 4 hops — the reachability
+    * diagnostic dual to [[kCoreProfile]]'s densification profile.
+    */
+  def qBfsDistance(spark: SparkSession, dir: String): DataFrame =
+    bfsDistances(coOrderEdges(spark, dir), rounds = 4)
+      .groupBy(col("d").as("hop"))
+      .agg(count(lit(1)).as("n_nodes"),
+        min(col("v")).as("min_part"), max(col("v")).as("max_part"))
+      .orderBy(col("hop"))
+
+  val qBfsDistanceSql: String = {
+    // min-relaxation replay: d_k(v) = min over paths of length <= k — the
+    // same set BFS discovers by round k (each CTE is referenced twice, so
+    // DuckDB materializes it once per round; node-dimension-sized)
+    def relax(i: Int): String =
+      s"""d$i AS MATERIALIZED (
+         |  SELECT v, min(d) AS d FROM (
+         |    SELECT v, d FROM d${i - 1}
+         |    UNION ALL
+         |    SELECT e.dst AS v, r.d + 1 AS d
+         |    FROM e JOIN d${i - 1} r ON r.v = e.src
+         |  ) u GROUP BY v
+         |)""".stripMargin
+    s"""WITH ${liCappedSql(defaultMaxBasket)},
+       |e AS (
+       |  SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+       |  FROM li a JOIN li b ON a.ok = b.ok AND a.l_partkey <> b.l_partkey
+       |), d0 AS (
+       |  SELECT min(src) AS v, CAST(0 AS BIGINT) AS d FROM e
+       |), ${(1 to 4).map(relax).mkString(", ")}
+       |SELECT d AS hop, count(*) AS n_nodes,
+       |  min(v) AS min_part, max(v) AS max_part
+       |FROM d4 GROUP BY 1 ORDER BY hop""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Map("q_pagerank" -> (qPageRank _), "q_triangles" -> (qTriangles _),
       "q_basket_rules" -> ((s: SparkSession, d: String) => qBasketRules(s, d)),
-      "q_kcore" -> (qKCore _), "q_label_prop" -> (qLabelProp _))
+      "q_kcore" -> (qKCore _), "q_label_prop" -> (qLabelProp _),
+      "q_bfs_distance" -> (qBfsDistance _))
 
   def oracle: Map[String, String] = Map(
     "q_pagerank" -> qPageRankSql,
     "q_triangles" -> qTrianglesSql,
     "q_basket_rules" -> qBasketRulesSql,
     "q_kcore" -> qKCoreSql,
-    "q_label_prop" -> qLabelPropSql)
+    "q_label_prop" -> qLabelPropSql,
+    "q_bfs_distance" -> qBfsDistanceSql)
 }

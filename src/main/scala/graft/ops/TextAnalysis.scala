@@ -645,7 +645,140 @@ object TextAnalysis {
       |GROUP BY 1, 2
       |ORDER BY score DESC, d1, d2 LIMIT 20""".stripMargin
 
+  /** Per-document n-gram novelty: the fraction of a doc's distinct word
+    * 3-shingles whose FIRST corpus occurrence (min doc_id over the whole
+    * corpus) is the doc itself — the marginal-new-content curve a corpus
+    * curator watches while ingesting (novelty collapsing toward zero means
+    * the new source is re-treading existing data; the dedup-adjacent
+    * diagnostic that needs no pairwise comparison at all).
+    *
+    * Exact integers end-to-end: counts are longs and the basis-point ratio
+    * is one integer division, so the result is hash-gated. Shares
+    * [[TextDedup.shingles]] (and its oracle formulation) verbatim with the
+    * dedup/contamination pack.
+    *
+    * Scale: the shingle index is built once (cached — two consumers) and
+    * every aggregate is map-side-combined: min per shingle (shuffle on
+    * shingle), then two doc-keyed counts. Nothing pairwise, nothing
+    * collected; ultra-common shingles cost one combiner cell each, so the
+    * hot-shingle skew that forces df-bands in the similarity join is
+    * harmless here.
+    */
+  def qNgramNovelty(spark: SparkSession, dir: String): DataFrame = {
+    val sh = TextDedup.shingles(
+      table(spark, dir, "documents"), col("doc_id"), col("text"), Dedup.ShingleK)
+    val firstDoc = sh.groupBy(col("s")).agg(min(col("id")).as("first_doc"))
+    val nNew = firstDoc.groupBy(col("first_doc").as("doc_id"))
+      .agg(count(lit(1)).as("n_new"))
+    val nTot = sh.groupBy(col("id").as("doc_id"))
+      .agg(count(lit(1)).as("n_shingles"))
+    nTot.join(nNew, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_shingles"),
+        coalesce(col("n_new"), lit(0L)).as("n_new"),
+        expr("coalesce(n_new, CAST(0 AS BIGINT)) * 10000 DIV n_shingles")
+          .as("novelty_bp"))
+      .orderBy(col("doc_id"))
+  }
+
+  val qNgramNoveltySql: String = {
+    val k = Dedup.ShingleK
+    s"""WITH tok AS (
+       |  SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS t FROM documents
+       |), sh AS (
+       |  SELECT doc_id, unnest(list_distinct(list_transform(
+       |    range(len(t) - ${k - 1}),
+       |    i -> array_to_string(t[i+1:i+$k], ' ')))) AS s
+       |  FROM tok WHERE len(t) >= $k
+       |), first AS (
+       |  SELECT s, min(doc_id) AS first_doc FROM sh GROUP BY 1
+       |), n_new AS (
+       |  SELECT first_doc AS doc_id, count(*) AS n_new FROM first GROUP BY 1
+       |), n_tot AS (
+       |  SELECT doc_id, count(*) AS n_shingles FROM sh GROUP BY 1
+       |)
+       |SELECT t.doc_id, t.n_shingles, coalesce(n.n_new, 0) AS n_new,
+       |  (coalesce(n.n_new, 0) * 10000) // t.n_shingles AS novelty_bp
+       |FROM n_tot t LEFT JOIN n_new n ON n.doc_id = t.doc_id
+       |ORDER BY t.doc_id""".stripMargin
+  }
+
+  /** Token-distribution drift between the corpus's two largest sources:
+    * top-20 tokens by cross-product divergence `|c_a·N_b − c_b·N_a|` —
+    * the exact-integer L1-style drift statistic (zero iff the token's
+    * relative frequency is identical in both sources; the log-free stand-in
+    * for KL/chi-square, same discipline as the lift-ranked collocations).
+    * The source-mix monitoring dual of [[Corpus.qSampleTemperature]]:
+    * temperature sampling rebalances source SIZES, this detects when two
+    * sources' CONTENT distributions diverge.
+    *
+    * The two largest sources are data-derived in-plan (row_number over the
+    * source-dimension totals — a ~|sources|-row single-partition window,
+    * control-plane-sized) and broadcast as 1-row relations into the
+    * per-source count filters. At test scale the products fit comfortably
+    * in longs; at 100 TB token counts can reach 10^12, so the product
+    * column upgrades to decimal(38,0) — same exact-arithmetic contract.
+    *
+    * Scale: one corpus scan into a map-side-combined (source, token)
+    * count; everything downstream is vocabulary-sized (the full-outer
+    * token alignment shuffles on token) or dimension-sized.
+    */
+  def qSourceDrift(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val c = table(spark, dir, "documents")
+      .select(col("source"), explode(tokens(col("text"))).as("w"))
+      .groupBy(col("source"), col("w")).agg(count(lit(1)).as("c"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val tot = c.groupBy(col("source")).agg(sum(col("c")).as("n"))
+    val top2 = tot.withColumn("rn",
+      row_number().over(Window.orderBy(col("n").desc, col("source"))))
+      .filter(col("rn") <= 2)
+    val a = top2.filter(col("rn") === 1)
+      .select(col("source").as("src_a"), col("n").as("na"))
+    val b = top2.filter(col("rn") === 2)
+      .select(col("source").as("src_b"), col("n").as("nb"))
+    val ca = c.join(broadcast(a), col("source") === col("src_a"))
+      .select(col("w").as("wa"), col("c").as("ca"))
+    val cb = c.join(broadcast(b), col("source") === col("src_b"))
+      .select(col("w").as("wb"), col("c").as("cb"))
+    ca.join(cb, col("wa") === col("wb"), "full_outer")
+      .select(coalesce(col("wa"), col("wb")).as("token"),
+        coalesce(col("ca"), lit(0L)).as("n_a"),
+        coalesce(col("cb"), lit(0L)).as("n_b"))
+      .crossJoin(broadcast(a))
+      .crossJoin(broadcast(b))
+      .select(col("src_a"), col("src_b"), col("token"), col("n_a"), col("n_b"),
+        abs(col("n_a") * col("nb") - col("n_b") * col("na")).as("drift"))
+      .orderBy(col("drift").desc, col("token"))
+      .limit(20)
+  }
+
+  val qSourceDriftSql: String =
+    s"""WITH tok AS (
+       |  SELECT source, unnest(regexp_split_to_array(lower(text), '\\s+')) AS w
+       |  FROM documents
+       |), c AS (
+       |  SELECT source, w, count(*) AS c FROM tok GROUP BY 1, 2
+       |), tot AS (
+       |  SELECT source, CAST(sum(c) AS BIGINT) AS n FROM c GROUP BY 1
+       |), t2 AS (
+       |  SELECT source, n, row_number() OVER (ORDER BY n DESC, source) AS rn FROM tot
+       |), a AS (SELECT source AS src_a, n AS na FROM t2 WHERE rn = 1),
+       |b AS (SELECT source AS src_b, n AS nb FROM t2 WHERE rn = 2),
+       |ca AS (SELECT c.w, c.c FROM c JOIN a ON c.source = a.src_a),
+       |cb AS (SELECT c.w, c.c FROM c JOIN b ON c.source = b.src_b),
+       |m AS (
+       |  SELECT coalesce(ca.w, cb.w) AS token,
+       |    coalesce(ca.c, 0) AS n_a, coalesce(cb.c, 0) AS n_b
+       |  FROM ca FULL JOIN cb ON ca.w = cb.w
+       |)
+       |SELECT a.src_a, b.src_b, m.token, m.n_a, m.n_b,
+       |  abs(m.n_a * b.nb - m.n_b * a.na) AS drift
+       |FROM m CROSS JOIN a CROSS JOIN b
+       |ORDER BY drift DESC, token LIMIT 20""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_ngram_novelty" -> (qNgramNovelty _),
+    "q_source_drift" -> (qSourceDrift _),
     "q_sparse_sim_join" -> (qSparseSimJoin _),
     "q_tfidf_terms" -> (qTfidfTerms _),
     "q_vocab_oov" -> (qVocabOov _),
@@ -663,6 +796,8 @@ object TextAnalysis {
   )
 
   def oracle: Map[String, String] = Map(
+    "q_ngram_novelty" -> qNgramNoveltySql,
+    "q_source_drift" -> qSourceDriftSql,
     "q_sparse_sim_join" -> qSparseSimJoinSql,
     "q_tfidf_terms" -> qTfidfTermsSql,
     "q_vocab_oov" -> qVocabOovSql,

@@ -190,4 +190,29 @@ class GraphSpec extends SparkFunSuite {
     assert(viaBroadcast === viaShuffle)
     assert(viaBroadcast.nonEmpty)
   }
+
+  test("BFS distances: path graph with a branch, hand-computed levels") {
+    import spark.implicits._
+    // Undirected 1-2-3-4 path plus branch 2-5; seed = min vertex = 1.
+    // Distances: 1->0, 2->1, {3,5}->2, 4->3. Node 7-8 component is
+    // unreachable and must be absent.
+    val und = Seq((1L, 2L), (2L, 3L), (3L, 4L), (2L, 5L), (7L, 8L))
+    val edges = (und ++ und.map(_.swap)).toDF("src", "dst")
+    val d = Graph.bfsDistances(edges, rounds = 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(d === Map(1L -> 0L, 2L -> 1L, 3L -> 2L, 5L -> 2L, 4L -> 3L))
+  }
+
+  test("BFS distances are round-capped and repartition-invariant") {
+    import spark.implicits._
+    // Chain 1-2-3-4-5: with rounds=2 only distances <= 2 are discovered.
+    val und = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L))
+    val edges = (und ++ und.map(_.swap)).toDF("src", "dst")
+    val d2 = Graph.bfsDistances(edges, rounds = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(d2 === Map(1L -> 0L, 2L -> 1L, 3L -> 2L))
+    val d2r = Graph.bfsDistances(edges.repartition(13), rounds = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(d2r === d2)
+  }
 }

@@ -41,4 +41,50 @@ class TextAnalysisSpec extends SparkFunSuite {
     val b = TextAnalysis.qSparseSimJoin(spark, dir).collect().map(_.toSeq).toSeq
     assert(a === b && a.nonEmpty)
   }
+
+  test("ngram novelty: all-new doc scores 10000 bp, verbatim re-ingest scores 0") {
+    import spark.implicits._
+    // Doc 1 introduces every one of its shingles (novelty = 10000 bp).
+    // Doc 2 repeats doc 1 verbatim — zero new shingles. Doc 3 overlaps
+    // doc 1 on exactly one of its three distinct shingles ("c d e" is
+    // doc 1's tail shingle): 2 of 3 new → 6666 bp (integer division).
+    val docs = Seq(
+      (1L, "a b c d e", "en", "s", 9L),
+      (2L, "a b c d e", "en", "s", 9L),
+      (3L, "c d e f g", "en", "s", 9L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dir = tmpDir("novelty")
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = TextAnalysis.qNgramNovelty(spark, dir).collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out(1L) === ((3L, 3L, 10000L)))
+    assert(out(2L) === ((3L, 0L, 0L)))
+    assert(out(3L) === ((3L, 2L, 6666L)))
+  }
+
+  test("source drift: identical distributions score zero, a planted skew token ranks first") {
+    import spark.implicits._
+    // s0 (7 tokens: x:2 y:2 zzz:3) vs s1 (4 tokens: x:2 y:2): zzz is the
+    // only token exclusive to one side, so it must out-rank x/y. The tiny
+    // third source s2 must be ignored (top-2 by token volume are s0, s1).
+    val docs = Seq(
+      (1L, "x y zzz zzz zzz", "en", "s0", 15L),
+      (2L, "x y", "en", "s0", 3L),
+      (3L, "x y x y", "en", "s1", 7L),
+      (4L, "q", "en", "s2", 1L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dir = tmpDir("drift")
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = TextAnalysis.qSourceDrift(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2),
+        r.getLong(3), r.getLong(4), r.getLong(5)))
+    // s0 has 7 tokens, s1 has 4 → src_a = s0, src_b = s1
+    assert(out.forall(r => r._1 === "s0" && r._2 === "s1"))
+    val byTok = out.map(r => (r._3, (r._4, r._5, r._6))).toMap
+    // zzz: |3*4 - 0*7| = 12; x and y: |2*4 - 2*7| = 6 each
+    assert(byTok("zzz") === ((3L, 0L, 12L)))
+    assert(byTok("x") === ((2L, 2L, 6L)) && byTok("y") === ((2L, 2L, 6L)))
+    assert(out.head._3 === "zzz")
+    assert(!byTok.contains("q"))
+  }
 }
