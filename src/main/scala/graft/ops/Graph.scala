@@ -585,12 +585,21 @@ object Graph {
     var frontier = e.agg(min(col("src")).as("v"))
       .withColumn("d", lit(0L)).localCheckpoint()
     var dist = frontier
-    for (k <- 1 to rounds) {
+    var k = 1
+    var active = true
+    while (k <= rounds && active) {
       val cand = e.join(frontier.select(col("v").as("src")), Seq("src"))
         .select(col("dst").as("v")).distinct()
       frontier = cand.join(dist, Seq("v"), "left_anti")
         .withColumn("d", lit(k.toLong)).localCheckpoint()
-      dist = dist.union(frontier)
+      // early exit once the frontier empties (k exceeded the component's
+      // eccentricity): a control-plane probe on the just-materialized
+      // node-sized checkpoint — every later round would join the full
+      // edge list against nothing. The oracle replays all rounds; empty
+      // frontiers add no rows, so the results are identical.
+      if (frontier.isEmpty) active = false
+      else dist = dist.union(frontier)
+      k += 1
     }
     e.unpersist(blocking = false)
     dist
