@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import Tables._
@@ -56,28 +56,36 @@ object Corpus {
     * engine swaps, and incremental corpus additions never move a document
     * across splits — that would leak eval data into training.
     */
+  /** The 80/10/10 split decision as a pure column expression — shared by
+    * [[qSplitAssign]] and the cross-split leakage audit
+    * ([[Dedup.qSplitLeakage]]) so both see the identical assignment.
+    */
+  private[ops] def splitCol(docId: Column): Column = {
+    val bucket =
+      pmod(conv(substring(md5(docId.cast("string")), 1, 8), 16, 10).cast("long"), lit(100))
+    when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
+  }
+
+  /** SQL mirror of [[splitCol]] (DuckDB dialect). */
+  private[ops] def splitColSql(docId: String): String =
+    s"""CASE
+       |    WHEN CAST(concat('0x', substring(md5(CAST($docId AS VARCHAR)), 1, 8)) AS BIGINT)
+       |      % 100 < 80 THEN 'train'
+       |    WHEN CAST(concat('0x', substring(md5(CAST($docId AS VARCHAR)), 1, 8)) AS BIGINT)
+       |      % 100 < 90 THEN 'val'
+       |    ELSE 'test'
+       |  END""".stripMargin
+
   def qSplitAssign(spark: SparkSession, dir: String): DataFrame =
     table(spark, dir, "documents")
-      .withColumn("bucket",
-        pmod(conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10).cast("long"),
-          lit(100)))
-      .select(col("doc_id"),
-        when(col("bucket") < 80, "train")
-          .when(col("bucket") < 90, "val")
-          .otherwise("test").as("split"))
+      .select(col("doc_id"), splitCol(col("doc_id")).as("split"))
       .orderBy(col("doc_id"))
 
   val qSplitAssignSql: String =
-    """SELECT doc_id,
-      |  CASE
-      |    WHEN CAST(concat('0x', substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
-      |      % 100 < 80 THEN 'train'
-      |    WHEN CAST(concat('0x', substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
-      |      % 100 < 90 THEN 'val'
-      |    ELSE 'test'
-      |  END AS split
-      |FROM documents
-      |ORDER BY doc_id""".stripMargin
+    s"""SELECT doc_id,
+       |  ${splitColSql("doc_id")} AS split
+       |FROM documents
+       |ORDER BY doc_id""".stripMargin
 
   /** Budget for [[qPackSequences]] (tokens per training sequence). */
   val PackBudget = 2048

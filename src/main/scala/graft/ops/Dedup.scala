@@ -193,7 +193,67 @@ object Dedup {
        |  count(*) AS n_dups
        |FROM pairs GROUP BY di ORDER BY doc_id""".stripMargin
 
+  /** Cross-split near-dup leakage audit: near-duplicate pairs (exact
+    * 3-shingle Jaccard ≥ threshold — same gate as
+    * [[qDedupNgramJaccard]]) whose two documents land in DIFFERENT
+    * train/val/test splits under [[Corpus.qSplitAssign]]'s assignment.
+    * Every such pair is eval data the model effectively trains on — the
+    * INTERNAL decontamination dual of [[Corpus.qContamination]]'s check
+    * against an external benchmark. An empty result is the release gate a
+    * curated corpus must pass.
+    *
+    * Scale: the pair relation is the expensive side and dedup already
+    * builds it (at 100 TB swap in [[TextDedup.minhashLshPairs]] — same
+    * semantics, banded candidates); the split columns are pure md5
+    * expressions attached by two doc-dimension joins that AQE broadcasts
+    * when the pair side is small. Nothing new is shuffled beyond the
+    * pairs themselves.
+    */
+  def qSplitLeakage(spark: SparkSession, dir: String): DataFrame = {
+    val docs = table(spark, dir, "documents")
+    val pairs = asPair(TextDedup.jaccardPairs(
+      docs, col("doc_id"), col("text"), ShingleK, JaccardThreshold))
+    val split = docs.select(col("doc_id"), Corpus.splitCol(col("doc_id")).as("split"))
+    pairs
+      .join(split.toDF("da", "split_a"), "da")
+      .join(split.toDF("db", "split_b"), "db")
+      .filter(col("split_a") =!= col("split_b"))
+      .select(col("da"), col("db"), col("split_a"), col("split_b"), col("jaccard"))
+      .orderBy(col("da"), col("db"))
+  }
+
+  val qSplitLeakageSql: String =
+    s"""WITH tok AS (
+       |  SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS t FROM documents
+       |), sh AS (
+       |  SELECT doc_id, unnest(list_distinct(list_transform(
+       |    range(len(t) - ${ShingleK - 1}),
+       |    i -> array_to_string(t[i+1:i+$ShingleK], ' ')))) AS s
+       |  FROM tok WHERE len(t) >= $ShingleK
+       |), sizes AS (
+       |  SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
+       |), commons AS (
+       |  SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS common
+       |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2
+       |), pairs AS (
+       |  SELECT da, db,
+       |    CAST(common AS DOUBLE) / CAST(x.n + y.n - common AS DOUBLE) AS jaccard
+       |  FROM commons JOIN sizes x ON da = x.doc_id JOIN sizes y ON db = y.doc_id
+       |  WHERE CAST(common AS DOUBLE) / CAST(x.n + y.n - common AS DOUBLE)
+       |    >= $JaccardThreshold
+       |), sp AS (
+       |  SELECT doc_id, ${Corpus.splitColSql("doc_id")} AS split FROM documents
+       |)
+       |SELECT p.da, p.db, sa.split AS split_a, sb.split AS split_b, p.jaccard
+       |FROM pairs p
+       |JOIN sp sa ON sa.doc_id = p.da
+       |JOIN sp sb ON sb.doc_id = p.db
+       |WHERE sa.split <> sb.split
+       |ORDER BY p.da, p.db""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_split_leakage" -> (qSplitLeakage _),
     "q_dedup_components" -> (qDedupComponents _),
     "q_dedup_exact" -> (qDedupExact _),
     "q_dedup_ngram_jaccard" -> (qDedupNgramJaccard _),
@@ -204,6 +264,7 @@ object Dedup {
   )
 
   def oracle: Map[String, String] = Map(
+    "q_split_leakage" -> qSplitLeakageSql,
     "q_dedup_components" -> qDedupComponentsSql,
     "q_dedup_exact" -> qDedupExactSql,
     "q_dedup_ngram_jaccard" -> qDedupNgramSql,

@@ -776,7 +776,54 @@ object TextAnalysis {
        |FROM m CROSS JOIN a CROSS JOIN b
        |ORDER BY drift DESC, token LIMIT 20""".stripMargin
 
+  /** Per-source shingle redundancy: total 3-shingle OCCURRENCES vs
+    * distinct shingles, and the redundant mass in basis points — which
+    * sources are internally repetitive (boilerplate, templated pages)
+    * before any pairwise dedup runs. The corpus-level complement of
+    * [[qTextRepetition]]'s within-document fractions and
+    * [[qNgramNovelty]]'s per-document first-occurrence curve: novelty
+    * asks "is this doc new vs the corpus", redundancy asks "how much of
+    * this source is self-repetition".
+    *
+    * Exact integers only (two counts, one integer division). Scale: one
+    * corpus scan exploding the NON-distinct shingle stream into a
+    * (source, shingle)-keyed partial-distinct aggregate — Spark plans
+    * count + count(DISTINCT) per group as the standard two-phase expand
+    * with map-side partials; nothing pairwise, nothing collected.
+    */
+  def qSourceRedundancy(spark: SparkSession, dir: String): DataFrame = {
+    val k = Dedup.ShingleK
+    val occ = table(spark, dir, "documents")
+      .withColumn("t", tokens(col("text")))
+      .filter(size(col("t")) >= k)
+      .select(col("source"),
+        explode(transform(
+          sequence(lit(0), size(col("t")) - k),
+          i => concat_ws(" ", slice(col("t"), i + 1, lit(k))))).as("s"))
+    occ.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_occ"), countDistinct(col("s")).as("n_distinct"))
+      .select(col("source"), col("n_occ"), col("n_distinct"),
+        expr("(n_occ - n_distinct) * 10000 DIV n_occ").as("redundancy_bp"))
+      .orderBy(col("source"))
+  }
+
+  val qSourceRedundancySql: String = {
+    val k = Dedup.ShingleK
+    s"""WITH tok AS (
+       |  SELECT source, regexp_split_to_array(lower(text), '\\s+') AS t FROM documents
+       |), occ AS (
+       |  SELECT source, unnest(list_transform(
+       |    range(len(t) - ${k - 1}),
+       |    i -> array_to_string(t[i+1:i+$k], ' '))) AS s
+       |  FROM tok WHERE len(t) >= $k
+       |)
+       |SELECT source, count(*) AS n_occ, count(DISTINCT s) AS n_distinct,
+       |  ((count(*) - count(DISTINCT s)) * 10000) // count(*) AS redundancy_bp
+       |FROM occ GROUP BY source ORDER BY source""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_source_redundancy" -> (qSourceRedundancy _),
     "q_ngram_novelty" -> (qNgramNovelty _),
     "q_source_drift" -> (qSourceDrift _),
     "q_sparse_sim_join" -> (qSparseSimJoin _),
@@ -796,6 +843,7 @@ object TextAnalysis {
   )
 
   def oracle: Map[String, String] = Map(
+    "q_source_redundancy" -> qSourceRedundancySql,
     "q_ngram_novelty" -> qNgramNoveltySql,
     "q_source_drift" -> qSourceDriftSql,
     "q_sparse_sim_join" -> qSparseSimJoinSql,

@@ -13,6 +13,26 @@ class CorpusSpec extends SparkFunSuite {
 
   private val sf = "/root/testdata/sf0.001"
 
+  test("split leakage: only the cross-split near-dup pair surfaces") {
+    import spark.implicits._
+    // md5-bucket splits (precomputed): 1→train, 8→test, 2→train, 3→train,
+    // 16→val. Docs 1/8 are verbatim dups ACROSS train/test → the leak.
+    // Docs 2/3 are verbatim dups WITHIN train → must NOT surface.
+    // Doc 16 shares nothing → absent entirely.
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta", "en", "s", 10L),
+      (8L, "alpha beta gamma delta epsilon zeta", "en", "s", 10L),
+      (2L, "one two three four five six seven", "en", "s", 10L),
+      (3L, "one two three four five six seven", "en", "s", 10L),
+      (16L, "p q r s t u v w x y z", "en", "s", 10L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dir = tmpDir("leakage")
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = Dedup.qSplitLeakage(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getString(3), r.getDouble(4)))
+    assert(out.toSeq === Seq((1L, 8L, "train", "test", 1.0)))
+  }
+
   test("deterministic sample is invariant under repartitioning") {
     val a = Corpus.qSampleDet(spark, sf).collect().toSeq
     // Same decisions over a shuffled, re-sliced input: the hash membership

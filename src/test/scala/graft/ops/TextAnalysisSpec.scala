@@ -62,6 +62,23 @@ class TextAnalysisSpec extends SparkFunSuite {
     assert(out(3L) === ((3L, 2L, 6666L)))
   }
 
+  test("source redundancy: looped boilerplate scores high, unique text scores zero") {
+    import spark.implicits._
+    // srcA: "a b c" looped 3× → 7 shingle occurrences, 3 distinct
+    // ("a b c","b c a","c a b") → (7-3)*10000 DIV 7 = 5714 bp.
+    // srcB: 7 unique tokens → 5 occurrences, all distinct → 0 bp.
+    val docs = Seq(
+      (1L, "a b c a b c a b c", "en", "srcA", 17L),
+      (2L, "q w e r t y u", "en", "srcB", 13L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dir = tmpDir("redundancy")
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = TextAnalysis.qSourceRedundancy(spark, dir).collect()
+      .map(r => (r.getString(0), (r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out("srcA") === ((7L, 3L, 5714L)))
+    assert(out("srcB") === ((5L, 5L, 0L)))
+  }
+
   test("source drift: identical distributions score zero, a planted skew token ranks first") {
     import spark.implicits._
     // s0 (7 tokens: x:2 y:2 zzz:3) vs s1 (4 tokens: x:2 y:2): zzz is the
