@@ -365,7 +365,67 @@ object Corpus {
       |GROUP BY 1
       |ORDER BY d.source""".stripMargin
 
+  /** Per-source quality gate at each source's own exact median: keep the
+    * documents STRICTLY longer than their source's median n_chars, and
+    * report the per-source floor plus how much survived. The grouped-
+    * quantile complement of [[qQuantileTrim]]'s single global bounds —
+    * sources with different length profiles each get their own floor, the
+    * way a mixed-crawl pipeline actually gates (a boilerplate-heavy crawl
+    * must not set the bar for curated text).
+    *
+    * The median is computed by an explicit rank formulation — value at
+    * position floor((n+1)/2) of the ascending per-source order — in BOTH
+    * engines, so no engine-specific percentile semantics are in play and
+    * the result hash-gates. All arithmetic is exact (positions are
+    * integers, the median is a witnessed data value, never interpolated).
+    *
+    * Scale: one per-source window (shuffle on source) to rank, one
+    * dimension-sized median relation joined back (broadcast — |sources|
+    * rows), one aggregate. A pathological mega-source skews the window
+    * partition; that source's rank then runs through [[Rank.globalRank]]'s
+    * range-partitioned selection instead — same witnessed-value contract.
+    */
+  def qQualityGate(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = table(spark, dir, "documents")
+      .select(col("source"), col("doc_id"), col("n_chars"))
+    val w = Window.partitionBy(col("source")).orderBy(col("n_chars"), col("doc_id"))
+    val wAll = Window.partitionBy(col("source"))
+    // both window specs share the partitioning — one exchange on source
+    val ranked = docs.withColumn("rn", row_number().over(w))
+      .withColumn("n_docs", count(lit(1)).over(wAll))
+    val med = ranked.filter(expr("rn = (n_docs + 1) DIV 2"))
+      .select(col("source"), col("n_docs"), col("n_chars").as("median_chars"))
+    docs.join(broadcast(med), Seq("source"))
+      .groupBy(col("source"))
+      .agg(max(col("n_docs")).as("n_docs"), max(col("median_chars")).as("median_chars"),
+        sum(when(col("n_chars") > col("median_chars"), 1L).otherwise(0L)).as("n_kept"))
+      .select(col("source"), col("n_docs"), col("median_chars"), col("n_kept"),
+        expr("n_kept * 10000 DIV n_docs").as("kept_bp"))
+      .orderBy(col("source"))
+  }
+
+  val qQualityGateSql: String =
+    """WITH ranked AS (
+      |  SELECT source, n_chars,
+      |    row_number() OVER (PARTITION BY source ORDER BY n_chars, doc_id) AS rn,
+      |    count(*) OVER (PARTITION BY source) AS n_docs
+      |  FROM documents
+      |), med AS (
+      |  SELECT source, n_docs, n_chars AS median_chars
+      |  FROM ranked WHERE rn = (n_docs + 1) // 2
+      |)
+      |SELECT d.source, max(m.n_docs) AS n_docs, max(m.median_chars) AS median_chars,
+      |  CAST(sum(CASE WHEN d.n_chars > m.median_chars THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_kept,
+      |  (CAST(sum(CASE WHEN d.n_chars > m.median_chars THEN 1 ELSE 0 END) AS BIGINT)
+      |    * 10000) // max(m.n_docs) AS kept_bp
+      |FROM documents d JOIN med m ON m.source = d.source
+      |GROUP BY d.source
+      |ORDER BY d.source""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_quality_gate" -> (qQualityGate _),
     "q_sample_temperature" -> (qSampleTemperature _),
     "q_sample_weighted" -> (qSampleWeighted _),
     "q_sample_quota" -> (qSampleQuota _),
@@ -377,6 +437,7 @@ object Corpus {
     "q_contamination" -> (qContamination _))
 
   def oracle: Map[String, String] = Map(
+    "q_quality_gate" -> qQualityGateSql,
     "q_sample_temperature" -> qSampleTemperatureSql,
     "q_sample_weighted" -> qSampleWeightedSql,
     "q_sample_quota" -> qSampleQuotaSql,

@@ -33,6 +33,26 @@ class CorpusSpec extends SparkFunSuite {
     assert(out.toSeq === Seq((1L, 8L, "train", "test", 1.0)))
   }
 
+  test("quality gate: per-source median floor, hand-computed odd/even cases") {
+    import spark.implicits._
+    // srcA (n=3, chars 10/20/30): median = position (3+1) DIV 2 = 2 → 20;
+    // kept strictly above → 1 doc → 3333 bp.
+    // srcB (n=4, chars 5/5/7/9): median = position 2 → 5; kept = {7,9} →
+    // 2 docs → 5000 bp. Each source gets its OWN floor.
+    val docs = Seq(
+      (1L, "a", "en", "srcA", 10L), (2L, "b", "en", "srcA", 20L),
+      (3L, "c", "en", "srcA", 30L),
+      (4L, "d", "en", "srcB", 5L), (5L, "e", "en", "srcB", 5L),
+      (6L, "f", "en", "srcB", 7L), (7L, "g", "en", "srcB", 9L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dir = tmpDir("quality-gate")
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = Corpus.qQualityGate(spark, dir).collect()
+      .map(r => (r.getString(0), (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(out("srcA") === ((3L, 20L, 1L, 3333L)))
+    assert(out("srcB") === ((4L, 5L, 2L, 5000L)))
+  }
+
   test("deterministic sample is invariant under repartitioning") {
     val a = Corpus.qSampleDet(spark, sf).collect().toSeq
     // Same decisions over a shuffled, re-sliced input: the hash membership

@@ -187,6 +187,38 @@ class PlanShapeSpec extends SparkFunSuite {
     assert(nodes(p, "Window") >= 3, p)
   }
 
+  test("q_ngram_novelty: aggregates are map-side partial, no joins wider than doc-dim") {
+    val p = plan(TextAnalysis.qNgramNovelty(spark, sf))
+    // every aggregate (min-per-shingle + both doc counts + the final
+    // merge) must run partial-then-final; no cartesian/nested-loop shape
+    assert(p.contains("partial_min") || p.contains("partial_count"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"), p)
+  }
+
+  test("q_source_drift: comparison sources broadcast; token alignment is an equi join") {
+    val p = plan(TextAnalysis.qSourceDrift(spark, sf))
+    // the two 1-row source relations broadcast into the count filters and
+    // the final enrichment; the full-outer token alignment must be a
+    // hash/merge equi join, never a cartesian over the vocabulary
+    assert(nodes(p, "BroadcastExchange") >= 2, p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin")
+      || p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("q_quality_gate: one source exchange feeds both window functions") {
+    val p = plan(Corpus.qQualityGate(spark, sf))
+    // row_number and the partition count share the source partitioning:
+    // two Window nodes but only three exchanges total (windows, final
+    // aggregate, presentation sort) — a second per-window exchange or a
+    // window feeding from an unsorted shuffle would push this to four
+    assert(nodes(p, "Window") === 2, p)
+    assert(nodes(p, "Exchange") <= 3, s"expected <=3 exchanges\n$p")
+    // the median relation joins back via broadcast (dimension-sized)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("hub transform read->cast->constants plan is shuffle-free") {
     import org.apache.spark.sql.functions.lit
     import org.apache.spark.sql.types._
