@@ -50,6 +50,51 @@ object JoinShapes {
       |GROUP BY 1, 2
       |ORDER BY 1, 2""".stripMargin
 
+  /** Interval×interval overlap join ([[RangeJoin.intervalOverlap]]):
+    * top-20 customers by pairs of their own orders simultaneously in
+    * flight — each order's fulfillment interval spans
+    * [o_orderdate, max l_shipdate] in whole days. The interval dual of
+    * [[qRangeJoin]]'s point-in-interval: Catalyst has no equi key for
+    * `s_a <= e_b AND s_b <= e_a`, so the 720-day bucket explosion (the
+    * generator's fulfillment intervals average ~720 days — bucket near the
+    * median length keeps replication ~2x) + the
+    * first-shared-bucket dedup make it a hash join; the oracle states the
+    * plain theta self-join.
+    */
+  def qIntervalOverlap(spark: SparkSession, dir: String): DataFrame = {
+    val ship = table(spark, dir, "lineitem")
+      .groupBy(col("l_orderkey"))
+      .agg(max(expr("datediff(l_shipdate, DATE '1970-01-01')")).as("e"))
+    val iv = table(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"),
+        expr("datediff(o_orderdate, DATE '1970-01-01')").as("s"))
+      .join(ship, col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_custkey").as("c"), col("o_orderkey").as("okey"),
+        col("s"), col("e"))
+    RangeJoin.intervalOverlap(iv, key = "c", id = "okey",
+        s = "s", e = "e", bucketSize = 720L)
+      .groupBy(col("k").as("custkey"))
+      .agg(count(lit(1)).as("n_overlaps"))
+      .orderBy(col("n_overlaps").desc, col("custkey"))
+      .limit(20)
+  }
+
+  val qIntervalOverlapSql: String =
+    """WITH mx AS (
+      |  SELECT l_orderkey, max(CAST(l_shipdate AS DATE)) AS mship
+      |  FROM lineitem GROUP BY 1
+      |), iv AS (
+      |  SELECT o.o_custkey AS c, o.o_orderkey AS okey,
+      |    CAST(o.o_orderdate AS DATE) - DATE '1970-01-01' AS s,
+      |    mx.mship - DATE '1970-01-01' AS e
+      |  FROM orders o JOIN mx ON mx.l_orderkey = o.o_orderkey
+      |)
+      |SELECT a.c AS custkey, count(*) AS n_overlaps
+      |FROM iv a JOIN iv b
+      |  ON a.c = b.c AND a.okey < b.okey AND a.s <= b.e AND b.s <= a.e
+      |GROUP BY 1
+      |ORDER BY n_overlaps DESC, custkey LIMIT 20""".stripMargin
+
   /** Salted fact⨝dimension join ([[Skew.saltedJoin]], 16 salt buckets)
     * aggregated per part type — must equal the PLAIN join the oracle
     * states: salting redistributes rows, never changes the multiset.
@@ -181,6 +226,7 @@ object JoinShapes {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_range_join" -> (qRangeJoin _),
+    "q_interval_overlap" -> (qIntervalOverlap _),
     "q_salted_join" -> (qSaltedJoin _),
     "q_bucketed_join" -> (qBucketedJoin _),
     "q_bloom_join" -> (qBloomJoin _),
@@ -188,6 +234,7 @@ object JoinShapes {
 
   def oracle: Map[String, String] = Map(
     "q_range_join" -> qRangeJoinSql,
+    "q_interval_overlap" -> qIntervalOverlapSql,
     "q_salted_join" -> qSaltedJoinSql,
     "q_bucketed_join" -> qBucketedJoinSql,
     "q_bloom_join" -> qBloomJoinSql,

@@ -219,6 +219,17 @@ class PlanShapeSpec extends SparkFunSuite {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("q_interval_overlap: bucketized overlap is an equi hash join, never a nested loop") {
+    val p = plan(JoinShapes.qIntervalOverlap(spark, sf))
+    // the (key, bucket) equi join carries the overlap + dedup residuals —
+    // a theta formulation would plan a cartesian/nested loop here
+    assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"), p)
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin")
+      || p.contains("BroadcastHashJoin"), p)
+    // final top-20 avoids a global sort
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
   test("hub transform read->cast->constants plan is shuffle-free") {
     import org.apache.spark.sql.functions.lit
     import org.apache.spark.sql.types._

@@ -35,4 +35,46 @@ class RangeJoinSpec extends SparkFunSuite {
     val b = naive.select("event_id", "s_start").collect().map(r => (r.getLong(0), r.get(1))).toSet
     assert(a == b)
   }
+
+  test("intervalOverlap: hand-computed pairs, each counted exactly once") {
+    import spark.implicits._
+    // key 1: [0,10], [5,20], [15,30] — pairs (a,b) and (b,c) overlap,
+    // (a,c) does not (10 < 15). [5,20] spans 3 buckets (size 10) and
+    // overlaps both others: the first-shared-bucket dedup must emit each
+    // pair ONCE despite multiple shared buckets. Key 2's [0,10] never
+    // pairs across keys. Touching endpoints (closed intervals): [15,30]
+    // vs [30,40] at key 1 overlap at the single day 30.
+    val iv = Seq(
+      (1L, 100L, 0L, 10L), (1L, 101L, 5L, 20L), (1L, 102L, 15L, 30L),
+      (1L, 103L, 30L, 40L), (2L, 200L, 0L, 10L))
+      .toDF("k", "id", "s", "e")
+    val out = RangeJoin.intervalOverlap(iv, "k", "id", "s", "e", bucketSize = 10L)
+      .select(col("k"), col("id_a"), col("id_b")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+    assert(out === Seq((1L, 100L, 101L), (1L, 101L, 102L), (1L, 102L, 103L)))
+  }
+
+  test("intervalOverlap matches the naive theta self-join on real intervals") {
+    val sf = "/root/testdata/sf0.001"
+    val ship = Tables.table(spark, sf, "lineitem")
+      .groupBy(col("l_orderkey"))
+      .agg(max(expr("datediff(l_shipdate, DATE '1970-01-01')")).as("e"))
+    val iv = Tables.table(spark, sf, "orders")
+      .select(col("o_orderkey"), col("o_custkey"),
+        expr("datediff(o_orderdate, DATE '1970-01-01')").as("s"))
+      .join(ship, col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_custkey").as("c"), col("o_orderkey").as("okey"),
+        col("s"), col("e"))
+    val bucketed = RangeJoin.intervalOverlap(iv, "c", "okey", "s", "e", 30L)
+      .select(col("id_a"), col("id_b")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val x = iv.toDF("c", "okey_a", "sa", "ea")
+    val y = iv.toDF("c", "okey_b", "sb", "eb")
+    val naive = x.join(y, Seq("c"))
+      .filter(col("okey_a") < col("okey_b")
+        && col("sa") <= col("eb") && col("sb") <= col("ea"))
+      .select(col("okey_a"), col("okey_b")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(bucketed === naive && bucketed.nonEmpty)
+  }
 }
