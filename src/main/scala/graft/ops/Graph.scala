@@ -557,6 +557,96 @@ object Graph {
        |GROUP BY 1 ORDER BY n_members DESC, label LIMIT 20""".stripMargin
   }
 
+  /** Personalized (seeded-restart) integer PageRank: the teleport mass
+    * returns to ONE seed vertex each round instead of spreading uniformly
+    * — `rank_{t+1}(v) = [v = seed]·(15·scale DIV 100) + (85·in_mass) DIV
+    * 100` — so the stationary mass concentrates around the seed's
+    * neighborhood ("parts related to part X", the recommendation dual of
+    * [[pageRankInt]]'s global centrality). Same integer discipline: every
+    * term an exact long, bit-identical at any parallelism, oracle replays
+    * the rounds as chained CTEs.
+    *
+    * The seed (min vertex id, same convention as [[bfsDistances]]) rides
+    * the checkpointed vertex relation as a broadcast-attached column, so
+    * the per-round restart term is a map-side `when` — no extra join per
+    * round. Sink mass is dropped (the co-order graph is symmetric, so the
+    * term is structurally zero here; on sink-heavy graphs compose with
+    * [[pageRankInt]]'s dangling machinery).
+    */
+  def personalizedPageRankInt(edges: DataFrame, iters: Int,
+      scale: Long = 1000000L): DataFrame = {
+    val e = edges.select(col("src"), col("dst"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val outdeg = e.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
+    val eo = e.join(outdeg, "src").localCheckpoint()
+    val seed = e.agg(min(col("src")).as("sv"))
+    val vertices = e.select(col("src").as("v"))
+      .union(e.select(col("dst").as("v"))).distinct()
+      .crossJoin(broadcast(seed)).localCheckpoint()
+    e.unpersist(blocking = false)
+    val base = (15L * scale) / 100L
+    var ranks = vertices.select(col("v"), col("sv"),
+      when(col("v") === col("sv"), lit(scale)).otherwise(lit(0L)).as("rank"))
+    for (i <- 1 to iters) {
+      val contribs = eo
+        .join(ranks.select(col("v"), col("rank")), eo("src") === col("v"))
+        .select(col("dst"), expr("rank DIV outdeg").as("c"))
+        .groupBy(col("dst"))
+        .agg(sum(col("c")).as("in_mass"))
+      ranks = vertices
+        .join(contribs, vertices("v") === contribs("dst"), "left")
+        .select(vertices("v"), vertices("sv"),
+          (when(vertices("v") === vertices("sv"), lit(base)).otherwise(lit(0L)) +
+            expr("(85 * coalesce(in_mass, CAST(0 AS BIGINT))) DIV 100")).as("rank"))
+      if (i % 4 == 0 && i < iters) ranks = ranks.localCheckpoint()
+    }
+    ranks.select(col("v"), col("rank"))
+  }
+
+  /** Top-20 parts by 3-round personalized PageRank from the smallest part
+    * id — "catalog items most related to the seed part".
+    */
+  def qPersonalizedPr(spark: SparkSession, dir: String): DataFrame =
+    personalizedPageRankInt(coOrderEdges(spark, dir), iters = 3)
+      .select(col("v").as("part"), col("rank"))
+      .filter(col("rank") > 0)
+      .orderBy(col("rank").desc, col("part"))
+      .limit(20)
+
+  val qPersonalizedPrSql: String = {
+    def iteration(i: Int): String =
+      s"""r$i AS (
+         |  SELECT v.v,
+         |    (CASE WHEN v.v = sd.sv THEN 150000 ELSE 0 END)
+         |      + (85 * coalesce(s.in_mass, 0)) // 100 AS rank
+         |  FROM verts v
+         |  CROSS JOIN sd
+         |  LEFT JOIN (
+         |    SELECT e.dst, sum(r.rank // o.outdeg) AS in_mass
+         |    FROM edges e
+         |    JOIN r${i - 1} r ON r.v = e.src
+         |    JOIN outdeg o ON o.src = e.src
+         |    GROUP BY e.dst) s ON s.dst = v.v
+         |)""".stripMargin
+    s"""WITH ${liCappedSql(defaultMaxBasket)},
+       |edges AS (
+       |  SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+       |  FROM li a JOIN li b ON a.ok = b.ok AND a.l_partkey <> b.l_partkey
+       |), outdeg AS (
+       |  SELECT src, count(*) AS outdeg FROM edges GROUP BY src
+       |), verts AS (
+       |  SELECT src AS v FROM edges UNION SELECT dst FROM edges
+       |), sd AS (SELECT min(src) AS sv FROM edges),
+       |r0 AS (
+       |  SELECT v, CASE WHEN v = sd.sv THEN CAST(1000000 AS BIGINT)
+       |    ELSE CAST(0 AS BIGINT) END AS rank
+       |  FROM verts CROSS JOIN sd
+       |), ${(1 to 3).map(iteration).mkString(", ")}
+       |SELECT v AS part, CAST(rank AS BIGINT) AS rank FROM r3
+       |WHERE rank > 0
+       |ORDER BY rank DESC, part LIMIT 20""".stripMargin
+  }
+
   /** Frontier BFS from a seed node: per-round shortest hop distances up to
     * `rounds` hops. Classic Pregel-style expansion expressed relationally —
     * each round joins the edge list with ONLY the newly-discovered frontier
@@ -645,7 +735,8 @@ object Graph {
     Map("q_pagerank" -> (qPageRank _), "q_triangles" -> (qTriangles _),
       "q_basket_rules" -> ((s: SparkSession, d: String) => qBasketRules(s, d)),
       "q_kcore" -> (qKCore _), "q_label_prop" -> (qLabelProp _),
-      "q_bfs_distance" -> (qBfsDistance _))
+      "q_bfs_distance" -> (qBfsDistance _),
+      "q_ppr" -> (qPersonalizedPr _))
 
   def oracle: Map[String, String] = Map(
     "q_pagerank" -> qPageRankSql,
@@ -653,5 +744,6 @@ object Graph {
     "q_basket_rules" -> qBasketRulesSql,
     "q_kcore" -> qKCoreSql,
     "q_label_prop" -> qLabelPropSql,
-    "q_bfs_distance" -> qBfsDistanceSql)
+    "q_bfs_distance" -> qBfsDistanceSql,
+    "q_ppr" -> qPersonalizedPrSql)
 }

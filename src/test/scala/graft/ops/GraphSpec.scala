@@ -191,6 +191,18 @@ class GraphSpec extends SparkFunSuite {
     assert(viaBroadcast.nonEmpty)
   }
 
+  test("personalized PageRank: star graph seeded at the hub, hand-computed round") {
+    import spark.implicits._
+    // 1 -> {2,3}; 2 -> 1; 3 -> 1. Seed = min vertex = 1, starting with
+    // ALL mass: r0 = (1e6, 0, 0). After one round: node 1 keeps only the
+    // restart 150000 (its in-mass is 0·ranks of 2/3); nodes 2/3 each get
+    // 85% of 1e6 DIV 2 = 425000. Restart mass goes ONLY to the seed.
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 1L), (3L, 1L)).toDF("src", "dst")
+    val r = Graph.personalizedPageRankInt(edges, iters = 1).collect()
+      .map(x => (x.getLong(0), x.getLong(1))).toMap
+    assert(r === Map(1L -> 150000L, 2L -> 425000L, 3L -> 425000L))
+  }
+
   test("BFS distances: path graph with a branch, hand-computed levels") {
     import spark.implicits._
     // Undirected 1-2-3-4 path plus branch 2-5; seed = min vertex = 1.
