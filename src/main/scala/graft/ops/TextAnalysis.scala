@@ -822,7 +822,49 @@ object TextAnalysis {
        |FROM occ GROUP BY source ORDER BY source""".stripMargin
   }
 
+  /** Per-source token diversity as the INVERSE SIMPSON index — the
+    * "effective vocabulary size" `N²/Σc²` (= N/expected-collision-count;
+    * equals the vocabulary size iff tokens are uniform, collapses toward
+    * 1 as one token dominates). The log-free diversity stand-in for
+    * Shannon entropy, same discipline as the lift-ranked collocations:
+    * both moments are exact long sums, and the index is ONE division of
+    * exact integers rounded to 6 dp — bit-identical across engines where
+    * an entropy's Σp·log p never is.
+    *
+    * Scale: one scan into a map-side-combined (source, token) count, then
+    * a source-keyed second moment — both aggregates partial. N² reaches
+    * 10^24 at trillion-token sources: upgrade the moment columns to
+    * decimal(38,0) there, same contract.
+    */
+  def qSourceDiversity(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "documents")
+      .select(col("source"), explode(tokens(col("text"))).as("w"))
+      .groupBy(col("source"), col("w")).agg(count(lit(1)).as("c"))
+      .groupBy(col("source"))
+      .agg(sum(col("c")).as("n_tokens"), sum(col("c") * col("c")).as("sum_sq"))
+      .select(col("source"), col("n_tokens"), col("sum_sq"),
+        round((col("n_tokens") * col("n_tokens")).cast("double")
+          / col("sum_sq").cast("double"), 6).as("inv_simpson"))
+      .orderBy(col("source"))
+
+  val qSourceDiversitySql: String =
+    """WITH c AS (
+      |  SELECT source, w, count(*) AS c FROM (
+      |    SELECT source, unnest(regexp_split_to_array(lower(text), '\s+')) AS w
+      |    FROM documents) t
+      |  GROUP BY 1, 2
+      |), m AS (
+      |  SELECT source, CAST(sum(c) AS BIGINT) AS n_tokens,
+      |    CAST(sum(c * c) AS BIGINT) AS sum_sq
+      |  FROM c GROUP BY 1
+      |)
+      |SELECT source, n_tokens, sum_sq,
+      |  round(CAST(n_tokens * n_tokens AS DOUBLE) / CAST(sum_sq AS DOUBLE), 6)
+      |    AS inv_simpson
+      |FROM m ORDER BY source""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_source_diversity" -> (qSourceDiversity _),
     "q_source_redundancy" -> (qSourceRedundancy _),
     "q_ngram_novelty" -> (qNgramNovelty _),
     "q_source_drift" -> (qSourceDrift _),
@@ -843,6 +885,7 @@ object TextAnalysis {
   )
 
   def oracle: Map[String, String] = Map(
+    "q_source_diversity" -> qSourceDiversitySql,
     "q_source_redundancy" -> qSourceRedundancySql,
     "q_ngram_novelty" -> qNgramNoveltySql,
     "q_source_drift" -> qSourceDriftSql,

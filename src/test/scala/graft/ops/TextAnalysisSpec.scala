@@ -79,6 +79,24 @@ class TextAnalysisSpec extends SparkFunSuite {
     assert(out("srcB") === ((5L, 5L, 0L)))
   }
 
+  test("source diversity: uniform tokens hit vocab size, a dominated source collapses") {
+    import spark.implicits._
+    // srcU: 4 distinct tokens once each → N=4, Σc²=4 → N²/Σc² = 4.0
+    // (= vocabulary size, the uniform upper bound).
+    // srcD: "z" ×8 plus 2 singletons → N=10, Σc²=64+2=66 → 100/66 ≈ 1.515152
+    // (collapsing toward 1 as one token dominates).
+    val docs = Seq(
+      (1L, "a b c d", "en", "srcU", 7L),
+      (2L, "z z z z z z z z x y", "en", "srcD", 19L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dir = tmpDir("diversity")
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = TextAnalysis.qSourceDiversity(spark, dir).collect()
+      .map(r => (r.getString(0), (r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(out("srcU") === ((4L, 4L, 4.0)))
+    assert(out("srcD") === ((10L, 66L, 1.515152)))
+  }
+
   test("source drift: identical distributions score zero, a planted skew token ranks first") {
     import spark.implicits._
     // s0 (7 tokens: x:2 y:2 zzz:3) vs s1 (4 tokens: x:2 y:2): zzz is the
