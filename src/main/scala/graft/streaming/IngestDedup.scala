@@ -49,4 +49,44 @@ object IngestDedup {
       .withColumn("fp", md5(col("text")))
       .join(broadcast(corpusFps), Seq("fp"), "left")
       .select(col("doc_id"), col("fp"), col("dup_of"))
+
+  /** The static corpus shingle index for the novelty gate: distinct word
+    * 3-shingles over the whole corpus — the same relation
+    * [[graft.ops.TextAnalysis.qNgramNovelty]] aggregates, maintained as a
+    * table at scale (append-only: new docs only ADD shingles).
+    */
+  def corpusShingleIndex(corpus: DataFrame): DataFrame =
+    graft.ops.TextDedup.shingles(
+      corpus, col("doc_id"), col("text"), graft.ops.Dedup.ShingleK)
+      .select(col("s")).distinct()
+
+  /** Streaming NOVELTY gate: each arriving document is scored by how many
+    * of its distinct shingles the corpus has never seen — the arrival-time
+    * dual of [[graft.ops.TextAnalysis.qNgramNovelty]] (there the corpus
+    * scores itself retrospectively; here each micro-batch is scored
+    * against the static index, deciding "does this crawl bring anything
+    * new" BEFORE the ingest commits). Emits
+    * `(doc_id, n_shingles, n_new, novelty_bp)` in the same exact-integer
+    * basis points.
+    *
+    * Scale: per-doc shingles explode map-side; the stream-static LEFT
+    * join probes the corpus index (broadcast while it fits, shuffled
+    * stream-static past that — still stateless); the per-doc count
+    * aggregate is keyed by doc_id, which is unique WITHIN a micro-batch,
+    * so state never outlives the batch that created it.
+    */
+  def noveltyGate(incoming: DataFrame, shingleIndex: DataFrame): DataFrame = {
+    import graft.ops.TextOps._
+    val k = graft.ops.Dedup.ShingleK
+    incoming
+      .select(col("doc_id"), tokens(col("text")).as("t"))
+      .filter(size(col("t")) >= k)
+      .select(col("doc_id"), explode(shingleSet(col("t"), k)).as("s"))
+      .join(shingleIndex.withColumn("known", lit(1L)), Seq("s"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("known").isNull, 1L).otherwise(0L)).as("n_new"))
+      .select(col("doc_id"), col("n_shingles"), col("n_new"),
+        expr("n_new * 10000 DIV n_shingles").as("novelty_bp"))
+  }
 }

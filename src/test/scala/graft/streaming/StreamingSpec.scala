@@ -211,6 +211,41 @@ class StreamingSpec extends SparkFunSuite {
       "copied doc must carry its corpus survivor id")
   }
 
+  test("streaming novelty gate scores arrivals against the static shingle index") {
+    import spark.implicits._
+    val corpus = graft.ops.Tables.table(spark, sf, "documents")
+    val idx = IngestDedup.corpusShingleIndex(corpus).localCheckpoint()
+
+    // three arrivals: a verbatim corpus copy (0 bp), a genuinely new doc
+    // (10000 bp), and a half-novel doc stitching a corpus prefix to new
+    // words. The gate must match the batch novelty computation exactly.
+    val dir = tmpDir("novelty-gate")
+    val copied = corpus.orderBy(col("doc_id")).limit(1)
+      .select(col("doc_id"), col("text")).head().getString(1)
+    val arrivals = Seq(
+      (200000L, copied, "en", "spec", copied.length.toLong),
+      (200001L, "entirely unseen walrus tokens parade through here", "en", "spec", 49L),
+      (200002L, copied.split("\\s+").take(3).mkString(" ") + " walrus parade finale", "en", "spec", 30L))
+    arrivals.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("append").parquet(dir)
+
+    val gated = EventStreams.runToMemory(
+      IngestDedup.noveltyGate(IngestDedup.docStream(spark, dir), idx),
+      "t_novelty_gate", outputMode = "complete")
+    val byId = gated.collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+
+    // batch reference: same expression over the same arrivals as a table
+    val batch = IngestDedup.noveltyGate(
+      arrivals.toDF("doc_id", "text", "lang", "source", "n_chars"), idx)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(byId === batch)
+    assert(byId(200000L)._3 === 0L, "verbatim corpus copy must score 0 bp")
+    assert(byId(200001L)._3 === 10000L, "unseen doc must score 10000 bp")
+    assert(byId(200002L)._2 > 0L && byId(200002L)._3 < 10000L,
+      "stitched doc is partially novel")
+  }
+
   test("hub directory watch: discovers new files exactly once") {
     val hub = tmpDir("hub-stream")
     val out = tmpDir("hub-stream-out")
