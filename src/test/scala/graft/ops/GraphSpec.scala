@@ -215,6 +215,31 @@ class GraphSpec extends SparkFunSuite {
     assert(d === Map(1L -> 0L, 2L -> 1L, 3L -> 2L, 5L -> 2L, 4L -> 3L))
   }
 
+  test("BFS distances: seeded-random graphs equal a driver BFS reference") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    for (trial <- 1 to 3) {
+      val und = (0 until 60).map(_ => (rnd.nextInt(25).toLong, rnd.nextInt(25).toLong))
+        .filter(e => e._1 != e._2)
+      val edges = (und ++ und.map(_.swap)).toDF("src", "dst")
+      val seed = und.flatMap(e => Seq(e._1, e._2)).min
+      // driver BFS reference
+      val adj = und.flatMap(e => Seq(e, e.swap)).groupBy(_._1).map { case (k, v) => k -> v.map(_._2) }
+      val ref = scala.collection.mutable.Map(seed -> 0L)
+      var frontier = Set(seed)
+      var d = 0L
+      while (frontier.nonEmpty && d < 6) {
+        d += 1
+        frontier = frontier.flatMap(v => adj.getOrElse(v, Nil))
+          .filterNot(ref.contains)
+        frontier.foreach(v => ref.update(v, d))
+      }
+      val got = Graph.bfsDistances(edges, rounds = 6).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toMap
+      assert(got === ref.toMap, s"trial $trial")
+    }
+  }
+
   test("BFS distances are round-capped and repartition-invariant") {
     import spark.implicits._
     // Chain 1-2-3-4-5: with rounds=2 only distances <= 2 are discovered.

@@ -77,4 +77,27 @@ class RangeJoinSpec extends SparkFunSuite {
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(bucketed === naive && bucketed.nonEmpty)
   }
+
+  test("intervalOverlap: seeded-random intervals equal the driver reference at several bucket sizes") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    // degenerate shapes on purpose: zero-length intervals, duplicates,
+    // bucket-boundary endpoints
+    val iv = (0 until 120).map { i =>
+      val s = rnd.nextInt(100).toLong
+      (rnd.nextInt(3).toLong, i.toLong, s, s + rnd.nextInt(30).toLong)
+    }
+    val expected = (for {
+      a <- iv; b <- iv
+      if a._1 == b._1 && a._2 < b._2 && a._3 <= b._4 && b._3 <= a._4
+    } yield (a._2, b._2)).toSet
+    for (bucket <- Seq(1L, 7L, 64L)) {
+      val got = RangeJoin.intervalOverlap(
+        iv.toDF("k", "id", "s", "e"), "k", "id", "s", "e", bucket)
+        .select(col("id_a"), col("id_b")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSeq
+      assert(got.size === got.toSet.size, s"duplicate pairs at bucket=$bucket")
+      assert(got.toSet === expected, s"pair set mismatch at bucket=$bucket")
+    }
+  }
 }
