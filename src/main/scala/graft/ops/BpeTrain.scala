@@ -98,19 +98,7 @@ object BpeTrain {
     * 10 rounds).
     */
   val qBpeMergesSql: String = {
-    def round(i: Int): String =
-      s"""m$i AS MATERIALIZED (
-         |  SELECT $i AS round, a, b, cnt FROM (
-         |    SELECT l[i] AS a, l[i+1] AS b, sum(freq) AS cnt
-         |    FROM (SELECT str_split(trim(repr), ' ') AS l, freq FROM w${i - 1}) s,
-         |         unnest(generate_series(1, len(l) - 1)) AS g(i)
-         |    GROUP BY 1, 2)
-         |  ORDER BY cnt DESC, a, b LIMIT 1
-         |), w$i AS MATERIALIZED (
-         |  SELECT replace(repr, ' ' || m.a || ' ' || m.b || ' ',
-         |                 ' ' || m.a || m.b || ' ') AS repr, freq
-         |  FROM w${i - 1}, m$i m
-         |)""".stripMargin
+    def round(i: Int): String = mergeRoundSql(i)
     s"""WITH tok AS (
        |  SELECT unnest(regexp_split_to_array(lower(text), '\\s+')) AS w FROM documents
        |), wf AS MATERIALIZED (
@@ -125,8 +113,102 @@ object BpeTrain {
        |ORDER BY round""".stripMargin
   }
 
-  def queries: Map[String, (SparkSession, String) => DataFrame] =
-    Map("q_bpe_merges" -> (qBpeMerges _))
+  /** TOKENIZER APPLICATION: encode the whole corpus with the merge table
+    * [[bpeMerges]] just learned, reporting per-source symbol counts
+    * before/after and the compression in basis points — the end-to-end
+    * train→apply loop of a real tokenizer pipeline (and the metric that
+    * tells you whether 10 merges were worth anything on this corpus).
+    *
+    * The merge table is COLLECTED to the driver (control-plane —
+    * `rounds` rows) and baked into the encode expression as literal
+    * chained `replace`s in merge order: greedy-left, non-overlapping —
+    * the exact application order BPE training assumed. Encoding is then
+    * ONE corpus scan through a fully-codegen'd string pipeline with ZERO
+    * joins; the oracle reaches the same values by cross-joining the ten
+    * 1-row materialized merge CTEs into nested replaces.
+    *
+    * Scale: training cost is [[bpeMerges]]'s (one corpus pass + metadata
+    * rounds); encoding adds exactly one more corpus pass. At 100 TB the
+    * merge table would be 30k-50k rows — still driver-trivial — but the
+    * chained-replace expression goes deep; production encoders switch to
+    * a trie-based `Expression` at that vocab size (same output contract).
+    */
+  def qBpeEncode(spark: SparkSession, dir: String): DataFrame = {
+    val docs = table(spark, dir, "documents")
+    val merges = bpeMerges(docs, VocabWords, MergeRounds)
+      .orderBy(col("round")).collect()
+    val repr0: org.apache.spark.sql.Column =
+      concat(lit(" "), regexp_replace(col("w"), "(.)", "$1 "))
+    val reprN = merges.foldLeft(repr0) { (acc, m) =>
+      val (a, b) = (m.getString(1), m.getString(2))
+      replace(acc, lit(s" $a $b "), lit(s" $a$b "))
+    }
+    docs
+      .select(col("source"), explode(TextOps.tokens(col("text"))).as("w"))
+      .select(col("source"), length(col("w")).as("nb"),
+        size(split(trim(reprN), " ")).as("na"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_words"),
+        sum(col("nb")).as("n_sym_before"), sum(col("na").cast("long")).as("n_sym_after"))
+      .select(col("source"), col("n_words"), col("n_sym_before"), col("n_sym_after"),
+        expr("(n_sym_before - n_sym_after) * 10000 DIV n_sym_before")
+          .as("compression_bp"))
+      .orderBy(col("source"))
+  }
 
-  def oracle: Map[String, String] = Map("q_bpe_merges" -> qBpeMergesSql)
+  val qBpeEncodeSql: String = {
+    val rep = (1 to MergeRounds).foldLeft("repr") { (acc, i) =>
+      s"replace($acc, ' ' || m$i.a || ' ' || m$i.b || ' ', ' ' || m$i.a || m$i.b || ' ')"
+    }
+    s"""WITH tok AS (
+       |  SELECT unnest(regexp_split_to_array(lower(text), '\\s+')) AS w FROM documents
+       |), wf AS MATERIALIZED (
+       |  SELECT w, count(*) AS freq FROM tok
+       |  WHERE regexp_full_match(w, '[a-z]+')
+       |  GROUP BY 1 ORDER BY freq DESC, w LIMIT $VocabWords
+       |), w0 AS MATERIALIZED (
+       |  SELECT ' ' || regexp_replace(w, '(.)', '\\1 ', 'g') AS repr, freq FROM wf
+       |), ${(1 to MergeRounds).map(mergeRoundSql).mkString(", ")},
+       |dtok AS (
+       |  SELECT source, unnest(regexp_split_to_array(lower(text), '\\s+')) AS w
+       |  FROM documents
+       |), drepr AS (
+       |  SELECT source, length(w) AS nb,
+       |    ' ' || regexp_replace(w, '(.)', '\\1 ', 'g') AS repr
+       |  FROM dtok
+       |), enc AS (
+       |  SELECT source, nb, len(str_split(trim($rep), ' ')) AS na
+       |  FROM drepr, ${(1 to MergeRounds).map(i => s"m$i").mkString(", ")}
+       |)
+       |SELECT source, count(*) AS n_words,
+       |  CAST(sum(nb) AS BIGINT) AS n_sym_before,
+       |  CAST(sum(na) AS BIGINT) AS n_sym_after,
+       |  ((CAST(sum(nb) AS BIGINT) - CAST(sum(na) AS BIGINT)) * 10000)
+       |    // CAST(sum(nb) AS BIGINT) AS compression_bp
+       |FROM enc GROUP BY source ORDER BY source""".stripMargin
+  }
+
+  /** One training round's CTE pair (shared by the merges and encode
+    * oracles): the arg-max pair then the merged word state.
+    */
+  private def mergeRoundSql(i: Int): String =
+    s"""m$i AS MATERIALIZED (
+       |  SELECT $i AS round, a, b, cnt FROM (
+       |    SELECT l[i] AS a, l[i+1] AS b, sum(freq) AS cnt
+       |    FROM (SELECT str_split(trim(repr), ' ') AS l, freq FROM w${i - 1}) s,
+       |         unnest(generate_series(1, len(l) - 1)) AS g(i)
+       |    GROUP BY 1, 2)
+       |  ORDER BY cnt DESC, a, b LIMIT 1
+       |), w$i AS MATERIALIZED (
+       |  SELECT replace(repr, ' ' || m.a || ' ' || m.b || ' ',
+       |                 ' ' || m.a || m.b || ' ') AS repr, freq
+       |  FROM w${i - 1}, m$i m
+       |)""".stripMargin
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    Map("q_bpe_merges" -> (qBpeMerges _), "q_bpe_encode" -> (qBpeEncode _))
+
+  def oracle: Map[String, String] = Map(
+    "q_bpe_merges" -> qBpeMergesSql,
+    "q_bpe_encode" -> qBpeEncodeSql)
 }
