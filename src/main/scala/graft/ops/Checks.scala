@@ -416,7 +416,63 @@ object Checks {
       |GROUP BY 1
       |ORDER BY prio""".stripMargin
 
+  /** ANALYZE-style column-statistics manifest: (min, max, exact NDV,
+    * null count) for seven lineitem columns in ONE scan — the stats a
+    * lakehouse maintains for zone maps, CBO join ordering, and file
+    * skipping (the collection-side complement of [[Layout]]'s
+    * consumption-side pruning). Min/max surface as strings so the
+    * manifest is one narrow relation; only integer/string/date columns
+    * participate (float formatting is engine-divergent, and floats get
+    * range checks from [[qChecksReport]] instead).
+    *
+    * Scale: one pass — Spark plans the seven count-distincts as a single
+    * expand (×7 row amplification map-side, partial aggs before the one
+    * exchange); nothing per-column touches the file again. The unpivot is
+    * a 1-row `stack`.
+    */
+  def qStatsManifest(spark: SparkSession, dir: String): DataFrame = {
+    val li = table(spark, dir, "lineitem")
+    val longCols = Seq("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber")
+    val strCols = Seq("l_returnflag", "l_linestatus")
+    val aggs = longCols.flatMap { c => Seq(
+        min(col(c)).cast("string").as(s"min_$c"),
+        max(col(c)).cast("string").as(s"max_$c"),
+        count_distinct(col(c)).as(s"ndv_$c"),
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"nn_$c"))
+    } ++ strCols.flatMap { c => Seq(
+        min(col(c)).as(s"min_$c"),
+        max(col(c)).as(s"max_$c"),
+        count_distinct(col(c)).as(s"ndv_$c"),
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"nn_$c"))
+    } ++ Seq(
+        date_format(min(col("l_shipdate")), "yyyy-MM-dd").as("min_l_shipdate"),
+        date_format(max(col("l_shipdate")), "yyyy-MM-dd").as("max_l_shipdate"),
+        count_distinct(col("l_shipdate")).as("ndv_l_shipdate"),
+        sum(when(col("l_shipdate").isNull, 1L).otherwise(0L)).as("nn_l_shipdate"))
+    val all = longCols ++ strCols ++ Seq("l_shipdate")
+    val stackArgs = all.map(c => s"'$c', min_$c, max_$c, ndv_$c, nn_$c").mkString(", ")
+    li.agg(aggs.head, aggs.tail: _*)
+      .select(expr(s"stack(${all.size}, $stackArgs)")
+        .as(Seq("col_name", "min_val", "max_val", "ndv", "n_nulls")))
+      .orderBy(col("col_name"))
+  }
+
+  val qStatsManifestSql: String = {
+    def one(c: String, minExpr: String, maxExpr: String): String =
+      s"""SELECT '$c' AS col_name, $minExpr AS min_val, $maxExpr AS max_val,
+         |  count(DISTINCT $c) AS ndv,
+         |  CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls
+         |FROM lineitem""".stripMargin
+    val longish = Seq("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber")
+      .map(c => one(c, s"CAST(min($c) AS VARCHAR)", s"CAST(max($c) AS VARCHAR)"))
+    val strish = Seq("l_returnflag", "l_linestatus").map(c => one(c, s"min($c)", s"max($c)"))
+    val dateish = one("l_shipdate",
+      "strftime(min(l_shipdate), '%Y-%m-%d')", "strftime(max(l_shipdate), '%Y-%m-%d')")
+    (longish ++ strish :+ dateish).mkString("", "\nUNION ALL\n", "\nORDER BY col_name")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_stats_manifest" -> (qStatsManifest _),
     "q_reconciliation" -> (qReconciliation _),
     "q_k_anonymity" -> (qKAnonymity _),
     "q_histogram_equidepth" -> (qHistogramEquiDepth _),
@@ -427,6 +483,7 @@ object Checks {
     "q_outlier_orders" -> (qOutlierOrders _))
 
   def oracle: Map[String, String] = Map(
+    "q_stats_manifest" -> qStatsManifestSql,
     "q_reconciliation" -> qReconciliationSql,
     "q_k_anonymity" -> qKAnonymitySql,
     "q_histogram_equidepth" -> qHistogramEquiDepthSql,

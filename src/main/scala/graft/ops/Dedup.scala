@@ -252,7 +252,60 @@ object Dedup {
        |WHERE sa.split <> sb.split
        |ORDER BY p.da, p.db""".stripMargin
 
+  /** Bitext (translation-pair candidate) mining: near-duplicate pairs
+    * whose documents carry DIFFERENT language tags — in a multilingual
+    * crawl these are the aligned-translation candidates a parallel-corpus
+    * pipeline harvests (here the shingle Jaccard stands in for the
+    * cross-lingual similarity an embedding model would provide; swap
+    * [[TextDedup.jaccardPairs]] for [[VectorSearch]]'s blocked
+    * candidates to make it semantic). Same composition discipline as
+    * [[qSplitLeakage]]: the pair relation is the expensive side and is
+    * already the dedup pipeline's; the lang labels attach by two
+    * doc-dimension joins.
+    */
+  def qBitextMine(spark: SparkSession, dir: String): DataFrame = {
+    val docs = table(spark, dir, "documents")
+    val pairs = asPair(TextDedup.jaccardPairs(
+      docs, col("doc_id"), col("text"), ShingleK, JaccardThreshold))
+    val lang = docs.select(col("doc_id"), col("lang"))
+    pairs
+      .join(lang.toDF("da", "lang_a"), "da")
+      .join(lang.toDF("db", "lang_b"), "db")
+      .filter(col("lang_a") =!= col("lang_b"))
+      .select(col("da"), col("db"), col("lang_a"), col("lang_b"), col("jaccard"))
+      .orderBy(col("da"), col("db"))
+  }
+
+  val qBitextMineSql: String =
+    s"""WITH tok AS (
+       |  SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS t FROM documents
+       |), sh AS (
+       |  SELECT doc_id, unnest(list_distinct(list_transform(
+       |    range(len(t) - ${ShingleK - 1}),
+       |    i -> array_to_string(t[i+1:i+$ShingleK], ' ')))) AS s
+       |  FROM tok WHERE len(t) >= $ShingleK
+       |), sizes AS (
+       |  SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
+       |), commons AS (
+       |  SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS common
+       |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2
+       |), pairs AS (
+       |  SELECT da, db,
+       |    CAST(common AS DOUBLE) / CAST(x.n + y.n - common AS DOUBLE) AS jaccard
+       |  FROM commons JOIN sizes x ON da = x.doc_id JOIN sizes y ON db = y.doc_id
+       |  WHERE CAST(common AS DOUBLE) / CAST(x.n + y.n - common AS DOUBLE)
+       |    >= $JaccardThreshold
+       |)
+       |SELECT p.da, p.db, la.lang AS lang_a, lb.lang AS lang_b, p.jaccard
+       |FROM pairs p
+       |JOIN documents la ON la.doc_id = p.da
+       |JOIN documents lb ON lb.doc_id = p.db
+       |WHERE la.lang <> lb.lang
+       |ORDER BY p.da, p.db""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_bitext_mine" -> (qBitextMine _),
     "q_split_leakage" -> (qSplitLeakage _),
     "q_dedup_components" -> (qDedupComponents _),
     "q_dedup_exact" -> (qDedupExact _),
@@ -264,6 +317,7 @@ object Dedup {
   )
 
   def oracle: Map[String, String] = Map(
+    "q_bitext_mine" -> qBitextMineSql,
     "q_split_leakage" -> qSplitLeakageSql,
     "q_dedup_components" -> qDedupComponentsSql,
     "q_dedup_exact" -> qDedupExactSql,

@@ -53,6 +53,39 @@ class CorpusSpec extends SparkFunSuite {
     assert(out("srcB") === ((4L, 5L, 2L, 5000L)))
   }
 
+  test("bitext mining: only the cross-language near-dup pair surfaces") {
+    import spark.implicits._
+    // 1/2 verbatim dups ACROSS en/de → the bitext candidate; 3/4 verbatim
+    // dups both en → suppressed; 5 unrelated.
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta", "en", "s", 10L),
+      (2L, "alpha beta gamma delta epsilon zeta", "de", "s", 10L),
+      (3L, "one two three four five six seven", "en", "s", 10L),
+      (4L, "one two three four five six seven", "en", "s", 10L),
+      (5L, "p q r s t u v w x y z", "fr", "s", 10L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dir = tmpDir("bitext")
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = Dedup.qBitextMine(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getString(3), r.getDouble(4)))
+    assert(out.toSeq === Seq((1L, 2L, "en", "de", 1.0)))
+  }
+
+  test("stats manifest: known lineitem invariants hold") {
+    val out = Checks.qStatsManifest(spark, sf).collect()
+      .map(r => r.getString(0) ->
+        (r.getString(1), r.getString(2), r.getLong(3), r.getLong(4))).toMap
+    assert(out.size === 7)
+    val rf = out("l_returnflag")
+    assert(rf._1 === "A" && rf._2 === "R" && rf._3 === 3L && rf._4 === 0L)
+    assert(out("l_linenumber")._1 === "1")
+    assert(out("l_shipdate")._1.matches("\\d{4}-\\d{2}-\\d{2}"))
+    // ndv of the PK prefix equals the distinct order count
+    val nOrders = Tables.table(spark, sf, "lineitem")
+      .select(col("l_orderkey")).distinct().count()
+    assert(out("l_orderkey")._3 === nOrders)
+  }
+
   test("deterministic sample is invariant under repartitioning") {
     val a = Corpus.qSampleDet(spark, sf).collect().toSeq
     // Same decisions over a shuffled, re-sliced input: the hash membership
