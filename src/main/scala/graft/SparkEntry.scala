@@ -24,7 +24,8 @@ object SparkEntry {
       ops.Multimodal.queries ++ ops.HubQueries.queries ++ ops.Pipeline.queries ++
       ops.JoinShapes.queries ++ ops.Corpus.queries ++ ops.SqlSurface.queries ++
       ops.Layout.queries ++ ops.Winnow.queries ++ ops.Checks.queries ++
-      ops.FuzzyJoin.queries ++ ops.Graph.queries ++ ops.BpeTrain.queries
+      ops.FuzzyJoin.queries ++ ops.Graph.queries ++ ops.BpeTrain.queries ++
+      ops.EmbedStats.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -35,5 +36,6 @@ object SparkEntry {
       ops.Multimodal.oracle ++ ops.HubQueries.oracle ++ ops.Pipeline.oracle ++
       ops.JoinShapes.oracle ++ ops.Corpus.oracle ++ ops.SqlSurface.oracle ++
       ops.Layout.oracle ++ ops.Winnow.oracle ++ ops.Checks.oracle ++
-      ops.FuzzyJoin.oracle ++ ops.Graph.oracle ++ ops.BpeTrain.oracle
+      ops.FuzzyJoin.oracle ++ ops.Graph.oracle ++ ops.BpeTrain.oracle ++
+      ops.EmbedStats.oracle
 }

@@ -424,7 +424,105 @@ object Corpus {
       |GROUP BY d.source
       |ORDER BY d.source""".stripMargin
 
+  /** Global token budget to apportion across sources in [[qTokenBudget]]. */
+  val TokenBudget = 100000L
+
+  /** Shard count for the rendezvous-hash assignment in [[qShardRendezvous]]. */
+  val NumShards = 8
+
+  /** Largest-remainder (Hamilton) apportionment of a global token budget
+    * across sources, proportional to each source's exact token count —
+    * the "how many tokens does each source contribute to this training
+    * mix" allocator. Every step is exact integer arithmetic: floor quota
+    * `(B·c) DIV Σc`, remainder `(B·c) mod Σc`, and the leftover
+    * `B − Σfloor` units go to the largest remainders (source asc on
+    * ties), so allocations sum to B exactly — no float shares, no
+    * drift, bit-identical cross-engine.
+    *
+    * Scale: one corpus scan collapses to a |sources|-row relation; the
+    * two scalar aggregates ride as broadcast 1-row cross joins and the
+    * remainder rank is a window over the dimension-sized relation —
+    * nothing beyond the first aggregation touches corpus-sized data.
+    */
+  def qTokenBudget(spark: SparkSession, dir: String): DataFrame = {
+    val docs = table(spark, dir, "documents")
+    val perSrc = docs.groupBy(col("source"))
+      .agg(sum(size(tokens(col("text"))).cast("long")).as("c"))
+    val tot = perSrc.agg(sum(col("c")).as("t"))
+    val based = perSrc.crossJoin(broadcast(tot))
+      .select(col("source"), col("c"),
+        expr(s"($TokenBudget * c) DIV t").as("base"),
+        expr(s"($TokenBudget * c) % t").as("rem"))
+    val left = based.agg((lit(TokenBudget) - sum(col("base"))).as("extra"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("rem").desc, col("source"))
+    based.crossJoin(broadcast(left))
+      .withColumn("rnk", row_number().over(w))
+      .select(col("source"), col("c").as("n_tokens"),
+        (col("base") + when(col("rnk") <= col("extra"), 1L).otherwise(0L)).as("alloc"))
+      .orderBy(col("source"))
+  }
+
+  val qTokenBudgetSql: String =
+    s"""WITH per_src AS (
+       |  SELECT source,
+       |    CAST(sum(len(regexp_split_to_array(lower(text), '\\s+'))) AS BIGINT) AS c
+       |  FROM documents GROUP BY 1
+       |), tot AS (SELECT sum(c) AS t FROM per_src),
+       |based AS (
+       |  SELECT source, c,
+       |    ($TokenBudget * c) // t AS base,
+       |    ($TokenBudget * c) % t AS rem
+       |  FROM per_src CROSS JOIN tot
+       |), lft AS (SELECT $TokenBudget - sum(base) AS extra FROM based),
+       |ranked AS (
+       |  SELECT based.*, row_number() OVER (ORDER BY rem DESC, source) AS rnk
+       |  FROM based
+       |)
+       |SELECT source, c AS n_tokens,
+       |  CAST(base + (CASE WHEN rnk <= extra THEN 1 ELSE 0 END) AS BIGINT) AS alloc
+       |FROM ranked CROSS JOIN lft
+       |ORDER BY source""".stripMargin
+
+  /** Rendezvous (highest-random-weight) sharding: every document goes to
+    * the shard whose `md5(doc_id ":" shard)` weight is highest — the
+    * assignment that moves only ~1/N of keys when a shard is added or
+    * removed, unlike mod-N (the reason consistent routing layers use it).
+    * Weight and argmax are pure functions of the stable doc_id, so the
+    * assignment is repartition- and rerun-invariant; ties (never observed
+    * at 60-bit weights, but defined) break toward the smaller shard.
+    *
+    * Scale: embarrassingly parallel — a per-row projection over N=8
+    * in-array hashes, no shuffle until the final per-shard count.
+    */
+  def qShardRendezvous(spark: SparkSession, dir: String): DataFrame = {
+    val docs = table(spark, dir, "documents")
+    val weights = transform(sequence(lit(0), lit(NumShards - 1)),
+      s => conv(substring(md5(concat_ws(":", col("doc_id"), s)), 1, 15), 16, 10).cast("long"))
+    docs
+      .withColumn("ws", weights)
+      .withColumn("shard", (array_position(col("ws"), array_max(col("ws"))) - 1).cast("long"))
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"),
+        min(col("doc_id")).as("min_doc"))
+      .orderBy(col("shard"))
+  }
+
+  val qShardRendezvousSql: String =
+    s"""WITH w AS (
+       |  SELECT doc_id, n_chars,
+       |    list_transform(range($NumShards), s -> CAST(concat('0x',
+       |      substring(md5(concat(doc_id, ':', s)), 1, 15)) AS BIGINT)) AS ws
+       |  FROM documents
+       |)
+       |SELECT CAST(list_position(ws, list_max(ws)) - 1 AS BIGINT) AS shard,
+       |  count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+       |  min(doc_id) AS min_doc
+       |FROM w GROUP BY 1 ORDER BY shard""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_token_budget" -> (qTokenBudget _),
+    "q_shard_rendezvous" -> (qShardRendezvous _),
     "q_quality_gate" -> (qQualityGate _),
     "q_sample_temperature" -> (qSampleTemperature _),
     "q_sample_weighted" -> (qSampleWeighted _),
@@ -437,6 +535,8 @@ object Corpus {
     "q_contamination" -> (qContamination _))
 
   def oracle: Map[String, String] = Map(
+    "q_token_budget" -> qTokenBudgetSql,
+    "q_shard_rendezvous" -> qShardRendezvousSql,
     "q_quality_gate" -> qQualityGateSql,
     "q_sample_temperature" -> qSampleTemperatureSql,
     "q_sample_weighted" -> qSampleWeightedSql,

@@ -1,0 +1,158 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import Tables._
+
+/** Cluster-level embedding statistics: per-label centroids, centroid-pair
+  * similarity, and within-cluster outliers — the corpus-curation views a
+  * training pipeline derives from its embedding table (label here stands
+  * for any grouping: source, topic cluster, dedup component).
+  *
+  * Determinism discipline (same as [[VectorSearch]]): float components
+  * quantize once to exact longs `x_d = floor(v_d · 2^quantBits)`, and every
+  * aggregate over them (per-dimension sums, dot products, squared
+  * distances) is exact integer arithmetic — bit-identical at any
+  * parallelism, replayable by the DuckDB oracle. The only float steps are
+  * the final presentation divisions/sqrts, computed from identical integers
+  * in both engines.
+  *
+  * Magnitude envelope (quantBits=14, dim=64): |x| < 2^14; a cluster of n
+  * members has |S_d| < n·2^14, so the outlier statistic
+  * `Σ_d (n·x_d − S_d)²` is < n²·2^30·64 = n²·2^36 — ANSI-safe in a long
+  * for clusters up to n ≈ 2^13 (~8k) members; at larger cluster sizes drop
+  * quantBits or lift the sums to DECIMAL(38,0).
+  */
+object EmbedStats {
+
+  val QuantBits = 14
+  private val scale = (1L << QuantBits).toDouble
+
+  /** `(vec_id, label, d, x)` — embeddings flattened to quantized
+    * per-dimension longs (d is 0-based).
+    */
+  private def quantized(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "embeddings")
+      .select(col("vec_id"), col("label"),
+        posexplode(transform(col("embedding"),
+          x => floor(x.cast("double") * lit(scale)).cast("long"))).as(Seq("d", "x")))
+
+  /** Per-(label, dimension) component sums and member counts — the exact
+    * integer sufficient statistic for every centroid-level view below.
+    * Dimension-sized (|labels|·dim rows), so everything downstream of the
+    * one corpus-sized aggregation is broadcast-scale.
+    */
+  private def labelSums(spark: SparkSession, dir: String): DataFrame =
+    quantized(spark, dir)
+      .groupBy(col("label"), col("d"))
+      .agg(sum(col("x")).as("s"), count(lit(1)).as("n"))
+
+  /** Pairwise cosine similarity between label centroids — "which clusters
+    * (sources, topics) overlap in embedding space". Cosine is
+    * scale-invariant, so the centroid cosine equals the cosine of the raw
+    * per-dimension SUMS: no division by n ever happens and the dot/norm
+    * accumulations stay exact longs.
+    *
+    * Scale: one corpus scan collapses to the |labels|·dim sums relation;
+    * the pair join and final aggregation are dimension-sized (never touch
+    * corpus rows again).
+    */
+  def qEmbedCentroids(spark: SparkSession, dir: String): DataFrame = {
+    val sums = labelSums(spark, dir)
+    val norms = sums.groupBy(col("label"))
+      .agg(sum(col("s") * col("s")).as("n2"), max(col("n")).as("n_members"))
+    val pairs = sums.select(col("label").as("label_a"), col("d"), col("s").as("sa"))
+      .join(sums.select(col("label").as("label_b"), col("d"), col("s").as("sb")), Seq("d"))
+      .filter(col("label_a") < col("label_b"))
+      .groupBy(col("label_a"), col("label_b"))
+      .agg(sum(col("sa") * col("sb")).as("dot"))
+    pairs
+      .join(norms.select(col("label").as("label_a"), col("n2").as("na2")), Seq("label_a"))
+      .join(norms.select(col("label").as("label_b"), col("n2").as("nb2")), Seq("label_b"))
+      .select(col("label_a"), col("label_b"),
+        round(col("dot").cast("double") /
+          (sqrt(col("na2").cast("double")) * sqrt(col("nb2").cast("double"))), 6)
+          .as("cos_sim"))
+      .orderBy(col("label_a"), col("label_b"))
+  }
+
+  val qEmbedCentroidsSql: String =
+    s"""WITH xq AS (
+       |  SELECT vec_id, label,
+       |    generate_subscripts(embedding, 1) AS d,
+       |    CAST(floor(CAST(unnest(embedding) AS DOUBLE) * ${1L << QuantBits}) AS BIGINT) AS x
+       |  FROM embeddings
+       |), sums AS (
+       |  SELECT label, d, CAST(sum(x) AS BIGINT) AS s FROM xq GROUP BY 1, 2
+       |), norms AS (
+       |  SELECT label, CAST(sum(s * s) AS BIGINT) AS n2 FROM sums GROUP BY 1
+       |), pairs AS (
+       |  SELECT a.label AS label_a, b.label AS label_b,
+       |    CAST(sum(a.s * b.s) AS BIGINT) AS dot
+       |  FROM sums a JOIN sums b ON a.d = b.d AND a.label < b.label
+       |  GROUP BY 1, 2
+       |)
+       |SELECT p.label_a, p.label_b,
+       |  round(CAST(p.dot AS DOUBLE) / (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE))), 6) AS cos_sim
+       |FROM pairs p
+       |JOIN norms na ON na.label = p.label_a
+       |JOIN norms nb ON nb.label = p.label_b
+       |ORDER BY p.label_a, p.label_b""".stripMargin
+
+  /** Top-3 outliers per label by squared distance to the label centroid —
+    * the mislabeled/contaminated-cluster diagnostic. The statistic is the
+    * n²-scaled exact integer `Σ_d (n·x_d − S_d)²` (= n²·‖x − S/n‖² with
+    * the division cleared), so ranking needs no floats; ties break to the
+    * smaller vec_id.
+    *
+    * Scale: quantized rows join the broadcast dimension-sized sums
+    * relation on (label, d) — the corpus side never shuffles on a wide
+    * key — then one per-vector aggregation and a bounded per-label top-3.
+    */
+  def qEmbedOutliers(spark: SparkSession, dir: String): DataFrame = {
+    val sums = labelSums(spark, dir)
+    val dev = quantized(spark, dir)
+      .join(broadcast(sums), Seq("label", "d"))
+      .groupBy(col("label"), col("vec_id"))
+      .agg(sum((col("n") * col("x") - col("s")) * (col("n") * col("x") - col("s")))
+        .as("dist2"))
+    val w = Window.partitionBy(col("label")).orderBy(col("dist2").desc, col("vec_id"))
+    dev.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 3)
+      .select(col("label"), col("rnk").cast("long").as("rnk"), col("vec_id"), col("dist2"))
+      .orderBy(col("label"), col("rnk"))
+  }
+
+  val qEmbedOutliersSql: String =
+    s"""WITH xq AS (
+       |  SELECT vec_id, label,
+       |    generate_subscripts(embedding, 1) AS d,
+       |    CAST(floor(CAST(unnest(embedding) AS DOUBLE) * ${1L << QuantBits}) AS BIGINT) AS x
+       |  FROM embeddings
+       |), sums AS (
+       |  SELECT label, d, CAST(sum(x) AS BIGINT) AS s, count(*) AS n
+       |  FROM xq GROUP BY 1, 2
+       |), dev AS (
+       |  SELECT q.label, q.vec_id,
+       |    CAST(sum((m.n * q.x - m.s) * (m.n * q.x - m.s)) AS BIGINT) AS dist2
+       |  FROM xq q JOIN sums m ON m.label = q.label AND m.d = q.d
+       |  GROUP BY 1, 2
+       |), ranked AS (
+       |  SELECT dev.*,
+       |    row_number() OVER (PARTITION BY label ORDER BY dist2 DESC, vec_id) AS rnk
+       |  FROM dev
+       |)
+       |SELECT label, CAST(rnk AS BIGINT) AS rnk, vec_id, dist2
+       |FROM ranked WHERE rnk <= 3
+       |ORDER BY label, rnk""".stripMargin
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_embed_centroids" -> (qEmbedCentroids _),
+    "q_embed_outliers" -> (qEmbedOutliers _))
+
+  def oracle: Map[String, String] = Map(
+    "q_embed_centroids" -> qEmbedCentroidsSql,
+    "q_embed_outliers" -> qEmbedOutliersSql)
+}

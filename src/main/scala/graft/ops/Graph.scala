@@ -731,11 +731,105 @@ object Graph {
        |FROM d4 GROUP BY 1 ORDER BY hop""".stripMargin
   }
 
+  /** Frontier-based distributed Bellman–Ford: weighted single-source
+    * shortest paths in `rounds` relaxation rounds (exact for paths of up
+    * to `rounds` edges). Each round relaxes ONLY the out-edges of vertices
+    * whose distance improved last round — a vertex settled in round j
+    * already pushed its final distance at round j+1, so re-relaxing it is
+    * pure waste; the frontier restriction is a work-saving with an
+    * identical result to the textbook all-edges round (which the oracle
+    * replays). Distances are exact longs (integer weights), so the result
+    * is bit-identical at any parallelism.
+    *
+    * Scale: the delta-stepping-style frontier keeps per-round work
+    * proportional to the improved vertices' out-edges, not |E|; the edge
+    * list is iteration-invariant (persist once, join `rounds` times), and
+    * the distance/frontier relations are node-dimension-sized and
+    * localCheckpointed so lineage depth stays at `rounds`.
+    */
+  def ssspDistances(edges: DataFrame, rounds: Int): DataFrame = {
+    val far = Long.MaxValue
+    val e = edges.select(col("src"), col("dst"), col("w"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var dist = e.agg(min(col("src")).as("v"))
+      .withColumn("d", lit(0L)).localCheckpoint()
+    var frontier = dist
+    var k = 1
+    var active = true
+    while (k <= rounds && active) {
+      val cand = e.join(frontier.select(col("v").as("src"), col("d").as("fd")), Seq("src"))
+        .groupBy(col("dst").as("v"))
+        .agg(min(col("fd") + col("w")).as("cd"))
+      val joined = dist.join(cand, Seq("v"), "full_outer").localCheckpoint()
+      frontier = joined
+        .filter(col("cd") < coalesce(col("d"), lit(far)))
+        .select(col("v"), col("cd").as("d"))
+      // control-plane probe on the just-materialized node-sized relation:
+      // once no vertex improves, every further round is a no-op
+      if (frontier.isEmpty) active = false
+      dist = joined.select(col("v"),
+        least(coalesce(col("d"), lit(far)), coalesce(col("cd"), lit(far))).as("d"))
+      k += 1
+    }
+    e.unpersist(blocking = false)
+    dist
+  }
+
+  /** Weighted order↔part bipartite graph from lineitem: order node
+    * `2·l_orderkey`, part node `2·l_partkey+1`, undirected edges weighted
+    * by the cheapest line quantity between the pair — "how far is this
+    * part from that order through shared purchase quantities".
+    */
+  def orderPartEdges(spark: SparkSession, dir: String): DataFrame = {
+    val li = table(spark, dir, "lineitem")
+      .select((col("l_orderkey") * 2).as("a"), (col("l_partkey") * 2 + 1).as("b"),
+        col("l_quantity").cast("long").as("w"))
+    li.select(col("a").as("src"), col("b").as("dst"), col("w"))
+      .union(li.select(col("b").as("src"), col("a").as("dst"), col("w")))
+      .groupBy(col("src"), col("dst")).agg(min(col("w")).as("w"))
+  }
+
+  /** 20 nearest nodes to the seed (smallest order node) by 4-round
+    * weighted shortest path over the order↔part graph — the weighted dual
+    * of [[qBfsDistance]]'s hop profile.
+    */
+  def qSssp(spark: SparkSession, dir: String): DataFrame =
+    ssspDistances(orderPartEdges(spark, dir), rounds = 4)
+      .orderBy(col("d"), col("v"))
+      .limit(20)
+
+  val qSsspSql: String = {
+    // all-edges min-relaxation replay: after round k both formulations
+    // hold exactly min-cost-over-<=k-edge-paths for every vertex
+    def relax(i: Int): String =
+      s"""d$i AS MATERIALIZED (
+         |  SELECT v, min(d) AS d FROM (
+         |    SELECT v, d FROM d${i - 1}
+         |    UNION ALL
+         |    SELECT e.dst AS v, r.d + e.w AS d
+         |    FROM e JOIN d${i - 1} r ON r.v = e.src
+         |  ) u GROUP BY v
+         |)""".stripMargin
+    s"""WITH e AS (
+       |  SELECT src, dst, min(w) AS w FROM (
+       |    SELECT l_orderkey * 2 AS src, l_partkey * 2 + 1 AS dst,
+       |      CAST(l_quantity AS BIGINT) AS w FROM lineitem
+       |    UNION ALL
+       |    SELECT l_partkey * 2 + 1, l_orderkey * 2,
+       |      CAST(l_quantity AS BIGINT) FROM lineitem
+       |  ) u GROUP BY 1, 2
+       |), d0 AS (
+       |  SELECT min(src) AS v, CAST(0 AS BIGINT) AS d FROM e
+       |), ${(1 to 4).map(relax).mkString(", ")}
+       |SELECT v, d FROM d4 ORDER BY d, v LIMIT 20""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Map("q_pagerank" -> (qPageRank _), "q_triangles" -> (qTriangles _),
       "q_basket_rules" -> ((s: SparkSession, d: String) => qBasketRules(s, d)),
       "q_kcore" -> (qKCore _), "q_label_prop" -> (qLabelProp _),
       "q_bfs_distance" -> (qBfsDistance _),
+      "q_sssp" -> (qSssp _),
       "q_ppr" -> (qPersonalizedPr _))
 
   def oracle: Map[String, String] = Map(
@@ -745,5 +839,6 @@ object Graph {
     "q_kcore" -> qKCoreSql,
     "q_label_prop" -> qLabelPropSql,
     "q_bfs_distance" -> qBfsDistanceSql,
+    "q_sssp" -> qSsspSql,
     "q_ppr" -> qPersonalizedPrSql)
 }

@@ -23,19 +23,27 @@ object Tables {
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
     spark.read.parquet(s"$sfDir/$name.parquet")
 
-  /** `events` with its parquet `timestamp[ns]` column as a usable timestamp.
+  /** `events` with `ts` as a usable session-timezone timestamp, adaptive to
+    * how the generator wrote the column:
     *
-    * Spark 4 has no nanosecond timestamp type and rejects TIMESTAMP(NANOS)
-    * parquet columns (PARQUET_TYPE_ILLEGAL) — so read the raw int64 via
-    * `spark.sql.legacy.parquet.nanosAsLong` and floor-divide to microseconds
-    * (`DIV 1000`, integer division — a double division would lose precision
-    * above 2^53 ns). DuckDB keeps ns; every oracle mirrors this truncation
-    * with `date_trunc('microseconds', ts)` / `epoch_us`.
+    *  - `timestamp[us]` parquet (current generator): arrives as
+    *    TIMESTAMP_NTZ — cast to TIMESTAMP. The session timezone is pinned
+    *    to UTC ([[graft.GraftSession]]), so the cast preserves the stored
+    *    epoch values and matches DuckDB's native read bit-for-bit.
+    *  - `timestamp[ns]` parquet (earlier generators): Spark 4 has no
+    *    nanosecond type and rejects TIMESTAMP(NANOS) outright
+    *    (PARQUET_TYPE_ILLEGAL), so read the raw int64 via
+    *    `spark.sql.legacy.parquet.nanosAsLong` and floor-divide to
+    *    microseconds (`DIV 1000`, integer division — a double division
+    *    would lose precision above 2^53 ns).
     */
   def events(spark: SparkSession, sfDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    table(spark, sfDir, "events")
-      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    val raw = table(spark, sfDir, "events")
+    raw.schema("ts").dataType match {
+      case LongType => raw.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      case _ => raw.withColumn("ts", col("ts").cast(TimestampType))
+    }
   }
 
   /** 2-decimal money column as exact decimal. */

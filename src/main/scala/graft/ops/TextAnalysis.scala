@@ -863,7 +863,88 @@ object TextAnalysis {
       |    AS inv_simpson
       |FROM m ORDER BY source""".stripMargin
 
+  /** Shingle width for the boilerplate detector [[qDupNgrams]]. */
+  val DupNgramK = 5
+
+  /** Cross-document boilerplate detector: top-20 5-gram shingles by
+    * document frequency (df ≥ 2) — the repeated header/footer/license
+    * phrases that exact- and near-dup passes miss because the documents
+    * CARRYING them differ. Shingles are deduped per doc first so one
+    * spammy document can't promote its own repetition into "boilerplate";
+    * ranking is (df desc, gram asc) — exact integers, total order.
+    *
+    * Scale: explode → two-level aggregate with map-side partial combine,
+    * top-20 via TakeOrderedAndProject — no all-pairs, no window over the
+    * full gram relation; the df ≥ 2 filter drops the hapax tail (the vast
+    * majority of grams) before the ordering.
+    */
+  def qDupNgrams(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "documents")
+      .select(col("doc_id"), tokens(col("text")).as("t"))
+      .filter(size(col("t")) >= DupNgramK)
+      .select(col("doc_id"), explode(shingleSet(col("t"), DupNgramK)).as("g"))
+      .groupBy(col("g"))
+      .agg(count(lit(1)).as("df"), min(col("doc_id")).as("first_doc"))
+      .filter(col("df") >= 2)
+      .orderBy(col("df").desc, col("g"))
+      .limit(20)
+
+  val qDupNgramsSql: String = {
+    val k = DupNgramK
+    s"""WITH tok AS (
+       |  SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS t FROM documents
+       |), sh AS (
+       |  SELECT doc_id, unnest(list_distinct(list_transform(
+       |    range(len(t) - ${k - 1}),
+       |    i -> array_to_string(t[i+1:i+$k], ' ')))) AS g
+       |  FROM tok WHERE len(t) >= $k
+       |)
+       |SELECT g, count(*) AS df, min(doc_id) AS first_doc
+       |FROM sh GROUP BY 1 HAVING count(*) >= 2
+       |ORDER BY df DESC, g LIMIT 20""".stripMargin
+  }
+
+  /** Per-document readability profile: token, sentence, and vowel-group
+    * counts plus the two classic readability ratios (words/sentence,
+    * vowel-groups/word — the syllable proxy) in exact basis points —
+    * the integer skeleton of Flesch-style scoring without the
+    * engine-divergent float constants. Sentences are `[.!?]+` runs;
+    * documents with no terminator count as one sentence.
+    *
+    * Scale: a pure per-row projection (three regexp passes fused in one
+    * codegen stage), no shuffle until the presentation sort.
+    */
+  def qReadability(spark: SparkSession, dir: String): DataFrame = {
+    val docs = table(spark, dir, "documents")
+    val nTok = size(tokens(col("text"))).cast("long")
+    val nSent = greatest(
+      size(regexp_extract_all(col("text"), lit("[.!?]+"), lit(0))).cast("long"), lit(1L))
+    val nVow = size(regexp_extract_all(lower(col("text")), lit("[aeiou]+"), lit(0))).cast("long")
+    docs.select(col("doc_id"),
+        nTok.as("n_tokens"), nSent.as("n_sentences"), nVow.as("n_vowel_groups"))
+      .withColumn("words_per_sentence_bp", expr("n_tokens * 10000 DIV n_sentences"))
+      .withColumn("syllables_per_word_bp",
+        expr("CASE WHEN n_tokens = 0 THEN 0 ELSE n_vowel_groups * 10000 DIV n_tokens END"))
+      .orderBy(col("doc_id"))
+  }
+
+  val qReadabilitySql: String =
+    """WITH m AS (
+      |  SELECT doc_id,
+      |    CAST(len(regexp_split_to_array(lower(text), '\s+')) AS BIGINT) AS n_tokens,
+      |    greatest(CAST(len(regexp_extract_all(text, '[.!?]+')) AS BIGINT), 1) AS n_sentences,
+      |    CAST(len(regexp_extract_all(lower(text), '[aeiou]+')) AS BIGINT) AS n_vowel_groups
+      |  FROM documents
+      |)
+      |SELECT doc_id, n_tokens, n_sentences, n_vowel_groups,
+      |  (n_tokens * 10000) // n_sentences AS words_per_sentence_bp,
+      |  CASE WHEN n_tokens = 0 THEN 0
+      |       ELSE (n_vowel_groups * 10000) // n_tokens END AS syllables_per_word_bp
+      |FROM m ORDER BY doc_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_dup_ngrams" -> (qDupNgrams _),
+    "q_readability" -> (qReadability _),
     "q_source_diversity" -> (qSourceDiversity _),
     "q_source_redundancy" -> (qSourceRedundancy _),
     "q_ngram_novelty" -> (qNgramNovelty _),
@@ -885,6 +966,8 @@ object TextAnalysis {
   )
 
   def oracle: Map[String, String] = Map(
+    "q_dup_ngrams" -> qDupNgramsSql,
+    "q_readability" -> qReadabilitySql,
     "q_source_diversity" -> qSourceDiversitySql,
     "q_source_redundancy" -> qSourceRedundancySql,
     "q_ngram_novelty" -> qNgramNoveltySql,

@@ -16,26 +16,27 @@ import org.apache.spark.sql.types._
   */
 object EventStreams {
 
-  /** Raw parquet schema of the events table (`ts` is int64 nanoseconds —
-    * Spark 4 has no ns timestamp, see graft.ops.Tables.events).
+  /** Raw parquet schema of the events table (`ts` is `timestamp[us]`,
+    * timezone-naive — surfaced as TIMESTAMP_NTZ and cast to the session
+    * timezone in [[eventStream]]; see graft.ops.Tables.events).
     */
   val rawSchema: StructType = StructType(Seq(
     StructField("event_id", LongType),
-    StructField("ts", LongType),
+    StructField("ts", TimestampNTZType),
     StructField("user_id", LongType),
     StructField("event_type", StringType),
     StructField("value", DoubleType),
     StructField("props", StringType),
   ))
 
-  /** File-source stream of events with `ts` as a microsecond timestamp. */
-  def eventStream(spark: SparkSession, path: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+  /** File-source stream of events with `ts` as a session-timezone
+    * microsecond timestamp (UTC session ⇒ the cast preserves epoch values).
+    */
+  def eventStream(spark: SparkSession, path: String): DataFrame =
     spark.readStream
       .schema(rawSchema)
       .parquet(path)
-      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
-  }
+      .withColumn("ts", col("ts").cast(TimestampType))
 
   /** Watermarked tumbling-window counts per event type. */
   def hourlyCounts(events: DataFrame): DataFrame =

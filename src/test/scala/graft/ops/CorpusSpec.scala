@@ -208,4 +208,47 @@ class CorpusSpec extends SparkFunSuite {
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
     assert(out.sorted === again.sorted)
   }
+
+  test("token budget: allocations sum exactly to the budget, each within 1 of the ideal share") {
+    val rows = Corpus.qTokenBudget(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(rows.nonEmpty)
+    assert(rows.map(_._3).sum === Corpus.TokenBudget, "largest-remainder must hit B exactly")
+    val tot = rows.map(_._2).sum
+    rows.foreach { case (src, c, alloc) =>
+      val floorShare = Corpus.TokenBudget * c / tot
+      assert(alloc === floorShare || alloc === floorShare + 1,
+        s"$src: alloc $alloc vs floor share $floorShare")
+    }
+  }
+
+  test("rendezvous sharding: totality, and removing a shard only moves that shard's docs") {
+    import org.apache.spark.sql.functions._
+    val docs = Tables.table(spark, sf, "documents")
+    def assign(numShards: Int) = docs.select(col("doc_id"),
+        (array_position(
+          transform(sequence(lit(0), lit(numShards - 1)),
+            s => conv(substring(md5(concat_ws(":", col("doc_id"), s)), 1, 15), 16, 10)
+              .cast("long")),
+          array_max(transform(sequence(lit(0), lit(numShards - 1)),
+            s => conv(substring(md5(concat_ws(":", col("doc_id"), s)), 1, 15), 16, 10)
+              .cast("long")))) - 1).as("shard"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val with8 = assign(Corpus.NumShards)
+    val nDocs = docs.count()
+    assert(with8.size.toLong === nDocs)
+    assert(with8.values.forall(s => s >= 0 && s < Corpus.NumShards))
+    // HRW's minimal-disruption property: dropping the last shard reassigns
+    // ONLY documents that lived on it — everyone else keeps their shard
+    val with7 = assign(Corpus.NumShards - 1)
+    with8.foreach { case (doc, s8) =>
+      if (s8 < Corpus.NumShards - 1)
+        assert(with7(doc) === s8, s"doc $doc moved from $s8 to ${with7(doc)}")
+    }
+    // the per-shard aggregate view is consistent with the assignment
+    val agg = Corpus.qShardRendezvous(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    val expected = with8.values.groupBy(identity).map { case (s, xs) => (s, xs.size.toLong) }
+    assert(agg === expected)
+  }
 }

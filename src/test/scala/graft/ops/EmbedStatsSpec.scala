@@ -1,0 +1,48 @@
+package graft.ops
+
+import graft.SparkFunSuite
+import org.apache.spark.sql.functions._
+
+/** Pins centroid-statistics semantics on planted clusters (the oracle gate
+  * sees only the synthetic table): orthogonal/overlapping centroid cosines
+  * and the within-cluster outlier ranking.
+  */
+class EmbedStatsSpec extends SparkFunSuite {
+
+  private def write(dir: String, rows: Seq[(Long, Seq[Float], Int)]): Unit = {
+    import spark.implicits._
+    rows.toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+  }
+
+  test("centroid cosine: orthogonal clusters score 0, half-shared cluster scores 1/sqrt(2)") {
+    val e1 = Seq(1f, 0f, 0f, 0f)
+    val e2 = Seq(0f, 1f, 0f, 0f)
+    val dir = tmpDir("embed-centroids")
+    write(dir, Seq(
+      (1L, e1, 0), (2L, e1, 0),
+      (3L, e2, 1), (4L, e2, 1),
+      (5L, e1, 2), (6L, e2, 2)))
+    val out = EmbedStats.qEmbedCentroids(spark, dir).collect()
+      .map(r => ((r.getInt(0), r.getInt(1)), r.getDouble(2))).toMap
+    assert(out((0, 1)) === 0.0)
+    assert(out((0, 2)) === 0.707107)
+    assert(out((1, 2)) === 0.707107)
+  }
+
+  test("outliers: the planted far point ranks first in its cluster") {
+    val near = Seq(0f, 0f, 0f, 0f)
+    val far = Seq(1f, 1f, 1f, 1f)
+    val dir = tmpDir("embed-outliers")
+    write(dir, (1L to 9L).map(i => (i, near, 0)) :+ (10L, far, 0))
+    val out = EmbedStats.qEmbedOutliers(spark, dir).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.head._3 === 10L, "far vector must rank 1")
+    // exact integer statistic: far point dev = (10*16384 - 16384)^2 per dim
+    val expectFar = 4L * 147456L * 147456L
+    assert(out.head._4 === expectFar)
+    // near points tie; ties break to the smaller vec_id
+    assert(out.map(_._2) === Seq(1L, 2L, 3L))
+    assert(out(1)._3 === 1L && out(2)._3 === 2L)
+  }
+}

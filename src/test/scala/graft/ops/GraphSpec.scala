@@ -252,4 +252,49 @@ class GraphSpec extends SparkFunSuite {
       .map(r => (r.getLong(0), r.getLong(1))).toMap
     assert(d2r === d2)
   }
+
+  test("SSSP: hand-computed weighted fixture, shorter path through more edges wins") {
+    import spark.implicits._
+    // 1 -10-> 3 direct, but 1 -1-> 2 -2-> 3 costs 3; plus 3 -1-> 4.
+    val und = Seq((1L, 3L, 10L), (1L, 2L, 1L), (2L, 3L, 2L), (3L, 4L, 1L))
+    val edges = (und ++ und.map { case (a, b, w) => (b, a, w) }).toDF("src", "dst", "w")
+    val got = Graph.ssspDistances(edges, rounds = 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got === Map(1L -> 0L, 2L -> 1L, 3L -> 3L, 4L -> 4L))
+  }
+
+  test("SSSP respects the round cap and is repartition-invariant") {
+    import spark.implicits._
+    // Chain 1-2-3-4-5 with unit weights: rounds=2 reaches distance <= 2.
+    val und = Seq((1L, 2L, 1L), (2L, 3L, 1L), (3L, 4L, 1L), (4L, 5L, 1L))
+    val edges = (und ++ und.map { case (a, b, w) => (b, a, w) }).toDF("src", "dst", "w")
+    val d2 = Graph.ssspDistances(edges, rounds = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(d2 === Map(1L -> 0L, 2L -> 1L, 3L -> 2L))
+    val d2r = Graph.ssspDistances(edges.repartition(13), rounds = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(d2r === d2)
+  }
+
+  test("SSSP frontier relaxation equals exhaustive Bellman-Ford on a random graph") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val n = 30
+    val und = (1 to 80).map { _ =>
+      (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong, (1 + rnd.nextInt(9)).toLong)
+    }.filter { case (a, b, _) => a != b }
+    val all = und ++ und.map { case (a, b, w) => (b, a, w) }
+    val edges = all.toDF("src", "dst", "w")
+    val rounds = 5
+    // driver-side exhaustive Bellman-Ford, `rounds` full relaxation rounds
+    val seed = all.map(_._1).min
+    var ref = Map(seed -> 0L)
+    for (_ <- 1 to rounds) {
+      val cand = all.flatMap { case (a, b, w) => ref.get(a).map(d => (b, d + w)) }
+      ref = (ref.toSeq ++ cand).groupBy(_._1).map { case (v, ds) => (v, ds.map(_._2).min) }
+    }
+    val got = Graph.ssspDistances(edges, rounds).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got === ref)
+  }
 }

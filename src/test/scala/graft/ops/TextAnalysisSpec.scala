@@ -122,4 +122,48 @@ class TextAnalysisSpec extends SparkFunSuite {
     assert(out.head._3 === "zzz")
     assert(!byTok.contains("q"))
   }
+
+  test("dup ngrams: planted boilerplate ranks first; per-doc repetition doesn't inflate df") {
+    import spark.implicits._
+    val footer = "all rights reserved by the original author"  // 7 tokens, 3 x 5-grams
+    val docs = Seq(
+      (1L, s"alpha beta gamma delta epsilon zeta. $footer", "en", "s", 10L),
+      (2L, s"one two three four five six seven. $footer", "en", "s", 10L),
+      (3L, s"red orange yellow green blue indigo. $footer", "en", "s", 10L),
+      // doc 4 repeats its own 5-gram ten times — df must stay 1 (pruned)
+      (4L, Seq.fill(10)("p q r s t").mkString(" "), "en", "s", 10L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dir = tmpDir("dup-ngrams")
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = TextAnalysis.qDupNgrams(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(out.nonEmpty)
+    // the three footer-only 5-grams appear in all 3 docs (df=3)
+    val top = out.takeWhile(_._2 === 3L).map(_._1).toSet
+    assert(top.contains("rights reserved by the original"))
+    assert(top.contains("reserved by the original author"))
+    // doc 4's internally-repeated gram is deduped per doc → df=1 → absent
+    assert(out.forall(r => !r._1.contains("p q r")))
+    assert(out.forall(_._2 >= 2L))
+  }
+
+  test("readability: hand-computed counts and basis-point ratios") {
+    import spark.implicits._
+    val docs = Seq(
+      // 6 tokens, 2 sentences ('.' and '!'), vowel groups counted by hand:
+      // "the cat sat. a dog barked!" → e|a|a|a|o|a|e = 7 groups
+      (1L, "the cat sat. a dog barked!", "en", "s", 10L),
+      // no terminator → 1 sentence floor; "xyz pqrst" has zero vowels
+      (2L, "xyz pqrst", "en", "s", 10L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dir = tmpDir("readability")
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = TextAnalysis.qReadability(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    val d1 = out.find(_._1 == 1L).get
+    assert(d1 === ((1L, 6L, 2L, 7L, 30000L, 11666L)))
+    val d2 = out.find(_._1 == 2L).get
+    assert(d2 === ((2L, 2L, 1L, 0L, 20000L, 0L)))
+  }
 }
