@@ -304,7 +304,66 @@ object Dedup {
        |WHERE la.lang <> lb.lang
        |ORDER BY p.da, p.db""".stripMargin
 
+  /** Cross-source contamination matrix: near-duplicate pairs rolled up by
+    * canonical source pair — "which sources copy from which" (mirror-site
+    * detection, license-pool provenance, the source-level view of the
+    * same pair relation [[qSplitLeakage]] audits by split). `max_jaccard`
+    * is a SELECTION over engine-identical doubles (never an accumulation),
+    * so the matrix hash-gates.
+    *
+    * Scale: rides the near-dup pair relation (LSH-banded at 100 TB); the
+    * source labels attach by two doc-dimension joins and the rollup is a
+    * |sources|²-bounded aggregate — nothing new is corpus-sized.
+    */
+  def qSourcePairs(spark: SparkSession, dir: String): DataFrame = {
+    val docs = table(spark, dir, "documents")
+    val pairs = asPair(TextDedup.jaccardPairs(
+      docs, col("doc_id"), col("text"), ShingleK, JaccardThreshold))
+    val src = docs.select(col("doc_id"), col("source"))
+    pairs
+      .join(src.toDF("da", "src_a"), "da")
+      .join(src.toDF("db", "src_b"), "db")
+      .select(least(col("src_a"), col("src_b")).as("source_a"),
+        greatest(col("src_a"), col("src_b")).as("source_b"), col("jaccard"))
+      .groupBy(col("source_a"), col("source_b"))
+      .agg(count(lit(1)).as("n_pairs"), max(col("jaccard")).as("max_jaccard"))
+      .orderBy(col("source_a"), col("source_b"))
+  }
+
+  val qSourcePairsSql: String =
+    s"""WITH tok AS (
+       |  SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS t FROM documents
+       |), sh AS (
+       |  SELECT doc_id, unnest(list_distinct(list_transform(
+       |    range(len(t) - ${ShingleK - 1}),
+       |    i -> array_to_string(t[i+1:i+$ShingleK], ' ')))) AS s
+       |  FROM tok WHERE len(t) >= $ShingleK
+       |), sizes AS (
+       |  SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
+       |), commons AS (
+       |  SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS common
+       |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2
+       |), pairs AS (
+       |  SELECT da, db,
+       |    CAST(common AS DOUBLE) / CAST(x.n + y.n - common AS DOUBLE) AS jaccard
+       |  FROM commons JOIN sizes x ON da = x.doc_id JOIN sizes y ON db = y.doc_id
+       |  WHERE CAST(common AS DOUBLE) / CAST(x.n + y.n - common AS DOUBLE)
+       |    >= $JaccardThreshold
+       |), lab AS (
+       |  SELECT p.da, p.db, p.jaccard,
+       |    least(sa.source, sb.source) AS source_a,
+       |    greatest(sa.source, sb.source) AS source_b
+       |  FROM pairs p
+       |  JOIN documents sa ON sa.doc_id = p.da
+       |  JOIN documents sb ON sb.doc_id = p.db
+       |)
+       |SELECT source_a, source_b, count(*) AS n_pairs, max(jaccard) AS max_jaccard
+       |FROM lab GROUP BY 1, 2
+       |ORDER BY source_a, source_b""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_source_pairs" -> (qSourcePairs _),
     "q_bitext_mine" -> (qBitextMine _),
     "q_split_leakage" -> (qSplitLeakage _),
     "q_dedup_components" -> (qDedupComponents _),
@@ -317,6 +376,7 @@ object Dedup {
   )
 
   def oracle: Map[String, String] = Map(
+    "q_source_pairs" -> qSourcePairsSql,
     "q_bitext_mine" -> qBitextMineSql,
     "q_split_leakage" -> qSplitLeakageSql,
     "q_dedup_components" -> qDedupComponentsSql,

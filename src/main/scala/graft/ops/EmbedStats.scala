@@ -148,11 +148,113 @@ object EmbedStats {
        |FROM ranked WHERE rnk <= 3
        |ORDER BY label, rnk""".stripMargin
 
+  /** Quantization for the PC1 covariance path (coarser than the centroid
+    * path: the covariance entries carry an extra n· factor, see envelope
+    * on [[qEmbedPc1]]).
+    */
+  val PcQuantBits = 8
+  val PcIters = 4
+
+  /** Top-10 most-extreme vectors along the corpus's first principal
+    * component — the "dominant variance direction" diagnostic (what single
+    * axis explains this embedding table, and which documents sit at its
+    * poles). Three stages:
+    *
+    *  1. DISTRIBUTED: the n²-scaled covariance `M = n·G − S·Sᵀ` from one
+    *     corpus pass — the Gram matrix G via a map-side outer-product
+    *     expansion (two chained posexplodes, ×dim² row amplification but
+    *     map-side-combined before the dim²-sized shuffle; no self-join).
+    *  2. CONTROL-PLANE: `M` is dim² longs (64×64 — bounded by schema, the
+    *     same contract as the Lloyd centroid collects in [[VectorSearch]]),
+    *     so the 4-round power iteration runs on the driver in exact integer
+    *     arithmetic: `w = M·v`, then renormalize `v' = w DIV ((max|w| +
+    *     1023) DIV 1024)` — divide-only normalization, no overflow; all
+    *     three engines' (JVM, Spark, DuckDB) integer division truncates
+    *     toward zero, so the oracle replays bit-for-bit.
+    *  3. DISTRIBUTED: every vector scores `Σ_d x_d·v_d` against the
+    *     literal component vector (map-side, exact longs), top-10 via
+    *     TakeOrderedAndProject.
+    *
+    * Magnitude envelope: |x| < 2^8, so G ≤ n·2^16, M ≤ n²·2^17, and
+    * `w = M·v ≤ dim·M·2^10` — safe in longs for n ≈ 2^16 vectors at
+    * dim 64; beyond that subsample the covariance pass (the standard
+    * move — covariance needs only a sketch of the corpus) or lift M to
+    * DECIMAL(38,0).
+    */
+  def qEmbedPc1(spark: SparkSession, dir: String): DataFrame = {
+    val pscale = (1L << PcQuantBits).toDouble
+    val emb = table(spark, dir, "embeddings")
+      .select(col("vec_id"), col("label"),
+        transform(col("embedding"),
+          x => floor(x.cast("double") * lit(pscale)).cast("long")).as("a"))
+    val base = emb.select(col("vec_id"), posexplode(col("a")).as(Seq("d", "x")))
+    val sums = base.groupBy(col("d")).agg(sum(col("x")).as("s"), count(lit(1)).as("n"))
+    val gram = emb.select(col("a"), posexplode(col("a")).as(Seq("d", "xd")))
+      .select(col("d"), col("xd"), posexplode(col("a")).as(Seq("e", "xe")))
+      .groupBy(col("d"), col("e")).agg(sum(col("xd") * col("xe")).as("g"))
+    val cov = gram
+      .join(sums.select(col("d"), col("s").as("sd"), col("n")), Seq("d"))
+      .join(sums.select(col("d").as("e"), col("s").as("se")), Seq("e"))
+      .select(col("d"), col("e"),
+        (col("n") * col("g") - col("sd") * col("se")).as("m"))
+    val entries = cov.collect()
+      .map(r => ((r.getInt(0), r.getInt(1)), r.getLong(2))).toMap
+    val dim = entries.keys.map(_._1).max + 1
+    var v = Array.fill(dim)(1024L)
+    for (_ <- 1 to PcIters) {
+      val w = Array.tabulate(dim)(d => (0 until dim).map(e => entries((d, e)) * v(e)).sum)
+      val div = ((w.map(math.abs).max max 1L) + 1023L) / 1024L
+      v = w.map(_ / div)
+    }
+    val vLit = typedLit(v.toSeq)
+    emb.select(col("vec_id"), col("label"),
+        aggregate(zip_with(col("a"), vLit, (x, vv) => x * vv),
+          lit(0L), (acc, t) => acc + t).as("pc1_score"))
+      .orderBy(col("pc1_score").desc, col("vec_id"))
+      .limit(10)
+  }
+
+  val qEmbedPc1Sql: String = {
+    def iter(i: Int): String =
+      s"""w$i AS (
+         |  SELECT m.d, CAST(sum(m.m * v.v) AS BIGINT) AS w
+         |  FROM m JOIN v${i - 1} v ON v.d = m.e GROUP BY 1
+         |), mx$i AS (
+         |  SELECT greatest((CAST(max(abs(w)) AS BIGINT) + 1023) // 1024, 1) AS dv FROM w$i
+         |), v$i AS (
+         |  SELECT d, CAST(w // dv AS BIGINT) AS v FROM w$i CROSS JOIN mx$i
+         |)""".stripMargin
+    s"""WITH xq AS (
+       |  SELECT vec_id, label, list_transform(embedding,
+       |    x -> CAST(floor(CAST(x AS DOUBLE) * ${1L << PcQuantBits}) AS BIGINT)) AS a
+       |  FROM embeddings
+       |), base AS (
+       |  SELECT vec_id, generate_subscripts(a, 1) - 1 AS d, unnest(a) AS x FROM xq
+       |), sums AS (
+       |  SELECT d, CAST(sum(x) AS BIGINT) AS s, count(*) AS n FROM base GROUP BY 1
+       |), g AS (
+       |  SELECT p.d, q.e, CAST(sum(p.x * q.x) AS BIGINT) AS g
+       |  FROM base p JOIN (SELECT vec_id, d AS e, x FROM base) q USING (vec_id)
+       |  GROUP BY 1, 2
+       |), m AS (
+       |  SELECT g.d, g.e, sd.n * g.g - sd.s * se.s AS m
+       |  FROM g JOIN sums sd ON sd.d = g.d JOIN sums se ON se.d = g.e
+       |), v0 AS (
+       |  SELECT d, CAST(1024 AS BIGINT) AS v FROM sums
+       |), ${(1 to PcIters).map(iter).mkString(", ")}
+       |SELECT b.vec_id, e.label, CAST(sum(b.x * v.v) AS BIGINT) AS pc1_score
+       |FROM base b JOIN v$PcIters v USING (d) JOIN embeddings e USING (vec_id)
+       |GROUP BY 1, 2
+       |ORDER BY pc1_score DESC, vec_id LIMIT 10""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_embed_centroids" -> (qEmbedCentroids _),
-    "q_embed_outliers" -> (qEmbedOutliers _))
+    "q_embed_outliers" -> (qEmbedOutliers _),
+    "q_embed_pc1" -> (qEmbedPc1 _))
 
   def oracle: Map[String, String] = Map(
     "q_embed_centroids" -> qEmbedCentroidsSql,
-    "q_embed_outliers" -> qEmbedOutliersSql)
+    "q_embed_outliers" -> qEmbedOutliersSql,
+    "q_embed_pc1" -> qEmbedPc1Sql)
 }

@@ -71,6 +71,26 @@ class CorpusSpec extends SparkFunSuite {
     assert(out.toSeq === Seq((1L, 2L, "en", "de", 1.0)))
   }
 
+  test("source pairs: the contamination matrix counts pairs by canonical source pair") {
+    import spark.implicits._
+    // srcA↔srcB verbatim dup (cross), srcA↔srcA verbatim dup (within);
+    // the canonical orientation must not depend on doc order.
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta", "en", "srcB", 10L),
+      (2L, "alpha beta gamma delta epsilon zeta", "en", "srcA", 10L),
+      (3L, "one two three four five six seven", "en", "srcA", 10L),
+      (4L, "one two three four five six seven", "en", "srcA", 10L),
+      (5L, "p q r s t u v w x y z", "fr", "srcC", 10L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dir = tmpDir("source-pairs")
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = Dedup.qSourcePairs(spark, dir).collect()
+      .map(r => ((r.getString(0), r.getString(1)), (r.getLong(2), r.getDouble(3)))).toMap
+    assert(out === Map(
+      ("srcA", "srcA") -> ((1L, 1.0)),
+      ("srcA", "srcB") -> ((1L, 1.0))))
+  }
+
   test("stats manifest: known lineitem invariants hold") {
     val out = Checks.qStatsManifest(spark, sf).collect()
       .map(r => r.getString(0) ->

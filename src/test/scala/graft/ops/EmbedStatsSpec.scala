@@ -45,4 +45,27 @@ class EmbedStatsSpec extends SparkFunSuite {
     assert(out.map(_._2) === Seq(1L, 2L, 3L))
     assert(out(1)._3 === 1L && out(2)._3 === 2L)
   }
+
+  test("pc1: power iteration finds the planted dominant axis and ranks its poles") {
+    // Variance lives on axis 0 (+-1); axis 1 carries only +-0.1 noise.
+    val dir = tmpDir("embed-pc1")
+    val rows = (0L until 10L).map { i =>
+      val sign = if (i % 2 == 0) 1f else -1f
+      (i, Seq(sign, 0.1f * (if (i % 3 == 0) 1 else -1), 0f, 0f), 0)
+    } ++ Seq((10L, Seq(0f, 0.2f, 0f, 0f), 1), (11L, Seq(0f, -0.2f, 0f, 0f), 1))
+    write(dir, rows)
+    val out = EmbedStats.qEmbedPc1(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(2)))
+    // the positive-pole axis-0 vectors outscore everything else and rank
+    // by vec_id among equals; axis-1-only vectors sit near zero
+    val scores = out.toMap
+    val posPole = (0L until 10L).filter(_ % 2 == 0)
+    assert(posPole.forall(i => scores.contains(i)))
+    val posScores = posPole.map(scores)
+    assert(posScores.distinct.size <= 2, "pole scores nearly identical (noise dim only)")
+    assert(out.take(5).map(_._1).forall(_ % 2 == 0), "top 5 are the + pole")
+    assert(out.head._2 > 0L)
+    // axis-1 noise vectors never outrank an axis-0 pole vector
+    assert(!out.take(5).map(_._1).exists(Seq(10L, 11L).contains))
+  }
 }
