@@ -230,6 +230,39 @@ class PlanShapeSpec extends SparkFunSuite {
     assert(p.contains("TakeOrderedAndProject"), p)
   }
 
+  test("q_stats_manifest: each union branch scans exactly one pruned column, no Expand") {
+    val p = plan(Checks.qStatsManifest(spark, sf))
+    // the multi-distinct single-pass shape planned an Expand that amplified
+    // every wide row x7 through one exchange (measured 10x slower at sf0.1)
+    assert(!p.contains("Expand"), p)
+    val readSchemas = p.linesIterator.filter(_.contains("ReadSchema:")).toSeq
+    assert(readSchemas.size == 7, s"expected 7 single-column scans\n$p")
+    // every scan reads a single column: its ReadSchema has no comma
+    readSchemas.foreach(rs => assert(!rs.contains(","), s"unpruned scan: $rs"))
+    assert(p.contains("partial_count(distinct"), p)
+  }
+
+  test("q_dup_ngrams: partial-combined aggregate, top-20 without a global sort") {
+    val p = plan(TextAnalysis.qDupNgrams(spark, sf))
+    assert(p.contains("partial_count"), p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("q_embed_outliers: the dimension-sized sums relation joins as a broadcast") {
+    val p = plan(EmbedStats.qEmbedOutliers(spark, sf))
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"), p)
+  }
+
+  test("q_sssp: the assembled distance plan has no nested loop and a pushed top-k") {
+    // rounds materialize eagerly (localCheckpoint), so this sees the final
+    // assembly; per-round join strategy is pinned by GraphSpec's
+    // frontier==exhaustive equality, which would diverge on a wrong join
+    val p = plan(Graph.qSssp(spark, sf))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
   test("hub transform read->cast->constants plan is shuffle-free") {
     import org.apache.spark.sql.functions.lit
     import org.apache.spark.sql.types._
