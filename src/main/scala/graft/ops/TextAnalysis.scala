@@ -942,7 +942,64 @@ object TextAnalysis {
       |       ELSE (n_vowel_groups * 10000) // n_tokens END AS syllables_per_word_bp
       |FROM m ORDER BY doc_id""".stripMargin
 
+  /** Per-source Pearson correlation between document length (tokens) and
+    * lexical diversity (distinct tokens) — "do longer documents in this
+    * source actually add vocabulary, or just repeat?" (a source whose long
+    * documents are repetitive scores near zero and is a dedup/quality
+    * candidate). All six moments (n, Σx, Σy, Σx², Σy², Σxy) are exact
+    * longs; r is ONE final float expression over identical integers in
+    * both engines (correctly-rounded sqrt/mul/div), rounded to 6 — the
+    * same determinism contract as the cosine scores.
+    *
+    * Scale: one scan, map-side-combined moment aggregation, |sources|-row
+    * output. Moment magnitudes are Σxy ≤ n·L² for per-doc token count L —
+    * longs hold to ~10^9 docs/source at L=10^4; lift to DECIMAL(38,0)
+    * beyond.
+    */
+  def qLengthCorr(spark: SparkSession, dir: String): DataFrame = {
+    val docs = table(spark, dir, "documents")
+      .select(col("source"),
+        size(tokens(col("text"))).cast("long").as("x"),
+        size(array_distinct(tokens(col("text")))).cast("long").as("y"))
+    docs.groupBy(col("source"))
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("x")).as("sxx"), sum(col("y") * col("y")).as("syy"),
+        sum(col("x") * col("y")).as("sxy"))
+      .select(col("source"), col("n").as("n_docs"),
+        // degenerate (zero-variance) sources yield NULL, not NaN — a
+        // single-doc or constant-length source has no defined correlation
+        when((col("n") * col("sxx") - col("sx") * col("sx")) > 0 &&
+            (col("n") * col("syy") - col("sy") * col("sy")) > 0,
+          round((col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+            (sqrt((col("n") * col("sxx") - col("sx") * col("sx")).cast("double")) *
+              sqrt((col("n") * col("syy") - col("sy") * col("sy")).cast("double"))), 6))
+          .as("len_div_corr"))
+      .orderBy(col("source"))
+  }
+
+  val qLengthCorrSql: String =
+    """WITH m AS (
+      |  SELECT source,
+      |    CAST(len(regexp_split_to_array(lower(text), '\s+')) AS BIGINT) AS x,
+      |    CAST(len(list_distinct(regexp_split_to_array(lower(text), '\s+'))) AS BIGINT) AS y
+      |  FROM documents
+      |), agg AS (
+      |  SELECT source, count(*) AS n,
+      |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+      |    CAST(sum(x * x) AS BIGINT) AS sxx, CAST(sum(y * y) AS BIGINT) AS syy,
+      |    CAST(sum(x * y) AS BIGINT) AS sxy
+      |  FROM m GROUP BY 1
+      |)
+      |SELECT source, n AS n_docs,
+      |  CASE WHEN n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
+      |    THEN round(CAST(n * sxy - sx * sy AS DOUBLE) /
+      |      (sqrt(CAST(n * sxx - sx * sx AS DOUBLE)) *
+      |       sqrt(CAST(n * syy - sy * sy AS DOUBLE))), 6)
+      |    ELSE NULL END AS len_div_corr
+      |FROM agg ORDER BY source""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_length_corr" -> (qLengthCorr _),
     "q_dup_ngrams" -> (qDupNgrams _),
     "q_readability" -> (qReadability _),
     "q_source_diversity" -> (qSourceDiversity _),
@@ -966,6 +1023,7 @@ object TextAnalysis {
   )
 
   def oracle: Map[String, String] = Map(
+    "q_length_corr" -> qLengthCorrSql,
     "q_dup_ngrams" -> qDupNgramsSql,
     "q_readability" -> qReadabilitySql,
     "q_source_diversity" -> qSourceDiversitySql,

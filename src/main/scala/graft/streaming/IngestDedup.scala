@@ -89,4 +89,23 @@ object IngestDedup {
       .select(col("doc_id"), col("n_shingles"), col("n_new"),
         expr("n_new * 10000 DIV n_shingles").as("novelty_bp"))
   }
+
+  /** Streaming rendezvous router: each arriving document gets the same
+    * highest-random-weight shard [[graft.ops.Corpus.qShardRendezvous]]
+    * assigns in batch — the assignment is a pure row function of the
+    * stable doc_id, so the stream and the batch view of the same corpus
+    * NEVER disagree (the property the spec pins), and resizing the shard
+    * ring mid-stream only re-routes the dropped/added shard's keys.
+    *
+    * Scale: a stateless per-row projection — no state store, no
+    * watermark, no shuffle before the sink's own partitioning.
+    */
+  def shardRouter(incoming: DataFrame, numShards: Int = graft.ops.Corpus.NumShards): DataFrame = {
+    val weights = transform(sequence(lit(0), lit(numShards - 1)),
+      s => conv(substring(md5(concat_ws(":", col("doc_id"), s)), 1, 15), 16, 10).cast("long"))
+    incoming
+      .withColumn("shard",
+        (array_position(weights, array_max(weights)) - 1).cast("long"))
+      .select(col("doc_id"), col("shard"), col("source"), col("n_chars"))
+  }
 }

@@ -166,4 +166,24 @@ class TextAnalysisSpec extends SparkFunSuite {
     val d2 = out.find(_._1 == 2L).get
     assert(d2 === ((2L, 2L, 1L, 0L, 20000L, 0L)))
   }
+
+  test("length/diversity correlation: perfect line scores 1, constant source scores NULL") {
+    import spark.implicits._
+    val docs = Seq(
+      // sPerfect: all tokens distinct → y = x exactly → r = 1
+      (1L, "a b", "en", "sPerfect", 10L),
+      (2L, "c d e f", "en", "sPerfect", 10L),
+      (3L, "g h i j k l", "en", "sPerfect", 10L),
+      // sConst: identical lengths → zero variance → undefined (NULL)
+      (4L, "one two three", "en", "sConst", 10L),
+      (5L, "four five six", "en", "sConst", 10L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dir = tmpDir("length-corr")
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = TextAnalysis.qLengthCorr(spark, dir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), if (r.isNullAt(2)) None else Some(r.getDouble(2))))
+      .toMap
+    assert(out("sPerfect") === ((3L, Some(1.0))))
+    assert(out("sConst") === ((2L, None)))
+  }
 }

@@ -246,6 +246,23 @@ class StreamingSpec extends SparkFunSuite {
       "stitched doc is partially novel")
   }
 
+  test("streaming shard router agrees with the batch rendezvous assignment") {
+    import spark.implicits._
+    val docs = graft.ops.Tables.table(spark, sf, "documents").limit(50)
+    val dir = tmpDir("shard-router")
+    docs.coalesce(1).write.mode("append").parquet(dir)
+
+    val routed = EventStreams.runToMemory(
+      IngestDedup.shardRouter(IngestDedup.docStream(spark, dir)),
+      "t_shard_router", outputMode = "append")
+    val streamed = routed.collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+
+    val batch = IngestDedup.shardRouter(docs)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(streamed === batch, "stream and batch must route identically")
+    assert(streamed.values.forall(s => s >= 0 && s < graft.ops.Corpus.NumShards))
+  }
+
   test("hub directory watch: discovers new files exactly once") {
     val hub = tmpDir("hub-stream")
     val out = tmpDir("hub-stream-out")
