@@ -998,7 +998,48 @@ object TextAnalysis {
       |    ELSE NULL END AS len_div_corr
       |FROM agg ORDER BY source""".stripMargin
 
+  /** Per-document "stutter" score: how many adjacent token positions
+    * repeat the previous token (`t_i = t_{i+1}`), in count and exact basis
+    * points — the degenerate-generation / copy-paste-loop signal that
+    * word-frequency repetition fractions miss (a doc can stutter badly
+    * while its global top-word fraction stays modest). Pure array
+    * arithmetic: one `filter(range)` comparison pass per row, no explode,
+    * no shuffle before the presentation sort.
+    */
+  def qTextStutter(spark: SparkSession, dir: String): DataFrame = {
+    val docs = table(spark, dir, "documents")
+      .select(col("doc_id"), tokens(col("text")).as("t"))
+    docs
+      .select(col("doc_id"), (size(col("t")) - 1).cast("long").as("n_adjacent"),
+        // guarded: sequence(1, 0) would DESCEND for single-token docs and
+        // index out of range under ANSI — such docs are filtered out below
+        when(size(col("t")) >= 2,
+          size(filter(sequence(lit(1), size(col("t")) - 1),
+            i => element_at(col("t"), i) === element_at(col("t"), i + 1))))
+          .otherwise(0).cast("long").as("n_stutter"))
+      .filter(col("n_adjacent") >= 1)
+      .select(col("doc_id"), col("n_adjacent"), col("n_stutter"),
+        expr("n_stutter * 10000 DIV n_adjacent").as("stutter_bp"))
+      .orderBy(col("doc_id"))
+  }
+
+  val qTextStutterSql: String =
+    """WITH tok AS (
+      |  SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS t FROM documents
+      |), m AS (
+      |  SELECT doc_id,
+      |    CAST(len(t) - 1 AS BIGINT) AS n_adjacent,
+      |    CAST(len(list_filter(range(1, len(t)), i -> t[i] = t[i + 1])) AS BIGINT)
+      |      AS n_stutter
+      |  FROM tok
+      |)
+      |SELECT doc_id, n_adjacent, n_stutter,
+      |  (n_stutter * 10000) // n_adjacent AS stutter_bp
+      |FROM m WHERE n_adjacent >= 1
+      |ORDER BY doc_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_text_stutter" -> (qTextStutter _),
     "q_length_corr" -> (qLengthCorr _),
     "q_dup_ngrams" -> (qDupNgrams _),
     "q_readability" -> (qReadability _),
@@ -1023,6 +1064,7 @@ object TextAnalysis {
   )
 
   def oracle: Map[String, String] = Map(
+    "q_text_stutter" -> qTextStutterSql,
     "q_length_corr" -> qLengthCorrSql,
     "q_dup_ngrams" -> qDupNgramsSql,
     "q_readability" -> qReadabilitySql,

@@ -186,4 +186,21 @@ class TextAnalysisSpec extends SparkFunSuite {
     assert(out("sPerfect") === ((3L, Some(1.0))))
     assert(out("sConst") === ((2L, None)))
   }
+
+  test("stutter: hand-computed adjacent repeats; single-token docs drop out") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "go go go stop stop now", "en", "s", 10L),
+      (2L, "a b c d", "en", "s", 10L),
+      (3L, "single", "en", "s", 10L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dir = tmpDir("stutter")
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = TextAnalysis.qTextStutter(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // doc1: 5 adjacent positions, stutters at (go,go),(go,go),(stop,stop) = 3
+    assert(out.find(_._1 == 1L).get === ((1L, 5L, 3L, 6000L)))
+    assert(out.find(_._1 == 2L).get === ((2L, 3L, 0L, 0L)))
+    assert(!out.exists(_._1 == 3L), "single-token doc has no adjacent pairs")
+  }
 }
