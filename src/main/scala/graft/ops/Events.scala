@@ -543,7 +543,82 @@ object Events {
       |        / CAST(n*sxx - sx*sx AS DOUBLE), 6) AS forecast_next
       |FROM s ORDER BY event_type""".stripMargin
 
+  /** Iterations for the Markov stationary-distribution power method. */
+  val MarkovIters = 5
+
+  /** Stationary distribution of the first-order event-type Markov chain:
+    * where does a user's session settle in the long run — the steady-state
+    * complement to [[qEventBigrams]]'s one-step transition counts. Five
+    * power-method rounds over the |types|²-sized transition relation in
+    * EXACT integers: each round moves `(mass·c) DIV tot` along every
+    * transition (the same truncating-division discipline as PageRank, so
+    * the result is bit-identical at any parallelism and the oracle replays
+    * the rounds as chained CTEs). Types that never transition out keep
+    * only the mass that arrives in the final round — chain semantics,
+    * mirrored exactly.
+    *
+    * Scale: the corpus-sized work is ONE bigram aggregation (the same
+    * shape as q_event_bigrams); every iteration joins |types|²-sized
+    * relations (enum-bounded — broadcast), so the rounds are free at any
+    * corpus size.
+    */
+  def qMarkovStationary(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val big = events(spark, dir)
+      .select(col("event_type").as("next"),
+        lag(col("event_type"), 1).over(w).as("prev"))
+      .filter(col("prev").isNotNull)
+      .groupBy(col("prev"), col("next"))
+      .agg(count(lit(1)).as("c"))
+    val outSum = big.groupBy(col("prev")).agg(sum(col("c")).as("tot"))
+    val trans = big.join(outSum, "prev")
+    val types = big.select(col("prev").as("t"))
+      .union(big.select(col("next").as("t"))).distinct()
+    var v = types.withColumn("mass", lit(1000000L))
+    for (_ <- 1 to MarkovIters) {
+      v = trans.join(v, trans("prev") === v("t"))
+        .select(col("next"), expr("(mass * c) DIV tot").as("m"))
+        .groupBy(col("next")).agg(sum(col("m")).as("mass"))
+        .select(col("next").as("t"), col("mass"))
+    }
+    types.join(v, Seq("t"), "left")
+      .select(col("t").as("event_type"),
+        coalesce(col("mass"), lit(0L)).as("stationary_mass"))
+      .orderBy(col("event_type"))
+  }
+
+  val qMarkovStationarySql: String = {
+    def round(i: Int): String =
+      s"""v$i AS (
+         |  SELECT tr.next AS t, CAST(sum((v.mass * tr.c) // tr.tot) AS BIGINT) AS mass
+         |  FROM trans tr JOIN v${i - 1} v ON v.t = tr.prev
+         |  GROUP BY 1
+         |)""".stripMargin
+    s"""WITH e AS (
+       |  SELECT user_id, event_id, event_type, date_trunc('microseconds', ts) AS ts
+       |  FROM events
+       |), b AS (
+       |  SELECT lag(event_type, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev,
+       |    event_type AS next
+       |  FROM e
+       |), big AS (
+       |  SELECT prev, next, count(*) AS c FROM b WHERE prev IS NOT NULL GROUP BY 1, 2
+       |), outs AS (
+       |  SELECT prev, CAST(sum(c) AS BIGINT) AS tot FROM big GROUP BY 1
+       |), trans AS (
+       |  SELECT big.prev, big.next, big.c, outs.tot FROM big JOIN outs USING (prev)
+       |), types AS (
+       |  SELECT DISTINCT prev AS t FROM big UNION SELECT DISTINCT next FROM big
+       |), v0 AS (
+       |  SELECT t, CAST(1000000 AS BIGINT) AS mass FROM types
+       |), ${(1 to MarkovIters).map(round).mkString(", ")}
+       |SELECT ty.t AS event_type, coalesce(v.mass, 0) AS stationary_mass
+       |FROM types ty LEFT JOIN v$MarkovIters v ON v.t = ty.t
+       |ORDER BY event_type""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_markov_stationary" -> (qMarkovStationary _),
     "q_trend_forecast" -> (qTrendForecast _),
     "q_purchase_gaps" -> (qPurchaseGaps _),
     "q_rolling_anomaly" -> (qRollingAnomaly _),
@@ -561,6 +636,7 @@ object Events {
   )
 
   def oracle: Map[String, String] = Map(
+    "q_markov_stationary" -> qMarkovStationarySql,
     "q_trend_forecast" -> qTrendForecastSql,
     "q_purchase_gaps" -> qPurchaseGapsSql,
     "q_rolling_anomaly" -> qRollingAnomalySql,

@@ -143,6 +143,22 @@ class EventsSpec extends SparkFunSuite {
     assert(got("flat") === ((0.0, 3.0)))
   }
 
+  test("markov stationary: hand-computed 5-round masses on a planted 2-state chain") {
+    import spark.implicits._
+    // one user: a a a a b a → transitions a→a x3, a→b x1, b→a x1
+    // P(a→a)=3/4, P(a→b)=1/4, P(b→a)=1; replaying the integer recurrence
+    // by hand from (1000000, 1000000) gives (1600585, 399414) at round 5
+    val seq0 = Seq("a", "a", "a", "a", "b", "a")
+    val df = seq0.zipWithIndex.map { case (tpe, i) => (i.toLong, at(i * 10L), 1L, tpe) }
+      .toDF("event_id", "ts", "user_id", "event_type")
+      .withColumn("value", lit(1.0)).withColumn("props", lit("{}"))
+    val dir = tmpDir("markov")
+    df.write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = Events.qMarkovStationary(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(got === Map("a" -> 1600585L, "b" -> 399414L))
+  }
+
   test("attribution query totals purchases exactly on real data") {
     val dir = "/root/testdata/sf0.001"
     val total = Events.qAttributionLastTouch(spark, dir)
