@@ -191,6 +191,24 @@ object Similarity {
       table(spark, dir, "embeddings"), col("vec_id"), col("embedding"), QueryIds, K,
       shortlist = PqShortlist))
 
+  /** PQ index LIFECYCLE: train + encode once into a persisted parquet
+    * index (codebooks as exact-integer sufficient statistics, codes as the
+    * 64×-compressed corpus), then serve the same top-k from the stored
+    * index — the build-once/serve-many shape a production ANN system runs.
+    * The result is bit-identical to [[qSimPqTopK]] (and shares its
+    * oracle): the index stores longs, not floats, so a reload loses
+    * nothing.
+    */
+  def qSimPqIndexed(spark: SparkSession, dir: String): DataFrame = {
+    val emb = table(spark, dir, "embeddings")
+    val indexDir = java.nio.file.Files
+      .createTempDirectory("graft-pq-index").toString
+    VectorSearch.writePqIndex(emb, col("vec_id"), col("embedding"), indexDir)
+    rename(VectorSearch.pqTopKFromIndex(
+      emb, col("vec_id"), col("embedding"), indexDir, QueryIds, K,
+      shortlist = PqShortlist))
+  }
+
   /** DuckDB replay of the full PQ pipeline: one k-means CTE chain per
     * subspace (same exact-integer formulation as the IVF oracle), final
     * per-subspace code assignment, then the ADC score with every division
@@ -307,6 +325,7 @@ object Similarity {
     "q_sim_lsh_topk" -> (qSimLshTopK _),
     "q_sim_ivf_topk" -> (qSimIvfTopK _),
     "q_sim_pq_topk" -> (qSimPqTopK _),
+    "q_sim_pq_indexed" -> (qSimPqIndexed _),
   )
 
   def oracle: Map[String, String] = Map(
@@ -314,5 +333,8 @@ object Similarity {
     "q_sim_lsh_topk" -> qSimLshTopKSql,
     "q_sim_ivf_topk" -> qSimIvfTopKSql,
     "q_sim_pq_topk" -> qSimPqTopKSql,
+    // the indexed path is bit-identical to the in-session PQ pipeline —
+    // the persisted index stores the same exact-integer statistics
+    "q_sim_pq_indexed" -> qSimPqTopKSql,
   )
 }

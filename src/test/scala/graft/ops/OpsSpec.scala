@@ -123,6 +123,29 @@ class OpsSpec extends SparkFunSuite {
     assert(recall >= 0.1, s"ADC-only recall@10 = $recall — codebooks are not learning structure")
   }
 
+  test("PQ index round-trip: serving from the persisted index is bit-identical") {
+    import org.apache.spark.sql.functions.col
+    val emb = Tables.table(spark, sf, "embeddings")
+    val indexDir = tmpDir("pq-index")
+    VectorSearch.writePqIndex(emb, col("vec_id"), col("embedding"), indexDir)
+    // the stored index has the expected shape: exact-integer codebook
+    // statistics + one small code per subspace per vector
+    val cb = spark.read.parquet(s"$indexDir/codebooks.parquet")
+    assert(cb.columns.toSet === Set("j", "c", "n", "s"))
+    val codes = spark.read.parquet(s"$indexDir/codes.parquet")
+    assert(codes.count() === emb.count())
+    val direct = VectorSearch.pqTopK(emb, col("vec_id"), col("embedding"),
+      Similarity.QueryIds, 10).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSeq
+    // serve twice from the same stored index — train once, serve many
+    for (_ <- 1 to 2) {
+      val served = VectorSearch.pqTopKFromIndex(emb, col("vec_id"), col("embedding"),
+        indexDir, Similarity.QueryIds, 10).collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSeq
+      assert(served === direct, "index round-trip must lose nothing")
+    }
+  }
+
   test("vec_dot is SQL-callable after registration") {
     graft.GraftSession.registerFunctions(spark)
     val r = spark.sql(
