@@ -1,0 +1,67 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.types._
+
+/** Streaming ANN serving over a PERSISTED PQ index — the arrival-time dual
+  * of [[graft.ops.VectorSearch.pqTopKFromIndex]]: neighbor REQUESTS (vec
+  * ids) stream in, and each micro-batch serves its top-k from the stored
+  * codebooks + compressed codes via the exact batch serving path
+  * (`foreachBatch`, the CdcMergeStream idiom — the stream handles
+  * delivery/exactly-once bookkeeping, the batch path handles the ranking).
+  *
+  * Per-query results are independent, so serving requests batch-by-batch
+  * is EXACTLY the one-shot batch serve of the union — the property the
+  * spec pins. The per-batch `collect()` moves only that micro-batch's
+  * request ids (bounded by trigger size, control-plane).
+  *
+  * Scale: the index is train-once (big-cluster job); each serving batch
+  * scans the 64×-compressed codes relation and touches full vectors only
+  * for the query rows and refine shortlists — the standard online-ANN
+  * read profile.
+  */
+object VectorServeStream {
+
+  /** Parquet schema of a neighbor-request stream: just the query ids. */
+  val requestSchema: StructType = StructType(Seq(StructField("vec_id", LongType)))
+
+  /** Serve every request file under `requestDir` (AvailableNow catch-up;
+    * one file per micro-batch) and return the accumulated results.
+    */
+  def servePqRequests(
+      spark: SparkSession,
+      requestDir: String,
+      checkpoint: String,
+      corpus: DataFrame, id: Column, vec: Column,
+      indexDir: String, k: Int,
+      shortlist: Int = 0): DataFrame = {
+    import graft.ops.VectorSearch
+    @volatile var results: Option[DataFrame] = None
+    val stream = spark.readStream
+      .schema(requestSchema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(requestDir)
+    val q = stream.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val ids = batch.select(col("vec_id")).distinct()
+          .collect().map(_.getLong(0)).toSeq
+        if (ids.nonEmpty) {
+          val served = VectorSearch
+            .pqTopKFromIndex(corpus, id, vec, indexDir, ids, k, shortlist = shortlist)
+            .localCheckpoint()
+          results = Some(results.fold(served)(_.union(served).localCheckpoint()))
+        }
+        ()
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    results.getOrElse(
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        StructType(Seq(StructField("qid", LongType), StructField("rnk", IntegerType),
+          StructField("id", LongType), StructField("pq_score", DoubleType)))))
+  }
+}

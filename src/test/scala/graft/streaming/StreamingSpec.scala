@@ -263,6 +263,30 @@ class StreamingSpec extends SparkFunSuite {
     assert(streamed.values.forall(s => s >= 0 && s < graft.ops.Corpus.NumShards))
   }
 
+  test("streaming PQ serving: per-batch requests equal the one-shot batch serve") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val emb = graft.ops.Tables.table(spark, sf, "embeddings")
+    val indexDir = tmpDir("pq-serve-index")
+    graft.ops.VectorSearch.writePqIndex(emb, col("vec_id"), col("embedding"), indexDir)
+
+    // two request files → two micro-batches (maxFilesPerTrigger = 1)
+    val reqDir = tmpDir("pq-serve-req")
+    Seq(0L, 7L).toDF("vec_id").coalesce(1).write.mode("append").parquet(reqDir)
+    Seq(13L).toDF("vec_id").coalesce(1).write.mode("append").parquet(reqDir)
+
+    val streamed = VectorServeStream.servePqRequests(
+      spark, reqDir, tmpDir("pq-serve-ckpt"),
+      emb, col("vec_id"), col("embedding"), indexDir, k = 5)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
+
+    val batch = graft.ops.VectorSearch.pqTopKFromIndex(
+      emb, col("vec_id"), col("embedding"), indexDir, Seq(0L, 7L, 13L), k = 5)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(streamed === batch, "per-batch serving must equal the one-shot serve")
+    assert(streamed.map(_._1) === Set(0L, 7L, 13L))
+  }
+
   test("hub directory watch: discovers new files exactly once") {
     val hub = tmpDir("hub-stream")
     val out = tmpDir("hub-stream-out")
