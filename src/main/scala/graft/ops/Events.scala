@@ -617,7 +617,68 @@ object Events {
        |ORDER BY event_type""".stripMargin
   }
 
+  /** Attribution window and half-life for [[qAttributionDecay]]. */
+  val DecayWindowHours = 48L
+  val DecayHalfLifeHours = 12L
+
+  /** Time-decay (multi-touch) attribution: every view/click in the 48 h
+    * before a purchase earns credit halving every 12 h —
+    * `credit_milli = 1000 DIV 2^(Δhours DIV 12)` — rolled up per touch
+    * type. The multi-touch complement to [[qAttributionLastTouch]] (there
+    * winner-takes-all; here every touch in the window shares, recency-
+    * weighted). All arithmetic is exact integers: Δ in microseconds,
+    * floor-divided to hours, a power-of-two divisor via shiftleft — no
+    * float decay curve to drift cross-engine.
+    *
+    * Scale: the touch×purchase pairing is a per-user range join — shuffle
+    * both sides on user_id, bound pairs by the window; per-user event
+    * counts are session-sized, so the pair fan-out is linear in events ×
+    * touches-per-window (at open-ended scale, bucket by (user, 48 h) the
+    * way [[RangeJoin]] does to keep the equi-key).
+    */
+  def qAttributionDecay(spark: SparkSession, dir: String): DataFrame = {
+    val ev = events(spark, dir)
+    val touches = ev.filter(col("event_type").isin("view", "click"))
+      .select(col("user_id"), col("event_type").as("touch_type"),
+        unix_micros(col("ts")).as("t_us"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), unix_micros(col("ts")).as("p_us"))
+    touches.join(purchases, Seq("user_id"))
+      .filter(col("t_us") < col("p_us") &&
+        col("p_us") - col("t_us") <= DecayWindowHours * 3600L * 1000000L)
+      .select(col("touch_type"),
+        expr(s"1000 DIV (shiftleft(CAST(1 AS BIGINT), " +
+          s"CAST(((p_us - t_us) DIV ${3600L * 1000000L}) DIV $DecayHalfLifeHours AS INT)))")
+          .as("credit_milli"))
+      .groupBy(col("touch_type"))
+      .agg(count(lit(1)).as("n_credited"), sum(col("credit_milli")).as("total_credit_milli"))
+      .orderBy(col("touch_type"))
+  }
+
+  val qAttributionDecaySql: String =
+    s"""WITH e AS (
+       |  SELECT user_id, event_type, epoch_us(date_trunc('microseconds', ts)) AS us
+       |  FROM events
+       |), t AS (
+       |  SELECT user_id, event_type AS touch_type, us AS t_us FROM e
+       |  WHERE event_type IN ('view', 'click')
+       |), p AS (
+       |  SELECT user_id, us AS p_us FROM e WHERE event_type = 'purchase'
+       |), credited AS (
+       |  SELECT t.touch_type,
+       |    1000 // (CAST(1 AS BIGINT) << CAST(((p.p_us - t.t_us) // ${3600L * 1000000L})
+       |      // $DecayHalfLifeHours AS INT)) AS credit_milli
+       |  FROM t JOIN p ON p.user_id = t.user_id
+       |  WHERE t.t_us < p.p_us
+       |    AND p.p_us - t.t_us <= ${DecayWindowHours * 3600L * 1000000L}
+       |)
+       |SELECT touch_type, count(*) AS n_credited,
+       |  CAST(sum(credit_milli) AS BIGINT) AS total_credit_milli
+       |FROM credited GROUP BY 1
+       |ORDER BY touch_type""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_attribution_decay" -> (qAttributionDecay _),
     "q_markov_stationary" -> (qMarkovStationary _),
     "q_trend_forecast" -> (qTrendForecast _),
     "q_purchase_gaps" -> (qPurchaseGaps _),
@@ -636,6 +697,7 @@ object Events {
   )
 
   def oracle: Map[String, String] = Map(
+    "q_attribution_decay" -> qAttributionDecaySql,
     "q_markov_stationary" -> qMarkovStationarySql,
     "q_trend_forecast" -> qTrendForecastSql,
     "q_purchase_gaps" -> qPurchaseGapsSql,

@@ -159,6 +159,25 @@ class EventsSpec extends SparkFunSuite {
     assert(got === Map("a" -> 1600585L, "b" -> 399414L))
   }
 
+  test("decay attribution: hand-computed half-life credits, window excludes stale touches") {
+    import spark.implicits._
+    val h = 3600L
+    val df = Seq(
+      // user 1: view 14h before purchase (1 half-life) → 500; click 1h
+      // before (0 half-lives) → 1000; a view AFTER the purchase → nothing
+      (1L, at(0), 1L, "view"), (2L, at(13 * h), 1L, "click"),
+      (3L, at(14 * h), 1L, "purchase"), (4L, at(15 * h), 1L, "view"),
+      // user 2: view 49h before purchase → outside the 48h window
+      (5L, at(0), 2L, "view"), (6L, at(49 * h), 2L, "purchase"))
+      .toDF("event_id", "ts", "user_id", "event_type")
+      .withColumn("value", lit(1.0)).withColumn("props", lit("{}"))
+    val dir = tmpDir("decay")
+    df.write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = Events.qAttributionDecay(spark, dir).collect()
+      .map(r => (r.getString(0), (r.getLong(1), r.getLong(2)))).toMap
+    assert(got === Map("view" -> ((1L, 500L)), "click" -> ((1L, 1000L))))
+  }
+
   test("attribution query totals purchases exactly on real data") {
     val dir = "/root/testdata/sf0.001"
     val total = Events.qAttributionLastTouch(spark, dir)
