@@ -105,6 +105,19 @@ object Similarity {
     rename(VectorSearch.ivfTopK(
       table(spark, dir, "embeddings"), col("vec_id"), col("embedding"), QueryIds, K))
 
+  /** IVF index lifecycle dual of [[qSimPqIndexed]]: persist centroids +
+    * bucket assignment, then serve from the stored index — bit-identical
+    * to [[qSimIvfTopK]] and sharing its oracle.
+    */
+  def qSimIvfIndexed(spark: SparkSession, dir: String): DataFrame = {
+    val emb = table(spark, dir, "embeddings")
+    val indexDir = java.nio.file.Files
+      .createTempDirectory("graft-ivf-index").toString
+    VectorSearch.writeIvfIndex(emb, col("vec_id"), col("embedding"), indexDir)
+    rename(VectorSearch.ivfTopKFromIndex(
+      emb, col("vec_id"), col("embedding"), indexDir, QueryIds, K))
+  }
+
   /** DuckDB replay of the integer k-means IVF pipeline: `cent<i>` holds
     * (sum-vector, count) centroids, each Lloyd iteration is one
     * dist→assign→recompute CTE block, and the scaled-integer distance
@@ -326,6 +339,7 @@ object Similarity {
     "q_sim_ivf_topk" -> (qSimIvfTopK _),
     "q_sim_pq_topk" -> (qSimPqTopK _),
     "q_sim_pq_indexed" -> (qSimPqIndexed _),
+    "q_sim_ivf_indexed" -> (qSimIvfIndexed _),
   )
 
   def oracle: Map[String, String] = Map(
@@ -336,5 +350,6 @@ object Similarity {
     // the indexed path is bit-identical to the in-session PQ pipeline —
     // the persisted index stores the same exact-integer statistics
     "q_sim_pq_indexed" -> qSimPqTopKSql,
+    "q_sim_ivf_indexed" -> qSimIvfTopKSql,
   )
 }

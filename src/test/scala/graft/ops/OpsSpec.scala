@@ -146,6 +146,22 @@ class OpsSpec extends SparkFunSuite {
     }
   }
 
+  test("IVF index round-trip: serving from the persisted index is bit-identical") {
+    import org.apache.spark.sql.functions.col
+    val emb = Tables.table(spark, sf, "embeddings")
+    val indexDir = tmpDir("ivf-index")
+    VectorSearch.writeIvfIndex(emb, col("vec_id"), col("embedding"), indexDir)
+    val buckets = spark.read.parquet(s"$indexDir/buckets.parquet")
+    assert(buckets.count() === emb.count())
+    val direct = VectorSearch.ivfTopK(emb, col("vec_id"), col("embedding"),
+      Similarity.QueryIds, 10).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSeq
+    val served = VectorSearch.ivfTopKFromIndex(emb, col("vec_id"), col("embedding"),
+      indexDir, Similarity.QueryIds, 10).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSeq
+    assert(served === direct, "IVF index round-trip must lose nothing")
+  }
+
   test("vec_dot is SQL-callable after registration") {
     graft.GraftSession.registerFunctions(spark)
     val r = spark.sql(
