@@ -677,7 +677,65 @@ object Events {
        |FROM credited GROUP BY 1
        |ORDER BY touch_type""".stripMargin
 
+  /** RFM (recency / frequency / monetary) customer segmentation: per-user
+    * purchase recency, count, and exact-cents spend, each cut into
+    * quartiles (1 = lowest) by the explicit rank formula
+    * `q = ((rank−1)·4) DIV n + 1`, then segment counts per (r,f,m) code —
+    * the classic lifecycle-marketing cube. Every rank comes from
+    * [[Rank.globalRank]] (range-partitioned distributed ranking, no
+    * single-reducer window), ties broken by user_id, so the quartile
+    * codes are total-order deterministic; money is DECIMAL cents, never
+    * float-summed.
+    *
+    * Scale: one fact-table aggregation to a user-dimension relation, then
+    * three range exchanges of that dimension (one per metric) and a
+    * 64-cell rollup. The user count is a control-plane scalar (same
+    * contract as PageRank's |V|).
+    */
+  def qRfmSegments(spark: SparkSession, dir: String): DataFrame = {
+    val p = events(spark, dir).filter(col("event_type") === "purchase")
+      .groupBy(col("user_id"))
+      .agg(max(unix_micros(col("ts"))).as("r_us"),
+        count(lit(1)).as("f"),
+        sum(dec(col("value")) * 100).cast("long").as("m_cents"))
+    val n = p.count()
+    var u = p
+    for ((m, q) <- Seq(("r_us", "r_q"), ("f", "f_q"), ("m_cents", "m_q"))) {
+      u = Rank.globalRank(u, Seq(col(m), col("user_id")), numParts = 8, rankName = s"rk_$q")
+        .withColumn(q, expr(s"((rk_$q - 1) * 4) DIV $n + 1"))
+    }
+    u.groupBy(col("r_q"), col("f_q"), col("m_q"))
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy(col("r_q"), col("f_q"), col("m_q"))
+  }
+
+  val qRfmSegmentsSql: String =
+    """WITH e AS (
+      |  SELECT user_id, epoch_us(date_trunc('microseconds', ts)) AS us, value
+      |  FROM events WHERE event_type = 'purchase'
+      |), p AS (
+      |  SELECT user_id, max(us) AS r_us, count(*) AS f,
+      |    CAST(sum(CAST(value AS DECIMAL(18,2)) * 100) AS BIGINT) AS m_cents
+      |  FROM e GROUP BY 1
+      |), n AS (SELECT count(*) AS n FROM p),
+      |rr AS (
+      |  SELECT p.*,
+      |    row_number() OVER (ORDER BY r_us, user_id) AS rn_r,
+      |    row_number() OVER (ORDER BY f, user_id) AS rn_f,
+      |    row_number() OVER (ORDER BY m_cents, user_id) AS rn_m
+      |  FROM p
+      |), q AS (
+      |  SELECT ((rn_r - 1) * 4) // n + 1 AS r_q,
+      |    ((rn_f - 1) * 4) // n + 1 AS f_q,
+      |    ((rn_m - 1) * 4) // n + 1 AS m_q
+      |  FROM rr CROSS JOIN n
+      |)
+      |SELECT r_q, f_q, m_q, count(*) AS n_users
+      |FROM q GROUP BY 1, 2, 3
+      |ORDER BY 1, 2, 3""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_rfm_segments" -> (qRfmSegments _),
     "q_attribution_decay" -> (qAttributionDecay _),
     "q_markov_stationary" -> (qMarkovStationary _),
     "q_trend_forecast" -> (qTrendForecast _),
@@ -697,6 +755,7 @@ object Events {
   )
 
   def oracle: Map[String, String] = Map(
+    "q_rfm_segments" -> qRfmSegmentsSql,
     "q_attribution_decay" -> qAttributionDecaySql,
     "q_markov_stationary" -> qMarkovStationarySql,
     "q_trend_forecast" -> qTrendForecastSql,

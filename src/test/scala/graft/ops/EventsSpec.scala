@@ -178,6 +178,23 @@ class EventsSpec extends SparkFunSuite {
     assert(got === Map("view" -> ((1L, 500L)), "click" -> ((1L, 1000L))))
   }
 
+  test("rfm segments: four users with aligned metrics land in the four diagonal cells") {
+    import spark.implicits._
+    val h = 3600L
+    // user k purchases k times, later and larger as k grows — so recency,
+    // frequency, and monetary quartiles all align: user k → quartile k
+    val rows = for (u <- 1L to 4L; i <- 1L to u)
+      yield ((u * 10 + i), at(u * 24 * h + i), u, "purchase")
+    val df = rows.toDF("event_id", "ts", "user_id", "event_type")
+      .withColumn("value", lit(0.0) + col("user_id") * 10.0)
+      .withColumn("props", lit("{}"))
+    val dir = tmpDir("rfm")
+    df.write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = Events.qRfmSegments(spark, dir).collect()
+      .map(r => ((r.getLong(0), r.getLong(1), r.getLong(2)), r.getLong(3))).toMap
+    assert(got === (1L to 4L).map(k => ((k, k, k), 1L)).toMap)
+  }
+
   test("attribution query totals purchases exactly on real data") {
     val dir = "/root/testdata/sf0.001"
     val total = Events.qAttributionLastTouch(spark, dir)
