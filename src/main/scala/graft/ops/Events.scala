@@ -734,7 +734,59 @@ object Events {
       |FROM q GROUP BY 1, 2, 3
       |ORDER BY 1, 2, 3""".stripMargin
 
+  /** Cohort lifetime-value cube: users cohorted by their signup week,
+    * purchase revenue accumulated per (cohort week × weeks-since-signup)
+    * cell — the LTV triangle that pairs with [[qEventsRetention]]'s
+    * retention matrix. Money is DECIMAL cents (never float-summed) and
+    * the week age is an exact integer division of microsecond deltas
+    * (week-truncated NTZ timestamps differ by exact multiples of 7 days —
+    * no DST in the pinned UTC session).
+    *
+    * Scale: two filtered aggregations of the fact table plus one join on
+    * user_id (signup side is user-dimension-sized — broadcast), then a
+    * calendar-sized rollup.
+    */
+  def qCohortLtv(spark: SparkSession, dir: String): DataFrame = {
+    val ev = events(spark, dir)
+    val signup = ev.filter(col("event_type") === "signup")
+      .groupBy(col("user_id"))
+      .agg(min(date_trunc("week", col("ts"))).as("cw"))
+    val purch = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), date_trunc("week", col("ts")).as("pw"),
+        (dec(col("value")) * 100).as("cents"))
+    purch.join(broadcast(signup), Seq("user_id"))
+      .filter(col("pw") >= col("cw"))
+      .withColumn("age_weeks",
+        expr(s"(unix_micros(pw) - unix_micros(cw)) DIV ${7L * 86400L * 1000000L}"))
+      .groupBy(date_format(col("cw"), "yyyy-MM-dd").as("cohort_week"), col("age_weeks"))
+      .agg(sum(col("cents")).cast("long").as("sum_cents"),
+        count_distinct(col("user_id")).as("n_buyers"))
+      .orderBy(col("cohort_week"), col("age_weeks"))
+  }
+
+  val qCohortLtvSql: String =
+    s"""WITH e AS (
+       |  SELECT user_id, event_type, date_trunc('microseconds', ts) AS ts, value
+       |  FROM events
+       |), s AS (
+       |  SELECT user_id, min(date_trunc('week', ts)) AS cw
+       |  FROM e WHERE event_type = 'signup' GROUP BY 1
+       |), p AS (
+       |  SELECT user_id, date_trunc('week', ts) AS pw,
+       |    CAST(value AS DECIMAL(18,2)) * 100 AS cents
+       |  FROM e WHERE event_type = 'purchase'
+       |)
+       |SELECT strftime(s.cw, '%Y-%m-%d') AS cohort_week,
+       |  (epoch_us(p.pw) - epoch_us(s.cw)) // ${7L * 86400L * 1000000L} AS age_weeks,
+       |  CAST(sum(p.cents) AS BIGINT) AS sum_cents,
+       |  count(DISTINCT p.user_id) AS n_buyers
+       |FROM p JOIN s USING (user_id)
+       |WHERE p.pw >= s.cw
+       |GROUP BY 1, 2
+       |ORDER BY 1, 2""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_cohort_ltv" -> (qCohortLtv _),
     "q_rfm_segments" -> (qRfmSegments _),
     "q_attribution_decay" -> (qAttributionDecay _),
     "q_markov_stationary" -> (qMarkovStationary _),
@@ -755,6 +807,7 @@ object Events {
   )
 
   def oracle: Map[String, String] = Map(
+    "q_cohort_ltv" -> qCohortLtvSql,
     "q_rfm_segments" -> qRfmSegmentsSql,
     "q_attribution_decay" -> qAttributionDecaySql,
     "q_markov_stationary" -> qMarkovStationarySql,
