@@ -263,6 +263,21 @@ class PlanShapeSpec extends SparkFunSuite {
     assert(p.contains("TakeOrderedAndProject"), p)
   }
 
+  test("q_cohort_ltv: event-type filters push to the scan; signup side broadcasts") {
+    val p = plan(Events.qCohortLtv(spark, sf))
+    assert(p.contains("PushedFilters:"), p)
+    assert(p.contains("EqualTo(event_type,purchase)"), p)
+    assert(p.contains("EqualTo(event_type,signup)"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q_attribution_decay: the touch-purchase pairing is a user equi join, never a cartesian") {
+    val p = plan(Events.qAttributionDecay(spark, sf))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("partial_sum") || p.contains("partial_count"), p)
+  }
+
   test("hub transform read->cast->constants plan is shuffle-free") {
     import org.apache.spark.sql.functions.lit
     import org.apache.spark.sql.types._
