@@ -785,7 +785,52 @@ object Events {
        |GROUP BY 1, 2
        |ORDER BY 1, 2""".stripMargin
 
+  /** Daily/weekly active users and the DAU/WAU stickiness ratio — the
+    * engagement dashboard staple. The trailing-7-day distinct count is
+    * computed WITHOUT a range join: each (user, day) activity row emits
+    * the 7 future days it keeps the user "weekly active" for (a ×7
+    * map-side explode with an equi-keyed distinct), so the plan stays
+    * hash-joinable — no theta join, no nested loop. Stickiness is exact
+    * basis points.
+    *
+    * Scale: the fact table collapses to the (user, day) activity relation
+    * first (dedup shuffle); the ×7 explode amplifies only that deduped
+    * relation, and everything downstream is (users × days)-sized.
+    */
+  def qDauWau(spark: SparkSession, dir: String): DataFrame = {
+    val ud = events(spark, dir)
+      .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+    val dau = ud.groupBy(col("day")).agg(count(lit(1)).as("dau"))
+    val wau = ud
+      .select(col("user_id"), col("day"), explode(sequence(lit(0), lit(6))).as("i"))
+      .select(col("user_id"), expr("date_add(day, i)").as("day"))
+      .distinct()
+      .groupBy(col("day")).agg(count(lit(1)).as("wau"))
+    dau.join(wau, Seq("day"))
+      .select(date_format(col("day"), "yyyy-MM-dd").as("day"),
+        col("dau"), col("wau"),
+        expr("dau * 10000 DIV wau").as("stickiness_bp"))
+      .orderBy(col("day"))
+  }
+
+  val qDauWauSql: String =
+    """WITH ud AS (
+      |  SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS day FROM events
+      |), dau AS (
+      |  SELECT day, count(*) AS dau FROM ud GROUP BY 1
+      |), w AS (
+      |  SELECT DISTINCT user_id, day + CAST(i AS INTEGER) AS day
+      |  FROM ud CROSS JOIN range(7) r(i)
+      |), wau AS (
+      |  SELECT day, count(*) AS wau FROM w GROUP BY 1
+      |)
+      |SELECT strftime(d.day, '%Y-%m-%d') AS day, d.dau, w2.wau,
+      |  (d.dau * 10000) // w2.wau AS stickiness_bp
+      |FROM dau d JOIN wau w2 USING (day)
+      |ORDER BY day""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_dau_wau" -> (qDauWau _),
     "q_cohort_ltv" -> (qCohortLtv _),
     "q_rfm_segments" -> (qRfmSegments _),
     "q_attribution_decay" -> (qAttributionDecay _),
@@ -807,6 +852,7 @@ object Events {
   )
 
   def oracle: Map[String, String] = Map(
+    "q_dau_wau" -> qDauWauSql,
     "q_cohort_ltv" -> qCohortLtvSql,
     "q_rfm_segments" -> qRfmSegmentsSql,
     "q_attribution_decay" -> qAttributionDecaySql,
