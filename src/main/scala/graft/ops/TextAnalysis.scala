@@ -447,11 +447,18 @@ object TextAnalysis {
     * the cheap corpus-statistics stand-in for LM-perplexity quality
     * filtering.
     *
-    * Float determinism: each per-position lift is one rounded division
-    * of exact integers, and the per-document mean folds those doubles in
-    * POSITION order (`array_sort` + left-fold `aggregate`, mirrored by
-    * DuckDB's `list_sum(list(... ORDER BY pos))`) — never an
-    * aggregation-order-dependent float sum.
+    * Determinism: the whole statistic is EXACT INTEGERS end-to-end — each
+    * per-position lift is micro-units `(c_xy·N·10^6) DIV (c_x·c_y)` and
+    * the per-document mean is one more integer division, so the sum is
+    * order-free and the result bit-identical at any parallelism and any
+    * scale. (An earlier float formulation folded rounded doubles in
+    * position order and still diverged by 1 ulp at sf0.1: Spark's
+    * `round` decides half-up on the double's SHORTEST decimal
+    * representation while DuckDB rounds the exact binary value — the
+    * integer form removes the boundary entirely.)
+    *
+    * Magnitude: `c_xy·N·10^6 ≤ N²·10^6` — longs hold to N ≈ 3·10^6
+    * bigrams; lift the product to DECIMAL(38,0) beyond.
     *
     * Scale: the three count relations are bigram-vocabulary-sized →
     * broadcast; the corpus stream is exploded once and aggregated once
@@ -478,17 +485,12 @@ object TextAnalysis {
       .join(broadcast(u1), "w1")
       .join(broadcast(u2), "w2")
       .crossJoin(broadcast(n))
-      .select(col("doc_id"), col("pos"),
-        round((col("c_xy") * col("n")).cast(DoubleType) /
-          (col("c_x") * col("c_y")).cast(DoubleType), 6).as("lift"))
+      .select(col("doc_id"),
+        expr("(c_xy * n * 1000000) DIV (c_x * c_y)").as("lift_micro"))
       .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_bigrams"),
-        aggregate(
-          transform(array_sort(collect_list(struct(col("pos"), col("lift")))),
-            s => s("lift")),
-          lit(0.0), (acc, x) => acc + x).as("sum_lift"))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("lift_micro")).as("sum_micro"))
       .select(col("doc_id"), col("n_bigrams"),
-        round(col("sum_lift") / col("n_bigrams").cast(DoubleType), 6).as("mean_lift"))
+        expr("sum_micro DIV n_bigrams").as("mean_lift_micro"))
       .orderBy(col("doc_id"))
   }
 
@@ -505,8 +507,8 @@ object TextAnalysis {
       |u2 AS (SELECT split_part(b, ' ', 2) AS w2, count(*) AS c_y FROM big GROUP BY 1),
       |n AS (SELECT count(*) AS n FROM big),
       |lifts AS (
-      |  SELECT big.doc_id, big.pos,
-      |    round(CAST(c.c_xy * n.n AS DOUBLE) / CAST(u1.c_x * u2.c_y AS DOUBLE), 6) AS lift
+      |  SELECT big.doc_id,
+      |    (c.c_xy * n.n * 1000000) // (u1.c_x * u2.c_y) AS lift_micro
       |  FROM big
       |  JOIN c USING (b)
       |  JOIN u1 ON split_part(big.b, ' ', 1) = u1.w1
@@ -514,7 +516,7 @@ object TextAnalysis {
       |  CROSS JOIN n
       |)
       |SELECT doc_id, count(*) AS n_bigrams,
-      |  round(list_sum(list(lift ORDER BY pos)) / CAST(count(*) AS DOUBLE), 6) AS mean_lift
+      |  CAST(CAST(sum(lift_micro) AS BIGINT) // count(*) AS BIGINT) AS mean_lift_micro
       |FROM lifts GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
   /** Vocabulary size for [[qVocabOov]] (top-K tokens by corpus count). */
