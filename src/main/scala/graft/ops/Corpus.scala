@@ -520,7 +520,90 @@ object Corpus {
        |  min(doc_id) AS min_doc
        |FROM w GROUP BY 1 ORDER BY shard""".stripMargin
 
+  /** Group-aware train/val/test assignment: the split keys on the SOURCE
+    * (md5 of the source name, same 80/10/10 bucketing as [[splitCol]]),
+    * so every document of a source lands in the same split — the
+    * leakage-proof-by-construction alternative to per-doc splitting
+    * (within-source near-duplicates can never straddle train/test,
+    * shrinking what [[Dedup.qSplitLeakage]] has to audit to cross-source
+    * pairs only). Output: per (split, source) doc and token counts — the
+    * mixture report a practitioner checks before training.
+    *
+    * Scale: one corpus aggregation; the split is a pure projection of the
+    * grouping key (no shuffle added to whatever grouping already costs).
+    */
+  def qSplitGrouped(spark: SparkSession, dir: String): DataFrame = {
+    val docs = table(spark, dir, "documents")
+    val bucket = pmod(
+      conv(substring(md5(col("source")), 1, 8), 16, 10).cast("long"), lit(100))
+    docs
+      .withColumn("split",
+        when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test"))
+      .groupBy(col("split"), col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(tokens(col("text"))).cast("long")).as("n_tokens"))
+      .orderBy(col("split"), col("source"))
+  }
+
+  val qSplitGroupedSql: String =
+    """WITH b AS (
+      |  SELECT source, text,
+      |    CAST(concat('0x', substring(md5(source), 1, 8)) AS BIGINT) % 100 AS bucket
+      |  FROM documents
+      |)
+      |SELECT CASE WHEN bucket < 80 THEN 'train'
+      |            WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split,
+      |  source, count(*) AS n_docs,
+      |  CAST(sum(len(regexp_split_to_array(lower(text), '\s+'))) AS BIGINT) AS n_tokens
+      |FROM b GROUP BY 1, 2
+      |ORDER BY 1, 2""".stripMargin
+
+  /** Candidate context lengths for the padding-waste report. */
+  val PaddingChunks: Seq[Int] = Seq(128, 256, 512)
+
+  /** Padding-waste report: if every document were padded up to a multiple
+    * of chunk size c, how many pad tokens does the corpus burn — `waste =
+    * Σ (⌈n/c⌉·c − n)` per candidate c, with the waste share in exact
+    * basis points. The context-length selection diagnostic that pairs
+    * with [[qPackSequences]] (packing removes this waste; this op prices
+    * NOT packing). Pure integer arithmetic from one corpus pass with the
+    * three candidate sizes evaluated via an explode over a literal array.
+    */
+  def qPaddingWaste(spark: SparkSession, dir: String): DataFrame = {
+    val docs = table(spark, dir, "documents")
+      .select(size(tokens(col("text"))).cast("long").as("n"))
+    docs
+      .select(col("n"), explode(typedLit(PaddingChunks.map(_.toLong))).as("c"))
+      .select(col("c"),
+        col("n"),
+        (expr("((n + c - 1) DIV c) * c") - col("n")).as("waste"))
+      .groupBy(col("c"))
+      .agg(sum(col("n")).as("n_tokens"), sum(col("waste")).as("pad_tokens"))
+      .select(col("c").as("chunk_size"), col("n_tokens"), col("pad_tokens"),
+        expr("pad_tokens * 10000 DIV (n_tokens + pad_tokens)").as("waste_bp"))
+      .orderBy(col("chunk_size"))
+  }
+
+  val qPaddingWasteSql: String = {
+    val chunks = PaddingChunks.mkString(", ")
+    s"""WITH n AS (
+       |  SELECT CAST(len(regexp_split_to_array(lower(text), '\\s+')) AS BIGINT) AS n
+       |  FROM documents
+       |), x AS (
+       |  SELECT CAST(c AS BIGINT) AS c, n,
+       |    ((n + c - 1) // c) * c - n AS waste
+       |  FROM n CROSS JOIN (SELECT unnest([$chunks]) AS c) cs
+       |)
+       |SELECT c AS chunk_size, CAST(sum(n) AS BIGINT) AS n_tokens,
+       |  CAST(sum(waste) AS BIGINT) AS pad_tokens,
+       |  (CAST(sum(waste) AS BIGINT) * 10000)
+       |    // (CAST(sum(n) AS BIGINT) + CAST(sum(waste) AS BIGINT)) AS waste_bp
+       |FROM x GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_split_grouped" -> (qSplitGrouped _),
+    "q_padding_waste" -> (qPaddingWaste _),
     "q_token_budget" -> (qTokenBudget _),
     "q_shard_rendezvous" -> (qShardRendezvous _),
     "q_quality_gate" -> (qQualityGate _),
@@ -535,6 +618,8 @@ object Corpus {
     "q_contamination" -> (qContamination _))
 
   def oracle: Map[String, String] = Map(
+    "q_split_grouped" -> qSplitGroupedSql,
+    "q_padding_waste" -> qPaddingWasteSql,
     "q_token_budget" -> qTokenBudgetSql,
     "q_shard_rendezvous" -> qShardRendezvousSql,
     "q_quality_gate" -> qQualityGateSql,

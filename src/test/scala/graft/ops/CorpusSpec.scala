@@ -229,6 +229,35 @@ class CorpusSpec extends SparkFunSuite {
     assert(out.sorted === again.sorted)
   }
 
+  test("grouped split: every source lands in exactly one split; totals are preserved") {
+    val rows = Corpus.qSplitGrouped(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    assert(rows.nonEmpty)
+    val splitsPerSource = rows.groupBy(_._2).view.mapValues(_.map(_._1).distinct.size)
+    assert(splitsPerSource.values.forall(_ == 1), "a source must never straddle splits")
+    val total = rows.map(_._3).sum
+    assert(total === Tables.table(spark, sf, "documents").count())
+  }
+
+  test("padding waste: hand-computed pad counts on planted lengths") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // token counts 100 and 130: at c=128 → waste 28 + 126; at c=256 →
+    // waste 156 + 126; at c=512 → 412 + 382
+    val docs = Seq(
+      (1L, Seq.fill(100)("w").mkString(" "), "en", "s", 10L),
+      (2L, Seq.fill(130)("w").mkString(" "), "en", "s", 10L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dir = tmpDir("padding")
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = Corpus.qPaddingWaste(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toList
+    assert(got === List(
+      (128L, 230L, 154L, 154L * 10000 / 384),
+      (256L, 230L, 282L, 282L * 10000 / 512),
+      (512L, 230L, 794L, 794L * 10000 / 1024)))
+  }
+
   test("token budget: allocations sum exactly to the budget, each within 1 of the ideal share") {
     val rows = Corpus.qTokenBudget(spark, sf).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
