@@ -30,7 +30,11 @@ object Dedup {
   private def asPair(df: DataFrame): DataFrame =
     df.withColumnRenamed("id_a", "da").withColumnRenamed("id_b", "db")
 
-  /** Exact 3-word-shingle Jaccard pairs (inverted-index join). */
+  /** Exact 3-word-shingle Jaccard pairs (inverted-index join with the
+    * hot-posting candidate cap — see [[TextDedup.jaccardPairs]]; identical
+    * to the uncapped relation on this corpus, linear instead of quadratic
+    * on a boilerplate-heavy one).
+    */
   def qDedupNgramJaccard(spark: SparkSession, dir: String): DataFrame =
     asPair(TextDedup.jaccardPairs(
       table(spark, dir, "documents"), col("doc_id"), col("text"), ShingleK, JaccardThreshold))
@@ -203,8 +207,10 @@ object Dedup {
     * curated corpus must pass.
     *
     * Scale: the pair relation is the expensive side and dedup already
-    * builds it (at 100 TB swap in [[TextDedup.minhashLshPairs]] — same
-    * semantics, banded candidates); the split columns are pure md5
+    * builds it — [[TextDedup.jaccardPairs]]'s hot-posting cap keeps its
+    * candidate generation linear in boilerplate (or swap in
+    * [[TextDedup.minhashLshPairs]] for banded candidate generation on top);
+    * the split columns are pure md5
     * expressions attached by two doc-dimension joins that AQE broadcasts
     * when the pair side is small. Nothing new is shuffled beyond the
     * pairs themselves.
@@ -311,8 +317,10 @@ object Dedup {
     * is a SELECTION over engine-identical doubles (never an accumulation),
     * so the matrix hash-gates.
     *
-    * Scale: rides the near-dup pair relation (LSH-banded at 100 TB); the
-    * source labels attach by two doc-dimension joins and the rollup is a
+    * Scale: rides the near-dup pair relation, whose candidate generation
+    * is hot-posting-capped ([[TextDedup.jaccardPairs]]) so a corpus-wide
+    * boilerplate shingle costs linear, not quadratic, work; the source
+    * labels attach by two doc-dimension joins and the rollup is a
     * |sources|²-bounded aggregate — nothing new is corpus-sized.
     */
   def qSourcePairs(spark: SparkSession, dir: String): DataFrame = {

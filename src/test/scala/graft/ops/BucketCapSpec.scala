@@ -57,6 +57,44 @@ class BucketCapSpec extends SparkFunSuite {
     assert(rows === Seq((5000L, 0L, 32L), (5001L, 0L, 32L)))
   }
 
+  /** 1000 distinct documents that all share ONE boilerplate shingle (a
+    * common footer) but are otherwise unrelated — the exact-Jaccard
+    * scale-killer shape: uncapped, that single posting list emits
+    * k(k−1)/2 ≈ 500k candidate rows before any threshold applies.
+    */
+  private def footerCorpus = {
+    import spark.implicits._
+    (0L until 1000L).map(i =>
+      (i, s"common footer boilerplate u${i}a u${i}b u${i}c u${i}d u${i}e"))
+      .toDF("doc_id", "text")
+  }
+
+  test("exact jaccard: a 1000-doc hot shingle posting yields linear candidates, not quadratic") {
+    val sh = TextDedup.shingles(footerCorpus, col("doc_id"), col("text"), 3)
+    try {
+      val candidates = TextDedup
+        .cappedBucketCandidates(sh, Seq("s"), cap = 8)
+        .distinct()
+      // the shared "common footer boilerplate" posting (df=1000 > cap) goes
+      // chain: 999 pairs; every other shingle has df ≤ 2 (the footer→unique
+      // boundary shingles are per-doc) → nothing quadratic anywhere
+      val n = candidates.count()
+      assert(n === 999L, s"expected a 999-pair chain, got $n")
+      // and the full operator still terminates with the right answer:
+      // no pair clears the 0.8 threshold (1 shared shingle of ~7 each)
+      assert(TextDedup.jaccardPairs(
+        footerCorpus, col("doc_id"), col("text"), 3, 0.8, postingCap = 8).count() === 0L)
+    } finally sh.unpersist()
+  }
+
+  test("posting cap leaves a normal corpus bit-identical to the uncapped exact operator") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val capped = TextDedup.jaccardPairs(docs, col("doc_id"), col("text"))
+    val uncapped = TextDedup.jaccardPairs(
+      docs, col("doc_id"), col("text"), postingCap = Int.MaxValue)
+    assert(capped.collect().map(_.toSeq).toSeq === uncapped.collect().map(_.toSeq).toSeq)
+  }
+
   test("cap leaves a normal corpus bit-identical to the uncapped operator") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
     val capped = TextDedup.minhashLshPairs(docs, col("doc_id"), col("text"))
