@@ -172,6 +172,31 @@ object Dedup {
       .withColumnRenamed("id", "doc_id")
   }
 
+  /** Persisted dedup-index lifecycle: TRAIN (write the bucket-capped LSH
+    * banding + shingle + size relations of the corpus side to a stored
+    * index — [[TextDedup.writeLshIndex]]) then SERVE (probe the incoming
+    * batch against the stored relations only —
+    * [[TextDedup.minhashLshIncrementalFromIndex]]). Same corpus/incoming
+    * split, same config, and bit-identical output as
+    * [[qDedupIncremental]] (shared oracle): the index stores integers and
+    * strings, so the round-trip loses nothing. This is the
+    * build-once/probe-many shape a production ingest pipeline runs, the
+    * dedup-side dual of [[Similarity.qSimPqIndexed]].
+    */
+  def qDedupIndexed(spark: SparkSession, dir: String): DataFrame = {
+    val docs = table(spark, dir, "documents")
+    val indexDir = graft.ScratchDirs("dedup-lsh-index")
+    TextDedup.writeLshIndex(
+      docs.filter(pmod(col("doc_id"), lit(5)) =!= 0),
+      col("doc_id"), col("text"), indexDir,
+      TextDedup.MinHashConfig(shingleK = ShingleK))
+    TextDedup.minhashLshIncrementalFromIndex(
+      docs.filter(pmod(col("doc_id"), lit(5)) === 0),
+      col("doc_id"), col("text"), indexDir,
+      TextDedup.MinHashConfig(shingleK = ShingleK), JaccardThreshold)
+      .withColumnRenamed("id", "doc_id")
+  }
+
   val qDedupIncrementalSql: String =
     s"""WITH tok AS (
        |  SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS t FROM documents
@@ -381,6 +406,7 @@ object Dedup {
     "q_dedup_simhash" -> (qDedupSimhash _),
     "q_dedup_embedding" -> (qDedupEmbedding _),
     "q_dedup_incremental" -> (qDedupIncremental _),
+    "q_dedup_indexed" -> (qDedupIndexed _),
   )
 
   def oracle: Map[String, String] = Map(
@@ -396,5 +422,9 @@ object Dedup {
     "q_dedup_simhash" -> qDedupSimhashSql,
     "q_dedup_embedding" -> qDedupEmbeddingSql,
     "q_dedup_incremental" -> qDedupIncrementalSql,
+    // train-once/probe-many over the stored index — bit-identical to the
+    // in-session incremental path, so it shares the exact cross-batch
+    // Jaccard oracle
+    "q_dedup_indexed" -> qDedupIncrementalSql,
   )
 }

@@ -111,8 +111,7 @@ object Similarity {
     */
   def qSimIvfIndexed(spark: SparkSession, dir: String): DataFrame = {
     val emb = table(spark, dir, "embeddings")
-    val indexDir = java.nio.file.Files
-      .createTempDirectory("graft-ivf-index").toString
+    val indexDir = graft.ScratchDirs("ivf-index")
     VectorSearch.writeIvfIndex(emb, col("vec_id"), col("embedding"), indexDir)
     rename(VectorSearch.ivfTopKFromIndex(
       emb, col("vec_id"), col("embedding"), indexDir, QueryIds, K))
@@ -214,8 +213,7 @@ object Similarity {
     */
   def qSimPqIndexed(spark: SparkSession, dir: String): DataFrame = {
     val emb = table(spark, dir, "embeddings")
-    val indexDir = java.nio.file.Files
-      .createTempDirectory("graft-pq-index").toString
+    val indexDir = graft.ScratchDirs("pq-index")
     VectorSearch.writePqIndex(emb, col("vec_id"), col("embedding"), indexDir)
     rename(VectorSearch.pqTopKFromIndex(
       emb, col("vec_id"), col("embedding"), indexDir, QueryIds, K,

@@ -243,30 +243,56 @@ object TextDedup {
       cfg: MinHashConfig = MinHashConfig(), threshold: Double = 0.8,
       bucketCap: Int = DefaultBucketCap): DataFrame = {
     val shC = shingles(corpus, id, text, cfg.shingleK)
-    val shI = shingles(incoming, id, text, cfg.shingleK)
-    // hot-bucket bound for the bipartite probe: a degenerate corpus bucket
-    // (k_c near-identical stored docs) would pair EVERY colliding incoming
-    // doc with all k_c members. Keep the bucketCap SMALLEST corpus ids per
-    // bucket — deterministic, retains the bucket minimum, so `dup_of`
-    // (min matching corpus id) is unchanged; only `n_dups`/`best_jaccard`
-    // can differ for incoming docs whose duplicates exceed the cap in one
-    // bucket, which at the default 2^12 means 4k+ stored copies.
-    val cappedC = bandedSignatures(shC, cfg)
-      .withColumn("rn", org.apache.spark.sql.functions.row_number()
+    val sizesC = shC.groupBy(col("id")).agg(count(lit(1)).as("n"))
+    val out = incrementalProbe(
+      cappedCorpusBanded(shC, cfg, bucketCap), shC, sizesC,
+      incoming, id, text, cfg, threshold)
+    shC.unpersist()
+    out
+  }
+
+  /** Bucket-capped corpus banding — the corpus side of the bipartite
+    * probe. Hot-bucket bound: a degenerate corpus bucket (k_c
+    * near-identical stored docs) would pair EVERY colliding incoming doc
+    * with all k_c members. Keep the bucketCap SMALLEST corpus ids per
+    * bucket — deterministic, retains the bucket minimum, so `dup_of`
+    * (min matching corpus id) is unchanged; only `n_dups`/`best_jaccard`
+    * can differ for incoming docs whose duplicates exceed the cap in one
+    * bucket, which at the default 2^12 means 4k+ stored copies.
+    */
+  private[ops] def cappedCorpusBanded(
+      shC: DataFrame, cfg: MinHashConfig, bucketCap: Int): DataFrame =
+    bandedSignatures(shC, cfg)
+      .withColumn("rn", row_number()
         .over(Window.partitionBy(col("band"), col("bv")).orderBy(col("id"))))
       .filter(col("rn") <= bucketCap)
       .drop("rn")
-    val candidates = bandedSignatures(shI, cfg).toDF("id_i", "band", "bv")
-      .join(cappedC.toDF("id_c", "band", "bv"), Seq("band", "bv"))
+
+  /** The shared probe of [[minhashLshIncremental]] and
+    * [[minhashLshIncrementalFromIndex]]: band the INCOMING batch only,
+    * collide it against the (capped) corpus banding, verify candidates
+    * with exact Jaccard against the full corpus shingle relation. The
+    * corpus-side inputs are exactly what [[writeLshIndex]] persists, so
+    * the stored-index path is bit-identical to the in-session one.
+    */
+  private def incrementalProbe(
+      cappedC: DataFrame, shC: DataFrame, sizesC: DataFrame,
+      incoming: DataFrame, id: Column, text: Column,
+      cfg: MinHashConfig, threshold: Double): DataFrame = {
+    val shI = shingles(incoming, id, text, cfg.shingleK)
+    val candidates = bandedSignatures(shI, cfg)
+      .select(col("id").as("id_i"), col("band"), col("bv"))
+      .join(cappedC.select(col("id").as("id_c"), col("band"), col("bv")),
+        Seq("band", "bv"))
       .select(col("id_i"), col("id_c"))
       .distinct()
     val commons = candidates
       .join(shI.toDF("id_i", "s"), Seq("id_i"))
-      .join(shC.toDF("id_c", "s"), Seq("id_c", "s"))
+      .join(shC.select(col("id").as("id_c"), col("s")), Seq("id_c", "s"))
       .groupBy(col("id_i"), col("id_c")).agg(count(lit(1)).as("common"))
     val verified = commons
       .join(shI.groupBy(col("id")).agg(count(lit(1)).as("ni")).toDF("id_i", "ni"), Seq("id_i"))
-      .join(shC.groupBy(col("id")).agg(count(lit(1)).as("nc")).toDF("id_c", "nc"), Seq("id_c"))
+      .join(sizesC.select(col("id").as("id_c"), col("n").as("nc")), Seq("id_c"))
       .select(col("id_i"), col("id_c"),
         (col("common").cast(DoubleType) /
           (col("ni") + col("nc") - col("common")).cast(DoubleType)).as("jaccard"))
@@ -277,7 +303,60 @@ object TextDedup {
         count(lit(1)).as("n_dups"))
       .withColumnRenamed("id_i", "id")
       .orderBy(col("id"))
-    materializeAndRelease(out, shC, shI)
+    materializeAndRelease(out, shI)
+  }
+
+  /** Persist the LSH dedup index — the dedup-side dual of the PQ/IVF ANN
+    * index lifecycle ([[VectorSearch.writePqIndex]]): train once on the
+    * big cluster, probe many. Three relations under `indexDir`:
+    *
+    *   - `banded.parquet`  — the bucket-capped (id, band, bv) corpus
+    *     banding, laid out by (band, bv) (directory-partitioned by band;
+    *     rows clustered by bucket) so an ingest probe's collision join
+    *     reads band-pruned, bucket-clustered postings;
+    *   - `shingles.parquet` — the full (id, s) corpus shingle relation
+    *     the exact-Jaccard verification joins against;
+    *   - `sizes.parquet`    — (id, n) shingle-set sizes.
+    *
+    * Everything stored is integers/strings (no floats), so a reload loses
+    * nothing and [[minhashLshIncrementalFromIndex]] is bit-identical to
+    * the in-session [[minhashLshIncremental]] at the same config. An
+    * append-only corpus maintains the index incrementally: new docs only
+    * ADD rows to all three relations.
+    */
+  def writeLshIndex(
+      corpus: DataFrame, id: Column, text: Column, indexDir: String,
+      cfg: MinHashConfig = MinHashConfig(),
+      bucketCap: Int = DefaultBucketCap): Unit = {
+    val shC = shingles(corpus, id, text, cfg.shingleK)
+    cappedCorpusBanded(shC, cfg, bucketCap)
+      .repartition(col("band"))
+      .sortWithinPartitions(col("bv"), col("id"))
+      .write.mode("overwrite").partitionBy("band")
+      .parquet(s"$indexDir/banded.parquet")
+    shC.write.mode("overwrite").parquet(s"$indexDir/shingles.parquet")
+    shC.groupBy(col("id")).agg(count(lit(1)).as("n"))
+      .write.mode("overwrite").parquet(s"$indexDir/sizes.parquet")
+    shC.unpersist()
+  }
+
+  /** Serve an ingest batch from the STORED dedup index (see
+    * [[writeLshIndex]]): signatures and shingles are computed for the
+    * incoming documents ONLY and probed against the persisted corpus
+    * relations — per-batch cost is O(|batch| × bands + candidate
+    * verifications), independent of corpus size, which is the whole point
+    * of persisting the index. Output contract and results are identical
+    * to [[minhashLshIncremental]] over the same corpus and config.
+    */
+  def minhashLshIncrementalFromIndex(
+      incoming: DataFrame, id: Column, text: Column, indexDir: String,
+      cfg: MinHashConfig = MinHashConfig(), threshold: Double = 0.8): DataFrame = {
+    val spark = incoming.sparkSession
+    incrementalProbe(
+      spark.read.parquet(s"$indexDir/banded.parquet"),
+      spark.read.parquet(s"$indexDir/shingles.parquet"),
+      spark.read.parquet(s"$indexDir/sizes.parquet"),
+      incoming, id, text, cfg, threshold)
   }
 
   /** Survivor selection over near-dup pairs: connected components — every

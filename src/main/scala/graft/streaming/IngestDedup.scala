@@ -90,6 +90,53 @@ object IngestDedup {
         expr("n_new * 10000 DIV n_shingles").as("novelty_bp"))
   }
 
+  /** Streaming NEAR-DUP gate over a PERSISTED LSH dedup index
+    * ([[graft.ops.TextDedup.writeLshIndex]]): document batches stream in
+    * and each micro-batch is probed against the stored corpus banding /
+    * shingle / size relations via the exact batch serving path
+    * ([[graft.ops.TextDedup.minhashLshIncrementalFromIndex]], the
+    * `foreachBatch` idiom of [[VectorServeStream]]). Each incoming doc's
+    * verdict depends only on itself and the STORED corpus — incoming docs
+    * never pair with each other — so serving batch-by-batch is EXACTLY
+    * the one-shot batch probe of the union (the property the spec pins),
+    * regardless of how the files split into triggers.
+    *
+    * Scale: the index is built once (big-cluster job); each micro-batch
+    * computes signatures for ITS OWN documents only and probes the stored
+    * index — per-batch cost independent of corpus size.
+    */
+  def serveNearDupBatches(
+      spark: SparkSession,
+      docDir: String,
+      checkpoint: String,
+      indexDir: String,
+      cfg: graft.ops.TextDedup.MinHashConfig = graft.ops.TextDedup.MinHashConfig(
+        shingleK = graft.ops.Dedup.ShingleK),
+      threshold: Double = graft.ops.Dedup.JaccardThreshold): DataFrame = {
+    @volatile var results: Option[DataFrame] = None
+    val stream = spark.readStream
+      .schema(docSchema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(docDir)
+    val q = stream.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val flagged = graft.ops.TextDedup
+          .minhashLshIncrementalFromIndex(
+            batch, col("doc_id"), col("text"), indexDir, cfg, threshold)
+          .localCheckpoint()
+        results = Some(results.fold(flagged)(_.union(flagged).localCheckpoint()))
+        ()
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    results.getOrElse(
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        StructType(Seq(StructField("id", LongType), StructField("dup_of", LongType),
+          StructField("best_jaccard", DoubleType), StructField("n_dups", LongType)))))
+  }
+
   /** Streaming rendezvous router: each arriving document gets the same
     * highest-random-weight shard [[graft.ops.Corpus.qShardRendezvous]]
     * assigns in batch — the assignment is a pure row function of the

@@ -95,6 +95,21 @@ class BucketCapSpec extends SparkFunSuite {
     assert(capped.collect().map(_.toSeq).toSeq === uncapped.collect().map(_.toSeq).toSeq)
   }
 
+  test("stored LSH index probe is bit-identical to the in-session incremental path") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val corpus = docs.filter(col("doc_id") % 5 =!= 0)
+    val incoming = docs.filter(col("doc_id") % 5 === 0)
+    val indexDir = java.nio.file.Files
+      .createTempDirectory("lsh-index-spec").toString
+    TextDedup.writeLshIndex(corpus, col("doc_id"), col("text"), indexDir)
+    val fromIndex = TextDedup.minhashLshIncrementalFromIndex(
+      incoming, col("doc_id"), col("text"), indexDir)
+    val inSession = TextDedup.minhashLshIncremental(
+      corpus, incoming, col("doc_id"), col("text"))
+    assert(fromIndex.collect().map(_.toSeq).toSeq ===
+      inSession.collect().map(_.toSeq).toSeq)
+  }
+
   test("cap leaves a normal corpus bit-identical to the uncapped operator") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
     val capped = TextDedup.minhashLshPairs(docs, col("doc_id"), col("text"))

@@ -263,6 +263,31 @@ class StreamingSpec extends SparkFunSuite {
     assert(streamed.values.forall(s => s >= 0 && s < graft.ops.Corpus.NumShards))
   }
 
+  test("streaming near-dup gate over the stored LSH index equals the one-shot batch probe") {
+    import graft.ops.TextDedup
+    val docs = graft.ops.Tables.table(spark, sf, "documents")
+    val corpus = docs.filter(pmod(col("doc_id"), lit(5)) =!= 0)
+    val incoming = docs.filter(pmod(col("doc_id"), lit(5)) === 0)
+    val cfg = TextDedup.MinHashConfig(shingleK = graft.ops.Dedup.ShingleK)
+    val indexDir = tmpDir("lsh-dedup-index")
+    TextDedup.writeLshIndex(corpus, col("doc_id"), col("text"), indexDir, cfg)
+
+    // split the incoming batch across two files → two micro-batches
+    val dir = tmpDir("lsh-dedup-docs")
+    incoming.filter(col("doc_id") % 2 === 0).coalesce(1).write.mode("append").parquet(dir)
+    incoming.filter(col("doc_id") % 2 =!= 0).coalesce(1).write.mode("append").parquet(dir)
+
+    val streamed = IngestDedup.serveNearDupBatches(
+      spark, dir, tmpDir("lsh-dedup-ckpt"), indexDir, cfg)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSet
+
+    val batch = TextDedup.minhashLshIncrementalFromIndex(
+      incoming, col("doc_id"), col("text"), indexDir, cfg)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSet
+    assert(streamed === batch, "per-batch probes must equal the one-shot batch probe")
+    assert(streamed.nonEmpty, "sf0.001 plants cross-batch near-dups; the gate must flag them")
+  }
+
   test("streaming PQ serving: per-batch requests equal the one-shot batch serve") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
