@@ -667,6 +667,20 @@ object Graph {
     * relations. On a 100 TB graph the edge relation is the only big side
     * and it is iteration-invariant: persist once, joined `rounds` times.
     */
+  /** One BFS expansion round: frontier out-neighbors minus already-settled
+    * nodes, at distance `k`. Exposed for the plan guard — the per-round
+    * join must stay a frontier-sized EQUI join on src (the edge relation
+    * is the persisted big side; the frontier is the small probe), with an
+    * anti-join to stop re-expansion. A regression to a non-equi join here
+    * multiplies by |E| per round at 100 TB.
+    */
+  private[ops] def bfsRound(
+      e: DataFrame, frontier: DataFrame, dist: DataFrame, k: Long): DataFrame =
+    e.join(frontier.select(col("v").as("src")), Seq("src"))
+      .select(col("dst").as("v")).distinct()
+      .join(dist, Seq("v"), "left_anti")
+      .withColumn("d", lit(k))
+
   def bfsDistances(edges: DataFrame, rounds: Int): DataFrame = {
     val e = edges.select(col("src"), col("dst"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -678,10 +692,7 @@ object Graph {
     var k = 1
     var active = true
     while (k <= rounds && active) {
-      val cand = e.join(frontier.select(col("v").as("src")), Seq("src"))
-        .select(col("dst").as("v")).distinct()
-      frontier = cand.join(dist, Seq("v"), "left_anti")
-        .withColumn("d", lit(k.toLong)).localCheckpoint()
+      frontier = bfsRound(e, frontier, dist, k.toLong).localCheckpoint()
       // early exit once the frontier empties (k exceeded the component's
       // eccentricity): a control-plane probe on the just-materialized
       // node-sized checkpoint — every later round would join the full
@@ -747,6 +758,20 @@ object Graph {
     * the distance/frontier relations are node-dimension-sized and
     * localCheckpointed so lineage depth stays at `rounds`.
     */
+  /** One Bellman–Ford relaxation round pre-materialization: the frontier's
+    * out-edges relaxed (equi join on src, min-combine per target) and
+    * full-outer-merged with the accumulated distances. Exposed for the
+    * plan guard — both joins must stay EQUI joins (src, then v) with the
+    * persisted edge relation as the only big side.
+    */
+  private[ops] def ssspRound(
+      e: DataFrame, frontier: DataFrame, dist: DataFrame): DataFrame = {
+    val cand = e.join(frontier.select(col("v").as("src"), col("d").as("fd")), Seq("src"))
+      .groupBy(col("dst").as("v"))
+      .agg(min(col("fd") + col("w")).as("cd"))
+    dist.join(cand, Seq("v"), "full_outer")
+  }
+
   def ssspDistances(edges: DataFrame, rounds: Int): DataFrame = {
     val far = Long.MaxValue
     val e = edges.select(col("src"), col("dst"), col("w"))
@@ -757,10 +782,7 @@ object Graph {
     var k = 1
     var active = true
     while (k <= rounds && active) {
-      val cand = e.join(frontier.select(col("v").as("src"), col("d").as("fd")), Seq("src"))
-        .groupBy(col("dst").as("v"))
-        .agg(min(col("fd") + col("w")).as("cd"))
-      val joined = dist.join(cand, Seq("v"), "full_outer").localCheckpoint()
+      val joined = ssspRound(e, frontier, dist).localCheckpoint()
       frontier = joined
         .filter(col("cd") < coalesce(col("d"), lit(far)))
         .select(col("v"), col("cd").as("d"))

@@ -263,6 +263,72 @@ class PlanShapeSpec extends SparkFunSuite {
     assert(p.contains("TakeOrderedAndProject"), p)
   }
 
+  test("q_ppr: per-round joins are equi joins over checkpointed relations, no parquet re-read") {
+    // iters=3 means no mid-loop checkpoint: the returned plan contains all
+    // three rounds' joins, so this pins the PER-ROUND shape directly
+    val p = plan(Graph.qPersonalizedPr(spark, sf))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    // the edge/vertex relations are localCheckpointed before the loop —
+    // a parquet scan here would mean the rounds re-plan the source reads
+    assert(!p.contains("Scan parquet"), p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("bfs round: frontier expansion is an equi join against the persisted edge relation") {
+    import org.apache.spark.sql.functions._
+    val e = Tables.table(spark, sf, "lineitem")
+      .select(col("l_orderkey").as("src"), col("l_partkey").as("dst"))
+      .persist()
+    try {
+      val frontier = e.agg(min(col("src")).as("v")).withColumn("d", lit(0L)).localCheckpoint()
+      val p = plan(Graph.bfsRound(e, frontier, frontier, 1L))
+      assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+      // the big side must come from the persisted edge relation, not a
+      // fresh per-round parquet plan: every parquet scan in the explain is
+      // one EMBEDDED in an InMemoryRelation definition, none live
+      assert(p.contains("InMemoryTableScan"), p)
+      assert(nodes(p, "Scan parquet") <= nodes(p, "InMemoryRelation"), p)
+    } finally e.unpersist()
+  }
+
+  test("sssp round: relax + merge are equi joins against the persisted edge relation") {
+    import org.apache.spark.sql.functions._
+    val e = Tables.table(spark, sf, "lineitem")
+      .select(col("l_orderkey").as("src"), col("l_partkey").as("dst"),
+        col("l_quantity").cast("long").as("w"))
+      .persist()
+    try {
+      val dist = e.agg(min(col("src")).as("v")).withColumn("d", lit(0L)).localCheckpoint()
+      val p = plan(Graph.ssspRound(e, dist, dist))
+      assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+      assert(p.contains("InMemoryTableScan"), p)
+      assert(nodes(p, "Scan parquet") <= nodes(p, "InMemoryRelation"), p)
+    } finally e.unpersist()
+  }
+
+  test("pq index serving: codes scanned from the index; full vectors only for queries + shortlist") {
+    import org.apache.spark.sql.functions.col
+    val emb = Tables.table(spark, sf, "embeddings")
+    val indexDir = tmpDir("pq-plan-index")
+    VectorSearch.writePqIndex(emb, col("vec_id"), col("embedding"), indexDir)
+    val p = plan(VectorSearch.pqTopKFromIndexPlan(
+      emb, col("vec_id"), col("embedding"), indexDir,
+      queryIds = Seq(0L, 7L, 13L), k = 5, shortlist = 50))
+    // the corpus-sized scan is the 64×-compressed codes relation from the
+    // stored index, not the full-vector table
+    assert(p.contains("codes.parquet"), p)
+    // full-vector scans: the two query-row reads carry a pushed In(vec_id)
+    // filter; the ONLY unfiltered read is the shortlist join probe
+    val embScans = p.linesIterator.count(l =>
+      l.contains("Location:") && l.contains("embeddings.parquet"))
+    val pushedIn = p.linesIterator.count(l =>
+      l.contains("PushedFilters:") && l.contains("In(vec_id"))
+    assert(pushedIn >= 2, s"query-row scans must push In(vec_id): $pushedIn\n$p")
+    assert(embScans - pushedIn <= 1,
+      s"at most one unfiltered full-vector scan (the shortlist probe); " +
+        s"got $embScans scans, $pushedIn pushed\n$p")
+  }
+
   test("q_cohort_ltv: event-type filters push to the scan; signup side broadcasts") {
     val p = plan(Events.qCohortLtv(spark, sf))
     assert(p.contains("PushedFilters:"), p)
