@@ -36,9 +36,21 @@ object Bench {
     // min over N runs is the engine-characteristic number; the per-run
     // plan/codegen work is identical, so this measures execution, not luck.
     val runs = sys.env.getOrElse("SPARK_GRAFT_RUNS", "2").toInt.max(1)
+    // Contention sentinel: a FIXED constant-work aggregate timed before
+    // every measured attempt. Its isolated cost is a known constant, so
+    // inflated sentinel readings in the emitted JSON mark exactly which
+    // measurements ran under shared-box load — the artifact carries its
+    // own noise floor instead of needing an after-the-fact adjudication.
+    def calibrate(): Double = {
+      val t0 = System.nanoTime()
+      spark.range(1L << 22).selectExpr("sum(id * 2 + 1) AS s")
+        .write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }
     val selected = SparkEntry.queries.filter { case (n, _) => only.forall(_.contains(n)) }
     val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val best = (1 to runs).map { _ =>
+      val attempts = (1 to runs).map { _ =>
+        val calib = calibrate()
         val t0 = System.nanoTime()
         try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
         catch { case e: Throwable =>
@@ -50,24 +62,37 @@ object Bench {
         // memory for later queries (the roaming mid-suite slowdowns).
         // Safe between queries: every result was fully materialized above.
         Caches.releaseAll(spark)
-        elapsed
-      }.min
-      name -> best
+        (elapsed, calib)
+      }
+      val (best, calibAtBest) = attempts.minBy(_._1)
+      (name, best, calibAtBest, attempts.map(_._2))
     }
     // Locale.ROOT: f"" uses the default locale — a comma decimal separator
     // would corrupt the JSON line.
     def sec(v: Double): String = String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + sec(v) }
+    def ms(v: Double): String = math.round(v * 1000).toString
+    val qs = results.map { case (k, v, _, _) => "\"" + k + "\":" + sec(v) }
       .mkString("{", ",", "}")
+    // per-query sentinel reading from the attempt that produced the best
+    // time (ms) — an inflated entry means that measurement ran under load
+    val calibQs = results.map { case (k, _, c, _) => "\"" + k + "\":" + ms(c) }
+      .mkString("{", ",", "}")
+    val allCalibs = results.flatMap(_._4).sorted
+    def pct(p: Double): Double =
+      if (allCalibs.isEmpty) 0.0
+      else allCalibs(math.min(allCalibs.size - 1, (p * allCalibs.size).toInt))
+    val calibStats =
+      s"""{"n":${allCalibs.size},"median_ms":${ms(pct(0.5))},""" +
+        s""""p90_ms":${ms(pct(0.9))},"max_ms":${ms(allCalibs.lastOption.getOrElse(0.0))}}"""
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":${sec(total)},"unit":"sec","queries":$qs,"runs":$runs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${sec(total)},"unit":"sec","queries":$qs,"calib_ms":$calibQs,"calib":$calibStats,"runs":$runs,"sf":"$sfDir"}""")
     // Truncation-proof recap: harnesses that keep only the TAIL of stdout
     // lose the head of the (long) line above — and with it the total.
     // Repeat the headline numbers in a second, short line printed LAST so
     // any tail capture retains them.
     val top10 = results.sortBy(-_._2).take(10)
-      .map { case (k, v) => "\"" + k + "\":" + sec(v) }.mkString("{", ",", "}")
-    println(s"""{"metric":"total_recap","value":${sec(total)},"unit":"sec","n_queries":${results.size},"runs":$runs,"sf":"$sfDir","top10":$top10}""")
+      .map { case (k, v, _, _) => "\"" + k + "\":" + sec(v) }.mkString("{", ",", "}")
+    println(s"""{"metric":"total_recap","value":${sec(total)},"unit":"sec","n_queries":${results.size},"runs":$runs,"sf":"$sfDir","calib":$calibStats,"top10":$top10}""")
     spark.stop()
   }
 }
