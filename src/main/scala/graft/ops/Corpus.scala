@@ -495,13 +495,24 @@ object Corpus {
     * Scale: embarrassingly parallel — a per-row projection over N=8
     * in-array hashes, no shuffle until the final per-shard count.
     */
+  /** The rendezvous (highest-random-weight) shard of `docId` over
+    * `numShards`: argmax over per-shard 60-bit md5 weights. The SINGLE
+    * Scala definition of the assignment — the batch sharder, the
+    * streaming router ([[graft.streaming.IngestDedup.shardRouter]]), and
+    * the specs all use it, so an edit cannot silently break the pinned
+    * stream/batch agreement (the DuckDB oracle re-derives the expression
+    * independently and still gates the semantics).
+    */
+  def rendezvousShard(docId: Column, numShards: Int): Column = {
+    val weights = transform(sequence(lit(0), lit(numShards - 1)),
+      s => conv(substring(md5(concat_ws(":", docId, s)), 1, 15), 16, 10).cast("long"))
+    (array_position(weights, array_max(weights)) - 1).cast("long")
+  }
+
   def qShardRendezvous(spark: SparkSession, dir: String): DataFrame = {
     val docs = table(spark, dir, "documents")
-    val weights = transform(sequence(lit(0), lit(NumShards - 1)),
-      s => conv(substring(md5(concat_ws(":", col("doc_id"), s)), 1, 15), 16, 10).cast("long"))
     docs
-      .withColumn("ws", weights)
-      .withColumn("shard", (array_position(col("ws"), array_max(col("ws"))) - 1).cast("long"))
+      .withColumn("shard", rendezvousShard(col("doc_id"), NumShards))
       .groupBy(col("shard"))
       .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"),
         min(col("doc_id")).as("min_doc"))

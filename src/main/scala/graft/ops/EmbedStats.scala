@@ -30,6 +30,22 @@ object EmbedStats {
   val QuantBits = 14
   private val scale = (1L << QuantBits).toDouble
 
+  /** Exact-integer envelope ceilings (derivations in the scaladocs of
+    * [[qEmbedOutliers]] / [[qEmbedPc1]]). Non-ANSI Spark would WRAP
+    * silently past them — wrong answers, not errors — so the operators
+    * guard the driving count with a raise_error branch: one codegen
+    * conditional on a relation that is computed anyway, no extra pass.
+    */
+  val OutlierMaxMembers: Long = 1L << 13
+  val PcMaxVectors: Long = 1L << 16
+
+  private[ops] def envelopeGuard(n: org.apache.spark.sql.Column, ceiling: Long,
+      what: String, fix: String)(value: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    when(n > lit(ceiling),
+      raise_error(concat(lit(s"$what "), n.cast("string"),
+        lit(s" exceeds the exact-integer envelope $ceiling; $fix"))))
+      .otherwise(value)
+
   /** `(vec_id, label, d, x)` — embeddings flattened to quantized
     * per-dimension longs (d is 0-based).
     */
@@ -116,7 +132,9 @@ object EmbedStats {
     val dev = quantized(spark, dir)
       .join(broadcast(sums), Seq("label", "d"))
       .groupBy(col("label"), col("vec_id"))
-      .agg(sum((col("n") * col("x") - col("s")) * (col("n") * col("x") - col("s")))
+      .agg(sum(envelopeGuard(col("n"), OutlierMaxMembers,
+        "embed outliers: cluster size", "drop quantBits or lift the sums to DECIMAL(38,0)")(
+        (col("n") * col("x") - col("s")) * (col("n") * col("x") - col("s"))))
         .as("dist2"))
     val w = Window.partitionBy(col("label")).orderBy(col("dist2").desc, col("vec_id"))
     dev.withColumn("rnk", row_number().over(w))
@@ -196,7 +214,9 @@ object EmbedStats {
       .join(sums.select(col("d"), col("s").as("sd"), col("n")), Seq("d"))
       .join(sums.select(col("d").as("e"), col("s").as("se")), Seq("e"))
       .select(col("d"), col("e"),
-        (col("n") * col("g") - col("sd") * col("se")).as("m"))
+        envelopeGuard(col("n"), PcMaxVectors,
+          "embed pc1: corpus size", "subsample the covariance pass or lift M to DECIMAL(38,0)")(
+          col("n") * col("g") - col("sd") * col("se")).as("m"))
     val entries = cov.collect()
       .map(r => ((r.getInt(0), r.getInt(1)), r.getLong(2))).toMap
     val dim = entries.keys.map(_._1).max + 1

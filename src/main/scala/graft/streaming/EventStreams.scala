@@ -31,12 +31,30 @@ object EventStreams {
 
   /** File-source stream of events with `ts` as a session-timezone
     * microsecond timestamp (UTC session ⇒ the cast preserves epoch values).
+    *
+    * Same ts adaptivity as the batch reader (graft.ops.Tables.events): a
+    * one-time driver-side footer probe of whatever files already exist —
+    * int64 nanosecond `ts` (the pre-migration generator) converts via
+    * DIV 1000, native timestamps cast directly — so a stream pointed at
+    * either vintage of the events table reads correctly instead of
+    * failing on the older layout. Empty directories default to the
+    * current timestamp[us] layout.
     */
-  def eventStream(spark: SparkSession, path: String): DataFrame =
-    spark.readStream
-      .schema(rawSchema)
-      .parquet(path)
-      .withColumn("ts", col("ts").cast(TimestampType))
+  def eventStream(spark: SparkSession, path: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val tsType = scala.util.Try(spark.read.parquet(path).schema("ts").dataType)
+      .getOrElse(TimestampNTZType)
+    tsType match {
+      case LongType =>
+        val nsSchema = StructType(rawSchema.map(f =>
+          if (f.name == "ts") f.copy(dataType = LongType) else f))
+        spark.readStream.schema(nsSchema).parquet(path)
+          .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      case _ =>
+        spark.readStream.schema(rawSchema).parquet(path)
+          .withColumn("ts", col("ts").cast(TimestampType))
+    }
+  }
 
   /** Watermarked tumbling-window counts per event type. */
   def hourlyCounts(events: DataFrame): DataFrame =

@@ -147,12 +147,8 @@ object IngestDedup {
     * Scale: a stateless per-row projection — no state store, no
     * watermark, no shuffle before the sink's own partitioning.
     */
-  def shardRouter(incoming: DataFrame, numShards: Int = graft.ops.Corpus.NumShards): DataFrame = {
-    val weights = transform(sequence(lit(0), lit(numShards - 1)),
-      s => conv(substring(md5(concat_ws(":", col("doc_id"), s)), 1, 15), 16, 10).cast("long"))
+  def shardRouter(incoming: DataFrame, numShards: Int = graft.ops.Corpus.NumShards): DataFrame =
     incoming
-      .withColumn("shard",
-        (array_position(weights, array_max(weights)) - 1).cast("long"))
+      .withColumn("shard", graft.ops.Corpus.rendezvousShard(col("doc_id"), numShards))
       .select(col("doc_id"), col("shard"), col("source"), col("n_chars"))
-  }
 }

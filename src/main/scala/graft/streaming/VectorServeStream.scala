@@ -14,8 +14,10 @@ import org.apache.spark.sql.types._
   *
   * Per-query results are independent, so serving requests batch-by-batch
   * is EXACTLY the one-shot batch serve of the union — the property the
-  * spec pins. The per-batch `collect()` moves only that micro-batch's
-  * request ids (bounded by trigger size, control-plane).
+  * spec pins — including when a vec_id repeats across batches (a
+  * driver-side served-id set answers each distinct request once). The
+  * per-batch `collect()` moves only that micro-batch's request ids
+  * (bounded by trigger size, control-plane).
   *
   * Scale: the index is train-once (big-cluster job); each serving batch
   * scans the 64×-compressed codes relation and touches full vectors only
@@ -39,6 +41,12 @@ object VectorServeStream {
       shortlist: Int = 0): DataFrame = {
     import graft.ops.VectorSearch
     @volatile var results: Option[DataFrame] = None
+    // cross-batch request dedup: a vec_id repeated in a later batch is
+    // already answered (per-query results are deterministic functions of
+    // the static index), so re-serving it would only duplicate output
+    // rows — first batch wins. Driver-side set, bounded by distinct
+    // request ids (control-plane sized, like the per-batch collect).
+    val served = scala.collection.mutable.Set.empty[Long]
     val stream = spark.readStream
       .schema(requestSchema)
       .option("maxFilesPerTrigger", "1")
@@ -46,7 +54,8 @@ object VectorServeStream {
     val q = stream.writeStream
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val ids = batch.select(col("vec_id")).distinct()
-          .collect().map(_.getLong(0)).toSeq
+          .collect().map(_.getLong(0)).filterNot(served).toSeq
+        served ++= ids
         if (ids.nonEmpty) {
           val served = VectorSearch
             .pqTopKFromIndex(corpus, id, vec, indexDir, ids, k, shortlist = shortlist)

@@ -275,13 +275,7 @@ class CorpusSpec extends SparkFunSuite {
     import org.apache.spark.sql.functions._
     val docs = Tables.table(spark, sf, "documents")
     def assign(numShards: Int) = docs.select(col("doc_id"),
-        (array_position(
-          transform(sequence(lit(0), lit(numShards - 1)),
-            s => conv(substring(md5(concat_ws(":", col("doc_id"), s)), 1, 15), 16, 10)
-              .cast("long")),
-          array_max(transform(sequence(lit(0), lit(numShards - 1)),
-            s => conv(substring(md5(concat_ws(":", col("doc_id"), s)), 1, 15), 16, 10)
-              .cast("long")))) - 1).as("shard"))
+        Corpus.rendezvousShard(col("doc_id"), numShards).as("shard"))
       .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
     val with8 = assign(Corpus.NumShards)
     val nDocs = docs.count()

@@ -68,4 +68,20 @@ class EmbedStatsSpec extends SparkFunSuite {
     // axis-1 noise vectors never outrank an axis-0 pole vector
     assert(!out.take(5).map(_._1).exists(Seq(10L, 11L).contains))
   }
+
+  test("envelope guard: raises past the ceiling instead of silently wrapping, passes within it") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val df = Seq((5L, 3L), (9000L, 4L)).toDF("n", "x")
+    val guarded = EmbedStats.envelopeGuard(col("n"), EmbedStats.OutlierMaxMembers,
+      "embed outliers: cluster size", "drop quantBits")(col("x") * col("x"))
+    val ok = df.filter(col("n") === 5L).select(guarded.as("v")).collect()
+    assert(ok.map(_.getLong(0)).toSeq === Seq(9L))
+    val e = intercept[Exception] {
+      df.select(guarded.as("v")).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ messages(x.getCause))
+    assert(messages(e).exists(_.contains("exceeds the exact-integer envelope")), e.toString)
+  }
 }

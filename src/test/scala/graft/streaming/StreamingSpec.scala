@@ -295,15 +295,21 @@ class StreamingSpec extends SparkFunSuite {
     val indexDir = tmpDir("pq-serve-index")
     graft.ops.VectorSearch.writePqIndex(emb, col("vec_id"), col("embedding"), indexDir)
 
-    // two request files → two micro-batches (maxFilesPerTrigger = 1)
+    // three request files → three micro-batches (maxFilesPerTrigger = 1);
+    // the third repeats an already-served id, which must NOT duplicate
+    // its result rows (cross-batch request dedup, first batch wins)
     val reqDir = tmpDir("pq-serve-req")
     Seq(0L, 7L).toDF("vec_id").coalesce(1).write.mode("append").parquet(reqDir)
     Seq(13L).toDF("vec_id").coalesce(1).write.mode("append").parquet(reqDir)
+    Seq(7L, 13L).toDF("vec_id").coalesce(1).write.mode("append").parquet(reqDir)
 
-    val streamed = VectorServeStream.servePqRequests(
+    val streamedRows = VectorServeStream.servePqRequests(
       spark, reqDir, tmpDir("pq-serve-ckpt"),
       emb, col("vec_id"), col("embedding"), indexDir, k = 5)
-      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    assert(streamedRows.length === 3 * 5,
+      s"repeated request ids must not duplicate result rows: ${streamedRows.length}")
+    val streamed = streamedRows.toSet
 
     val batch = graft.ops.VectorSearch.pqTopKFromIndex(
       emb, col("vec_id"), col("embedding"), indexDir, Seq(0L, 7L, 13L), k = 5)
