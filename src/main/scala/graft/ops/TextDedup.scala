@@ -95,24 +95,33 @@ object TextDedup {
       .orderBy(col("id_a"), col("id_b"))
 
   /** Exact n-gram Jaccard pairs via the inverted shingle index, with a
-    * HOT-POSTING CAP on candidate generation: a shingle's posting list acts
-    * as an LSH bucket, so postings of ≤ `postingCap` documents pair
-    * all-ways while hotter ones (cross-corpus boilerplate — a shared
-    * footer, a license header) emit a sorted consecutive-id CHAIN instead
-    * ([[cappedBucketCandidates]]). That bounds a shingle shared by f
-    * documents to min(f², postingCap·f) candidate rows — linear, not
-    * quadratic, in the hot tail — which is the difference between this
-    * running and not running on a 100 TB crawl with a common footer.
+    * HOT-POSTING CAP: postings are split at `postingCap` document
+    * frequency into a RARE side (the overwhelming majority) and a HOT
+    * side (cross-corpus boilerplate — a shared footer, a license header).
+    * Intersection counts are assembled exactly WITHOUT ever joining a hot
+    * posting against itself:
     *
-    * The Jaccard VALUE stays exact for every emitted pair: candidates are
-    * re-joined against the FULL shingle relation for the intersection
-    * count, the same verify shape as [[minhashLshPairs]]. The only
-    * approximation is recall on pairs whose shared shingles are ALL hotter
-    * than the cap — at J ≥ t the pair shares ≥ t/(1+t)·(|A|+|B|) shingles,
-    * so missing it requires a document pair built almost entirely of
-    * corpus-wide boilerplate, which the chain still keeps CONNECTED for
-    * the downstream components pass. With the default cap (2^12) the test
-    * corpora (max df 25 at sf0.1) are exactly the uncapped relation.
+    *   1. rare ⨝ rare posting self-join — the classic Σ df² shape, now
+    *      bounded by postingCap · |postings|;
+    *   2. each rare-discovered pair adds its exact hot-shingle overlap by
+    *      probing the hot postings of BOTH endpoints (pair-count ×
+    *      hot-shingles-per-doc rows, never df² of a hot shingle);
+    *   3. each hot posting emits a sorted consecutive-id CHAIN; chain
+    *      pairs not already discovered get a full exact verification
+    *      (postingCap-free: only |hot postings| such pairs exist). The
+    *      chain keeps a boilerplate flood CONNECTED for the downstream
+    *      components pass.
+    *
+    * So a shingle shared by f documents costs O(f) instead of O(f²) —
+    * the difference between this running and not running on a 100 TB
+    * crawl with a common footer. Every emitted Jaccard value is exact;
+    * the only approximation is recall on NON-ADJACENT pairs whose shared
+    * shingles are ALL hotter than the cap (documents built almost
+    * entirely of corpus-wide boilerplate). At J ≥ t a pair shares
+    * ≥ t/(1+t)·(|A|+|B|) shingles, so an honest near-dup pair virtually
+    * always carries a rare shingle and is found by branch 1. With the
+    * default cap (2^12) nothing in the test corpora is hot (max df 25 at
+    * sf0.1) and the relation is bit-identical to the uncapped one.
     */
   def jaccardPairs(
       docs: DataFrame, id: Column, text: Column,
@@ -120,12 +129,39 @@ object TextDedup {
       postingCap: Int = DefaultBucketCap): DataFrame = {
     val sh = shingles(docs, id, text, k)
     val sizes = sh.groupBy(col("id")).agg(count(lit(1)).as("n")).toDF("id", "n")
-    val candidates = cappedBucketCandidates(sh, Seq("s"), postingCap).distinct()
-    val commons = candidates
+    // df via groupBy + join (map-side combinable, and the join's s-hash
+    // partitioning is exactly what the rare self-join below reuses)
+    val df = sh.groupBy(col("s")).agg(count(lit(1)).as("df"))
+    val sized = sh.join(df, Seq("s"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val rare = sized.filter(col("df") <= postingCap).select(col("id"), col("s"))
+    val hot = sized.filter(col("df") > postingCap).select(col("id"), col("s"))
+    val commonsRare = rare.toDF("id_a", "s")
+      .join(rare.toDF("id_b", "s"), Seq("s"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("c_rare"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val hotAdj = commonsRare.select(col("id_a"), col("id_b"))
+      .join(hot.toDF("id_a", "s"), Seq("id_a"))
+      .join(hot.toDF("id_b", "s"), Seq("id_b", "s"))
+      .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("c_hot"))
+    val commonsMain = commonsRare
+      .join(hotAdj, Seq("id_a", "id_b"), "left")
+      .select(col("id_a"), col("id_b"),
+        (col("c_rare") + coalesce(col("c_hot"), lit(0L))).as("common"))
+    val w = Window.partitionBy(col("s")).orderBy(col("id"))
+    val chainPairs = hot
+      .select(col("s"), lag(col("id"), 1).over(w).as("id_a"), col("id").as("id_b"))
+      .filter(col("id_a").isNotNull)
+      .select(col("id_a"), col("id_b")).distinct()
+      .join(commonsRare.select(col("id_a"), col("id_b")), Seq("id_a", "id_b"), "left_anti")
+    val chainCommons = chainPairs
       .join(sh.toDF("id_a", "s"), Seq("id_a"))
       .join(sh.toDF("id_b", "s"), Seq("id_b", "s"))
       .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("common"))
-    materializeAndRelease(jaccardFromCommons(commons, sizes, threshold), sh)
+    val commons = commonsMain.unionByName(chainCommons)
+    materializeAndRelease(
+      jaccardFromCommons(commons, sizes, threshold), sh, sized, commonsRare)
   }
 
   /** MinHash + LSH near-dup pairs with exact-Jaccard verification — the

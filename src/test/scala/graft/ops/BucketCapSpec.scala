@@ -69,22 +69,24 @@ class BucketCapSpec extends SparkFunSuite {
       .toDF("doc_id", "text")
   }
 
-  test("exact jaccard: a 1000-doc hot shingle posting yields linear candidates, not quadratic") {
-    val sh = TextDedup.shingles(footerCorpus, col("doc_id"), col("text"), 3)
-    try {
-      val candidates = TextDedup
-        .cappedBucketCandidates(sh, Seq("s"), cap = 8)
-        .distinct()
-      // the shared "common footer boilerplate" posting (df=1000 > cap) goes
-      // chain: 999 pairs; every other shingle has df ≤ 2 (the footer→unique
-      // boundary shingles are per-doc) → nothing quadratic anywhere
-      val n = candidates.count()
-      assert(n === 999L, s"expected a 999-pair chain, got $n")
-      // and the full operator still terminates with the right answer:
-      // no pair clears the 0.8 threshold (1 shared shingle of ~7 each)
-      assert(TextDedup.jaccardPairs(
-        footerCorpus, col("doc_id"), col("text"), 3, 0.8, postingCap = 8).count() === 0L)
-    } finally sh.unpersist()
+  test("exact jaccard: a 1000-doc hot shingle posting costs linear work, not quadratic") {
+    // identical docs, cap=8: every shingle is hot, so the pair relation is
+    // the 999-pair connectivity CHAIN (not the 499500-pair clique), each
+    // pair exactly verified against the full shingle relation at J=1
+    val pairs = TextDedup.jaccardPairs(
+      hotCorpus, col("doc_id"), col("text"), 3, 0.8, postingCap = 8)
+    val rows = pairs.collect()
+    assert(rows.length === 999, s"expected the 999-pair chain, got ${rows.length}")
+    assert(rows.forall(_.getDouble(2) === 1.0))
+    val canon = TextDedup.canonicalize(
+      pairs.select(col("id_a"), col("id_b")),
+      hotCorpus.select(col("doc_id").as("id")))
+    assert(canon.select(col("canonical")).distinct().count() === 1)
+    // boilerplate-footer corpus: 1000 otherwise-unrelated docs sharing ONE
+    // hot shingle — the hot posting never self-joins (no df² blowup) and
+    // no chain pair clears the threshold (1 shared shingle of ~6 each)
+    assert(TextDedup.jaccardPairs(
+      footerCorpus, col("doc_id"), col("text"), 3, 0.8, postingCap = 8).count() === 0L)
   }
 
   test("posting cap leaves a normal corpus bit-identical to the uncapped exact operator") {
