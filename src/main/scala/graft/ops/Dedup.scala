@@ -17,6 +17,7 @@ object Dedup {
   val JaccardThreshold = 0.8
   val SimhashHammingMax = 6
   val CosineThreshold = 0.45
+  val ContainmentThreshold = 0.9
 
   /** Exact dedup: deterministic survivor = min doc_id per identical text. */
   def qDedupExact(spark: SparkSession, dir: String): DataFrame =
@@ -395,7 +396,45 @@ object Dedup {
        |FROM lab GROUP BY 1, 2
        |ORDER BY source_a, source_b""".stripMargin
 
+  /** Asymmetric containment pairs (see [[TextDedup.containmentPairs]]):
+    * directed `(src, dst)` rows where ≥ 90% of src's distinct 3-shingles
+    * appear in dst — the quote/subset-duplication gate Jaccard can't see.
+    */
+  def qDedupContainment(spark: SparkSession, dir: String): DataFrame =
+    TextDedup.containmentPairs(
+      table(spark, dir, "documents"), col("doc_id"), col("text"),
+      ShingleK, ContainmentThreshold)
+
+  val qDedupContainmentSql: String =
+    s"""WITH tok AS (
+       |  SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS t FROM documents
+       |), sh AS (
+       |  SELECT doc_id, unnest(list_distinct(list_transform(
+       |    range(len(t) - ${ShingleK - 1}),
+       |    i -> array_to_string(t[i+1:i+$ShingleK], ' ')))) AS s
+       |  FROM tok WHERE len(t) >= $ShingleK
+       |), sizes AS (
+       |  SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
+       |), commons AS (
+       |  SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS common
+       |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2
+       |), j AS (
+       |  SELECT da, db, common, x.n AS na, y.n AS nb
+       |  FROM commons JOIN sizes x ON da = x.doc_id JOIN sizes y ON db = y.doc_id
+       |)
+       |SELECT src, dst, containment FROM (
+       |  SELECT da AS src, db AS dst,
+       |    CAST(common AS DOUBLE) / CAST(na AS DOUBLE) AS containment FROM j
+       |  UNION ALL
+       |  SELECT db AS src, da AS dst,
+       |    CAST(common AS DOUBLE) / CAST(nb AS DOUBLE) AS containment FROM j
+       |)
+       |WHERE containment >= $ContainmentThreshold
+       |ORDER BY src, dst""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_dedup_containment" -> (qDedupContainment _),
     "q_source_pairs" -> (qSourcePairs _),
     "q_bitext_mine" -> (qBitextMine _),
     "q_split_leakage" -> (qSplitLeakage _),
@@ -410,6 +449,7 @@ object Dedup {
   )
 
   def oracle: Map[String, String] = Map(
+    "q_dedup_containment" -> qDedupContainmentSql,
     "q_source_pairs" -> qSourcePairsSql,
     "q_bitext_mine" -> qBitextMineSql,
     "q_split_leakage" -> qSplitLeakageSql,

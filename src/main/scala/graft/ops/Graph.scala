@@ -846,8 +846,84 @@ object Graph {
        |SELECT v, d FROM d4 ORDER BY d, v LIMIT 20""".stripMargin
   }
 
+  /** Integer HITS over a directed bipartite edge list `(hub, auth)`:
+    * authority = sum of pointing hubs' scores, hub = sum of pointed
+    * authorities' scores, each re-normalized per round so the MAX score is
+    * exactly `scale` — `x' = (x · scale) DIV max(x)`, one exact integer
+    * multiply-divide instead of the classic L2 norm (which would leave
+    * the engine's sqrt rounding in the iteration). Every value is an
+    * exact long, so the result is bit-identical at any parallelism and
+    * the oracle replays the rounds as chained CTEs with scalar-subquery
+    * maxima.
+    *
+    * Scale: each half-round is one edge⨝score join (shuffle on the join
+    * key) plus one aggregation — the same shape as a PageRank round; the
+    * per-round max is a broadcast 1-row relation. The edge relation is
+    * iteration-invariant: localCheckpointed once, hash-distributed by the
+    * `hub` join key (the `auth`-keyed join accepts one exchange per round
+    * rather than duplicating the edges both ways). Overflow envelope:
+    * `raw · scale` must fit a long, so max in-degree ≤ ~9·10⁶ at the
+    * default millionth scale — re-scale down for denser graphs.
+    */
+  def hitsInt(edges: DataFrame, iters: Int, scale: Long = 1000000L): DataFrame = {
+    val e = edges.select(col("hub"), col("auth"))
+      .repartition(col("hub")).localCheckpoint()
+    var hubs = e.select(col("hub")).distinct()
+      .withColumn("h", lit(scale)).localCheckpoint()
+    var auths: DataFrame = null
+    for (_ <- 1 to iters) {
+      val rawA = e.join(hubs, "hub").groupBy(col("auth")).agg(sum(col("h")).as("ra"))
+      auths = rawA.crossJoin(broadcast(rawA.agg(max(col("ra")).as("ma"))))
+        .select(col("auth"), expr(s"(ra * $scale) DIV ma").as("a"))
+        .localCheckpoint()
+      val rawH = e.join(auths, "auth").groupBy(col("hub")).agg(sum(col("a")).as("rh"))
+      hubs = rawH.crossJoin(broadcast(rawH.agg(max(col("rh")).as("mh"))))
+        .select(col("hub"), expr(s"(rh * $scale) DIV mh").as("h"))
+        .localCheckpoint()
+    }
+    auths
+  }
+
+  /** Top-20 authoritative parts by 3-round integer HITS over the
+    * order→part bipartite graph (orders are hubs "citing" the parts they
+    * contain) — the link-analysis dual of [[qPageRank]]'s co-order
+    * centrality, exercising a genuinely DIRECTED iteration (hub and
+    * authority scores differ; the co-order graph's symmetry would
+    * collapse them).
+    */
+  def qHits(spark: SparkSession, dir: String): DataFrame =
+    hitsInt(
+      table(spark, dir, "lineitem")
+        .select(col("l_orderkey").as("hub"), col("l_partkey").as("auth"))
+        .distinct(),
+      iters = 3)
+      .select(col("auth").as("part"), col("a").as("authority"))
+      .orderBy(col("authority").desc, col("part"))
+      .limit(20)
+
+  val qHitsSql: String = {
+    def round(i: Int): String =
+      s"""ra$i AS (
+         |  SELECT auth, sum(h) AS ra FROM e JOIN h${i - 1} USING (hub) GROUP BY auth
+         |), a$i AS (
+         |  SELECT auth, (ra * 1000000) // (SELECT max(ra) FROM ra$i) AS a FROM ra$i
+         |), rh$i AS (
+         |  SELECT hub, sum(a) AS rh FROM e JOIN a$i USING (auth) GROUP BY hub
+         |), h$i AS (
+         |  SELECT hub, (rh * 1000000) // (SELECT max(rh) FROM rh$i) AS h FROM rh$i
+         |)""".stripMargin
+    s"""WITH e AS (
+       |  SELECT DISTINCT l_orderkey AS hub, l_partkey AS auth FROM lineitem
+       |), h0 AS (
+       |  SELECT DISTINCT hub, CAST(1000000 AS BIGINT) AS h FROM e
+       |), ${(1 to 3).map(round).mkString(", ")}
+       |SELECT auth AS part, CAST(a AS BIGINT) AS authority FROM a3
+       |ORDER BY authority DESC, part LIMIT 20""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Map("q_pagerank" -> (qPageRank _), "q_triangles" -> (qTriangles _),
+      "q_hits" -> (qHits _),
       "q_basket_rules" -> ((s: SparkSession, d: String) => qBasketRules(s, d)),
       "q_kcore" -> (qKCore _), "q_label_prop" -> (qLabelProp _),
       "q_bfs_distance" -> (qBfsDistance _),
@@ -856,6 +932,7 @@ object Graph {
 
   def oracle: Map[String, String] = Map(
     "q_pagerank" -> qPageRankSql,
+    "q_hits" -> qHitsSql,
     "q_triangles" -> qTrianglesSql,
     "q_basket_rules" -> qBasketRulesSql,
     "q_kcore" -> qKCoreSql,

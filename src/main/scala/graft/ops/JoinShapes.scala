@@ -224,13 +224,75 @@ object JoinShapes {
       |  CAST(sum(CAST(price AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
       |FROM merged GROUP BY prio ORDER BY prio""".stripMargin
 
+  /** Full CDC MERGE — the three-verb change feed (INSERT / UPDATE /
+    * DELETE) applied in ONE full-outer join pass: matched `U` rows take
+    * the incoming values, matched `D` rows TOMBSTONE (drop) the target
+    * row, unmatched `I` rows insert, unmatched target rows survive. The
+    * change batch is derived deterministically from the target with
+    * mutually-exclusive verbs (key%13→D, else key%10→U, key%97→I under a
+    * fresh key), and the merged relation is digested per priority so the
+    * gate pins insert+update+delete semantics together — the delete path
+    * [[qMergeUpsert]] doesn't exercise.
+    *
+    * Scale: identical shape to [[qMergeUpsert]] — one key-shuffle of the
+    * batch side against a bucketed target; the tombstone is a filter on
+    * the joined row, not a second pass. Within-batch multi-version
+    * squashing is the streaming dual's job ([[graft.streaming.CdcMergeStream]]).
+    */
+  def qMergeCdc(spark: SparkSession, dir: String): DataFrame = {
+    val target = table(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"))
+    val source = target.filter(col("o_orderkey") % 13 === 0)
+      .select(col("o_orderkey").as("s_key"), lit("D").as("s_op"),
+        col("o_orderpriority").as("s_prio"), col("o_totalprice").as("s_price"))
+      .unionByName(target
+        .filter(col("o_orderkey") % 13 =!= 0 && col("o_orderkey") % 10 === 0)
+        .select(col("o_orderkey").as("s_key"), lit("U").as("s_op"),
+          col("o_orderpriority").as("s_prio"),
+          (col("o_totalprice") + 1000.0).as("s_price")))
+      .unionByName(target.filter(col("o_orderkey") % 97 === 0)
+        .select((col("o_orderkey") + 100000000L).as("s_key"), lit("I").as("s_op"),
+          col("o_orderpriority").as("s_prio"),
+          (col("o_totalprice") * 2).as("s_price")))
+    target.join(source, col("o_orderkey") === col("s_key"), "full_outer")
+      .filter(col("s_op").isNull || col("s_op") =!= "D")
+      .select(
+        coalesce(col("s_prio"), col("o_orderpriority")).as("prio"),
+        coalesce(col("s_price"), col("o_totalprice")).as("price"))
+      .groupBy(col("prio"))
+      .agg(count(lit(1)).as("n_orders"), dsum(col("price")).as("sum_price"))
+      .orderBy(col("prio"))
+  }
+
+  val qMergeCdcSql: String =
+    """WITH src AS (
+      |  SELECT o_orderkey AS s_key, 'D' AS s_op, o_orderpriority AS s_prio,
+      |    o_totalprice AS s_price
+      |  FROM orders WHERE o_orderkey % 13 = 0
+      |  UNION ALL
+      |  SELECT o_orderkey, 'U', o_orderpriority, o_totalprice + 1000.0
+      |  FROM orders WHERE o_orderkey % 13 <> 0 AND o_orderkey % 10 = 0
+      |  UNION ALL
+      |  SELECT o_orderkey + 100000000, 'I', o_orderpriority, o_totalprice * 2
+      |  FROM orders WHERE o_orderkey % 97 = 0
+      |), merged AS (
+      |  SELECT COALESCE(s.s_prio, t.o_orderpriority) AS prio,
+      |         COALESCE(s.s_price, t.o_totalprice) AS price
+      |  FROM orders t FULL OUTER JOIN src s ON t.o_orderkey = s.s_key
+      |  WHERE s.s_op IS NULL OR s.s_op <> 'D'
+      |)
+      |SELECT prio, count(*) AS n_orders,
+      |  CAST(sum(CAST(price AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+      |FROM merged GROUP BY prio ORDER BY prio""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_range_join" -> (qRangeJoin _),
     "q_interval_overlap" -> (qIntervalOverlap _),
     "q_salted_join" -> (qSaltedJoin _),
     "q_bucketed_join" -> (qBucketedJoin _),
     "q_bloom_join" -> (qBloomJoin _),
-    "q_merge_upsert" -> (qMergeUpsert _))
+    "q_merge_upsert" -> (qMergeUpsert _),
+    "q_merge_cdc" -> (qMergeCdc _))
 
   def oracle: Map[String, String] = Map(
     "q_range_join" -> qRangeJoinSql,
@@ -238,5 +300,6 @@ object JoinShapes {
     "q_salted_join" -> qSaltedJoinSql,
     "q_bucketed_join" -> qBucketedJoinSql,
     "q_bloom_join" -> qBloomJoinSql,
-    "q_merge_upsert" -> qMergeUpsertSql)
+    "q_merge_upsert" -> qMergeUpsertSql,
+    "q_merge_cdc" -> qMergeCdcSql)
 }

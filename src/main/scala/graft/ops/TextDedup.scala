@@ -127,6 +127,24 @@ object TextDedup {
       docs: DataFrame, id: Column, text: Column,
       k: Int = 3, threshold: Double = 0.8,
       postingCap: Int = DefaultBucketCap): DataFrame = {
+    val cc = cappedCommons(docs, id, text, k, postingCap)
+    materializeAndRelease(
+      jaccardFromCommons(cc.commons, cc.sizes, threshold), cc.cached: _*)
+  }
+
+  /** The exact unordered-pair overlap relation `(id_a, id_b, common)` with
+    * per-id set sizes, built with the rare/hot posting split described on
+    * [[jaccardPairs]] — shared by the Jaccard and containment pair
+    * operators so both inherit the same linear-in-boilerplate cost bound.
+    * Caller must release `cached` once the consuming plan has run
+    * ([[materializeAndRelease]]).
+    */
+  private[ops] final case class CappedCommons(
+      commons: DataFrame, sizes: DataFrame, cached: Seq[DataFrame])
+
+  private[ops] def cappedCommons(
+      docs: DataFrame, id: Column, text: Column,
+      k: Int, postingCap: Int): CappedCommons = {
     val sh = shingles(docs, id, text, k)
     val sizes = sh.groupBy(col("id")).agg(count(lit(1)).as("n")).toDF("id", "n")
     // df via groupBy + join (map-side combinable, and the join's s-hash
@@ -160,8 +178,46 @@ object TextDedup {
       .join(sh.toDF("id_b", "s"), Seq("id_b", "s"))
       .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("common"))
     val commons = commonsMain.unionByName(chainCommons)
-    materializeAndRelease(
-      jaccardFromCommons(commons, sizes, threshold), sh, sized, commonsRare)
+    CappedCommons(commons, sizes, Seq(sh, sized, commonsRare))
+  }
+
+  /** Asymmetric CONTAINMENT pairs: `C(src→dst) = |src ∩ dst| / |src|` —
+    * the fraction of `src`'s distinct k-shingles that also appear in
+    * `dst`. Symmetric Jaccard misses the quote/subset family entirely (a
+    * 100-shingle doc embedded verbatim in a 10,000-shingle doc has
+    * J ≈ 0.01 but containment 1.0); containment is the gate a training
+    * pipeline runs to drop documents that are substantially quoted inside
+    * longer ones. Both directions of every overlapping pair are tested and
+    * rows `(src, dst, containment ≥ threshold)` emitted, so a mutual
+    * near-dup yields two rows and a strict subset yields one.
+    *
+    * Scale: rides [[cappedCommons]] — one inverted-index self-join bounded
+    * by the hot-posting cap, then a single pair-sized projection that
+    * explodes each unordered pair into its two directed tests (no second
+    * scan, no recompute). Same recall caveat as [[jaccardPairs]]: a pair
+    * whose shared shingles are ALL hotter than the cap is found only if
+    * chain-adjacent; a src passing an honest 0.9 containment gate
+    * virtually always shares a rare shingle with its container.
+    */
+  def containmentPairs(
+      docs: DataFrame, id: Column, text: Column,
+      k: Int = 3, threshold: Double = 0.9,
+      postingCap: Int = DefaultBucketCap): DataFrame = {
+    val cc = cappedCommons(docs, id, text, k, postingCap)
+    val joined = cc.commons
+      .join(cc.sizes.toDF("id_a", "na"), Seq("id_a"))
+      .join(cc.sizes.toDF("id_b", "nb"), Seq("id_b"))
+    val directed = joined
+      .select(explode(array(
+        struct(col("id_a").as("src"), col("id_b").as("dst"),
+          (col("common").cast(DoubleType) / col("na").cast(DoubleType)).as("containment")),
+        struct(col("id_b").as("src"), col("id_a").as("dst"),
+          (col("common").cast(DoubleType) / col("nb").cast(DoubleType)).as("containment"))))
+        .as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"), col("e.containment").as("containment"))
+      .filter(col("containment") >= threshold)
+      .orderBy(col("src"), col("dst"))
+    materializeAndRelease(directed, cc.cached: _*)
   }
 
   /** MinHash + LSH near-dup pairs with exact-Jaccard verification — the

@@ -89,6 +89,33 @@ class BucketCapSpec extends SparkFunSuite {
       footerCorpus, col("doc_id"), col("text"), 3, 0.8, postingCap = 8).count() === 0L)
   }
 
+  test("containment: a strict subset yields ONE directed row at 1.0; Jaccard misses it") {
+    import spark.implicits._
+    // doc 1's text is a verbatim prefix of doc 2's, so every 3-shingle of
+    // doc 1 appears in doc 2 (containment 1→2 = 1.0) while doc 2 carries
+    // many shingles doc 1 lacks (containment 2→1 and Jaccard both small)
+    val small = "q1 q2 q3 q4 q5 q6 q7 q8 q9 q10"
+    val big = small + " r1 r2 r3 r4 r5 r6 r7 r8 r9 r10 r11 r12 r13 r14 r15 r16 r17 r18 r19 r20"
+    val docs = Seq((1L, small), (2L, big), (3L, "s1 s2 s3 s4 s5")).toDF("doc_id", "text")
+    val rows = TextDedup.containmentPairs(docs, col("doc_id"), col("text"), 3, 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(rows.toSeq === Seq((1L, 2L, 1.0)))
+    assert(TextDedup.jaccardPairs(docs, col("doc_id"), col("text"), 3, 0.8).count() === 0L)
+  }
+
+  test("containment: mutual exact dups emit both directions; hot corpus stays chain-linear") {
+    import spark.implicits._
+    val dups = Seq((1L, "m1 m2 m3 m4 m5"), (2L, "m1 m2 m3 m4 m5")).toDF("doc_id", "text")
+    val both = TextDedup.containmentPairs(dups, col("doc_id"), col("text"), 3, 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(both.toSeq.sorted === Seq((1L, 2L, 1.0), (2L, 1L, 1.0)))
+    // 1000 identical docs, cap=8: the capped commons is the 999-pair chain,
+    // so containment emits 2·999 directed rows — linear, not 2·C(1000,2)
+    val hot = TextDedup.containmentPairs(
+      hotCorpus, col("doc_id"), col("text"), 3, 0.9, postingCap = 8)
+    assert(hot.count() === 1998L)
+  }
+
   test("posting cap leaves a normal corpus bit-identical to the uncapped exact operator") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
     val capped = TextDedup.jaccardPairs(docs, col("doc_id"), col("text"))

@@ -18,6 +18,27 @@ class GraphSpec extends SparkFunSuite {
     assert(r === Map(1L -> 1000000L, 2L -> 1000000L))
   }
 
+  test("HITS: hand-computed one-round authorities on a bipartite fixture") {
+    import spark.implicits._
+    // hubs {1,2}, auths {10,11,12}: 1→{10,11}, 2→{11,12}
+    val e = Seq((1L, 10L), (1L, 11L), (2L, 11L), (2L, 12L)).toDF("hub", "auth")
+    val a = Graph.hitsInt(e, iters = 1).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    // raw: 10→1e6, 11→2e6, 12→1e6; normalize by max 2e6:
+    assert(a === Map(10L -> 500000L, 11L -> 1000000L, 12L -> 500000L))
+  }
+
+  test("HITS: second round folds renormalized hub scores back in exactly") {
+    import spark.implicits._
+    // 1→{10,11,12}, 2→{10}: hub 1 outweighs hub 2 after round 1
+    val e = Seq((1L, 10L), (1L, 11L), (1L, 12L), (2L, 10L)).toDF("hub", "auth")
+    val a2 = Graph.hitsInt(e, iters = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    // round 1: a = (10:1e6, 11:5e5, 12:5e5); h = (1:1e6, 2:5e5)
+    // round 2 raw: 10→1.5e6, 11→1e6, 12→1e6; a = raw·1e6 DIV 1.5e6
+    assert(a2 === Map(10L -> 1000000L, 11L -> 666666L, 12L -> 666666L))
+  }
+
   test("star graph: hand-computed one-iteration ranks") {
     import spark.implicits._
     // 1 -> {2,3}; 2 -> 1; 3 -> 1 (outdeg(1)=2)

@@ -28,6 +28,22 @@ class OpsSpec extends SparkFunSuite {
     assert(missing.isEmpty, s"oracle without query: $missing")
   }
 
+  test("CDC merge: tombstones delete, inserts add, updates keep row counts") {
+    import org.apache.spark.sql.functions._
+    val orders = spark.read.parquet(s"$sf/orders.parquet")
+    // surviving rows per priority = targets minus %13 deletes plus %97
+    // inserts (updates are count-neutral) — independent accounting of the
+    // full-outer-join MERGE the query runs
+    val expected = orders
+      .groupBy(col("o_orderpriority").as("prio"))
+      .agg((count(when(col("o_orderkey") % 13 =!= 0, 1)) +
+        count(when(col("o_orderkey") % 97 === 0, 1))).as("n"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    val got = JoinShapes.qMergeCdc(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(got === expected)
+  }
+
   test("canonicalize: union-find fast path and distributed sweeps agree") {
     import spark.implicits._
     // two components (one a chain of diameter 5, labels unordered), a
