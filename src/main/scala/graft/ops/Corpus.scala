@@ -612,7 +612,76 @@ object Corpus {
        |FROM x GROUP BY 1 ORDER BY 1""".stripMargin
   }
 
+  /** Cross-source QUANTILE NORMALIZATION of a per-doc score — the
+    * calibration step before any global quality threshold: each source's
+    * raw score distribution is mapped onto the POOLED distribution by
+    * rank, so "top quartile of source X" and "top quartile of source Y"
+    * land on the same normalized scale even when one source's raw scores
+    * run systematically high. Nearest-rank formulation, all exact
+    * integers: a doc at within-source rank `r` of `ns` maps to the pooled
+    * score at global rank `(r·N + ns − 1) DIV ns` (the ceiling of
+    * `r·N/ns`, reaching exactly N at r = ns). Score = distinct-token
+    * count (lexical richness) — an exact long, so both engines rank and
+    * map identically.
+    *
+    * Scale: the within-source rank is a source-partitioned window
+    * (distributed); the pooled ladder uses [[Rank.globalRank]]'s
+    * range-partitioned two-pass ranking — NO single-reducer global
+    * window anywhere; the final mapping is an equi-join on the computed
+    * global rank.
+    */
+  def qScoreQnorm(spark: SparkSession, dir: String): DataFrame =
+    quantileNormalize(
+      table(spark, dir, "documents")
+        .select(col("doc_id"), col("source"),
+          size(array_distinct(tokens(col("text")))).cast("long").as("score")))
+      .orderBy(col("doc_id"))
+
+  /** The reusable nearest-rank quantile-normalization core over any
+    * `(doc_id, source, score)` frame — see [[qScoreQnorm]] for semantics
+    * and the scale story. Output adds `norm_score`.
+    */
+  def quantileNormalize(m0: DataFrame, numParts: Int = 32): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val m = m0.select(col("doc_id"), col("source"), col("score"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val n = m.count() // control-plane scalar: pooled row count
+    val ws = Window.partitionBy(col("source")).orderBy(col("score"), col("doc_id"))
+    val ranked = m
+      .withColumn("r", row_number().over(ws).cast("long"))
+      .withColumn("ns", count(lit(1)).over(Window.partitionBy(col("source"))))
+    val ladder = Rank.globalRank(
+      m.select(col("score"), col("doc_id").as("tie")),
+      Seq(col("score"), col("tie")), numParts, rankName = "g")
+      .select(col("g"), col("score").as("norm_score"))
+    val out = ranked
+      .withColumn("g", expr(s"(r * ${n}L + ns - 1) DIV ns"))
+      .join(ladder, "g")
+      .select(col("doc_id"), col("source"), col("score"), col("norm_score"))
+    TextDedup.materializeAndRelease(out, m)
+  }
+
+  val qScoreQnormSql: String =
+    """WITH m AS (
+      |  SELECT doc_id, source,
+      |    CAST(len(list_distinct(regexp_split_to_array(lower(text), '\s+'))) AS BIGINT) AS score
+      |  FROM documents
+      |), r AS (
+      |  SELECT doc_id, source, score,
+      |    row_number() OVER (PARTITION BY source ORDER BY score, doc_id) AS r,
+      |    count(*) OVER (PARTITION BY source) AS ns
+      |  FROM m
+      |), p AS (
+      |  SELECT score AS norm_score,
+      |    row_number() OVER (ORDER BY score, doc_id) AS g
+      |  FROM m
+      |), n AS (SELECT count(*) AS n FROM m)
+      |SELECT r.doc_id, r.source, r.score, p.norm_score
+      |FROM r CROSS JOIN n JOIN p ON p.g = (r.r * n.n + r.ns - 1) // r.ns
+      |ORDER BY r.doc_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_score_qnorm" -> (qScoreQnorm _),
     "q_split_grouped" -> (qSplitGrouped _),
     "q_padding_waste" -> (qPaddingWaste _),
     "q_token_budget" -> (qTokenBudget _),
@@ -629,6 +698,7 @@ object Corpus {
     "q_contamination" -> (qContamination _))
 
   def oracle: Map[String, String] = Map(
+    "q_score_qnorm" -> qScoreQnormSql,
     "q_split_grouped" -> qSplitGroupedSql,
     "q_padding_waste" -> qPaddingWasteSql,
     "q_token_budget" -> qTokenBudgetSql,

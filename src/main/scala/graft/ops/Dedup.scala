@@ -157,6 +157,54 @@ object Dedup {
        |)
        |SELECT id AS doc_id, min(lbl) AS canonical FROM walk GROUP BY id ORDER BY doc_id""".stripMargin
 
+  /** Quality-aware survivor selection: for every near-dup component (same
+    * pair relation + components pass as [[qDedupComponents]]) keep the
+    * RICHEST member — argmax distinct-token count, ties to the smallest
+    * doc_id — instead of the min-id default. This is the curation policy a
+    * training pipeline actually wants (drop the truncated copy, keep the
+    * full one); min-id survives only as the label canonicalization.
+    * Output: one row per non-singleton component.
+    *
+    * Scale: the argmax is ONE window over the label relation partitioned
+    * by component — components are chain-capped by the hot-posting guard,
+    * so no partition is pathological; the metric join is doc-dimensional.
+    */
+  def qDedupSurvivor(spark: SparkSession, dir: String): DataFrame = {
+    val docs = table(spark, dir, "documents")
+    val pairs = TextDedup.jaccardPairs(
+      docs, col("doc_id"), col("text"), ShingleK, JaccardThreshold)
+    val canon = TextDedup.canonicalize(pairs, docs.select(col("doc_id").as("id")))
+    val m = docs.select(col("doc_id").as("id"),
+      size(array_distinct(TextOps.tokens(col("text")))).cast("long").as("m"))
+    TextDedup.qualitySurvivors(canon, m)
+  }
+
+  val qDedupSurvivorSql: String =
+    s"""WITH RECURSIVE pairs AS (
+       |  ${qDedupNgramSql.linesIterator.map("  " + _).mkString("\n").replace("ORDER BY da, db", "")}
+       |), edges AS (
+       |  SELECT da AS src, db AS dst FROM pairs
+       |  UNION ALL SELECT db AS src, da AS dst FROM pairs
+       |), walk(id, lbl) AS (
+       |  SELECT doc_id, doc_id FROM documents
+       |  UNION
+       |  SELECT e.dst, w.lbl FROM walk w JOIN edges e ON e.src = w.id
+       |), canon AS (
+       |  SELECT id AS doc_id, min(lbl) AS canonical FROM walk GROUP BY id
+       |), m AS (
+       |  SELECT doc_id,
+       |    CAST(len(list_distinct(regexp_split_to_array(lower(text), '\\s+'))) AS BIGINT) AS ndt
+       |  FROM documents
+       |), j AS (
+       |  SELECT c.canonical, m.doc_id,
+       |    row_number() OVER (PARTITION BY c.canonical ORDER BY m.ndt DESC, m.doc_id) AS rn,
+       |    count(*) OVER (PARTITION BY c.canonical) AS n_members
+       |  FROM canon c JOIN m USING (doc_id)
+       |)
+       |SELECT canonical, doc_id AS survivor, n_members
+       |FROM j WHERE rn = 1 AND n_members > 1
+       |ORDER BY canonical""".stripMargin
+
   /** Incremental ingest dedup ([[TextDedup.minhashLshIncremental]]):
     * "incoming" batch = doc_id ≡ 0 (mod 5), "existing corpus" = the rest;
     * each incoming doc that near-duplicates a corpus doc reports its
@@ -439,6 +487,7 @@ object Dedup {
     "q_bitext_mine" -> (qBitextMine _),
     "q_split_leakage" -> (qSplitLeakage _),
     "q_dedup_components" -> (qDedupComponents _),
+    "q_dedup_survivor" -> (qDedupSurvivor _),
     "q_dedup_exact" -> (qDedupExact _),
     "q_dedup_ngram_jaccard" -> (qDedupNgramJaccard _),
     "q_dedup_minhash_lsh" -> (qDedupMinhashLsh _),
@@ -454,6 +503,7 @@ object Dedup {
     "q_bitext_mine" -> qBitextMineSql,
     "q_split_leakage" -> qSplitLeakageSql,
     "q_dedup_components" -> qDedupComponentsSql,
+    "q_dedup_survivor" -> qDedupSurvivorSql,
     "q_dedup_exact" -> qDedupExactSql,
     "q_dedup_ngram_jaccard" -> qDedupNgramSql,
     // MinHash+LSH has the same final semantics as the exact pair query —

@@ -474,6 +474,24 @@ object TextDedup {
     *   (set 0 to force the distributed path; default ~4M edges ≈ 64 MB of
     *   driver heap, the same order as a broadcast-join build side)
     */
+  /** Quality-aware survivor per non-singleton component: given the
+    * `(id, canonical)` labels of [[canonicalize]] and a per-id exact
+    * metric `(id, m)`, keep the member with the LARGEST metric (ties to
+    * the smallest id). One component-partitioned window over the label
+    * relation — components are chain-capped by the hot-posting guard, so
+    * no window partition is pathological.
+    */
+  def qualitySurvivors(labels: DataFrame, metric: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("canonical")).orderBy(col("m").desc, col("id"))
+    labels.select(col("id"), col("canonical"))
+      .join(metric.select(col("id"), col("m")), "id")
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n_members", count(lit(1)).over(Window.partitionBy(col("canonical"))))
+      .filter(col("rn") === 1 && col("n_members") > 1)
+      .select(col("canonical"), col("id").as("survivor"), col("n_members"))
+      .orderBy(col("canonical"))
+  }
+
   def canonicalize(pairs: DataFrame, ids: DataFrame, maxIters: Int = 15,
       driverMaxEdges: Long = 1L << 22): DataFrame = {
     val pairsLong = pairs.select(col("id_a").cast("long"), col("id_b").cast("long"))

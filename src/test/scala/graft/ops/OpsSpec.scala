@@ -28,6 +28,35 @@ class OpsSpec extends SparkFunSuite {
     assert(missing.isEmpty, s"oracle without query: $missing")
   }
 
+  test("quality survivors: argmax metric wins, ties to min id, singletons dropped") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // component 1 = {1,2,3} (richest is 3, NOT the min-id label),
+    // component 5 = {5,6} tied metric → min id 5, and singleton 9
+    val labels = Seq((1L, 1L), (2L, 1L), (3L, 1L), (5L, 5L), (6L, 5L), (9L, 9L))
+      .toDF("id", "canonical")
+    val metric = Seq((1L, 10L), (2L, 30L), (3L, 40L), (5L, 7L), (6L, 7L), (9L, 99L))
+      .toDF("id", "m")
+    val got = TextDedup.qualitySurvivors(labels, metric)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq === Seq((1L, 3L, 3L), (5L, 5L, 2L)))
+  }
+
+  test("quantile normalization: hand-computed nearest-rank mapping onto the pooled ladder") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // pooled sorted scores: 10,20,30,40,100,200 (N=6)
+    // A (ns=4): r=1→g=2→20, r=2→g=3→30, r=3→g=5→100, r=4→g=6→200
+    // B (ns=2): r=1→g=3→30, r=2→g=6→200
+    val m = Seq((1L, "A", 10L), (2L, "A", 20L), (3L, "A", 30L), (4L, "A", 40L),
+      (5L, "B", 100L), (6L, "B", 200L)).toDF("doc_id", "source", "score")
+    val got = Corpus.quantileNormalize(m, numParts = 3)
+      .orderBy(col("doc_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(3)))
+    assert(got.toSeq === Seq((1L, 20L), (2L, 30L), (3L, 100L), (4L, 200L),
+      (5L, 30L), (6L, 200L)))
+  }
+
   test("CDC merge: tombstones delete, inserts add, updates keep row counts") {
     import org.apache.spark.sql.functions._
     val orders = spark.read.parquet(s"$sf/orders.parquet")
