@@ -205,6 +205,42 @@ object Dedup {
        |FROM j WHERE rn = 1 AND n_members > 1
        |ORDER BY canonical""".stripMargin
 
+  /** Duplicate-cluster SIZE PROFILE — the dedup monitoring report: how
+    * many components of each size the near-dup graph contains (size 1 =
+    * unique docs). The shape of this histogram is the first thing a
+    * curation run checks (a sudden mass of large clusters means a scraper
+    * loop or a template flood). Two tiny aggregates over the components
+    * labeling; the pair relation dominates and is already linear-in-
+    * boilerplate via the hot-posting cap.
+    */
+  def qDedupSizes(spark: SparkSession, dir: String): DataFrame = {
+    val docs = table(spark, dir, "documents")
+    val pairs = TextDedup.jaccardPairs(
+      docs, col("doc_id"), col("text"), ShingleK, JaccardThreshold)
+    TextDedup.canonicalize(pairs, docs.select(col("doc_id").as("id")))
+      .groupBy(col("canonical")).agg(count(lit(1)).as("cluster_size"))
+      .groupBy(col("cluster_size")).agg(count(lit(1)).as("n_clusters"))
+      .orderBy(col("cluster_size"))
+  }
+
+  val qDedupSizesSql: String =
+    s"""WITH RECURSIVE pairs AS (
+       |  ${qDedupNgramSql.linesIterator.map("  " + _).mkString("\n").replace("ORDER BY da, db", "")}
+       |), edges AS (
+       |  SELECT da AS src, db AS dst FROM pairs
+       |  UNION ALL SELECT db AS src, da AS dst FROM pairs
+       |), walk(id, lbl) AS (
+       |  SELECT doc_id, doc_id FROM documents
+       |  UNION
+       |  SELECT e.dst, w.lbl FROM walk w JOIN edges e ON e.src = w.id
+       |), canon AS (
+       |  SELECT id, min(lbl) AS canonical FROM walk GROUP BY id
+       |), sizes AS (
+       |  SELECT canonical, count(*) AS cluster_size FROM canon GROUP BY canonical
+       |)
+       |SELECT cluster_size, count(*) AS n_clusters
+       |FROM sizes GROUP BY cluster_size ORDER BY cluster_size""".stripMargin
+
   /** Incremental ingest dedup ([[TextDedup.minhashLshIncremental]]):
     * "incoming" batch = doc_id ≡ 0 (mod 5), "existing corpus" = the rest;
     * each incoming doc that near-duplicates a corpus doc reports its
@@ -488,6 +524,7 @@ object Dedup {
     "q_split_leakage" -> (qSplitLeakage _),
     "q_dedup_components" -> (qDedupComponents _),
     "q_dedup_survivor" -> (qDedupSurvivor _),
+    "q_dedup_sizes" -> (qDedupSizes _),
     "q_dedup_exact" -> (qDedupExact _),
     "q_dedup_ngram_jaccard" -> (qDedupNgramJaccard _),
     "q_dedup_minhash_lsh" -> (qDedupMinhashLsh _),
@@ -504,6 +541,7 @@ object Dedup {
     "q_split_leakage" -> qSplitLeakageSql,
     "q_dedup_components" -> qDedupComponentsSql,
     "q_dedup_survivor" -> qDedupSurvivorSql,
+    "q_dedup_sizes" -> qDedupSizesSql,
     "q_dedup_exact" -> qDedupExactSql,
     "q_dedup_ngram_jaccard" -> qDedupNgramSql,
     // MinHash+LSH has the same final semantics as the exact pair query —

@@ -519,6 +519,75 @@ object TextAnalysis {
       |  CAST(CAST(sum(lift_micro) AS BIGINT) // count(*) AS BIGINT) AS mean_lift_micro
       |FROM lifts GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  /** Trigram LM fluency with STUPID BACKOFF, in exact integer
+    * micro-units: each trigram position scores the conditional
+    * `c(w1w2w3)/c(w1w2·)` when the trigram is corpus-supported
+    * (count ≥ 2), and backs off to the 0.4-discounted bigram conditional
+    * `0.4·c(w2w3)/c(w2·)` when the trigram is a corpus hapax (almost
+    * always unique to this document — the case where the trigram MLE is
+    * uninformative self-support). All counts come from one trigram
+    * relation (prefix/suffix/middle projections of it), every score is
+    * one integer multiply-divide (`(c·10⁶) DIV ctx`, `(c·4·10⁵) DIV ctx`),
+    * and the per-doc mean is an integer division of exact longs — the
+    * same no-float discipline that fixed the bigram scorer's 1-ulp
+    * cross-engine round() boundary.
+    *
+    * Scale: four map-side-combinable aggregates over the trigram stream +
+    * key-shuffle joins back (only the unigram relation is small enough to
+    * pin broadcast; AQE picks for the rest), then one per-doc aggregate.
+    * No floats, no windows, no driver state.
+    */
+  def qLmTrigramScore(spark: SparkSession, dir: String): DataFrame = {
+    val tri = table(spark, dir, "documents")
+      .select(col("doc_id"), tokens(col("text")).as("t"))
+      .filter(size(col("t")) >= 3)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(0, size(t) - 3), i -> struct(t[i] AS w1, t[i+1] AS w2, t[i+2] AS w3))")).as("e"))
+      .select(col("doc_id"), col("e.w1"), col("e.w2"), col("e.w3"))
+    val c3 = tri.groupBy(col("w1"), col("w2"), col("w3")).agg(count(lit(1)).as("c_xyz"))
+    val cp = tri.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c_xy"))
+    val cs = tri.groupBy(col("w2"), col("w3")).agg(count(lit(1)).as("c_yz"))
+    val cm = tri.groupBy(col("w2")).agg(count(lit(1)).as("c_y"))
+    tri
+      .join(c3, Seq("w1", "w2", "w3"))
+      .join(cp, Seq("w1", "w2"))
+      .join(cs, Seq("w2", "w3"))
+      .join(broadcast(cm), Seq("w2"))
+      .select(col("doc_id"), expr(
+        "CASE WHEN c_xyz >= 2 THEN (c_xyz * 1000000) DIV c_xy" +
+          " ELSE (c_yz * 400000) DIV c_y END").as("s_micro"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_trigrams"), sum(col("s_micro")).as("sum_micro"))
+      .select(col("doc_id"), col("n_trigrams"),
+        expr("sum_micro DIV n_trigrams").as("mean_score_micro"))
+      .orderBy(col("doc_id"))
+  }
+
+  val qLmTrigramScoreSql: String =
+    """WITH tok AS (
+      |  SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS t FROM documents
+      |), tri AS (
+      |  SELECT doc_id, t[i+1] AS w1, t[i+2] AS w2, t[i+3] AS w3
+      |  FROM (SELECT doc_id, t, unnest(range(len(t) - 2)) AS i
+      |        FROM tok WHERE len(t) >= 3)
+      |), c3 AS (SELECT w1, w2, w3, count(*) AS c_xyz FROM tri GROUP BY 1, 2, 3),
+      |cp AS (SELECT w1, w2, count(*) AS c_xy FROM tri GROUP BY 1, 2),
+      |cs AS (SELECT w2, w3, count(*) AS c_yz FROM tri GROUP BY 1, 2),
+      |cm AS (SELECT w2, count(*) AS c_y FROM tri GROUP BY 1),
+      |s AS (
+      |  SELECT tri.doc_id,
+      |    CASE WHEN c3.c_xyz >= 2 THEN (c3.c_xyz * 1000000) // cp.c_xy
+      |         ELSE (cs.c_yz * 400000) // cm.c_y END AS s_micro
+      |  FROM tri
+      |  JOIN c3 USING (w1, w2, w3)
+      |  JOIN cp USING (w1, w2)
+      |  JOIN cs USING (w2, w3)
+      |  JOIN cm USING (w2)
+      |)
+      |SELECT doc_id, count(*) AS n_trigrams,
+      |  CAST(CAST(sum(s_micro) AS BIGINT) // count(*) AS BIGINT) AS mean_score_micro
+      |FROM s GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   /** Vocabulary size for [[qVocabOov]] (top-K tokens by corpus count). */
   val VocabK = 10
 
@@ -1053,6 +1122,7 @@ object TextAnalysis {
     "q_tfidf_terms" -> (qTfidfTerms _),
     "q_vocab_oov" -> (qVocabOov _),
     "q_lm_bigram_score" -> (qLmBigramScore _),
+    "q_lm_trigram_score" -> (qLmTrigramScore _),
     "q_collocations" -> (qCollocations _),
     "q_text_repetition" -> (qTextRepetition _),
     "q_text_scrub" -> (qTextScrub _),
@@ -1078,6 +1148,7 @@ object TextAnalysis {
     "q_tfidf_terms" -> qTfidfTermsSql,
     "q_vocab_oov" -> qVocabOovSql,
     "q_lm_bigram_score" -> qLmBigramScoreSql,
+    "q_lm_trigram_score" -> qLmTrigramScoreSql,
     "q_collocations" -> qCollocationsSql,
     "q_text_repetition" -> qTextRepetitionSql,
     "q_text_scrub" -> qTextScrubSql,
