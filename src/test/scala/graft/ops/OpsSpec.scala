@@ -73,6 +73,24 @@ class OpsSpec extends SparkFunSuite {
     assert(got === expected)
   }
 
+  test("dedup sizes: cluster histogram counts singletons and the planted dup pair") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // docs 1/2 verbatim duplicates (jaccard 1.0 ≥ threshold) → one
+    // 2-cluster; docs 3/4 unrelated → two singletons
+    val docs = Seq(
+      (1L, "alpha beta gamma delta", "en", "s", 10L),
+      (2L, "alpha beta gamma delta", "en", "s", 10L),
+      (3L, "p q r s t", "en", "s", 10L),
+      (4L, "one two three four", "en", "s", 10L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dir = tmpDir("dedup-sizes")
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = Dedup.qDedupSizes(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got === Seq((1L, 2L), (2L, 1L)))
+  }
+
   test("canonicalize: union-find fast path and distributed sweeps agree") {
     import spark.implicits._
     // two components (one a chain of diameter 5, labels unordered), a

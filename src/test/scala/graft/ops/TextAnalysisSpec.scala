@@ -203,4 +203,26 @@ class TextAnalysisSpec extends SparkFunSuite {
     assert(out.find(_._1 == 2L).get === ((2L, 3L, 0L, 0L)))
     assert(!out.exists(_._1 == 3L), "single-token doc has no adjacent pairs")
   }
+
+  test("trigram LM: supported trigrams score the MLE, hapaxes back off to 0.4·bigram") {
+    import spark.implicits._
+    // Docs 1/2 both contain trigram (a,b,c) → c_xyz=2 ≥ 2, c_xy(a,b)=3
+    // (docs 1,2,3 all open "a b") → score (2·10⁶) DIV 3 = 666666.
+    // Doc 3's (a,b,d) is a corpus hapax → backoff: c_yz(b,d)=1, c_y(b)=3
+    // → (1·400000) DIV 3 = 133333. Doc 4 has <3 tokens → absent.
+    val docs = Seq(
+      (1L, "a b c", "en", "s", 5L),
+      (2L, "a b c", "en", "s", 5L),
+      (3L, "a b d", "en", "s", 5L),
+      (4L, "x y", "en", "s", 3L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dir = tmpDir("trigram-lm")
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = TextAnalysis.qLmTrigramScore(spark, dir).collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2)))).toMap
+    assert(out(1L) === ((1L, 666666L)))
+    assert(out(2L) === ((1L, 666666L)))
+    assert(out(3L) === ((1L, 133333L)))
+    assert(!out.contains(4L), "sub-trigram doc has no positions to score")
+  }
 }
