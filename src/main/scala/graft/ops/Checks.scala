@@ -465,7 +465,50 @@ object Checks {
     (longish ++ strish :+ dateish).mkString("", "\nUNION ALL\n", "\nORDER BY col_name")
   }
 
+  /** Benford first-digit audit over order totals — the classic
+    * fabricated-data screen: a synthetic or tampered amount column
+    * drifts from the logarithmic first-digit law long before any
+    * row-level constraint fires. One groupBy over a projected digit
+    * column plus a broadcast 1-row total; the expected shares are the
+    * authored literal table `floor(log10(1+1/d)·10⁴)` so observed and
+    * expected compare in exact basis points (no runtime log, no float).
+    * On TPC-H's uniform-ish totalprice the deviation is LARGE — the
+    * audit correctly flags synthetic amounts; the gate pins the
+    * arithmetic, not a verdict.
+    */
+  def qBenford(spark: SparkSession, dir: String): DataFrame = {
+    val counts = table(spark, dir, "orders")
+      .select(expr(
+        "CAST(substring(CAST(CAST(floor(o_totalprice) AS BIGINT) AS STRING), 1, 1) AS INT)")
+        .as("digit"))
+      .groupBy(col("digit")).agg(count(lit(1)).as("n_orders"))
+    counts
+      .crossJoin(broadcast(counts.agg(sum(col("n_orders")).as("total"))))
+      .select(col("digit"), col("n_orders"),
+        expr("(n_orders * 10000) DIV total").as("obs_bp"),
+        expr("CAST(element_at(array(3010,1760,1249,969,791,669,579,511,457), digit) AS BIGINT)")
+          .as("benford_bp"))
+      .withColumn("dev_bp", abs(col("obs_bp") - col("benford_bp")))
+      .orderBy(col("digit"))
+  }
+
+  val qBenfordSql: String =
+    """WITH d AS (
+      |  SELECT CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR), 1, 1) AS INT)
+      |    AS digit
+      |  FROM orders
+      |), c AS (
+      |  SELECT digit, CAST(count(*) AS BIGINT) AS n_orders FROM d GROUP BY digit
+      |), t AS (SELECT CAST(sum(n_orders) AS BIGINT) AS total FROM c)
+      |SELECT digit, n_orders,
+      |  CAST((n_orders * 10000) // total AS BIGINT) AS obs_bp,
+      |  CAST([3010,1760,1249,969,791,669,579,511,457][digit] AS BIGINT) AS benford_bp,
+      |  CAST(abs((n_orders * 10000) // total
+      |    - [3010,1760,1249,969,791,669,579,511,457][digit]) AS BIGINT) AS dev_bp
+      |FROM c, t ORDER BY digit""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_benford" -> (qBenford _),
     "q_stats_manifest" -> (qStatsManifest _),
     "q_reconciliation" -> (qReconciliation _),
     "q_k_anonymity" -> (qKAnonymity _),
@@ -477,6 +520,7 @@ object Checks {
     "q_outlier_orders" -> (qOutlierOrders _))
 
   def oracle: Map[String, String] = Map(
+    "q_benford" -> qBenfordSql,
     "q_stats_manifest" -> qStatsManifestSql,
     "q_reconciliation" -> qReconciliationSql,
     "q_k_anonymity" -> qKAnonymitySql,

@@ -680,7 +680,84 @@ object Corpus {
       |FROM r CROSS JOIN n JOIN p ON p.g = (r.r * n.n + r.ns - 1) // r.ns
       |ORDER BY r.doc_id""".stripMargin
 
+  /** Number of hashed feature buckets for [[qDsirWeights]]. */
+  val DsirBuckets = 256
+
+  /** DSIR-style IMPORTANCE WEIGHTS for data selection (Xie et al. 2023,
+    * "Data Selection for Language Models via Importance Resampling",
+    * arXiv:2302.03169 — log-free variant): score each document by how
+    * much its hashed-unigram feature distribution resembles a TARGET
+    * domain (here the labeled-`en` slice) relative to the raw corpus.
+    * Per bucket the likelihood ratio is `(t_cnt·C_total·10⁴) DIV
+    * (c_cnt·T_total)` in exact basis points (10000 = bucket drawn at the
+    * target rate); a document's weight is the exact-integer mean of its
+    * token positions' bucket ratios. Top-20 by weight = the raw docs a
+    * target-domain-seeking sampler would keep first.
+    *
+    * Scale: the token relation persists once and feeds three aggregates
+    * (bucket×2 + totals); the ratio relation is [[DsirBuckets]] rows —
+    * broadcast back onto the token stream, so the only corpus-sized
+    * shuffle is the per-doc partial-aggregated mean. Overflow envelope:
+    * `t_cnt·C_total·10⁴` needs target_tokens × corpus_tokens ≤ 9·10¹⁴
+    * (fine through sf1's ~3·10⁷ tokens; subsample the target beyond).
+    */
+  def qDsirWeights(spark: SparkSession, dir: String): DataFrame = {
+    val toks = table(spark, dir, "documents")
+      .select(col("doc_id"), col("lang"), explode(tokens(col("text"))).as("tok"))
+      .select(col("doc_id"), col("lang"),
+        pmod(conv(substring(md5(col("tok")), 1, 8), 16, 10).cast("long"),
+          lit(DsirBuckets.toLong)).as("bucket"))
+      .persist()
+    val corpus = toks.groupBy(col("bucket")).agg(count(lit(1)).as("c_cnt"))
+    val target = toks.filter(col("lang") === "en")
+      .groupBy(col("bucket")).agg(count(lit(1)).as("t_cnt"))
+    val totals = toks.agg(count(lit(1)).as("c_total"),
+      sum(when(col("lang") === "en", 1L).otherwise(0L)).as("t_total"))
+    val ratios = corpus
+      .join(target, Seq("bucket"), "left")
+      .crossJoin(broadcast(totals))
+      .select(col("bucket"),
+        expr("(coalesce(t_cnt, 0L) * c_total * 10000) DIV (c_cnt * t_total)")
+          .as("ratio_bp"))
+    toks
+      .join(broadcast(ratios), Seq("bucket"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"), sum(col("ratio_bp")).as("sum_bp"))
+      .select(col("doc_id"), col("n_tokens"),
+        expr("sum_bp DIV n_tokens").as("weight_bp"))
+      .orderBy(col("weight_bp").desc, col("doc_id")).limit(20)
+  }
+
+  val qDsirWeightsSql: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, lang,
+       |    CAST(concat('0x', substring(md5(tok), 1, 8)) AS BIGINT) % $DsirBuckets AS bucket
+       |  FROM (SELECT doc_id, lang, unnest(regexp_split_to_array(lower(text), '\\s+')) AS tok
+       |        FROM documents)
+       |), corpus AS (
+       |  SELECT bucket, CAST(count(*) AS BIGINT) AS c_cnt FROM toks GROUP BY bucket
+       |), target AS (
+       |  SELECT bucket, CAST(count(*) AS BIGINT) AS t_cnt
+       |  FROM toks WHERE lang = 'en' GROUP BY bucket
+       |), totals AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS c_total,
+       |    CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS t_total
+       |  FROM toks
+       |), ratios AS (
+       |  SELECT corpus.bucket,
+       |    (COALESCE(target.t_cnt, 0) * totals.c_total * 10000)
+       |      // (corpus.c_cnt * totals.t_total) AS ratio_bp
+       |  FROM corpus LEFT JOIN target ON corpus.bucket = target.bucket
+       |  CROSS JOIN totals
+       |)
+       |SELECT toks.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+       |  CAST(CAST(sum(ratio_bp) AS BIGINT) // count(*) AS BIGINT) AS weight_bp
+       |FROM toks JOIN ratios ON toks.bucket = ratios.bucket
+       |GROUP BY toks.doc_id
+       |ORDER BY weight_bp DESC, doc_id LIMIT 20""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_dsir_weights" -> (qDsirWeights _),
     "q_score_qnorm" -> (qScoreQnorm _),
     "q_split_grouped" -> (qSplitGrouped _),
     "q_padding_waste" -> (qPaddingWaste _),
@@ -698,6 +775,7 @@ object Corpus {
     "q_contamination" -> (qContamination _))
 
   def oracle: Map[String, String] = Map(
+    "q_dsir_weights" -> qDsirWeightsSql,
     "q_score_qnorm" -> qScoreQnormSql,
     "q_split_grouped" -> qSplitGroupedSql,
     "q_padding_waste" -> qPaddingWasteSql,

@@ -1109,7 +1109,99 @@ object TextAnalysis {
       |FROM m WHERE n_adjacent >= 1
       |ORDER BY doc_id""".stripMargin
 
+  /** Language-ID CONFUSION MATRIX — the classifier-eval view of
+    * [[qTextLangid]]: labeled lang × predicted lang with counts and
+    * row-normalized shares in exact basis points. The heuristic has no
+    * zh stopword list, so the zh row concentrates under 'und' — exactly
+    * the blind spot the matrix exists to surface before anyone trusts
+    * per-language corpus budgets built on predicted labels.
+    *
+    * Scale: one pass to predict + a counts aggregate; the row-marginal
+    * join touches only the (langs × preds)-sized matrix, broadcast.
+    */
+  def qLangConfusion(spark: SparkSession, dir: String): DataFrame = {
+    val counts = table(spark, dir, "documents")
+      .select(col("lang"), langPredC(tokens(col("text"))).as("pred"))
+      .groupBy(col("lang"), col("pred")).agg(count(lit(1)).as("n_docs"))
+    counts
+      .join(broadcast(counts.groupBy(col("lang")).agg(sum(col("n_docs")).as("n_lang"))),
+        Seq("lang"))
+      .select(col("lang"), col("pred"), col("n_docs"),
+        expr("(n_docs * 10000) DIV n_lang").as("row_bp"))
+      .orderBy(col("lang"), col("pred"))
+  }
+
+  val qLangConfusionSql: String = {
+    val de = sqlStopCount(StopwordsDe)
+    val en = sqlStopCount(StopwordsEn)
+    val es = sqlStopCount(StopwordsEs)
+    val fr = sqlStopCount(StopwordsFr)
+    s"""WITH scored AS (
+       |  SELECT lang, $de AS c_de, $en AS c_en, $es AS c_es, $fr AS c_fr
+       |  FROM (SELECT lang, regexp_split_to_array(lower(text), '\\s+') AS t FROM documents)
+       |), p AS (
+       |  SELECT lang, $langPredSql AS pred FROM scored
+       |), c AS (
+       |  SELECT lang, pred, CAST(count(*) AS BIGINT) AS n_docs FROM p GROUP BY 1, 2
+       |), m AS (
+       |  SELECT lang, CAST(sum(n_docs) AS BIGINT) AS n_lang FROM c GROUP BY 1
+       |)
+       |SELECT c.lang, c.pred, c.n_docs,
+       |  CAST((c.n_docs * 10000) // m.n_lang AS BIGINT) AS row_bp
+       |FROM c JOIN m USING (lang) ORDER BY lang, pred""".stripMargin
+  }
+
+  // RE2-safe (and Java-regex-identical) structured-PII patterns: no
+  // backslash classes, no anchors — `[.]` instead of `\.` so the same
+  // literal works quoted in both engines.
+  private[ops] val PiiEmail = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+[.][a-zA-Z]{2,}"
+  private[ops] val PiiIpv4 = "[0-9]{1,3}([.][0-9]{1,3}){3}"
+  private[ops] val PiiId = "[0-9]{3}-[0-9]{2}-[0-9]{4}"
+
+  /** Structured-PII scrubbing AUDIT — per-source counts of email /
+    * IPv4 / SSN-shaped matches plus the share of documents flagged, the
+    * report a release gate reads before a corpus ships. Match counting
+    * is `size(regexp_extract_all(...))` per pattern — all three patterns
+    * evaluate in the SAME projection, one corpus pass, map-side combined
+    * into a sources-sized result. On the clean synthetic corpus every
+    * count is zero — the gate pins the accounting; PiiAuditSpec plants
+    * real PII and pins the patterns.
+    */
+  def qPiiAudit(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "documents")
+      .select(col("source"),
+        expr(s"size(regexp_extract_all(text, '$PiiEmail', 0))").as("e"),
+        expr(s"size(regexp_extract_all(text, '$PiiIpv4', 0))").as("i"),
+        expr(s"size(regexp_extract_all(text, '$PiiId', 0))").as("s"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("e").cast(LongType)).as("n_emails"),
+        sum(col("i").cast(LongType)).as("n_ipv4"),
+        sum(col("s").cast(LongType)).as("n_ids"),
+        sum(when(col("e") + col("i") + col("s") > 0, 1L).otherwise(0L)).as("n_flagged"))
+      .withColumn("flagged_bp", expr("(n_flagged * 10000) DIV n_docs"))
+      .orderBy(col("source"))
+
+  val qPiiAuditSql: String =
+    s"""WITH d AS (
+       |  SELECT source,
+       |    len(regexp_extract_all(text, '$PiiEmail')) AS e,
+       |    len(regexp_extract_all(text, '$PiiIpv4')) AS i,
+       |    len(regexp_extract_all(text, '$PiiId')) AS s
+       |  FROM documents
+       |)
+       |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(e) AS BIGINT) AS n_emails,
+       |  CAST(sum(i) AS BIGINT) AS n_ipv4,
+       |  CAST(sum(s) AS BIGINT) AS n_ids,
+       |  CAST(sum(CASE WHEN e + i + s > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged,
+       |  CAST((CAST(sum(CASE WHEN e + i + s > 0 THEN 1 ELSE 0 END) AS BIGINT) * 10000)
+       |    // count(*) AS BIGINT) AS flagged_bp
+       |FROM d GROUP BY source ORDER BY source""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_lang_confusion" -> (qLangConfusion _),
+    "q_pii_audit" -> (qPiiAudit _),
     "q_text_stutter" -> (qTextStutter _),
     "q_length_corr" -> (qLengthCorr _),
     "q_dup_ngrams" -> (qDupNgrams _),
@@ -1136,6 +1228,8 @@ object TextAnalysis {
   )
 
   def oracle: Map[String, String] = Map(
+    "q_lang_confusion" -> qLangConfusionSql,
+    "q_pii_audit" -> qPiiAuditSql,
     "q_text_stutter" -> qTextStutterSql,
     "q_length_corr" -> qLengthCorrSql,
     "q_dup_ngrams" -> qDupNgramsSql,

@@ -103,4 +103,20 @@ class ChecksSpec extends SparkFunSuite {
     assert(p.linesIterator.count(_.matches("\\(\\d+\\) Scan parquet.*")) === 1, p)
     assert(!p.contains("Join"), p)
   }
+
+  test("benford: hand-computed digit shares and deviations on planted amounts") {
+    import spark.implicits._
+    // 5 amounts starting with 1, 3 with 2, 2 with 9 → obs 5000/3000/2000
+    // bp; deviations vs the authored Benford table 3010/1760/457
+    val prices = Seq(101.5, 150.0, 199.99, 1234.0, 10.0,
+      201.0, 250.5, 29999.0, 900.0, 987.65)
+    val dir = tmpDir("benford")
+    prices.toDF("o_totalprice").write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    val got = Checks.qBenford(spark, dir).collect()
+      .map(r => (r.getInt(0), (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(got.keySet === Set(1, 2, 9))
+    assert(got(1) === ((5L, 5000L, 3010L, 1990L)))
+    assert(got(2) === ((3L, 3000L, 1760L, 1240L)))
+    assert(got(9) === ((2L, 2000L, 457L, 1543L)))
+  }
 }

@@ -294,4 +294,27 @@ class CorpusSpec extends SparkFunSuite {
     val expected = with8.values.groupBy(identity).map { case (s, xs) => (s, xs.size.toLong) }
     assert(agg === expected)
   }
+
+  test("dsir weights: target-distinctive docs outrank mixed, off-target scores zero") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // target slice (en) speaks only "special"; "common" never appears in
+    // the target → its bucket ratio is 0. d1/d2 are pure-target (tied,
+    // doc_id order), d4 is 1/3 target vocabulary, d3 is pure-off-target.
+    val docs = Seq(
+      (1L, "special special special", "en", "s", 23L),
+      (2L, "special special special", "en", "s", 23L),
+      (3L, "common common common", "fr", "s", 20L),
+      (4L, "special common common", "fr", "s", 21L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dir = tmpDir("dsir")
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = Corpus.qDsirWeights(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(2)))
+    assert(got.map(_._1).toSeq === Seq(1L, 2L, 4L, 3L))
+    val w = got.toMap
+    // ratio(special) = (6·12·10⁴) DIV (7·6) = 17142 bp; d4 = 17142 DIV 3
+    assert(w(1L) === 17142L && w(2L) === 17142L)
+    assert(w(4L) === 5714L && w(3L) === 0L)
+  }
 }

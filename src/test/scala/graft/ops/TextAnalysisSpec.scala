@@ -225,4 +225,38 @@ class TextAnalysisSpec extends SparkFunSuite {
     assert(out(3L) === ((1L, 133333L)))
     assert(!out.contains(4L), "sub-trigram doc has no positions to score")
   }
+
+  test("pii audit: planted emails/IPs/SSNs are counted, clean docs stay unflagged") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "contact bob@example.com or alice@test.org today", "en", "sA", 40L),
+      (2L, "server 192.168.1.1 and 10.0.0.255 are up", "en", "sA", 40L),
+      (3L, "ssn 123-45-6789 leaked", "en", "sB", 20L),
+      (4L, "perfectly clean text here", "en", "sB", 25L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dir = tmpDir("pii")
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = TextAnalysis.qPiiAudit(spark, dir).collect()
+      .map(r => (r.getString(0),
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6)))).toMap
+    assert(got("sA") === ((2L, 2L, 2L, 0L, 2L, 10000L)))
+    assert(got("sB") === ((2L, 0L, 0L, 1L, 1L, 5000L)))
+  }
+
+  test("lang confusion: correct langs sit on the diagonal, unknowns land in und") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "the of and x", "en", "s", 12L),
+      (2L, "xx yy zz", "zh", "s", 8L),
+      (3L, "der und das", "de", "s", 11L),
+      (4L, "the of x y", "de", "s", 10L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dir = tmpDir("confusion")
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = TextAnalysis.qLangConfusion(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got === Seq(
+      ("de", "de", 1L, 5000L), ("de", "en", 1L, 5000L),
+      ("en", "en", 1L, 10000L), ("zh", "und", 1L, 10000L)))
+  }
 }
