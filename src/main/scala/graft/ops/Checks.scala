@@ -507,7 +507,50 @@ object Checks {
       |    - [3010,1760,1249,969,791,669,579,511,457][digit]) AS BIGINT) AS dev_bp
       |FROM c, t ORDER BY digit""".stripMargin
 
+  /** One functional-dependency check `lhs → rhs`: group by the
+    * determinant, count groups whose dependent takes >1 distinct value.
+    * One shuffle on the determinant with partial aggregation; the
+    * verdict row is group-count-sized arithmetic.
+    */
+  def fdCheck(df: DataFrame, name: String, lhs: String, rhs: String): DataFrame =
+    df.groupBy(col(lhs)).agg(count_distinct(col(rhs)).as("ndv"))
+      .agg(count(lit(1)).as("n_groups"),
+        sum(when(col("ndv") > 1, 1L).otherwise(0L)).as("n_violations"),
+        max(col("ndv")).as("max_rhs"))
+      .select(lit(name).as("fd"), col("n_groups"), col("n_violations"),
+        expr("(n_violations * 10000) DIV n_groups").as("viol_bp"), col("max_rhs"))
+
+  /** Functional-dependency PROFILE — Metanome-style discovery over an
+    * authored candidate list: a holding FD (nation's key determines its
+    * region) alongside two that real data violates (customer nation ↛
+    * market segment, order customer ↛ priority). Each candidate is one
+    * independent determinant-keyed aggregate; the union is
+    * candidate-count rows. The profile is how a warehouse validates
+    * assumed uniqueness/derivability before building on it.
+    */
+  def qFdCheck(spark: SparkSession, dir: String): DataFrame =
+    Seq(
+      fdCheck(table(spark, dir, "nation"), "nation_to_region", "n_nationkey", "n_regionkey"),
+      fdCheck(table(spark, dir, "customer"), "cust_nation_to_segment", "c_nationkey", "c_mktsegment"),
+      fdCheck(table(spark, dir, "orders"), "cust_to_priority", "o_custkey", "o_orderpriority"))
+      .reduce(_ union _).orderBy(col("fd"))
+
+  val qFdCheckSql: String = {
+    def one(name: String, tbl: String, lhs: String, rhs: String): String =
+      s"""SELECT '$name' AS fd, CAST(count(*) AS BIGINT) AS n_groups,
+         |  CAST(sum(CASE WHEN ndv > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_violations,
+         |  CAST((CAST(sum(CASE WHEN ndv > 1 THEN 1 ELSE 0 END) AS BIGINT) * 10000)
+         |    // count(*) AS BIGINT) AS viol_bp,
+         |  CAST(max(ndv) AS BIGINT) AS max_rhs
+         |FROM (SELECT $lhs, count(DISTINCT $rhs) AS ndv FROM $tbl GROUP BY $lhs)""".stripMargin
+    Seq(one("nation_to_region", "nation", "n_nationkey", "n_regionkey"),
+      one("cust_nation_to_segment", "customer", "c_nationkey", "c_mktsegment"),
+      one("cust_to_priority", "orders", "o_custkey", "o_orderpriority"))
+      .mkString("", "\nUNION ALL\n", "\nORDER BY fd")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_fd_check" -> (qFdCheck _),
     "q_benford" -> (qBenford _),
     "q_stats_manifest" -> (qStatsManifest _),
     "q_reconciliation" -> (qReconciliation _),
@@ -520,6 +563,7 @@ object Checks {
     "q_outlier_orders" -> (qOutlierOrders _))
 
   def oracle: Map[String, String] = Map(
+    "q_fd_check" -> qFdCheckSql,
     "q_benford" -> qBenfordSql,
     "q_stats_manifest" -> qStatsManifestSql,
     "q_reconciliation" -> qReconciliationSql,

@@ -1199,7 +1199,89 @@ object TextAnalysis {
        |    // count(*) AS BIGINT) AS flagged_bp
        |FROM d GROUP BY source ORDER BY source""".stripMargin
 
+  /** Ladder of vocabulary sizes probed by [[qVocabCoverage]]. */
+  val CoverageLadder = Seq(5, 10, 20, 50, 100)
+
+  /** VOCABULARY COVERAGE CURVE — the tokenizer-budget planning view:
+    * for each candidate vocabulary size k, the share of all corpus token
+    * positions covered by the top-k types (count-desc, token-asc). This
+    * is the curve that decides how large a vocab (or how aggressive a
+    * BPE merge budget) a corpus needs before OOV flatlines.
+    *
+    * Scale: the corpus collapses once to the type-count relation; its
+    * ranking uses [[Rank.globalRank]]'s range-partitioned two-pass (a
+    * web-scale vocabulary is billions of types — no single-reducer
+    * window); the ladder expansion and coverage sums then touch only
+    * ladder × vocab rows, with the 1-row total broadcast.
+    */
+  def qVocabCoverage(spark: SparkSession, dir: String): DataFrame = {
+    val counts = table(spark, dir, "documents")
+      .select(explode(tokens(col("text"))).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+    val ranked = Rank.globalRank(counts, Seq(col("cnt").desc, col("tok")), 8)
+    val ladder = CoverageLadder.map(k => lit(k.toLong))
+    ranked
+      .crossJoin(broadcast(counts.agg(sum(col("cnt")).as("total"))))
+      .select(explode(array(ladder: _*)).as("k"), col("cnt"), col("total"), col("rnk"))
+      .filter(col("rnk") <= col("k"))
+      .groupBy(col("k"))
+      .agg(count(lit(1)).as("n_types"), sum(col("cnt")).as("covered_tokens"),
+        max(col("total")).as("total"))
+      .select(col("k"), col("n_types"), col("covered_tokens"),
+        expr("(covered_tokens * 10000) DIV total").as("coverage_bp"))
+      .orderBy(col("k"))
+  }
+
+  val qVocabCoverageSql: String =
+    s"""WITH c AS (
+       |  SELECT tok, CAST(count(*) AS BIGINT) AS cnt
+       |  FROM (SELECT unnest(regexp_split_to_array(lower(text), '\\s+')) AS tok FROM documents)
+       |  GROUP BY tok
+       |), r AS (
+       |  SELECT cnt, row_number() OVER (ORDER BY cnt DESC, tok) AS rnk FROM c
+       |), t AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM c)
+       |SELECT CAST(k AS BIGINT) AS k, CAST(count(*) AS BIGINT) AS n_types,
+       |  CAST(sum(cnt) AS BIGINT) AS covered_tokens,
+       |  CAST((CAST(sum(cnt) AS BIGINT) * 10000) // max(total) AS BIGINT) AS coverage_bp
+       |FROM r CROSS JOIN t CROSS JOIN (SELECT unnest([${CoverageLadder.mkString(", ")}]) AS k) ks
+       |WHERE rnk <= k GROUP BY k ORDER BY k""".stripMargin
+
+  /** Token length of the anchored prefix [[qTemplatePrefixes]] groups by.
+    * Library default would be ~5; the gate uses 2 because the synthetic
+    * corpus draws from a ~40-word vocabulary (5-token prefixes are
+    * unique there; real template intros repeat verbatim).
+    */
+  val PrefixLen = 2
+
+  /** TEMPLATE-INTRO detection — documents sharing an identical opening
+    * token sequence, the anchored complement of the position-free
+    * boilerplate 5-gram scan ([[qDupNgrams]]): scraper templates and
+    * form letters repeat their OPENING verbatim even when bodies
+    * diverge. One projection to the prefix key + one count; top-20
+    * groups by (n_docs desc, prefix asc).
+    */
+  def qTemplatePrefixes(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "documents")
+      .select(col("doc_id"), tokens(col("text")).as("t"))
+      .filter(size(col("t")) >= PrefixLen)
+      .select(concat_ws(" ", slice(col("t"), 1, PrefixLen)).as("prefix"))
+      .groupBy(col("prefix")).agg(count(lit(1)).as("n_docs"))
+      .filter(col("n_docs") >= 2)
+      .orderBy(col("n_docs").desc, col("prefix")).limit(20)
+
+  val qTemplatePrefixesSql: String =
+    s"""WITH p AS (
+       |  SELECT array_to_string(t[1:$PrefixLen], ' ') AS prefix
+       |  FROM (SELECT regexp_split_to_array(lower(text), '\\s+') AS t FROM documents)
+       |  WHERE len(t) >= $PrefixLen
+       |)
+       |SELECT prefix, CAST(count(*) AS BIGINT) AS n_docs
+       |FROM p GROUP BY prefix HAVING count(*) >= 2
+       |ORDER BY n_docs DESC, prefix LIMIT 20""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_vocab_coverage" -> (qVocabCoverage _),
+    "q_template_prefixes" -> (qTemplatePrefixes _),
     "q_lang_confusion" -> (qLangConfusion _),
     "q_pii_audit" -> (qPiiAudit _),
     "q_text_stutter" -> (qTextStutter _),
@@ -1228,6 +1310,8 @@ object TextAnalysis {
   )
 
   def oracle: Map[String, String] = Map(
+    "q_vocab_coverage" -> qVocabCoverageSql,
+    "q_template_prefixes" -> qTemplatePrefixesSql,
     "q_lang_confusion" -> qLangConfusionSql,
     "q_pii_audit" -> qPiiAuditSql,
     "q_text_stutter" -> qTextStutterSql,

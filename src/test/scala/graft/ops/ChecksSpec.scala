@@ -119,4 +119,22 @@ class ChecksSpec extends SparkFunSuite {
     assert(got(2) === ((3L, 3000L, 1760L, 1240L)))
     assert(got(9) === ((2L, 2000L, 457L, 1543L)))
   }
+
+  test("fd check: a holding dependency reports zero violations, a broken one counts them") {
+    import spark.implicits._
+    // holds: k → v on {1→a, 1→a, 2→b}; broken: {1→a, 1→b, 2→c}
+    val holds = Seq((1, "a"), (1, "a"), (2, "b")).toDF("k", "v")
+    val broken = Seq((1, "a"), (1, "b"), (2, "c")).toDF("k", "v")
+    val g1 = Checks.fdCheck(holds, "holds", "k", "v").collect().head
+    assert((g1.getLong(1), g1.getLong(2), g1.getLong(3), g1.getLong(4))
+      === ((2L, 0L, 0L, 1L)))
+    val g2 = Checks.fdCheck(broken, "broken", "k", "v").collect().head
+    assert((g2.getLong(1), g2.getLong(2), g2.getLong(3), g2.getLong(4))
+      === ((2L, 1L, 5000L, 2L)))
+    // the authored profile: nation→region must hold on real data
+    val prof = Checks.qFdCheck(spark, "/root/testdata/sf0.001").collect()
+      .map(r => (r.getString(0), r.getLong(2))).toMap
+    assert(prof("nation_to_region") === 0L)
+    assert(prof("cust_nation_to_segment") > 0L)
+  }
 }

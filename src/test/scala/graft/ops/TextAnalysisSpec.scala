@@ -259,4 +259,38 @@ class TextAnalysisSpec extends SparkFunSuite {
       ("de", "de", 1L, 5000L), ("de", "en", 1L, 5000L),
       ("en", "en", 1L, 10000L), ("zh", "und", 1L, 10000L)))
   }
+
+  test("vocab coverage: ladder is monotone and hand-computed on planted counts") {
+    import spark.implicits._
+    // 14 positions over 7 types: x×5, y×3, z×2, a/b/c/d×1 → top-5 by
+    // (cnt desc, tok asc) = x,y,z,a,b covering 12/14 = 8571 bp; k ≥ 7
+    // covers everything
+    val docs = Seq(
+      (1L, "x x x x x y", "en", "s", 11L),
+      (2L, "y y z z a b c d", "en", "s", 15L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dir = tmpDir("coverage")
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = TextAnalysis.qVocabCoverage(spark, dir).collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got(5L) === ((5L, 12L, 8571L)))
+    TextAnalysis.CoverageLadder.filter(_ >= 7).foreach { k =>
+      assert(got(k.toLong) === ((7L, 14L, 10000L)))
+    }
+  }
+
+  test("template prefixes: shared openings group, unique openings drop out") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "dear customer your account is ready", "en", "s", 30L),
+      (2L, "dear customer please respond soon", "en", "s", 30L),
+      (3L, "dear customer final notice", "en", "s", 25L),
+      (4L, "hello world again", "en", "s", 17L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dir = tmpDir("prefixes")
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = TextAnalysis.qTemplatePrefixes(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(got === Seq(("dear customer", 3L)))
+  }
 }
