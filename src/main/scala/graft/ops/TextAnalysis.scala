@@ -532,10 +532,15 @@ object TextAnalysis {
     * same no-float discipline that fixed the bigram scorer's 1-ulp
     * cross-engine round() boundary.
     *
-    * Scale: four map-side-combinable aggregates over the trigram stream +
-    * key-shuffle joins back (only the unigram relation is small enough to
-    * pin broadcast; AQE picks for the rest), then one per-doc aggregate.
-    * No floats, no windows, no driver state.
+    * Scale: ONE map-side-combinable aggregate collapses the corpus
+    * trigram stream to the distinct-trigram count relation; the prefix /
+    * suffix / middle context counts are exact marginal SUMS of that
+    * relation (identical to direct counts, but aggregated over distinct
+    * trigrams instead of re-scanning the corpus three more times), and
+    * the per-trigram score table assembles with distinct-trigram-sized
+    * joins. The corpus stream then pays exactly one score-lookup join
+    * before the per-doc aggregate. No floats, no windows, no driver
+    * state.
     */
   def qLmTrigramScore(spark: SparkSession, dir: String): DataFrame = {
     val tri = table(spark, dir, "documents")
@@ -545,17 +550,19 @@ object TextAnalysis {
         "transform(sequence(0, size(t) - 3), i -> struct(t[i] AS w1, t[i+1] AS w2, t[i+2] AS w3))")).as("e"))
       .select(col("doc_id"), col("e.w1"), col("e.w2"), col("e.w3"))
     val c3 = tri.groupBy(col("w1"), col("w2"), col("w3")).agg(count(lit(1)).as("c_xyz"))
-    val cp = tri.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c_xy"))
-    val cs = tri.groupBy(col("w2"), col("w3")).agg(count(lit(1)).as("c_yz"))
-    val cm = tri.groupBy(col("w2")).agg(count(lit(1)).as("c_y"))
-    tri
-      .join(c3, Seq("w1", "w2", "w3"))
+      .persist()
+    val cp = c3.groupBy(col("w1"), col("w2")).agg(sum(col("c_xyz")).as("c_xy"))
+    val cs = c3.groupBy(col("w2"), col("w3")).agg(sum(col("c_xyz")).as("c_yz"))
+    val cm = c3.groupBy(col("w2")).agg(sum(col("c_xyz")).as("c_y"))
+    val scores = c3
       .join(cp, Seq("w1", "w2"))
       .join(cs, Seq("w2", "w3"))
       .join(broadcast(cm), Seq("w2"))
-      .select(col("doc_id"), expr(
+      .select(col("w1"), col("w2"), col("w3"), expr(
         "CASE WHEN c_xyz >= 2 THEN (c_xyz * 1000000) DIV c_xy" +
           " ELSE (c_yz * 400000) DIV c_y END").as("s_micro"))
+    tri
+      .join(scores, Seq("w1", "w2", "w3"))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_trigrams"), sum(col("s_micro")).as("sum_micro"))
       .select(col("doc_id"), col("n_trigrams"),
