@@ -241,6 +241,80 @@ object Dedup {
        |SELECT cluster_size, count(*) AS n_clusters
        |FROM sizes GROUP BY cluster_size ORDER BY cluster_size""".stripMargin
 
+  /** Dedup SAVINGS accounting — what each strategy would remove, in
+    * documents AND tokens: the before/after report every dedup run
+    * publishes (token savings is what actually prices a training run).
+    * `exact` removes all-but-the-min-id of each identical-text group;
+    * `near_dup` removes every non-canonical member of the 3-shingle
+    * Jaccard components. Strategies are accounted independently against
+    * the full corpus.
+    *
+    * Scale: `exact` is one text-keyed aggregate (identical texts have
+    * identical token counts, so removed tokens = (k−1)·n_tok with no
+    * second scan); `near_dup` reuses the capped pair relation + the
+    * components labeling, joined back to per-doc token counts.
+    */
+  def qDedupSavings(spark: SparkSession, dir: String): DataFrame = {
+    val docs = table(spark, dir, "documents")
+      .select(col("doc_id"), col("text"),
+        size(TextOps.tokens(col("text"))).cast("long").as("n_toks"))
+    val totals = broadcast(docs.agg(count(lit(1)).as("total_docs")))
+    val exact = docs.groupBy(col("text"))
+      .agg(count(lit(1)).as("k"), max(col("n_toks")).as("ntok"))
+      .agg(sum(col("k") - 1).as("n_docs_removed"),
+        sum((col("k") - 1) * col("ntok")).as("n_tokens_removed"))
+      .select(lit("exact").as("strategy"), col("n_docs_removed"), col("n_tokens_removed"))
+    val pairs = TextDedup.jaccardPairs(
+      docs, col("doc_id"), col("text"), ShingleK, JaccardThreshold)
+    val nearDup = TextDedup.canonicalize(pairs, docs.select(col("doc_id").as("id")))
+      .filter(col("id") =!= col("canonical"))
+      .join(docs.select(col("doc_id").as("id"), col("n_toks")), Seq("id"))
+      .agg(coalesce(count(lit(1)), lit(0L)).as("n_docs_removed"),
+        coalesce(sum(col("n_toks")), lit(0L)).as("n_tokens_removed"))
+      .select(lit("near_dup").as("strategy"), col("n_docs_removed"), col("n_tokens_removed"))
+    exact.union(nearDup)
+      .crossJoin(totals)
+      .select(col("strategy"), col("n_docs_removed"), col("n_tokens_removed"),
+        expr("(n_docs_removed * 10000) DIV total_docs").as("removed_bp"))
+      .orderBy(col("strategy"))
+  }
+
+  val qDedupSavingsSql: String =
+    s"""WITH RECURSIVE pairs AS (
+       |  ${qDedupNgramSql.linesIterator.map("  " + _).mkString("\n").replace("ORDER BY da, db", "")}
+       |), edges AS (
+       |  SELECT da AS src, db AS dst FROM pairs
+       |  UNION ALL SELECT db AS src, da AS dst FROM pairs
+       |), walk(id, lbl) AS (
+       |  SELECT doc_id, doc_id FROM documents
+       |  UNION
+       |  SELECT e.dst, w.lbl FROM walk w JOIN edges e ON e.src = w.id
+       |), canon AS (
+       |  SELECT id, min(lbl) AS canonical FROM walk GROUP BY id
+       |), toks AS (
+       |  SELECT doc_id, text,
+       |    CAST(len(regexp_split_to_array(lower(text), '\\s+')) AS BIGINT) AS n_toks
+       |  FROM documents
+       |), tot AS (SELECT CAST(count(*) AS BIGINT) AS total_docs FROM toks),
+       |ex AS (
+       |  SELECT CAST(coalesce(sum(k - 1), 0) AS BIGINT) AS n_docs_removed,
+       |    CAST(coalesce(sum((k - 1) * ntok), 0) AS BIGINT) AS n_tokens_removed
+       |  FROM (SELECT CAST(count(*) AS BIGINT) AS k, max(n_toks) AS ntok
+       |        FROM toks GROUP BY text)
+       |), nd AS (
+       |  SELECT CAST(coalesce(count(*), 0) AS BIGINT) AS n_docs_removed,
+       |    CAST(coalesce(sum(t.n_toks), 0) AS BIGINT) AS n_tokens_removed
+       |  FROM canon c JOIN toks t ON t.doc_id = c.id
+       |  WHERE c.id <> c.canonical
+       |), u AS (
+       |  SELECT 'exact' AS strategy, n_docs_removed, n_tokens_removed FROM ex
+       |  UNION ALL
+       |  SELECT 'near_dup' AS strategy, n_docs_removed, n_tokens_removed FROM nd
+       |)
+       |SELECT strategy, n_docs_removed, n_tokens_removed,
+       |  CAST((n_docs_removed * 10000) // total_docs AS BIGINT) AS removed_bp
+       |FROM u CROSS JOIN tot ORDER BY strategy""".stripMargin
+
   /** Incremental ingest dedup ([[TextDedup.minhashLshIncremental]]):
     * "incoming" batch = doc_id ≡ 0 (mod 5), "existing corpus" = the rest;
     * each incoming doc that near-duplicates a corpus doc reports its
@@ -525,6 +599,7 @@ object Dedup {
     "q_dedup_components" -> (qDedupComponents _),
     "q_dedup_survivor" -> (qDedupSurvivor _),
     "q_dedup_sizes" -> (qDedupSizes _),
+    "q_dedup_savings" -> (qDedupSavings _),
     "q_dedup_exact" -> (qDedupExact _),
     "q_dedup_ngram_jaccard" -> (qDedupNgramJaccard _),
     "q_dedup_minhash_lsh" -> (qDedupMinhashLsh _),
@@ -542,6 +617,7 @@ object Dedup {
     "q_dedup_components" -> qDedupComponentsSql,
     "q_dedup_survivor" -> qDedupSurvivorSql,
     "q_dedup_sizes" -> qDedupSizesSql,
+    "q_dedup_savings" -> qDedupSavingsSql,
     "q_dedup_exact" -> qDedupExactSql,
     "q_dedup_ngram_jaccard" -> qDedupNgramSql,
     // MinHash+LSH has the same final semantics as the exact pair query —

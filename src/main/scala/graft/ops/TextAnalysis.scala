@@ -1286,7 +1286,56 @@ object TextAnalysis {
        |FROM p GROUP BY prefix HAVING count(*) >= 2
        |ORDER BY n_docs DESC, prefix LIMIT 20""".stripMargin
 
+  /** CCNet-style QUALITY BUCKETS (Wenzek et al. 2020, arXiv:1911.00359):
+    * rank every document by the LM fluency score ([[qLmBigramScore]]'s
+    * exact-integer mean bigram lift standing in for perplexity) and cut
+    * the corpus into equal head / middle / tail thirds — the canonical
+    * pretraining-data triage where `head` trains, `middle` gets
+    * sampled, `tail` gets dropped or re-filtered. Bucket assignment is
+    * pure integer arithmetic on the global rank: `((rnk−1)·3) DIV N`.
+    *
+    * Scale: scoring is the one-pass bigram pipeline; ranking uses
+    * [[Rank.globalRank]] (range-partitioned two-pass, no single-reducer
+    * window); the bucket summary is a 3-row aggregate.
+    */
+  def qQualityBuckets(spark: SparkSession, dir: String): DataFrame = {
+    val ranked = Rank.globalRank(qLmBigramScore(spark, dir),
+      Seq(col("mean_lift_micro").desc, col("doc_id")), 8).persist()
+    ranked
+      .crossJoin(broadcast(ranked.agg(max(col("rnk")).as("n"))))
+      .select(
+        expr("CASE WHEN ((rnk - 1) * 3) DIV n = 0 THEN 'head' " +
+          "WHEN ((rnk - 1) * 3) DIV n = 1 THEN 'middle' ELSE 'tail' END").as("bucket"),
+        col("n_bigrams"), col("mean_lift_micro"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_bigrams")).as("n_bigrams"),
+        min(col("mean_lift_micro")).as("min_score_micro"),
+        max(col("mean_lift_micro")).as("max_score_micro"))
+      .orderBy(col("bucket"))
+  }
+
+  val qQualityBucketsSql: String = {
+    val scored = qLmBigramScoreSql.replace(
+      "\nFROM lifts GROUP BY doc_id ORDER BY doc_id", "\nFROM lifts GROUP BY doc_id")
+    s"""WITH scored AS (
+       |$scored
+       |), r AS (
+       |  SELECT doc_id, n_bigrams, mean_lift_micro,
+       |    row_number() OVER (ORDER BY mean_lift_micro DESC, doc_id) AS rnk,
+       |    count(*) OVER () AS n
+       |  FROM scored
+       |)
+       |SELECT CASE WHEN ((rnk - 1) * 3) // n = 0 THEN 'head'
+       |            WHEN ((rnk - 1) * 3) // n = 1 THEN 'middle' ELSE 'tail' END AS bucket,
+       |  CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(n_bigrams) AS BIGINT) AS n_bigrams,
+       |  CAST(min(mean_lift_micro) AS BIGINT) AS min_score_micro,
+       |  CAST(max(mean_lift_micro) AS BIGINT) AS max_score_micro
+       |FROM r GROUP BY 1 ORDER BY bucket""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_quality_buckets" -> (qQualityBuckets _),
     "q_vocab_coverage" -> (qVocabCoverage _),
     "q_template_prefixes" -> (qTemplatePrefixes _),
     "q_lang_confusion" -> (qLangConfusion _),
@@ -1317,6 +1366,7 @@ object TextAnalysis {
   )
 
   def oracle: Map[String, String] = Map(
+    "q_quality_buckets" -> qQualityBucketsSql,
     "q_vocab_coverage" -> qVocabCoverageSql,
     "q_template_prefixes" -> qTemplatePrefixesSql,
     "q_lang_confusion" -> qLangConfusionSql,

@@ -91,6 +91,27 @@ class OpsSpec extends SparkFunSuite {
     assert(got === Seq((1L, 2L), (2L, 1L)))
   }
 
+  test("dedup savings: exact counts verbatim copies, near-dup adds the fuzzy member") {
+    import spark.implicits._
+    // d1=d2 verbatim (12 tokens); d3 differs in the last token only →
+    // 3-shingle jaccard 9/11 ≈ 0.818 ≥ 0.8, near-dup but not exact;
+    // d4 unrelated. exact removes d2 (1 doc / 12 tokens); near_dup
+    // removes d2+d3 (2 docs / 24 tokens) of 4 total docs.
+    val base = (1 to 12).map(i => s"t$i").mkString(" ")
+    val fuzzy = ((1 to 11).map(i => s"t$i") :+ "zz").mkString(" ")
+    val docs = Seq(
+      (1L, base, "en", "s", 40L), (2L, base, "en", "s", 40L),
+      (3L, fuzzy, "en", "s", 40L),
+      (4L, "completely different words here now", "en", "s", 35L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dir = tmpDir("savings")
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = Dedup.qDedupSavings(spark, dir).collect()
+      .map(r => (r.getString(0), (r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got("exact") === ((1L, 12L, 2500L)))
+    assert(got("near_dup") === ((2L, 24L, 5000L)))
+  }
+
   test("canonicalize: union-find fast path and distributed sweeps agree") {
     import spark.implicits._
     // two components (one a chain of diameter 5, labels unordered), a

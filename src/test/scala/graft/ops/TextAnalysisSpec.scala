@@ -293,4 +293,17 @@ class TextAnalysisSpec extends SparkFunSuite {
       .map(r => (r.getString(0), r.getLong(1))).toSeq
     assert(got === Seq(("dear customer", 3L)))
   }
+
+  test("quality buckets: thirds are balanced and score-ordered head ≥ middle ≥ tail") {
+    val dir = "/root/testdata/sf0.001"
+    val got = TextAnalysis.qQualityBuckets(spark, dir).collect()
+      .map(r => (r.getString(0), (r.getLong(1), r.getLong(3), r.getLong(4)))).toMap
+    assert(got.keySet === Set("head", "middle", "tail"))
+    val sizes = got.values.map(_._1)
+    assert(sizes.sum === TextAnalysis.qLmBigramScore(spark, dir).count())
+    assert(sizes.max - sizes.min <= 1, s"unbalanced thirds: $got")
+    // score bands must not interleave: each bucket's floor ≥ the next's cap
+    assert(got("head")._2 >= got("middle")._3)
+    assert(got("middle")._2 >= got("tail")._3)
+  }
 }
