@@ -1161,9 +1161,17 @@ object TextAnalysis {
   // RE2-safe (and Java-regex-identical) structured-PII patterns: no
   // backslash classes, no anchors — `[.]` instead of `\.` so the same
   // literal works quoted in both engines.
-  private[ops] val PiiEmail = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+[.][a-zA-Z]{2,}"
-  private[ops] val PiiIpv4 = "[0-9]{1,3}([.][0-9]{1,3}){3}"
-  private[ops] val PiiId = "[0-9]{3}-[0-9]{2}-[0-9]{4}"
+  private[graft] val PiiEmail = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+[.][a-zA-Z]{2,}"
+  private[graft] val PiiIpv4 = "[0-9]{1,3}([.][0-9]{1,3}){3}"
+  private[graft] val PiiId = "[0-9]{3}-[0-9]{2}-[0-9]{4}"
+
+  /** Match count of one PII pattern in a text column — the single
+    * definition shared by the batch audit ([[qPiiAudit]]) and the
+    * streaming arrival gate ([[graft.streaming.IngestDedup.piiGate]]),
+    * so an edit to a pattern can never desynchronize the two.
+    */
+  private[graft] def piiMatchCount(text: Column, pattern: String): Column =
+    size(regexp_extract_all(text, lit(pattern), lit(0)))
 
   /** Structured-PII scrubbing AUDIT — per-source counts of email /
     * IPv4 / SSN-shaped matches plus the share of documents flagged, the
@@ -1177,9 +1185,9 @@ object TextAnalysis {
   def qPiiAudit(spark: SparkSession, dir: String): DataFrame =
     table(spark, dir, "documents")
       .select(col("source"),
-        expr(s"size(regexp_extract_all(text, '$PiiEmail', 0))").as("e"),
-        expr(s"size(regexp_extract_all(text, '$PiiIpv4', 0))").as("i"),
-        expr(s"size(regexp_extract_all(text, '$PiiId', 0))").as("s"))
+        piiMatchCount(col("text"), PiiEmail).as("e"),
+        piiMatchCount(col("text"), PiiIpv4).as("i"),
+        piiMatchCount(col("text"), PiiId).as("s"))
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n_docs"),
         sum(col("e").cast(LongType)).as("n_emails"),

@@ -147,6 +147,28 @@ object IngestDedup {
     * Scale: a stateless per-row projection — no state store, no
     * watermark, no shuffle before the sink's own partitioning.
     */
+  /** Streaming PII GATE — the arrival-time dual of
+    * [[graft.ops.TextAnalysis.qPiiAudit]]: every arriving document is
+    * scored against the SAME three structured-PII patterns (the shared
+    * `piiMatchCount` definition) and quarantined if any pattern fires,
+    * so leaked PII never reaches the corpus instead of being found in
+    * the next nightly audit. A stateless per-row projection: verdicts
+    * depend only on the document itself, so per-batch results equal the
+    * one-shot batch projection regardless of file/trigger splits (the
+    * property the spec pins), and per-batch cost is independent of
+    * corpus size.
+    */
+  def piiGate(incoming: DataFrame): DataFrame = {
+    import graft.ops.TextAnalysis
+    incoming
+      .select(col("doc_id"),
+        TextAnalysis.piiMatchCount(col("text"), TextAnalysis.PiiEmail).cast("long").as("n_emails"),
+        TextAnalysis.piiMatchCount(col("text"), TextAnalysis.PiiIpv4).cast("long").as("n_ipv4"),
+        TextAnalysis.piiMatchCount(col("text"), TextAnalysis.PiiId).cast("long").as("n_ids"))
+      .withColumn("quarantine",
+        col("n_emails") + col("n_ipv4") + col("n_ids") > 0)
+  }
+
   def shardRouter(incoming: DataFrame, numShards: Int = graft.ops.Corpus.NumShards): DataFrame =
     incoming
       .withColumn("shard", graft.ops.Corpus.rendezvousShard(col("doc_id"), numShards))

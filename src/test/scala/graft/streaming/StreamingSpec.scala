@@ -263,6 +263,36 @@ class StreamingSpec extends SparkFunSuite {
     assert(streamed.values.forall(s => s >= 0 && s < graft.ops.Corpus.NumShards))
   }
 
+  test("streaming PII gate quarantines planted arrivals and equals the batch projection") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "mail me at spam@leak.net please", "en", "s", 30L),
+      (2L, "host 10.1.2.3 responded", "en", "s", 23L),
+      (3L, "totally clean document", "en", "s", 22L),
+      (4L, "id 987-65-4321 on file", "en", "s", 22L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    // two files → two micro-batches; verdicts are per-row so the split
+    // must not matter
+    val dir = tmpDir("pii-gate")
+    docs.filter(col("doc_id") <= 2).coalesce(1).write.mode("append").parquet(dir)
+    docs.filter(col("doc_id") > 2).coalesce(1).write.mode("append").parquet(dir)
+
+    val streamed = EventStreams.runToMemory(
+      IngestDedup.piiGate(IngestDedup.docStream(spark, dir)),
+      "t_pii_gate", outputMode = "append")
+      .collect().map(r => (r.getLong(0),
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getBoolean(4)))).toMap
+
+    val batch = IngestDedup.piiGate(docs)
+      .collect().map(r => (r.getLong(0),
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getBoolean(4)))).toMap
+    assert(streamed === batch, "stream and batch gate verdicts must agree")
+    assert(streamed(1L) === ((1L, 0L, 0L, true)))
+    assert(streamed(2L) === ((0L, 1L, 0L, true)))
+    assert(streamed(3L) === ((0L, 0L, 0L, false)))
+    assert(streamed(4L) === ((0L, 0L, 1L, true)))
+  }
+
   test("streaming near-dup gate over the stored LSH index equals the one-shot batch probe") {
     import graft.ops.TextDedup
     val docs = graft.ops.Tables.table(spark, sf, "documents")
