@@ -18,6 +18,7 @@ object Dedup {
   val SimhashHammingMax = 6
   val CosineThreshold = 0.45
   val ContainmentThreshold = 0.9
+  val DupSpanL = 8
 
   /** Exact dedup: deterministic survivor = min doc_id per identical text. */
   def qDedupExact(spark: SparkSession, dir: String): DataFrame =
@@ -60,6 +61,37 @@ object Dedup {
        |FROM commons JOIN sizes x ON da = x.doc_id JOIN sizes y ON db = y.doc_id
        |WHERE CAST(common AS DOUBLE) / CAST(x.n + y.n - common AS DOUBLE) >= $JaccardThreshold
        |ORDER BY da, db""".stripMargin
+
+  /** Maximal duplicated 8-token spans (within- OR cross-document) — the
+    * exact-substring dedup pass; see [[TextDedup.duplicatedSpans]].
+    */
+  def qDupSpans(spark: SparkSession, dir: String): DataFrame =
+    TextDedup.duplicatedSpans(
+      table(spark, dir, "documents"), col("doc_id"), col("text"), DupSpanL)
+      .withColumnRenamed("id", "doc_id")
+
+  val qDupSpansSql: String =
+    s"""WITH tok AS (
+       |  SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS t FROM documents
+       |), win0 AS (
+       |  SELECT doc_id, unnest(list_transform(
+       |    range(len(t) - ${DupSpanL - 1}),
+       |    i -> struct_pack(pos := i,
+       |                     g := array_to_string(t[i+1:i+$DupSpanL], ' ')))) AS w
+       |  FROM tok WHERE len(t) >= $DupSpanL
+       |), win AS (
+       |  SELECT doc_id, w.pos AS pos, w.g AS g FROM win0
+       |), dup AS (
+       |  SELECT g FROM win GROUP BY g HAVING count(*) >= 2
+       |), isl AS (
+       |  SELECT doc_id, pos,
+       |    pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+       |  FROM win JOIN dup USING (g)
+       |)
+       |SELECT doc_id, CAST(min(pos) AS BIGINT) AS span_start,
+       |  CAST(max(pos) - min(pos) + $DupSpanL AS BIGINT) AS span_len
+       |FROM isl GROUP BY doc_id, grp
+       |ORDER BY doc_id, span_start""".stripMargin
 
   /** MinHash 64-hash signatures + 16×4 LSH banding + exact verification —
     * same final semantics as the exact pair query (shared oracle);
@@ -602,6 +634,7 @@ object Dedup {
     "q_dedup_savings" -> (qDedupSavings _),
     "q_dedup_exact" -> (qDedupExact _),
     "q_dedup_ngram_jaccard" -> (qDedupNgramJaccard _),
+    "q_dup_spans" -> (qDupSpans _),
     "q_dedup_minhash_lsh" -> (qDedupMinhashLsh _),
     "q_dedup_simhash" -> (qDedupSimhash _),
     "q_dedup_embedding" -> (qDedupEmbedding _),
@@ -620,6 +653,7 @@ object Dedup {
     "q_dedup_savings" -> qDedupSavingsSql,
     "q_dedup_exact" -> qDedupExactSql,
     "q_dedup_ngram_jaccard" -> qDedupNgramSql,
+    "q_dup_spans" -> qDupSpansSql,
     // MinHash+LSH has the same final semantics as the exact pair query —
     // LSH recall at J≥0.8 is 1-2e-4 (and ~1 for the J≥0.97 pairs present).
     "q_dedup_minhash_lsh" -> qDedupNgramSql,

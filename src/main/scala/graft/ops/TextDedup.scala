@@ -696,4 +696,54 @@ object TextDedup {
       .filter(col("hamming") <= maxHamming)
       .orderBy(col("id_a"), col("id_b"))
   }
+
+  /** Maximal duplicated token SPANS — the exact-substring complement to the
+    * whole-document pair operators (the dedup move of Lee et al.,
+    * "Deduplicating Training Data Makes Language Models Better": training
+    * corpora carry verbatim repeated PASSAGES inside otherwise-distinct
+    * documents, which document-level Jaccard never flags). A token
+    * position is "duplicated" when the length-`l` window starting there
+    * occurs ≥ 2 times in the corpus — across documents OR within one (a
+    * self-plagiarizing document is duplication too); runs of duplicated
+    * positions then merge into maximal spans `[span_start,
+    * span_start + span_len)` in token coordinates, ready for a
+    * cut-the-span rewrite pass.
+    *
+    * This is deliberately NOT a suffix-array build (the single-node
+    * construction in the paper): the fixed-width rolling window turns the
+    * problem into one corpus-sized inverted-index pass — every duplicated
+    * substring of length ≥ l is covered by duplicated windows, and the
+    * island merge recovers its maximal extent. What a window pass cannot
+    * see is duplication SHORTER than l: choose l as the shortest span
+    * worth cutting (the paper uses 50 BPE tokens; 8 words here, sized to
+    * the test corpus' sentence-scale near-dups).
+    *
+    * Scale (the reason this shape wins at 100 TB): the window relation is
+    * one row per token — linear; the occurrence count is a map-side-
+    * combined aggregate; flagging is a LINEAR semi-join of occurrences
+    * against the `count ≥ 2` gram set (never a gram-keyed pair join, so a
+    * boilerplate window shared by a million documents costs a million
+    * rows, not 10^12); the island merge is a per-document window function
+    * bounded by document length. Exact integers end-to-end.
+    */
+  def duplicatedSpans(docs: DataFrame, id: Column, text: Column, l: Int = 8): DataFrame = {
+    val win = docs
+      .select(id.as("id"), tokens(text).as("t"))
+      .filter(size(col("t")) >= l)
+      .select(col("id"), posexplode(transform(
+        sequence(lit(0), size(col("t")) - l),
+        i => array_join(slice(col("t"), i + 1, lit(l)), " "))))
+      .select(col("id"), col("pos"), col("col").as("g"))
+    val dup = win.groupBy(col("g")).agg(count(lit(1)).as("occ"))
+      .filter(col("occ") >= 2).select(col("g"))
+    val w = Window.partitionBy(col("id")).orderBy(col("pos"))
+    win.join(dup, Seq("g"))
+      .select(col("id"), col("pos"))
+      .withColumn("grp", col("pos") - row_number().over(w))
+      .groupBy(col("id"), col("grp"))
+      .agg(min(col("pos")).cast("long").as("span_start"),
+        (max(col("pos")) - min(col("pos")) + l).cast("long").as("span_len"))
+      .select(col("id"), col("span_start"), col("span_len"))
+      .orderBy(col("id"), col("span_start"))
+  }
 }
