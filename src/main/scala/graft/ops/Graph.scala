@@ -891,6 +891,79 @@ object Graph {
     * authority scores differ; the co-order graph's symmetry would
     * collapse them).
     */
+  /** Degree ASSORTATIVITY of the co-order part graph — do high-degree
+    * parts co-occur with other high-degree parts (r > 0, social-network
+    * shape) or with low-degree ones (r < 0, hub-and-spoke catalog shape)?
+    * Newman's r is the Pearson correlation of endpoint degrees over the
+    * edge set; on a SYMMETRIZED edge relation the x- and y-marginals
+    * coincide, so the usual sqrt-normalized form collapses to a ratio of
+    * two exact integers
+    *
+    *   r = (n·Σxy − (Σx)²) / (n·Σx² − (Σx)²)
+    *
+    * — no sqrt, one double division, bit-identical across engines. The
+    * Σ-moments are exact longs (overflow envelope ~10^9 edges at degree
+    * 10^4); the two cross-products go through decimal(38,0), which holds
+    * to 10^18-edge corpora.
+    *
+    * Scale: degrees are one map-side-combined aggregate of the edge list;
+    * attaching them is two linear equi-joins of edges against the
+    * node-sized degree relation (both shuffles key on a node id — AQE
+    * broadcasts the degree side while it fits); the moments collapse in
+    * one scalar aggregate. Nothing is quadratic in degree or edge count.
+    */
+  def qAssortativity(spark: SparkSession, dir: String): DataFrame =
+    assortativity(orientedCoOrderEdges(spark, dir))
+
+  /** [[qAssortativity]]'s moment pass over any canonically oriented
+    * (`src < dst`, distinct) undirected edge list.
+    */
+  def assortativity(oriented: DataFrame): DataFrame = {
+    val o = oriented.select(col("src"), col("dst"))
+    val e = o.union(o.select(col("dst").as("src"), col("src").as("dst")))
+    val deg = e.groupBy(col("src").as("v")).agg(count(lit(1)).as("deg"))
+    val dec = "decimal(38,0)"
+    def d(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column = c.cast(dec)
+    val num = d(col("n_edges")) * d(col("sum_deg_prod")) -
+      d(col("sum_deg")) * d(col("sum_deg"))
+    val den = d(col("n_edges")) * d(col("sum_deg_sq")) -
+      d(col("sum_deg")) * d(col("sum_deg"))
+    e.join(deg.toDF("src", "dx"), Seq("src"))
+      .join(deg.toDF("dst", "dy"), Seq("dst"))
+      .agg(
+        count(lit(1)).as("n_edges"),
+        sum(col("dx")).as("sum_deg"),
+        sum(col("dx") * col("dx")).as("sum_deg_sq"),
+        sum(col("dx") * col("dy")).as("sum_deg_prod"))
+      .select(col("n_edges"), col("sum_deg"), col("sum_deg_sq"),
+        col("sum_deg_prod"),
+        when(den === d(lit(0)), lit(null).cast("double"))
+          .otherwise(round(num.cast("double") / den.cast("double"), 6))
+          .as("assortativity"))
+  }
+
+  val qAssortativitySql: String =
+    s"""WITH ${liCappedSql(defaultMaxBasket)},
+       |e0 AS (
+       |  SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+       |  FROM li a JOIN li b ON a.ok = b.ok AND a.l_partkey < b.l_partkey
+       |), e AS (
+       |  SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0
+       |), deg AS (
+       |  SELECT src AS v, count(*) AS deg FROM e GROUP BY 1
+       |), m AS (
+       |  SELECT count(*) AS n, sum(ds.deg) AS sx,
+       |    sum(ds.deg * ds.deg) AS sxx, sum(ds.deg * dd.deg) AS sxy
+       |  FROM e JOIN deg ds ON ds.v = e.src JOIN deg dd ON dd.v = e.dst
+       |)
+       |SELECT CAST(n AS BIGINT) AS n_edges, CAST(sx AS BIGINT) AS sum_deg,
+       |  CAST(sxx AS BIGINT) AS sum_deg_sq, CAST(sxy AS BIGINT) AS sum_deg_prod,
+       |  CASE WHEN n * sxx - sx * sx = 0 THEN NULL
+       |       ELSE round(CAST(n * sxy - sx * sx AS DOUBLE)
+       |                  / CAST(n * sxx - sx * sx AS DOUBLE), 6)
+       |  END AS assortativity
+       |FROM m""".stripMargin
+
   def qHits(spark: SparkSession, dir: String): DataFrame =
     hitsInt(
       table(spark, dir, "lineitem")
@@ -924,6 +997,7 @@ object Graph {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Map("q_pagerank" -> (qPageRank _), "q_triangles" -> (qTriangles _),
       "q_hits" -> (qHits _),
+      "q_assortativity" -> (qAssortativity _),
       "q_basket_rules" -> ((s: SparkSession, d: String) => qBasketRules(s, d)),
       "q_kcore" -> (qKCore _), "q_label_prop" -> (qLabelProp _),
       "q_bfs_distance" -> (qBfsDistance _),
@@ -933,6 +1007,7 @@ object Graph {
   def oracle: Map[String, String] = Map(
     "q_pagerank" -> qPageRankSql,
     "q_hits" -> qHitsSql,
+    "q_assortativity" -> qAssortativitySql,
     "q_triangles" -> qTrianglesSql,
     "q_basket_rules" -> qBasketRulesSql,
     "q_kcore" -> qKCoreSql,

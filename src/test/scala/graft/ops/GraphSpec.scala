@@ -318,4 +318,24 @@ class GraphSpec extends SparkFunSuite {
       .map(r => (r.getLong(0), r.getLong(1))).toMap
     assert(got === ref)
   }
+
+  test("assortativity: a star is perfectly disassortative (r = -1)") {
+    import spark.implicits._
+    // K_{1,3}: hub 1 (deg 3) only touches leaves (deg 1) →
+    // n=6, Σx=12, Σx²=30, Σxy=18 → r = (108-144)/(180-144) = -1
+    val star = Seq((1L, 2L), (1L, 3L), (1L, 4L)).toDF("src", "dst")
+    val row = Graph.assortativity(star).collect().head
+    assert((row.getLong(0), row.getLong(1), row.getLong(2), row.getLong(3)) ===
+      ((6L, 12L, 30L, 18L)))
+    assert(row.getDouble(4) === -1.0)
+  }
+
+  test("assortativity: a disjoint union of regular cliques is degenerate (NULL, not a crash)") {
+    import spark.implicits._
+    // every node in K3 ∪ K3 has degree 2 → zero variance → NULL r
+    val cliques = Seq((1L, 2L), (1L, 3L), (2L, 3L),
+      (4L, 5L), (4L, 6L), (5L, 6L)).toDF("src", "dst")
+    val row = Graph.assortativity(cliques).collect().head
+    assert(row.isNullAt(4))
+  }
 }
