@@ -131,6 +131,7 @@ object Multimodal {
       .when(hex(substring(content, 1, 2)) === "FFD8", "jpeg")
       .when(hex(substring(content, 1, 4)) === "52494646", "wav")
       .when(hex(substring(content, 1, 4)) === "000001BA", "mpeg")
+      .when(hex(substring(content, 5, 4)) === "66747970", "mp4") // ftyp after the size word
       .otherwise("unknown")
 
   /** Sniffed container per modality. The oracle derives the expected
@@ -283,12 +284,76 @@ object Multimodal {
       |WHERE doc_id % 3 = 1
       |ORDER BY doc_id""".stripMargin
 
+  /** Video-modality rows carrying REAL ISO-BMFF (MP4) box structure: an
+    * `ftyp` brand box, a `free` box of doc_id-VARYING length, then `moov`
+    * whose `mvhd` movie header sits BEHIND a varying-length `udta` child —
+    * so a correct parse must walk both the top-level box sequence and the
+    * moov children. The mvhd is a spec-complete 108-byte version-0 box
+    * (unity matrix, 1.0 rate); timescale and duration are pure functions
+    * of doc_id; the document text rides behind `moov` as payload bytes
+    * (the walker never reaches them — moov resolves first).
+    */
+  def mp4Table(spark: SparkSession, dir: String): DataFrame = {
+    val timescale = (lit(600) + (col("doc_id") % 10) * 100).cast("long")
+    val durationSec = (col("doc_id") % 3600 + 1).cast("long")
+    val duration = durationSec * timescale
+    val freeLen = (col("doc_id") % 7).cast("int") // 0..6 filler bytes
+    val udtaLen = (col("doc_id") % 5).cast("int") // 0..4 filler bytes
+    def be32(c: Column): Column = lpad(hex(c), 8, "0")
+    val mvhdHex = concat(
+      lit("0000006C6D766864"), // size 108, 'mvhd'
+      lit("00000000"), // version 0, flags
+      lit("0000000000000000"), // creation + modification time
+      be32(timescale), be32(duration),
+      lit("00010000"), lit("01000000"), // rate 1.0, volume 1.0 + reserved
+      lit("0000000000000000"), // reserved[2]
+      lit("000100000000000000000000000000000001000000000000000000000000000040000000"), // unity matrix
+      lit("0" * 48), // pre_defined[6]
+      lit("00000002")) // next_track_ID
+    val mp4Hex = concat(
+      lit("0000001866747970"), lit("69736F6D00000200"), lit("69736F6D6D703432"), // ftyp isom
+      be32(freeLen + 8), lit("66726565"), lit("41414141414141").substr(lit(1), freeLen * 2),
+      be32(udtaLen + 124), lit("6D6F6F76"), // moov = udta + mvhd
+      be32(udtaLen + 8), lit("75647461"), lit("41414141").substr(lit(1), udtaLen * 2),
+      mvhdHex)
+    table(spark, dir, "documents")
+      .filter(col("doc_id") % 3 === 2)
+      .select(col("doc_id"),
+        unhex(concat(mp4Hex, hex(encode(col("text"), "UTF-8")))).as("content"))
+  }
+
+  /** Real video-container decode: walk the MP4 box tree to the mvhd and
+    * report timescale / duration / exact integer milliseconds with the
+    * codegen [[graft.functions.Mp4Meta]] expression. As with the PNG and
+    * WAV duals, the oracle derives the expected fields INDEPENDENTLY from
+    * doc_id arithmetic — a hash match proves the box walk on every row.
+    */
+  def qMultimodalMp4(spark: SparkSession, dir: String): DataFrame = {
+    val packed = graft.functions.Mp4Meta(col("content"))
+    mp4Table(spark, dir)
+      .select(col("doc_id"),
+        shiftrightunsigned(packed, 32).as("timescale"),
+        packed.bitwiseAND(lit(0xFFFFFFFFL)).as("duration"))
+      .withColumn("duration_ms", expr("duration * 1000 DIV timescale"))
+      .orderBy(col("doc_id"))
+  }
+
+  val qMultimodalMp4Sql: String =
+    """SELECT doc_id,
+      |  CAST(600 + (doc_id % 10) * 100 AS BIGINT) AS timescale,
+      |  CAST((doc_id % 3600 + 1) * (600 + (doc_id % 10) * 100) AS BIGINT) AS duration,
+      |  CAST((doc_id % 3600 + 1) * 1000 AS BIGINT) AS duration_ms
+      |FROM documents
+      |WHERE doc_id % 3 = 2
+      |ORDER BY doc_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_multimodal_features" -> (qMultimodalFeatures _),
     "q_multimodal_roundtrip" -> (qMultimodalRoundtrip _),
     "q_multimodal_sniff" -> (qMultimodalSniff _),
     "q_multimodal_dims" -> (qMultimodalDims _),
     "q_multimodal_wav" -> (qMultimodalWav _),
+    "q_multimodal_mp4" -> (qMultimodalMp4 _),
   )
 
   def oracle: Map[String, String] = Map(
@@ -297,5 +362,6 @@ object Multimodal {
     "q_multimodal_sniff" -> qMultimodalSniffSql,
     "q_multimodal_dims" -> qMultimodalDimsSql,
     "q_multimodal_wav" -> qMultimodalWavSql,
+    "q_multimodal_mp4" -> qMultimodalMp4Sql,
   )
 }
