@@ -756,7 +756,109 @@ object Corpus {
        |GROUP BY toks.doc_id
        |ORDER BY weight_bp DESC, doc_id LIMIT 20""".stripMargin
 
+  /** Vocabulary size for the [[qDoremiWeights]] loss proxy. */
+  val DoremiVocabK = 256
+
+  /** Multiplicative-weights rounds for [[qDoremiWeights]]. */
+  val DoremiRounds = 5
+
+  /** DoReMi-style domain (source) reweighting by iterated multiplicative
+    * weights — the mixture-tuning move of Xie et al., "DoReMi: Optimizing
+    * Data Mixtures Speeds Up Language Model Pretraining": domains whose
+    * proxy EXCESS LOSS is high get their mixture weight multiplied up each
+    * round, then weights renormalize to a distribution. Training a proxy
+    * model is out of scope for a data engine, so the per-domain loss
+    * stands in as the out-of-vocabulary rate against the corpus top-256
+    * vocabulary (in basis points — the domain the reference tokenizer
+    * models worst is the one DoReMi would upweight); the ITERATION is the
+    * real operator and runs entirely in exact integers:
+    *
+    *   w ← w · (10000 + excess_bp) DIV 10000,  then
+    *   w ← w · (n_domains · 10^6) DIV Σw            (renormalize)
+    *
+    * for 5 rounds — every intermediate an exact long (renormalized w is
+    * bounded by n_domains·10^6·3, so products stay ≪ 2^63), replayed by
+    * the oracle as chained CTEs, final output the mixture in ppm.
+    *
+    * Scale: one corpus scan into a map-side-combined (source, token)
+    * aggregate + a broadcast top-K vocab join; the iteration itself runs
+    * on a DOMAIN-sized relation (a handful of rows) with 1-row broadcast
+    * totals — the 100 TB cost is the scan, not the solve.
+    */
+  def qDoremiWeights(spark: SparkSession, dir: String): DataFrame =
+    doremiWeights(table(spark, dir, "documents"))
+
+  /** [[qDoremiWeights]]'s iteration over any (source, text) frame. */
+  def doremiWeights(docs: DataFrame): DataFrame = {
+    val Scale = 1000000L
+    val tok = docs
+      .select(col("source"), explode(tokens(col("text"))).as("w"))
+    val vocab = tok.groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("w")).limit(DoremiVocabK)
+      .select(col("w"), lit(1).as("inv"))
+    val loss = tok.join(broadcast(vocab), Seq("w"), "left")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("inv").isNull, 1L).otherwise(0L)).as("oov"))
+      .select(col("source"), expr("oov * 10000 DIV n_tokens").as("loss_bp"))
+    val minLoss = loss.agg(min(col("loss_bp")).as("min_bp"))
+    var w = loss.crossJoin(broadcast(minLoss))
+      .select(col("source"), col("loss_bp"),
+        (col("loss_bp") - col("min_bp")).as("excess_bp"),
+        lit(Scale).as("w"))
+    for (_ <- 1 to DoremiRounds) {
+      val upd = w.select(col("source"), col("loss_bp"), col("excess_bp"),
+        expr("w * (10000 + excess_bp) DIV 10000").as("w"))
+      val tot = upd.agg(sum(col("w")).as("tot"), count(lit(1)).as("ns"))
+      w = upd.crossJoin(broadcast(tot))
+        .select(col("source"), col("loss_bp"), col("excess_bp"),
+          expr(s"w * (ns * ${Scale}L) DIV tot").as("w"))
+    }
+    val tot = w.agg(sum(col("w")).as("tot"))
+    w.crossJoin(broadcast(tot))
+      .select(col("source"), col("loss_bp"), col("excess_bp"),
+        expr(s"w * ${Scale}L DIV tot").as("weight_ppm"))
+      .orderBy(col("source"))
+  }
+
+  val qDoremiWeightsSql: String = {
+    def round(i: Int): String =
+      s"""u$i AS (
+         |  SELECT source, loss_bp, excess_bp,
+         |    (w * (10000 + excess_bp)) // 10000 AS w
+         |  FROM r${i - 1}
+         |), r$i AS (
+         |  SELECT source, loss_bp, excess_bp,
+         |    (w * ((SELECT count(*) FROM u$i) * 1000000)) // (SELECT sum(w) FROM u$i) AS w
+         |  FROM u$i
+         |)""".stripMargin
+    s"""WITH tok AS (
+       |  SELECT source, unnest(regexp_split_to_array(lower(text), '\\s+')) AS w
+       |  FROM documents
+       |), vocab AS (
+       |  SELECT w FROM (
+       |    SELECT w, count(*) AS cnt FROM tok GROUP BY 1
+       |    ORDER BY cnt DESC, w LIMIT $DoremiVocabK)
+       |), loss AS (
+       |  SELECT source,
+       |    (CAST(sum(CASE WHEN vocab.w IS NULL THEN 1 ELSE 0 END) AS BIGINT) * 10000)
+       |      // count(*) AS loss_bp
+       |  FROM tok LEFT JOIN vocab ON tok.w = vocab.w
+       |  GROUP BY source
+       |), r0 AS (
+       |  SELECT source, loss_bp,
+       |    loss_bp - (SELECT min(loss_bp) FROM loss) AS excess_bp,
+       |    CAST(1000000 AS BIGINT) AS w
+       |  FROM loss
+       |), ${(1 to DoremiRounds).map(round).mkString(", ")}
+       |SELECT source, CAST(loss_bp AS BIGINT) AS loss_bp,
+       |  CAST(excess_bp AS BIGINT) AS excess_bp,
+       |  CAST((w * 1000000) // (SELECT sum(w) FROM r$DoremiRounds) AS BIGINT) AS weight_ppm
+       |FROM r$DoremiRounds ORDER BY source""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_doremi_weights" -> (qDoremiWeights _),
     "q_dsir_weights" -> (qDsirWeights _),
     "q_score_qnorm" -> (qScoreQnorm _),
     "q_split_grouped" -> (qSplitGrouped _),
@@ -775,6 +877,7 @@ object Corpus {
     "q_contamination" -> (qContamination _))
 
   def oracle: Map[String, String] = Map(
+    "q_doremi_weights" -> qDoremiWeightsSql,
     "q_dsir_weights" -> qDsirWeightsSql,
     "q_score_qnorm" -> qScoreQnormSql,
     "q_split_grouped" -> qSplitGroupedSql,

@@ -317,4 +317,27 @@ class CorpusSpec extends SparkFunSuite {
     assert(w(1L) === 17142L && w(2L) === 17142L)
     assert(w(4L) === 5714L && w(3L) === 0L)
   }
+
+  test("DoReMi weights: high-OOV domain upweighted, weights a distribution, uniform when losses tie") {
+    import spark.implicits._
+    // source A speaks 3 frequent tokens (all in the top-256 vocab);
+    // source B speaks 400 distinct hapaxes — only 253 vocab slots remain,
+    // so B's OOV loss is (400-253)·10⁴ DIV 400 = 3675 bp over A's 0
+    val a = (1 to 5).map(i => (i.toLong, "a b c a b c", "A"))
+    val b = Seq((100L, (1 to 400).map(i => f"z$i%03d").mkString(" "), "B"))
+    val docs = (a ++ b).toDF("doc_id", "text", "source")
+    val rows = Corpus.doremiWeights(docs).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val byS = rows.map(x => x._1 -> x).toMap
+    assert(byS("A")._3 === 0L) // min-loss domain has zero excess
+    assert(byS("B")._3 === 3675L)
+    assert(byS("B")._4 > byS("A")._4) // lossier domain upweighted
+    val tot = rows.map(_._4).sum
+    assert(tot <= 1000000L && tot >= 1000000L - rows.length) // ppm distribution
+    // tied losses → exactly uniform mixture
+    val uni = Corpus.doremiWeights(
+      Seq((1L, "a b c", "A"), (2L, "a b c", "B")).toDF("doc_id", "text", "source"))
+      .collect().map(_.getLong(3))
+    assert(uni.toSeq === Seq(500000L, 500000L))
+  }
 }
