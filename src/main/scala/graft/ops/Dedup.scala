@@ -93,6 +93,55 @@ object Dedup {
        |FROM isl GROUP BY doc_id, grp
        |ORDER BY doc_id, span_start""".stripMargin
 
+  /** Per-source duplicated-token share — the headline number substring
+    * dedup reports before a cut pass (what fraction of each source is
+    * verbatim-repeated text): Σ maximal-span lengths over Σ tokens, in
+    * basis points of exact integers. Docs shorter than the window carry
+    * zero duplication but still count in the denominator.
+    */
+  def qDupRate(spark: SparkSession, dir: String): DataFrame = {
+    val docs = table(spark, dir, "documents")
+      .select(col("doc_id"), col("source"),
+        size(TextOps.tokens(col("text"))).cast("long").as("n_tok"))
+    val perDoc = TextDedup.duplicatedSpans(
+      table(spark, dir, "documents"), col("doc_id"), col("text"), DupSpanL)
+      .groupBy(col("id").as("doc_id"))
+      .agg(sum(col("span_len")).as("dup_tok"))
+    docs.join(perDoc, Seq("doc_id"), "left")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tok")).as("n_tokens"),
+        coalesce(sum(col("dup_tok")), lit(0L)).as("dup_tokens"))
+      .select(col("source"), col("n_docs"), col("n_tokens"), col("dup_tokens"),
+        expr("dup_tokens * 10000 DIV n_tokens").as("dup_bp"))
+      .orderBy(col("source"))
+  }
+
+  // Assembled from the span CTEs verbatim so the two relations can never
+  // drift; the outer query re-aggregates maximal spans per source.
+  val qDupRateSql: String = {
+    val withIdx = qDupSpansSql.indexOf("WITH ") + 5
+    val selIdx = qDupSpansSql.lastIndexOf("SELECT doc_id, CAST(min(pos)")
+    val ctes = qDupSpansSql.substring(withIdx, selIdx).trim.stripSuffix(",")
+    s"""WITH $ctes,
+       |spans AS (
+       |  SELECT doc_id, max(pos) - min(pos) + $DupSpanL AS span_len
+       |  FROM isl GROUP BY doc_id, grp
+       |), perdoc AS (
+       |  SELECT doc_id, CAST(sum(span_len) AS BIGINT) AS dup_tok
+       |  FROM spans GROUP BY doc_id
+       |), d AS (
+       |  SELECT doc_id, source, len(regexp_split_to_array(lower(text), '\\s+')) AS n_tok
+       |  FROM documents
+       |)
+       |SELECT source, count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+       |  CAST(coalesce(sum(dup_tok), 0) AS BIGINT) AS dup_tokens,
+       |  CAST(CAST(coalesce(sum(dup_tok), 0) AS BIGINT) * 10000
+       |       // CAST(sum(n_tok) AS BIGINT) AS BIGINT) AS dup_bp
+       |FROM d LEFT JOIN perdoc USING (doc_id)
+       |GROUP BY source ORDER BY source""".stripMargin
+  }
+
   /** MinHash 64-hash signatures + 16×4 LSH banding + exact verification —
     * same final semantics as the exact pair query (shared oracle);
     * candidate generation is O(docs × bands).
@@ -635,6 +684,7 @@ object Dedup {
     "q_dedup_exact" -> (qDedupExact _),
     "q_dedup_ngram_jaccard" -> (qDedupNgramJaccard _),
     "q_dup_spans" -> (qDupSpans _),
+    "q_dup_rate" -> (qDupRate _),
     "q_dedup_minhash_lsh" -> (qDedupMinhashLsh _),
     "q_dedup_simhash" -> (qDedupSimhash _),
     "q_dedup_embedding" -> (qDedupEmbedding _),
@@ -654,6 +704,7 @@ object Dedup {
     "q_dedup_exact" -> qDedupExactSql,
     "q_dedup_ngram_jaccard" -> qDedupNgramSql,
     "q_dup_spans" -> qDupSpansSql,
+    "q_dup_rate" -> qDupRateSql,
     // MinHash+LSH has the same final semantics as the exact pair query —
     // LSH recall at J≥0.8 is 1-2e-4 (and ~1 for the J≥0.97 pairs present).
     "q_dedup_minhash_lsh" -> qDedupNgramSql,
