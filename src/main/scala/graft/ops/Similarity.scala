@@ -331,7 +331,58 @@ object Similarity {
        |ORDER BY q_vec_id, rnk""".stripMargin
   }
 
+  /** ANN RECALL AUDIT — approximate-vs-exact top-k agreement per query,
+    * in exact basis points: recall@k of the LSH and IVF paths against the
+    * brute-force baseline, the acceptance gate a pipeline runs before
+    * trusting an approximate index at scale. Runs all three searches and
+    * joins their result ids; every quantity is an exact integer, and the
+    * oracle embeds the three already-verified search replays verbatim as
+    * subqueries so the audit can never drift from the searches it audits.
+    *
+    * Scale: the cost IS the three searches (each already bounded — see
+    * [[VectorSearch]]); the recall join touches queries×k rows. At 100 TB
+    * the audit runs on a query SAMPLE, not the full query log — the shape
+    * is unchanged.
+    */
+  def qAnnRecall(spark: SparkSession, dir: String): DataFrame = {
+    val exact = qSimTopK(spark, dir).select(col("q_vec_id"), col("vec_id"))
+    def recallOf(m: String, approx: DataFrame): DataFrame = {
+      val hits = exact
+        .join(approx.select(col("q_vec_id"), col("vec_id")), Seq("q_vec_id", "vec_id"))
+        .groupBy(col("q_vec_id")).agg(count(lit(1)).as("hits"))
+      exact.select(col("q_vec_id")).distinct()
+        .join(hits, Seq("q_vec_id"), "left")
+        .select(lit(m).as("method"), col("q_vec_id"),
+          coalesce(col("hits"), lit(0L)).as("hits"))
+        .withColumn("recall_bp", expr(s"hits * 10000 DIV $K"))
+    }
+    recallOf("ivf", qSimIvfTopK(spark, dir))
+      .union(recallOf("lsh", qSimLshTopK(spark, dir)))
+      .orderBy(col("method"), col("q_vec_id"))
+  }
+
+  val qAnnRecallSql: String = {
+    def branch(name: String, sql: String): String =
+      s"""SELECT '$name' AS method, e.q_vec_id,
+         |  CAST(coalesce(h.hits, 0) AS BIGINT) AS hits,
+         |  CAST(coalesce(h.hits, 0) * 10000 // $K AS BIGINT) AS recall_bp
+         |FROM (SELECT DISTINCT q_vec_id FROM exact) e
+         |LEFT JOIN (
+         |  SELECT a.q_vec_id, count(*) AS hits
+         |  FROM ($sql) a
+         |  JOIN exact ON exact.q_vec_id = a.q_vec_id AND exact.vec_id = a.vec_id
+         |  GROUP BY 1) h ON h.q_vec_id = e.q_vec_id""".stripMargin
+    s"""WITH exact AS (
+       |  SELECT q_vec_id, vec_id FROM ($qSimTopKSql) x
+       |)
+       |${branch("ivf", qSimIvfTopKSql)}
+       |UNION ALL
+       |${branch("lsh", qSimLshTopKSql)}
+       |ORDER BY method, q_vec_id""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_ann_recall" -> (qAnnRecall _),
     "q_sim_topk" -> (qSimTopK _),
     "q_sim_lsh_topk" -> (qSimLshTopK _),
     "q_sim_ivf_topk" -> (qSimIvfTopK _),
@@ -341,6 +392,7 @@ object Similarity {
   )
 
   def oracle: Map[String, String] = Map(
+    "q_ann_recall" -> qAnnRecallSql,
     "q_sim_topk" -> qSimTopKSql,
     "q_sim_lsh_topk" -> qSimLshTopKSql,
     "q_sim_ivf_topk" -> qSimIvfTopKSql,
