@@ -91,10 +91,114 @@ object Layout {
        |FROM q ORDER BY event_id""".stripMargin
   }
 
-  def queries: Map[String, (org.apache.spark.sql.SparkSession, String) => DataFrame] =
-    Map("q_zorder_key" -> (qZOrderKey _))
+  /** Simulated file granule size for [[qSkippingStats]]. */
+  val RowsPerFile = 512
 
-  def oracle: Map[String, String] = Map("q_zorder_key" -> qZOrderKeySql)
+  /** FILE-SKIPPING EFFECTIVENESS audit — the payoff metric that justifies
+    * Z-ordering: lay lineitem out under (a) a single-column sort on price
+    * and (b) the Morton order over (quantity, price), carve each layout
+    * into [[RowsPerFile]]-row granules, compute per-granule min-max zone
+    * maps, and count how many granules a 2-D predicate
+    * family can SKIP — for a price-band predicate, a quantity-band
+    * predicate, and their conjunction. The matrix IS the Z-order sales
+    * pitch made measurable: the price-sorted layout prunes price
+    * predicates perfectly and quantity predicates not at all, while the
+    * z-order gives every granule a bounding box in (quantity, price)
+    * space and prunes RESPECTABLY ON BOTH — exactly the min-max pruning
+    * parquet row groups / Delta-Iceberg data files do, in exact basis
+    * points.
+    *
+    * Scale: each layout is one [[Rank.globalRank]] pass (range exchange +
+    * two scans, no single-reducer window) into a granule-keyed partial
+    * aggregate, checkpointed at granule-count size so the three predicate
+    * verdicts re-read the tiny zone-map relation, not the table. Ordering
+    * is totalized by (key, orderkey, linenumber) so ranks — and therefore
+    * granule boundaries — are engine-identical.
+    */
+  def qSkippingStats(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
+    val li = Tables.table(spark, dir, "lineitem").select(
+      col("l_orderkey").as("ok"), col("l_linenumber").as("ln"),
+      col("l_quantity").cast(LongType).as("qty"),
+      (col("l_extendedprice") * 100).cast(LongType).as("pc"))
+    val keyed = li.select(col("ok"), col("ln"), col("qty"), col("pc"),
+      zkey2(
+        quantize(col("qty"), 0d, 51d, 8),
+        quantize(col("pc").cast(DoubleType) / 100d, 900d, 105000d, 8), 8).as("zk"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    def zoneMaps(sortCols: Seq[Column]): DataFrame =
+      Rank.globalRank(keyed, sortCols, 32)
+        .select(expr(s"(rnk - 1) DIV $RowsPerFile").as("f"), col("qty"), col("pc"))
+        .groupBy(col("f"))
+        .agg(min(col("qty")).as("qmin"), max(col("qty")).as("qmax"),
+          min(col("pc")).as("pmin"), max(col("pc")).as("pmax"))
+        .localCheckpoint() // granule-count-sized; frees the rank lineage
+    val priceHit = col("pmin") <= 3000000L && col("pmax") >= 2000000L
+    val qtyHit = col("qmin") <= 20L && col("qmax") >= 10L
+    val preds = Seq(("both", priceHit && qtyHit), ("price", priceHit), ("qty", qtyHit))
+    val layouts = Seq(
+      ("linear_price", zoneMaps(Seq(col("pc"), col("ok"), col("ln")))),
+      ("zorder", zoneMaps(Seq(col("zk"), col("ok"), col("ln")))))
+    val out = (for ((lname, files) <- layouts; (pname, hit) <- preds) yield files
+      .agg(count(lit(1)).as("n_files"),
+        sum(when(hit, 1L).otherwise(0L)).as("files_kept"))
+      .select(lit(lname).as("layout"), lit(pname).as("predicate"),
+        col("n_files"), col("files_kept"),
+        expr("(n_files - files_kept) * 10000 DIV n_files").as("skip_bp")))
+      .reduce(_ union _)
+      .orderBy(col("layout"), col("predicate"))
+    TextDedup.materializeAndRelease(out, keyed)
+  }
+
+  val qSkippingStatsSql: String = {
+    val zterms = (0 until 8).flatMap { i =>
+      Seq(s"(((qa >> $i) & 1) << ${2 * i + 1})", s"(((qb >> $i) & 1) << ${2 * i})")
+    }.mkString(" | ")
+    def layoutCte(name: String, order: String): String =
+      s"""$name AS (
+         |  SELECT qty, pc, (row_number() OVER (ORDER BY $order) - 1) // $RowsPerFile AS f
+         |  FROM k
+         |), ${name}_files AS (
+         |  SELECT f, min(qty) AS qmin, max(qty) AS qmax,
+         |    min(pc) AS pmin, max(pc) AS pmax
+         |  FROM $name GROUP BY f
+         |)""".stripMargin
+    val priceHit = "pmin <= 3000000 AND pmax >= 2000000"
+    val qtyHit = "qmin <= 20 AND qmax >= 10"
+    def branch(layout: String, files: String, pred: String, hit: String): String =
+      s"""SELECT '$layout' AS layout, '$pred' AS predicate,
+         |  CAST(count(*) AS BIGINT) AS n_files,
+         |  CAST(sum(CASE WHEN $hit THEN 1 ELSE 0 END) AS BIGINT) AS files_kept,
+         |  CAST((count(*) - sum(CASE WHEN $hit THEN 1 ELSE 0 END)) * 10000
+         |       // count(*) AS BIGINT) AS skip_bp
+         |FROM $files""".stripMargin
+    val branches = for {
+      (layout, files) <- Seq(("linear_price", "lin_files"), ("zorder", "zo_files"))
+      (pred, hit) <- Seq(("both", s"$priceHit AND $qtyHit"),
+        ("price", priceHit), ("qty", qtyHit))
+    } yield branch(layout, files, pred, hit)
+    s"""WITH li AS (
+       |  SELECT l_orderkey AS ok, l_linenumber AS ln,
+       |    CAST(l_quantity AS BIGINT) AS qty,
+       |    CAST(l_extendedprice * 100 AS BIGINT) AS pc
+       |  FROM lineitem
+       |), q AS (
+       |  SELECT ok, ln, qty, pc,
+       |    least(greatest(CAST(floor(CAST(qty AS DOUBLE) / 51.0 * 256.0) AS BIGINT), 0), 255) AS qa,
+       |    least(greatest(CAST(floor((CAST(pc AS DOUBLE) / 100.0 - 900.0) / 104100.0 * 256.0) AS BIGINT), 0), 255) AS qb
+       |  FROM li
+       |), k AS (
+       |  SELECT ok, ln, qty, pc, $zterms AS zk FROM q
+       |), ${layoutCte("lin", "pc, ok, ln")}, ${layoutCte("zo", "zk, ok, ln")}
+       |${branches.mkString("\nUNION ALL\n")}
+       |ORDER BY layout, predicate""".stripMargin
+  }
+
+  def queries: Map[String, (org.apache.spark.sql.SparkSession, String) => DataFrame] =
+    Map("q_zorder_key" -> (qZOrderKey _), "q_skipping_stats" -> (qSkippingStats _))
+
+  def oracle: Map[String, String] = Map(
+    "q_zorder_key" -> qZOrderKeySql,
+    "q_skipping_stats" -> qSkippingStatsSql)
 
   /** Compact a directory of (typically many small) parquet files into
     * ~`targetBytes` output files — the small-files problem: a 100 TB table
