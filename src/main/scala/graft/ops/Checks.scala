@@ -549,7 +549,67 @@ object Checks {
       .mkString("", "\nUNION ALL\n", "\nORDER BY fd")
   }
 
+  /** Columns profiled by [[qEncodingStats]]. */
+  val EncodingCols = Seq("l_returnflag", "l_linestatus", "l_suppkey", "l_quantity")
+
+  /** ENCODING-PLANNING profile — the storage-layout audit behind parquet
+    * encoding choices at 100 TB: per column, cardinality (does DICTIONARY
+    * encoding pay?) and the run count under the table's natural
+    * (orderkey, linenumber) order (does RUN-LENGTH encoding pay?), both
+    * normalized to exact basis points of the row count. `dict_bp` ≈ 0
+    * means a few distinct values (dictionary wins); `rle_bp` ≈ 10000
+    * means values change every row (RLE useless). Run boundaries are
+    * scoped within each order — the unit a writer's row groups respect —
+    * so the statistic is partition-parallel and engine-deterministic.
+    *
+    * Scale: one branch per profiled column, each a COLUMN-PRUNED scan
+    * (only (orderkey, linenumber, col) leave parquet) into an
+    * order-partitioned lag window + one aggregate with a single distinct
+    * (never the multi-distinct Expand — the q_stats_manifest lesson).
+    */
+  def qEncodingStats(spark: SparkSession, dir: String): DataFrame =
+    encodingProfile(table(spark, dir, "lineitem")
+      .withColumnRenamed("l_orderkey", "ok")
+      .withColumnRenamed("l_linenumber", "ln"), EncodingCols)
+
+  /** [[qEncodingStats]]'s per-column pass over any frame with (ok, ln)
+    * run-scoping keys plus the profiled columns.
+    */
+  def encodingProfile(rows: DataFrame, cols: Seq[String]): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("ok")).orderBy(col("ln"))
+    val branches = cols.map { c =>
+      rows
+        .select(col("ok"), col("ln"), col(c).cast(StringType).as("v"))
+        .withColumn("prev", lag(col("v"), 1).over(w))
+        .agg(count(lit(1)).as("n"),
+          countDistinct(col("v")).as("n_distinct"),
+          sum(when(col("prev").isNull || col("prev") =!= col("v"), 1L)
+            .otherwise(0L)).as("runs"))
+        .select(lit(c).as("col_name"), col("n"), col("n_distinct"), col("runs"),
+          expr("n_distinct * 10000 DIV n").as("dict_bp"),
+          expr("runs * 10000 DIV n").as("rle_bp"))
+    }
+    branches.reduce(_ union _).orderBy(col("col_name"))
+  }
+
+  val qEncodingStatsSql: String = {
+    def branch(c: String): String =
+      s"""SELECT '$c' AS col_name, count(*) AS n,
+         |  CAST(count(DISTINCT v) AS BIGINT) AS n_distinct,
+         |  CAST(sum(chg) AS BIGINT) AS runs,
+         |  CAST(count(DISTINCT v) * 10000 // count(*) AS BIGINT) AS dict_bp,
+         |  CAST(CAST(sum(chg) AS BIGINT) * 10000 // count(*) AS BIGINT) AS rle_bp
+         |FROM (
+         |  SELECT v, CASE WHEN lag(v) OVER (PARTITION BY l_orderkey ORDER BY l_linenumber)
+         |                      IS DISTINCT FROM v THEN 1 ELSE 0 END AS chg
+         |  FROM (SELECT l_orderkey, l_linenumber, CAST($c AS VARCHAR) AS v FROM lineitem) b
+         |) t""".stripMargin
+    EncodingCols.map(branch).mkString("", "\nUNION ALL\n", "\nORDER BY col_name")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_encoding_stats" -> (qEncodingStats _),
     "q_fd_check" -> (qFdCheck _),
     "q_benford" -> (qBenford _),
     "q_stats_manifest" -> (qStatsManifest _),
@@ -563,6 +623,7 @@ object Checks {
     "q_outlier_orders" -> (qOutlierOrders _))
 
   def oracle: Map[String, String] = Map(
+    "q_encoding_stats" -> qEncodingStatsSql,
     "q_fd_check" -> qFdCheckSql,
     "q_benford" -> qBenfordSql,
     "q_stats_manifest" -> qStatsManifestSql,

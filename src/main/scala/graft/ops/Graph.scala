@@ -964,6 +964,67 @@ object Graph {
        |  END AS assortativity
        |FROM m""".stripMargin
 
+  /** Degree DISTRIBUTION profile of the co-order graph — power-of-two
+    * degree buckets (the log-log histogram a scale-free/power-law check
+    * reads) with node counts and shares in exact basis points. The bucket
+    * ladder is an authored integer CASE chain (log-free: `floor(log2 d)`
+    * via range compares), so both engines bucket identically with zero
+    * float involvement.
+    *
+    * Scale: degrees are one map-side-combined aggregate of the edge list;
+    * the histogram is a second bucket-keyed aggregate over the node-sized
+    * degree relation; the total rides a broadcast 1-row relation.
+    */
+  val DegreeBuckets = 20
+
+  def qDegreeHist(spark: SparkSession, dir: String): DataFrame =
+    degreeHist(orientedCoOrderEdges(spark, dir))
+
+  /** [[qDegreeHist]]'s bucket pass over any canonically oriented
+    * (`src < dst`, distinct) undirected edge list.
+    */
+  def degreeHist(oriented: DataFrame): DataFrame = {
+    val o = oriented.select(col("src"), col("dst"))
+    val e = o.union(o.select(col("dst").as("src"), col("src").as("dst")))
+    val deg = e.groupBy(col("src").as("v")).agg(count(lit(1)).as("deg"))
+    val bucket = (0 until DegreeBuckets)
+      .foldRight(lit(DegreeBuckets): org.apache.spark.sql.Column) {
+        case (b, rest) => when(col("deg") < lit(1L << (b + 1)), lit(b)).otherwise(rest)
+      }
+    val hist = deg.select(bucket.as("bucket"))
+      .groupBy(col("bucket")).agg(count(lit(1)).as("n_nodes"))
+    val total = hist.agg(sum(col("n_nodes")).as("total"))
+    hist.crossJoin(broadcast(total))
+      .select(col("bucket"),
+        expr("CAST(shiftleft(1L, CAST(bucket AS INT)) AS BIGINT)").as("deg_lo"),
+        col("n_nodes"),
+        expr("n_nodes * 10000 DIV total").as("share_bp"))
+      .orderBy(col("bucket"))
+  }
+
+  val qDegreeHistSql: String = {
+    val ladder = (0 until DegreeBuckets)
+      .map(b => s"WHEN deg < ${1L << (b + 1)} THEN $b")
+      .mkString(" ")
+    s"""WITH ${liCappedSql(defaultMaxBasket)},
+       |e0 AS (
+       |  SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+       |  FROM li a JOIN li b ON a.ok = b.ok AND a.l_partkey < b.l_partkey
+       |), deg AS (
+       |  SELECT v, count(*) AS deg FROM (
+       |    SELECT src AS v FROM e0 UNION ALL SELECT dst AS v FROM e0) u
+       |  GROUP BY 1
+       |), hist AS (
+       |  SELECT CASE $ladder ELSE $DegreeBuckets END AS bucket,
+       |    count(*) AS n_nodes
+       |  FROM deg GROUP BY 1
+       |)
+       |SELECT CAST(bucket AS INT) AS bucket,
+       |  CAST(2 ** bucket AS BIGINT) AS deg_lo, n_nodes,
+       |  CAST(n_nodes * 10000 // (SELECT sum(n_nodes) FROM hist) AS BIGINT) AS share_bp
+       |FROM hist ORDER BY bucket""".stripMargin
+  }
+
   def qHits(spark: SparkSession, dir: String): DataFrame =
     hitsInt(
       table(spark, dir, "lineitem")
@@ -998,6 +1059,7 @@ object Graph {
     Map("q_pagerank" -> (qPageRank _), "q_triangles" -> (qTriangles _),
       "q_hits" -> (qHits _),
       "q_assortativity" -> (qAssortativity _),
+      "q_degree_hist" -> (qDegreeHist _),
       "q_basket_rules" -> ((s: SparkSession, d: String) => qBasketRules(s, d)),
       "q_kcore" -> (qKCore _), "q_label_prop" -> (qLabelProp _),
       "q_bfs_distance" -> (qBfsDistance _),
@@ -1008,6 +1070,7 @@ object Graph {
     "q_pagerank" -> qPageRankSql,
     "q_hits" -> qHitsSql,
     "q_assortativity" -> qAssortativitySql,
+    "q_degree_hist" -> qDegreeHistSql,
     "q_triangles" -> qTrianglesSql,
     "q_basket_rules" -> qBasketRulesSql,
     "q_kcore" -> qKCoreSql,

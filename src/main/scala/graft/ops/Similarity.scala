@@ -332,9 +332,9 @@ object Similarity {
   }
 
   /** ANN RECALL AUDIT — approximate-vs-exact top-k agreement per query,
-    * in exact basis points: recall@k of the LSH and IVF paths against the
-    * brute-force baseline, the acceptance gate a pipeline runs before
-    * trusting an approximate index at scale. Runs all three searches and
+    * in exact basis points: recall@k of the LSH, IVF and PQ paths against
+    * the brute-force baseline, the acceptance gate a pipeline runs before
+    * trusting an approximate index at scale. Runs all four searches and
     * joins their result ids; every quantity is an exact integer, and the
     * oracle embeds the three already-verified search replays verbatim as
     * subqueries so the audit can never drift from the searches it audits.
@@ -358,6 +358,7 @@ object Similarity {
     }
     recallOf("ivf", qSimIvfTopK(spark, dir))
       .union(recallOf("lsh", qSimLshTopK(spark, dir)))
+      .union(recallOf("pq", qSimPqTopK(spark, dir)))
       .orderBy(col("method"), col("q_vec_id"))
   }
 
@@ -378,6 +379,8 @@ object Similarity {
        |${branch("ivf", qSimIvfTopKSql)}
        |UNION ALL
        |${branch("lsh", qSimLshTopKSql)}
+       |UNION ALL
+       |${branch("pq", qSimPqTopKSql)}
        |ORDER BY method, q_vec_id""".stripMargin
   }
 

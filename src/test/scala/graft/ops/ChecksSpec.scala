@@ -137,4 +137,20 @@ class ChecksSpec extends SparkFunSuite {
     assert(prof("nation_to_region") === 0L)
     assert(prof("cust_nation_to_segment") > 0L)
   }
+
+  test("encoding profile: runs scoped within orders, exact dict/rle bp") {
+    import spark.implicits._
+    // order 1: A A B B → 2 runs; order 2: A B → 2 runs; 8 rows total for
+    // col y: all identical → 2 runs (one per order), 1 distinct
+    val rows = Seq(
+      (1L, 1L, "A", "k"), (1L, 2L, "A", "k"), (1L, 3L, "B", "k"), (1L, 4L, "B", "k"),
+      (2L, 1L, "A", "k"), (2L, 2L, "B", "k"), (2L, 3L, "B", "k"), (2L, 4L, "B", "k"))
+      .toDF("ok", "ln", "x", "y")
+    val got = Checks.encodingProfile(rows, Seq("x", "y")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    assert(got.toSeq === Seq(
+      ("x", 8L, 2L, 4L, 2500L, 5000L),
+      ("y", 8L, 1L, 2L, 1250L, 2500L)))
+  }
 }

@@ -330,6 +330,16 @@ class GraphSpec extends SparkFunSuite {
     assert(row.getDouble(4) === -1.0)
   }
 
+  test("degree-hist: power-of-two buckets and bp shares on a star") {
+    import spark.implicits._
+    // K_{1,3}: three leaves of degree 1 (bucket 0, lo 1) and the hub of
+    // degree 3 (bucket 1, lo 2); shares 7500/2500 bp
+    val star = Seq((1L, 2L), (1L, 3L), (1L, 4L)).toDF("src", "dst")
+    val got = Graph.degreeHist(star).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq === Seq((0, 1L, 3L, 7500L), (1, 2L, 1L, 2500L)))
+  }
+
   test("assortativity: a disjoint union of regular cliques is degenerate (NULL, not a crash)") {
     import spark.implicits._
     // every node in K3 ∪ K3 has degree 2 → zero variance → NULL r
