@@ -576,8 +576,12 @@ object Checks {
     * run-scoping keys plus the profiled columns.
     */
   def encodingProfile(rows: DataFrame, cols: Seq[String]): DataFrame = {
+    // (ok, ln) need not be unique in the source data, so the run order
+    // breaks remaining ties on the VALUE itself — permuting identical
+    // values never changes a run count, so the statistic is total-order-
+    // deterministic without assuming a unique line key.
     val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("ok")).orderBy(col("ln"))
+      .partitionBy(col("ok")).orderBy(col("ln"), col("v"))
     val branches = cols.map { c =>
       rows
         .select(col("ok"), col("ln"), col(c).cast(StringType).as("v"))
@@ -601,7 +605,7 @@ object Checks {
          |  CAST(count(DISTINCT v) * 10000 // count(*) AS BIGINT) AS dict_bp,
          |  CAST(CAST(sum(chg) AS BIGINT) * 10000 // count(*) AS BIGINT) AS rle_bp
          |FROM (
-         |  SELECT v, CASE WHEN lag(v) OVER (PARTITION BY l_orderkey ORDER BY l_linenumber)
+         |  SELECT v, CASE WHEN lag(v) OVER (PARTITION BY l_orderkey ORDER BY l_linenumber, v)
          |                      IS DISTINCT FROM v THEN 1 ELSE 0 END AS chg
          |  FROM (SELECT l_orderkey, l_linenumber, CAST($c AS VARCHAR) AS v FROM lineitem) b
          |) t""".stripMargin

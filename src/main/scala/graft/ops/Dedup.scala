@@ -93,6 +93,46 @@ object Dedup {
        |FROM isl GROUP BY doc_id, grp
        |ORDER BY doc_id, span_start""".stripMargin
 
+  /** Span-granularity train/test OVERLAP audit: maximal spans of the test
+    * slice (doc_id % 10 = 7) occurring verbatim anywhere in the train
+    * slice — what document-level decontamination misses when a test
+    * answer is quoted inside an otherwise-novel page. See
+    * [[TextDedup.overlapSpans]].
+    */
+  def qOverlapSpans(spark: SparkSession, dir: String): DataFrame = {
+    val docs = table(spark, dir, "documents")
+    TextDedup.overlapSpans(
+      docs.filter(col("doc_id") % 10 === 7), col("doc_id"), col("text"),
+      TextDedup.windowGrams(
+        docs.filter(col("doc_id") % 10 =!= 7), col("doc_id"), col("text"), DupSpanL),
+      DupSpanL)
+      .withColumnRenamed("id", "doc_id")
+  }
+
+  val qOverlapSpansSql: String =
+    s"""WITH tok AS (
+       |  SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS t FROM documents
+       |), win0 AS (
+       |  SELECT doc_id, unnest(list_transform(
+       |    range(len(t) - ${DupSpanL - 1}),
+       |    i -> struct_pack(pos := i,
+       |                     g := array_to_string(t[i+1:i+$DupSpanL], ' ')))) AS w
+       |  FROM tok WHERE len(t) >= $DupSpanL
+       |), win AS (
+       |  SELECT doc_id, w.pos AS pos, w.g AS g FROM win0
+       |), tr AS (
+       |  SELECT DISTINCT g FROM win WHERE doc_id % 10 <> 7
+       |), isl AS (
+       |  SELECT doc_id, pos,
+       |    pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+       |  FROM win JOIN tr USING (g)
+       |  WHERE doc_id % 10 = 7
+       |)
+       |SELECT doc_id, CAST(min(pos) AS BIGINT) AS span_start,
+       |  CAST(max(pos) - min(pos) + $DupSpanL AS BIGINT) AS span_len
+       |FROM isl GROUP BY doc_id, grp
+       |ORDER BY doc_id, span_start""".stripMargin
+
   /** Per-source duplicated-token share — the headline number substring
     * dedup reports before a cut pass (what fraction of each source is
     * verbatim-repeated text): Σ maximal-span lengths over Σ tokens, in
@@ -685,6 +725,7 @@ object Dedup {
     "q_dedup_ngram_jaccard" -> (qDedupNgramJaccard _),
     "q_dup_spans" -> (qDupSpans _),
     "q_dup_rate" -> (qDupRate _),
+    "q_overlap_spans" -> (qOverlapSpans _),
     "q_dedup_minhash_lsh" -> (qDedupMinhashLsh _),
     "q_dedup_simhash" -> (qDedupSimhash _),
     "q_dedup_embedding" -> (qDedupEmbedding _),
@@ -705,6 +746,7 @@ object Dedup {
     "q_dedup_ngram_jaccard" -> qDedupNgramSql,
     "q_dup_spans" -> qDupSpansSql,
     "q_dup_rate" -> qDupRateSql,
+    "q_overlap_spans" -> qOverlapSpansSql,
     // MinHash+LSH has the same final semantics as the exact pair query —
     // LSH recall at J≥0.8 is 1-2e-4 (and ~1 for the J≥0.97 pairs present).
     "q_dedup_minhash_lsh" -> qDedupNgramSql,

@@ -727,17 +727,40 @@ object TextDedup {
     * bounded by document length. Exact integers end-to-end.
     */
   def duplicatedSpans(docs: DataFrame, id: Column, text: Column, l: Int = 8): DataFrame = {
-    val win = docs
+    val win = windowOccurrences(docs, id, text, l)
+    val dup = win.groupBy(col("g")).agg(count(lit(1)).as("occ"))
+      .filter(col("occ") >= 2).select(col("g"))
+    maximalSpans(win.join(dup, Seq("g")), l)
+  }
+
+  /** (id, pos, g) — every length-`l` token window of every document, one
+    * row per start position. The corpus-sized relation both span
+    * operators flag against.
+    */
+  private[graft] def windowOccurrences(
+      docs: DataFrame, id: Column, text: Column, l: Int): DataFrame =
+    docs
       .select(id.as("id"), tokens(text).as("t"))
       .filter(size(col("t")) >= l)
       .select(col("id"), posexplode(transform(
         sequence(lit(0), size(col("t")) - l),
         i => array_join(slice(col("t"), i + 1, lit(l)), " "))))
       .select(col("id"), col("pos"), col("col").as("g"))
-    val dup = win.groupBy(col("g")).agg(count(lit(1)).as("occ"))
-      .filter(col("occ") >= 2).select(col("g"))
+
+  /** Distinct window grams of a corpus — the relation an overlap/
+    * contamination pipeline PRECOMPUTES for the trusted (train) side and
+    * stores; probes join against it by gram.
+    */
+  def windowGrams(docs: DataFrame, id: Column, text: Column, l: Int = 8): DataFrame =
+    windowOccurrences(docs, id, text, l).select(col("g")).distinct()
+
+  /** Merge flagged (id, pos) window starts into maximal `[span_start,
+    * span_start + span_len)` spans — consecutive starts are one island
+    * (per-document window function, bounded by document length).
+    */
+  private def maximalSpans(flagged: DataFrame, l: Int): DataFrame = {
     val w = Window.partitionBy(col("id")).orderBy(col("pos"))
-    win.join(dup, Seq("g"))
+    flagged
       .select(col("id"), col("pos"))
       .withColumn("grp", col("pos") - row_number().over(w))
       .groupBy(col("id"), col("grp"))
@@ -746,4 +769,24 @@ object TextDedup {
       .select(col("id"), col("span_start"), col("span_len"))
       .orderBy(col("id"), col("span_start"))
   }
+
+  /** Maximal spans of `probe` documents that occur VERBATIM in a trusted
+    * corpus (its [[windowGrams]] relation) — the span-granularity
+    * train/test overlap audit of Lee et al.: document-level
+    * decontamination misses a test answer quoted inside an otherwise
+    * novel page; the window probe finds exactly the quoted extent. Each
+    * probe doc's verdict depends only on itself and the stored gram set,
+    * so the same call serves batch audits and per-micro-batch streaming
+    * gates identically.
+    *
+    * Scale: linear semi-join of probe windows against the (bucketable,
+    * pre-computed) gram relation — never a pair join; island merge is
+    * per-document.
+    */
+  def overlapSpans(
+      probe: DataFrame, id: Column, text: Column,
+      corpusGrams: DataFrame, l: Int = 8): DataFrame =
+    maximalSpans(
+      windowOccurrences(probe, id, text, l)
+        .join(corpusGrams.select(col("g")).distinct(), Seq("g"), "left_semi"), l)
 }

@@ -137,6 +137,47 @@ object IngestDedup {
           StructField("best_jaccard", DoubleType), StructField("n_dups", LongType)))))
   }
 
+  /** Streaming OVERLAP-SPAN gate — the arrival-time dual of
+    * [[graft.ops.Dedup.qOverlapSpans]]: each micro-batch of arriving
+    * documents is probed against the stored trusted-corpus window grams
+    * ([[graft.ops.TextDedup.windowGrams]], precomputed and persisted at
+    * scale) through the exact batch span path. foreachBatch because the
+    * island merge needs a per-document window function, which streaming
+    * aggregation can't express; per-document independence makes
+    * batch-by-batch exactly the one-shot probe of the union regardless
+    * of trigger splits (the property the spec pins). Per-batch cost is
+    * the batch's own windows joined against the static gram relation —
+    * independent of arrival history.
+    */
+  def overlapSpanGate(
+      spark: SparkSession,
+      docDir: String,
+      checkpoint: String,
+      corpusGrams: DataFrame,
+      l: Int = graft.ops.Dedup.DupSpanL): DataFrame = {
+    @volatile var results: Option[DataFrame] = None
+    val stream = spark.readStream
+      .schema(docSchema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(docDir)
+    val q = stream.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val spans = graft.ops.TextDedup
+          .overlapSpans(batch, col("doc_id"), col("text"), corpusGrams, l)
+          .localCheckpoint()
+        results = Some(results.fold(spans)(_.union(spans).localCheckpoint()))
+        ()
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    results.getOrElse(
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        StructType(Seq(StructField("id", LongType),
+          StructField("span_start", LongType), StructField("span_len", LongType)))))
+  }
+
   /** Streaming rendezvous router: each arriving document gets the same
     * highest-random-weight shard [[graft.ops.Corpus.qShardRendezvous]]
     * assigns in batch — the assignment is a pure row function of the

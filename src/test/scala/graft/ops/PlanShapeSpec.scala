@@ -344,6 +344,36 @@ class PlanShapeSpec extends SparkFunSuite {
     assert(p.contains("partial_sum") || p.contains("partial_count"), p)
   }
 
+  test("dup spans: flagging is a linear join, never a pair join or nested loop") {
+    val p = plan(Dedup.qDupSpans(spark, sf))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    // occurrence-side flagging joins window rows against the dup-gram SET
+    // (count>=2 aggregate), so the gram relation appears under an
+    // aggregate — a gram-keyed self-join of raw occurrences would not
+    assert(p.contains("partial_count") || p.contains("partial_sum"), p)
+  }
+
+  test("overlap spans: the probe is a left-semi join against the gram set") {
+    val p = plan(Dedup.qOverlapSpans(spark, sf))
+    assert(p.contains("LeftSemi"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("encoding stats: each branch scans only its three columns") {
+    val p = plan(Checks.qEncodingStats(spark, sf))
+    val schemas = p.linesIterator.filter(_.contains("ReadSchema:")).toSeq
+    assert(schemas.nonEmpty, p)
+    // no branch drags the wide lineitem row through its window+aggregate
+    assert(schemas.forall(s => !s.contains("l_comment") && !s.contains("l_extendedprice")),
+      schemas.mkString("\n"))
+  }
+
+  test("skipping stats / assortativity: no nested-loop anywhere in the layout or moment passes") {
+    val p1 = plan(Graph.qAssortativity(spark, sf))
+    assert(!p1.contains("CartesianProduct") && !p1.contains("BroadcastNestedLoopJoin"), p1)
+    assert(p1.contains("partial_sum"), p1) // moments combine map-side
+  }
+
   test("hub transform read->cast->constants plan is shuffle-free") {
     import org.apache.spark.sql.functions.lit
     import org.apache.spark.sql.types._

@@ -263,6 +263,39 @@ class StreamingSpec extends SparkFunSuite {
     assert(streamed.values.forall(s => s >= 0 && s < graft.ops.Corpus.NumShards))
   }
 
+  test("streaming overlap-span gate equals the one-shot batch probe across trigger splits") {
+    import spark.implicits._
+    val shared = (1 to 10).map(i => s"c$i").mkString(" ")
+    val corpus = Seq((1L, s"intro words $shared outro words"))
+      .toDF("doc_id", "text")
+    val grams = graft.ops.TextDedup
+      .windowGrams(corpus, col("doc_id"), col("text"), graft.ops.Dedup.DupSpanL)
+      .localCheckpoint()
+
+    // two files → two micro-batches: one arrival quotes the 10-token
+    // corpus passage behind a novel prefix, one is entirely novel
+    val dir = tmpDir("overlap-gate")
+    Seq((100L, s"novel lead-in $shared and a tail", "en", "spec", 50L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("append").parquet(dir)
+    Seq((101L, (1 to 12).map(i => s"n$i").mkString(" "), "en", "spec", 40L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("append").parquet(dir)
+
+    val streamed = IngestDedup.overlapSpanGate(
+      spark, dir, tmpDir("overlap-gate-ckpt"), grams)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted
+    // quoted passage: window starts {2,3,4} → one maximal span (2, 10)
+    assert(streamed.toSeq === Seq((100L, 2L, 10L)))
+
+    val oneShot = graft.ops.TextDedup.overlapSpans(
+      spark.read.parquet(dir), col("doc_id"), col("text"), grams,
+      graft.ops.Dedup.DupSpanL)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted
+    assert(streamed.toSeq === oneShot.toSeq,
+      "per-batch gating must equal the one-shot batch probe")
+  }
+
   test("streaming PII gate quarantines planted arrivals and equals the batch projection") {
     import spark.implicits._
     val docs = Seq(
