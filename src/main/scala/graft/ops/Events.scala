@@ -281,6 +281,55 @@ object Events {
       |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
       |ORDER BY user_id, event_id""".stripMargin
 
+  /** AS-OF snapshot over the SCD2 history — the query the history exists
+    * to serve: reconstruct the dimension state at a point in time T by
+    * selecting, per user, the version row whose `[valid_from, valid_to)`
+    * interval contains T. T is the corpus midpoint in exact microseconds
+    * (`(min_us + max_us) DIV 2` over the full stream — a data-derived
+    * scalar, so the query is deterministic at every scale without an
+    * authored wall-clock constant). Intervals partition each user's
+    * timeline, so at most one version matches per user.
+    *
+    * Scale: the version build is [[qScd2History]]'s one user-partitioned
+    * window; the snapshot filter rides a broadcast 1-row bound relation —
+    * no join against the history beyond the scalar.
+    */
+  def qScd2Asof(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val versions = events(spark, dir)
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id"), col("ts"), col("value"))
+      .withColumn("vf", unix_micros(col("ts")))
+      .withColumn("vt", lead(unix_micros(col("ts")), 1).over(w))
+    val bounds = events(spark, dir)
+      .agg(min(unix_micros(col("ts"))).as("lo"), max(unix_micros(col("ts"))).as("hi"))
+      .select(expr("(lo + hi) DIV 2").as("as_of_us"))
+    versions.crossJoin(broadcast(bounds))
+      .filter(col("vf") <= col("as_of_us") &&
+        (col("vt").isNull || col("vt") > col("as_of_us")))
+      .select(col("user_id"), col("event_id"),
+        fmt(col("ts")).as("valid_from"), col("value"), col("as_of_us"))
+      .orderBy(col("user_id"))
+  }
+
+  val qScd2AsofSql: String =
+    """WITH p AS (
+      |  SELECT user_id, event_id, date_trunc('microseconds', ts) AS ts, value,
+      |    epoch_us(date_trunc('microseconds', ts)) AS vf,
+      |    lead(epoch_us(date_trunc('microseconds', ts)), 1) OVER
+      |      (PARTITION BY user_id ORDER BY date_trunc('microseconds', ts), event_id) AS vt
+      |  FROM events WHERE event_type = 'purchase'
+      |), b AS (
+      |  SELECT (min(epoch_us(date_trunc('microseconds', ts)))
+      |          + max(epoch_us(date_trunc('microseconds', ts)))) // 2 AS as_of_us
+      |  FROM events
+      |)
+      |SELECT user_id, event_id, strftime(ts, '%Y-%m-%d %H:%M:%S') AS valid_from,
+      |  value, as_of_us
+      |FROM p CROSS JOIN b
+      |WHERE vf <= as_of_us AND (vt IS NULL OR vt > as_of_us)
+      |ORDER BY user_id""".stripMargin
+
   /** Time-series densification (gap filling): the complete hourly grid
     * from the stream's first to last hour × every event type, with
     * observed counts joined in and silent hours zero-filled — the
@@ -842,6 +891,7 @@ object Events {
     "q_event_bigrams" -> (qEventBigrams _),
     "q_events_densify" -> (qEventsDensify _),
     "q_scd2_history" -> (qScd2History _),
+    "q_scd2_asof" -> (qScd2Asof _),
     "q_events_retention" -> (qEventsRetention _),
     "q_events_hourly" -> (qEventsHourly _),
     "q_events_sliding" -> (qEventsSliding _),
@@ -864,6 +914,7 @@ object Events {
     "q_event_bigrams" -> qEventBigramsSql,
     "q_events_densify" -> qEventsDensifySql,
     "q_scd2_history" -> qScd2HistorySql,
+    "q_scd2_asof" -> qScd2AsofSql,
     "q_events_retention" -> qEventsRetentionSql,
     "q_events_hourly" -> qEventsHourlySql,
     "q_events_sliding" -> qEventsSlidingSql,

@@ -377,6 +377,28 @@ object Relational {
       |  count(*) FILTER (WHERE o_orderstatus = 'P') AS "P"
       |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
 
+  /** UNPIVOT (melt) — the inverse of [[qPivot]], through Spark's native
+    * `Dataset.unpivot` (Expand-based, one pass, no join): the pivoted
+    * status×priority count matrix back to long (priority, status, n)
+    * form. Round-tripping through both operators pins the pair as exact
+    * inverses on this data.
+    */
+  def qUnpivot(spark: SparkSession, dir: String): DataFrame =
+    qPivot(spark, dir)
+      .unpivot(
+        Array(col("o_orderpriority")),
+        Array(col("F"), col("O"), col("P")),
+        "o_orderstatus", "n")
+      .orderBy(col("o_orderpriority"), col("o_orderstatus"))
+
+  val qUnpivotSql: String =
+    s"""WITH wide AS ($qPivotSql)
+       |SELECT o_orderpriority, s.o_orderstatus,
+       |  CASE s.o_orderstatus WHEN 'F' THEN "F" WHEN 'O' THEN "O" ELSE "P" END AS n
+       |FROM wide CROSS JOIN (
+       |  SELECT unnest(['F', 'O', 'P']) AS o_orderstatus) s
+       |ORDER BY o_orderpriority, s.o_orderstatus""".stripMargin
+
   /** Exact distinct counts per group (count-distinct expand path). */
   def qDistinctCounts(spark: SparkSession, dir: String): DataFrame = {
     val li = table(spark, dir, "lineitem")
@@ -643,6 +665,7 @@ object Relational {
     "q06_forecast_revenue" -> (q06ForecastRevenue _),
     "q17_small_quantity" -> (q17SmallQuantity _),
     "q_pivot" -> (qPivot _),
+    "q_unpivot" -> (qUnpivot _),
     "q_distinct_counts" -> (qDistinctCounts _),
     "q07_sql_surface" -> (q07SqlSurface _),
     "q_percentiles" -> (qPercentiles _),
@@ -674,6 +697,7 @@ object Relational {
     "q06_forecast_revenue" -> q06Sql,
     "q17_small_quantity" -> q17Sql,
     "q_pivot" -> qPivotSql,
+    "q_unpivot" -> qUnpivotSql,
     "q_distinct_counts" -> qDistinctCountsSql,
     "q07_sql_surface" -> q07Sql,
     "q_percentiles" -> qPercentilesSql,

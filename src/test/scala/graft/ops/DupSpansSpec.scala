@@ -44,6 +44,23 @@ class DupSpansSpec extends SparkFunSuite {
       .count() === 0L)
   }
 
+  test("overlap spans probe only against the corpus grams, not each other") {
+    import spark.implicits._
+    val corpus = Seq((1L, s"lead-in $shared lead-out")).toDF("doc_id", "text")
+    val grams = TextDedup.windowGrams(corpus, col("doc_id"), col("text"), 8)
+    // probe doc 10 quotes the corpus passage; docs 20/21 share a passage
+    // with EACH OTHER only — an overlap probe must not flag probe-probe
+    // duplication (that's duplicatedSpans' job)
+    val probeOnly = (1 to 9).map(i => s"p$i").mkString(" ")
+    val probes = Seq(
+      (10L, s"x1 x2 $shared x3"),
+      (20L, s"a1 a2 $probeOnly"),
+      (21L, s"b1 b2 b3 $probeOnly")).toDF("doc_id", "text")
+    val spans = TextDedup.overlapSpans(probes, col("doc_id"), col("text"), grams, 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(spans.toSeq === Seq((10L, 2L, 10L)))
+  }
+
   test("flagging is linear in occurrences: a window shared by k docs emits k spans") {
     import spark.implicits._
     val k = 200
