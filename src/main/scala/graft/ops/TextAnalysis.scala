@@ -1342,7 +1342,81 @@ object TextAnalysis {
        |FROM r GROUP BY 1 ORDER BY bucket""".stripMargin
   }
 
+  /** QUALITY × DUPLICATION interaction matrix — the corpus-health question
+    * behind "dedup before or after quality filtering": are duplicates
+    * CONCENTRATED in the tail-quality bucket (cheap templated spam —
+    * filter first and dedup shrinks) or spread evenly (dedup first)?
+    * Buckets are [[qQualityBuckets]]'s head/middle/tail thirds by the
+    * exact-integer LM score rank; duplication is NEAR-DUP pair membership
+    * (the capped exact-Jaccard relation — this corpus carries
+    * near-duplicates but no byte-identical texts); shares are
+    * within-bucket basis points.
+    *
+    * Scale: the score ranking is the one globalRank pass quality buckets
+    * already pay; the dup side rides the already-capped pair relation;
+    * the matrix is bucket×2 rows.
+    */
+  def qQualityDupMatrix(spark: SparkSession, dir: String): DataFrame = {
+    val ranked = Rank.globalRank(qLmBigramScore(spark, dir),
+      Seq(col("mean_lift_micro").desc, col("doc_id")), 8).persist()
+    val buckets = ranked
+      .crossJoin(broadcast(ranked.agg(max(col("rnk")).as("n"))))
+      .select(col("doc_id"),
+        expr("CASE WHEN ((rnk - 1) * 3) DIV n = 0 THEN 'head' " +
+          "WHEN ((rnk - 1) * 3) DIV n = 1 THEN 'middle' ELSE 'tail' END").as("bucket"))
+    val dupIds = Dedup.qDedupNgramJaccard(spark, dir)
+      .select(explode(array(col("da"), col("db"))).as("doc_id"))
+      .distinct().withColumn("d", lit(1))
+    val dupFlags = table(spark, dir, "documents")
+      .select(col("doc_id"))
+      .join(dupIds, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("d").isNotNull.as("is_dup"))
+    val cells = buckets.join(dupFlags, Seq("doc_id"))
+      .groupBy(col("bucket"), col("is_dup"))
+      .agg(count(lit(1)).as("n_docs"))
+    val out = cells
+      .withColumn("tot", sum(col("n_docs")).over(org.apache.spark.sql.expressions.Window.partitionBy(col("bucket"))))
+      .select(col("bucket"), col("is_dup"), col("n_docs"),
+        expr("(n_docs * 10000) DIV tot").as("share_bp"))
+      .orderBy(col("bucket"), col("is_dup"))
+    TextDedup.materializeAndRelease(out, ranked)
+  }
+
+  val qQualityDupMatrixSql: String = {
+    val scored = qLmBigramScoreSql.replace(
+      "\nFROM lifts GROUP BY doc_id ORDER BY doc_id", "\nFROM lifts GROUP BY doc_id")
+    s"""WITH scored AS (
+       |$scored
+       |), r AS (
+       |  SELECT doc_id, mean_lift_micro,
+       |    row_number() OVER (ORDER BY mean_lift_micro DESC, doc_id) AS rnk,
+       |    count(*) OVER () AS n
+       |  FROM scored
+       |), b AS (
+       |  SELECT doc_id,
+       |    CASE WHEN ((rnk - 1) * 3) // n = 0 THEN 'head'
+       |         WHEN ((rnk - 1) * 3) // n = 1 THEN 'middle' ELSE 'tail' END AS bucket
+       |  FROM r
+       |), pairs AS (
+       |  ${Dedup.qDedupNgramSql.replace("ORDER BY da, db", "")
+            .linesIterator.mkString("\n  |  ")}
+       |), dup_ids AS (
+       |  SELECT da AS doc_id FROM pairs UNION SELECT db FROM pairs
+       |), d AS (
+       |  SELECT documents.doc_id, (dup_ids.doc_id IS NOT NULL) AS is_dup
+       |  FROM documents LEFT JOIN dup_ids ON dup_ids.doc_id = documents.doc_id
+       |), cells AS (
+       |  SELECT bucket, is_dup, count(*) AS n_docs
+       |  FROM b JOIN d USING (doc_id) GROUP BY 1, 2
+       |)
+       |SELECT bucket, is_dup, CAST(n_docs AS BIGINT) AS n_docs,
+       |  CAST((n_docs * 10000) // (sum(n_docs) OVER (PARTITION BY bucket)) AS BIGINT)
+       |    AS share_bp
+       |FROM cells ORDER BY bucket, is_dup""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_quality_dup_matrix" -> (qQualityDupMatrix _),
     "q_quality_buckets" -> (qQualityBuckets _),
     "q_vocab_coverage" -> (qVocabCoverage _),
     "q_template_prefixes" -> (qTemplatePrefixes _),
@@ -1375,6 +1449,7 @@ object TextAnalysis {
 
   def oracle: Map[String, String] = Map(
     "q_quality_buckets" -> qQualityBucketsSql,
+    "q_quality_dup_matrix" -> qQualityDupMatrixSql,
     "q_vocab_coverage" -> qVocabCoverageSql,
     "q_template_prefixes" -> qTemplatePrefixesSql,
     "q_lang_confusion" -> qLangConfusionSql,

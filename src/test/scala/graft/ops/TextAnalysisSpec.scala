@@ -306,4 +306,20 @@ class TextAnalysisSpec extends SparkFunSuite {
     assert(got("head")._2 >= got("middle")._3)
     assert(got("middle")._2 >= got("tail")._3)
   }
+
+  test("quality×dup matrix: cells partition the scored docs, shares sum to unit per bucket") {
+    val dir = "/root/testdata/sf0.001"
+    val rows = TextAnalysis.qQualityDupMatrix(spark, dir).collect()
+      .map(r => (r.getString(0), r.getBoolean(1), r.getLong(2), r.getLong(3)))
+    assert(rows.map(_._1).toSet === Set("head", "middle", "tail"))
+    // every scored doc lands in exactly one cell
+    assert(rows.map(_._3).sum === TextAnalysis.qLmBigramScore(spark, dir).count())
+    // within-bucket shares are a bp partition (floor division loses <1 bp/cell)
+    rows.groupBy(_._1).foreach { case (b, cells) =>
+      val s = cells.map(_._4).sum
+      assert(s <= 10000L && s >= 10000L - cells.length, s"bucket $b shares: $s")
+    }
+    // the corpus HAS exact duplicates, so at least one dup cell is non-empty
+    assert(rows.exists(r => r._2 && r._3 > 0))
+  }
 }
