@@ -285,7 +285,46 @@ object JoinShapes {
       |  CAST(sum(CAST(price AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
       |FROM merged GROUP BY prio ORDER BY prio""".stripMargin
 
+  /** JOIN-KEY SKEW profile — the pre-join audit that decides whether a
+    * plain shuffle join is safe or [[Skew.saltedJoin]]/AQE skew handling
+    * is needed: the top-10 hottest customer keys in orders by row count,
+    * each with its share of the table and its multiple of the MEAN key
+    * frequency (both exact basis points). A key at 100× the mean share
+    * is the straggler-reducer signature; the profile is what a pipeline
+    * logs before every fact-fact join at 100 TB.
+    *
+    * Scale: one map-side-combined key count, the top-10 via
+    * TakeOrderedAndProject (per-partition heaps), totals on a broadcast
+    * 1-row relation — never a sort of the full key relation.
+    */
+  def qSkewProfile(spark: SparkSession, dir: String): DataFrame = {
+    val counts = Tables.table(spark, dir, "orders")
+      .groupBy(col("o_custkey")).agg(count(lit(1)).as("cnt"))
+    val totals = counts.agg(sum(col("cnt")).as("n_rows"),
+      count(lit(1)).as("n_keys"))
+    counts.crossJoin(broadcast(totals))
+      .select(col("o_custkey"), col("cnt"),
+        expr("cnt * 10000 DIV n_rows").as("share_bp"),
+        expr("(cnt * n_keys * 10000) DIV n_rows").as("x_mean_bp"))
+      .orderBy(col("cnt").desc, col("o_custkey"))
+      .limit(10)
+  }
+
+  val qSkewProfileSql: String =
+    """WITH c AS (
+      |  SELECT o_custkey, count(*) AS cnt FROM orders GROUP BY 1
+      |), t AS (
+      |  SELECT CAST(sum(cnt) AS BIGINT) AS n_rows,
+      |    CAST(count(*) AS BIGINT) AS n_keys FROM c
+      |)
+      |SELECT o_custkey, cnt,
+      |  CAST(cnt * 10000 // n_rows AS BIGINT) AS share_bp,
+      |  CAST((cnt * n_keys * 10000) // n_rows AS BIGINT) AS x_mean_bp
+      |FROM c CROSS JOIN t
+      |ORDER BY cnt DESC, o_custkey LIMIT 10""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_skew_profile" -> (qSkewProfile _),
     "q_range_join" -> (qRangeJoin _),
     "q_interval_overlap" -> (qIntervalOverlap _),
     "q_salted_join" -> (qSaltedJoin _),
@@ -295,6 +334,7 @@ object JoinShapes {
     "q_merge_cdc" -> (qMergeCdc _))
 
   def oracle: Map[String, String] = Map(
+    "q_skew_profile" -> qSkewProfileSql,
     "q_range_join" -> qRangeJoinSql,
     "q_interval_overlap" -> qIntervalOverlapSql,
     "q_salted_join" -> qSaltedJoinSql,
