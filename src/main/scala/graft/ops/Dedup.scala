@@ -93,6 +93,115 @@ object Dedup {
        |FROM isl GROUP BY doc_id, grp
        |ORDER BY doc_id, span_start""".stripMargin
 
+  /** Shingle DOCUMENT-FREQUENCY profile — the observability behind the
+    * hot-posting cap: power-of-two df buckets over the distinct
+    * 3-shingle postings, with posting mass per bucket in exact basis
+    * points. This is the report that says whether a corpus carries
+    * cross-document boilerplate hot enough to engage
+    * [[TextDedup.jaccardPairs]]'s rare/hot split (df > 2^12), and how
+    * much of the posting volume the Σ df² rare self-join will see —
+    * run it BEFORE the pair pass on a new corpus.
+    *
+    * Scale: one shingle scan into two map-side-combined aggregates
+    * (per-shingle df, then per-bucket sums); the ladder is an authored
+    * integer CASE chain, log-free.
+    */
+  val DfBuckets = 16
+
+  def qShingleDfProfile(spark: SparkSession, dir: String): DataFrame = {
+    val sh = TextDedup.shingles(
+      table(spark, dir, "documents"), col("doc_id"), col("text"), ShingleK)
+    val df = sh.groupBy(col("s")).agg(count(lit(1)).as("df"))
+    val bucket = (0 until DfBuckets)
+      .foldRight(lit(DfBuckets): org.apache.spark.sql.Column) {
+        case (b, rest) => when(col("df") < lit(1L << (b + 1)), lit(b)).otherwise(rest)
+      }
+    val hist = df.select(bucket.as("bucket"), col("df"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_shingles"), sum(col("df")).as("n_postings"))
+    val total = hist.agg(sum(col("n_postings")).as("total"))
+    val out = hist.crossJoin(broadcast(total))
+      .select(col("bucket"),
+        expr("CAST(shiftleft(1L, CAST(bucket AS INT)) AS BIGINT)").as("df_lo"),
+        col("n_shingles"), col("n_postings"),
+        expr("n_postings * 10000 DIV total").as("posting_share_bp"))
+      .orderBy(col("bucket"))
+    TextDedup.materializeAndRelease(out, sh)
+  }
+
+  val qShingleDfProfileSql: String = {
+    val ladder = (0 until DfBuckets)
+      .map(b => s"WHEN df < ${1L << (b + 1)} THEN $b")
+      .mkString(" ")
+    s"""WITH sh AS (
+       |  SELECT doc_id, unnest(list_distinct(list_transform(
+       |    range(len(t) - ${ShingleK - 1}),
+       |    i -> array_to_string(t[i+1:i+$ShingleK], ' ')))) AS s
+       |  FROM (SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS t
+       |        FROM documents) tok
+       |  WHERE len(t) >= $ShingleK
+       |), df AS (
+       |  SELECT s, count(*) AS df FROM sh GROUP BY 1
+       |), hist AS (
+       |  SELECT CASE $ladder ELSE $DfBuckets END AS bucket,
+       |    count(*) AS n_shingles, CAST(sum(df) AS BIGINT) AS n_postings
+       |  FROM df GROUP BY 1
+       |)
+       |SELECT CAST(bucket AS INT) AS bucket, CAST(2 ** bucket AS BIGINT) AS df_lo,
+       |  CAST(n_shingles AS BIGINT) AS n_shingles, n_postings,
+       |  CAST(n_postings * 10000 // (SELECT sum(n_postings) FROM hist) AS BIGINT)
+       |    AS posting_share_bp
+       |FROM hist ORDER BY bucket""".stripMargin
+  }
+
+  /** Jaccard THRESHOLD SWEEP — the dedup tuning curve: pair and document
+    * counts at each candidate threshold, from ONE capped pair relation
+    * (the expensive commons pass runs once; each threshold is a cheap
+    * re-aggregation). The report a pipeline reads to pick its near-dup
+    * cutoff before committing to a full dedup pass.
+    */
+  val SweepThresholds = Seq(0.5, 0.6, 0.7, 0.8, 0.9)
+
+  def qDedupThresholdSweep(spark: SparkSession, dir: String): DataFrame = {
+    val cc = TextDedup.cappedCommons(
+      table(spark, dir, "documents"), col("doc_id"), col("text"),
+      ShingleK, TextDedup.DefaultBucketCap)
+    val pairs = TextDedup.jaccardFromCommons(cc.commons, cc.sizes, 0.0)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val branches = SweepThresholds.map { t =>
+      val bp = math.round(t * 10000).toInt
+      pairs.filter(col("jaccard") >= t)
+        .select(explode(array(col("id_a"), col("id_b"))).as("id"), col("id_a"), col("id_b"))
+        .agg((count(lit(1)) / 2).cast("long").as("n_pairs"),
+          countDistinct(col("id")).as("n_docs"))
+        .select(lit(bp).as("threshold_bp"), col("n_pairs"), col("n_docs"))
+    }
+    val out = branches.reduce(_ union _).orderBy(col("threshold_bp"))
+    TextDedup.materializeAndRelease(out, (pairs +: cc.cached): _*)
+  }
+
+  val qDedupThresholdSweepSql: String = {
+    val pairsCte = qDedupNgramSql
+      .replace("ORDER BY da, db", "")
+      .replaceFirst("(?s)^WITH ", "")
+      .replaceFirst("(?s)\\nSELECT da, db,",
+        "\n, allpairs AS (\nSELECT da, db,")
+      .replace(s">= $JaccardThreshold", ">= 0.0") + ")"
+    def branch(t: Double): String = {
+      val bp = math.round(t * 10000).toInt
+      s"""SELECT $bp AS threshold_bp,
+         |  (SELECT CAST(count(*) AS BIGINT) FROM allpairs WHERE jaccard >= $t)
+         |    AS n_pairs,
+         |  (SELECT CAST(count(DISTINCT id) AS BIGINT) FROM (
+         |     SELECT da AS id FROM allpairs WHERE jaccard >= $t
+         |     UNION SELECT db FROM allpairs WHERE jaccard >= $t) u)
+         |    AS n_docs""".stripMargin
+    }
+    s"""WITH $pairsCte
+       |${SweepThresholds.map(branch).mkString("\nUNION ALL\n")}
+       |ORDER BY threshold_bp""".stripMargin
+  }
+
   /** Span-granularity train/test OVERLAP audit: maximal spans of the test
     * slice (doc_id % 10 = 7) occurring verbatim anywhere in the train
     * slice — what document-level decontamination misses when a test
@@ -726,6 +835,8 @@ object Dedup {
     "q_dup_spans" -> (qDupSpans _),
     "q_dup_rate" -> (qDupRate _),
     "q_overlap_spans" -> (qOverlapSpans _),
+    "q_shingle_df_profile" -> (qShingleDfProfile _),
+    "q_dedup_threshold_sweep" -> (qDedupThresholdSweep _),
     "q_dedup_minhash_lsh" -> (qDedupMinhashLsh _),
     "q_dedup_simhash" -> (qDedupSimhash _),
     "q_dedup_embedding" -> (qDedupEmbedding _),
@@ -747,6 +858,8 @@ object Dedup {
     "q_dup_spans" -> qDupSpansSql,
     "q_dup_rate" -> qDupRateSql,
     "q_overlap_spans" -> qOverlapSpansSql,
+    "q_shingle_df_profile" -> qShingleDfProfileSql,
+    "q_dedup_threshold_sweep" -> qDedupThresholdSweepSql,
     // MinHash+LSH has the same final semantics as the exact pair query —
     // LSH recall at J≥0.8 is 1-2e-4 (and ~1 for the J≥0.97 pairs present).
     "q_dedup_minhash_lsh" -> qDedupNgramSql,
