@@ -345,7 +345,11 @@ object Similarity {
     * is unchanged.
     */
   def qAnnRecall(spark: SparkSession, dir: String): DataFrame = {
+    // localCheckpoint: the exact relation is queries×k rows, and without
+    // it each recall branch would INLINE (re-run) the brute-force search —
+    // the plan dump showed the baseline scan three times
     val exact = qSimTopK(spark, dir).select(col("q_vec_id"), col("vec_id"))
+      .localCheckpoint()
     def recallOf(m: String, approx: DataFrame): DataFrame = {
       val hits = exact
         .join(approx.select(col("q_vec_id"), col("vec_id")), Seq("q_vec_id", "vec_id"))
