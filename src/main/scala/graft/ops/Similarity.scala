@@ -117,14 +117,16 @@ object Similarity {
       emb, col("vec_id"), col("embedding"), indexDir, QueryIds, K))
   }
 
-  /** DuckDB replay of the integer k-means IVF pipeline: `cent<i>` holds
-    * (sum-vector, count) centroids, each Lloyd iteration is one
-    * dist→assign→recompute CTE block, and the scaled-integer distance
-    * `sum((N·x − S)²) / N²` matches Spark's expanded `N²Σx² − 2NΣSx + ΣS²`
-    * exactly because both are exact integer sums before the one division.
+  /** The shared Lloyd-training CTE chain of the IVF-family oracles
+    * ([[qSimIvfTopKSql]], [[qSemdedupSql]]): yields `xq` (quantized
+    * components), `cent0..cent<iters>` ((sum-vector, count) centroid
+    * generations — each Lloyd iteration one dist→assign→recompute CTE
+    * block), `distF` and the final cluster assignment `assignF (vec_id,
+    * c)`. The scaled-integer distance `sum((N·x − S)²) / N²` matches
+    * Spark's expanded `N²Σx² − 2NΣSx + ΣS²` exactly because both are
+    * exact integer sums before the one division.
     */
-  val qSimIvfTopKSql: String = {
-    val cfg = VectorSearch.IvfConfig()
+  private def ivfChainSql(cfg: VectorSearch.IvfConfig): String = {
     val q = (1L << cfg.quantBits).toString
     def iteration(i: Int): String =
       s"""dist$i AS (
@@ -146,7 +148,7 @@ object Similarity {
          |  WHERE c.j NOT IN (SELECT DISTINCT c FROM assign$i)
          |)""".stripMargin
     val f = cfg.iters // final centroid generation index
-    s"""WITH xq AS (
+    s"""xq AS (
        |  SELECT vec_id, d,
        |    CAST(floor(CAST(embedding[CAST(d + 1 AS INT)] AS DOUBLE) * $q) AS BIGINT) AS x
        |  FROM embeddings CROSS JOIN range(${cfg.dim}) rd(d)
@@ -166,7 +168,15 @@ object Similarity {
        |    SELECT vec_id, j, row_number() OVER (PARTITION BY vec_id ORDER BY dist, j) AS rn
        |    FROM distF)
        |  WHERE rn = 1
-       |), probe AS (
+       |)""".stripMargin
+  }
+
+  /** DuckDB replay of the integer k-means IVF pipeline: the shared
+    * [[ivfChainSql]] training chain, then probe + exact re-rank.
+    */
+  val qSimIvfTopKSql: String = {
+    val cfg = VectorSearch.IvfConfig()
+    s"""WITH ${ivfChainSql(cfg)}, probe AS (
        |  SELECT vec_id AS q_vec_id, j AS bucket FROM (
        |    SELECT vec_id, j, row_number() OVER (PARTITION BY vec_id ORDER BY dist, j) AS rn
        |    FROM distF WHERE vec_id IN (${QueryIds.mkString(", ")}))
@@ -189,6 +199,68 @@ object Similarity {
        |)
        |SELECT q_vec_id, rnk, vec_id, cos_sim FROM r WHERE rnk <= $K
        |ORDER BY q_vec_id, rnk""".stripMargin
+  }
+
+  /** SemDeDup cosine threshold: the corpus's qualifying near-dup pairs sit
+    * at cosine 0.45–0.51 (see [[VectorSearch.cosinePairsBlocked]]), so the
+    * dedup gate shares [[Dedup.CosineThreshold]]'s operating point.
+    */
+  val SemThreshold: Double = Dedup.CosineThreshold
+
+  /** SemDeDup (cluster-scoped semantic near-dup pruning, Abbas et al.
+    * 2023): k-means clusters from the IVF trainer, within-cluster exact
+    * cosine pairs, drop the higher-centroid-similarity member of every
+    * pair at cosine ≥ threshold — see [[VectorSearch.semDedup]].
+    */
+  def qSemdedup(spark: SparkSession, dir: String): DataFrame =
+    VectorSearch.semDedup(
+      table(spark, dir, "embeddings"), col("vec_id"), col("embedding"), SemThreshold)
+      .withColumnRenamed("id", "vec_id")
+
+  /** DuckDB replay: the shared [[ivfChainSql]] Lloyd chain gives the
+    * cluster assignment; centroid similarity is the exact-integer
+    * `dot(x, S_c) / (√Σx²·√ΣS²)` (identical rounding to Spark); the
+    * within-cluster pair relation and the pairwise-dominance anti-join
+    * mirror the operator's single-pass survivor rule.
+    */
+  val qSemdedupSql: String = {
+    val cfg = VectorSearch.IvfConfig()
+    val f = cfg.iters
+    s"""WITH ${ivfChainSql(cfg)}, cnorm AS (
+       |  SELECT j, sqrt(CAST(sum(s * s) AS DOUBLE)) AS cn FROM cent$f GROUP BY 1
+       |), a2 AS (
+       |  SELECT vec_id, CAST(sum(x * x) AS BIGINT) AS a2 FROM xq GROUP BY 1
+       |), cdot AS (
+       |  SELECT xq.vec_id, a.c, CAST(sum(xq.x * c.s) AS BIGINT) AS dt
+       |  FROM xq JOIN assignF a USING (vec_id) JOIN cent$f c ON c.j = a.c AND c.d = xq.d
+       |  GROUP BY 1, 2
+       |), centsim AS (
+       |  SELECT cdot.vec_id, cdot.c AS cluster,
+       |    round(CAST(cdot.dt AS DOUBLE) / (sqrt(CAST(a2.a2 AS DOUBLE)) * cnorm.cn), 6) AS cent_sim
+       |  FROM cdot JOIN a2 USING (vec_id) JOIN cnorm ON cnorm.j = cdot.c
+       |), nv AS (
+       |  SELECT vec_id, embedding,
+       |    sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+       |  FROM embeddings
+       |), pairs AS (
+       |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       |    round(list_sum(list_transform(list_zip(va.embedding, vb.embedding),
+       |        z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE))) / (va.nrm * vb.nrm), 6) AS cos_sim
+       |  FROM assignF a JOIN assignF b ON a.c = b.c AND a.vec_id < b.vec_id
+       |  JOIN nv va ON va.vec_id = a.vec_id
+       |  JOIN nv vb ON vb.vec_id = b.vec_id
+       |), losers AS (
+       |  SELECT DISTINCT CASE WHEN ca.cent_sim > cb.cent_sim
+       |      OR (ca.cent_sim = cb.cent_sim AND p.id_a > p.id_b) THEN p.id_a ELSE p.id_b END AS vec_id
+       |  FROM pairs p
+       |  JOIN centsim ca ON ca.vec_id = p.id_a
+       |  JOIN centsim cb ON cb.vec_id = p.id_b
+       |  WHERE p.cos_sim >= $SemThreshold
+       |)
+       |SELECT cs.vec_id, CAST(cs.cluster AS BIGINT) AS cluster, cs.cent_sim,
+       |  CASE WHEN l.vec_id IS NULL THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS keep
+       |FROM centsim cs LEFT JOIN losers l ON l.vec_id = cs.vec_id
+       |ORDER BY cs.vec_id""".stripMargin
   }
 
   /** Product-quantization ANN: per-subspace exact-integer codebooks, the
@@ -396,6 +468,7 @@ object Similarity {
     "q_sim_pq_topk" -> (qSimPqTopK _),
     "q_sim_pq_indexed" -> (qSimPqIndexed _),
     "q_sim_ivf_indexed" -> (qSimIvfIndexed _),
+    "q_semdedup" -> (qSemdedup _),
   )
 
   def oracle: Map[String, String] = Map(
@@ -408,5 +481,6 @@ object Similarity {
     // the persisted index stores the same exact-integer statistics
     "q_sim_pq_indexed" -> qSimPqTopKSql,
     "q_sim_ivf_indexed" -> qSimIvfTopKSql,
+    "q_semdedup" -> qSemdedupSql,
   )
 }
