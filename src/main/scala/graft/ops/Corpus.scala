@@ -484,6 +484,67 @@ object Corpus {
        |FROM ranked CROSS JOIN lft
        |ORDER BY source""".stripMargin
 
+  /** Temperature-based mixture sampling at α = 1/2 (the multilingual-
+    * pretraining mixture move of mBERT/XLM-R: sampling probability
+    * p_i ∝ n_i^α flattens the natural distribution so low-resource
+    * sources are not drowned out; α between 0.3 and 0.7 is standard).
+    * α = 1/2 is chosen deliberately: the weight is then a SQUARE ROOT,
+    * which IEEE 754 rounds correctly in every engine — so
+    * `w_i = floor(sqrt(n_tokens_i · 10^6))` is the same exact integer in
+    * Spark and DuckDB (a general pow() is not correctly rounded and
+    * could differ in the last ulp), and everything downstream is exact
+    * integer arithmetic: mixture shares in ppm via integer division and
+    * the up/down-sampling factor versus the natural mixture in ‰.
+    *
+    * Complements [[qDoremiWeights]] (loss-driven mixture),
+    * [[qTokenBudget]] (exact apportionment of a fixed budget) and
+    * [[qSampleTemperature]] (the doc-level EXECUTION of a temperature
+    * downsample): this is the token-weighted PLAN — the table of target
+    * shares and per-source up/down-sampling factors a sampler consumes,
+    * including boosts > 1 that a pure downsampler cannot express.
+    *
+    * Scale: one corpus scan collapses to a |sources|-row relation; totals
+    * ride as broadcast 1-row cross joins. Envelope: exact while
+    * n_tokens·10^6 < 2^53 (per-source n_tokens < ~9·10^9; beyond that
+    * drop the 10^6 precision scale).
+    */
+  def qMixTemperature(spark: SparkSession, dir: String): DataFrame =
+    mixTemperature(table(spark, dir, "documents"))
+
+  /** The table-agnostic core of [[qMixTemperature]]: any (source, text)
+    * frame in, the per-source mixture plan out.
+    */
+  def mixTemperature(docs: DataFrame): DataFrame = {
+    val perSrc = docs.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(tokens(col("text"))).cast("long")).as("n_tokens"))
+      .withColumn("w", floor(sqrt((col("n_tokens") * lit(1000000L)).cast("double"))).cast("long"))
+    val tot = perSrc.agg(sum(col("w")).as("sw"), sum(col("n_tokens")).as("sn"))
+    perSrc.crossJoin(broadcast(tot))
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        expr("n_tokens * 1000000 DIV sn").as("natural_ppm"),
+        expr("w * 1000000 DIV sw").as("mix_ppm"))
+      .withColumn("boost_x1000", expr("mix_ppm * 1000 DIV greatest(natural_ppm, 1)"))
+      .orderBy(col("source"))
+  }
+
+  val qMixTemperatureSql: String =
+    """WITH per_src AS (
+      |  SELECT source, count(*) AS n_docs,
+      |    CAST(sum(len(regexp_split_to_array(lower(text), '\s+'))) AS BIGINT) AS n_tokens
+      |  FROM documents GROUP BY 1
+      |), wtd AS (
+      |  SELECT per_src.*,
+      |    CAST(floor(sqrt(CAST(n_tokens * 1000000 AS DOUBLE))) AS BIGINT) AS w
+      |  FROM per_src
+      |), tot AS (SELECT sum(w) AS sw, sum(n_tokens) AS sn FROM wtd)
+      |SELECT source, CAST(n_docs AS BIGINT) AS n_docs, n_tokens,
+      |  CAST(n_tokens * 1000000 // sn AS BIGINT) AS natural_ppm,
+      |  CAST(w * 1000000 // sw AS BIGINT) AS mix_ppm,
+      |  CAST((w * 1000000 // sw) * 1000 // greatest(n_tokens * 1000000 // sn, 1) AS BIGINT) AS boost_x1000
+      |FROM wtd CROSS JOIN tot
+      |ORDER BY source""".stripMargin
+
   /** Rendezvous (highest-random-weight) sharding: every document goes to
     * the shard whose `md5(doc_id ":" shard)` weight is highest — the
     * assignment that moves only ~1/N of keys when a shard is added or
@@ -864,6 +925,7 @@ object Corpus {
     "q_split_grouped" -> (qSplitGrouped _),
     "q_padding_waste" -> (qPaddingWaste _),
     "q_token_budget" -> (qTokenBudget _),
+    "q_mix_temperature" -> (qMixTemperature _),
     "q_shard_rendezvous" -> (qShardRendezvous _),
     "q_quality_gate" -> (qQualityGate _),
     "q_sample_temperature" -> (qSampleTemperature _),
@@ -883,6 +945,7 @@ object Corpus {
     "q_split_grouped" -> qSplitGroupedSql,
     "q_padding_waste" -> qPaddingWasteSql,
     "q_token_budget" -> qTokenBudgetSql,
+    "q_mix_temperature" -> qMixTemperatureSql,
     "q_shard_rendezvous" -> qShardRendezvousSql,
     "q_quality_gate" -> qQualityGateSql,
     "q_sample_temperature" -> qSampleTemperatureSql,

@@ -201,6 +201,35 @@ object Similarity {
        |ORDER BY q_vec_id, rnk""".stripMargin
   }
 
+  /** Hard-negative mining over the embeddings table: top-k most-similar
+    * DIFFERENT-label vectors per query — see [[VectorSearch.hardNegatives]].
+    */
+  def qHardNegatives(spark: SparkSession, dir: String): DataFrame =
+    VectorSearch.hardNegatives(
+      table(spark, dir, "embeddings"), col("vec_id"), col("embedding"), col("label"),
+      QueryIds, K)
+      .withColumnRenamed("qid", "q_vec_id").withColumnRenamed("id", "vec_id")
+
+  val qHardNegativesSql: String =
+    s"""WITH n AS (
+       |  SELECT vec_id, label, embedding,
+       |    sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+       |  FROM embeddings
+       |), p AS (
+       |  SELECT q.vec_id AS q_vec_id, v.vec_id, v.label AS neg_label,
+       |    round(list_sum(list_transform(list_zip(q.embedding, v.embedding),
+       |        z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE))) / (q.nrm * v.nrm), 6) AS cos_sim
+       |  FROM n q JOIN n v ON v.label <> q.label
+       |  WHERE q.vec_id IN (${QueryIds.mkString(", ")})
+       |), r AS (
+       |  SELECT p.*, row_number() OVER (PARTITION BY q_vec_id ORDER BY cos_sim DESC, vec_id) AS rnk
+       |  FROM p
+       |)
+       |SELECT q_vec_id, CAST(rnk AS BIGINT) AS rnk, vec_id,
+       |  CAST(neg_label AS BIGINT) AS neg_label, cos_sim
+       |FROM r WHERE rnk <= $K
+       |ORDER BY q_vec_id, rnk""".stripMargin
+
   /** SemDeDup cosine threshold: the corpus's qualifying near-dup pairs sit
     * at cosine 0.45–0.51 (see [[VectorSearch.cosinePairsBlocked]]), so the
     * dedup gate shares [[Dedup.CosineThreshold]]'s operating point.
@@ -469,6 +498,7 @@ object Similarity {
     "q_sim_pq_indexed" -> (qSimPqIndexed _),
     "q_sim_ivf_indexed" -> (qSimIvfIndexed _),
     "q_semdedup" -> (qSemdedup _),
+    "q_hard_negatives" -> (qHardNegatives _),
   )
 
   def oracle: Map[String, String] = Map(
@@ -482,5 +512,6 @@ object Similarity {
     "q_sim_pq_indexed" -> qSimPqTopKSql,
     "q_sim_ivf_indexed" -> qSimIvfTopKSql,
     "q_semdedup" -> qSemdedupSql,
+    "q_hard_negatives" -> qHardNegativesSql,
   )
 }

@@ -340,4 +340,28 @@ class CorpusSpec extends SparkFunSuite {
       .collect().map(_.getLong(3))
     assert(uni.toSeq === Seq(500000L, 500000L))
   }
+
+  test("temperature mixture: sqrt smoothing boosts small sources, shares a distribution") {
+    import spark.implicits._
+    // A: 9 docs x 4 tokens = 36 tokens; B: 1 doc x 4 tokens.
+    // sqrt weights 6:2 -> mix 750000/250000 ppm vs natural 900000/100000.
+    val docs = ((1 to 9).map(i => (i.toLong, "t t t t", "A")) :+
+      ((100L, "t t t t", "B"))).toDF("doc_id", "text", "source")
+    val rows = Corpus.mixTemperature(docs).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    val byS = rows.map(x => x._1 -> x).toMap
+    assert(byS("A") == (("A", 9L, 36L, 900000L, 750000L, 833L)))
+    assert(byS("B") == (("B", 1L, 4L, 100000L, 250000L, 2500L)))
+    // shares form a (floor-truncated) distribution
+    val tot = rows.map(_._5).sum
+    assert(tot <= 1000000L && tot >= 1000000L - rows.length)
+    // real table: small sources boosted above 1000‰, large below
+    val real = Corpus.qMixTemperature(spark, "/root/testdata/sf0.001").collect()
+      .map(r => (r.getLong(2), r.getLong(5)))
+    val maxTok = real.map(_._1).max
+    val minTok = real.map(_._1).min
+    assert(real.find(_._1 == maxTok).get._2 <= 1000L)
+    assert(real.find(_._1 == minTok).get._2 >= 1000L)
+  }
 }

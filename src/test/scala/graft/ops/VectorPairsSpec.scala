@@ -66,4 +66,26 @@ class VectorPairsSpec extends SparkFunSuite {
     // every original must pair with its planted copy
     assert(brute.count { case (a, b, _) => b == a + 100000L } == emb.count())
   }
+
+  test("hard negatives: top-k of the label-excluded ranking, never the query's label") {
+    val k = 5
+    val queryIds = Seq(0L, 100L, 200L)
+    val out = VectorSearch.hardNegatives(
+      emb, col("vec_id"), col("embedding"), col("label"), queryIds, k)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+    val labels = emb.select(col("vec_id"), col("label"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1).toLong).toMap
+    assert(out.length == queryIds.length * k)
+    // never the query's own label, and the reported label is the true one
+    assert(out.forall { case (q, _, v, lbl, _) => lbl != labels(q) && lbl == labels(v) })
+    // equals the label-filtered prefix of the FULL exact ranking
+    val full = VectorSearch.cosineTopK(
+      emb, col("vec_id"), col("embedding"), queryIds, (emb.count() - 1).toInt)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getDouble(3)))
+    val expected = queryIds.flatMap { q =>
+      full.filter(t => t._1 == q && labels(t._2) != labels(q)).take(k)
+        .zipWithIndex.map { case ((_, v, cs), i) => (q, (i + 1).toLong, v, labels(v), cs) }
+    }
+    assert(out.toSeq == expected)
+  }
 }
