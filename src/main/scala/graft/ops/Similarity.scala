@@ -126,7 +126,7 @@ object Similarity {
     * Spark's expanded `N²Σx² − 2NΣSx + ΣS²` exactly because both are
     * exact integer sums before the one division.
     */
-  private def ivfChainSql(cfg: VectorSearch.IvfConfig): String = {
+  private def ivfChainSql(cfg: VectorSearch.IvfConfig, where: String = ""): String = {
     val q = (1L << cfg.quantBits).toString
     def iteration(i: Int): String =
       s"""dist$i AS (
@@ -151,12 +151,12 @@ object Similarity {
     s"""xq AS (
        |  SELECT vec_id, d,
        |    CAST(floor(CAST(embedding[CAST(d + 1 AS INT)] AS DOUBLE) * $q) AS BIGINT) AS x
-       |  FROM embeddings CROSS JOIN range(${cfg.dim}) rd(d)
+       |  FROM embeddings CROSS JOIN range(${cfg.dim}) rd(d) $where
        |), cent0 AS (
        |  SELECT j, d, x AS s, CAST(1 AS BIGINT) AS n FROM (
        |    SELECT vec_id, d, x, dense_rank() OVER (ORDER BY vec_id) - 1 AS j
        |    FROM xq
-       |    WHERE vec_id IN (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT ${cfg.numCentroids}))
+       |    WHERE vec_id IN (SELECT vec_id FROM embeddings $where ORDER BY vec_id LIMIT ${cfg.numCentroids}))
        |), ${(0 until cfg.iters).map(iteration).mkString(", ")},
        |distF AS (
        |  SELECT xq.vec_id, c.j,
@@ -290,6 +290,78 @@ object Similarity {
        |  CASE WHEN l.vec_id IS NULL THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS keep
        |FROM centsim cs LEFT JOIN losers l ON l.vec_id = cs.vec_id
        |ORDER BY cs.vec_id""".stripMargin
+  }
+
+  /** Incremental semantic near-dup gate: vec_id % 5 == 0 is the incoming
+    * batch, the rest the existing corpus (the [[Dedup.qDedupIncremental]]
+    * split) — see [[VectorSearch.semDedupIncremental]].
+    */
+  def qSemdedupIncremental(spark: SparkSession, dir: String): DataFrame = {
+    val emb = table(spark, dir, "embeddings")
+    VectorSearch.semDedupIncremental(
+      emb.filter(pmod(col("vec_id"), lit(5)) =!= 0),
+      emb.filter(pmod(col("vec_id"), lit(5)) === 0),
+      col("vec_id"), col("embedding"), SemThreshold)
+      .withColumnRenamed("id", "vec_id")
+  }
+
+  /** Persisted semantic-index lifecycle: the SAME stored artifact that
+    * serves ANN queries ([[VectorSearch.writeIvfIndex]]: centroids +
+    * bucket assignment) serves the incremental dedup gate — train/write
+    * once, then probe the incoming batch against the stored relations
+    * only. Bit-identical to [[qSemdedupIncremental]] (shared oracle).
+    */
+  def qSemdedupIndexed(spark: SparkSession, dir: String): DataFrame = {
+    val emb = table(spark, dir, "embeddings")
+    val corpus = emb.filter(pmod(col("vec_id"), lit(5)) =!= 0)
+    val indexDir = graft.ScratchDirs("semdedup-ivf-index")
+    VectorSearch.writeIvfIndex(corpus, col("vec_id"), col("embedding"), indexDir)
+    VectorSearch.semDedupIncrementalFromIndex(
+      corpus, emb.filter(pmod(col("vec_id"), lit(5)) === 0),
+      col("vec_id"), col("embedding"), indexDir, SemThreshold)
+      .withColumnRenamed("id", "vec_id")
+  }
+
+  /** DuckDB replay of the incremental gate: Lloyd chain on the corpus
+    * split only, incoming vectors quantize and rank the trained centroids
+    * to their nprobe nearest buckets, bucket collisions verify with the
+    * exact rounded cosine.
+    */
+  val qSemdedupIncrementalSql: String = {
+    val cfg = VectorSearch.IvfConfig()
+    val q = (1L << cfg.quantBits).toString
+    val f = cfg.iters
+    s"""WITH ${ivfChainSql(cfg, "WHERE vec_id % 5 <> 0")}, xqi AS (
+       |  SELECT vec_id, d,
+       |    CAST(floor(CAST(embedding[CAST(d + 1 AS INT)] AS DOUBLE) * $q) AS BIGINT) AS x
+       |  FROM embeddings CROSS JOIN range(${cfg.dim}) rdi(d) WHERE vec_id % 5 = 0
+       |), disti AS (
+       |  SELECT xqi.vec_id, c.j,
+       |    CAST(sum((c.n * xqi.x - c.s) * (c.n * xqi.x - c.s)) AS DOUBLE)
+       |      / CAST(max(c.n) * max(c.n) AS DOUBLE) AS dist
+       |  FROM xqi JOIN cent$f c USING (d) GROUP BY 1, 2
+       |), probei AS (
+       |  SELECT vec_id AS id_i, j AS bucket FROM (
+       |    SELECT vec_id, j, row_number() OVER (PARTITION BY vec_id ORDER BY dist, j) AS rn
+       |    FROM disti)
+       |  WHERE rn <= ${cfg.nprobe}
+       |), nv AS (
+       |  SELECT vec_id, embedding,
+       |    sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+       |  FROM embeddings
+       |), verified AS (
+       |  SELECT p.id_i, a.vec_id AS id_c,
+       |    round(list_sum(list_transform(list_zip(vi.embedding, vc.embedding),
+       |        z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE))) / (vi.nrm * vc.nrm), 6) AS cos_sim
+       |  FROM probei p
+       |  JOIN assignF a ON a.c = p.bucket
+       |  JOIN nv vi ON vi.vec_id = p.id_i
+       |  JOIN nv vc ON vc.vec_id = a.vec_id
+       |)
+       |SELECT id_i AS vec_id, min(id_c) AS dup_of, max(cos_sim) AS best_cos,
+       |  CAST(count(*) AS BIGINT) AS n_dups
+       |FROM verified WHERE cos_sim >= $SemThreshold
+       |GROUP BY 1 ORDER BY 1""".stripMargin
   }
 
   /** Product-quantization ANN: per-subspace exact-integer codebooks, the
@@ -498,6 +570,8 @@ object Similarity {
     "q_sim_pq_indexed" -> (qSimPqIndexed _),
     "q_sim_ivf_indexed" -> (qSimIvfIndexed _),
     "q_semdedup" -> (qSemdedup _),
+    "q_semdedup_incremental" -> (qSemdedupIncremental _),
+    "q_semdedup_indexed" -> (qSemdedupIndexed _),
     "q_hard_negatives" -> (qHardNegatives _),
   )
 
@@ -512,6 +586,10 @@ object Similarity {
     "q_sim_pq_indexed" -> qSimPqTopKSql,
     "q_sim_ivf_indexed" -> qSimIvfTopKSql,
     "q_semdedup" -> qSemdedupSql,
+    "q_semdedup_incremental" -> qSemdedupIncrementalSql,
+    // the indexed path is bit-identical to the in-session gate — the
+    // stored IVF index holds the same exact-integer statistics
+    "q_semdedup_indexed" -> qSemdedupIncrementalSql,
     "q_hard_negatives" -> qHardNegativesSql,
   )
 }

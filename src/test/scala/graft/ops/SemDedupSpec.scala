@@ -97,6 +97,37 @@ class SemDedupSpec extends SparkFunSuite {
     assert(dropped.nonEmpty, "fixture has no co-clustered qualifying pairs")
   }
 
+  test("incremental gate: planted near-copy flagged with its corpus twin, stored index bit-identical") {
+    val s = spark
+    import s.implicits._
+    val corpus = emb.filter(col("vec_id") < 400)
+    // incoming: a near-copy of corpus vec 7 (tiny alternating nudge) and a
+    // genuinely new vector (one untouched original well above id-space)
+    val copy = emb.filter(col("vec_id") === 7)
+      .select(lit(9001L).as("vec_id"),
+        transform(col("embedding"),
+          (x, i) => x + when(pmod(i, lit(2)) === 0, lit(0.002f)).otherwise(lit(-0.002f)))
+          .as("embedding"))
+    val fresh = emb.filter(col("vec_id") === 450)
+      .select(lit(9002L).as("vec_id"), col("embedding"))
+    val incoming = copy.unionByName(fresh)
+
+    val highThr = 0.98
+    val out = VectorSearch.semDedupIncremental(
+      corpus, incoming, col("vec_id"), col("embedding"), highThr)
+    val rows = out.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+    assert(rows.map(_._1).contains(9001L), s"planted copy not flagged: ${rows.toSeq}")
+    assert(rows.find(_._1 == 9001L).get._2 == 7L)
+    assert(rows.find(_._1 == 9001L).get._3 >= highThr)
+    assert(!rows.map(_._1).contains(9002L))
+
+    val indexDir = tmpDir("semdedup-spec-index")
+    VectorSearch.writeIvfIndex(corpus, col("vec_id"), col("embedding"), indexDir)
+    val stored = VectorSearch.semDedupIncrementalFromIndex(
+      corpus, incoming, col("vec_id"), col("embedding"), indexDir, highThr)
+    assert(stored.collect().toSeq == out.collect().toSeq)
+  }
+
   test("schema contract and rerun determinism") {
     val a = VectorSearch.semDedup(planted, col("id"), col("v"),
       threshold = 0.99, cfg = cfg)
