@@ -29,6 +29,60 @@ object VectorServeStream {
   /** Parquet schema of a neighbor-request stream: just the query ids. */
   val requestSchema: StructType = StructType(Seq(StructField("vec_id", LongType)))
 
+  /** Parquet schema of an embeddings-shaped ingest stream. */
+  val embeddingSchema: StructType = StructType(Seq(
+    StructField("vec_id", LongType),
+    StructField("embedding", ArrayType(FloatType)),
+    StructField("label", IntegerType)))
+
+  /** Streaming SEMANTIC near-dup gate over the stored IVF index — the
+    * arrival-time dual of
+    * [[graft.ops.VectorSearch.semDedupIncrementalFromIndex]] and the
+    * embedding-space sibling of [[IngestDedup.serveNearDupBatches]]:
+    * embedding batches stream in, and each micro-batch is probed against
+    * the persisted centroids + bucket assignment via the exact batch
+    * serving path. Each incoming vector's verdict depends only on itself
+    * and the STORED corpus — incoming vectors never pair with each other —
+    * so per-batch gating is EXACTLY the one-shot batch probe of the union,
+    * regardless of how the files split into triggers (the property the
+    * spec pins).
+    *
+    * Scale: the index is train-once; each micro-batch assigns ITS OWN
+    * vectors to nprobe buckets and joins the bucket-pruned corpus —
+    * per-batch cost independent of corpus growth.
+    */
+  def semGateBatches(
+      spark: SparkSession,
+      embDir: String,
+      checkpoint: String,
+      corpus: DataFrame, id: Column, vec: Column,
+      indexDir: String, threshold: Double,
+      cfg: graft.ops.VectorSearch.IvfConfig = graft.ops.VectorSearch.IvfConfig()): DataFrame = {
+    import graft.ops.VectorSearch
+    @volatile var results: Option[DataFrame] = None
+    val stream = spark.readStream
+      .schema(embeddingSchema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(embDir)
+    val q = stream.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val flagged = VectorSearch
+          .semDedupIncrementalFromIndex(
+            corpus, batch, col("vec_id"), col("embedding"), indexDir, threshold, cfg)
+          .localCheckpoint()
+        results = Some(results.fold(flagged)(_.union(flagged).localCheckpoint()))
+        ()
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    results.getOrElse(
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        StructType(Seq(StructField("id", LongType), StructField("dup_of", LongType),
+          StructField("best_cos", DoubleType), StructField("n_dups", LongType)))))
+  }
+
   /** Serve every request file under `requestDir` (AvailableNow catch-up;
     * one file per micro-batch) and return the accumulated results.
     */

@@ -374,6 +374,39 @@ class PlanShapeSpec extends SparkFunSuite {
     assert(p1.contains("partial_sum"), p1) // moments combine map-side
   }
 
+  test("semdedup: within-cluster pair stage is an equi-join, never a nested loop") {
+    import org.apache.spark.sql.functions.col
+    val emb = Tables.table(spark, sf, "embeddings")
+    val (df, caches) = VectorSearch.semDedupPlan(
+      emb, col("vec_id"), col("embedding"), graft.ops.Similarity.SemThreshold,
+      VectorSearch.IvfConfig(), blocks = 8)
+    val p = plan(df)
+    caches.foreach(_.unpersist())
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin")
+      || p.contains("BroadcastHashJoin"), s"expected an equi-join:\n$p")
+  }
+
+  test("semdedup stored-index gate: buckets read from the index, bucket equi-join, no nested loop") {
+    import org.apache.spark.sql.functions.{col, pmod, lit}
+    val emb = Tables.table(spark, sf, "embeddings")
+    val corpus = emb.filter(pmod(col("vec_id"), lit(5)) =!= 0)
+    val incoming = emb.filter(pmod(col("vec_id"), lit(5)) === 0)
+    val indexDir = tmpDir("semdedup-plan-index")
+    VectorSearch.writeIvfIndex(corpus, col("vec_id"), col("embedding"), indexDir)
+    val (df, caches) = VectorSearch.semDedupIncrementalFromIndexPlan(
+      corpus, incoming, col("vec_id"), col("embedding"), indexDir,
+      graft.ops.Similarity.SemThreshold)
+    val p = plan(df)
+    caches.foreach(_.unpersist())
+    // the corpus bucket assignment comes from the stored index, not a
+    // fresh per-batch re-assignment pass
+    assert(p.contains("buckets.parquet"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("hub transform read->cast->constants plan is shuffle-free") {
     import org.apache.spark.sql.functions.lit
     import org.apache.spark.sql.types._

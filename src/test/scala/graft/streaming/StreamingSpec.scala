@@ -351,6 +351,32 @@ class StreamingSpec extends SparkFunSuite {
     assert(streamed.nonEmpty, "sf0.001 plants cross-batch near-dups; the gate must flag them")
   }
 
+  test("streaming semantic gate over the stored IVF index equals the one-shot batch probe") {
+    import graft.ops.VectorSearch
+    val emb = graft.ops.Tables.table(spark, sf, "embeddings")
+    val corpus = emb.filter(pmod(col("vec_id"), lit(5)) =!= 0)
+    val incoming = emb.filter(pmod(col("vec_id"), lit(5)) === 0)
+    val indexDir = tmpDir("sem-gate-index")
+    VectorSearch.writeIvfIndex(corpus, col("vec_id"), col("embedding"), indexDir)
+
+    // split the incoming batch across two files → two micro-batches
+    val dir = tmpDir("sem-gate-emb")
+    incoming.filter(col("vec_id") % 2 === 0).coalesce(1).write.mode("append").parquet(dir)
+    incoming.filter(col("vec_id") % 2 =!= 0).coalesce(1).write.mode("append").parquet(dir)
+
+    val thr = graft.ops.Similarity.SemThreshold
+    val streamed = VectorServeStream.semGateBatches(
+      spark, dir, tmpDir("sem-gate-ckpt"),
+      corpus, col("vec_id"), col("embedding"), indexDir, thr)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSet
+
+    val batch = VectorSearch.semDedupIncrementalFromIndex(
+      corpus, incoming, col("vec_id"), col("embedding"), indexDir, thr)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSet
+    assert(streamed === batch, "per-batch gating must equal the one-shot batch probe")
+    assert(streamed.nonEmpty, "the corpus has cross-split semantic near-dups; the gate must flag them")
+  }
+
   test("streaming PQ serving: per-batch requests equal the one-shot batch serve") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
