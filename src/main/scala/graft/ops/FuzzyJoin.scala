@@ -97,8 +97,75 @@ object FuzzyJoin {
       |WHERE levenshtein(a.s, b.s) <= 2
       |ORDER BY name_a, name_b""".stripMargin
 
-  def queries: Map[String, (SparkSession, String) => DataFrame] =
-    Map("q_fuzzy_join" -> (qFuzzyJoin _))
+  /** END-TO-END ENTITY RESOLUTION — the record-linkage pipeline composed
+    * from pieces this engine already owns: segment-blocked fuzzy pairs
+    * ([[selfJoin]], candidate-complete for ≤ 2 edits) → connected
+    * components ([[TextDedup.canonicalize]]: driver union-find under the
+    * edge cap, large-star/small-star rounds past it) → one ENTITY row per
+    * non-singleton cluster (canonical member = min id, its name, member
+    * count). This is the dedup-the-catalog / master-data operator: "these
+    * k near-identical part names are one product".
+    *
+    * Names map to stable ids (min p_partkey per distinct name — groups
+    * are disjoint row sets, so the ids are unique) so the components pass
+    * runs on longs, not strings.
+    *
+    * Scale: the pair stage is the PassJoin equi-join (never all-pairs),
+    * the edge list is orders of magnitude smaller than the catalog, and
+    * the entity projection is one aggregation over the label relation.
+    */
+  def qEntityResolution(spark: SparkSession, dir: String): DataFrame =
+    resolveEntities(table(spark, dir, "part"), col("p_name"), col("p_partkey"), maxDist = 2)
 
-  def oracle: Map[String, String] = Map("q_fuzzy_join" -> qFuzzyJoinSql)
+  /** The table-agnostic core of [[qEntityResolution]]: any (name, row-id)
+    * frame in, one `(entity_id, entity_name, n_members)` row per
+    * non-singleton name cluster out.
+    */
+  def resolveEntities(df: DataFrame, name: Column, rowId: Column, maxDist: Int): DataFrame = {
+    val names = df.select(name.as("s"), rowId.as("rid")).where(col("s").isNotNull)
+      .groupBy(col("s")).agg(min(col("rid")).as("id"))
+    val pairs = selfJoin(df, name, maxDist)
+      .join(names.select(col("s").as("s_a"), col("id").as("id_a")), Seq("s_a"))
+      .join(names.select(col("s").as("s_b"), col("id").as("id_b")), Seq("s_b"))
+      .select(col("id_a"), col("id_b"))
+    val labels = TextDedup.canonicalize(pairs, names.select(col("id")))
+    labels.groupBy(col("canonical").as("entity_id"))
+      .agg(count(lit(1)).as("n_members"))
+      .filter(col("n_members") > 1)
+      .join(names.select(col("id").as("entity_id"), col("s").as("entity_name")), Seq("entity_id"))
+      .select(col("entity_id"), col("entity_name"), col("n_members"))
+      .orderBy(col("entity_id"))
+  }
+
+  val qEntityResolutionSql: String =
+    """WITH RECURSIVE n AS (
+      |  SELECT p_name AS s, min(p_partkey) AS id
+      |  FROM part WHERE p_name IS NOT NULL GROUP BY 1
+      |), pairs AS (
+      |  SELECT a.id AS ia, b.id AS ib
+      |  FROM n a JOIN n b ON a.s < b.s
+      |  WHERE levenshtein(a.s, b.s) <= 2
+      |), edges AS (
+      |  SELECT ia AS src, ib AS dst FROM pairs
+      |  UNION ALL SELECT ib AS src, ia AS dst FROM pairs
+      |), walk(id, lbl) AS (
+      |  SELECT id, id FROM n
+      |  UNION
+      |  SELECT e.dst, w.lbl FROM walk w JOIN edges e ON e.src = w.id
+      |), labels AS (
+      |  SELECT id, min(lbl) AS canonical FROM walk GROUP BY 1
+      |)
+      |SELECT l.canonical AS entity_id, n.s AS entity_name,
+      |  CAST(count(*) AS BIGINT) AS n_members
+      |FROM labels l JOIN n ON n.id = l.canonical
+      |GROUP BY 1, 2 HAVING count(*) > 1
+      |ORDER BY entity_id""".stripMargin
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_fuzzy_join" -> (qFuzzyJoin _),
+    "q_entity_resolution" -> (qEntityResolution _))
+
+  def oracle: Map[String, String] = Map(
+    "q_fuzzy_join" -> qFuzzyJoinSql,
+    "q_entity_resolution" -> qEntityResolutionSql)
 }

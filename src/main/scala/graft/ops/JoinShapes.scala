@@ -207,6 +207,49 @@ object JoinShapes {
       .orderBy(col("prio"))
   }
 
+  /** Incremental MATERIALIZED-AGGREGATE maintenance: a per-source
+    * (n_docs, n_tokens) view is computed once over the base corpus and
+    * STORED; when a delta batch arrives, the view refreshes by aggregating
+    * ONLY the delta and merging it into the stored relation with a
+    * full-outer coalesce-sum — count/sum are self-maintainable aggregates,
+    * so the refresh never rescans the base. The oracle is the FULL
+    * recompute over base ∪ delta: the hash match PROVES the incremental
+    * maintenance is exact, not approximately refreshed.
+    *
+    * Scale: this is the shape that turns a nightly 100 TB rescan into a
+    * delta-sized job — refresh cost is O(|delta|) + a |sources|-row merge
+    * (broadcast under AQE). Min/max/distinct need the retraction-aware
+    * variants; the self-maintainable family (count, sum, and means/ratios
+    * derived from them) refreshes exactly this way.
+    */
+  def qAggRefresh(spark: SparkSession, dir: String): DataFrame = {
+    import TextOps.tokens
+    val docs = table(spark, dir, "documents")
+    def aggOf(d: DataFrame) = d.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(tokens(col("text"))).cast("long")).as("n_tokens"))
+    val baseDir = graft.ScratchDirs("agg-refresh-view")
+    aggOf(docs.filter(pmod(col("doc_id"), lit(5)) =!= 0))
+      .write.mode("overwrite").parquet(s"$baseDir/view.parquet")
+    val base = spark.read.parquet(s"$baseDir/view.parquet")
+      .select(col("source"), col("n_docs").as("b_docs"), col("n_tokens").as("b_tokens"))
+    val delta = aggOf(docs.filter(pmod(col("doc_id"), lit(5)) === 0))
+      .select(col("source"), col("n_docs").as("d_docs"), col("n_tokens").as("d_tokens"))
+    base.join(delta, Seq("source"), "full_outer")
+      .select(col("source"),
+        (coalesce(col("b_docs"), lit(0L)) + coalesce(col("d_docs"), lit(0L))).as("n_docs"),
+        (coalesce(col("b_tokens"), lit(0L)) + coalesce(col("d_tokens"), lit(0L))).as("n_tokens"))
+      .orderBy(col("source"))
+  }
+
+  /** The oracle is deliberately the FULL recompute — incremental == full
+    * is the correctness contract of view maintenance.
+    */
+  val qAggRefreshSql: String =
+    """SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+      |  CAST(sum(len(regexp_split_to_array(lower(text), '\s+'))) AS BIGINT) AS n_tokens
+      |FROM documents GROUP BY 1 ORDER BY source""".stripMargin
+
   val qMergeUpsertSql: String =
     """WITH src AS (
       |  SELECT o_orderkey AS s_key, o_orderpriority AS s_prio,
@@ -331,6 +374,7 @@ object JoinShapes {
     "q_bucketed_join" -> (qBucketedJoin _),
     "q_bloom_join" -> (qBloomJoin _),
     "q_merge_upsert" -> (qMergeUpsert _),
+    "q_agg_refresh" -> (qAggRefresh _),
     "q_merge_cdc" -> (qMergeCdc _))
 
   def oracle: Map[String, String] = Map(
@@ -341,5 +385,6 @@ object JoinShapes {
     "q_bucketed_join" -> qBucketedJoinSql,
     "q_bloom_join" -> qBloomJoinSql,
     "q_merge_upsert" -> qMergeUpsertSql,
+    "q_agg_refresh" -> qAggRefreshSql,
     "q_merge_cdc" -> qMergeCdcSql)
 }

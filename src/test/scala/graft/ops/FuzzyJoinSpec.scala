@@ -45,4 +45,20 @@ class FuzzyJoinSpec extends SparkFunSuite {
     assert(rows.head.getString(0) < rows.head.getString(1))
     assert(rows.head.getLong(2) === 1L)
   }
+
+  test("entity resolution: chain cluster collapses to one entity, singletons dropped") {
+    import spark.implicits._
+    // a 3-member chain (A~A', A'~A'' each within 2 edits; A vs A'' is 4)
+    // plus two unrelated names — one entity row expected
+    val df = Seq(
+      (10L, "weathered-spring-green-item"),
+      (20L, "weathered-spring-grean-itam"),
+      (30L, "weathered-spring-grean-ytam"),
+      (40L, "midnight-lavender-chiffon"),
+      (50L, "completely-other-product")
+    ).toDF("rid", "name")
+    val rows = FuzzyJoin.resolveEntities(df, col("name"), col("rid"), maxDist = 2)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(rows.toSeq == Seq((10L, "weathered-spring-green-item", 3L)))
+  }
 }

@@ -407,6 +407,17 @@ class PlanShapeSpec extends SparkFunSuite {
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("agg refresh: base view read from storage; only the delta scans documents") {
+    val p = plan(JoinShapes.qAggRefresh(spark, sf))
+    // the stored aggregate is scanned, not recomputed from the base corpus
+    assert(p.contains("view.parquet"), p)
+    // exactly one documents scan (the delta), carrying the delta predicate
+    val docScans = p.linesIterator.count(l =>
+      l.contains("Location:") && l.contains("documents.parquet"))
+    assert(docScans == 1, s"expected exactly one documents scan (the delta), got $docScans\n$p")
+    assert(p.contains("pmod(doc_id"), p)
+  }
+
   test("hub transform read->cast->constants plan is shuffle-free") {
     import org.apache.spark.sql.functions.lit
     import org.apache.spark.sql.types._
