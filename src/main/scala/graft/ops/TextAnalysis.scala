@@ -398,6 +398,105 @@ object TextAnalysis {
     * Scale: df and N are token-vocabulary/corpus-count metadata (tiny);
     * the per-(doc,term) relation partitions by doc for the window.
     */
+  /** Query terms for [[qBm25TopK]]: high-frequency members of the
+    * synthetic corpus vocabulary, present at every scale factor.
+    */
+  val Bm25QueryTerms: Seq[String] = Seq("hash", "join", "vector")
+
+  /** BM25 keyword-search top-10 — the ranking function of every
+    * full-text search engine, in EXACT RATIONAL form so the oracle can
+    * hash-match it. With k1 = 6/5 and b = 3/4 the saturation term
+    * clears denominators to integers:
+    *
+    *   tf·(k1+1) / (tf + k1·(1−b + b·dl/avgdl))
+    *     = 44·tf·avgdl / (20·tf·avgdl + 6·avgdl + 18·dl)
+    *
+    * and the idf is the log-free rational `(2N−2df+1)/(2df+1)`
+    * (= (N−df+0.5)/(df+0.5), the argument of BM25's log — the same
+    * monotone surrogate discipline as [[qTfidfTerms]]: per-term ranking
+    * identical, no libm `log()` whose rounding could differ across
+    * engines). Each (term, doc) contribution is one exact integer
+    * division into BASIS POINTS, so the document score is an exact
+    * integer SUM — no float-addition-order dependence. avgdl enters as
+    * the corpus constant `avgdl_milli = (L·1000) DIV N`.
+    *
+    * Overflow envelope (ANSI Spark raises rather than wraps): the widest
+    * product is `2N·44·tf·avgdl_milli·10⁴` — safe in a long while
+    * `N·tf·avgdl_milli < 10^13`, i.e. beyond sf10 for this corpus shape
+    * (N=5·10⁵, tf≤20, avgdl_milli≈5.5·10⁴ ⇒ 5.5·10¹¹).
+    *
+    * Scale: tf/df/dl/avgdl are the INVERTED INDEX a search system
+    * precomputes and stores (the build is the one corpus scan here);
+    * serving reads only the query terms' postings (`tf.w IN (...)`
+    * prunes before the joins) plus vocabulary-sized df metadata — the
+    * classic term-at-a-time BM25 evaluation, broadcast-joined.
+    */
+  def qBm25TopK(spark: SparkSession, dir: String): DataFrame =
+    bm25TopK(table(spark, dir, "documents"), col("doc_id"), col("text"),
+      Bm25QueryTerms, 10)
+
+  /** The table-agnostic core of [[qBm25TopK]]: any (id, text) frame in,
+    * `(rnk, doc_id, score_bp, n_terms)` out.
+    */
+  def bm25TopK(docs: DataFrame, id: Column, text: Column,
+      queryTerms: Seq[String], k: Int): DataFrame = {
+    val tok = docs.select(id.as("doc_id"), explode(tokens(text)).as("w"))
+    val tf = tok.groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("tf"))
+    val dfr = tf.groupBy(col("w")).agg(count(lit(1)).as("df"))
+    val dl = tok.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+    val tot = tok.agg(count(lit(1)).as("l"), countDistinct(col("doc_id")).as("n"))
+      .select(expr("l * 1000 DIV n").as("avgdl_milli"), col("n"))
+    val terms = queryTerms.map(lit(_))
+    val contrib = tf.filter(col("w").isin(terms: _*))
+      .join(broadcast(dfr), "w")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(tot))
+      .select(col("doc_id"),
+        expr("((2*n - 2*df + 1) * 44 * tf * avgdl_milli * 10000) DIV " +
+          "((2*df + 1) * (20 * tf * avgdl_milli + 6 * avgdl_milli + 18 * dl * 1000))")
+          .as("bp"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("score_bp").desc, col("doc_id"))
+    contrib.groupBy(col("doc_id"))
+      .agg(sum(col("bp")).as("score_bp"), count(lit(1)).as("n_terms"))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+      .select(col("rnk"), col("doc_id"), col("score_bp"), col("n_terms"))
+      .orderBy(col("rnk"))
+  }
+
+  val qBm25TopKSql: String = {
+    val in = Bm25QueryTerms.map(t => s"'$t'").mkString(", ")
+    s"""WITH tok AS (
+       |  SELECT doc_id, unnest(regexp_split_to_array(lower(text), '\\s+')) AS w FROM documents
+       |), tf AS (
+       |  SELECT doc_id, w, CAST(count(*) AS BIGINT) AS tf FROM tok GROUP BY 1, 2
+       |), dfr AS (
+       |  SELECT w, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1
+       |), dl AS (
+       |  SELECT doc_id, CAST(count(*) AS BIGINT) AS dl FROM tok GROUP BY 1
+       |), tot AS (
+       |  SELECT (CAST(count(*) AS BIGINT) * 1000) // CAST(count(DISTINCT doc_id) AS BIGINT) AS avgdl_milli,
+       |    CAST(count(DISTINCT doc_id) AS BIGINT) AS n
+       |  FROM tok
+       |), contrib AS (
+       |  SELECT tf.doc_id,
+       |    ((2*tot.n - 2*dfr.df + 1) * 44 * tf.tf * tot.avgdl_milli * 10000)
+       |      // ((2*dfr.df + 1) * (20 * tf.tf * tot.avgdl_milli + 6 * tot.avgdl_milli + 18 * dl.dl * 1000)) AS bp
+       |  FROM tf JOIN dfr USING (w) JOIN dl USING (doc_id) CROSS JOIN tot
+       |  WHERE tf.w IN ($in)
+       |), scored AS (
+       |  SELECT doc_id, CAST(sum(bp) AS BIGINT) AS score_bp,
+       |    CAST(count(*) AS BIGINT) AS n_terms
+       |  FROM contrib GROUP BY 1
+       |)
+       |SELECT CAST(rnk AS BIGINT) AS rnk, doc_id, score_bp, n_terms FROM (
+       |  SELECT scored.*, row_number() OVER (ORDER BY score_bp DESC, doc_id) AS rnk
+       |  FROM scored)
+       |WHERE rnk <= 10
+       |ORDER BY rnk""".stripMargin
+  }
+
   def qTfidfTerms(spark: SparkSession, dir: String): DataFrame = {
     val tok = table(spark, dir, "documents")
       .select(col("doc_id"), explode(tokens(col("text"))).as("w"))
@@ -1432,6 +1531,7 @@ object TextAnalysis {
     "q_source_drift" -> (qSourceDrift _),
     "q_sparse_sim_join" -> (qSparseSimJoin _),
     "q_tfidf_terms" -> (qTfidfTerms _),
+    "q_bm25_topk" -> (qBm25TopK _),
     "q_vocab_oov" -> (qVocabOov _),
     "q_lm_bigram_score" -> (qLmBigramScore _),
     "q_lm_trigram_score" -> (qLmTrigramScore _),
@@ -1464,6 +1564,7 @@ object TextAnalysis {
     "q_source_drift" -> qSourceDriftSql,
     "q_sparse_sim_join" -> qSparseSimJoinSql,
     "q_tfidf_terms" -> qTfidfTermsSql,
+    "q_bm25_topk" -> qBm25TopKSql,
     "q_vocab_oov" -> qVocabOovSql,
     "q_lm_bigram_score" -> qLmBigramScoreSql,
     "q_lm_trigram_score" -> qLmTrigramScoreSql,

@@ -322,4 +322,34 @@ class TextAnalysisSpec extends SparkFunSuite {
     // the corpus HAS exact duplicates, so at least one dup cell is non-empty
     assert(rows.exists(r => r._2 && r._3 > 0))
   }
+
+  test("bm25: hand-computed basis-point scores on a planted corpus") {
+    import spark.implicits._
+    // N=3, L=12, avgdl_milli=4000; df(hash)=2, df(join)=1
+    // d1 "hash hash join x": hash bp = (3*44*2*4000*10000)//(5*256000) = 8250
+    //                        join bp = (5*44*1*4000*10000)//(3*176000) = 16666
+    // d2 "hash y y y":       hash bp = (3*44*1*4000*10000)//(5*176000) = 6000
+    val docs = Seq(
+      (1L, "hash hash join x"),
+      (2L, "hash y y y"),
+      (3L, "z z z z")
+    ).toDF("doc_id", "text")
+    val rows = TextAnalysis.bm25TopK(docs, col("doc_id"), col("text"),
+      Seq("hash", "join", "vector"), 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.toSeq == Seq((1L, 1L, 24916L, 2L), (2L, 2L, 6000L, 1L)))
+  }
+
+  test("bm25: real-table ranking is descending and every hit contains a query term") {
+    val out = TextAnalysis.qBm25TopK(spark, "/root/testdata/sf0.001")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.length == 10)
+    assert(out.map(_._3).toSeq == out.map(_._3).sortBy(-_).toSeq)
+    assert(out.forall(_._4 >= 1L))
+    val texts = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out.forall { case (_, id, _, _) =>
+      TextAnalysis.Bm25QueryTerms.exists(t => texts(id).toLowerCase.split("\\s+").contains(t))
+    })
+  }
 }
