@@ -446,9 +446,18 @@ object TextAnalysis {
     val dl = tok.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
     val tot = tok.agg(count(lit(1)).as("l"), countDistinct(col("doc_id")).as("n"))
       .select(expr("l * 1000 DIV n").as("avgdl_milli"), col("n"))
+    bm25Serve(tf, dfr, dl, tot, queryTerms, k)
+  }
+
+  /** Term-at-a-time BM25 evaluation over the four index relations —
+    * shared by the in-session path, the stored-index path and the
+    * streaming server, so all three are bit-identical by construction.
+    */
+  private def bm25Serve(tf: DataFrame, dfr: DataFrame, dl: DataFrame, tot: DataFrame,
+      queryTerms: Seq[String], k: Int): DataFrame = {
     val terms = queryTerms.map(lit(_))
     val contrib = tf.filter(col("w").isin(terms: _*))
-      .join(broadcast(dfr), "w")
+      .join(broadcast(dfr.filter(col("w").isin(terms: _*))), "w")
       .join(dl, "doc_id")
       .crossJoin(broadcast(tot))
       .select(col("doc_id"),
@@ -463,6 +472,55 @@ object TextAnalysis {
       .filter(col("rnk") <= k)
       .select(col("rnk"), col("doc_id"), col("score_bp"), col("n_terms"))
       .orderBy(col("rnk"))
+  }
+
+  /** Persist the BM25 inverted index: the four relations [[bm25TopK]]
+    * derives per call, stored once — `postings.parquet` (doc_id, w, tf)
+    * clustered by term so a query's `w IN (...)` prunes via zone maps
+    * (at 100 TB: bucket by w), `df.parquet`, `dl.parquet` and the 1-row
+    * `tot.parquet`. All integers — a reload loses nothing, so
+    * [[bm25TopKFromIndex]] is bit-identical to the in-session path.
+    */
+  def writeSearchIndex(docs: DataFrame, id: Column, text: Column, indexDir: String): Unit = {
+    val tok = docs.select(id.as("doc_id"), explode(tokens(text)).as("w"))
+    val tf = tok.groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("tf"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    tf.repartition(col("w")).sortWithinPartitions(col("w"))
+      .write.mode("overwrite").parquet(s"$indexDir/postings.parquet")
+    tf.groupBy(col("w")).agg(count(lit(1)).as("df"))
+      .write.mode("overwrite").parquet(s"$indexDir/df.parquet")
+    tok.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+      .write.mode("overwrite").parquet(s"$indexDir/dl.parquet")
+    tok.agg(count(lit(1)).as("l"), countDistinct(col("doc_id")).as("n"))
+      .select(expr("l * 1000 DIV n").as("avgdl_milli"), col("n"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$indexDir/tot.parquet")
+    tf.unpersist()
+  }
+
+  /** Serve BM25 top-k from the STORED index (see [[writeSearchIndex]]):
+    * reads ONLY the query terms' postings (In-filter pushed to the
+    * term-clustered parquet), vocabulary-row df metadata, the dl
+    * relation and the 1-row totals — never the corpus text. The
+    * build-once/serve-many shape of a search system; per-query cost is
+    * independent of how the corpus text grew.
+    */
+  def bm25TopKFromIndex(spark: SparkSession, indexDir: String,
+      queryTerms: Seq[String], k: Int): DataFrame =
+    bm25Serve(
+      spark.read.parquet(s"$indexDir/postings.parquet"),
+      spark.read.parquet(s"$indexDir/df.parquet"),
+      spark.read.parquet(s"$indexDir/dl.parquet"),
+      spark.read.parquet(s"$indexDir/tot.parquet"),
+      queryTerms, k)
+
+  /** Stored-index lifecycle binding: build the inverted index once,
+    * serve the same query — bit-identical to [[qBm25TopK]] (shared
+    * oracle).
+    */
+  def qBm25Indexed(spark: SparkSession, dir: String): DataFrame = {
+    val indexDir = graft.ScratchDirs("bm25-index")
+    writeSearchIndex(table(spark, dir, "documents"), col("doc_id"), col("text"), indexDir)
+    bm25TopKFromIndex(spark, indexDir, Bm25QueryTerms, 10)
   }
 
   val qBm25TopKSql: String = {
@@ -1532,6 +1590,7 @@ object TextAnalysis {
     "q_sparse_sim_join" -> (qSparseSimJoin _),
     "q_tfidf_terms" -> (qTfidfTerms _),
     "q_bm25_topk" -> (qBm25TopK _),
+    "q_bm25_indexed" -> (qBm25Indexed _),
     "q_vocab_oov" -> (qVocabOov _),
     "q_lm_bigram_score" -> (qLmBigramScore _),
     "q_lm_trigram_score" -> (qLmTrigramScore _),
@@ -1565,6 +1624,8 @@ object TextAnalysis {
     "q_sparse_sim_join" -> qSparseSimJoinSql,
     "q_tfidf_terms" -> qTfidfTermsSql,
     "q_bm25_topk" -> qBm25TopKSql,
+    // the stored-index path is bit-identical — the index holds integers
+    "q_bm25_indexed" -> qBm25TopKSql,
     "q_vocab_oov" -> qVocabOovSql,
     "q_lm_bigram_score" -> qLmBigramScoreSql,
     "q_lm_trigram_score" -> qLmTrigramScoreSql,

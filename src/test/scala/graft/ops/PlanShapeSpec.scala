@@ -407,6 +407,18 @@ class PlanShapeSpec extends SparkFunSuite {
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("bm25 stored-index serving: In(w) pushed to the postings scan, corpus text never read") {
+    import org.apache.spark.sql.functions.col
+    val indexDir = tmpDir("bm25-plan-index")
+    TextAnalysis.writeSearchIndex(
+      Tables.table(spark, sf, "documents"), col("doc_id"), col("text"), indexDir)
+    val p = plan(TextAnalysis.bm25TopKFromIndex(
+      spark, indexDir, TextAnalysis.Bm25QueryTerms, 10))
+    assert(!p.contains("documents.parquet"), p)
+    assert(p.contains("postings.parquet"), p)
+    assert(p.linesIterator.exists(l => l.contains("PushedFilters:") && l.contains("In(w")), p)
+  }
+
   test("agg refresh: base view read from storage; only the delta scans documents") {
     val p = plan(JoinShapes.qAggRefresh(spark, sf))
     // the stored aggregate is scanned, not recomputed from the base corpus

@@ -340,6 +340,17 @@ class TextAnalysisSpec extends SparkFunSuite {
     assert(rows.toSeq == Seq((1L, 1L, 24916L, 2L), (2L, 2L, 6000L, 1L)))
   }
 
+  test("bm25: stored-index serving is bit-identical to the in-session path") {
+    val dir = "/root/testdata/sf0.001"
+    val indexDir = tmpDir("bm25-spec-index")
+    TextAnalysis.writeSearchIndex(
+      spark.read.parquet(s"$dir/documents.parquet"), col("doc_id"), col("text"), indexDir)
+    val stored = TextAnalysis.bm25TopKFromIndex(
+      spark, indexDir, TextAnalysis.Bm25QueryTerms, 10).collect().toSeq
+    val inSession = TextAnalysis.qBm25TopK(spark, dir).collect().toSeq
+    assert(stored == inSession)
+  }
+
   test("bm25: real-table ranking is descending and every hit contains a query term") {
     val out = TextAnalysis.qBm25TopK(spark, "/root/testdata/sf0.001")
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))

@@ -377,6 +377,37 @@ class StreamingSpec extends SparkFunSuite {
     assert(streamed.nonEmpty, "the corpus has cross-split semantic near-dups; the gate must flag them")
   }
 
+  test("streaming BM25 serving over the stored inverted index equals per-query batch serves") {
+    import spark.implicits._
+    import graft.ops.TextAnalysis
+    val docs = graft.ops.Tables.table(spark, sf, "documents")
+    val indexDir = tmpDir("bm25-serve-index")
+    TextAnalysis.writeSearchIndex(docs, col("doc_id"), col("text"), indexDir)
+
+    // three request files → three micro-batches; the third repeats qid 1,
+    // which must NOT duplicate its result rows (first batch wins)
+    val reqDir = tmpDir("bm25-serve-req")
+    Seq((1L, "hash"), (1L, "join")).toDF("qid", "term")
+      .coalesce(1).write.mode("append").parquet(reqDir)
+    Seq((2L, "vector")).toDF("qid", "term")
+      .coalesce(1).write.mode("append").parquet(reqDir)
+    Seq((1L, "hash"), (1L, "join")).toDF("qid", "term")
+      .coalesce(1).write.mode("append").parquet(reqDir)
+
+    val k = 5
+    val streamed = SearchServeStream.serveBm25Requests(
+      spark, reqDir, tmpDir("bm25-serve-ckpt"), indexDir, k)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(streamed.length == 2 * k,
+      s"repeated qids must not duplicate result rows: ${streamed.length}")
+
+    val batch1 = TextAnalysis.bm25TopKFromIndex(spark, indexDir, Seq("hash", "join"), k)
+      .collect().map(r => (1L, r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val batch2 = TextAnalysis.bm25TopKFromIndex(spark, indexDir, Seq("vector"), k)
+      .collect().map(r => (2L, r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(streamed.toSet === (batch1 ++ batch2).toSet)
+  }
+
   test("streaming PQ serving: per-batch requests equal the one-shot batch serve") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
