@@ -351,6 +351,22 @@ class TextAnalysisSpec extends SparkFunSuite {
     assert(stored == inSession)
   }
 
+  test("search refresh: every maintained index relation equals a full rebuild") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val base = tmpDir("sr-base"); val merged = tmpDir("sr-merged"); val full = tmpDir("sr-full")
+    TextAnalysis.writeSearchIndex(
+      docs.filter(col("doc_id") % 5 =!= 0), col("doc_id"), col("text"), base)
+    TextAnalysis.refreshSearchIndex(spark, base,
+      docs.filter(col("doc_id") % 5 === 0), col("doc_id"), col("text"), merged)
+    TextAnalysis.writeSearchIndex(docs, col("doc_id"), col("text"), full)
+    for (rel <- Seq("postings.parquet", "df.parquet", "dl.parquet", "tot.parquet")) {
+      val a = spark.read.parquet(s"$merged/$rel")
+      val b = spark.read.parquet(s"$full/$rel")
+      val cols = a.columns.sorted.map(col)
+      assert(a.select(cols: _*).collect().toSet == b.select(cols: _*).collect().toSet, rel)
+    }
+  }
+
   test("bm25: real-table ranking is descending and every hit contains a query term") {
     val out = TextAnalysis.qBm25TopK(spark, "/root/testdata/sf0.001")
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
