@@ -611,6 +611,75 @@ object TextAnalysis {
        |ORDER BY rnk""".stripMargin
   }
 
+  /** Phrase for [[qPhraseSearch]] — a bigram of high-frequency vocabulary
+    * members, present at every scale factor.
+    */
+  val SearchPhrase: Seq[String] = Seq("hash", "join")
+
+  /** Exact PHRASE search over a POSITIONAL token index — the search
+    * capability term-at-a-time BM25 cannot express ("hash join" as
+    * consecutive tokens, not co-occurrence). The positional relation
+    * (doc_id, pos, w) is the stored positional-postings index of a
+    * search system; an n-word phrase matches by chaining n−1
+    * consecutive-position equi-joins, each side pre-filtered to ITS OWN
+    * word's postings — so the join inputs are term-selective slices,
+    * never the corpus, and the chain is linear in the phrase's rarest
+    * term. Output: top-k docs by occurrence count (ties to doc_id),
+    * with the first match position for snippet anchoring.
+    */
+  def phraseSearch(docs: DataFrame, id: Column, text: Column,
+      phrase: Seq[String], k: Int): DataFrame = {
+    require(phrase.nonEmpty)
+    val tok = docs
+      .select(id.as("doc_id"), posexplode(tokens(text)).as(Seq("pos", "w")))
+    val first = tok.filter(col("w") === phrase.head)
+      .select(col("doc_id"), col("pos").as("start"))
+    val matches = phrase.zipWithIndex.drop(1).foldLeft(first) { case (acc, (word, i)) =>
+      acc.join(
+        tok.filter(col("w") === word)
+          .select(col("doc_id"), (col("pos") - i).as("start")),
+        Seq("doc_id", "start"))
+    }
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("n_occurrences").desc, col("doc_id"))
+    matches.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_occurrences"), min(col("start")).cast("long").as("first_pos"))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+      .select(col("rnk"), col("doc_id"), col("n_occurrences"), col("first_pos"))
+      .orderBy(col("rnk"))
+  }
+
+  def qPhraseSearch(spark: SparkSession, dir: String): DataFrame =
+    phraseSearch(table(spark, dir, "documents"), col("doc_id"), col("text"),
+      SearchPhrase, 10)
+
+  val qPhraseSearchSql: String = {
+    val joins = SearchPhrase.zipWithIndex.drop(1).map { case (word, i) =>
+      s"JOIN tok t$i ON t$i.doc_id = t0.doc_id AND t$i.pos = t0.pos + $i AND t$i.w = '$word'"
+    }.mkString("\n|  ")
+    s"""WITH tok AS (
+       |  SELECT doc_id,
+       |    generate_subscripts(regexp_split_to_array(lower(text), '\\s+'), 1) AS pos,
+       |    unnest(regexp_split_to_array(lower(text), '\\s+')) AS w
+       |  FROM documents
+       |), m AS (
+       |  SELECT t0.doc_id, t0.pos AS start
+       |  FROM tok t0
+       |  $joins
+       |  WHERE t0.w = '${SearchPhrase.head}'
+       |), scored AS (
+       |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_occurrences,
+       |    CAST(min(start) - 1 AS BIGINT) AS first_pos
+       |  FROM m GROUP BY 1
+       |)
+       |SELECT CAST(rnk AS BIGINT) AS rnk, doc_id, n_occurrences, first_pos FROM (
+       |  SELECT scored.*, row_number() OVER (ORDER BY n_occurrences DESC, doc_id) AS rnk
+       |  FROM scored)
+       |WHERE rnk <= 10
+       |ORDER BY rnk""".stripMargin
+  }
+
   def qTfidfTerms(spark: SparkSession, dir: String): DataFrame = {
     val tok = table(spark, dir, "documents")
       .select(col("doc_id"), explode(tokens(col("text"))).as("w"))
@@ -1648,6 +1717,7 @@ object TextAnalysis {
     "q_bm25_topk" -> (qBm25TopK _),
     "q_bm25_indexed" -> (qBm25Indexed _),
     "q_search_refresh" -> (qSearchRefresh _),
+    "q_phrase_search" -> (qPhraseSearch _),
     "q_vocab_oov" -> (qVocabOov _),
     "q_lm_bigram_score" -> (qLmBigramScore _),
     "q_lm_trigram_score" -> (qLmTrigramScore _),
@@ -1685,6 +1755,7 @@ object TextAnalysis {
     "q_bm25_indexed" -> qBm25TopKSql,
     // the refreshed index must be indistinguishable from a full rebuild
     "q_search_refresh" -> qBm25TopKSql,
+    "q_phrase_search" -> qPhraseSearchSql,
     "q_vocab_oov" -> qVocabOovSql,
     "q_lm_bigram_score" -> qLmBigramScoreSql,
     "q_lm_trigram_score" -> qLmTrigramScoreSql,

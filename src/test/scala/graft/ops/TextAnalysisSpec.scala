@@ -351,6 +351,26 @@ class TextAnalysisSpec extends SparkFunSuite {
     assert(stored == inSession)
   }
 
+  test("phrase search: planted occurrences counted exactly, overlaps and 3-grams handled") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a hash join b hash join c"),   // 2 occurrences, first at pos 1
+      (2L, "hash join hash join hash"),    // 2 occurrences, first at pos 0
+      (3L, "join hash b"),                 // reversed — no match
+      (4L, "hash x join")                  // gap — no match
+    ).toDF("doc_id", "text")
+    val rows = TextAnalysis.phraseSearch(docs, col("doc_id"), col("text"),
+      Seq("hash", "join"), 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.toSeq == Seq((1L, 1L, 2L, 1L), (2L, 2L, 2L, 0L)))
+    // 3-word phrase with self-overlap: "x y x y x" contains "x y x" twice
+    val tri = TextAnalysis.phraseSearch(
+      Seq((7L, "x y x y x")).toDF("doc_id", "text"), col("doc_id"), col("text"),
+      Seq("x", "y", "x"), 10)
+      .collect().map(r => (r.getLong(1), r.getLong(2)))
+    assert(tri.toSeq == Seq((7L, 2L)))
+  }
+
   test("search refresh: every maintained index relation equals a full rebuild") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val base = tmpDir("sr-base"); val merged = tmpDir("sr-merged"); val full = tmpDir("sr-full")
