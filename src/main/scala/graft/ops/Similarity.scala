@@ -230,6 +230,63 @@ object Similarity {
        |FROM r WHERE rnk <= $K
        |ORDER BY q_vec_id, rnk""".stripMargin
 
+  /** RECIPROCAL-RANK FUSION (Cormack et al., k=60) of the IVF and LSH
+    * ANN rankings — the standard ensemble move when two retrieval paths
+    * have uncorrelated failure modes (IVF misses across centroid
+    * boundaries, LSH misses at unlucky bandings): fused score
+    * `Σ 1/(60 + rank)`, summed over the lists that returned the
+    * candidate. Exactly two lists, each term one double division and
+    * the sum written in fixed order, so the score is deterministic
+    * cross-engine without integer trickery; absent-from-list
+    * contributes 0.
+    *
+    * Scale: pure post-processing — queries×k rows per list, a
+    * (q, candidate)-keyed full-outer join and a per-query top-k; the
+    * retrieval cost is the two searches, both already bounded.
+    */
+  def qRankFusion(spark: SparkSession, dir: String): DataFrame = {
+    val ivf = qSimIvfTopK(spark, dir)
+      .select(col("q_vec_id"), col("vec_id"), col("rnk").as("r_ivf"))
+    val lsh = qSimLshTopK(spark, dir)
+      .select(col("q_vec_id"), col("vec_id"), col("rnk").as("r_lsh"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q_vec_id")).orderBy(col("rrf_score").desc, col("vec_id"))
+    ivf.join(lsh, Seq("q_vec_id", "vec_id"), "full_outer")
+      .select(col("q_vec_id"), col("vec_id"),
+        round(
+          coalesce(lit(1000000.0) / (lit(60) + col("r_ivf")), lit(0.0)) +
+            coalesce(lit(1000000.0) / (lit(60) + col("r_lsh")), lit(0.0)), 6)
+          .as("rrf_score"))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= K)
+      .select(col("q_vec_id"), col("rnk"), col("vec_id"), col("rrf_score"))
+      .orderBy(col("q_vec_id"), col("rnk"))
+  }
+
+  /** Oracle: the two verified search replays embedded verbatim (the
+    * [[qAnnRecallSql]] discipline), fused with the identical fixed-order
+    * arithmetic.
+    */
+  val qRankFusionSql: String =
+    s"""WITH ivf AS (
+       |  SELECT q_vec_id, vec_id, rnk AS r_ivf FROM ($qSimIvfTopKSql) x
+       |), lsh AS (
+       |  SELECT q_vec_id, vec_id, rnk AS r_lsh FROM ($qSimLshTopKSql) y
+       |), fused AS (
+       |  SELECT coalesce(ivf.q_vec_id, lsh.q_vec_id) AS q_vec_id,
+       |    coalesce(ivf.vec_id, lsh.vec_id) AS vec_id,
+       |    round(coalesce(CAST(1000000 AS DOUBLE) / (60 + ivf.r_ivf), 0)
+       |      + coalesce(CAST(1000000 AS DOUBLE) / (60 + lsh.r_lsh), 0), 6) AS rrf_score
+       |  FROM ivf FULL OUTER JOIN lsh
+       |    ON ivf.q_vec_id = lsh.q_vec_id AND ivf.vec_id = lsh.vec_id
+       |)
+       |SELECT q_vec_id, CAST(rnk AS BIGINT) AS rnk, vec_id, rrf_score FROM (
+       |  SELECT fused.*, row_number() OVER (
+       |    PARTITION BY q_vec_id ORDER BY rrf_score DESC, vec_id) AS rnk
+       |  FROM fused)
+       |WHERE rnk <= $K
+       |ORDER BY q_vec_id, rnk""".stripMargin
+
   /** SemDeDup cosine threshold: the corpus's qualifying near-dup pairs sit
     * at cosine 0.45–0.51 (see [[VectorSearch.cosinePairsBlocked]]), so the
     * dedup gate shares [[Dedup.CosineThreshold]]'s operating point.
@@ -573,6 +630,7 @@ object Similarity {
     "q_semdedup_incremental" -> (qSemdedupIncremental _),
     "q_semdedup_indexed" -> (qSemdedupIndexed _),
     "q_hard_negatives" -> (qHardNegatives _),
+    "q_rank_fusion" -> (qRankFusion _),
   )
 
   def oracle: Map[String, String] = Map(
@@ -591,5 +649,6 @@ object Similarity {
     // stored IVF index holds the same exact-integer statistics
     "q_semdedup_indexed" -> qSemdedupIncrementalSql,
     "q_hard_negatives" -> qHardNegativesSql,
+    "q_rank_fusion" -> qRankFusionSql,
   )
 }

@@ -680,6 +680,48 @@ object TextAnalysis {
        |ORDER BY rnk""".stripMargin
   }
 
+  /** Tokens of leading/trailing context around the phrase in
+    * [[qSearchSnippets]].
+    */
+  val SnippetContext = 3
+
+  /** SNIPPET EXTRACTION for the phrase-search hits: each top document's
+    * first match, rendered as the ±[[SnippetContext]]-token window
+    * around the phrase — the result-page surface of a search system.
+    * One token-slice projection over the top-k rows joined back to their
+    * text; the corpus-sized work is [[phraseSearch]] itself.
+    */
+  def qSearchSnippets(spark: SparkSession, dir: String): DataFrame = {
+    val docs = table(spark, dir, "documents")
+    val top = phraseSearch(docs, col("doc_id"), col("text"), SearchPhrase, 10)
+    val len = SearchPhrase.length + 2 * SnippetContext
+    top.join(docs.select(col("doc_id"), tokens(col("text")).as("t")), Seq("doc_id"))
+      .select(col("rnk"), col("doc_id"), col("n_occurrences"),
+        array_join(slice(col("t"),
+          greatest(col("first_pos") - SnippetContext, lit(0L)).cast("int") + 1,
+          (col("first_pos") - greatest(col("first_pos") - SnippetContext, lit(0L))).cast("int")
+            + SearchPhrase.length + SnippetContext), " ").as("snippet"))
+      .orderBy(col("rnk"))
+  }
+
+  val qSearchSnippetsSql: String = {
+    val ctx = SnippetContext
+    val plen = SearchPhrase.length
+    s"""WITH hits AS (
+       |  ${qPhraseSearchSql.linesIterator.map("  " + _).mkString("\n").trim}
+       |), tokx AS (
+       |  SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS t FROM documents
+       |)
+       |SELECT h.rnk, h.doc_id, h.n_occurrences,
+       |  array_to_string(
+       |    t[CAST(greatest(h.first_pos - $ctx, 0) + 1 AS INT) :
+       |      CAST(greatest(h.first_pos - $ctx, 0)
+       |        + (h.first_pos - greatest(h.first_pos - $ctx, 0)) + $plen + $ctx AS INT)],
+       |    ' ') AS snippet
+       |FROM hits h JOIN tokx USING (doc_id)
+       |ORDER BY h.rnk""".stripMargin
+  }
+
   def qTfidfTerms(spark: SparkSession, dir: String): DataFrame = {
     val tok = table(spark, dir, "documents")
       .select(col("doc_id"), explode(tokens(col("text"))).as("w"))
@@ -1718,6 +1760,7 @@ object TextAnalysis {
     "q_bm25_indexed" -> (qBm25Indexed _),
     "q_search_refresh" -> (qSearchRefresh _),
     "q_phrase_search" -> (qPhraseSearch _),
+    "q_search_snippets" -> (qSearchSnippets _),
     "q_vocab_oov" -> (qVocabOov _),
     "q_lm_bigram_score" -> (qLmBigramScore _),
     "q_lm_trigram_score" -> (qLmTrigramScore _),
@@ -1756,6 +1799,7 @@ object TextAnalysis {
     // the refreshed index must be indistinguishable from a full rebuild
     "q_search_refresh" -> qBm25TopKSql,
     "q_phrase_search" -> qPhraseSearchSql,
+    "q_search_snippets" -> qSearchSnippetsSql,
     "q_vocab_oov" -> qVocabOovSql,
     "q_lm_bigram_score" -> qLmBigramScoreSql,
     "q_lm_trigram_score" -> qLmTrigramScoreSql,
