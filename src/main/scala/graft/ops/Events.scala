@@ -172,6 +172,66 @@ object Events {
     * partition-local after a single shuffle on user_id; at 100 TB
     * pre-bucket the events table on user_id and the exchange disappears.
     */
+  /** Regex pattern for [[qSequenceMatch]] over event-type INITIALS
+    * (s/e/c/v/p are distinct): a view, any run of views/clicks, then a
+    * purchase — the "browse-to-buy" journey. The pattern is chosen so
+    * Java regex (Spark) and RE2 (DuckDB) produce the SAME non-overlapping
+    * match set: from any start the `[vc]*` run is maximal and `p` cannot
+    * occur inside it, so at most one match exists per start and
+    * leftmost-first (Java, backtracking) equals leftmost-longest (RE2) —
+    * the same engine-parity discipline as the PII patterns.
+    */
+  val JourneyPattern = "v[vc]*p"
+
+  /** SEQUENCE PATTERN MATCHING over per-user event journeys —
+    * MATCH_RECOGNIZE-lite: each user's events collapse (ordered by
+    * (ts, event_id)) into a journey STRING of event-type initials, and
+    * the pattern counts its non-overlapping matches — expressing
+    * "A (B|C)* D within a user's history" which the fixed-step funnel
+    * ([[qEventsFunnel]]) cannot (funnels need a step count known
+    * up-front; a regex run does not).
+    *
+    * Scale: one groupBy collapses each user to a journey (array_sort of
+    * (ts, event_id, initial) structs — collect_list order never
+    * observed), then the match count is a per-row regexp projection.
+    * Journey length is bounded by a user's event count; a user with
+    * millions of events needs session-windowed journeys first (the
+    * standard MATCH_RECOGNIZE partition discipline).
+    */
+  def qSequenceMatch(spark: SparkSession, dir: String): DataFrame =
+    sequenceMatches(events(spark, dir), JourneyPattern)
+
+  /** The table-agnostic core of [[qSequenceMatch]]: any
+    * (user_id, ts, event_id, event_type) frame plus a pattern over
+    * event-type initials.
+    */
+  def sequenceMatches(ev: DataFrame, pattern: String): DataFrame =
+    ev
+      .select(col("user_id"),
+        struct(col("ts"), col("event_id"),
+          substring(col("event_type"), 1, 1).as("c")).as("e"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        concat_ws("", transform(array_sort(collect_list(col("e"))),
+          s => s.getField("c"))).as("journey"))
+      .select(col("user_id"), col("n_events"),
+        size(regexp_extract_all(col("journey"), lit(pattern), lit(0)))
+          .cast("long").as("n_matches"))
+      .filter(col("n_matches") >= 1)
+      .orderBy(col("user_id"))
+
+  val qSequenceMatchSql: String =
+    s"""WITH j AS (
+       |  SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+       |    string_agg(substr(event_type, 1, 1), '' ORDER BY ts, event_id) AS journey
+       |  FROM events GROUP BY 1
+       |)
+       |SELECT user_id, n_events,
+       |  CAST(len(regexp_extract_all(journey, '$JourneyPattern')) AS BIGINT) AS n_matches
+       |FROM j
+       |WHERE len(regexp_extract_all(journey, '$JourneyPattern')) >= 1
+       |ORDER BY user_id""".stripMargin
+
   def qEventsFunnel(spark: SparkSession, dir: String): DataFrame = {
     val ev = events(spark, dir)
       .filter(col("event_type").isin("view", "click", "purchase"))
@@ -889,6 +949,7 @@ object Events {
     "q_rolling_anomaly" -> (qRollingAnomaly _),
     "q_attribution_last_touch" -> (qAttributionLastTouch _),
     "q_event_bigrams" -> (qEventBigrams _),
+    "q_sequence_match" -> (qSequenceMatch _),
     "q_events_densify" -> (qEventsDensify _),
     "q_scd2_history" -> (qScd2History _),
     "q_scd2_asof" -> (qScd2Asof _),
@@ -912,6 +973,7 @@ object Events {
     "q_rolling_anomaly" -> qRollingAnomalySql,
     "q_attribution_last_touch" -> qAttributionLastTouchSql,
     "q_event_bigrams" -> qEventBigramsSql,
+    "q_sequence_match" -> qSequenceMatchSql,
     "q_events_densify" -> qEventsDensifySql,
     "q_scd2_history" -> qScd2HistorySql,
     "q_scd2_asof" -> qScd2AsofSql,

@@ -195,6 +195,25 @@ class EventsSpec extends SparkFunSuite {
     assert(got === (1L to 4L).map(k => ((k, k, k), 1L)).toMap)
   }
 
+  test("sequence match: planted journeys count non-overlapping browse-to-buy runs") {
+    import spark.implicits._
+    def ev(uid: Long, i: Int, t: String) =
+      (i.toLong, java.sql.Timestamp.valueOf(f"2024-01-01 00:00:${i}%02d"), uid, t)
+    // user 1: v c c p v p  -> 2 matches; user 2: v c e p -> 0 (error breaks
+    // the run); user 3: c p v -> 0 (no view before purchase)
+    val rows =
+      Seq("view", "click", "click", "purchase", "view", "purchase").zipWithIndex
+        .map { case (t, i) => ev(1L, i, t) } ++
+      Seq("view", "click", "error", "purchase").zipWithIndex
+        .map { case (t, i) => ev(2L, i, t) } ++
+      Seq("click", "purchase", "view").zipWithIndex
+        .map { case (t, i) => ev(3L, i, t) }
+    val df = rows.toDF("event_id", "ts", "user_id", "event_type")
+    val got = Events.sequenceMatches(df, Events.JourneyPattern)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq == Seq((1L, 6L, 2L)))
+  }
+
   test("attribution query totals purchases exactly on real data") {
     val dir = "/root/testdata/sf0.001"
     val total = Events.qAttributionLastTouch(spark, dir)
