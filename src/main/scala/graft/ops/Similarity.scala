@@ -287,6 +287,122 @@ object Similarity {
        |WHERE rnk <= $K
        |ORDER BY q_vec_id, rnk""".stripMargin
 
+  /** Candidate pool / result size for [[qMmrRerank]]. */
+  val MmrPool = 20
+  val MmrK = 5
+
+  /** MAXIMAL-MARGINAL-RELEVANCE re-rank (Carbonell & Goldstein 1998) at
+    * λ = 1/2: from each query's exact top-[[MmrPool]] candidates, greedily
+    * select [[MmrK]] results maximizing `rel(c) − max_{s∈selected}
+    * sim(c, s)` — relevance traded against redundancy, the result-page
+    * diversification step ANN ranking alone cannot express (a near-dup
+    * cluster would fill every slot).
+    *
+    * The greedy loop is CONTROL-PLANE by design: candidate stats are
+    * queries × pool relevances plus queries × pool² pairwise cosines —
+    * bounded by configuration, not the corpus (the same contract as the
+    * Lloyd centroid collects) — and every number driving a comparison is
+    * the 6-rounded cosine computed with the engine-shared sequential
+    * dot/norm arithmetic, so the DuckDB oracle replays the selection
+    * rounds as chained CTEs bit-exactly. Scale: the corpus-sized work is
+    * the candidate retrieval (exact here; PQ/IVF shortlist at 100 TB);
+    * the re-rank never touches the corpus.
+    */
+  def qMmrRerank(spark: SparkSession, dir: String): DataFrame = {
+    val emb = table(spark, dir, "embeddings")
+    val top = VectorSearch.cosineTopK(
+      emb, col("vec_id"), col("embedding"), QueryIds, MmrPool).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    val candIds = top.map(_._3).distinct.toSeq
+    val vecs = emb.filter(col("vec_id").isin(candIds: _*))
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) ->
+        r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+
+    def round6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def dot(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }; s
+    }
+    def cos(a: Long, b: Long): Double = {
+      val (va, vb) = (vecs(a), vecs(b))
+      round6(dot(va, vb) / (math.sqrt(dot(va, va)) * math.sqrt(dot(vb, vb))))
+    }
+
+    val rows = top.groupBy(_._1).toSeq.flatMap { case (q, cands0) =>
+      val cands = cands0.sortBy(_._2) // by retrieval rank
+      val rel = cands.map(c => c._3 -> c._4).toMap
+      var selected = Vector(cands.head._3) // rank-1 = max (rel, id)
+      var out = Vector((q, 1L, cands.head._3, round6(cands.head._4)))
+      for (rnk <- 2 to MmrK) {
+        val pool = cands.map(_._3).filterNot(selected.contains)
+        val scored = pool.map { c =>
+          val maxsim = selected.map(s => cos(c, s)).max
+          c -> (rel(c) - maxsim)
+        }
+        val (pick, score) = scored.minBy { case (id, sc) => (-sc, id) }
+        selected :+= pick
+        out :+= ((q, rnk.toLong, pick, round6(score)))
+      }
+      out
+    }.sortBy(r => (r._1, r._2))
+    import spark.implicits._
+    rows.toDF("q_vec_id", "rnk", "vec_id", "mmr_score")
+  }
+
+  /** Oracle: the pool retrieval (the [[qSimTopKSql]] shape at pool size),
+    * candidate-pair cosines, then the four selection rounds as chained
+    * CTEs — identical comparisons, identical rounding.
+    */
+  val qMmrRerankSql: String = {
+    def selAll(i: Int): String =
+      (1 to i).map(j => s"SELECT q_vec_id, vec_id FROM sel$j").mkString(" UNION ALL ")
+    def round(i: Int): String =
+      s"""sc$i AS (
+         |  SELECT c.q_vec_id, c.vec_id, c.rel - ms.maxsim AS score
+         |  FROM cand c JOIN (
+         |    SELECT s.q_vec_id, s.ca AS vec_id, max(s.sim) AS maxsim
+         |    FROM sims s JOIN (${selAll(i - 1)}) sp
+         |      ON sp.q_vec_id = s.q_vec_id AND sp.vec_id = s.cb
+         |    GROUP BY 1, 2) ms ON ms.q_vec_id = c.q_vec_id AND ms.vec_id = c.vec_id
+         |  WHERE NOT EXISTS (SELECT 1 FROM (${selAll(i - 1)}) sq
+         |    WHERE sq.q_vec_id = c.q_vec_id AND sq.vec_id = c.vec_id)
+         |), sel$i AS (
+         |  SELECT q_vec_id, vec_id, score FROM (
+         |    SELECT sc$i.*, row_number() OVER (
+         |      PARTITION BY q_vec_id ORDER BY score DESC, vec_id) AS rn
+         |    FROM sc$i) WHERE rn = 1
+         |)""".stripMargin
+    s"""WITH n AS (
+       |  SELECT vec_id, embedding,
+       |    sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+       |  FROM embeddings
+       |), cand AS (
+       |  SELECT q_vec_id, vec_id, cos_sim AS rel, rnk FROM (
+       |    SELECT p.*, row_number() OVER (PARTITION BY q_vec_id ORDER BY cos_sim DESC, vec_id) AS rnk
+       |    FROM (
+       |      SELECT q.vec_id AS q_vec_id, v.vec_id,
+       |        round(list_sum(list_transform(list_zip(q.embedding, v.embedding),
+       |            z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE))) / (q.nrm * v.nrm), 6) AS cos_sim
+       |      FROM n q JOIN n v ON v.vec_id <> q.vec_id
+       |      WHERE q.vec_id IN (${QueryIds.mkString(", ")})) p)
+       |  WHERE rnk <= $MmrPool
+       |), sims AS (
+       |  SELECT a.q_vec_id, a.vec_id AS ca, b.vec_id AS cb,
+       |    round(list_sum(list_transform(list_zip(na.embedding, nb.embedding),
+       |        z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE))) / (na.nrm * nb.nrm), 6) AS sim
+       |  FROM cand a JOIN cand b ON a.q_vec_id = b.q_vec_id AND a.vec_id <> b.vec_id
+       |  JOIN n na ON na.vec_id = a.vec_id JOIN n nb ON nb.vec_id = b.vec_id
+       |), sel1 AS (
+       |  SELECT q_vec_id, vec_id, rel AS score FROM cand WHERE rnk = 1
+       |), ${(2 to MmrK).map(round).mkString(", ")}
+       |SELECT q_vec_id, CAST(rnk AS BIGINT) AS rnk, vec_id, round(score, 6) AS mmr_score FROM (
+       |  ${(1 to MmrK).map(j =>
+            s"SELECT q_vec_id, vec_id, score, $j AS rnk FROM sel$j").mkString(" UNION ALL ")})
+       |ORDER BY q_vec_id, rnk""".stripMargin
+  }
+
   /** SemDeDup cosine threshold: the corpus's qualifying near-dup pairs sit
     * at cosine 0.45–0.51 (see [[VectorSearch.cosinePairsBlocked]]), so the
     * dedup gate shares [[Dedup.CosineThreshold]]'s operating point.
@@ -631,6 +747,7 @@ object Similarity {
     "q_semdedup_indexed" -> (qSemdedupIndexed _),
     "q_hard_negatives" -> (qHardNegatives _),
     "q_rank_fusion" -> (qRankFusion _),
+    "q_mmr_rerank" -> (qMmrRerank _),
   )
 
   def oracle: Map[String, String] = Map(
@@ -650,5 +767,6 @@ object Similarity {
     "q_semdedup_indexed" -> qSemdedupIncrementalSql,
     "q_hard_negatives" -> qHardNegativesSql,
     "q_rank_fusion" -> qRankFusionSql,
+    "q_mmr_rerank" -> qMmrRerankSql,
   )
 }

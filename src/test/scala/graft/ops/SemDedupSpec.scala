@@ -128,6 +128,23 @@ class SemDedupSpec extends SparkFunSuite {
     assert(stored.collect().toSeq == out.collect().toSeq)
   }
 
+  test("mmr rerank: valid ranks, no repeats, scores within candidate bounds") {
+    val out = Similarity.qMmrRerank(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val byQ = out.groupBy(_._1)
+    assert(byQ.keySet == Similarity.QueryIds.toSet)
+    byQ.values.foreach { rows =>
+      assert(rows.map(_._2).sorted.toSeq == (1L to Similarity.MmrK))
+      assert(rows.map(_._3).distinct.length == rows.length) // no repeated picks
+    }
+    // rank-1 picks are exactly the plain retrieval winners
+    val winners = VectorSearch.cosineTopK(
+      emb, org.apache.spark.sql.functions.col("vec_id"),
+      org.apache.spark.sql.functions.col("embedding"), Similarity.QueryIds, 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(out.filter(_._2 == 1L).map(r => r._1 -> r._3).toMap == winners)
+  }
+
   test("schema contract and rerun determinism") {
     val a = VectorSearch.semDedup(planted, col("id"), col("v"),
       threshold = 0.99, cfg = cfg)
