@@ -232,6 +232,64 @@ object Events {
        |WHERE len(regexp_extract_all(journey, '$JourneyPattern')) >= 1
        |ORDER BY user_id""".stripMargin
 
+  /** SESSION-windowed sequence matching — the partition discipline
+    * [[qSequenceMatch]]'s scaladoc prescribes for unbounded histories:
+    * journeys are built per (user, 30-minute-gap session) instead of per
+    * whole user, so journey length is bounded by session activity and a
+    * match can never span a session break. Sessions come from the
+    * gaps-and-islands cumulative sum over the deterministic
+    * (ts, event_id) order (same-tick events share a session whatever
+    * their internal order — the gap compares timestamps only).
+    */
+  def qSessionPatterns(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    events(spark, dir)
+      .select(col("user_id"), col("ts"), col("event_id"),
+        substring(col("event_type"), 1, 1).as("c"))
+      .withColumn("new_s",
+        when(lag(col("ts"), 1).over(w).isNull ||
+          col("ts") >= lag(col("ts"), 1).over(w) + expr("INTERVAL 30 MINUTES"), 1L)
+          .otherwise(0L))
+      .withColumn("session_id", sum(col("new_s")).over(w))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(count(lit(1)).as("n_events"),
+        concat_ws("", transform(
+          array_sort(collect_list(struct(col("ts"), col("event_id"), col("c")))),
+          s => s.getField("c"))).as("journey"))
+      .select(col("user_id"), col("session_id"), col("n_events"),
+        size(regexp_extract_all(col("journey"), lit(JourneyPattern), lit(0)))
+          .cast("long").as("n_matches"))
+      .filter(col("n_matches") >= 1)
+      .orderBy(col("user_id"), col("session_id"))
+  }
+
+  val qSessionPatternsSql: String =
+    s"""WITH e AS (
+       |  SELECT user_id, date_trunc('microseconds', ts) AS ts, event_id,
+       |    substr(event_type, 1, 1) AS c
+       |  FROM events
+       |), flagged AS (
+       |  SELECT e.*,
+       |    CASE WHEN lag(ts) OVER w IS NULL
+       |           OR ts >= lag(ts) OVER w + INTERVAL 30 MINUTE
+       |         THEN 1 ELSE 0 END AS new_s
+       |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+       |), sess AS (
+       |  SELECT flagged.*,
+       |    sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+       |      ROWS UNBOUNDED PRECEDING) AS session_id
+       |  FROM flagged
+       |), j AS (
+       |  SELECT user_id, session_id, CAST(count(*) AS BIGINT) AS n_events,
+       |    string_agg(c, '' ORDER BY ts, event_id) AS journey
+       |  FROM sess GROUP BY 1, 2
+       |)
+       |SELECT user_id, CAST(session_id AS BIGINT) AS session_id, n_events,
+       |  CAST(len(regexp_extract_all(journey, '$JourneyPattern')) AS BIGINT) AS n_matches
+       |FROM j
+       |WHERE len(regexp_extract_all(journey, '$JourneyPattern')) >= 1
+       |ORDER BY user_id, session_id""".stripMargin
+
   def qEventsFunnel(spark: SparkSession, dir: String): DataFrame = {
     val ev = events(spark, dir)
       .filter(col("event_type").isin("view", "click", "purchase"))
@@ -950,6 +1008,7 @@ object Events {
     "q_attribution_last_touch" -> (qAttributionLastTouch _),
     "q_event_bigrams" -> (qEventBigrams _),
     "q_sequence_match" -> (qSequenceMatch _),
+    "q_session_patterns" -> (qSessionPatterns _),
     "q_events_densify" -> (qEventsDensify _),
     "q_scd2_history" -> (qScd2History _),
     "q_scd2_asof" -> (qScd2Asof _),
@@ -974,6 +1033,7 @@ object Events {
     "q_attribution_last_touch" -> qAttributionLastTouchSql,
     "q_event_bigrams" -> qEventBigramsSql,
     "q_sequence_match" -> qSequenceMatchSql,
+    "q_session_patterns" -> qSessionPatternsSql,
     "q_events_densify" -> qEventsDensifySql,
     "q_scd2_history" -> qScd2HistorySql,
     "q_scd2_asof" -> qScd2AsofSql,

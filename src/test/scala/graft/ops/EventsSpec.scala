@@ -214,6 +214,31 @@ class EventsSpec extends SparkFunSuite {
     assert(got.toSeq == Seq((1L, 6L, 2L)))
   }
 
+  test("session patterns: a session break prevents a cross-session match") {
+    import spark.implicits._
+    // user 1: view at t0, purchase 45 min later -> separate 30-min-gap
+    // sessions, no match; user 2: view then purchase 1 min later -> match
+    val rows = Seq(
+      (1L, java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), 1L, "view"),
+      (2L, java.sql.Timestamp.valueOf("2024-01-01 00:45:00"), 1L, "purchase"),
+      (3L, java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), 2L, "view"),
+      (4L, java.sql.Timestamp.valueOf("2024-01-01 00:01:00"), 2L, "purchase")
+    ).toDF("event_id", "ts", "user_id", "event_type")
+    // whole-user journeys match for BOTH users...
+    val whole = Events.sequenceMatches(rows, Events.JourneyPattern)
+      .collect().map(_.getLong(0)).toSet
+    assert(whole == Set(1L, 2L))
+    // ...but the session-windowed variant must reject user 1. Reuse the
+    // registered query by writing the planted frame as an events table.
+    val dir = tmpDir("session-patterns-fixture")
+    rows.withColumn("value", lit(1.0)).withColumn("props", lit("{}"))
+      .select("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val sessioned = Events.qSessionPatterns(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(3)))
+    assert(sessioned.toSeq == Seq((2L, 1L)))
+  }
+
   test("attribution query totals purchases exactly on real data") {
     val dir = "/root/testdata/sf0.001"
     val total = Events.qAttributionLastTouch(spark, dir)
