@@ -232,6 +232,71 @@ object Events {
        |WHERE len(regexp_extract_all(journey, '$JourneyPattern')) >= 1
        |ORDER BY user_id""".stripMargin
 
+  /** CUSUM CHANGE-POINT detection per event type — where did the value
+    * level SHIFT: the position maximizing |Σ_{i≤k}(v_i − mean)|, the
+    * classic cumulative-sum statistic whose peak marks the most likely
+    * single change point. Exact-integer formulation (the house
+    * discipline): with values in exact cents, the n-scaled statistic is
+    *
+    *   C_k = n·P_k − k·S   (P_k = prefix sum, S = total, n = count)
+    *
+    * — every term a long, no mean division ever happens, peaks compared
+    * exactly; ties break to the earliest (ts, event_id). Envelope:
+    * n·P < 2^63 holds through ~10⁷ events per type at ~10³-cent values.
+    *
+    * Scale: one cumulative-sum window per event-type partition riding a
+    * broadcast 1-row (n, S) per type; a single dominant key at 100 TB
+    * takes the range-partitioned two-pass ([[Rank.globalRank]]) instead
+    * of one partition-local window.
+    */
+  def qCusumShift(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("event_type")).orderBy(col("ts"), col("event_id"))
+    val ev = events(spark, dir)
+      .select(col("event_type"), col("ts"), col("event_id"),
+        (dec(col("value")) * 100).cast(LongType).as("cents"))
+    val tot = ev.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("cents")).as("s"))
+    val cum = ev
+      .withColumn("k", row_number().over(w).cast(LongType))
+      .withColumn("p", sum(col("cents")).over(w))
+      .join(broadcast(tot), "event_type")
+      .withColumn("c", col("n") * col("p") - col("k") * col("s"))
+    val wPeak = Window.partitionBy(col("event_type"))
+      .orderBy(abs(col("c")).desc, col("ts"), col("event_id"))
+    cum.withColumn("rn", row_number().over(wPeak))
+      .filter(col("rn") === 1)
+      .select(col("event_type"), fmt(col("ts")).as("shift_at"),
+        col("k"), col("c").as("cusum_scaled"))
+      .orderBy(col("event_type"))
+  }
+
+  val qCusumShiftSql: String =
+    """WITH e AS (
+      |  SELECT event_type, date_trunc('microseconds', ts) AS ts, event_id,
+      |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+      |  FROM events
+      |), tot AS (
+      |  SELECT event_type, CAST(count(*) AS BIGINT) AS n, CAST(sum(cents) AS BIGINT) AS s
+      |  FROM e GROUP BY 1
+      |), cum AS (
+      |  SELECT e.event_type, e.ts, e.event_id,
+      |    CAST(row_number() OVER w AS BIGINT) AS k,
+      |    CAST(sum(cents) OVER (PARTITION BY event_type ORDER BY ts, event_id
+      |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS p
+      |  FROM e WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id)
+      |), scored AS (
+      |  SELECT cum.*, tot.n * cum.p - cum.k * tot.s AS c
+      |  FROM cum JOIN tot USING (event_type)
+      |)
+      |SELECT event_type, strftime(ts, '%Y-%m-%d %H:%M:%S') AS shift_at, k,
+      |  CAST(c AS BIGINT) AS cusum_scaled
+      |FROM (
+      |  SELECT scored.*, row_number() OVER (
+      |    PARTITION BY event_type ORDER BY abs(c) DESC, ts, event_id) AS rn
+      |  FROM scored)
+      |WHERE rn = 1
+      |ORDER BY event_type""".stripMargin
+
   /** SESSION-windowed sequence matching — the partition discipline
     * [[qSequenceMatch]]'s scaladoc prescribes for unbounded histories:
     * journeys are built per (user, 30-minute-gap session) instead of per
@@ -1009,6 +1074,7 @@ object Events {
     "q_event_bigrams" -> (qEventBigrams _),
     "q_sequence_match" -> (qSequenceMatch _),
     "q_session_patterns" -> (qSessionPatterns _),
+    "q_cusum_shift" -> (qCusumShift _),
     "q_events_densify" -> (qEventsDensify _),
     "q_scd2_history" -> (qScd2History _),
     "q_scd2_asof" -> (qScd2Asof _),
@@ -1034,6 +1100,7 @@ object Events {
     "q_event_bigrams" -> qEventBigramsSql,
     "q_sequence_match" -> qSequenceMatchSql,
     "q_session_patterns" -> qSessionPatternsSql,
+    "q_cusum_shift" -> qCusumShiftSql,
     "q_events_densify" -> qEventsDensifySql,
     "q_scd2_history" -> qScd2HistorySql,
     "q_scd2_asof" -> qScd2AsofSql,

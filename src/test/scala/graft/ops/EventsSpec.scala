@@ -239,6 +239,22 @@ class EventsSpec extends SparkFunSuite {
     assert(sessioned.toSeq == Seq((2L, 1L)))
   }
 
+  test("cusum: planted level shift peaks exactly at the boundary") {
+    import spark.implicits._
+    // 5 events at 10.00 then 5 at 20.00: C_k = -5000k up to the boundary,
+    // then recovers — peak |C| at k=5 with C = 10*5000 - 5*15000 = -25000
+    val rows = (1 to 10).map { i =>
+      (i.toLong, java.sql.Timestamp.valueOf(f"2024-01-01 00:00:${i - 1}%02d"),
+        1L, "a", if (i <= 5) 10.0 else 20.0, "{}")
+    }
+    val dir = tmpDir("cusum-fixture")
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = Events.qCusumShift(spark, dir)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq == Seq(("a", "2024-01-01 00:00:04", 5L, -25000L)))
+  }
+
   test("attribution query totals purchases exactly on real data") {
     val dir = "/root/testdata/sf0.001"
     val total = Events.qAttributionLastTouch(spark, dir)
