@@ -363,6 +363,65 @@ object Graph {
     * stay uncapped) — the same hot-bucket discipline as the LSH cap,
     * mirrored in the oracle.
     */
+  /** Basket cap for the TRIPLE explode — far tighter than the pair cap:
+    * a basket contributes C(m,3) triples, so 8 bounds the per-order
+    * fan-out at 56 (the pair cap of 256 would allow 2.8M).
+    */
+  val TripleMaxBasket = 8
+  val TripleMinSupport = 2
+
+  /** APRIORI LEVEL-3: frequent part TRIPLES by co-order support — the
+    * next frequent-itemset level above [[qBasketRules]]' pairs. The
+    * level-wise Apriori prune: items below [[TripleMinSupport]] global
+    * support are dropped BEFORE baskets build (an infrequent item cannot
+    * be in a frequent triple), then each order's sorted, capped part set
+    * explodes its ordered triples map-side (one shuffle, the pair-code
+    * shape one level up) and the count filter keeps support ≥ minSup.
+    *
+    * Scale: the level-1 prune is what makes Apriori run at 100 TB — the
+    * basket relation shrinks to frequent items before any fan-out, and
+    * the per-order triple fan-out is C(cap, 3) = 56, constant. A skewed
+    * hot triple is just a groupBy key — map-side combined.
+    */
+  def qBasketTriples(spark: SparkSession, dir: String): DataFrame = {
+    val li = table(spark, dir, "lineitem")
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("p"))
+      .distinct()
+    val freq = li.groupBy(col("p")).agg(count(lit(1)).as("n_p"))
+      .filter(col("n_p") >= TripleMinSupport).select(col("p"))
+    val baskets = li.join(freq, "p")
+      .groupBy(col("ok"))
+      .agg(slice(sort_array(collect_set(col("p"))), 1, TripleMaxBasket).as("ps"))
+    baskets
+      .select(explode(flatten(flatten(transform(col("ps"), (x, i) =>
+        transform(slice(col("ps"), i + 2, size(col("ps"))), (y, j) =>
+          transform(slice(col("ps"), i + j + lit(3), size(col("ps"))),
+            z => struct(x.as("a"), y.as("b"), z.as("c")))))))).as("t"))
+      .groupBy(col("t.a").as("p_a"), col("t.b").as("p_b"), col("t.c").as("p_c"))
+      .agg(count(lit(1)).as("n_orders"))
+      .filter(col("n_orders") >= TripleMinSupport)
+      .orderBy(col("n_orders").desc, col("p_a"), col("p_b"), col("p_c"))
+  }
+
+  val qBasketTriplesSql: String =
+    s"""WITH li AS (
+       |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS p FROM lineitem
+       |), freq AS (
+       |  SELECT p FROM li GROUP BY 1 HAVING count(*) >= $TripleMinSupport
+       |), b AS (
+       |  SELECT ok, list_sort(list(p))[1:$TripleMaxBasket] AS ps
+       |  FROM li JOIN freq USING (p) GROUP BY ok
+       |), t AS (
+       |  SELECT ok, unnest(ps) AS x FROM b
+       |)
+       |SELECT a.x AS p_a, b2.x AS p_b, c.x AS p_c,
+       |  CAST(count(*) AS BIGINT) AS n_orders
+       |FROM t a
+       |JOIN t b2 ON a.ok = b2.ok AND a.x < b2.x
+       |JOIN t c ON b2.ok = c.ok AND b2.x < c.x
+       |GROUP BY 1, 2, 3 HAVING count(*) >= $TripleMinSupport
+       |ORDER BY n_orders DESC, p_a, p_b, p_c""".stripMargin
+
   def qBasketRules(spark: SparkSession, dir: String,
       maxBasket: Int = defaultMaxBasket): DataFrame = {
     val li = table(spark, dir, "lineitem")
@@ -1061,6 +1120,7 @@ object Graph {
       "q_assortativity" -> (qAssortativity _),
       "q_degree_hist" -> (qDegreeHist _),
       "q_basket_rules" -> ((s: SparkSession, d: String) => qBasketRules(s, d)),
+      "q_basket_triples" -> (qBasketTriples _),
       "q_kcore" -> (qKCore _), "q_label_prop" -> (qLabelProp _),
       "q_bfs_distance" -> (qBfsDistance _),
       "q_sssp" -> (qSssp _),
@@ -1073,6 +1133,7 @@ object Graph {
     "q_degree_hist" -> qDegreeHistSql,
     "q_triangles" -> qTrianglesSql,
     "q_basket_rules" -> qBasketRulesSql,
+    "q_basket_triples" -> qBasketTriplesSql,
     "q_kcore" -> qKCoreSql,
     "q_label_prop" -> qLabelPropSql,
     "q_bfs_distance" -> qBfsDistanceSql,

@@ -348,4 +348,22 @@ class GraphSpec extends SparkFunSuite {
     val row = Graph.assortativity(cliques).collect().head
     assert(row.isNullAt(4))
   }
+
+  test("basket triples: planted co-order triple found; support filter holds") {
+    import spark.implicits._
+    // orders 1..3 share parts {10,20,30}; order 1 adds a support-1 part 99;
+    // order 4 shares only a pair -> the triple (10,20,30) has support 3 and
+    // no other triple reaches the min support of 2
+    val li = Seq(
+      (1L, 10L), (1L, 20L), (1L, 30L), (1L, 99L),
+      (2L, 10L), (2L, 20L), (2L, 30L),
+      (3L, 10L), (3L, 20L), (3L, 30L),
+      (4L, 10L), (4L, 20L)
+    ).toDF("l_orderkey", "l_partkey")
+    val dir = tmpDir("basket-triples-fixture")
+    li.write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val got = Graph.qBasketTriples(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq == Seq((10L, 20L, 30L, 3L)))
+  }
 }
