@@ -612,7 +612,64 @@ object Checks {
     EncodingCols.map(branch).mkString("", "\nUNION ALL\n", "\nORDER BY col_name")
   }
 
+  /** SCHEMA-WIDE referential-integrity audit: every foreign-key edge of
+    * the warehouse schema checked in one report — per FK the child row
+    * count, orphan count (children whose key misses the parent), and the
+    * orphan share in exact basis points. This is the whole-warehouse
+    * generalization of the single-FK anti-join check: the integrity
+    * dashboard a nightly pipeline publishes.
+    *
+    * Scale: each FK is one LEFT-ANTI join shuffled on its own key (the
+    * parent side broadcasts when dimension-sized — all six here); the
+    * branches are independent and union at report size (6 rows).
+    */
+  def qFkAudit(spark: SparkSession, dir: String): DataFrame = {
+    def branch(fk: String, child: DataFrame, key: String,
+        parent: DataFrame, pkey: String): DataFrame = {
+      val c = child.select(col(key).as("k"))
+      val orphans = c.join(parent.select(col(pkey).as("k")), Seq("k"), "left_anti")
+      c.agg(count(lit(1)).as("n_rows"))
+        .crossJoin(orphans.agg(count(lit(1)).as("n_orphans")))
+        .select(lit(fk).as("fk"), col("n_rows"), col("n_orphans"),
+          expr("n_orphans * 10000 DIV n_rows").as("orphan_bp"))
+    }
+    val li = table(spark, dir, "lineitem")
+    val ord = table(spark, dir, "orders")
+    val cust = table(spark, dir, "customer")
+    val supp = table(spark, dir, "supplier")
+    val part = table(spark, dir, "part")
+    val nat = table(spark, dir, "nation")
+    val reg = table(spark, dir, "region")
+    branch("lineitem.orderkey->orders", li, "l_orderkey", ord, "o_orderkey")
+      .unionByName(branch("lineitem.partkey->part", li, "l_partkey", part, "p_partkey"))
+      .unionByName(branch("lineitem.suppkey->supplier", li, "l_suppkey", supp, "s_suppkey"))
+      .unionByName(branch("orders.custkey->customer", ord, "o_custkey", cust, "c_custkey"))
+      .unionByName(branch("customer.nationkey->nation", cust, "c_nationkey", nat, "n_nationkey"))
+      .unionByName(branch("nation.regionkey->region", nat, "n_regionkey", reg, "r_regionkey"))
+      .orderBy(col("fk"))
+  }
+
+  val qFkAuditSql: String = {
+    def branch(fk: String, child: String, key: String, parent: String, pkey: String): String =
+      s"""SELECT '$fk' AS fk,
+         |  CAST((SELECT count(*) FROM $child) AS BIGINT) AS n_rows,
+         |  CAST((SELECT count(*) FROM $child c
+         |        WHERE NOT EXISTS (SELECT 1 FROM $parent p WHERE p.$pkey = c.$key)) AS BIGINT) AS n_orphans,
+         |  CAST((SELECT count(*) FROM $child c
+         |        WHERE NOT EXISTS (SELECT 1 FROM $parent p WHERE p.$pkey = c.$key)) * 10000
+         |    // (SELECT count(*) FROM $child) AS BIGINT) AS orphan_bp""".stripMargin
+    Seq(
+      branch("lineitem.orderkey->orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+      branch("lineitem.partkey->part", "lineitem", "l_partkey", "part", "p_partkey"),
+      branch("lineitem.suppkey->supplier", "lineitem", "l_suppkey", "supplier", "s_suppkey"),
+      branch("orders.custkey->customer", "orders", "o_custkey", "customer", "c_custkey"),
+      branch("customer.nationkey->nation", "customer", "c_nationkey", "nation", "n_nationkey"),
+      branch("nation.regionkey->region", "nation", "n_regionkey", "region", "r_regionkey"))
+      .mkString("\nUNION ALL\n") + "\nORDER BY fk"
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_fk_audit" -> (qFkAudit _),
     "q_encoding_stats" -> (qEncodingStats _),
     "q_fd_check" -> (qFdCheck _),
     "q_benford" -> (qBenford _),
@@ -627,6 +684,7 @@ object Checks {
     "q_outlier_orders" -> (qOutlierOrders _))
 
   def oracle: Map[String, String] = Map(
+    "q_fk_audit" -> qFkAuditSql,
     "q_encoding_stats" -> qEncodingStatsSql,
     "q_fd_check" -> qFdCheckSql,
     "q_benford" -> qBenfordSql,

@@ -153,4 +153,32 @@ class ChecksSpec extends SparkFunSuite {
       ("x", 8L, 2L, 4L, 2500L, 5000L),
       ("y", 8L, 1L, 2L, 1250L, 2500L)))
   }
+
+  test("fk audit: planted orphan counted on its edge only; clean edges zero") {
+    import spark.implicits._
+    val dir = tmpDir("fk-audit-fixture")
+    // minimal warehouse with one orphaned lineitem.orderkey (777)
+    Seq((1L, 10L, 100L), (2L, 10L, 100L), (777L, 10L, 100L))
+      .toDF("l_orderkey", "l_partkey", "l_suppkey")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    Seq((1L, 5L), (2L, 5L)).toDF("o_orderkey", "o_custkey")
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    Seq((5L, 3L)).toDF("c_custkey", "c_nationkey")
+      .write.mode("overwrite").parquet(s"$dir/customer.parquet")
+    Seq((100L, 3L)).toDF("s_suppkey", "s_nationkey")
+      .write.mode("overwrite").parquet(s"$dir/supplier.parquet")
+    Seq(Tuple1(10L)).toDF("p_partkey")
+      .write.mode("overwrite").parquet(s"$dir/part.parquet")
+    Seq((3L, 1L)).toDF("n_nationkey", "n_regionkey")
+      .write.mode("overwrite").parquet(s"$dir/nation.parquet")
+    Seq(Tuple1(1L)).toDF("r_regionkey")
+      .write.mode("overwrite").parquet(s"$dir/region.parquet")
+    val got = Checks.qFkAudit(spark, dir)
+      .collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(got("lineitem.orderkey->orders") == ((3L, 1L, 3333L)))
+    assert(got.collect { case (fk, v) if fk != "lineitem.orderkey->orders" => v._2 }
+      .forall(_ == 0L))
+  }
 }
