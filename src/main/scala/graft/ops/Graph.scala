@@ -765,6 +765,92 @@ object Graph {
     dist
   }
 
+  /** MULTI-SOURCE frontier BFS: the [[bfsDistances]] expansion with the
+    * frontier keyed by (seed, node) — all seeds advance in the SAME
+    * per-round jobs, so k seeds cost one edge-join per round over the
+    * union of their frontiers instead of k sequential BFS runs (the edge
+    * relation is persisted once and reused across rounds AND seeds).
+    */
+  def multiBfsDistances(edges: DataFrame, seeds: Seq[Long], rounds: Int): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val e = edges.select(col("src"), col("dst"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var frontier = seeds.toDF("s")
+      .select(col("s"), col("s").as("v"), lit(0L).as("d")).localCheckpoint()
+    var dist = frontier
+    var k = 1
+    var active = true
+    while (k <= rounds && active) {
+      frontier = e.join(frontier.select(col("s"), col("v").as("src")), Seq("src"))
+        .select(col("s"), col("dst").as("v")).distinct()
+        .join(dist, Seq("s", "v"), "left_anti")
+        .withColumn("d", lit(k.toLong))
+        .localCheckpoint()
+      if (frontier.isEmpty) active = false
+      else dist = dist.union(frontier)
+      k += 1
+    }
+    e.unpersist(blocking = false)
+    dist
+  }
+
+  /** Seeds for [[qHarmonicCentrality]] — the four smallest part keys
+    * (TPC-H part keys are 1-based at every scale factor).
+    */
+  val HarmonicSeeds: Seq[Long] = Seq(1L, 2L, 3L, 4L)
+  val HarmonicRounds = 3
+
+  /** k-HOP HARMONIC CENTRALITY of the seed parts over the co-order
+    * graph: `H(s) = Σ_{0<d(s,v)≤k} 1/d(s,v)` in exact integer
+    * micro-units (`10⁶ DIV d` — an order-free integer sum), the
+    * distance-truncated variant large-graph libraries actually compute
+    * (exact closeness needs all-pairs; k-hop harmonic needs one
+    * multi-source BFS). Seeds sharing frontier jobs is the whole point:
+    * centrality-of-a-cohort costs one BFS, not |cohort| of them.
+    */
+  def qHarmonicCentrality(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val reached = multiBfsDistances(
+      coOrderEdges(spark, dir), HarmonicSeeds, HarmonicRounds)
+      .filter(col("d") > 0)
+      .groupBy(col("s"))
+      .agg(count(lit(1)).as("cnt"), sum(expr("1000000 DIV d")).as("h"))
+    HarmonicSeeds.toDF("seed")
+      .join(reached.withColumnRenamed("s", "seed"), Seq("seed"), "left")
+      .select(col("seed"), coalesce(col("cnt"), lit(0L)).as("n_reached"),
+        coalesce(col("h"), lit(0L)).as("harmonic_u"))
+      .orderBy(col("seed"))
+  }
+
+  val qHarmonicCentralitySql: String = {
+    def relax(i: Int): String =
+      s"""d$i AS MATERIALIZED (
+         |  SELECT s, v, min(d) AS d FROM (
+         |    SELECT s, v, d FROM d${i - 1}
+         |    UNION ALL
+         |    SELECT r.s, e.dst AS v, r.d + 1 AS d
+         |    FROM e JOIN d${i - 1} r ON r.v = e.src
+         |  ) u GROUP BY 1, 2
+         |)""".stripMargin
+    s"""WITH ${liCappedSql(defaultMaxBasket)},
+       |e AS (
+       |  SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+       |  FROM li a JOIN li b ON a.ok = b.ok AND a.l_partkey <> b.l_partkey
+       |), seeds AS (
+       |  SELECT unnest([${HarmonicSeeds.mkString(", ")}]) AS s
+       |), d0 AS (
+       |  SELECT s, s AS v, CAST(0 AS BIGINT) AS d FROM seeds
+       |), ${(1 to HarmonicRounds).map(relax).mkString(", ")}
+       |SELECT seeds.s AS seed,
+       |  CAST(coalesce(x.cnt, 0) AS BIGINT) AS n_reached,
+       |  CAST(coalesce(x.h, 0) AS BIGINT) AS harmonic_u
+       |FROM seeds LEFT JOIN (
+       |  SELECT s, count(*) AS cnt, sum(1000000 // d) AS h
+       |  FROM d$HarmonicRounds WHERE d > 0 GROUP BY 1) x ON x.s = seeds.s
+       |ORDER BY seed""".stripMargin
+  }
+
   /** Hop-distance profile of the co-order graph from its smallest part id:
     * nodes reached per BFS level within 4 hops — the reachability
     * diagnostic dual to [[kCoreProfile]]'s densification profile.
@@ -1121,6 +1207,7 @@ object Graph {
       "q_degree_hist" -> (qDegreeHist _),
       "q_basket_rules" -> ((s: SparkSession, d: String) => qBasketRules(s, d)),
       "q_basket_triples" -> (qBasketTriples _),
+      "q_harmonic_centrality" -> (qHarmonicCentrality _),
       "q_kcore" -> (qKCore _), "q_label_prop" -> (qLabelProp _),
       "q_bfs_distance" -> (qBfsDistance _),
       "q_sssp" -> (qSssp _),
@@ -1134,6 +1221,7 @@ object Graph {
     "q_triangles" -> qTrianglesSql,
     "q_basket_rules" -> qBasketRulesSql,
     "q_basket_triples" -> qBasketTriplesSql,
+    "q_harmonic_centrality" -> qHarmonicCentralitySql,
     "q_kcore" -> qKCoreSql,
     "q_label_prop" -> qLabelPropSql,
     "q_bfs_distance" -> qBfsDistanceSql,

@@ -349,6 +349,17 @@ class GraphSpec extends SparkFunSuite {
     assert(row.isNullAt(4))
   }
 
+  test("multi-source BFS: exact hop distances per seed on a planted path") {
+    import spark.implicits._
+    val path = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L))
+    val edges = (path ++ path.map(_.swap)).toDF("src", "dst")
+    val got = Graph.multiBfsDistances(edges, Seq(1L, 2L), rounds = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == Set(
+      (1L, 1L, 0L), (1L, 2L, 1L), (1L, 3L, 2L), (1L, 4L, 3L),
+      (2L, 2L, 0L), (2L, 1L, 1L), (2L, 3L, 1L), (2L, 4L, 2L), (2L, 5L, 3L)))
+  }
+
   test("basket triples: planted co-order triple found; support filter holds") {
     import spark.implicits._
     // orders 1..3 share parts {10,20,30}; order 1 adds a support-1 part 99;
