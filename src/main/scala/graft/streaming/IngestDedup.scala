@@ -210,6 +210,24 @@ object IngestDedup {
         col("n_emails") + col("n_ipv4") + col("n_ids") > 0)
   }
 
+  /** Streaming REFERENTIAL gate — the arrival-time dual of one
+    * [[graft.ops.Checks.qFkAudit]] edge: each arriving fact row is
+    * checked against the broadcast parent-key relation and flagged
+    * `orphan` when its key misses — so broken references quarantine at
+    * ingest instead of surfacing in the nightly audit. Stateless
+    * stream-static LEFT join (the [[flagExactDups]] shape): verdicts
+    * depend only on the row and the static parent keys, so per-batch
+    * results equal the one-shot batch projection regardless of trigger
+    * splits (the property the spec pins). At parent sizes past broadcast
+    * limits the same plan downgrades to a shuffled stream-static join —
+    * still stateless.
+    */
+  def fkGate(incoming: DataFrame, key: String, parentKeys: DataFrame): DataFrame =
+    incoming
+      .join(broadcast(parentKeys.select(col(key)).distinct()
+        .withColumn("fk_known", lit(1L))), Seq(key), "left")
+      .select(col(key), col("fk_known").isNull.as("orphan"))
+
   def shardRouter(incoming: DataFrame, numShards: Int = graft.ops.Corpus.NumShards): DataFrame =
     incoming
       .withColumn("shard", graft.ops.Corpus.rendezvousShard(col("doc_id"), numShards))

@@ -326,6 +326,29 @@ class StreamingSpec extends SparkFunSuite {
     assert(streamed(4L) === ((0L, 0L, 1L, true)))
   }
 
+  test("streaming referential gate flags planted orphans and equals the batch projection") {
+    import spark.implicits._
+    import org.apache.spark.sql.types._
+    val facts = Seq((1L, 10.0), (2L, 20.0), (777L, 30.0), (2L, 40.0))
+      .toDF("l_orderkey", "v")
+    val parents = Seq(1L, 2L, 3L).toDF("l_orderkey")
+    val dir = tmpDir("fk-gate")
+    facts.filter(col("l_orderkey") <= 2).coalesce(1).write.mode("append").parquet(dir)
+    facts.filter(col("l_orderkey") > 2).coalesce(1).write.mode("append").parquet(dir)
+
+    val schema = StructType(Seq(
+      StructField("l_orderkey", LongType), StructField("v", DoubleType)))
+    val streamed = EventStreams.runToMemory(
+      IngestDedup.fkGate(
+        spark.readStream.schema(schema).parquet(dir), "l_orderkey", parents),
+      "t_fk_gate", outputMode = "append")
+      .collect().map(r => (r.getLong(0), r.getBoolean(1)))
+    val batch = IngestDedup.fkGate(facts, "l_orderkey", parents)
+      .collect().map(r => (r.getLong(0), r.getBoolean(1)))
+    assert(streamed.sorted.toSeq == batch.sorted.toSeq)
+    assert(streamed.count(_._2) == 1 && streamed.find(_._2).get._1 == 777L)
+  }
+
   test("streaming near-dup gate over the stored LSH index equals the one-shot batch probe") {
     import graft.ops.TextDedup
     val docs = graft.ops.Tables.table(spark, sf, "documents")
