@@ -419,6 +419,21 @@ class PlanShapeSpec extends SparkFunSuite {
     assert(p.linesIterator.exists(l => l.contains("PushedFilters:") && l.contains("In(w")), p)
   }
 
+  test("fk audit: anti-joins never degrade to nested loops; dimension parents broadcast") {
+    val p = plan(Checks.qFkAudit(spark, sf))
+    assert(!p.contains("CartesianProduct"), p)
+    // BroadcastNestedLoopJoin appears ONLY as the 1-row count cross-joins
+    // (n_rows x n_orphans), never carrying a join condition — check the
+    // plan-tree lines (the detail section repeats bare node names)
+    val nlJoins = p.linesIterator
+      .filter(l => l.contains("BroadcastNestedLoopJoin") && l.contains("- "))
+      .toSeq
+    assert(nlJoins.nonEmpty && nlJoins.forall(_.contains("Cross")), nlJoins.mkString("\n"))
+    val broadcasts = p.linesIterator.count(l =>
+      l.contains("BroadcastHashJoin") && l.contains("LeftAnti"))
+    assert(broadcasts >= 4, s"expected >=4 broadcast anti-joins, got $broadcasts\n$p")
+  }
+
   test("agg refresh: base view read from storage; only the delta scans documents") {
     val p = plan(JoinShapes.qAggRefresh(spark, sf))
     // the stored aggregate is scanned, not recomputed from the base corpus
