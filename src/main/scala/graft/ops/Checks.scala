@@ -628,10 +628,13 @@ object Checks {
         parent: DataFrame, pkey: String): DataFrame = {
       val c = child.select(col(key).as("k"))
       val orphans = c.join(parent.select(col(pkey).as("k")), Seq("k"), "left_anti")
+      // greatest(n_rows, 1): an EMPTY child table must degrade to a 0-row
+      // branch, not abort the whole audit report with the ANSI
+      // divide-by-zero (0 orphans DIV 1 = 0 bp) — mirrored in the oracle
       c.agg(count(lit(1)).as("n_rows"))
         .crossJoin(orphans.agg(count(lit(1)).as("n_orphans")))
         .select(lit(fk).as("fk"), col("n_rows"), col("n_orphans"),
-          expr("n_orphans * 10000 DIV n_rows").as("orphan_bp"))
+          expr("n_orphans * 10000 DIV greatest(n_rows, 1)").as("orphan_bp"))
     }
     val li = table(spark, dir, "lineitem")
     val ord = table(spark, dir, "orders")
@@ -657,7 +660,7 @@ object Checks {
          |        WHERE NOT EXISTS (SELECT 1 FROM $parent p WHERE p.$pkey = c.$key)) AS BIGINT) AS n_orphans,
          |  CAST((SELECT count(*) FROM $child c
          |        WHERE NOT EXISTS (SELECT 1 FROM $parent p WHERE p.$pkey = c.$key)) * 10000
-         |    // (SELECT count(*) FROM $child) AS BIGINT) AS orphan_bp""".stripMargin
+         |    // greatest((SELECT count(*) FROM $child), 1) AS BIGINT) AS orphan_bp""".stripMargin
     Seq(
       branch("lineitem.orderkey->orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
       branch("lineitem.partkey->part", "lineitem", "l_partkey", "part", "p_partkey"),

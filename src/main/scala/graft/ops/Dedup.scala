@@ -334,32 +334,57 @@ object Dedup {
        |WHERE bit_count(xor(a.sim, b.sim)) <= $SimhashHammingMax
        |ORDER BY da, db""".stripMargin
 
-  /** Embedding-cosine near-dup pairs — registered as the exact BLOCKED
-    * all-pairs join ([[VectorSearch.cosinePairsBlocked]]): bit-identical
-    * to the brute-force oracle, but an evenly-distributed equi-join
-    * instead of a nested-loop broadcast. (LSH banding is NOT usable here:
-    * at this 0.45 threshold it would miss ~21% of true pairs — see the
-    * operator scaladoc; [[VectorSearch.lshCosinePairs]] covers the
-    * high-threshold sub-quadratic case.)
+  /** Multi-probe assignment count for the registered embedding pair
+    * source (see [[VectorSearch.clusterCosinePairs]]).
+    */
+  val ClusterPairProbes = 2
+
+  /** Embedding-cosine near-dup pairs — registered since round 10 as the
+    * CLUSTER-BOUNDED pair source ([[VectorSearch.clusterCosinePairs]]):
+    * k-means buckets (k ~ √n, exact-integer Lloyd) with 2-probe
+    * multi-assignment bound the pair stage to Σ|bucket|² ≈ n·√n instead of
+    * the exact scan's Ω(n²) (103× at the 10× probe — dead at 100×). Every
+    * emitted pair carries the exact rounded cosine (precision exact);
+    * recall is the SemDeDup contract — a pair sharing no probe bucket is
+    * not tested. The lossless exact baseline
+    * ([[VectorSearch.cosinePairsBlocked]]) stays spec-only, and
+    * VectorPairsSpec pins the registered result as a subset of it.
     */
   def qDedupEmbedding(spark: SparkSession, dir: String): DataFrame =
-    VectorSearch.cosinePairsBlocked(
-      table(spark, dir, "embeddings"), col("vec_id"), col("embedding"), CosineThreshold)
+    VectorSearch.clusterCosinePairs(
+      table(spark, dir, "embeddings"), col("vec_id"), col("embedding"), CosineThreshold,
+      probes = ClusterPairProbes)
       .withColumnRenamed("id_a", "va").withColumnRenamed("id_b", "vb")
 
-  val qDedupEmbeddingSql: String =
-    s"""WITH n AS (
+  /** DuckDB replay: the shared Lloyd chain ([[Similarity.ivfChainSql]])
+    * gives per-vector centroid distances; each vector probes its
+    * [[ClusterPairProbes]] nearest buckets, bucket collisions become
+    * candidates, and the exact rounded cosine verifies — the identical
+    * candidate set and arithmetic as the Spark plan.
+    */
+  val qDedupEmbeddingSql: String = {
+    val cfg = VectorSearch.IvfConfig()
+    s"""WITH ${Similarity.ivfChainSql(cfg)}, probe AS (
+       |  SELECT vec_id, j AS bucket FROM (
+       |    SELECT vec_id, j, row_number() OVER (PARTITION BY vec_id ORDER BY dist, j) AS rn
+       |    FROM distF)
+       |  WHERE rn <= $ClusterPairProbes
+       |), cand AS (
+       |  SELECT DISTINCT a.vec_id AS va, b.vec_id AS vb
+       |  FROM probe a JOIN probe b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+       |), n AS (
        |  SELECT vec_id, embedding,
        |    sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
        |  FROM embeddings
        |)
-       |SELECT a.vec_id AS va, b.vec_id AS vb,
+       |SELECT c.va, c.vb,
        |  round(list_sum(list_transform(list_zip(a.embedding, b.embedding),
        |      p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))) / (a.nrm * b.nrm), 6) AS cos_sim
-       |FROM n a JOIN n b ON a.vec_id < b.vec_id
+       |FROM cand c JOIN n a ON a.vec_id = c.va JOIN n b ON b.vec_id = c.vb
        |WHERE round(list_sum(list_transform(list_zip(a.embedding, b.embedding),
        |      p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))) / (a.nrm * b.nrm), 6) >= $CosineThreshold
        |ORDER BY va, vb""".stripMargin
+  }
 
   /** Survivor selection: every doc mapped to the min doc_id of its
     * near-dup cluster (clusters from the exact-Jaccard pairs; singletons map

@@ -127,11 +127,15 @@ object Pipeline {
     * and token-count gap — the "do the vector neighbors make textual
     * sense?" check a pipeline runs before trusting embedding dedup. The
     * join keys are the (already tiny) pair ids, so the enrichment joins
-    * shuffle pair-sized relations, not the corpus.
+    * shuffle pair-sized relations, not the corpus. The pair source is the
+    * cluster-bounded [[VectorSearch.clusterCosinePairs]] (round 10 — the
+    * exact all-pairs scan measured 103× at the 10× probe; see
+    * [[Dedup.qDedupEmbedding]]).
     */
   def qPipelineCrossmodal(spark: SparkSession, dir: String): DataFrame = {
-    val pairs = VectorSearch.cosinePairsBlocked(
-      table(spark, dir, "embeddings"), col("vec_id"), col("embedding"), Dedup.CosineThreshold)
+    val pairs = VectorSearch.clusterCosinePairs(
+      table(spark, dir, "embeddings"), col("vec_id"), col("embedding"), Dedup.CosineThreshold,
+      probes = Dedup.ClusterPairProbes)
     val feat = table(spark, dir, "documents")
       .select(col("doc_id"), tokens(col("text")).as("t"))
       .select(col("doc_id"),
@@ -152,17 +156,10 @@ object Pipeline {
     val en = TextAnalysis.sqlStopCount(TextAnalysis.StopwordsEn)
     val es = TextAnalysis.sqlStopCount(TextAnalysis.StopwordsEs)
     val fr = TextAnalysis.sqlStopCount(TextAnalysis.StopwordsFr)
-    s"""WITH n AS (
-       |  SELECT vec_id, embedding,
-       |    sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
-       |  FROM embeddings
-       |), p AS (
-       |  SELECT a.vec_id AS va, b.vec_id AS vb,
-       |    round(list_sum(list_transform(list_zip(a.embedding, b.embedding),
-       |        z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE))) / (a.nrm * b.nrm), 6) AS cos_sim
-       |  FROM n a JOIN n b ON a.vec_id < b.vec_id
-       |  WHERE round(list_sum(list_transform(list_zip(a.embedding, b.embedding),
-       |        z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE))) / (a.nrm * b.nrm), 6) >= ${Dedup.CosineThreshold}
+    s"""WITH p AS (
+       |  SELECT va, vb, cos_sim FROM (
+       |${Dedup.qDedupEmbeddingSql.linesIterator.map("    " + _).mkString("\n")}
+       |  ) pp
        |), cnts AS (
        |  SELECT doc_id, t, $de AS c_de, $en AS c_en, $es AS c_es, $fr AS c_fr
        |  FROM (SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS t FROM documents)

@@ -32,8 +32,12 @@ object VectorSearch {
       .orderBy(col("id_a"), col("id_b"))
   }
 
-  /** Exact all-pairs cosine via upper-triangle BLOCK pairing — the scale
-    * spelling of [[cosinePairs]], bit-identical results.
+  /** Exact all-pairs cosine via upper-triangle BLOCK pairing — the
+    * distributed spelling of [[cosinePairs]], bit-identical results. Since
+    * round 10 this is the LOSSLESS SPEC BASELINE, not a registered query
+    * shape: even evenly distributed, an exact low-threshold pair scan is
+    * Ω(n²) compares (103× at the 10× probe) — the registered pair source
+    * is the cluster-bounded [[clusterCosinePairs]].
     *
     * Why not LSH here: banding recall is `1-(1-p^r)^b` with
     * `p = 1 - θ/π`, and this operator's dedup contract is a LOW threshold —
@@ -71,6 +75,91 @@ object VectorSearch {
         round(dot(col("va"), col("vb")) / (col("na") * col("nb")), 6).as("cos_sim"))
       .filter(col("cos_sim") >= threshold)
       .orderBy(col("id_a"), col("id_b"))
+  }
+
+  /** Every unordered within-key exact-cosine pair of `rel` — columns
+    * `(k, id, v, nrm)` — emitted exactly once per key occurrence, via the
+    * upper-triangle block pairing of [[cosinePairsBlocked]] keyed on the
+    * full `(k, block-pair)` triple: one giant key spreads over B(B+1)/2
+    * evenly-sized shuffle tasks instead of one straggler. Shared by the
+    * SemDeDup pair stage and [[clusterCosinePairs]].
+    */
+  private def blockPairs(rel: DataFrame, blocks: Int): DataFrame = {
+    val n = rel.withColumn("g", pmod(xxhash64(col("id")), lit(blocks)).cast("int"))
+    val aSide = n.select(col("k"), col("id").as("ia"), col("v").as("va"),
+      col("nrm").as("na"), col("g").as("bi"),
+      explode(sequence(col("g"), lit(blocks - 1))).as("bj"))
+    val bSide = n.select(col("k"), col("id").as("ib"), col("v").as("vb"),
+      col("nrm").as("nb"), explode(sequence(lit(0), col("g"))).as("bi"),
+      col("g").as("bj"))
+    aSide.join(bSide, Seq("k", "bi", "bj"))
+      .filter(col("bi") =!= col("bj") || col("ia") < col("ib"))
+      .select(
+        least(col("ia"), col("ib")).as("id_a"),
+        greatest(col("ia"), col("ib")).as("id_b"),
+        round(dot(col("va"), col("vb")) / (col("na") * col("nb")), 6).as("cos_sim"))
+  }
+
+  /** CLUSTER-BOUNDED near-dup pairs — the 100 TB spelling of the
+    * low-threshold pair scan, and since round 10 the registered shape
+    * behind `q_dedup_embedding` / `q_pipeline_crossmodal` (the exact
+    * [[cosinePairsBlocked]] stays as the spec-only lossless baseline, the
+    * same relationship [[cosinePairs]] has to it).
+    *
+    * Why not exact, and why not LSH: an exact low-threshold pair scan is
+    * inherently Ω(n²) compares (measured 103× at the 10× probe — dead at
+    * 100×), while hyperplane banding at cosine 0.45 either misses ~21% of
+    * true pairs (8×4) or degenerates to near-all-pairs candidates (shorter
+    * bands) — see the [[cosinePairsBlocked]] scaladoc. The SemDeDup move
+    * (Abbas et al. 2023) bounds the quadratic instead: k-means-cluster the
+    * corpus with the exact-integer Lloyd trainer (k ~ √n via
+    * [[IvfConfig]]'s derived default, so the pair stage is Σ|bucket|² ≈
+    * n·√n, not n²) and compare exactly WITHIN buckets only. Each vector is
+    * assigned to its `probes` NEAREST centroids (not just the argmin — the
+    * multi-probe trick recovers boundary pairs whose members straddle two
+    * centroids, the dominant recall loss of single-assignment SemDeDup);
+    * a pair sharing two probe buckets arrives twice bit-identically and
+    * dedups exactly. Every surviving pair carries the exact rounded
+    * cosine, so precision is exact; only recall is bounded (a pair whose
+    * members share NO probe bucket is not tested — the SemDeDup contract).
+    *
+    * Deterministic end to end — centroids, assignment order (dist, j) and
+    * the cosine are the same exact-integer discipline as [[ivfTopK]], so
+    * the DuckDB oracle replays the identical candidate set and the result
+    * is hash-gated, not rows-only.
+    */
+  def clusterCosinePairs(df: DataFrame, id: Column, vec: Column, threshold: Double,
+      cfg: IvfConfig = IvfConfig(), probes: Int = 2, blocks: Int = 8): DataFrame = {
+    val (plan, caches) = clusterCosinePairsPlan(df, id, vec, threshold, cfg, probes, blocks)
+    val out = plan.localCheckpoint()
+    caches.foreach(_.unpersist())
+    out
+  }
+
+  /** Un-checkpointed [[clusterCosinePairs]] plan + caches to release
+    * (for plan-shape specs).
+    */
+  private[ops] def clusterCosinePairsPlan(df: DataFrame, id: Column, vec: Column,
+      threshold: Double, cfg: IvfConfig, probes: Int,
+      blocks: Int): (DataFrame, Seq[DataFrame]) = {
+    val corpus = ivfCorpus(df, id, vec, cfg)
+    val rcfg = resolveCfg(corpus, cfg)
+    val centroids = trainIvfCentroids(corpus, rcfg)
+    // materialize the multi-probe assignment ONCE (the incremental-gate
+    // lesson: a live k-branch distance expression inside the pair join
+    // re-evaluates per join-output row)
+    val probed = corpus
+      .select(col("id"), col("v"), col("nrm"),
+        explode(probeBucketsCol(centroids, rcfg.copy(nprobe = probes))).as("k"))
+      .localCheckpoint()
+    val out = blockPairs(probed, blocks)
+      .filter(col("cos_sim") >= threshold)
+      // a pair sharing several probe buckets arrives once per shared
+      // bucket with a BIT-IDENTICAL cosine (same element-ordered dot) —
+      // exact-dedup is a plain distinct
+      .distinct()
+      .orderBy(col("id_a"), col("id_b"))
+    (out, Seq(corpus, probed))
   }
 
   /** Sub-quadratic near-dup pairs: LSH band-bucket candidate generation +
@@ -147,8 +236,31 @@ object VectorSearch {
       .orderBy(col("qid"), col("rnk"))
   }
 
-  final case class IvfConfig(numCentroids: Int = 16, iters: Int = 3, nprobe: Int = 4,
+  /** `numCentroids = 0` (the default) means DERIVE the centroid count from
+    * the corpus size as `max(floor(√n), 16)` at train time — the SemDeDup
+    * scaling contract: with k ~ √n the within-cluster pair stage is bounded
+    * by Σ|cluster|² ≈ n²/k = n^1.5 and per-cluster membership stays ~√n, so
+    * neither the pair quadratic nor the exact-integer distance envelope
+    * (N² · 2^(2·quantBits+2) · dim must fit a long — see [[ivfTopK]])
+    * degrades as the corpus grows. A fixed k would quietly turn the bound
+    * into n²/k at 100×. Pass an explicit positive value to pin k (specs,
+    * planted fixtures). The DuckDB oracles replay the same derivation as
+    * `greatest(floor(sqrt(count(*))), 16)` — sqrt is IEEE-exact on an
+    * integer count in both engines, so the derived k always agrees.
+    */
+  final case class IvfConfig(numCentroids: Int = 0, iters: Int = 3, nprobe: Int = 4,
       quantBits: Int = 14, dim: Int = 64)
+
+  /** The derived centroid count for an n-vector corpus (see [[IvfConfig]]). */
+  def derivedCentroids(n: Long): Int =
+    math.max(math.sqrt(n.toDouble).toInt, 16)
+
+  /** Resolve `numCentroids = 0` against the (persisted) corpus — one cached
+    * count; training then reads the same cache.
+    */
+  private def resolveCfg(corpus: DataFrame, cfg: IvfConfig): IvfConfig =
+    if (cfg.numCentroids > 0) cfg
+    else cfg.copy(numCentroids = derivedCentroids(corpus.count()))
 
   /** A k-means centroid held EXACTLY as the integer component-sums of its
     * members plus the member count — the mean `S/N` is never materialized,
@@ -186,9 +298,10 @@ object VectorSearch {
   def ivfTopK(df: DataFrame, id: Column, vec: Column, queryIds: Seq[Long], k: Int,
       cfg: IvfConfig = IvfConfig()): DataFrame = {
     val corpus = ivfCorpus(df, id, vec, cfg)
-    val centroids = trainIvfCentroids(corpus, cfg)
-    val assigned = corpus.withColumn("bucket", ivfAssignment(cfg)(centroids))
-    val result = ivfServe(assigned, centroids, queryIds, k, cfg)
+    val rcfg = resolveCfg(corpus, cfg)
+    val centroids = trainIvfCentroids(corpus, rcfg)
+    val assigned = corpus.withColumn("bucket", ivfAssignment(rcfg)(centroids))
+    val result = ivfServe(assigned, centroids, queryIds, k, rcfg)
     corpus.unpersist()
     result
   }
@@ -238,6 +351,7 @@ object VectorSearch {
     * component sums collect as centroid-sized metadata.
     */
   private def trainIvfCentroids(corpus: DataFrame, cfg: IvfConfig): Array[Centroid] = {
+    require(cfg.numCentroids > 0, "resolveCfg must run before training")
     var centroids: Array[Centroid] = corpus.orderBy(col("id")).limit(cfg.numCentroids)
       .select(col("xq")).collect()
       .map(r => Centroid(r.getSeq[Double](0).map(_.toLong).toArray, 1L))
@@ -315,16 +429,17 @@ object VectorSearch {
       id: Column, vec: Column, threshold: Double,
       cfg: IvfConfig = IvfConfig()): DataFrame = {
     val corpusC = ivfCorpus(corpus, id, vec, cfg)
-    val centroids = trainIvfCentroids(corpusC, cfg)
+    val rcfg = resolveCfg(corpusC, cfg)
+    val centroids = trainIvfCentroids(corpusC, rcfg)
     // materialize the assignment ONCE (the in-memory analogue of the
-    // bucket column writeIvfIndex persists): leaving the 16-centroid
+    // bucket column writeIvfIndex persists): leaving the k-centroid
     // argmin as a live expression inside the probe join re-evaluates it
     // per join-output row — measured 108 s vs 35 s at the 10× probe scale
     val assignedC = corpusC
       .select(col("id"), col("v"), col("nrm"),
-        ivfAssignment(cfg)(centroids).as("bucket"))
+        ivfAssignment(rcfg)(centroids).as("bucket"))
       .localCheckpoint()
-    val out = semProbe(assignedC, centroids, incoming, id, vec, threshold, cfg)
+    val out = semProbe(assignedC, centroids, incoming, id, vec, threshold, rcfg)
     corpusC.unpersist()
     assignedC.unpersist()
     out
@@ -411,13 +526,14 @@ object VectorSearch {
   def writeIvfIndex(df: DataFrame, id: Column, vec: Column, indexDir: String,
       cfg: IvfConfig = IvfConfig()): Unit = {
     val corpus = ivfCorpus(df, id, vec, cfg)
-    val centroids = trainIvfCentroids(corpus, cfg)
+    val rcfg = resolveCfg(corpus, cfg)
+    val centroids = trainIvfCentroids(corpus, rcfg)
     val spark = df.sparkSession
     import spark.implicits._
     centroids.zipWithIndex.map { case (c, j) => (j, c.n, c.s.toSeq) }.toSeq
       .toDF("j", "n", "s")
       .coalesce(1).write.mode("overwrite").parquet(s"$indexDir/centroids.parquet")
-    corpus.withColumn("bucket", ivfAssignment(cfg)(centroids))
+    corpus.withColumn("bucket", ivfAssignment(rcfg)(centroids))
       .select(col("id"), col("bucket"))
       .write.mode("overwrite").parquet(s"$indexDir/buckets.parquet")
     corpus.unpersist()
@@ -503,35 +619,32 @@ object VectorSearch {
   private[ops] def semDedupPlan(df: DataFrame, id: Column, vec: Column, threshold: Double,
       cfg: IvfConfig, blocks: Int): (DataFrame, Seq[DataFrame]) = {
     val corpus = ivfCorpus(df, id, vec, cfg)
-    val centroids = trainIvfCentroids(corpus, cfg)
+    val rcfg = resolveCfg(corpus, cfg)
+    val centroids = trainIvfCentroids(corpus, rcfg)
     // per-centroid cosine-to-centroid: each an exact integer dot and two
-    // exact integer norms before the one double division (round 6)
+    // exact integer norms before the one double division (round 6).
+    // ΣS² accumulates in BigInt: component sums S grow with cluster size N
+    // (|S| ≤ N·2^quantBits), so the long path would silently wrap past
+    // N ≈ 2^(31.5 − quantBits)·√dim members (~23k at quantBits=14, dim=64)
+    // while the DuckDB oracle widens to HUGEINT — BigInt keeps both sides
+    // on the same round-to-nearest double of the EXACT integer. (The √n
+    // centroid derivation already keeps N near √n, but skew is free to
+    // violate that.)
     val centSims = centroids.map { c =>
       val dt = TextOps.dot(typedLit(c.s.map(_.toDouble).toSeq), col("xq")).cast("long")
-      val cNorm = math.sqrt(c.s.map(v => v * v).sum.toDouble)
+      val cNorm = math.sqrt(c.s.map(v => BigInt(v) * BigInt(v)).sum.toDouble)
       round(dt.cast("double") / (sqrt(col("a2").cast("double")) * lit(cNorm)), 6)
     }
     // referenced by both pair sides, the dominance lookup and the output —
     // persist so the centroid-distance expressions evaluate once per row
     val assigned = corpus
-      .withColumn("cluster", ivfAssignment(cfg)(centroids))
+      .withColumn("cluster", ivfAssignment(rcfg)(centroids))
       .withColumn("cent_sim", element_at(array(centSims.toIndexedSeq: _*), col("cluster") + 1))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // within-cluster exact cosine pairs, block-paired for even tasks:
     // the shuffle key is the full (cluster, block-pair) triple
-    val n = assigned.withColumn("g", pmod(xxhash64(col("id")), lit(blocks)).cast("int"))
-    val aSide = n.select(col("cluster").as("cl"), col("id").as("ia"), col("v").as("va"),
-      col("nrm").as("na"), col("g").as("bi"),
-      explode(sequence(col("g"), lit(blocks - 1))).as("bj"))
-    val bSide = n.select(col("cluster").as("cl"), col("id").as("ib"), col("v").as("vb"),
-      col("nrm").as("nb"), explode(sequence(lit(0), col("g"))).as("bi"),
-      col("g").as("bj"))
-    val pairs = aSide.join(bSide, Seq("cl", "bi", "bj"))
-      .filter(col("bi") =!= col("bj") || col("ia") < col("ib"))
-      .select(
-        least(col("ia"), col("ib")).as("id_a"),
-        greatest(col("ia"), col("ib")).as("id_b"),
-        round(dot(col("va"), col("vb")) / (col("na") * col("nb")), 6).as("cos_sim"))
+    val pairs = blockPairs(
+      assigned.select(col("cluster").as("k"), col("id"), col("v"), col("nrm")), blocks)
       .filter(col("cos_sim") >= threshold)
     val cs = assigned.select(col("id"), col("cent_sim"))
     val losers = pairs
@@ -613,6 +726,61 @@ object VectorSearch {
       .filter(col("id") =!= col("qid"))
       .select(col("qid"), col("qv"), col("qn"), col("id"), col("v"), col("nrm"))
       .distinct()
+      .select(col("qid"), col("id"),
+        round(dot(col("qv"), col("v")) / (col("qn") * col("nrm")), 6).as("cos_sim"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("qid"), col("rnk"), col("id"), col("cos_sim"))
+      .orderBy(col("qid"), col("rnk"))
+  }
+
+  /** Build and PERSIST the LSH index: the banded hyperplane signatures
+    * `(id, band, bv)` written as one parquet table under `indexDir` — the
+    * signature computation (quantized projections against the md5-derived
+    * planes) runs ONCE at build time; serving never touches it again. The
+    * planes themselves need no storage: they are pure functions of
+    * [[planeSign]], reproducible anywhere.
+    */
+  def writeLshIndex(df: DataFrame, id: Column, vec: Column, indexDir: String,
+      cfg: LshConfig = LshConfig()): Unit =
+    bandedSignatures(withNorm(df, id, vec), cfg)
+      .select(col("id"), col("band"), col("bv"))
+      .write.mode("overwrite").parquet(s"$indexDir/sigs.parquet")
+
+  /** Serve top-k from a PERSISTED LSH index (see [[writeLshIndex]]): query
+    * signatures are looked up IN the stored table (queries are corpus
+    * members, exactly as [[lshTopK]] treats them), candidates come from the
+    * band-bucket equi-join against the stored signatures, and only the
+    * candidate rows and query rows touch the full-vector table for the
+    * exact re-rank. Bit-identical to the in-session [[lshTopK]]: the
+    * signatures are exact integers, so a reload loses nothing.
+    */
+  def lshTopKFromIndex(df: DataFrame, id: Column, vec: Column, indexDir: String,
+      queryIds: Seq[Long], k: Int, cfg: LshConfig = LshConfig()): DataFrame =
+    lshTopKFromIndexPlan(df, id, vec, indexDir, queryIds, k, cfg).localCheckpoint()
+
+  /** [[lshTopKFromIndex]] minus the final materialization — exposed for
+    * the plan guard on the stored-index serving read profile (sigs scanned
+    * from the index, no signature recomputation in the serving plan).
+    */
+  private[ops] def lshTopKFromIndexPlan(df: DataFrame, id: Column, vec: Column,
+      indexDir: String, queryIds: Seq[Long], k: Int,
+      cfg: LshConfig = LshConfig()): DataFrame = {
+    val spark = df.sparkSession
+    val sigs = spark.read.parquet(s"$indexDir/sigs.parquet")
+    val qSigs = sigs.filter(col("id").isin(queryIds: _*))
+      .select(col("id").as("qid"), col("band"), col("bv"))
+    val cands = broadcast(qSigs)
+      .join(sigs, Seq("band", "bv"))
+      .filter(col("id") =!= col("qid"))
+      .select(col("qid"), col("id"))
+      .distinct()
+    val full = withNorm(df, id, vec)
+    val qFull = full.filter(col("id").isin(queryIds: _*)).toDF("qid", "qv", "qn")
+    val w = Window.partitionBy(col("qid")).orderBy(col("cos_sim").desc, col("id"))
+    broadcast(cands)
+      .join(full, Seq("id"))
+      .join(broadcast(qFull), Seq("qid"))
       .select(col("qid"), col("id"),
         round(dot(col("qv"), col("v")) / (col("qn") * col("nrm")), 6).as("cos_sim"))
       .withColumn("rnk", row_number().over(w))

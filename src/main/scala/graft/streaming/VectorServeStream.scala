@@ -64,11 +64,16 @@ object VectorServeStream {
       .schema(embeddingSchema)
       .option("maxFilesPerTrigger", "1")
       .parquet(embDir)
+    // honor the caller's id/vec binding: normalize the CORPUS side to the
+    // stream's fixed (vec_id, embedding) schema once, so a corpus with any
+    // column names probes correctly (the batch side is already pinned to
+    // embeddingSchema by the reader)
+    val corpusN = corpus.select(id.as("vec_id"), vec.as("embedding"))
     val q = stream.writeStream
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val flagged = VectorSearch
           .semDedupIncrementalFromIndex(
-            corpus, batch, col("vec_id"), col("embedding"), indexDir, threshold, cfg)
+            corpusN, batch, col("vec_id"), col("embedding"), indexDir, threshold, cfg)
           .localCheckpoint()
         results = Some(results.fold(flagged)(_.union(flagged).localCheckpoint()))
         ()
