@@ -67,6 +67,49 @@ object Bench {
       val (best, calibAtBest) = attempts.minBy(_._1)
       (name, best, calibAtBest, attempts.map(_._2))
     }
+    // sf1 scale probe (round 10): synthesize the ~10× corpus in-engine
+    // (ScaleProbe) and re-time the heavy tail once, so the emitted JSON
+    // carries sf1/sf0.1 ratios — a super-linear regression fails loudly in
+    // BENCH_r{N}.json instead of depending on a manual builder probe.
+    // SPARK_GRAFT_SF1_PROBE: "auto" (default — run iff the bench dir looks
+    // like sf0.1), "0"/"off", or "1". The probe is time-budgeted
+    // (SPARK_GRAFT_SF1_BUDGET sec, default 1500); anything dropped is
+    // listed in "sf1_skipped" — no silent caps.
+    val sf1Enabled = sys.env.getOrElse("SPARK_GRAFT_SF1_PROBE", "auto") match {
+      case "0" | "off" => false
+      case "auto"      => sfDir.contains("sf0.1")
+      case _           => true
+    }
+    val sf1Top = sys.env.getOrElse("SPARK_GRAFT_SF1_TOP", "20").toInt
+    val sf1Budget = sys.env.getOrElse("SPARK_GRAFT_SF1_BUDGET", "1500").toDouble
+    // the two round-10 re-registered pair queries are probed regardless of
+    // rank — their sub-quadratic claim is exactly what the probe audits
+    val sf1Forced = Set("q_dedup_embedding", "q_pipeline_crossmodal")
+    val (sf1Rows, sf1Skipped, sf1Dir) = if (!sf1Enabled) (Seq.empty, Seq.empty, "") else {
+      val dst = sys.env.getOrElse("SPARK_GRAFT_SF1_DIR", "/tmp/graft-sf1")
+      ScaleProbe.synthesize(spark, sfDir, dst)
+      val targets = (results.sortBy(-_._2).map(_._1).take(sf1Top) ++
+        results.map(_._1).filter(sf1Forced)).distinct
+      val byName = results.map(r => r._1 -> r._2).toMap
+      val deadline = System.nanoTime() + (sf1Budget * 1e9).toLong
+      val done = scala.collection.mutable.ArrayBuffer.empty[(String, Double, Double)]
+      val skipped = scala.collection.mutable.ArrayBuffer.empty[String]
+      targets.foreach { name =>
+        if (System.nanoTime() > deadline) skipped += name
+        else {
+          val t0 = System.nanoTime()
+          try SparkEntry.queries(name)(spark, dst).write.format("noop").mode("overwrite").save()
+          catch { case e: Throwable =>
+            System.err.println(s"[bench] sf1 $name failed: ${e.getMessage}")
+          }
+          val elapsed = (System.nanoTime() - t0) / 1e9
+          Caches.releaseAll(spark)
+          done += ((name, elapsed, elapsed / math.max(byName(name), 1e-3)))
+        }
+      }
+      (done.toSeq, skipped.toSeq, dst)
+    }
+
     // Locale.ROOT: f"" uses the default locale — a comma decimal separator
     // would corrupt the JSON line.
     def sec(v: Double): String = String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
@@ -85,14 +128,32 @@ object Bench {
       s"""{"n":${allCalibs.size},"median_ms":${ms(pct(0.5))},""" +
         s""""p90_ms":${ms(pct(0.9))},"max_ms":${ms(allCalibs.lastOption.getOrElse(0.0))}}"""
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":${sec(total)},"unit":"sec","queries":$qs,"calib_ms":$calibQs,"calib":$calibStats,"runs":$runs,"sf":"$sfDir"}""")
+    def r2(v: Double): String = String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
+    val sf1Json =
+      if (!sf1Enabled) ""
+      else {
+        val ratios = sf1Rows.map { case (k, _, r) => "\"" + k + "\":" + r2(r) }
+          .mkString("{", ",", "}")
+        val secs = sf1Rows.map { case (k, s, _) => "\"" + k + "\":" + sec(s) }
+          .mkString("{", ",", "}")
+        val skip = sf1Skipped.map("\"" + _ + "\"").mkString("[", ",", "]")
+        s""","sf1_ratios":$ratios,"sf1_secs":$secs,"sf1_skipped":$skip,"sf1_dir":"$sf1Dir""""
+      }
+    println(s"""{"metric":"total","value":${sec(total)},"unit":"sec","queries":$qs,"calib_ms":$calibQs,"calib":$calibStats,"runs":$runs,"sf":"$sfDir"$sf1Json}""")
     // Truncation-proof recap: harnesses that keep only the TAIL of stdout
     // lose the head of the (long) line above — and with it the total.
     // Repeat the headline numbers in a second, short line printed LAST so
     // any tail capture retains them.
     val top10 = results.sortBy(-_._2).take(10)
       .map { case (k, v, _, _) => "\"" + k + "\":" + sec(v) }.mkString("{", ",", "}")
-    println(s"""{"metric":"total_recap","value":${sec(total)},"unit":"sec","n_queries":${results.size},"runs":$runs,"sf":"$sfDir","calib":$calibStats,"top10":$top10}""")
+    val sf1Recap =
+      if (!sf1Enabled || sf1Rows.isEmpty) ""
+      else {
+        val worst = sf1Rows.sortBy(-_._3).take(5)
+          .map { case (k, _, r) => "\"" + k + "\":" + r2(r) }.mkString("{", ",", "}")
+        s""","sf1_n":${sf1Rows.size},"sf1_worst_ratios":$worst"""
+      }
+    println(s"""{"metric":"total_recap","value":${sec(total)},"unit":"sec","n_queries":${results.size},"runs":$runs,"sf":"$sfDir","calib":$calibStats,"top10":$top10$sf1Recap}""")
     spark.stop()
   }
 }

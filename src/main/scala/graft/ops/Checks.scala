@@ -623,19 +623,26 @@ object Checks {
     * parent side broadcasts when dimension-sized — all six here); the
     * branches are independent and union at report size (6 rows).
     */
+  /** One FK edge of [[qFkAudit]] — exposed so the empty-child degradation
+    * is spec-pinned directly.
+    */
+  private[ops] def fkBranch(fk: String, child: DataFrame, key: String,
+      parent: DataFrame, pkey: String): DataFrame = {
+    val c = child.select(col(key).as("k"))
+    val orphans = c.join(parent.select(col(pkey).as("k")), Seq("k"), "left_anti")
+    // greatest(n_rows, 1): an EMPTY child table must degrade to a 0-row
+    // branch, not abort the whole audit report with the ANSI
+    // divide-by-zero (0 orphans DIV 1 = 0 bp) — mirrored in the oracle
+    c.agg(count(lit(1)).as("n_rows"))
+      .crossJoin(orphans.agg(count(lit(1)).as("n_orphans")))
+      .select(lit(fk).as("fk"), col("n_rows"), col("n_orphans"),
+        expr("n_orphans * 10000 DIV greatest(n_rows, 1)").as("orphan_bp"))
+  }
+
   def qFkAudit(spark: SparkSession, dir: String): DataFrame = {
     def branch(fk: String, child: DataFrame, key: String,
-        parent: DataFrame, pkey: String): DataFrame = {
-      val c = child.select(col(key).as("k"))
-      val orphans = c.join(parent.select(col(pkey).as("k")), Seq("k"), "left_anti")
-      // greatest(n_rows, 1): an EMPTY child table must degrade to a 0-row
-      // branch, not abort the whole audit report with the ANSI
-      // divide-by-zero (0 orphans DIV 1 = 0 bp) — mirrored in the oracle
-      c.agg(count(lit(1)).as("n_rows"))
-        .crossJoin(orphans.agg(count(lit(1)).as("n_orphans")))
-        .select(lit(fk).as("fk"), col("n_rows"), col("n_orphans"),
-          expr("n_orphans * 10000 DIV greatest(n_rows, 1)").as("orphan_bp"))
-    }
+        parent: DataFrame, pkey: String): DataFrame =
+      fkBranch(fk, child, key, parent, pkey)
     val li = table(spark, dir, "lineitem")
     val ord = table(spark, dir, "orders")
     val cust = table(spark, dir, "customer")

@@ -356,11 +356,20 @@ object VectorSearch {
       .select(col("xq")).collect()
       .map(r => Centroid(r.getSeq[Double](0).map(_.toLong).toArray, 1L))
     for (_ <- 1 to cfg.iters) {
-      val sums = corpus
-        .select(ivfAssignment(cfg)(centroids).as("c"), posexplode(col("xq")).as(Seq("pos", "x")))
+      // materialize the per-vector assignment BEFORE the dimension
+      // explode: Generate inlines its child projection per OUTPUT row, so
+      // a live k-branch distance expression under posexplode re-evaluates
+      // dim× per vector — with derived k ~ √n that 64× amplification
+      // pinned a single training task for minutes at the 10× probe
+      val assigned = corpus
+        .select(ivfAssignment(cfg)(centroids).as("c"), col("xq"))
+        .localCheckpoint()
+      val sums = assigned
+        .select(col("c"), posexplode(col("xq")).as(Seq("pos", "x")))
         .groupBy(col("c"), col("pos"))
         .agg(sum(col("x").cast("long")).as("s"), count(lit(1)).as("n"))
         .collect()
+      assigned.unpersist()
       val byCluster = sums.groupBy(_.getAs[Int]("c"))
       centroids = centroids.indices.map { j =>
         byCluster.get(j) match {
@@ -893,14 +902,18 @@ object VectorSearch {
     for (_ <- 1 to cfg.iters) {
       val codeArr = array((0 until cfg.subspaces).map(j =>
         pqAssignment(cfg)(j, codebooks(j))).toIndexedSeq: _*)
-      val sums = corpus
-        .select(codeArr.as("codes"), posexplode(col("xq")).as(Seq("d", "x")))
+      // same Generate-amplification guard as trainIvfCentroids: compute
+      // the per-vector code array once, not per exploded dimension row
+      val coded = corpus.select(codeArr.as("codes"), col("xq")).localCheckpoint()
+      val sums = coded
+        .select(col("codes"), posexplode(col("xq")).as(Seq("d", "x")))
         .select((col("d") / cfg.subDim).cast("int").as("j"),
           element_at(col("codes"), (col("d") / cfg.subDim).cast("int") + 1).as("c"),
           (col("d") % cfg.subDim).as("pos"), col("x"))
         .groupBy(col("j"), col("c"), col("pos"))
         .agg(sum(col("x").cast("long")).as("s"), count(lit(1)).as("n"))
         .collect()
+      coded.unpersist()
       val byKey = sums.groupBy(r => (r.getAs[Int]("j"), r.getAs[Int]("c")))
       codebooks = Array.tabulate(cfg.subspaces) { j =>
         codebooks(j).indices.map { c =>

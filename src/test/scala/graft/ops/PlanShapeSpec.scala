@@ -407,6 +407,30 @@ class PlanShapeSpec extends SparkFunSuite {
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("lsh stored-index serving: signatures scanned from the index, no recomputation, query scans push In(id)") {
+    import org.apache.spark.sql.functions.col
+    val emb = Tables.table(spark, sf, "embeddings")
+    val indexDir = tmpDir("lsh-plan-index")
+    VectorSearch.writeLshIndex(emb, col("vec_id"), col("embedding"), indexDir)
+    val p = plan(VectorSearch.lshTopKFromIndexPlan(
+      emb, col("vec_id"), col("embedding"), indexDir, Similarity.QueryIds, Similarity.K))
+    // the corpus-sized signature relation comes from the stored index —
+    // the serving plan never re-projects the hyperplanes (bandedSignatures
+    // would show the quantization transform + 32 dot products)
+    assert(p.contains("sigs.parquet"), p)
+    assert(!p.contains("shiftrightunsigned"), s"signature recomputation in the serving plan:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    // full-vector reads: the query-row scan pushes In(vec_id); the only
+    // unfiltered embedding scan is the candidate re-rank probe
+    val embScans = p.linesIterator.count(l =>
+      l.contains("Location:") && l.contains("embeddings.parquet"))
+    val pushedIn = p.linesIterator.count(l =>
+      l.contains("PushedFilters:") && l.contains("In(vec_id"))
+    assert(pushedIn >= 1, s"query-row scan must push In(vec_id):\n$p")
+    assert(embScans - pushedIn <= 1,
+      s"at most one unfiltered full-vector scan; got $embScans scans, $pushedIn pushed\n$p")
+  }
+
   test("bm25 stored-index serving: In(w) pushed to the postings scan, corpus text never read") {
     import org.apache.spark.sql.functions.col
     val indexDir = tmpDir("bm25-plan-index")

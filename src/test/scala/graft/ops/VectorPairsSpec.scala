@@ -6,10 +6,11 @@ import org.apache.spark.sql.functions._
 import graft.SparkFunSuite
 
 /** The embedding-pair operators: the blocked all-pairs join must be
-  * bit-identical to the brute-force baseline (it is the registered shape
-  * behind `q_dedup_embedding`), planned as an equi-join (no nested loop);
-  * the LSH-verified pair generator must recover every planted high-cosine
-  * near-dup.
+  * bit-identical to the brute-force baseline (since round 10 it is the
+  * LOSSLESS SPEC BASELINE — the registered `q_dedup_embedding` shape is
+  * the cluster-bounded source, pinned in ClusterPairsAndServeSpec),
+  * planned as an equi-join (no nested loop); the LSH-verified pair
+  * generator must recover every planted high-cosine near-dup.
   */
 class VectorPairsSpec extends SparkFunSuite {
 
@@ -41,11 +42,16 @@ class VectorPairsSpec extends SparkFunSuite {
       || p.contains("BroadcastHashJoin"), s"expected an equi-join:\n$p")
   }
 
-  test("registered q_dedup_embedding carries the blocked plan") {
-    val p = Dedup.qDedupEmbedding(spark, sf).queryExecution
-      .explainString(ExplainMode.fromString("formatted"))
+  test("registered q_dedup_embedding (cluster-bounded) plans without nested loops") {
+    val (df, caches) = VectorSearch.clusterCosinePairsPlan(
+      emb, col("vec_id"), col("embedding"), Dedup.CosineThreshold,
+      VectorSearch.IvfConfig(), probes = Dedup.ClusterPairProbes, blocks = 8)
+    val p = df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+    caches.foreach(_.unpersist())
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
     assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin")
+      || p.contains("BroadcastHashJoin"), s"expected an equi-join:\n$p")
   }
 
   test("LSH-verified pairs recover planted near-duplicates at a high threshold") {
