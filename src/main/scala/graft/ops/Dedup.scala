@@ -460,6 +460,63 @@ object Dedup {
        |FROM j WHERE rn = 1 AND n_members > 1
        |ORDER BY canonical""".stripMargin
 
+  /** MIXTURE-AWARE survivor selection (document-level mixture dedup): for
+    * every cross-source near-dup component keep the member from the
+    * RAREST source — argmin source size, ties to the smallest doc_id.
+    * Near-dup clusters concentrate in over-crawled sources, so the min-id
+    * or quality policies silently skew the source mixture further toward
+    * the big crawls; keeping the under-represented source's copy makes
+    * dedup mixture-preserving — the dedup-stage complement of the
+    * temperature / DoReMi mixture reweighting in [[Corpus]]. Output: one
+    * row per non-singleton component with the surviving member and its
+    * source.
+    *
+    * Scale: identical bones to [[qDedupSurvivor]] — the capped pair
+    * relation dominates; the policy itself is a broadcast source-size
+    * attach (sources are dimension-sized) plus ONE window over the
+    * component labels.
+    */
+  def qDedupMixture(spark: SparkSession, dir: String): DataFrame = {
+    val docs = table(spark, dir, "documents")
+    val pairs = TextDedup.jaccardPairs(
+      docs, col("doc_id"), col("text"), ShingleK, JaccardThreshold)
+    val canon = TextDedup.canonicalize(pairs, docs.select(col("doc_id").as("id")))
+    val srcSizes = docs.groupBy(col("source")).agg(count(lit(1)).as("n_src"))
+    // argmin over source size rides the shared argmax helper: m = −n_src
+    val m = docs.join(broadcast(srcSizes), "source")
+      .select(col("doc_id").as("id"), (-col("n_src")).cast("long").as("m"))
+    TextDedup.qualitySurvivors(canon, m)
+      .join(table(spark, dir, "documents")
+        .select(col("doc_id").as("survivor"), col("source").as("survivor_source")),
+        Seq("survivor"))
+      .select(col("canonical"), col("survivor"), col("survivor_source"), col("n_members"))
+      .orderBy(col("canonical"))
+  }
+
+  val qDedupMixtureSql: String =
+    s"""WITH RECURSIVE pairs AS (
+       |  ${qDedupNgramSql.linesIterator.map("  " + _).mkString("\n").replace("ORDER BY da, db", "")}
+       |), edges AS (
+       |  SELECT da AS src, db AS dst FROM pairs
+       |  UNION ALL SELECT db AS src, da AS dst FROM pairs
+       |), walk(id, lbl) AS (
+       |  SELECT doc_id, doc_id FROM documents
+       |  UNION
+       |  SELECT e.dst, w.lbl FROM walk w JOIN edges e ON e.src = w.id
+       |), canon AS (
+       |  SELECT id AS doc_id, min(lbl) AS canonical FROM walk GROUP BY id
+       |), srcsz AS (
+       |  SELECT source, count(*) AS n_src FROM documents GROUP BY source
+       |), j AS (
+       |  SELECT c.canonical, d.doc_id, d.source,
+       |    row_number() OVER (PARTITION BY c.canonical ORDER BY s.n_src, d.doc_id) AS rn,
+       |    count(*) OVER (PARTITION BY c.canonical) AS n_members
+       |  FROM canon c JOIN documents d USING (doc_id) JOIN srcsz s USING (source)
+       |)
+       |SELECT canonical, doc_id AS survivor, source AS survivor_source, n_members
+       |FROM j WHERE rn = 1 AND n_members > 1
+       |ORDER BY canonical""".stripMargin
+
   /** Duplicate-cluster SIZE PROFILE — the dedup monitoring report: how
     * many components of each size the near-dup graph contains (size 1 =
     * unique docs). The shape of this histogram is the first thing a
@@ -853,6 +910,7 @@ object Dedup {
     "q_split_leakage" -> (qSplitLeakage _),
     "q_dedup_components" -> (qDedupComponents _),
     "q_dedup_survivor" -> (qDedupSurvivor _),
+    "q_dedup_mixture" -> (qDedupMixture _),
     "q_dedup_sizes" -> (qDedupSizes _),
     "q_dedup_savings" -> (qDedupSavings _),
     "q_dedup_exact" -> (qDedupExact _),
@@ -876,6 +934,7 @@ object Dedup {
     "q_split_leakage" -> qSplitLeakageSql,
     "q_dedup_components" -> qDedupComponentsSql,
     "q_dedup_survivor" -> qDedupSurvivorSql,
+    "q_dedup_mixture" -> qDedupMixtureSql,
     "q_dedup_sizes" -> qDedupSizesSql,
     "q_dedup_savings" -> qDedupSavingsSql,
     "q_dedup_exact" -> qDedupExactSql,

@@ -432,6 +432,96 @@ object Similarity {
        |ORDER BY q_vec_id, rnk""".stripMargin
   }
 
+  /** Candidate pool / result size for [[qRerankCross]]. */
+  val CrossPool = 20
+  val CrossK = 5
+
+  /** CROSS-ENCODER-style re-rank (the retrieve-then-rerank serving shape):
+    * stage 1 retrieves each query's exact top-[[CrossPool]] ANN candidates
+    * (bi-encoder semantics — query and candidate embedded independently);
+    * stage 2 scores every (query, candidate) PAIR with a JOINT function of
+    * both endpoints — here the candidate's embedding cosine blended with
+    * the token-set Jaccard of the two documents' texts — and keeps the
+    * top-[[CrossK]] by the joint score. Joint pair-scoring is what a
+    * bi-encoder cannot express and what a cross-encoder model provides.
+    *
+    * STUB BOUNDARY (the multimodal-decode discipline): the joint scorer is
+    * a DETERMINISTIC FAKE — the EXACT-INTEGER blend
+    * `ce_score = round(cos·10⁶) + 100·jac_bp` (micro-units of cos + jac;
+    * cos is already 6-rounded so ×10⁶ is within 1 ulp of an integer and
+    * the int round is boundary-free — a fractional decimal blend sat on
+    * .5 rounding boundaries and diverged by 1 ulp across engines) —
+    * standing in for a batched model inference (at 100 TB: a
+    * `mapInPandas`/ONNX scorer over the pool relation). The Spark-side
+    * plumbing is the real contract and is what scales: scoring cost is
+    * queries × pool rows (pair-keyed joins against doc features, a narrow
+    * projection, one per-query top-k) — NEVER corpus-sized; the
+    * corpus-sized work is stage 1, already served by the bounded ANN
+    * paths.
+    */
+  def qRerankCross(spark: SparkSession, dir: String): DataFrame = {
+    val emb = table(spark, dir, "embeddings")
+    val pool = rename(VectorSearch.cosineTopK(
+      emb, col("vec_id"), col("embedding"), QueryIds, CrossPool))
+      .select(col("q_vec_id"), col("vec_id"), col("cos_sim"))
+    // per-doc distinct token sets (documents ↔ embeddings share the id
+    // space); sizes are what the joint score consumes, so order is free
+    val toks = table(spark, dir, "documents")
+      .select(col("doc_id"), array_distinct(TextOps.tokens(col("text"))).as("ts"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q_vec_id")).orderBy(col("ce_score").desc, col("vec_id"))
+    pool
+      .join(toks.select(col("doc_id").as("q_vec_id"), col("ts").as("qts")), Seq("q_vec_id"))
+      .join(toks.select(col("doc_id").as("vec_id"), col("ts").as("cts")), Seq("vec_id"))
+      .withColumn("jac_bp",
+        expr("CAST(size(array_intersect(qts, cts)) AS BIGINT) * 10000" +
+          " DIV CAST(size(array_union(qts, cts)) AS BIGINT)"))
+      .withColumn("ce_score",
+        expr("CAST(round(cos_sim * 1000000) AS BIGINT) + 100 * jac_bp"))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= CrossK)
+      .select(col("q_vec_id"), col("rnk"), col("vec_id"), col("ce_score"))
+      .orderBy(col("q_vec_id"), col("rnk"))
+  }
+
+  /** Oracle: the pool retrieval (the [[qSimTopKSql]] shape at pool size),
+    * distinct-token Jaccard per pair, and the identical pinned-order
+    * blend.
+    */
+  val qRerankCrossSql: String =
+    s"""WITH n AS (
+       |  SELECT vec_id, embedding,
+       |    sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+       |  FROM embeddings
+       |), pool AS (
+       |  SELECT q_vec_id, vec_id, cos_sim FROM (
+       |    SELECT p.*, row_number() OVER (PARTITION BY q_vec_id ORDER BY cos_sim DESC, vec_id) AS rnk
+       |    FROM (
+       |      SELECT q.vec_id AS q_vec_id, v.vec_id,
+       |        round(list_sum(list_transform(list_zip(q.embedding, v.embedding),
+       |            z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE))) / (q.nrm * v.nrm), 6) AS cos_sim
+       |      FROM n q JOIN n v ON v.vec_id <> q.vec_id
+       |      WHERE q.vec_id IN (${QueryIds.mkString(", ")})) p)
+       |  WHERE rnk <= $CrossPool
+       |), toks AS (
+       |  SELECT doc_id, list_distinct(regexp_split_to_array(lower(text), '\\s+')) AS ts
+       |  FROM documents
+       |), scored AS (
+       |  SELECT pool.q_vec_id, pool.vec_id,
+       |    CAST(round(pool.cos_sim * 1000000) AS BIGINT)
+       |      + 100 * (CAST(len(list_intersect(qt.ts, ct.ts)) AS BIGINT) * 10000
+       |               // CAST(len(list_distinct(list_concat(qt.ts, ct.ts))) AS BIGINT)) AS ce_score
+       |  FROM pool
+       |  JOIN toks qt ON qt.doc_id = pool.q_vec_id
+       |  JOIN toks ct ON ct.doc_id = pool.vec_id
+       |)
+       |SELECT q_vec_id, CAST(rnk AS BIGINT) AS rnk, vec_id, ce_score FROM (
+       |  SELECT scored.*, row_number() OVER (
+       |    PARTITION BY q_vec_id ORDER BY ce_score DESC, vec_id) AS rnk
+       |  FROM scored)
+       |WHERE rnk <= $CrossK
+       |ORDER BY q_vec_id, rnk""".stripMargin
+
   /** SemDeDup cosine threshold: the corpus's qualifying near-dup pairs sit
     * at cosine 0.45–0.51 (see [[VectorSearch.cosinePairsBlocked]]), so the
     * dedup gate shares [[Dedup.CosineThreshold]]'s operating point.
@@ -826,6 +916,7 @@ object Similarity {
     "q_hard_negatives" -> (qHardNegatives _),
     "q_rank_fusion" -> (qRankFusion _),
     "q_mmr_rerank" -> (qMmrRerank _),
+    "q_rerank_cross" -> (qRerankCross _),
   )
 
   def oracle: Map[String, String] = Map(
@@ -847,5 +938,6 @@ object Similarity {
     "q_hard_negatives" -> qHardNegativesSql,
     "q_rank_fusion" -> qRankFusionSql,
     "q_mmr_rerank" -> qMmrRerankSql,
+    "q_rerank_cross" -> qRerankCrossSql,
   )
 }

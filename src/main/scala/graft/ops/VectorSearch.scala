@@ -16,6 +16,20 @@ object VectorSearch {
   private def withNorm(df: DataFrame, id: Column, vec: Column): DataFrame =
     df.select(id.as("id"), vec.as("v"), norm(vec).as("nrm"))
 
+  /** Spread a narrow corpus across the session's cores. A few-MB parquet
+    * file scans as ONE input split, and everything downstream of the
+    * trainers (k×VecDot assignment, probe ranking) is COMPUTE-bound per
+    * row — the r10 probe measured the whole IVF family serialized on one
+    * task at the 10× scale. Only widens (never coalesces a corpus that
+    * already has parallelism), and every consumer is order-invariant by
+    * construction (exact-integer sums, keyed joins, id-ordered inits), so
+    * the values are partitioning-independent — spec-pinned.
+    */
+  private def spread(df: DataFrame): DataFrame = {
+    val p = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < p) df.repartition(p) else df
+  }
+
   /** All pairs with cosine ≥ threshold — the naive nested-loop spelling
     * (`id_a < id_b` non-equi join → BroadcastNestedLoopJoin). EXACTNESS
     * BASELINE for specs; never the registered shape: at scale use
@@ -315,7 +329,7 @@ object VectorSearch {
     */
   private def ivfCorpus(df: DataFrame, id: Column, vec: Column, cfg: IvfConfig): DataFrame = {
     val scale = (1L << cfg.quantBits).toDouble
-    withNorm(df, id, vec)
+    spread(withNorm(df, id, vec))
       .withColumn("xq", transform(col("v"), x => floor(x.cast("double") * lit(scale)).cast("double")))
       .withColumn("a2", graft.functions.VecDot(col("xq"), col("xq")).cast("long"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -864,7 +878,7 @@ object VectorSearch {
     val subCols = (0 until cfg.subspaces).map(j => pqSub(cfg)(col("xq"), j).as(s"x$j"))
     val a2Cols = (0 until cfg.subspaces).map(j =>
       TextOps.dot(pqSub(cfg)(col("xq"), j), pqSub(cfg)(col("xq"), j)).cast("long").as(s"a2_$j"))
-    df.select(id.as("id"), vec.as("v"))
+    spread(df.select(id.as("id"), vec.as("v")))
       .withColumn("xq", transform(col("v"), x => floor(x.cast("double") * lit(scale)).cast("double")))
       .select(Seq(col("id"), col("v"), col("xq")) ++ subCols ++ a2Cols: _*)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
