@@ -843,6 +843,18 @@ object Similarity {
 
   private[ops] def annRecall(spark: SparkSession, dir: String, qids: Seq[Long]): DataFrame = {
     val emb = table(spark, dir, "embeddings")
+    annRecallOver(emb, qids,
+      rename(VectorSearch.ivfTopK(emb, col("vec_id"), col("embedding"), qids, K)),
+      rename(VectorSearch.lshTopK(emb, col("vec_id"), col("embedding"), qids, K)),
+      rename(VectorSearch.pqTopK(emb, col("vec_id"), col("embedding"), qids, K,
+        shortlist = PqShortlist)))
+  }
+
+  /** The recall computation over ANY three (q_vec_id, vec_id) rankings —
+    * shared by the in-session audit and the stored-index audit.
+    */
+  private def annRecallOver(emb: DataFrame, qids: Seq[Long],
+      ivf: DataFrame, lsh: DataFrame, pq: DataFrame): DataFrame = {
     // localCheckpoint: the exact relation is queries×k rows, and without
     // it each recall branch would INLINE (re-run) the brute-force search —
     // the plan dump showed the baseline scan three times
@@ -860,13 +872,38 @@ object Similarity {
           coalesce(col("hits"), lit(0L)).as("hits"))
         .withColumn("recall_bp", expr(s"hits * 10000 DIV $K"))
     }
-    recallOf("ivf", rename(VectorSearch.ivfTopK(
-      emb, col("vec_id"), col("embedding"), qids, K)))
-      .union(recallOf("lsh", rename(VectorSearch.lshTopK(
-        emb, col("vec_id"), col("embedding"), qids, K))))
-      .union(recallOf("pq", rename(VectorSearch.pqTopK(
-        emb, col("vec_id"), col("embedding"), qids, K, shortlist = PqShortlist))))
+    recallOf("ivf", ivf)
+      .union(recallOf("lsh", lsh))
+      .union(recallOf("pq", pq))
       .orderBy(col("method"), col("q_vec_id"))
+  }
+
+  /** The DEPLOYMENT-gate audit: recall measured against the STORED
+    * serving artifacts — the three indexes are built/persisted once and
+    * every approximate ranking is served from them
+    * (`ivfTopKFromIndex` / `lshTopKFromIndex` / `pqTopKFromIndex`), so
+    * the audit certifies exactly the bytes a serving system would deploy,
+    * and its per-run cost beyond the one build is serving + the exact
+    * baseline (at 100× the baseline runs on the [[qAnnRecallSampled]]
+    * sample). Bit-identical to [[qAnnRecall]] — every FromIndex path is
+    * bit-identical to its trainer — so it shares the oracle.
+    */
+  def qAnnRecallIndexed(spark: SparkSession, dir: String): DataFrame = {
+    val emb = table(spark, dir, "embeddings")
+    val ivfDir = graft.ScratchDirs("audit-ivf-index")
+    val lshDir = graft.ScratchDirs("audit-lsh-index")
+    val pqDir = graft.ScratchDirs("audit-pq-index")
+    VectorSearch.writeIvfIndex(emb, col("vec_id"), col("embedding"), ivfDir)
+    VectorSearch.writeLshIndex(emb, col("vec_id"), col("embedding"), lshDir)
+    VectorSearch.writePqIndex(emb, col("vec_id"), col("embedding"), pqDir)
+    annRecallOver(emb, QueryIds,
+      rename(VectorSearch.ivfTopKFromIndex(
+        emb, col("vec_id"), col("embedding"), ivfDir, QueryIds, K)),
+      rename(VectorSearch.lshTopKFromIndex(
+        emb, col("vec_id"), col("embedding"), lshDir, QueryIds, K)),
+      rename(VectorSearch.pqTopKFromIndex(
+        emb, col("vec_id"), col("embedding"), pqDir, QueryIds, K,
+        shortlist = PqShortlist)))
   }
 
   val qAnnRecallSql: String = {
@@ -904,6 +941,7 @@ object Similarity {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_ann_recall" -> (qAnnRecall _),
     "q_ann_recall_sampled" -> (qAnnRecallSampled _),
+    "q_ann_recall_indexed" -> (qAnnRecallIndexed _),
     "q_sim_topk" -> (qSimTopK _),
     "q_sim_lsh_topk" -> (qSimLshTopK _),
     "q_sim_ivf_topk" -> (qSimIvfTopK _),
@@ -922,6 +960,9 @@ object Similarity {
   def oracle: Map[String, String] = Map(
     "q_ann_recall" -> qAnnRecallSql,
     "q_ann_recall_sampled" -> qAnnRecallSampledSql,
+    // the indexed audit is bit-identical to the in-session audit — every
+    // stored-index serving path is bit-identical to its trainer
+    "q_ann_recall_indexed" -> qAnnRecallSql,
     "q_sim_topk" -> qSimTopKSql,
     "q_sim_lsh_topk" -> qSimLshTopKSql,
     "q_sim_ivf_topk" -> qSimIvfTopKSql,

@@ -92,6 +92,12 @@ class ClusterPairsAndServeSpec extends SparkFunSuite {
     assert(sampled.nonEmpty)
   }
 
+  test("stored-index recall audit is bit-identical to the in-session audit") {
+    val live = Similarity.qAnnRecall(spark, sf).collect().toSeq
+    val indexed = Similarity.qAnnRecallIndexed(spark, sf).collect().toSeq
+    assert(indexed == live)
+  }
+
   test("fk audit branch: empty child degrades to a 0-bp row, no divide-by-zero") {
     val s = spark
     import s.implicits._
