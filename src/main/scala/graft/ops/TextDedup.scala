@@ -244,8 +244,12 @@ object TextDedup {
           element_at(col("sig"), bd * cfg.rowsPerBand + r + 1)): _*).as("bv"))
     }
     sig
-      .select(col("id"), explode(array(bandStructs: _*)).as("e"))
-      .select(col("id"), col("e.band").as("band"), col("e.bv").as("bv"))
+      // sg: hash of the FULL signature — the chain order of
+      // [[cappedBucketCandidates]] (identical docs share sg, so a
+      // duplicate flood stays contiguous inside an oversized bucket)
+      .select(col("id"), xxhash64(col("sig")).as("sg"),
+        explode(array(bandStructs: _*)).as("e"))
+      .select(col("id"), col("e.band").as("band"), col("e.bv").as("bv"), col("sg"))
   }
 
   /** Default collision-bucket cap for [[minhashLshPairs]] / [[simhashPairs]]:
@@ -258,21 +262,33 @@ object TextDedup {
   val DefaultBucketCap = 1 << 12
 
   /** All-pairs candidates within buckets of ≤ `cap` members, plus a sorted
-    * consecutive-id CHAIN within each oversized bucket. The chain keeps the
-    * bucket CONNECTED — which is what the downstream connected-components
+    * CHAIN within each oversized bucket. The chain keeps the bucket
+    * CONNECTED — which is what the downstream connected-components
     * survivor pass consumes — with k−1 pairs instead of k(k−1)/2, and every
-    * emitted pair still goes through exact verification. Recall trade-off
-    * (documented in SCALE.md): non-adjacent near-dup pairs inside an
-    * oversized bucket are only reported if some band/block pairs them, but
-    * a bucket that hot is overwhelmingly one duplicate cluster, where the
-    * chain verifies end-to-end and the component is identical.
+    * emitted pair still goes through exact verification.
+    *
+    * The chain orders by `orderCols` THEN id — pass the member's FULL
+    * signature (minhash sig hash, simhash, hyperplane sig) so identical
+    * and near-identical members sort ADJACENT. This matters because an
+    * oversized bucket is never pure: band collisions admit interlopers
+    * (at 4-bit hyperplane bands a random pair collides with p ≈ 1/16),
+    * and an id-ordered chain routes a duplicate run THROUGH interlopers —
+    * every crossing link fails the exact verify and the run disconnects
+    * from members outside its id range. Signature order keeps each
+    * duplicate run contiguous, so its chain links verify end-to-end
+    * regardless of what else fell into the bucket. Remaining recall
+    * trade-off (documented in SCALE.md): two near-dup SUB-CLUSTERS that
+    * are not near-dups of each other stay separate components — which is
+    * the correct answer, not a loss.
     *
     * `keyCols` are the bucket key; `payload` columns ride along (e.g. the
-    * simhash signature needed for Hamming verification).
+    * simhash signature needed for Hamming verification). Chain pairs are
+    * re-oriented so `id_a < id_b` (signature order is not id order),
+    * payloads swapped in step.
     */
   private[ops] def cappedBucketCandidates(
       banded: DataFrame, keyCols: Seq[String], cap: Int,
-      payload: Seq[String] = Nil): DataFrame = {
+      payload: Seq[String] = Nil, orderCols: Seq[String] = Nil): DataFrame = {
     val key = keyCols.map(col)
     val sized = banded.withColumn("bsz",
       count(lit(1)).over(Window.partitionBy(key: _*)))
@@ -282,13 +298,23 @@ object TextDedup {
     val allPairs = small.select(key ++ aCols: _*)
       .join(small.select(key ++ bCols: _*), keyCols)
       .filter(col("id_a") < col("id_b"))
-    val w = Window.partitionBy(key: _*).orderBy(col("id"))
-    val chained = sized.filter(col("bsz") > cap)
+    val w = Window.partitionBy(key: _*)
+      .orderBy(orderCols.map(col) :+ col("id"): _*)
+    val linked = sized.filter(col("bsz") > cap)
       .select(key ++
         (Seq(lag(col("id"), 1).over(w).as("id_a")) ++
           payload.map(c => lag(col(c), 1).over(w).as(s"${c}_a")) ++
           bCols): _*)
       .filter(col("id_a").isNotNull)
+    // signature order is not id order: re-orient each link to id_a < id_b
+    val flip = col("id_a") > col("id_b")
+    val chained = linked.select(
+      (Seq(
+        when(flip, col("id_b")).otherwise(col("id_a")).as("id_a"),
+        when(flip, col("id_a")).otherwise(col("id_b")).as("id_b")) ++
+        payload.flatMap(c => Seq(
+          when(flip, col(s"${c}_b")).otherwise(col(s"${c}_a")).as(s"${c}_a"),
+          when(flip, col(s"${c}_a")).otherwise(col(s"${c}_b")).as(s"${c}_b")))): _*)
     val out = Seq(col("id_a"), col("id_b")) ++
       payload.flatMap(c => Seq(col(s"${c}_a"), col(s"${c}_b")))
     allPairs.select(out: _*).union(chained.select(out: _*))
@@ -302,7 +328,8 @@ object TextDedup {
     val banded = bandedSignatures(sh, cfg)
 
     val candidates =
-      cappedBucketCandidates(banded, Seq("band", "bv"), bucketCap)
+      cappedBucketCandidates(banded, Seq("band", "bv"), bucketCap,
+        orderCols = Seq("sg"))
         .distinct()
 
     val commons = candidates
@@ -355,6 +382,7 @@ object TextDedup {
   private[ops] def cappedCorpusBanded(
       shC: DataFrame, cfg: MinHashConfig, bucketCap: Int): DataFrame =
     bandedSignatures(shC, cfg)
+      .select(col("id"), col("band"), col("bv"))
       .withColumn("rn", row_number()
         .over(Window.partitionBy(col("band"), col("bv")).orderBy(col("id"))))
       .filter(col("rn") <= bucketCap)
@@ -689,7 +717,8 @@ object TextDedup {
       .select(col("id"), col("sim"), explode(array(blocks: _*)).as("e"))
       .select(col("id"), col("sim"), col("e.blk").as("blk"), col("e.bv").as("bv"))
 
-    cappedBucketCandidates(banded, Seq("blk", "bv"), bucketCap, payload = Seq("sim"))
+    cappedBucketCandidates(banded, Seq("blk", "bv"), bucketCap, payload = Seq("sim"),
+      orderCols = Seq("sim"))
       .select(col("id_a"), col("id_b"),
         bit_count(col("sim_a").bitwiseXOR(col("sim_b"))).as("hamming"))
       .distinct()

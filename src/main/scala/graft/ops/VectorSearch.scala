@@ -185,15 +185,27 @@ object VectorSearch {
     * contractual). Candidates are generated by an equi-join on band
     * buckets and every candidate is verified with the exact rounded
     * cosine, so precision is always exact; only recall is probabilistic.
+    *
+    * Candidate generation rides the SAME hot-bucket cap as the text-side
+    * banding ([[TextDedup.cappedBucketCandidates]], round 10): a band
+    * bucket over `bucketCap` members — and near-identical floods are
+    * exactly this operator's target workload — emits a CHAIN (k−1 pairs)
+    * instead of the k² clique, bounding a degenerate bucket to O(k). The
+    * chain is ordered by the FULL 32-plane signature, not by id: an
+    * oversized band bucket always carries interlopers (4-bit bands
+    * collide random pairs at p ≈ 1/16), and an id-ordered chain would
+    * route the duplicate flood through them, failing the exact verify at
+    * every crossing; signature order keeps the flood contiguous, so its
+    * chain links verify end-to-end and the component survives intact.
     */
   def lshCosinePairs(df: DataFrame, id: Column, vec: Column, threshold: Double,
-      cfg: LshConfig = LshConfig()): DataFrame = {
+      cfg: LshConfig = LshConfig(),
+      bucketCap: Int = TextDedup.DefaultBucketCap): DataFrame = {
     val corpus = withNorm(df, id, vec)
-    val banded = bandedSignatures(corpus, cfg).select(col("id"), col("band"), col("bv"))
-    val cands = banded.toDF("id_a", "band", "bv")
-      .join(banded.toDF("id_b", "band", "bv"), Seq("band", "bv"))
-      .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"))
+    val banded = bandedSignatures(corpus, cfg)
+      .select(col("id"), col("band"), col("bv"), col("sig"))
+    val cands = TextDedup.cappedBucketCandidates(banded, Seq("band", "bv"), bucketCap,
+        orderCols = Seq("sig"))
       .distinct()
     cands
       .join(corpus.toDF("id_a", "va", "na"), Seq("id_a"))
@@ -724,8 +736,9 @@ object VectorSearch {
           .bitwiseAND(lit((1L << cfg.bitsPerBand) - 1)).as("bv"))
     }
     signed
-      .select(col("id"), col("v"), col("nrm"), explode(array(bands: _*)).as("e"))
-      .select(col("id"), col("v"), col("nrm"), col("e.band").as("band"), col("e.bv").as("bv"))
+      .select(col("id"), col("v"), col("nrm"), col("sig"), explode(array(bands: _*)).as("e"))
+      .select(col("id"), col("v"), col("nrm"),
+        col("e.band").as("band"), col("e.bv").as("bv"), col("sig"))
   }
 
   /** Random-hyperplane LSH top-k: signature projection → band bucket join
@@ -742,6 +755,7 @@ object VectorSearch {
       cfg: LshConfig = LshConfig()): DataFrame = {
     val corpus = withNorm(df, id, vec)
     val banded = bandedSignatures(corpus, cfg)
+      .select(col("id"), col("v"), col("nrm"), col("band"), col("bv"))
     val queries = banded.filter(col("id").isin(queryIds: _*)).toDF("qid", "qv", "qn", "band", "bv")
     val w = Window.partitionBy(col("qid")).orderBy(col("cos_sim").desc, col("id"))
     broadcast(queries)

@@ -73,6 +73,58 @@ class VectorPairsSpec extends SparkFunSuite {
     assert(brute.count { case (a, b, _) => b == a + 100000L } == emb.count())
   }
 
+  test("lsh pair generation caps degenerate buckets to a verified chain") {
+    val s = spark
+    import s.implicits._
+    // 40 IDENTICAL vectors: every band bucket is one 40-member flood
+    val vec = (0 until 64).map(d => (1.0 + d * 0.01).toFloat)
+    val flood = (0L until 40L).map(i => (i, vec)).toDF("id", "v")
+    // capped: each band emits the same sorted consecutive-id chain → 39
+    // pairs, all passing the exact verify (cosine 1.0), still one component
+    val capped = VectorSearch.lshCosinePairs(flood, col("id"), col("v"), 0.99, bucketCap = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(capped == (0L until 39L).map(i => (i, i + 1)).toSet)
+    // default cap far above the flood: the full verified clique
+    val full = VectorSearch.lshCosinePairs(flood, col("id"), col("v"), 0.99)
+    assert(full.count() == 40L * 39 / 2)
+  }
+
+  test("capped chain keeps a flood connected to its original across interlopers") {
+    val s = spark
+    import s.implicits._
+    // real corpus (interloper source: band collisions admit unrelated
+    // vectors into the flood's buckets) + 60 exact copies of vector 0
+    // under HIGH ids — an id-ordered chain would have to cross the
+    // interlopers sitting between id 0 and 9000000 and disconnect them
+    // sf0.01: 500 corpus vectors make every band bucket carry interlopers
+    // (P(a band clean of them) ≈ (15/16)^499 ≈ 1e-14) — the regression
+    // this test pins is only exercised when no bucket is interloper-free
+    val emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    val v0 = emb.orderBy("vec_id").limit(1).collect()(0).getSeq[Float](1)
+    val flood = (0 until 60).map(i => (9000000L + i, v0)).toDF("vec_id", "embedding")
+    val corpus = emb.union(flood)
+    val capped = VectorSearch.lshCosinePairs(
+        corpus, col("vec_id"), col("embedding"), 0.99, bucketCap = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // signature order sorts the 61 identical vectors adjacent → the chain
+    // links 0 into the flood run and every flood member is reachable
+    assert(capped.contains((0L, 9000000L)))
+    val adj = capped.toSeq.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+      .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val seen = scala.collection.mutable.Set(0L)
+    val queue = scala.collection.mutable.Queue(0L)
+    while (queue.nonEmpty)
+      adj.getOrElse(queue.dequeue(), Nil).foreach(n =>
+        if (seen.add(n)) queue.enqueue(n))
+    assert((0 until 60).forall(i => seen.contains(9000000L + i)),
+      "every flood member must be in id 0's component")
+    // precision stays exact: no interloper pair sneaks past the verify
+    val brute = VectorSearch.cosinePairs(corpus, col("vec_id"), col("embedding"), 0.99)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(capped.subsetOf(brute))
+  }
+
   test("hard negatives: top-k of the label-excluded ranking, never the query's label") {
     val k = 5
     val queryIds = Seq(0L, 100L, 200L)
