@@ -1,0 +1,356 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import Tables._
+
+/** Mergeable sketches — the 100 TB answer to "how many distinct?" and
+  * "what are the heavy hitters?" when the exact answer would shuffle the
+  * whole key space: HyperLogLog registers (distinct cardinality),
+  * KMV/bottom-k (distinct cardinality via order statistics, riding the
+  * native [[graft.plans.TopKPerKey]] operator), and a count-min sketch
+  * (point frequency over-estimates). Each query ALSO computes the exact
+  * answer and the signed error in basis points — at test scale the exact
+  * side is the oracle's ground truth; at 100 TB it is precisely the scan
+  * you run the sketch to avoid (drop the comparison columns and only the
+  * sketch state crosses the wire).
+  *
+  * Why these are the scale path: a sketch's state is a small FIXED-size
+  * aggregate (2^p byte-sized registers, k hashes, d·w counters) that
+  * merges associatively — Spark computes it as a map-side partial
+  * aggregate, so the shuffle carries per-partition sketch fragments
+  * instead of every distinct key. An exact `count(distinct s)` over a
+  * 100 TB corpus shuffles the full distinct key set; the HLL register
+  * relation shuffles at most `sources × m` max-rho rows no matter how the
+  * corpus grows.
+  *
+  * Determinism discipline (house style): the hash is the first 15 hex
+  * chars of md5 — a 60-bit non-negative exact integer both engines
+  * compute identically (the [[TextDedup.simhashPairs]] idiom) — and every
+  * derived quantity (bucket, rho via binary-string length — no libm
+  * log2, scaled harmonic sums, integer-division estimates with DECIMAL /
+  * HUGEINT widening) is exact integer arithmetic, so all three queries
+  * hash-gate against the DuckDB oracle instead of a rows-only check.
+  * Signed errors avoid `DIV` on negatives (Spark truncates toward zero,
+  * DuckDB `//` floors): magnitude divides, a CASE applies the sign.
+  */
+object Sketches {
+
+  /** Hash width: 15 hex chars of md5 = 60 bits, clear of the long sign. */
+  val HashBits = 60
+
+  /** 60-bit md5-derived hash — deterministic and engine-portable. */
+  private def h60(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+
+  /** HLL precision: 2^8 = 256 registers per source. Standard error
+    * 1.04/√m ≈ 6.5%; the per-source shingle vocabularies (1k at sf0.001,
+    * 10k at sf0.1) sit well above the 2.5m low-range cutoff, so the raw
+    * harmonic estimator applies without the linear-counting branch (which
+    * would need a log and break the integer discipline; V is emitted so a
+    * presentation layer could apply it).
+    */
+  val HllP = 8
+  val HllM: Int = 1 << HllP
+  /** Bits left for the rho scan after the bucket index. */
+  val HllWindow: Int = HashBits - HllP // 52
+  /** Exponent scale: Z is accumulated as Σ 2^(S − M_j) with S = window+1,
+    * so the smallest register contribution is exactly 1 and an empty
+    * register contributes 2^S — all integer, max m·2^53 < 2^62.
+    */
+  val HllScaleExp: Int = HllWindow + 1 // 53
+
+  /** α_m · m² · 2^S as an exact integer: α_256 = 0.7213/(1 + 1.079/256)
+    * = 7213·256·1000 / (10000·257079) = 1846528/2570790 exactly.
+    */
+  private val HllAlphaNum = BigInt(1846528) * BigInt(HllM) * BigInt(HllM) *
+    (BigInt(1) << HllScaleExp)
+  private val HllAlphaDen = 2570790L
+
+  /** KMV bottom-k size; every source's shingle vocabulary is ≥ k at every
+    * test SF, so the k-th order statistic always exists.
+    */
+  val KmvK = 64
+  private val KmvNum = BigInt(KmvK - 1) * (BigInt(1) << HashBits)
+
+  /** Count-min geometry: 4 rows × 2048 counters (8k longs of state). */
+  val CmsRows = 4
+  val CmsWidth = 2048
+  /** Heavy hitters reported: top by (df desc, shingle). */
+  val CmsTopK = 20
+
+  /** `(source, s)` — the distinct 3-shingle vocabulary per source (the
+    * per-doc [[TextDedup.shingles]] postings de-duplicated across each
+    * source's documents).
+    */
+  private[ops] def sourceShingles(spark: SparkSession, dir: String): DataFrame = {
+    val docs = table(spark, dir, "documents")
+    val sh = TextDedup.shingles(docs, col("doc_id"), col("text"), Dedup.ShingleK)
+    val src = sh
+      .join(docs.select(col("doc_id").as("id"), col("source")), Seq("id"))
+      .select(col("source"), col("s"))
+      .distinct()
+    TextDedup.materializeAndRelease(src, sh)
+  }
+
+  /** Signed error in basis points without negative integer division:
+    * magnitude DIV, CASE sign (Spark DIV truncates toward zero, DuckDB
+    * `//` floors — they agree only on non-negatives).
+    */
+  private def errBp(est: String, exact: String): Column =
+    expr(s"""CASE WHEN $est >= $exact THEN ($est - $exact) * 10000 DIV $exact
+            |ELSE -(($exact - $est) * 10000 DIV $exact) END""".stripMargin)
+
+  /** HyperLogLog distinct-shingle cardinality per source.
+    *
+    * Register build: bucket = low p hash bits; rho = 1 + leading zeros of
+    * the remaining `window` bits, computed as `window + 1 − length(bin(w))`
+    * — the binary-string length is the integer ⌊log2⌋+1 in BOTH engines,
+    * no libm. `M_j = max(rho)` per (source, bucket) is ONE map-side
+    * combinable aggregate: the shuffle moves ≤ m rows per source per
+    * partition however large the corpus (this is the mergeable-sketch
+    * property — max of maxes — stated as a plan fact, pinned by spec).
+    *
+    * Estimate: E = α_m·m²/Z with Z = Σ_j 2^(−M_j) over all m registers.
+    * Scaled by 2^S (S = window+1) everything is integer: z_scaled =
+    * Σ_hit 2^(S−M_j) + V·2^S (V = registers never hit), and
+    * E = (α_num·m²·2^S) DIV (α_den·z_scaled) in DECIMAL(38,0) — exact, so
+    * the oracle hash-matches the estimate itself, not a tolerance.
+    */
+  /** `(source, bucket, m_j)` HLL registers from a `(source, s)` item
+    * relation — ONE map-side combinable max aggregate. Mergeable: the
+    * registers of a union are the elementwise max of the parts' registers
+    * (max of maxes — spec-pinned).
+    */
+  private[ops] def hllRegisters(src: DataFrame): DataFrame =
+    src
+      .select(col("source"), h60(col("s")).as("h"))
+      .select(col("source"),
+        (col("h") % HllM).cast("int").as("bucket"),
+        shiftrightunsigned(col("h"), HllP).as("w"))
+      .select(col("source"), col("bucket"),
+        when(col("w") === 0, lit(HllScaleExp))
+          .otherwise(lit(HllScaleExp) - length(bin(col("w")))).cast("int").as("rho"))
+      .groupBy(col("source"), col("bucket"))
+      .agg(max(col("rho")).as("m_j"))
+
+  /** `(source, buckets_hit, z_scaled, est_distinct)` from the register
+    * relation — pure integer arithmetic (see [[qSketchHll]]).
+    */
+  private[ops] def hllEstimate(regs: DataFrame): DataFrame =
+    regs.groupBy(col("source"))
+      .agg(
+        count(lit(1)).cast("long").as("buckets_hit"),
+        expr(s"sum(shiftleft(CAST(1 AS BIGINT), $HllScaleExp - m_j))").as("z_hit"))
+      .select(col("source"), col("buckets_hit"),
+        (col("z_hit") +
+          (lit(HllM.toLong) - col("buckets_hit")) * lit(1L << HllScaleExp))
+          .as("z_scaled"))
+      .withColumn("est_distinct",
+        expr(s"CAST('$HllAlphaNum' AS DECIMAL(38,0)) DIV " +
+          s"(CAST($HllAlphaDen AS DECIMAL(38,0)) * z_scaled)"))
+
+  def qSketchHll(spark: SparkSession, dir: String): DataFrame = {
+    val src = sourceShingles(spark, dir)
+    val exact = src
+      .groupBy(col("source")).agg(count(lit(1)).as("exact_distinct"))
+    hllEstimate(hllRegisters(src)).join(exact, Seq("source"))
+      .select(col("source"), col("buckets_hit"), col("z_scaled"),
+        col("est_distinct"), col("exact_distinct"))
+      .withColumn("err_bp", errBp("est_distinct", "exact_distinct"))
+      .orderBy(col("source"))
+  }
+
+  val qSketchHllSql: String = {
+    s"""WITH sh AS (${shinglePostingsSql}),
+       |src AS (
+       |  SELECT DISTINCT d.source, sh.s
+       |  FROM sh JOIN documents d ON sh.doc_id = d.doc_id
+       |), hashed AS (
+       |  SELECT source,
+       |    CAST(concat('0x', substring(md5(s), 1, 15)) AS BIGINT) % $HllM AS bucket,
+       |    CAST(concat('0x', substring(md5(s), 1, 15)) AS BIGINT) >> $HllP AS w
+       |  FROM src
+       |), regs AS (
+       |  SELECT source, bucket,
+       |    max(CASE WHEN w = 0 THEN $HllScaleExp
+       |             ELSE $HllScaleExp - length(bin(w)) END) AS m_j
+       |  FROM hashed GROUP BY 1, 2
+       |), z AS (
+       |  SELECT source, count(*) AS buckets_hit,
+       |    CAST(sum(CAST(1 AS BIGINT) << CAST($HllScaleExp - m_j AS INTEGER)) AS BIGINT)
+       |      + ($HllM - count(*)) * (CAST(1 AS BIGINT) << $HllScaleExp) AS z_scaled
+       |  FROM regs GROUP BY 1
+       |), exact AS (
+       |  SELECT source, count(*) AS exact_distinct FROM src GROUP BY 1
+       |)
+       |SELECT z.source, CAST(buckets_hit AS BIGINT) AS buckets_hit, z_scaled,
+       |  CAST(CAST('$HllAlphaNum' AS HUGEINT)
+       |    // (CAST($HllAlphaDen AS HUGEINT) * z_scaled) AS BIGINT) AS est_distinct,
+       |  exact_distinct,
+       |  CASE WHEN est_distinct >= exact_distinct
+       |       THEN (est_distinct - exact_distinct) * 10000 // exact_distinct
+       |       ELSE -((exact_distinct - est_distinct) * 10000 // exact_distinct)
+       |  END AS err_bp
+       |FROM z JOIN exact USING (source)
+       |ORDER BY source""".stripMargin
+  }
+
+  /** KMV (bottom-k) distinct-shingle cardinality per source: keep the k
+    * SMALLEST distinct 60-bit hashes; if the k-th is h_k, the hashes are
+    * uniform on [0, 2^60), so E = (k−1)·2^60 / h_k.
+    *
+    * The k-minima ride the native [[graft.plans.TopKPerKey]] operator:
+    * its partial stage prunes every partition to ≤ k rows per source
+    * BEFORE the exchange — the bottom-k sketch's mergeability expressed
+    * as a physical plan property (the only full-width shuffle left is the
+    * distinct over hashes, which at 100 TB is pre-filtered by a sampled
+    * h < t threshold before it ever reaches the exchange; documented, not
+    * implemented — the test vocabularies fit).
+    */
+  def qSketchKmv(spark: SparkSession, dir: String): DataFrame = {
+    val src = sourceShingles(spark, dir)
+    val hashed = src
+      .select(col("source"), h60(col("s")).as("h"))
+      .distinct() // 60-bit collisions would double-count a minimum
+    val kth = graft.plans.TopKPerKey.perKey(
+        hashed, Seq(col("source")), Seq(col("h").asc), KmvK)
+      .filter(col("rnk") === KmvK)
+      .select(col("source"), col("h").as("kth_min"))
+    val exact = src
+      .groupBy(col("source")).agg(count(lit(1)).as("exact_distinct"))
+    kth.join(exact, Seq("source"))
+      .select(col("source"), col("kth_min"),
+        expr(s"CAST('$KmvNum' AS DECIMAL(38,0)) DIV kth_min").as("est_distinct"),
+        col("exact_distinct"))
+      .withColumn("err_bp", errBp("est_distinct", "exact_distinct"))
+      .orderBy(col("source"))
+  }
+
+  val qSketchKmvSql: String =
+    s"""WITH sh AS (${shinglePostingsSql}),
+       |src AS (
+       |  SELECT DISTINCT d.source, sh.s
+       |  FROM sh JOIN documents d ON sh.doc_id = d.doc_id
+       |), hashed AS (
+       |  SELECT DISTINCT source,
+       |    CAST(concat('0x', substring(md5(s), 1, 15)) AS BIGINT) AS h
+       |  FROM src
+       |), ranked AS (
+       |  SELECT source, h, row_number() OVER (PARTITION BY source ORDER BY h) AS rnk
+       |  FROM hashed
+       |), kth AS (
+       |  SELECT source, h AS kth_min FROM ranked WHERE rnk = $KmvK
+       |), exact AS (
+       |  SELECT source, count(*) AS exact_distinct FROM src GROUP BY 1
+       |)
+       |SELECT source, kth_min,
+       |  CAST(CAST('$KmvNum' AS HUGEINT) // kth_min AS BIGINT) AS est_distinct,
+       |  exact_distinct,
+       |  CASE WHEN est_distinct >= exact_distinct
+       |       THEN (est_distinct - exact_distinct) * 10000 // exact_distinct
+       |       ELSE -((exact_distinct - est_distinct) * 10000 // exact_distinct)
+       |  END AS err_bp
+       |FROM kth JOIN exact USING (source)
+       |ORDER BY source""".stripMargin
+
+  /** Count-min sketch over the shingle posting stream, probed for the
+    * top-${CmsTopK} document-frequency heavy hitters.
+    *
+    * Counter build: each posting increments d=4 counters, one per row r at
+    * index `md5(r || ':' || shingle) mod w` — as a DataFrame this is an
+    * explode to (r, idx) and ONE map-side combinable sum into d·w = 8192
+    * counters: fixed-size state, the entire point at 100 TB (the exact
+    * df relation this query also builds for ground truth is the full
+    * shingle-keyed shuffle the sketch replaces).
+    *
+    * Probe: est(s) = min_r counter[r, idx_r(s)] ≥ df(s) always (counters
+    * only over-count — the spec-pinned CMS invariant); the top-k
+    * candidates come from the exact relation so the reported error is the
+    * sketch's, not the candidate set's.
+    */
+  /** The CMS index of item `s` in row `r`. */
+  private def cmsIdx(r: Column, s: Column): Column =
+    pmod(h60(concat(r.cast("string"), lit(":"), s)), lit(CmsWidth)).cast("int")
+
+  /** `(r, idx, c)` CMS counters from a weighted item relation `(s, df)` —
+    * one map-side combinable sum into d·w cells. Mergeable: counters of a
+    * union of streams are the cellwise SUM of the parts' counters
+    * (spec-pinned).
+    */
+  private[ops] def cmsCounters(weighted: DataFrame): DataFrame = {
+    val rows = weighted.sparkSession.range(CmsRows).select(col("id").cast("int").as("r"))
+    weighted.crossJoin(broadcast(rows))
+      .select(col("r"), cmsIdx(col("r"), col("s")).as("idx"), col("df"))
+      .groupBy(col("r"), col("idx")).agg(sum(col("df")).as("c"))
+  }
+
+  def qSketchCms(spark: SparkSession, dir: String): DataFrame = {
+    val docs = table(spark, dir, "documents")
+    val postings = TextDedup.shingles(docs, col("doc_id"), col("text"), Dedup.ShingleK)
+    val df = TextDedup.materializeAndRelease(
+      postings.groupBy(col("s")).agg(count(lit(1)).as("df")), postings)
+    val rows = spark.range(CmsRows).select(col("id").cast("int").as("r"))
+    val counters = cmsCounters(df)
+    val top = df.orderBy(col("df").desc, col("s")).limit(CmsTopK)
+    val probes = top.crossJoin(broadcast(rows))
+      .select(col("s"), col("df"), col("r"), cmsIdx(col("r"), col("s")).as("idx"))
+    probes
+      .join(counters, Seq("r", "idx"))
+      .groupBy(col("s"), col("df"))
+      .agg(min(col("c")).as("est_df"))
+      .select(col("s"), col("df").as("true_df"), col("est_df"),
+        expr("(est_df - df) * 10000 DIV df").as("over_bp"))
+      .orderBy(col("true_df").desc, col("s"))
+  }
+
+  val qSketchCmsSql: String =
+    s"""WITH sh AS (${shinglePostingsSql}),
+       |df AS (
+       |  SELECT s, count(*) AS df FROM sh GROUP BY 1
+       |), rows_r AS (SELECT unnest(range($CmsRows)) AS r),
+       |counters AS (
+       |  SELECT r,
+       |    CAST(concat('0x', substring(md5(concat(CAST(r AS VARCHAR), ':', s)), 1, 15))
+       |      AS BIGINT) % $CmsWidth AS idx,
+       |    CAST(sum(df) AS BIGINT) AS c
+       |  FROM df CROSS JOIN rows_r GROUP BY 1, 2
+       |), top AS (
+       |  SELECT s, df FROM df ORDER BY df DESC, s LIMIT $CmsTopK
+       |), probes AS (
+       |  SELECT s, df, r,
+       |    CAST(concat('0x', substring(md5(concat(CAST(r AS VARCHAR), ':', s)), 1, 15))
+       |      AS BIGINT) % $CmsWidth AS idx
+       |  FROM top CROSS JOIN rows_r
+       |)
+       |SELECT p.s, p.df AS true_df, min(c.c) AS est_df,
+       |  (min(c.c) - p.df) * 10000 // p.df AS over_bp
+       |FROM probes p JOIN counters c ON p.r = c.r AND p.idx = c.idx
+       |GROUP BY p.s, p.df
+       |ORDER BY true_df DESC, s""".stripMargin
+
+  /** The per-doc distinct 3-shingle postings `(doc_id, s)` — the DuckDB
+    * mirror of [[TextDedup.shingles]] (the [[Dedup.qShingleDfProfileSql]]
+    * idiom).
+    */
+  private def shinglePostingsSql: String =
+    s"""SELECT doc_id, unnest(list_distinct(list_transform(
+       |    range(len(t) - ${Dedup.ShingleK - 1}),
+       |    i -> array_to_string(t[i+1:i+${Dedup.ShingleK}], ' ')))) AS s
+       |  FROM (SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS t
+       |        FROM documents) tok
+       |  WHERE len(t) >= ${Dedup.ShingleK}""".stripMargin
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_sketch_hll" -> (qSketchHll _),
+    "q_sketch_kmv" -> (qSketchKmv _),
+    "q_sketch_cms" -> (qSketchCms _),
+  )
+
+  def oracle: Map[String, String] = Map(
+    "q_sketch_hll" -> qSketchHllSql,
+    "q_sketch_kmv" -> qSketchKmvSql,
+    "q_sketch_cms" -> qSketchCmsSql,
+  )
+}
