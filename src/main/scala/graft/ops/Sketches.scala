@@ -84,7 +84,7 @@ object Sketches {
     * per-doc [[TextDedup.shingles]] postings de-duplicated across each
     * source's documents).
     */
-  private[ops] def sourceShingles(spark: SparkSession, dir: String): DataFrame = {
+  def sourceShingles(spark: SparkSession, dir: String): DataFrame = {
     val docs = table(spark, dir, "documents")
     val sh = TextDedup.shingles(docs, col("doc_id"), col("text"), Dedup.ShingleK)
     val src = sh
@@ -123,7 +123,7 @@ object Sketches {
     * registers of a union are the elementwise max of the parts' registers
     * (max of maxes — spec-pinned).
     */
-  private[ops] def hllRegisters(src: DataFrame): DataFrame =
+  def hllRegisters(src: DataFrame): DataFrame =
     src
       .select(col("source"), h60(col("s")).as("h"))
       .select(col("source"),
@@ -138,7 +138,7 @@ object Sketches {
   /** `(source, buckets_hit, z_scaled, est_distinct)` from the register
     * relation — pure integer arithmetic (see [[qSketchHll]]).
     */
-  private[ops] def hllEstimate(regs: DataFrame): DataFrame =
+  def hllEstimate(regs: DataFrame): DataFrame =
     regs.groupBy(col("source"))
       .agg(
         count(lit(1)).cast("long").as("buckets_hit"),
@@ -270,6 +270,125 @@ object Sketches {
     * candidates come from the exact relation so the reported error is the
     * sketch's, not the candidate set's.
     */
+  /** KMV SET OPERATIONS: pairwise source-vocabulary Jaccard estimated
+    * from the per-source bottom-k sketches alone — the theta-sketch move.
+    * `bottom-k(A ∪ B)` is recoverable from the parts (union the two
+    * minima sets, re-take the k smallest — KMV's mergeability), and any
+    * `h ∈ bottom-k(A ∪ B)` that belongs to A necessarily sits in
+    * `bottom-k(A)` (it is below the union's k-th minimum, which is ≤ A's),
+    * so intersection membership among the union's bottom-k is decidable
+    * from sketch contents only. `Ĵ = |{bottom-k(A∪B)} ∩ A ∩ B| / k` —
+    * when the union has fewer than k distinct hashes the sketch IS the
+    * set and the estimate is exact.
+    *
+    * Scale: after the one bottom-k pass (same plan as [[qSketchKmv]]),
+    * ALL O(sources²) pairwise overlaps are computed from sources × k
+    * control-plane rows — no second corpus scan, no shingle-keyed
+    * pair join. The exact Jaccard column is the comparison scan the
+    * sketch replaces (a full vocabulary self-join).
+    */
+  def qSketchOverlap(spark: SparkSession, dir: String): DataFrame = {
+    val src = sourceShingles(spark, dir)
+    val hashed = src.select(col("source"), h60(col("s")).as("h")).distinct()
+    val kmin = graft.plans.TopKPerKey.perKey(
+        hashed, Seq(col("source")), Seq(col("h").asc), KmvK)
+      .select(col("source"), col("h"))
+      .localCheckpoint() // sources × k rows — control-plane
+    val srcs = kmin.select(col("source")).distinct()
+    val pairs = srcs.toDF("src_a")
+      .join(broadcast(srcs.toDF("src_b")), col("src_a") < col("src_b"))
+    val ua = pairs.join(kmin.toDF("src_a", "h"), Seq("src_a"))
+      .select(col("src_a"), col("src_b"), col("h"), lit(1L).as("in_a"), lit(0L).as("in_b"))
+    val ub = pairs.join(kmin.toDF("src_b", "h"), Seq("src_b"))
+      .select(col("src_a"), col("src_b"), col("h"), lit(0L).as("in_a"), lit(1L).as("in_b"))
+    val est = ua.unionByName(ub)
+      .groupBy(col("src_a"), col("src_b"), col("h"))
+      .agg(max(col("in_a")).as("in_a"), max(col("in_b")).as("in_b"))
+      .withColumn("rnk", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("src_a"), col("src_b")).orderBy(col("h"))))
+      .filter(col("rnk") <= KmvK)
+      .groupBy(col("src_a"), col("src_b"))
+      .agg(count(lit(1)).as("n_used"),
+        sum(col("in_a") * col("in_b")).as("matches"))
+      .withColumn("est_jaccard_bp", expr("matches * 10000 DIV n_used"))
+    val exact = {
+      val common = src.toDF("src_a", "s")
+        .join(src.toDF("src_b", "s"), Seq("s"))
+        .filter(col("src_a") < col("src_b"))
+        .groupBy(col("src_a"), col("src_b")).agg(count(lit(1)).as("common"))
+      val sizes = src.groupBy(col("source")).agg(count(lit(1)).as("n"))
+      common
+        .join(sizes.toDF("src_a", "na"), Seq("src_a"))
+        .join(sizes.toDF("src_b", "nb"), Seq("src_b"))
+        .withColumn("exact_jaccard_bp",
+          expr("common * 10000 DIV (na + nb - common)"))
+        .select(col("src_a"), col("src_b"), col("exact_jaccard_bp"))
+    }
+    est.join(exact, Seq("src_a", "src_b"), "left")
+      .select(col("src_a"), col("src_b"), col("n_used"), col("matches"),
+        col("est_jaccard_bp"),
+        coalesce(col("exact_jaccard_bp"), lit(0L)).as("exact_jaccard_bp"))
+      .withColumn("err_bp",
+        expr("""CASE WHEN est_jaccard_bp >= exact_jaccard_bp
+               |THEN est_jaccard_bp - exact_jaccard_bp
+               |ELSE -(exact_jaccard_bp - est_jaccard_bp) END""".stripMargin))
+      .orderBy(col("src_a"), col("src_b"))
+  }
+
+  val qSketchOverlapSql: String =
+    s"""WITH sh AS (${shinglePostingsSql}),
+       |src AS (
+       |  SELECT DISTINCT d.source, sh.s
+       |  FROM sh JOIN documents d ON sh.doc_id = d.doc_id
+       |), hashed AS (
+       |  SELECT DISTINCT source,
+       |    CAST(concat('0x', substring(md5(s), 1, 15)) AS BIGINT) AS h
+       |  FROM src
+       |), kmin AS (
+       |  SELECT source, h FROM (
+       |    SELECT source, h, row_number() OVER (PARTITION BY source ORDER BY h) AS rnk
+       |    FROM hashed) WHERE rnk <= $KmvK
+       |), prs AS (
+       |  SELECT a.source AS src_a, b.source AS src_b
+       |  FROM (SELECT DISTINCT source FROM kmin) a
+       |  JOIN (SELECT DISTINCT source FROM kmin) b ON a.source < b.source
+       |), u AS (
+       |  SELECT src_a, src_b, h, max(in_a) AS in_a, max(in_b) AS in_b FROM (
+       |    SELECT p.src_a, p.src_b, m.h, 1 AS in_a, 0 AS in_b
+       |    FROM prs p JOIN kmin m ON m.source = p.src_a
+       |    UNION ALL
+       |    SELECT p.src_a, p.src_b, m.h, 0 AS in_a, 1 AS in_b
+       |    FROM prs p JOIN kmin m ON m.source = p.src_b
+       |  ) GROUP BY 1, 2, 3
+       |), est AS (
+       |  SELECT src_a, src_b, count(*) AS n_used,
+       |    CAST(sum(in_a * in_b) AS BIGINT) AS matches,
+       |    CAST(sum(in_a * in_b) AS BIGINT) * 10000 // count(*) AS est_jaccard_bp
+       |  FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY src_a, src_b ORDER BY h) AS rnk
+       |    FROM u) WHERE rnk <= $KmvK
+       |  GROUP BY 1, 2
+       |), com AS (
+       |  SELECT a.source AS src_a, b.source AS src_b, count(*) AS common
+       |  FROM src a JOIN src b ON a.s = b.s AND a.source < b.source
+       |  GROUP BY 1, 2
+       |), sz AS (
+       |  SELECT source, count(*) AS n FROM src GROUP BY 1
+       |), exact AS (
+       |  SELECT c.src_a, c.src_b,
+       |    c.common * 10000 // (sa.n + sb.n - c.common) AS exact_jaccard_bp
+       |  FROM com c JOIN sz sa ON sa.source = c.src_a
+       |             JOIN sz sb ON sb.source = c.src_b
+       |)
+       |SELECT e.src_a, e.src_b, e.n_used, e.matches,
+       |  e.est_jaccard_bp, coalesce(x.exact_jaccard_bp, 0) AS exact_jaccard_bp,
+       |  CASE WHEN e.est_jaccard_bp >= coalesce(x.exact_jaccard_bp, 0)
+       |       THEN e.est_jaccard_bp - coalesce(x.exact_jaccard_bp, 0)
+       |       ELSE -(coalesce(x.exact_jaccard_bp, 0) - e.est_jaccard_bp) END AS err_bp
+       |FROM est e LEFT JOIN exact x ON x.src_a = e.src_a AND x.src_b = e.src_b
+       |ORDER BY e.src_a, e.src_b""".stripMargin
+
   /** The CMS index of item `s` in row `r`. */
   private def cmsIdx(r: Column, s: Column): Column =
     pmod(h60(concat(r.cast("string"), lit(":"), s)), lit(CmsWidth)).cast("int")
@@ -279,7 +398,7 @@ object Sketches {
     * union of streams are the cellwise SUM of the parts' counters
     * (spec-pinned).
     */
-  private[ops] def cmsCounters(weighted: DataFrame): DataFrame = {
+  def cmsCounters(weighted: DataFrame): DataFrame = {
     val rows = weighted.sparkSession.range(CmsRows).select(col("id").cast("int").as("r"))
     weighted.crossJoin(broadcast(rows))
       .select(col("r"), cmsIdx(col("r"), col("s")).as("idx"), col("df"))
@@ -346,11 +465,13 @@ object Sketches {
     "q_sketch_hll" -> (qSketchHll _),
     "q_sketch_kmv" -> (qSketchKmv _),
     "q_sketch_cms" -> (qSketchCms _),
+    "q_sketch_overlap" -> (qSketchOverlap _),
   )
 
   def oracle: Map[String, String] = Map(
     "q_sketch_hll" -> qSketchHllSql,
     "q_sketch_kmv" -> qSketchKmvSql,
     "q_sketch_cms" -> qSketchCmsSql,
+    "q_sketch_overlap" -> qSketchOverlapSql,
   )
 }

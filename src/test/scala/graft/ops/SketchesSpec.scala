@@ -91,6 +91,40 @@ class SketchesSpec extends SparkFunSuite {
     assert(kmvPlan.contains("TopKPerKey"), kmvPlan)
   }
 
+  test("kmv overlap: estimates bounded and exact when the union fits the sketch") {
+    val out = Sketches.qSketchOverlap(spark, sf).collect()
+    assert(out.nonEmpty)
+    // invariants: matches <= n_used <= k, estimate a valid bp fraction
+    assert(out.forall { r =>
+      val (n, m) = (r.getAs[Long]("n_used"), r.getAs[Long]("matches"))
+      m >= 0 && m <= n && n <= Sketches.KmvK &&
+        r.getAs[Long]("est_jaccard_bp") >= 0 && r.getAs[Long]("est_jaccard_bp") <= 10000
+    })
+    // accuracy on the real pairs: mean absolute error within 2 sigma of
+    // the binomial estimator at k (deterministic data, loose envelope)
+    val meanAbs = out.map(r => math.abs(r.getAs[Long]("err_bp")).toDouble).sum / out.length
+    assert(meanAbs <= 2 * math.sqrt(0.1 * 0.9 / Sketches.KmvK) * 10000, s"meanAbs=$meanAbs")
+
+    // union <= k: the sketch IS the set and the estimate must be EXACT —
+    // two tiny sources sharing 10 of their 30 shingle-words each
+    val s = spark
+    import s.implicits._
+    def text(lo: Int, hi: Int) = (lo until hi).map(i => s"w$i").mkString(" ")
+    val docs = Seq(
+      (1L, text(0, 30), "en", "tiny_a", 1L),
+      (2L, text(20, 50), "en", "tiny_b", 1L),
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dir = tmpDir("kmv-exact")
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val tiny = Sketches.qSketchOverlap(spark, dir).collect()
+    assert(tiny.length == 1)
+    // 28 shingles each, 8 shared (3-shingles of a 10-word overlap)
+    assert(tiny.head.getAs[Long]("err_bp") == 0L,
+      s"union below k must estimate exactly: ${tiny.head}")
+    assert(tiny.head.getAs[Long]("est_jaccard_bp") ==
+      tiny.head.getAs[Long]("exact_jaccard_bp"))
+  }
+
   test("rerun determinism") {
     val a = Sketches.qSketchHll(spark, sf).collect().toSeq
     val b = Sketches.qSketchHll(spark, sf).collect().toSeq

@@ -461,6 +461,32 @@ class StreamingSpec extends SparkFunSuite {
     assert(streamed.map(_._1) === Set(0L, 7L, 13L))
   }
 
+  test("streaming HLL registers: per-batch merge equals the one-shot batch build") {
+    import org.apache.spark.sql.functions.col
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    // three files → three micro-batches; the third REPEATS half of the
+    // first (duplicate items across batches must not move a register —
+    // HLL is insensitive to multiplicity, the property that makes the
+    // stream's final state equal the batch build of the union)
+    val docDir = tmpDir("hll-stream")
+    docs.filter(col("doc_id") % 3 === 0).coalesce(1).write.mode("append").parquet(docDir)
+    docs.filter(col("doc_id") % 3 === 1).coalesce(1).write.mode("append").parquet(docDir)
+    docs.filter(col("doc_id") % 3 === 2 || col("doc_id") % 6 === 0)
+      .coalesce(1).write.mode("append").parquet(docDir)
+
+    val streamed = SketchStream.hllRegisterBatches(spark, docDir, tmpDir("hll-ckpt"))
+    val batch = graft.ops.Sketches.hllRegisters(
+      graft.ops.Sketches.sourceShingles(spark, sf))
+    assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty,
+      "streamed registers must equal the one-shot batch registers")
+    // and the running estimate matches the batch estimate column
+    val est = SketchStream.hllEstimateBatches(spark, docDir, tmpDir("hll-ckpt2"))
+      .select("source", "est_distinct").collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    val bEst = graft.ops.Sketches.qSketchHll(spark, sf)
+      .select("source", "est_distinct").collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(est == bEst)
+  }
+
   test("hub directory watch: discovers new files exactly once") {
     val hub = tmpDir("hub-stream")
     val out = tmpDir("hub-stream-out")
