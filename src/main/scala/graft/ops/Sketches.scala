@@ -389,6 +389,107 @@ object Sketches {
        |FROM est e LEFT JOIN exact x ON x.src_a = e.src_a AND x.src_b = e.src_b
        |ORDER BY e.src_a, e.src_b""".stripMargin
 
+  /** Histogram-quantile sketch: equi-width bin size (chars) and the
+    * percentiles reported.
+    */
+  val HistW = 16L
+  val HistPs: Seq[Int] = Seq(50, 90, 99)
+
+  /** `(source, bin, cnt)` equi-width histogram of document lengths — the
+    * mergeable state (cellwise SUM, like the CMS counters). At 100 TB the
+    * shuffle carries `sources × bins` partial cells, not document rows.
+    */
+  def lengthHistogram(docs: DataFrame): DataFrame =
+    docs
+      .select(col("source"), expr(s"n_chars DIV $HistW").as("bin"))
+      .groupBy(col("source"), col("bin")).agg(count(lit(1)).as("cnt"))
+
+  /** Approximate per-source length percentiles from the equi-width
+    * histogram, compared against the exact order statistics.
+    *
+    * Estimator (all integer, engine-exact): for percentile p over n docs
+    * the target rank is `r = (n·p + 99) DIV 100` (1-based ceil); the
+    * carrying bin b* is the first whose running count reaches r, and
+    * `est = b*·W + ((r − cum_before)·W) DIV (cnt(b*) + 1)` interpolates
+    * inside the bin (strictly within [b*·W, (b*+1)·W), so the estimate
+    * errs by less than one bin width — spec-pinned). The exact column is
+    * the true rank-r order statistic, the full sort the sketch replaces:
+    * the histogram build is one map-side combinable pass and the
+    * percentile extraction touches `sources × bins` rows, while the exact
+    * side must shuffle every document length into a per-source order.
+    */
+  def qSketchQuantile(spark: SparkSession, dir: String): DataFrame = {
+    val docs = table(spark, dir, "documents").select(col("source"), col("n_chars"))
+    val hist = lengthHistogram(docs)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source")).orderBy(col("bin"))
+    val cum = hist
+      .withColumn("cum", sum(col("cnt")).over(w))
+      .withColumn("n", sum(col("cnt")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("source"))))
+    val ps = spark.createDataFrame(HistPs.map(Tuple1(_))).toDF("p")
+    val targets = cum.crossJoin(broadcast(ps))
+      .withColumn("r", expr("(n * p + 99) DIV 100"))
+      .filter(col("cum") >= col("r"))
+      .withColumn("pick", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("source"), col("p")).orderBy(col("bin"))))
+      .filter(col("pick") === 1)
+      .select(col("source"), col("p"), col("r"),
+        expr(s"bin * $HistW + ((r - (cum - cnt)) * $HistW) DIV (cnt + 1)").as("est_chars"))
+    val exact = docs
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("source")).orderBy(col("n_chars"))))
+      .crossJoin(broadcast(ps))
+      .withColumn("n", max(col("rk")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("source"), col("p"))))
+      .filter(col("rk") === expr("(n * p + 99) DIV 100"))
+      .select(col("source"), col("p"), col("n_chars").as("exact_chars"))
+    targets.join(exact, Seq("source", "p"))
+      .select(col("source"), col("p").cast("int").as("p"), col("r"),
+        col("est_chars"), col("exact_chars"))
+      .withColumn("err_bp", errBp("est_chars", "exact_chars"))
+      .orderBy(col("source"), col("p"))
+  }
+
+  val qSketchQuantileSql: String =
+    s"""WITH ps AS (SELECT unnest([${HistPs.mkString(", ")}]) AS p),
+       |hist AS (
+       |  SELECT source, n_chars // $HistW AS bin, count(*) AS cnt
+       |  FROM documents GROUP BY 1, 2
+       |), cum AS (
+       |  SELECT source, bin, cnt,
+       |    sum(cnt) OVER (PARTITION BY source ORDER BY bin) AS cum,
+       |    sum(cnt) OVER (PARTITION BY source) AS n
+       |  FROM hist
+       |), tgt AS (
+       |  SELECT source, p, r, CAST(est_chars AS BIGINT) AS est_chars FROM (
+       |    SELECT c.source, ps.p, (c.n * ps.p + 99) // 100 AS r,
+       |      c.bin * $HistW + ((((c.n * ps.p + 99) // 100) - (c.cum - c.cnt)) * $HistW)
+       |        // (c.cnt + 1) AS est_chars,
+       |      row_number() OVER (PARTITION BY c.source, ps.p ORDER BY c.bin) AS pick
+       |    FROM cum c CROSS JOIN ps
+       |    WHERE c.cum >= (c.n * ps.p + 99) // 100
+       |  ) WHERE pick = 1
+       |), ranked AS (
+       |  SELECT source, n_chars,
+       |    row_number() OVER (PARTITION BY source ORDER BY n_chars) AS rk,
+       |    count(*) OVER (PARTITION BY source) AS n
+       |  FROM documents
+       |), exact AS (
+       |  SELECT r.source, ps.p, r.n_chars AS exact_chars
+       |  FROM ranked r CROSS JOIN ps
+       |  WHERE r.rk = (r.n * ps.p + 99) // 100
+       |)
+       |SELECT t.source, CAST(t.p AS INTEGER) AS p, CAST(t.r AS BIGINT) AS r,
+       |  t.est_chars, x.exact_chars,
+       |  CASE WHEN t.est_chars >= x.exact_chars
+       |       THEN (t.est_chars - x.exact_chars) * 10000 // x.exact_chars
+       |       ELSE -((x.exact_chars - t.est_chars) * 10000 // x.exact_chars) END AS err_bp
+       |FROM tgt t JOIN exact x ON x.source = t.source AND x.p = t.p
+       |ORDER BY t.source, t.p""".stripMargin
+
   /** The CMS index of item `s` in row `r`. */
   private def cmsIdx(r: Column, s: Column): Column =
     pmod(h60(concat(r.cast("string"), lit(":"), s)), lit(CmsWidth)).cast("int")
@@ -466,6 +567,7 @@ object Sketches {
     "q_sketch_kmv" -> (qSketchKmv _),
     "q_sketch_cms" -> (qSketchCms _),
     "q_sketch_overlap" -> (qSketchOverlap _),
+    "q_sketch_quantile" -> (qSketchQuantile _),
   )
 
   def oracle: Map[String, String] = Map(
@@ -473,5 +575,6 @@ object Sketches {
     "q_sketch_kmv" -> qSketchKmvSql,
     "q_sketch_cms" -> qSketchCmsSql,
     "q_sketch_overlap" -> qSketchOverlapSql,
+    "q_sketch_quantile" -> qSketchQuantileSql,
   )
 }

@@ -71,4 +71,47 @@ object SketchStream {
       spark: SparkSession, docDir: String, checkpoint: String): DataFrame =
     graft.ops.Sketches.hllEstimate(hllRegisterBatches(spark, docDir, checkpoint))
       .orderBy(col("source"))
+
+  /** Streaming count-min maintenance: each micro-batch's shingle-df
+    * deltas fold into the running `(r, idx, c)` counters by cellwise SUM
+    * — the CMS merge law. State is the d·w counter grid forever.
+    *
+    * Unlike the HLL registers, counters are sensitive to multiplicity, so
+    * the equality with the one-shot batch build relies on the file
+    * source's exactly-once FILE delivery (each file's postings fold in
+    * exactly once across triggers) — which Structured Streaming's
+    * checkpointed file index provides; the spec pins the sum-merge law by
+    * splitting the corpus across files and comparing the folded counters
+    * against the one-shot batch build of the whole corpus.
+    */
+  def cmsCounterBatches(
+      spark: SparkSession, docDir: String, checkpoint: String): DataFrame = {
+    import graft.ops.{Dedup, Sketches, TextDedup}
+    @volatile var counters: Option[DataFrame] = None
+    val stream = spark.readStream
+      .schema(IngestDedup.docSchema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(docDir)
+    val q = stream.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val sh = TextDedup.shingles(batch, col("doc_id"), col("text"), Dedup.ShingleK)
+        val delta = Sketches.cmsCounters(
+          sh.groupBy(col("s")).agg(count(lit(1)).as("df"))).localCheckpoint()
+        sh.unpersist()
+        counters = Some(counters.fold(delta)(c =>
+          c.unionByName(delta)
+            .groupBy(col("r"), col("idx")).agg(sum(col("c")).as("c"))
+            .localCheckpoint()))
+        ()
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    counters.getOrElse(
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        StructType(Seq(StructField("r", IntegerType),
+          StructField("idx", IntegerType),
+          StructField("c", org.apache.spark.sql.types.LongType)))))
+  }
 }

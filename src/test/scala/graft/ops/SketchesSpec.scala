@@ -125,6 +125,26 @@ class SketchesSpec extends SparkFunSuite {
       tiny.head.getAs[Long]("exact_jaccard_bp"))
   }
 
+  test("histogram quantiles: merge law holds and estimates stay inside one bin width") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("source"), col("n_chars"), col("doc_id"))
+    val a = docs.filter(col("doc_id") % 2 === 0)
+    val b = docs.filter(col("doc_id") % 2 === 1)
+    val merged = Sketches.lengthHistogram(a).unionByName(Sketches.lengthHistogram(b))
+      .groupBy(col("source"), col("bin")).agg(sum(col("cnt")).as("cnt"))
+    val full = Sketches.lengthHistogram(docs)
+    assert(merged.exceptAll(full).isEmpty && full.exceptAll(merged).isEmpty)
+
+    val out = Sketches.qSketchQuantile(spark, sf).collect()
+    assert(out.length == 20 * Sketches.HistPs.length)
+    // the estimate interpolates inside the carrying bin, and the exact
+    // rank-r order statistic lies in a bin whose running count reaches r
+    // no earlier — est can undershoot by at most one full bin
+    assert(out.forall(r =>
+      math.abs(r.getAs[Long]("est_chars") - r.getAs[Long]("exact_chars")) <= Sketches.HistW),
+      out.map(r => (r.getAs[Long]("est_chars"), r.getAs[Long]("exact_chars"))).mkString(","))
+  }
+
   test("rerun determinism") {
     val a = Sketches.qSketchHll(spark, sf).collect().toSeq
     val b = Sketches.qSketchHll(spark, sf).collect().toSeq

@@ -487,6 +487,23 @@ class StreamingSpec extends SparkFunSuite {
     assert(est == bEst)
   }
 
+  test("streaming CMS counters: per-batch sum-merge equals the batch multiset build") {
+    import org.apache.spark.sql.functions.col
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val docDir = tmpDir("cms-stream")
+    docs.filter(col("doc_id") % 2 === 0).coalesce(1).write.mode("append").parquet(docDir)
+    docs.filter(col("doc_id") % 2 === 1).coalesce(1).write.mode("append").parquet(docDir)
+
+    val streamed = SketchStream.cmsCounterBatches(spark, docDir, tmpDir("cms-ckpt"))
+    val postings = graft.ops.TextDedup.shingles(
+      docs, col("doc_id"), col("text"), graft.ops.Dedup.ShingleK)
+    val batch = graft.ops.Sketches.cmsCounters(
+      postings.groupBy(col("s")).agg(count(lit(1)).as("df")))
+    assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty,
+      "streamed counters must equal the one-shot batch counters")
+    postings.unpersist()
+  }
+
   test("hub directory watch: discovers new files exactly once") {
     val hub = tmpDir("hub-stream")
     val out = tmpDir("hub-stream-out")
