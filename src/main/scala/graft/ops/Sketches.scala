@@ -77,6 +77,8 @@ object Sketches {
   /** Count-min geometry: 4 rows × 2048 counters (8k longs of state). */
   val CmsRows = 4
   val CmsWidth = 2048
+  /** log2(CmsWidth) — the AMS sign bit sits just above the index bits. */
+  val CmsIdxBits = 11
   /** Heavy hitters reported: top by (df desc, shingle). */
   val CmsTopK = 20
 
@@ -550,6 +552,79 @@ object Sketches {
        |GROUP BY p.s, p.df
        |ORDER BY true_df DESC, s""".stripMargin
 
+  /** AMS second-moment (self-join size) estimate: F2 = Σ_s df(s)² is
+    * EXACTLY the posting self-join cost that the dedup planner's bounds
+    * are built on (the Σ df² of [[TextDedup.jaccardPairs]]' scaladoc and
+    * the capped-commons strategy decision) — this query estimates it from
+    * a d×w SIGNED counter grid alone (Alon–Matias–Szegedy): each key
+    * carries a ±1 hash sign (bit ${CmsWidth.toString.length} of the same
+    * 60-bit hash that picks its cell, independent of the low index bits),
+    * cells accumulate `Σ ±df`, and each row's Σ c² is an UNBIASED F2
+    * estimate (colliding keys' cross terms carry random signs and cancel
+    * in expectation — the plain unsigned CM grid instead inflates by
+    * F1²/w, measured 7× on this corpus). The reported estimate is the
+    * deterministic LOWER MEDIAN across the d rows; σ ≈ √(2/w)·F2 ≈ 3 %
+    * per row at w=2048. A planner at 100 TB reads the answer off a
+    * maintained signed grid (same sum-merge law as
+    * [[graft.streaming.SketchStream.cmsCounterBatches]]) without ever
+    * running the Σ df² scan it is deciding about.
+    *
+    * Magnitude envelope: |c| ≤ N postings, so Σ c² ≤ N² per row — at the
+    * 10× probe N ≈ 2.6M ⇒ < 2^46, ANSI-safe in a long (lift to DECIMAL
+    * beyond N ≈ 3·10⁹ per grid).
+    */
+  def qSketchF2(spark: SparkSession, dir: String): DataFrame = {
+    val docs = table(spark, dir, "documents")
+    val postings = TextDedup.shingles(docs, col("doc_id"), col("text"), Dedup.ShingleK)
+    val df = TextDedup.materializeAndRelease(
+      postings.groupBy(col("s")).agg(count(lit(1)).as("df")), postings)
+    val rows = spark.range(CmsRows).select(col("id").cast("int").as("r"))
+    val signed = df.crossJoin(broadcast(rows))
+      .select(col("r"),
+        expr(s"CAST(conv(substring(md5(concat(CAST(r AS STRING), ':', s)), 1, 15), 16, 10) AS BIGINT)")
+          .as("h"), col("df"))
+      .select(col("r"), pmod(col("h"), lit(CmsWidth)).cast("int").as("idx"),
+        (col("df") * (lit(1L) - lit(2L) * shiftrightunsigned(col("h"), CmsIdxBits)
+          .bitwiseAND(lit(1L)))).as("sdf"))
+      .groupBy(col("r"), col("idx")).agg(sum(col("sdf")).as("c"))
+    val est = signed
+      .groupBy(col("r")).agg(sum(col("c") * col("c")).as("row_f2"))
+      .withColumn("rnk", row_number().over(
+        org.apache.spark.sql.expressions.Window.orderBy(col("row_f2"), col("r"))))
+      .filter(col("rnk") === (CmsRows + 1) / 2) // lower median
+      .select(col("row_f2").as("est_f2"))
+    val exact = df.agg(sum(col("df") * col("df")).as("exact_f2"))
+    est.crossJoin(exact) // two 1-row relations — scalar attach
+      .withColumn("err_bp", errBp("est_f2", "exact_f2"))
+  }
+
+  val qSketchF2Sql: String =
+    s"""WITH sh AS (${shinglePostingsSql}),
+       |df AS (
+       |  SELECT s, count(*) AS df FROM sh GROUP BY 1
+       |), rows_r AS (SELECT unnest(range($CmsRows)) AS r),
+       |signed AS (
+       |  SELECT r, h % $CmsWidth AS idx,
+       |    CAST(sum(df * (1 - 2 * ((h >> $CmsIdxBits) & 1))) AS BIGINT) AS c
+       |  FROM (
+       |    SELECT r, df,
+       |      CAST(concat('0x', substring(md5(concat(CAST(r AS VARCHAR), ':', s)), 1, 15))
+       |        AS BIGINT) AS h
+       |    FROM df CROSS JOIN rows_r)
+       |  GROUP BY 1, 2
+       |), est AS (
+       |  SELECT CAST(row_f2 AS BIGINT) AS est_f2 FROM (
+       |    SELECT row_f2, row_number() OVER (ORDER BY row_f2, r) AS rnk FROM (
+       |      SELECT r, sum(c * c) AS row_f2 FROM signed GROUP BY 1))
+       |  WHERE rnk = ${(CmsRows + 1) / 2}
+       |), exact AS (
+       |  SELECT CAST(sum(df * df) AS BIGINT) AS exact_f2 FROM df
+       |)
+       |SELECT est_f2, exact_f2,
+       |  CASE WHEN est_f2 >= exact_f2 THEN (est_f2 - exact_f2) * 10000 // exact_f2
+       |       ELSE -((exact_f2 - est_f2) * 10000 // exact_f2) END AS err_bp
+       |FROM est CROSS JOIN exact""".stripMargin
+
   /** The per-doc distinct 3-shingle postings `(doc_id, s)` — the DuckDB
     * mirror of [[TextDedup.shingles]] (the [[Dedup.qShingleDfProfileSql]]
     * idiom).
@@ -568,6 +643,7 @@ object Sketches {
     "q_sketch_cms" -> (qSketchCms _),
     "q_sketch_overlap" -> (qSketchOverlap _),
     "q_sketch_quantile" -> (qSketchQuantile _),
+    "q_sketch_f2" -> (qSketchF2 _),
   )
 
   def oracle: Map[String, String] = Map(
@@ -576,5 +652,6 @@ object Sketches {
     "q_sketch_cms" -> qSketchCmsSql,
     "q_sketch_overlap" -> qSketchOverlapSql,
     "q_sketch_quantile" -> qSketchQuantileSql,
+    "q_sketch_f2" -> qSketchF2Sql,
   )
 }

@@ -145,6 +145,18 @@ class SketchesSpec extends SparkFunSuite {
       out.map(r => (r.getAs[Long]("est_chars"), r.getAs[Long]("exact_chars"))).mkString(","))
   }
 
+  test("ams f2: unbiased self-join-size estimate within the w-bound envelope") {
+    val out = Sketches.qSketchF2(spark, sf).collect()
+    assert(out.length == 1)
+    val (est, exact) = (out.head.getAs[Long]("est_f2"), out.head.getAs[Long]("exact_f2"))
+    assert(exact > 0 && est > 0)
+    // per-row sigma = sqrt(2/w) * F2 (~3.1% at w=2048); the lower median
+    // of 4 unbiased rows stays well inside 3 sigma (deterministic data)
+    val bound = 3 * math.sqrt(2.0 / Sketches.CmsWidth) * 10000
+    assert(math.abs(out.head.getAs[Long]("err_bp")) <= bound,
+      s"est=$est exact=$exact err=${out.head.getAs[Long]("err_bp")} bound=$bound")
+  }
+
   test("rerun determinism") {
     val a = Sketches.qSketchHll(spark, sf).collect().toSeq
     val b = Sketches.qSketchHll(spark, sf).collect().toSeq
