@@ -104,26 +104,15 @@ object Sketches {
     expr(s"""CASE WHEN $est >= $exact THEN ($est - $exact) * 10000 DIV $exact
             |ELSE -(($exact - $est) * 10000 DIV $exact) END""".stripMargin)
 
-  /** HyperLogLog distinct-shingle cardinality per source.
-    *
-    * Register build: bucket = low p hash bits; rho = 1 + leading zeros of
-    * the remaining `window` bits, computed as `window + 1 − length(bin(w))`
-    * — the binary-string length is the integer ⌊log2⌋+1 in BOTH engines,
-    * no libm. `M_j = max(rho)` per (source, bucket) is ONE map-side
-    * combinable aggregate: the shuffle moves ≤ m rows per source per
-    * partition however large the corpus (this is the mergeable-sketch
-    * property — max of maxes — stated as a plan fact, pinned by spec).
-    *
-    * Estimate: E = α_m·m²/Z with Z = Σ_j 2^(−M_j) over all m registers.
-    * Scaled by 2^S (S = window+1) everything is integer: z_scaled =
-    * Σ_hit 2^(S−M_j) + V·2^S (V = registers never hit), and
-    * E = (α_num·m²·2^S) DIV (α_den·z_scaled) in DECIMAL(38,0) — exact, so
-    * the oracle hash-matches the estimate itself, not a tolerance.
-    */
   /** `(source, bucket, m_j)` HLL registers from a `(source, s)` item
-    * relation — ONE map-side combinable max aggregate. Mergeable: the
-    * registers of a union are the elementwise max of the parts' registers
-    * (max of maxes — spec-pinned).
+    * relation: bucket = low p hash bits; rho = 1 + leading zeros of the
+    * remaining `window` bits, computed as `window + 1 − length(bin(w))` —
+    * the binary-string length is the integer ⌊log2⌋+1 in BOTH engines, no
+    * libm. `M_j = max(rho)` per (source, bucket) is ONE map-side
+    * combinable aggregate: the shuffle moves ≤ m rows per source per
+    * partition however large the corpus. Mergeable: the registers of a
+    * union are the elementwise max of the parts' registers (max of maxes
+    * — spec-pinned).
     */
   def hllRegisters(src: DataFrame): DataFrame =
     src
@@ -138,7 +127,12 @@ object Sketches {
       .agg(max(col("rho")).as("m_j"))
 
   /** `(source, buckets_hit, z_scaled, est_distinct)` from the register
-    * relation — pure integer arithmetic (see [[qSketchHll]]).
+    * relation — pure integer arithmetic: E = α_m·m²/Z with
+    * Z = Σ_j 2^(−M_j) over all m registers; scaled by 2^S (S = window+1)
+    * everything is integer — z_scaled = Σ_hit 2^(S−M_j) + V·2^S (V =
+    * registers never hit) and E = (α_num·m²·2^S) DIV (α_den·z_scaled) in
+    * DECIMAL(38,0) — exact, so the oracle hash-matches the estimate
+    * itself, not a tolerance.
     */
   def hllEstimate(regs: DataFrame): DataFrame =
     regs.groupBy(col("source"))
