@@ -567,26 +567,45 @@ object Sketches {
     * 10× probe N ≈ 2.6M ⇒ < 2^46, ANSI-safe in a long (lift to DECIMAL
     * beyond N ≈ 3·10⁹ per grid).
     */
+  /** `(r, idx, c)` SIGNED AMS counter grid over a weighted key relation
+    * `(k, w)` — the [[cmsCounters]] geometry with a ±1 sign drawn from the
+    * bit just above the index bits of the same 60-bit hash. Grids built
+    * from DIFFERENT relations with this one hash family support unbiased
+    * INNER PRODUCTS: E[Σ_idx cA·cB] = Σ_k fA(k)·fB(k) (cross terms carry
+    * independent random signs and cancel in expectation) — the equi-join
+    * cardinality for (A, B) and the second moment F2 for (A, A). Same
+    * cellwise sum-merge law as the unsigned grid.
+    */
+  def amsGrid(weighted: DataFrame): DataFrame = {
+    val rows = weighted.sparkSession.range(CmsRows).select(col("id").cast("int").as("r"))
+    weighted.crossJoin(broadcast(rows))
+      .select(col("r"),
+        expr(s"CAST(conv(substring(md5(concat(CAST(r AS STRING), ':', k)), 1, 15), 16, 10) AS BIGINT)")
+          .as("h"), col("w"))
+      .select(col("r"), pmod(col("h"), lit(CmsWidth)).cast("int").as("idx"),
+        (col("w") * (lit(1L) - lit(2L) * shiftrightunsigned(col("h"), CmsIdxBits)
+          .bitwiseAND(lit(1L)))).as("sw"))
+      .groupBy(col("r"), col("idx")).agg(sum(col("sw")).as("c"))
+  }
+
+  /** The deterministic lower-median row aggregate of an AMS grid product:
+    * per-row sum of `prodCol`, ranked, row `(d+1) DIV 2` selected.
+    */
+  private def amsLowerMedian(perRow: DataFrame, out: String): DataFrame =
+    perRow
+      .withColumn("rnk", row_number().over(
+        org.apache.spark.sql.expressions.Window.orderBy(col("row_est"), col("r"))))
+      .filter(col("rnk") === (CmsRows + 1) / 2) // lower median
+      .select(col("row_est").as(out))
+
   def qSketchF2(spark: SparkSession, dir: String): DataFrame = {
     val docs = table(spark, dir, "documents")
     val postings = TextDedup.shingles(docs, col("doc_id"), col("text"), Dedup.ShingleK)
     val df = TextDedup.materializeAndRelease(
       postings.groupBy(col("s")).agg(count(lit(1)).as("df")), postings)
-    val rows = spark.range(CmsRows).select(col("id").cast("int").as("r"))
-    val signed = df.crossJoin(broadcast(rows))
-      .select(col("r"),
-        expr(s"CAST(conv(substring(md5(concat(CAST(r AS STRING), ':', s)), 1, 15), 16, 10) AS BIGINT)")
-          .as("h"), col("df"))
-      .select(col("r"), pmod(col("h"), lit(CmsWidth)).cast("int").as("idx"),
-        (col("df") * (lit(1L) - lit(2L) * shiftrightunsigned(col("h"), CmsIdxBits)
-          .bitwiseAND(lit(1L)))).as("sdf"))
-      .groupBy(col("r"), col("idx")).agg(sum(col("sdf")).as("c"))
-    val est = signed
-      .groupBy(col("r")).agg(sum(col("c") * col("c")).as("row_f2"))
-      .withColumn("rnk", row_number().over(
-        org.apache.spark.sql.expressions.Window.orderBy(col("row_f2"), col("r"))))
-      .filter(col("rnk") === (CmsRows + 1) / 2) // lower median
-      .select(col("row_f2").as("est_f2"))
+    val signed = amsGrid(df.select(col("s").as("k"), col("df").as("w")))
+    val est = amsLowerMedian(
+      signed.groupBy(col("r")).agg(sum(col("c") * col("c")).as("row_est")), "est_f2")
     val exact = df.agg(sum(col("df") * col("df")).as("exact_f2"))
     est.crossJoin(exact) // two 1-row relations — scalar attach
       .withColumn("err_bp", errBp("est_f2", "exact_f2"))
@@ -619,6 +638,69 @@ object Sketches {
        |       ELSE -((exact_f2 - est_f2) * 10000 // exact_f2) END AS err_bp
        |FROM est CROSS JOIN exact""".stripMargin
 
+  /** AMS equi-join CARDINALITY estimate — the query-optimizer primitive:
+    * |events ⋈ orders ON user_id = o_custkey| estimated as the lower
+    * median over rows of the INNER PRODUCT of the two relations' signed
+    * grids (E[Σ_idx cA·cB] = Σ_k fA(k)·fB(k), the exact join size; per-row
+    * σ² ≈ F2(A)·F2(B)/w). A cost-based planner consults exactly this
+    * statistic to choose join order and strategy WITHOUT scanning the
+    * join; at 100 TB both grids are maintained incrementally (the
+    * [[graft.streaming.SketchStream]] sum-merge law applies unchanged to
+    * signed cells) and the estimate is a d·w-row join of two tiny grids.
+    * The exact column is the actual join count — the scan being priced.
+    */
+  def qSketchJoinsize(spark: SparkSession, dir: String): DataFrame = {
+    val ev = table(spark, dir, "events")
+      .groupBy(col("user_id").cast("string").as("k")).agg(count(lit(1)).as("w"))
+    val ord = table(spark, dir, "orders")
+      .groupBy(col("o_custkey").cast("string").as("k")).agg(count(lit(1)).as("w"))
+    val prod = amsGrid(ev).toDF("r", "idx", "ca")
+      .join(amsGrid(ord).toDF("r", "idx", "cb"), Seq("r", "idx"))
+      .groupBy(col("r")).agg(sum(col("ca") * col("cb")).as("row_est"))
+    val est = amsLowerMedian(prod, "est_rows")
+    val exact = table(spark, dir, "events").select(col("user_id"))
+      .join(table(spark, dir, "orders").select(col("o_custkey")),
+        col("user_id") === col("o_custkey"))
+      .agg(count(lit(1)).as("exact_rows"))
+    est.crossJoin(exact) // two 1-row relations — scalar attach
+      .withColumn("err_bp", errBp("est_rows", "exact_rows"))
+  }
+
+  val qSketchJoinsizeSql: String =
+    s"""WITH rows_r AS (SELECT unnest(range($CmsRows)) AS r),
+       |ev AS (
+       |  SELECT CAST(user_id AS VARCHAR) AS k, count(*) AS w FROM events GROUP BY 1
+       |), ord AS (
+       |  SELECT CAST(o_custkey AS VARCHAR) AS k, count(*) AS w FROM orders GROUP BY 1
+       |), ga AS (
+       |  SELECT r, h % $CmsWidth AS idx,
+       |    CAST(sum(w * (1 - 2 * ((h >> $CmsIdxBits) & 1))) AS BIGINT) AS c
+       |  FROM (SELECT r, w,
+       |      CAST(concat('0x', substring(md5(concat(CAST(r AS VARCHAR), ':', k)), 1, 15))
+       |        AS BIGINT) AS h
+       |    FROM ev CROSS JOIN rows_r) GROUP BY 1, 2
+       |), gb AS (
+       |  SELECT r, h % $CmsWidth AS idx,
+       |    CAST(sum(w * (1 - 2 * ((h >> $CmsIdxBits) & 1))) AS BIGINT) AS c
+       |  FROM (SELECT r, w,
+       |      CAST(concat('0x', substring(md5(concat(CAST(r AS VARCHAR), ':', k)), 1, 15))
+       |        AS BIGINT) AS h
+       |    FROM ord CROSS JOIN rows_r) GROUP BY 1, 2
+       |), est AS (
+       |  SELECT CAST(row_est AS BIGINT) AS est_rows FROM (
+       |    SELECT row_est, row_number() OVER (ORDER BY row_est, r) AS rnk FROM (
+       |      SELECT ga.r AS r, sum(ga.c * gb.c) AS row_est
+       |      FROM ga JOIN gb ON ga.r = gb.r AND ga.idx = gb.idx GROUP BY 1))
+       |  WHERE rnk = ${(CmsRows + 1) / 2}
+       |), exact AS (
+       |  SELECT count(*) AS exact_rows
+       |  FROM events e JOIN orders o ON e.user_id = o.o_custkey
+       |)
+       |SELECT est_rows, exact_rows,
+       |  CASE WHEN est_rows >= exact_rows THEN (est_rows - exact_rows) * 10000 // exact_rows
+       |       ELSE -((exact_rows - est_rows) * 10000 // exact_rows) END AS err_bp
+       |FROM est CROSS JOIN exact""".stripMargin
+
   /** The per-doc distinct 3-shingle postings `(doc_id, s)` — the DuckDB
     * mirror of [[TextDedup.shingles]] (the [[Dedup.qShingleDfProfileSql]]
     * idiom).
@@ -638,6 +720,7 @@ object Sketches {
     "q_sketch_overlap" -> (qSketchOverlap _),
     "q_sketch_quantile" -> (qSketchQuantile _),
     "q_sketch_f2" -> (qSketchF2 _),
+    "q_sketch_joinsize" -> (qSketchJoinsize _),
   )
 
   def oracle: Map[String, String] = Map(
@@ -647,5 +730,6 @@ object Sketches {
     "q_sketch_overlap" -> qSketchOverlapSql,
     "q_sketch_quantile" -> qSketchQuantileSql,
     "q_sketch_f2" -> qSketchF2Sql,
+    "q_sketch_joinsize" -> qSketchJoinsizeSql,
   )
 }

@@ -157,6 +157,19 @@ class SketchesSpec extends SparkFunSuite {
       s"est=$est exact=$exact err=${out.head.getAs[Long]("err_bp")} bound=$bound")
   }
 
+  test("ams join size: unbiased cross-relation inner product prices the join") {
+    val out = Sketches.qSketchJoinsize(spark, sf).collect()
+    assert(out.length == 1)
+    val (est, exact) = (out.head.getAs[Long]("est_rows"), out.head.getAs[Long]("exact_rows"))
+    assert(exact > 0 && est > 0)
+    // events x orders on the customer key is genuinely skewed (15 hot
+    // users); per-row sigma ~ sqrt(F2(ev)*F2(ord))/w relative to the true
+    // size lands in the few-percent range — pin a deterministic 25%
+    // envelope, far below the order-of-magnitude a planner needs
+    assert(math.abs(out.head.getAs[Long]("err_bp")) <= 2500,
+      s"est=$est exact=$exact err=${out.head.getAs[Long]("err_bp")}")
+  }
+
   test("rerun determinism") {
     val a = Sketches.qSketchHll(spark, sf).collect().toSeq
     val b = Sketches.qSketchHll(spark, sf).collect().toSeq
