@@ -347,6 +347,133 @@ object Multimodal {
       |WHERE doc_id % 3 = 2
       |ORDER BY doc_id""".stripMargin
 
+  /** Resize planning + payload decimation — the "resize" stage of a media
+    * preprocessing pipeline, with the pixel resampler stubbed the same way
+    * [[fakeDecode]] stubs the codec. Two halves, both REAL Spark plumbing:
+    *
+    *  - **Geometry** is exact and un-stubbed: width/height come out of the
+    *    actual PNG IHDR / JPEG SOF0 byte parse ([[graft.functions.ImageDims]])
+    *    and aspect-fit into a 224×224 box (the CLIP/ViT preprocessing
+    *    contract) in pure integer arithmetic — `out = dim·224 DIV max(w,h)`,
+    *    so the scale plan any real resampler would execute is fully decided
+    *    here, engine-reproducibly.
+    *  - **Payload decimation** stands in for pixel resampling: every
+    *    `stride`-th byte of the binary column is touched (stride sized so
+    *    ≤ 64 samples per row) and folded into an exact integer checksum via
+    *    codegen-evaluated higher-order functions (`sequence` → `transform`
+    *    → `aggregate`), no UDF boundary — the same per-row bounded-work
+    *    shape a JNI resampler has. Payload bytes never leave the executors;
+    *    only (dims, stride, checksum) metadata comes back.
+    *
+    * The oracle rebuilds the byte stream independently (header hex from the
+    * doc_id arithmetic + the text payload) and replays the decimation with
+    * list lambdas — the hash match proves the byte-level sampling on every
+    * row. Linear scan, narrow projection, sort only at presentation.
+    */
+  def qMultimodalResize(spark: SparkSession, dir: String): DataFrame = {
+    val packed = graft.functions.ImageDims(col("content"))
+    imageTable(spark, dir)
+      .select(col("doc_id"), col("content"),
+        shiftrightunsigned(packed, 32).as("width"),
+        packed.bitwiseAND(lit(0xFFFFFFFFL)).as("height"))
+      .withColumn("out_w", expr("width * 224 DIV greatest(width, height)"))
+      .withColumn("out_h", expr("height * 224 DIV greatest(width, height)"))
+      .withColumn("byte_len", octet_length(col("content")).cast("long"))
+      .withColumn("stride", expr("(byte_len + 63) DIV 64"))
+      .withColumn("sampled",
+        transform(sequence(lit(1L), col("byte_len"), col("stride")),
+          p => conv(hex(col("content").substr(p.cast("int"), lit(1))), 16, 10).cast("long")))
+      .select(col("doc_id"), col("width"), col("height"), col("out_w"), col("out_h"),
+        col("stride"), size(col("sampled")).cast("long").as("n_sampled"),
+        aggregate(col("sampled"), lit(0L), (acc, x) => acc + x).as("checksum"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Oracle: the image byte stream reassembled as a hex string from the
+    * SAME doc_id arithmetic [[imageTable]] uses (PNG signature+IHDR for
+    * even ids, JPEG SOI+APP0+COM+SOF0 for odd) + the utf-8 text payload;
+    * the decimation replays over hex-pair offsets with list lambdas.
+    */
+  val qMultimodalResizeSql: String =
+    """WITH img AS (
+      |  SELECT doc_id,
+      |    doc_id % 509 + 16 AS w, (doc_id * 3) % 479 + 16 AS h,
+      |    CASE WHEN doc_id % 2 = 0 THEN
+      |      concat('89504E470D0A1A0A', '0000000D49484452',
+      |        lpad(hex(doc_id % 509 + 16), 8, '0'),
+      |        lpad(hex((doc_id * 3) % 479 + 16), 8, '0'),
+      |        '0806000000', '00000000')
+      |    ELSE
+      |      concat('FFD8', 'FFE000104A46494600010100000100010000',
+      |        'FFFE', lpad(hex(doc_id % 7 + 3), 4, '0'),
+      |        substring('41414141414141', 1, CAST((doc_id % 7 + 1) * 2 AS INT)),
+      |        'FFC0001108',
+      |        lpad(hex((doc_id * 3) % 479 + 16), 4, '0'),
+      |        lpad(hex(doc_id % 509 + 16), 4, '0'),
+      |        '03011100021101031101')
+      |    END || hex(encode(text)) AS hx
+      |  FROM documents WHERE doc_id % 3 = 0),
+      |sized AS (
+      |  SELECT doc_id, w, h, hx, length(hx) // 2 AS byte_len,
+      |    (length(hx) // 2 + 63) // 64 AS stride
+      |  FROM img),
+      |sampled AS (
+      |  SELECT doc_id, w, h, byte_len, stride,
+      |    list_transform(range(1, CAST(byte_len + 1 AS BIGINT), CAST(stride AS BIGINT)),
+      |      p -> CAST(concat('0x', substring(hx, CAST(2 * p - 1 AS INT), 2)) AS BIGINT)) AS bytes
+      |  FROM sized)
+      |SELECT doc_id,
+      |  CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+      |  CAST(w * 224 // greatest(w, h) AS BIGINT) AS out_w,
+      |  CAST(h * 224 // greatest(w, h) AS BIGINT) AS out_h,
+      |  CAST(stride AS BIGINT) AS stride,
+      |  CAST(len(bytes) AS BIGINT) AS n_sampled,
+      |  CAST(list_sum(bytes) AS BIGINT) AS checksum
+      |FROM sampled
+      |ORDER BY doc_id""".stripMargin
+
+  /** Uniform temporal frame sampling — the "frame-sample" stage of a video
+    * preprocessing pipeline (the TSN segment-sampling discipline, Wang et
+    * al. 2016: split the clip into k equal segments and take each
+    * segment's CENTER, which trains better than start-anchored sampling
+    * and is what the video-pretraining stacks do). The clip duration is
+    * NOT metadata handed in — it comes out of the actual ISO-BMFF box walk
+    * ([[graft.functions.Mp4Meta]] over [[mp4Table]]'s real `moov`/`mvhd`
+    * structure), so this is decode→sample end-to-end minus only the pixel
+    * codec. Timestamps are exact integer arithmetic in both movie ticks
+    * and milliseconds: frame i of k=8 samples at
+    * `ts_ticks = (2i+1)·duration DIV 16`, engine-reproducible.
+    *
+    * Shape at 100 TB: one narrow projection + a k-row `explode` per video
+    * (no shuffle, no UDF); the emitted (doc_id, ts) list is exactly the
+    * fetch plan a downstream GPU decode stage consumes.
+    */
+  def qMultimodalFrames(spark: SparkSession, dir: String): DataFrame = {
+    val packed = graft.functions.Mp4Meta(col("content"))
+    mp4Table(spark, dir)
+      .select(col("doc_id"),
+        shiftrightunsigned(packed, 32).as("timescale"),
+        packed.bitwiseAND(lit(0xFFFFFFFFL)).as("duration"))
+      .select(col("doc_id"), col("timescale"), col("duration"),
+        explode(sequence(lit(0L), lit(7L))).as("frame_idx"))
+      .withColumn("ts_ticks", expr("(2 * frame_idx + 1) * duration DIV 16"))
+      .withColumn("ts_ms", expr("ts_ticks * 1000 DIV timescale"))
+      .select(col("doc_id"), col("frame_idx"), col("timescale"), col("duration"),
+        col("ts_ticks"), col("ts_ms"))
+      .orderBy(col("doc_id"), col("frame_idx"))
+  }
+
+  val qMultimodalFramesSql: String =
+    """SELECT d.doc_id, f.frame_idx,
+      |  CAST(600 + (d.doc_id % 10) * 100 AS BIGINT) AS timescale,
+      |  CAST((d.doc_id % 3600 + 1) * (600 + (d.doc_id % 10) * 100) AS BIGINT) AS duration,
+      |  CAST((2 * f.frame_idx + 1) * ((d.doc_id % 3600 + 1) * (600 + (d.doc_id % 10) * 100)) // 16 AS BIGINT) AS ts_ticks,
+      |  CAST(((2 * f.frame_idx + 1) * ((d.doc_id % 3600 + 1) * (600 + (d.doc_id % 10) * 100)) // 16) * 1000
+      |    // (600 + (d.doc_id % 10) * 100) AS BIGINT) AS ts_ms
+      |FROM documents d CROSS JOIN range(8) f(frame_idx)
+      |WHERE d.doc_id % 3 = 2
+      |ORDER BY d.doc_id, f.frame_idx""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_multimodal_features" -> (qMultimodalFeatures _),
     "q_multimodal_roundtrip" -> (qMultimodalRoundtrip _),
@@ -354,6 +481,8 @@ object Multimodal {
     "q_multimodal_dims" -> (qMultimodalDims _),
     "q_multimodal_wav" -> (qMultimodalWav _),
     "q_multimodal_mp4" -> (qMultimodalMp4 _),
+    "q_multimodal_resize" -> (qMultimodalResize _),
+    "q_multimodal_frames" -> (qMultimodalFrames _),
   )
 
   def oracle: Map[String, String] = Map(
@@ -363,5 +492,7 @@ object Multimodal {
     "q_multimodal_dims" -> qMultimodalDimsSql,
     "q_multimodal_wav" -> qMultimodalWavSql,
     "q_multimodal_mp4" -> qMultimodalMp4Sql,
+    "q_multimodal_resize" -> qMultimodalResizeSql,
+    "q_multimodal_frames" -> qMultimodalFramesSql,
   )
 }
