@@ -91,8 +91,38 @@ object Layout {
        |FROM q ORDER BY event_id""".stripMargin
   }
 
-  /** Simulated file granule size for [[qSkippingStats]]. */
+  /** Simulated file granule size for [[qSkippingStats]] / [[qClusteringHealth]]. */
   val RowsPerFile = 512
+
+  /** lineitem keyed for the layout experiments: exact-integer quantity and
+    * price-cents plus the Morton key over their quantized forms — the shared
+    * input relation of [[qSkippingStats]] and [[qClusteringHealth]].
+    */
+  private def keyedLineitem(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
+    val li = Tables.table(spark, dir, "lineitem").select(
+      col("l_orderkey").as("ok"), col("l_linenumber").as("ln"),
+      col("l_quantity").cast(LongType).as("qty"),
+      (col("l_extendedprice") * 100).cast(LongType).as("pc"))
+    li.select(col("ok"), col("ln"), col("qty"), col("pc"),
+      zkey2(
+        quantize(col("qty"), 0d, 51d, 8),
+        quantize(col("pc").cast(DoubleType) / 100d, 900d, 105000d, 8), 8).as("zk"))
+  }
+
+  /** Lay `keyed` out under `sortCols`, carve into [[RowsPerFile]]-row
+    * granules, and aggregate each granule's (qty, pc) min-max zone map —
+    * one [[Rank.globalRank]] pass (range exchange, no single-reducer
+    * window) into a granule-keyed partial aggregate, checkpointed at
+    * granule-count size so downstream verdicts re-read the tiny zone-map
+    * relation, not the table.
+    */
+  private def granuleZoneMaps(keyed: DataFrame, sortCols: Seq[Column]): DataFrame =
+    Rank.globalRank(keyed, sortCols, 32)
+      .select(expr(s"(rnk - 1) DIV $RowsPerFile").as("f"), col("qty"), col("pc"))
+      .groupBy(col("f"))
+      .agg(min(col("qty")).as("qmin"), max(col("qty")).as("qmax"),
+        min(col("pc")).as("pmin"), max(col("pc")).as("pmax"))
+      .localCheckpoint() // granule-count-sized; frees the rank lineage
 
   /** FILE-SKIPPING EFFECTIVENESS audit — the payoff metric that justifies
     * Z-ordering: lay lineitem out under (a) a single-column sort on price
@@ -116,22 +146,9 @@ object Layout {
     * granule boundaries — are engine-identical.
     */
   def qSkippingStats(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
-    val li = Tables.table(spark, dir, "lineitem").select(
-      col("l_orderkey").as("ok"), col("l_linenumber").as("ln"),
-      col("l_quantity").cast(LongType).as("qty"),
-      (col("l_extendedprice") * 100).cast(LongType).as("pc"))
-    val keyed = li.select(col("ok"), col("ln"), col("qty"), col("pc"),
-      zkey2(
-        quantize(col("qty"), 0d, 51d, 8),
-        quantize(col("pc").cast(DoubleType) / 100d, 900d, 105000d, 8), 8).as("zk"))
+    val keyed = keyedLineitem(spark, dir)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    def zoneMaps(sortCols: Seq[Column]): DataFrame =
-      Rank.globalRank(keyed, sortCols, 32)
-        .select(expr(s"(rnk - 1) DIV $RowsPerFile").as("f"), col("qty"), col("pc"))
-        .groupBy(col("f"))
-        .agg(min(col("qty")).as("qmin"), max(col("qty")).as("qmax"),
-          min(col("pc")).as("pmin"), max(col("pc")).as("pmax"))
-        .localCheckpoint() // granule-count-sized; frees the rank lineage
+    def zoneMaps(sortCols: Seq[Column]): DataFrame = granuleZoneMaps(keyed, sortCols)
     val priceHit = col("pmin") <= 3000000L && col("pmax") >= 2000000L
     val qtyHit = col("qmin") <= 20L && col("qmax") >= 10L
     val preds = Seq(("both", priceHit && qtyHit), ("price", priceHit), ("qty", qtyHit))
@@ -149,7 +166,12 @@ object Layout {
     TextDedup.materializeAndRelease(out, keyed)
   }
 
-  val qSkippingStatsSql: String = {
+  /** Shared oracle CTE prefix for the layout experiments: lineitem keyed
+    * (li/q/k mirroring [[keyedLineitem]]) + per-layout granule zone maps
+    * `lin_files` / `zo_files` mirroring [[granuleZoneMaps]] under the
+    * price-linear and Morton orders.
+    */
+  private val zoneMapCtes: String = {
     val zterms = (0 until 8).flatMap { i =>
       Seq(s"(((qa >> $i) & 1) << ${2 * i + 1})", s"(((qb >> $i) & 1) << ${2 * i})")
     }.mkString(" | ")
@@ -162,6 +184,22 @@ object Layout {
          |    min(pc) AS pmin, max(pc) AS pmax
          |  FROM $name GROUP BY f
          |)""".stripMargin
+    s"""li AS (
+       |  SELECT l_orderkey AS ok, l_linenumber AS ln,
+       |    CAST(l_quantity AS BIGINT) AS qty,
+       |    CAST(l_extendedprice * 100 AS BIGINT) AS pc
+       |  FROM lineitem
+       |), q AS (
+       |  SELECT ok, ln, qty, pc,
+       |    least(greatest(CAST(floor(CAST(qty AS DOUBLE) / 51.0 * 256.0) AS BIGINT), 0), 255) AS qa,
+       |    least(greatest(CAST(floor((CAST(pc AS DOUBLE) / 100.0 - 900.0) / 104100.0 * 256.0) AS BIGINT), 0), 255) AS qb
+       |  FROM li
+       |), k AS (
+       |  SELECT ok, ln, qty, pc, $zterms AS zk FROM q
+       |), ${layoutCte("lin", "pc, ok, ln")}, ${layoutCte("zo", "zk, ok, ln")}""".stripMargin
+  }
+
+  val qSkippingStatsSql: String = {
     val priceHit = "pmin <= 3000000 AND pmax >= 2000000"
     val qtyHit = "qmin <= 20 AND qmax >= 10"
     def branch(layout: String, files: String, pred: String, hit: String): String =
@@ -176,29 +214,144 @@ object Layout {
       (pred, hit) <- Seq(("both", s"$priceHit AND $qtyHit"),
         ("price", priceHit), ("qty", qtyHit))
     } yield branch(layout, files, pred, hit)
-    s"""WITH li AS (
-       |  SELECT l_orderkey AS ok, l_linenumber AS ln,
-       |    CAST(l_quantity AS BIGINT) AS qty,
-       |    CAST(l_extendedprice * 100 AS BIGINT) AS pc
-       |  FROM lineitem
-       |), q AS (
-       |  SELECT ok, ln, qty, pc,
-       |    least(greatest(CAST(floor(CAST(qty AS DOUBLE) / 51.0 * 256.0) AS BIGINT), 0), 255) AS qa,
-       |    least(greatest(CAST(floor((CAST(pc AS DOUBLE) / 100.0 - 900.0) / 104100.0 * 256.0) AS BIGINT), 0), 255) AS qb
-       |  FROM li
-       |), k AS (
-       |  SELECT ok, ln, qty, pc, $zterms AS zk FROM q
-       |), ${layoutCte("lin", "pc, ok, ln")}, ${layoutCte("zo", "zk, ok, ln")}
+    s"""WITH $zoneMapCtes
        |${branches.mkString("\nUNION ALL\n")}
        |ORDER BY layout, predicate""".stripMargin
   }
 
+  /** CLUSTERING-HEALTH metric — the predicate-free companion to
+    * [[qSkippingStats]] and the signal a lakehouse uses to decide WHEN to
+    * re-cluster: per-granule zone-map interval WIDTH on each dimension,
+    * normalized by the dimension's occupied domain. For a layout whose
+    * granules have average width fraction w on a dimension, a uniformly
+    * placed point predicate on that dimension touches `n_files·w` granules
+    * — so `avg_width_bp` IS the expected fraction of files a selective
+    * filter cannot skip, with no predicate family to choose. A
+    * single-column sort drives its own dimension's width to ~0 bp and
+    * leaves every other dimension at ~10000 bp (each granule spans the full
+    * domain); the Morton layout lands both dimensions in between — and as
+    * ingest appends unclustered data, these numbers drift up, which is the
+    * re-cluster trigger.
+    *
+    * Scale: reuses the one cached keyed scan + two [[granuleZoneMaps]]
+    * passes; the width statistics aggregate granule-count-sized relations
+    * (metadata, not data). Domain bounds are data-derived IN-PLAN (a 1-row
+    * broadcast attach), so both engines normalize identically. All-integer:
+    * widths are `max-min+1` longs, fractions exact basis points.
+    */
+  def qClusteringHealth(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
+    val keyed = keyedLineitem(spark, dir)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val dom = keyed.agg(
+      (max(col("qty")) - min(col("qty")) + 1).as("qdom"),
+      (max(col("pc")) - min(col("pc")) + 1).as("pdom"))
+    val layouts = Seq(
+      ("linear_price", granuleZoneMaps(keyed, Seq(col("pc"), col("ok"), col("ln")))),
+      ("zorder", granuleZoneMaps(keyed, Seq(col("zk"), col("ok"), col("ln")))))
+    val dims = Seq(
+      ("qty", col("qmax") - col("qmin") + 1, col("qdom")),
+      ("price", col("pmax") - col("pmin") + 1, col("pdom")))
+    val out = (for ((lname, files) <- layouts; (dname, width, domain) <- dims) yield files
+      .crossJoin(broadcast(dom)) // 1-row scalar attach
+      .agg(count(lit(1)).as("n_files"),
+        sum(width * lit(10000L)).as("wsum"),
+        max(width * lit(10000L)).as("wmax"),
+        first(domain).as("dom"))
+      .select(lit(lname).as("layout"), lit(dname).as("dim"), col("n_files"),
+        expr("wsum DIV (n_files * dom)").as("avg_width_bp"),
+        expr("wmax DIV dom").as("max_width_bp")))
+      .reduce(_ union _)
+      .orderBy(col("layout"), col("dim"))
+    TextDedup.materializeAndRelease(out, keyed)
+  }
+
+  val qClusteringHealthSql: String = {
+    def branch(layout: String, files: String, dim: String,
+        width: String, dom: String): String =
+      s"""SELECT '$layout' AS layout, '$dim' AS dim,
+         |  CAST(count(*) AS BIGINT) AS n_files,
+         |  CAST(sum(($width) * 10000) // (count(*) * (SELECT $dom FROM dom)) AS BIGINT) AS avg_width_bp,
+         |  CAST(max(($width) * 10000) // (SELECT $dom FROM dom) AS BIGINT) AS max_width_bp
+         |FROM $files""".stripMargin
+    val branches = for {
+      (layout, files) <- Seq(("linear_price", "lin_files"), ("zorder", "zo_files"))
+      (dim, width, dom) <- Seq(("qty", "qmax - qmin + 1", "qdom"),
+        ("price", "pmax - pmin + 1", "pdom"))
+    } yield branch(layout, files, dim, width, dom)
+    s"""WITH $zoneMapCtes, dom AS (
+       |  SELECT max(qty) - min(qty) + 1 AS qdom, max(pc) - min(pc) + 1 AS pdom FROM k
+       |)
+       |${branches.mkString("\nUNION ALL\n")}
+       |ORDER BY layout, dim""".stripMargin
+  }
+
+  /** Target compaction-group size (bytes) for [[qCompactionPlan]]. */
+  val CompactTargetBytes = 2048L
+
+  /** COMPACTION PLAN — the oracle-gated planning face of [[compact]]: given
+    * a file manifest (per partition-directory `source`, files in commit
+    * order with sizes), assign every file to a compaction group of
+    * ~[[CompactTargetBytes]] via NEXT-FIT BY RUNNING TOTAL: a file whose
+    * preceding bytes total `c` joins group `c DIV target`. This is the
+    * distributed-friendly packing — one window pass over the manifest,
+    * deterministic under any engine (pure integer arithmetic on a totalized
+    * order), groups contiguous in commit order so each compaction task
+    * reads a consecutive file run (maximal locality, and it preserves any
+    * within-directory clustering). First-fit-decreasing packs ~11% tighter
+    * in the worst case but is inherently sequential and reorders files —
+    * the wrong trade at a million-file manifest.
+    *
+    * The manifest here is simulated from `documents` (source = partition
+    * dir, one file per doc, bytes = text length). Scale: the plan runs on
+    * MANIFEST rows, never data — one hash exchange on `source` carries
+    * (file, bytes) pairs; a directory whose manifest alone overwhelms one
+    * task is the very pathology the plan exists to remove, and the fix is
+    * running the planner per directory-shard. `fill_bp` (group bytes in bp
+    * of target) is the audit column: interior groups sit just above 10000
+    * (next-fit closes a group only after crossing the boundary), tails
+    * below.
+    */
+  def qCompactionPlan(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val files = Tables.table(spark, dir, "documents")
+      .select(col("source"), col("doc_id"), length(col("text")).cast(LongType).as("bytes"))
+    val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+    files.withColumn("cum", sum(col("bytes")).over(w))
+      .withColumn("grp", expr(s"(cum - bytes) DIV $CompactTargetBytes"))
+      .groupBy(col("source"), col("grp"))
+      .agg(count(lit(1)).as("n_files"), sum(col("bytes")).as("grp_bytes"),
+        min(col("doc_id")).as("first_doc"), max(col("doc_id")).as("last_doc"))
+      .withColumn("fill_bp", expr(s"grp_bytes * 10000 DIV $CompactTargetBytes"))
+      .orderBy(col("source"), col("grp"))
+  }
+
+  val qCompactionPlanSql: String =
+    s"""WITH f AS (
+       |  SELECT source, doc_id, CAST(length(text) AS BIGINT) AS bytes FROM documents
+       |), c AS (
+       |  SELECT source, doc_id, bytes,
+       |    sum(bytes) OVER (PARTITION BY source ORDER BY doc_id) AS cum
+       |  FROM f
+       |)
+       |SELECT source, CAST((cum - bytes) // $CompactTargetBytes AS BIGINT) AS grp,
+       |  CAST(count(*) AS BIGINT) AS n_files,
+       |  CAST(sum(bytes) AS BIGINT) AS grp_bytes,
+       |  CAST(min(doc_id) AS BIGINT) AS first_doc,
+       |  CAST(max(doc_id) AS BIGINT) AS last_doc,
+       |  CAST(sum(bytes) * 10000 // $CompactTargetBytes AS BIGINT) AS fill_bp
+       |FROM c GROUP BY source, grp
+       |ORDER BY source, grp""".stripMargin
+
   def queries: Map[String, (org.apache.spark.sql.SparkSession, String) => DataFrame] =
-    Map("q_zorder_key" -> (qZOrderKey _), "q_skipping_stats" -> (qSkippingStats _))
+    Map("q_zorder_key" -> (qZOrderKey _), "q_skipping_stats" -> (qSkippingStats _),
+      "q_clustering_health" -> (qClusteringHealth _),
+      "q_compaction_plan" -> (qCompactionPlan _))
 
   def oracle: Map[String, String] = Map(
     "q_zorder_key" -> qZOrderKeySql,
-    "q_skipping_stats" -> qSkippingStatsSql)
+    "q_skipping_stats" -> qSkippingStatsSql,
+    "q_clustering_health" -> qClusteringHealthSql,
+    "q_compaction_plan" -> qCompactionPlanSql)
 
   /** Compact a directory of (typically many small) parquet files into
     * ~`targetBytes` output files — the small-files problem: a 100 TB table

@@ -50,6 +50,57 @@ class LayoutSpec extends SparkFunSuite {
     assert(a.toSeq === b.toSeq)
   }
 
+  test("compaction plan: next-fit groups are contiguous, byte-preserving, boundary-true") {
+    val rows = Layout.qCompactionPlan(spark, sf).collect()
+    val files = Tables.table(spark, sf, "documents")
+      .select(col("source"), col("doc_id"), length(col("text")).cast("long").as("bytes"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getString(0)).foreach { case (src, grps) =>
+      val sorted = grps.sortBy(_.getLong(1))
+      // group ids contiguous from 0
+      assert(sorted.map(_.getLong(1)).toSeq === (0L until sorted.length).toSeq)
+      // groups tile the doc_id order with no gaps or overlaps
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a.getAs[Long]("last_doc") < b.getAs[Long]("first_doc"))
+        case _ =>
+      }
+      // byte-preserving per source
+      val srcFiles = files.filter(_._1 == src).sortBy(_._2)
+      assert(sorted.map(_.getAs[Long]("grp_bytes")).sum === srcFiles.map(_._3).sum)
+      // boundary rule: a group's id IS its first file's preceding-bytes DIV target
+      val cumBefore = srcFiles.scanLeft(0L)(_ + _._3).init
+      val startOf = srcFiles.map(_._2).zip(cumBefore).toMap
+      sorted.foreach { g =>
+        assert(g.getLong(1) === startOf(g.getAs[Long]("first_doc")) / Layout.CompactTargetBytes)
+      }
+      // every interior group CROSSES the boundary (next-fit closes on crossing):
+      // its end offset reaches the next multiple of target
+      sorted.init.zipWithIndex.foreach { case (g, i) =>
+        val end = cumBefore(srcFiles.indexWhere(_._2 == g.getAs[Long]("first_doc"))) +
+          g.getAs[Long]("grp_bytes")
+        assert(end >= (i + 1) * Layout.CompactTargetBytes, s"$src group $i under target")
+      }
+    }
+  }
+
+  test("clustering health separates the layouts exactly as the theory says") {
+    val m = Layout.qClusteringHealth(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getAs[Long]("avg_width_bp")).toMap
+    // single-column sort: own dimension near-perfect, the other un-skippable
+    // (every granule spans the full qty domain => exactly 10000 bp)
+    assert(m(("linear_price", "qty")) === 10000L, m)
+    assert(m(("linear_price", "price")) * 5 < m(("zorder", "price")), m)
+    // minimax: the z-order's WORST dimension beats the sort's worst dimension
+    // — the whole point of interleaving (holds at any granule count)
+    val zWorst = math.max(m(("zorder", "qty")), m(("zorder", "price")))
+    val lWorst = math.max(m(("linear_price", "qty")), m(("linear_price", "price")))
+    assert(zWorst < lWorst, m)
+    // and the neglected dimension specifically improves >1.5x under z-order
+    assert(m(("zorder", "qty")) * 3 < m(("linear_price", "qty")) * 2, m)
+  }
+
   test("z-ordered write gives tight per-file boxes and prunes a box filter") {
     val ev = Tables.events(spark, sf)
       .select(col("event_id"), col("user_id"),
