@@ -60,6 +60,68 @@ object Layout {
     (a, b)
   }
 
+  /** Hilbert-curve index of two already-quantized `[0, 2^bits)` keys,
+    * appended as column `out` — the alternative space-filling curve to
+    * [[zkey2]] (Morton), and the one Iceberg's `sort_order` offers next to
+    * Delta's Z-order. The difference that matters for layout: consecutive
+    * Hilbert positions are always Manhattan-distance 1 apart in key space
+    * (no Morton "seams" where the curve jumps across the whole domain), so
+    * consecutive row granules get strictly compact boxes — measurably
+    * tighter `avg_width_bp` in [[qClusteringHealth]].
+    *
+    * Implementation: the classic xy→d recurrence (s halving each round,
+    * quadrant digit `(3·rx) xor ry`, conditional flip+swap rotation) — but
+    * as ONE PROJECTION PER BIT-LEVEL over the DataFrame rather than a
+    * single nested Column: each level's (x, y) state feeds the next level
+    * through a named column, keeping the expression DAG linear in `bits`
+    * (a single Column would duplicate the state subtree ~4× per level —
+    * 4^bits nodes). Catalyst keeps the chain linear (CollapseProject does
+    * not inline non-cheap multiply-referenced aliases) and whole-stage
+    * codegen fuses all levels into one pass of straight-line long
+    * arithmetic.
+    */
+  def withHilbertKey(df: DataFrame, a: Column, b: Column, bits: Int, out: String): DataFrame = {
+    require(bits >= 1 && bits <= 31, s"bits must be in [1,31], got $bits")
+    val keep = df.columns.map(col)
+    val base = df.select(keep :+ a.as("__hx") :+ b.as("__hy") :+ lit(0L).as(out): _*)
+    val stepped = (bits - 1 to 0 by -1).foldLeft(base) { (d, i) =>
+      val s = 1L << i
+      val rx = when(col("__hx").bitwiseAND(lit(s)) > 0, 1L).otherwise(0L)
+      val ry = when(col("__hy").bitwiseAND(lit(s)) > 0, 1L).otherwise(0L)
+      val dNew = col(out) + lit(s * s) * (rx * 3).bitwiseXOR(ry)
+      // rotation: if ry==0 { if rx==1 flip both; swap x,y }
+      val xFlip = when(rx === 1, lit(s - 1) - col("__hx")).otherwise(col("__hx"))
+      val yFlip = when(rx === 1, lit(s - 1) - col("__hy")).otherwise(col("__hy"))
+      val xNew = when(ry === 0, yFlip).otherwise(col("__hx"))
+      val yNew = when(ry === 0, xFlip).otherwise(col("__hy"))
+      d.select(keep :+ xNew.as("__hx") :+ yNew.as("__hy") :+ dNew.as(out): _*)
+    }
+    stepped.drop("__hx", "__hy")
+  }
+
+  /** DuckDB replay of [[withHilbertKey]] as chained CTEs `h{bits-1}..h0`,
+    * one per bit level, mirroring the projection-per-level Spark plan.
+    * `src` must expose `hx`, `hy`, `hd` plus the pass-through columns in
+    * `keep`; the final state is in CTE `h0`.
+    */
+  private def hilbertCtes(bits: Int, src: String, keep: String): String =
+    (bits - 1 to 0 by -1).map { i =>
+      val s = 1L << i
+      val prev = if (i == bits - 1) src else s"h${i + 1}"
+      s"""h$i AS (
+         |  SELECT $keep,
+         |    CASE WHEN (hy & $s) = 0
+         |      THEN CASE WHEN (hx & $s) > 0 THEN ${s - 1} - hy ELSE hy END
+         |      ELSE hx END AS hx,
+         |    CASE WHEN (hy & $s) = 0
+         |      THEN CASE WHEN (hx & $s) > 0 THEN ${s - 1} - hx ELSE hx END
+         |      ELSE hy END AS hy,
+         |    hd + $s * $s * xor(CASE WHEN (hx & $s) > 0 THEN 3 ELSE 0 END,
+         |                       CASE WHEN (hy & $s) > 0 THEN 1 ELSE 0 END) AS hd
+         |  FROM $prev
+         |)""".stripMargin
+    }.mkString(", ")
+
   /** Oracle query: per-event z-key over (quantized user_id, masked epoch
     * second) — pins [[quantize]] + [[zkey2]] bit-for-bit against a DuckDB
     * replay of the same bit arithmetic. Every-7th event keeps the
@@ -91,6 +153,34 @@ object Layout {
        |FROM q ORDER BY event_id""".stripMargin
   }
 
+  /** Oracle query: per-event Hilbert index over the same quantized keys as
+    * [[qZOrderKey]] (8-bit on both dimensions) — pins every bit level of
+    * [[withHilbertKey]]'s flip/swap recurrence against the chained-CTE
+    * DuckDB replay. The bijection and unit-step adjacency properties are
+    * spec-pinned over the exhaustive 256×256 grid (LayoutSpec).
+    */
+  def qHilbertKey(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .filter(col("event_id") % 7 === 0)
+      .select(
+        col("event_id"),
+        quantize(col("user_id"), 0d, 256d, 8).as("qa"),
+        unix_timestamp(col("ts")).bitwiseAND(lit(255L)).as("qb"))
+    withHilbertKey(ev, col("qa"), col("qb"), 8, "hkey")
+      .orderBy(col("event_id"))
+  }
+
+  val qHilbertKeySql: String =
+    s"""WITH q AS (
+       |  SELECT event_id,
+       |    least(greatest(CAST(floor(CAST(user_id AS DOUBLE) / 256.0 * 256.0) AS BIGINT), 0), 255) AS qa,
+       |    (epoch_us(ts) // 1000000) & 255 AS qb
+       |  FROM events WHERE event_id % 7 = 0
+       |), hsrc AS (
+       |  SELECT event_id, qa, qb, qa AS hx, qb AS hy, CAST(0 AS BIGINT) AS hd FROM q
+       |), ${hilbertCtes(8, "hsrc", "event_id, qa, qb")}
+       |SELECT event_id, qa, qb, hd AS hkey FROM h0 ORDER BY event_id""".stripMargin
+
   /** Simulated file granule size for [[qSkippingStats]] / [[qClusteringHealth]]. */
   val RowsPerFile = 512
 
@@ -103,10 +193,12 @@ object Layout {
       col("l_orderkey").as("ok"), col("l_linenumber").as("ln"),
       col("l_quantity").cast(LongType).as("qty"),
       (col("l_extendedprice") * 100).cast(LongType).as("pc"))
-    li.select(col("ok"), col("ln"), col("qty"), col("pc"),
-      zkey2(
-        quantize(col("qty"), 0d, 51d, 8),
-        quantize(col("pc").cast(DoubleType) / 100d, 900d, 105000d, 8), 8).as("zk"))
+    val q = li.select(col("ok"), col("ln"), col("qty"), col("pc"),
+      quantize(col("qty"), 0d, 51d, 8).as("qa"),
+      quantize(col("pc").cast(DoubleType) / 100d, 900d, 105000d, 8).as("qb"))
+    withHilbertKey(q, col("qa"), col("qb"), 8, "hk")
+      .select(col("ok"), col("ln"), col("qty"), col("pc"),
+        zkey2(col("qa"), col("qb"), 8).as("zk"), col("hk"))
   }
 
   /** Lay `keyed` out under `sortCols`, carve into [[RowsPerFile]]-row
@@ -154,7 +246,8 @@ object Layout {
     val preds = Seq(("both", priceHit && qtyHit), ("price", priceHit), ("qty", qtyHit))
     val layouts = Seq(
       ("linear_price", zoneMaps(Seq(col("pc"), col("ok"), col("ln")))),
-      ("zorder", zoneMaps(Seq(col("zk"), col("ok"), col("ln")))))
+      ("zorder", zoneMaps(Seq(col("zk"), col("ok"), col("ln")))),
+      ("hilbert", zoneMaps(Seq(col("hk"), col("ok"), col("ln")))))
     val out = (for ((lname, files) <- layouts; (pname, hit) <- preds) yield files
       .agg(count(lit(1)).as("n_files"),
         sum(when(hit, 1L).otherwise(0L)).as("files_kept"))
@@ -194,9 +287,11 @@ object Layout {
        |    least(greatest(CAST(floor(CAST(qty AS DOUBLE) / 51.0 * 256.0) AS BIGINT), 0), 255) AS qa,
        |    least(greatest(CAST(floor((CAST(pc AS DOUBLE) / 100.0 - 900.0) / 104100.0 * 256.0) AS BIGINT), 0), 255) AS qb
        |  FROM li
-       |), k AS (
-       |  SELECT ok, ln, qty, pc, $zterms AS zk FROM q
-       |), ${layoutCte("lin", "pc, ok, ln")}, ${layoutCte("zo", "zk, ok, ln")}""".stripMargin
+       |), hsrc AS (
+       |  SELECT ok, ln, qty, pc, qa, qb, qa AS hx, qb AS hy, CAST(0 AS BIGINT) AS hd FROM q
+       |), ${hilbertCtes(8, "hsrc", "ok, ln, qty, pc, qa, qb")}, k AS (
+       |  SELECT ok, ln, qty, pc, $zterms AS zk, hd AS hk FROM h0
+       |), ${layoutCte("lin", "pc, ok, ln")}, ${layoutCte("zo", "zk, ok, ln")}, ${layoutCte("hi", "hk, ok, ln")}""".stripMargin
   }
 
   val qSkippingStatsSql: String = {
@@ -210,7 +305,8 @@ object Layout {
          |       // count(*) AS BIGINT) AS skip_bp
          |FROM $files""".stripMargin
     val branches = for {
-      (layout, files) <- Seq(("linear_price", "lin_files"), ("zorder", "zo_files"))
+      (layout, files) <- Seq(("linear_price", "lin_files"), ("zorder", "zo_files"),
+        ("hilbert", "hi_files"))
       (pred, hit) <- Seq(("both", s"$priceHit AND $qtyHit"),
         ("price", priceHit), ("qty", qtyHit))
     } yield branch(layout, files, pred, hit)
@@ -247,7 +343,8 @@ object Layout {
       (max(col("pc")) - min(col("pc")) + 1).as("pdom"))
     val layouts = Seq(
       ("linear_price", granuleZoneMaps(keyed, Seq(col("pc"), col("ok"), col("ln")))),
-      ("zorder", granuleZoneMaps(keyed, Seq(col("zk"), col("ok"), col("ln")))))
+      ("zorder", granuleZoneMaps(keyed, Seq(col("zk"), col("ok"), col("ln")))),
+      ("hilbert", granuleZoneMaps(keyed, Seq(col("hk"), col("ok"), col("ln")))))
     val dims = Seq(
       ("qty", col("qmax") - col("qmin") + 1, col("qdom")),
       ("price", col("pmax") - col("pmin") + 1, col("pdom")))
@@ -274,7 +371,8 @@ object Layout {
          |  CAST(max(($width) * 10000) // (SELECT $dom FROM dom) AS BIGINT) AS max_width_bp
          |FROM $files""".stripMargin
     val branches = for {
-      (layout, files) <- Seq(("linear_price", "lin_files"), ("zorder", "zo_files"))
+      (layout, files) <- Seq(("linear_price", "lin_files"), ("zorder", "zo_files"),
+        ("hilbert", "hi_files"))
       (dim, width, dom) <- Seq(("qty", "qmax - qmin + 1", "qdom"),
         ("price", "pmax - pmin + 1", "pdom"))
     } yield branch(layout, files, dim, width, dom)
@@ -344,12 +442,14 @@ object Layout {
 
   def queries: Map[String, (org.apache.spark.sql.SparkSession, String) => DataFrame] =
     Map("q_zorder_key" -> (qZOrderKey _), "q_skipping_stats" -> (qSkippingStats _),
+      "q_hilbert_key" -> (qHilbertKey _),
       "q_clustering_health" -> (qClusteringHealth _),
       "q_compaction_plan" -> (qCompactionPlan _))
 
   def oracle: Map[String, String] = Map(
     "q_zorder_key" -> qZOrderKeySql,
     "q_skipping_stats" -> qSkippingStatsSql,
+    "q_hilbert_key" -> qHilbertKeySql,
     "q_clustering_health" -> qClusteringHealthSql,
     "q_compaction_plan" -> qCompactionPlanSql)
 

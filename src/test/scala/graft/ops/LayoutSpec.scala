@@ -50,6 +50,33 @@ class LayoutSpec extends SparkFunSuite {
     assert(a.toSeq === b.toSeq)
   }
 
+  test("hilbert key is a bijection with unit-step adjacency over the full grid") {
+    val grid = spark.range(256 * 256)
+      .select((col("id") / 256).cast("long").as("a"),
+        (col("id") % 256).cast("long").as("b"))
+    val keyed = Layout.withHilbertKey(grid, col("a"), col("b"), 8, "hd")
+      .localCheckpoint()
+    // bijection: 65536 distinct values spanning exactly [0, 65536)
+    val agg = keyed.agg(countDistinct("hd"), min("hd"), max("hd")).head()
+    assert(agg.getLong(0) === 65536L)
+    assert(agg.getLong(1) === 0L && agg.getLong(2) === 65535L)
+    // the Hilbert property Morton lacks: CONSECUTIVE curve positions are
+    // Manhattan-distance exactly 1 apart — no seams anywhere on the grid
+    val succ = keyed.as("u").join(
+      keyed.select((col("hd") - 1).as("hd"), col("a").as("a2"), col("b").as("b2")).as("v"), "hd")
+    val badSteps = succ.filter(
+      abs(col("a") - col("a2")) + abs(col("b") - col("b2")) =!= 1).count()
+    assert(badSteps === 0L)
+  }
+
+  test("hilbert layout dominates morton on worst-dimension box width") {
+    val m = Layout.qClusteringHealth(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getAs[Long]("avg_width_bp")).toMap
+    val hWorst = math.max(m(("hilbert", "qty")), m(("hilbert", "price")))
+    val zWorst = math.max(m(("zorder", "qty")), m(("zorder", "price")))
+    assert(hWorst <= zWorst, m)
+  }
+
   test("compaction plan: next-fit groups are contiguous, byte-preserving, boundary-true") {
     val rows = Layout.qCompactionPlan(spark, sf).collect()
     val files = Tables.table(spark, sf, "documents")
