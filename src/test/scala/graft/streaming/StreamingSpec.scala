@@ -246,6 +246,38 @@ class StreamingSpec extends SparkFunSuite {
       "stitched doc is partially novel")
   }
 
+  test("streaming compaction planner reproduces the batch plan across trigger splits") {
+    import spark.implicits._
+    // two partition directories committed interleaved across three arrival
+    // files (maxFilesPerTrigger = 1 => three micro-batches): the carried
+    // per-directory byte totals must make the streamed next-fit plan equal
+    // the one-shot batch plan over the union
+    val docs = graft.ops.Tables.table(spark, sf, "documents")
+      .filter(col("source").isin("src0", "src1"))
+      .select(col("doc_id"), col("text"), col("lang"), col("source"), col("n_chars"))
+      .orderBy(col("doc_id")).collect()
+    val splits = Seq(docs.take(12), docs.slice(12, 31), docs.drop(31))
+    val dir = tmpDir("compaction-gate")
+    splits.foreach { chunk =>
+      chunk.toSeq.map(r => (r.getLong(0), r.getString(1), r.getString(2),
+          r.getString(3), r.getLong(4)))
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+        .coalesce(1).write.mode("append").parquet(dir)
+      Thread.sleep(60) // distinct commit timestamps => deterministic arrival order
+    }
+    val assigned = CompactionStream.compactionGate(
+      spark, dir, tmpDir("compaction-gate-ckpt"))
+    val streamed = CompactionStream.toGroupPlan(assigned)
+      .collect().map(_.toSeq).toSeq
+    // batch reference: the SAME planner expression over the union as a table
+    val batch = graft.ops.Layout.qCompactionPlan(spark, sf)
+      .filter(col("source").isin("src0", "src1"))
+      .collect().map(_.toSeq).toSeq
+    assert(streamed === batch)
+    // and the stream really did carry state: a directory's files span batches
+    assert(splits.count(_.exists(_.getString(3) == "src0")) > 1)
+  }
+
   test("streaming shard router agrees with the batch rendezvous assignment") {
     import spark.implicits._
     val docs = graft.ops.Tables.table(spark, sf, "documents").limit(50)
