@@ -335,20 +335,20 @@ object Layout {
     * broadcast attach), so both engines normalize identically. All-integer:
     * widths are `max-min+1` longs, fractions exact basis points.
     */
-  def qClusteringHealth(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
-    val keyed = keyedLineitem(spark, dir)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+  /** Per-(layout, dimension) width statistics over zone-map relations —
+    * the shared aggregation of [[qClusteringHealth]] and [[qLayoutDrift]].
+    * `keyed` is the persisted input whose (qty, pc) extents define the
+    * normalizing domains (attached in-plan as a 1-row broadcast).
+    */
+  private def healthStats(keyed: DataFrame,
+      layouts: Seq[(String, DataFrame)]): DataFrame = {
     val dom = keyed.agg(
       (max(col("qty")) - min(col("qty")) + 1).as("qdom"),
       (max(col("pc")) - min(col("pc")) + 1).as("pdom"))
-    val layouts = Seq(
-      ("linear_price", granuleZoneMaps(keyed, Seq(col("pc"), col("ok"), col("ln")))),
-      ("zorder", granuleZoneMaps(keyed, Seq(col("zk"), col("ok"), col("ln")))),
-      ("hilbert", granuleZoneMaps(keyed, Seq(col("hk"), col("ok"), col("ln")))))
     val dims = Seq(
       ("qty", col("qmax") - col("qmin") + 1, col("qdom")),
       ("price", col("pmax") - col("pmin") + 1, col("pdom")))
-    val out = (for ((lname, files) <- layouts; (dname, width, domain) <- dims) yield files
+    (for ((lname, files) <- layouts; (dname, width, domain) <- dims) yield files
       .crossJoin(broadcast(dom)) // 1-row scalar attach
       .agg(count(lit(1)).as("n_files"),
         sum(width * lit(10000L)).as("wsum"),
@@ -359,17 +359,33 @@ object Layout {
         expr("wmax DIV dom").as("max_width_bp")))
       .reduce(_ union _)
       .orderBy(col("layout"), col("dim"))
+  }
+
+  def qClusteringHealth(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
+    val keyed = keyedLineitem(spark, dir)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val out = healthStats(keyed, Seq(
+      ("linear_price", granuleZoneMaps(keyed, Seq(col("pc"), col("ok"), col("ln")))),
+      ("zorder", granuleZoneMaps(keyed, Seq(col("zk"), col("ok"), col("ln")))),
+      ("hilbert", granuleZoneMaps(keyed, Seq(col("hk"), col("ok"), col("ln"))))))
     TextDedup.materializeAndRelease(out, keyed)
   }
+
+  /** One oracle SELECT of per-dimension width statistics over a zone-map
+    * CTE — shared by [[qClusteringHealthSql]] and [[qLayoutDriftSql]].
+    */
+  private def healthBranch(layout: String, files: String, dim: String,
+      width: String, dom: String): String =
+    s"""SELECT '$layout' AS layout, '$dim' AS dim,
+       |  CAST(count(*) AS BIGINT) AS n_files,
+       |  CAST(sum(($width) * 10000) // (count(*) * (SELECT $dom FROM dom)) AS BIGINT) AS avg_width_bp,
+       |  CAST(max(($width) * 10000) // (SELECT $dom FROM dom) AS BIGINT) AS max_width_bp
+       |FROM $files""".stripMargin
 
   val qClusteringHealthSql: String = {
     def branch(layout: String, files: String, dim: String,
         width: String, dom: String): String =
-      s"""SELECT '$layout' AS layout, '$dim' AS dim,
-         |  CAST(count(*) AS BIGINT) AS n_files,
-         |  CAST(sum(($width) * 10000) // (count(*) * (SELECT $dom FROM dom)) AS BIGINT) AS avg_width_bp,
-         |  CAST(max(($width) * 10000) // (SELECT $dom FROM dom) AS BIGINT) AS max_width_bp
-         |FROM $files""".stripMargin
+      healthBranch(layout, files, dim, width, dom)
     val branches = for {
       (layout, files) <- Seq(("linear_price", "lin_files"), ("zorder", "zo_files"),
         ("hilbert", "hi_files"))
@@ -377,6 +393,58 @@ object Layout {
         ("price", "pmax - pmin + 1", "pdom"))
     } yield branch(layout, files, dim, width, dom)
     s"""WITH $zoneMapCtes, dom AS (
+       |  SELECT max(qty) - min(qty) + 1 AS qdom, max(pc) - min(pc) + 1 AS pdom FROM k
+       |)
+       |${branches.mkString("\nUNION ALL\n")}
+       |ORDER BY layout, dim""".stripMargin
+  }
+
+  /** CLUSTERING DRIFT — [[qClusteringHealth]] made dynamic: the same width
+    * statistics for the Hilbert-clustered table BEFORE and AFTER a 10%
+    * ingest append that arrives in commit order (unclustered — the state
+    * every live table is in between OPTIMIZE runs). `clustered` lays all
+    * rows out in curve order; `after_append` lays out the 90% base in
+    * curve order followed by the 10% delta in commit (ok, ln) order —
+    * exactly the file sequence a streaming ingest produces. The delta's
+    * granules span nearly the full domain on both dimensions, so the
+    * table-wide `avg_width_bp` jumps by roughly `delta_share · 10000` —
+    * the measured quantity a maintenance service thresholds to schedule
+    * re-clustering, and the drift this pack's [[compact]]+[[writeZOrdered]]
+    * pair repairs.
+    *
+    * Scale: two more [[granuleZoneMaps]] passes over the one cached scan;
+    * the append boundary is expressed IN-PLAN (a segment sort key), so no
+    * second table or snapshot is needed to measure the counterfactual.
+    */
+  def qLayoutDrift(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
+    val keyed = keyedLineitem(spark, dir)
+      .withColumn("segment", expr("CASE WHEN ok % 10 = 0 THEN 1 ELSE 0 END"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val appendOrder = Seq(col("segment"),
+      when(col("segment") === 0, col("hk")).otherwise(lit(0L)),
+      col("ok"), col("ln"))
+    val out = healthStats(keyed, Seq(
+      ("clustered", granuleZoneMaps(keyed, Seq(col("hk"), col("ok"), col("ln")))),
+      ("after_append", granuleZoneMaps(keyed, appendOrder))))
+    TextDedup.materializeAndRelease(out, keyed)
+  }
+
+  val qLayoutDriftSql: String = {
+    val branches = for {
+      (layout, files) <- Seq(("clustered", "hi_files"), ("after_append", "dr_files"))
+      (dim, width, dom) <- Seq(("qty", "qmax - qmin + 1", "qdom"),
+        ("price", "pmax - pmin + 1", "pdom"))
+    } yield healthBranch(layout, files, dim, width, dom)
+    s"""WITH $zoneMapCtes, dr AS (
+       |  SELECT qty, pc, (row_number() OVER (ORDER BY
+       |    CASE WHEN ok % 10 = 0 THEN 1 ELSE 0 END,
+       |    CASE WHEN ok % 10 = 0 THEN 0 ELSE hk END, ok, ln) - 1) // $RowsPerFile AS f
+       |  FROM k
+       |), dr_files AS (
+       |  SELECT f, min(qty) AS qmin, max(qty) AS qmax,
+       |    min(pc) AS pmin, max(pc) AS pmax
+       |  FROM dr GROUP BY f
+       |), dom AS (
        |  SELECT max(qty) - min(qty) + 1 AS qdom, max(pc) - min(pc) + 1 AS pdom FROM k
        |)
        |${branches.mkString("\nUNION ALL\n")}
@@ -444,6 +512,7 @@ object Layout {
     Map("q_zorder_key" -> (qZOrderKey _), "q_skipping_stats" -> (qSkippingStats _),
       "q_hilbert_key" -> (qHilbertKey _),
       "q_clustering_health" -> (qClusteringHealth _),
+      "q_layout_drift" -> (qLayoutDrift _),
       "q_compaction_plan" -> (qCompactionPlan _))
 
   def oracle: Map[String, String] = Map(
@@ -451,6 +520,7 @@ object Layout {
     "q_skipping_stats" -> qSkippingStatsSql,
     "q_hilbert_key" -> qHilbertKeySql,
     "q_clustering_health" -> qClusteringHealthSql,
+    "q_layout_drift" -> qLayoutDriftSql,
     "q_compaction_plan" -> qCompactionPlanSql)
 
   /** Compact a directory of (typically many small) parquet files into

@@ -77,6 +77,25 @@ class LayoutSpec extends SparkFunSuite {
     assert(hWorst <= zWorst, m)
   }
 
+  test("layout drift: an unclustered append degrades health on every dimension") {
+    val rows = Layout.qLayoutDrift(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getAs[Long]("avg_width_bp"), r.getAs[Long]("max_width_bp"))).toMap
+    Seq("qty", "price").foreach { dim =>
+      val (cAvg, cMax) = rows(("clustered", dim))
+      val (aAvg, aMax) = rows(("after_append", dim))
+      assert(aAvg > cAvg, s"$dim: append must widen average boxes")
+      assert(aMax >= cMax, s"$dim: append must not tighten the worst box")
+    }
+    // the clustered state matches q_clustering_health's hilbert rows —
+    // drift measures a delta off the SAME baseline
+    val health = Layout.qClusteringHealth(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getAs[Long]("avg_width_bp")).toMap
+    Seq("qty", "price").foreach { dim =>
+      assert(rows(("clustered", dim))._1 === health(("hilbert", dim)))
+    }
+  }
+
   test("compaction plan: next-fit groups are contiguous, byte-preserving, boundary-true") {
     val rows = Layout.qCompactionPlan(spark, sf).collect()
     val files = Tables.table(spark, sf, "documents")
