@@ -374,6 +374,52 @@ class PlanShapeSpec extends SparkFunSuite {
     assert(p1.contains("partial_sum"), p1) // moments combine map-side
   }
 
+  test("compaction plan: one hash exchange on the window key; manifest scan reads 3 columns") {
+    val p = plan(Layout.qCompactionPlan(spark, sf))
+    // the window's hashpartitioning(source) is the plan's only full-width
+    // exchange besides the presentation sort's range exchange
+    val hashEx = p.linesIterator.count(l =>
+      l.contains("Exchange hashpartitioning"))
+    assert(hashEx <= 2, s"expected <=2 hash exchanges (window + group-by reuse), got $hashEx\n$p")
+    val readSchema = p.linesIterator.filter(_.contains("ReadSchema:")).mkString
+    assert(readSchema.contains("source") && readSchema.contains("doc_id")
+      && readSchema.contains("text"), readSchema)
+    assert(!readSchema.contains("lang") && !readSchema.contains("n_chars"),
+      s"manifest plan must prune unused columns: $readSchema")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("zone-map build: partial min/max below the granule exchange; domain attach broadcasts") {
+    import org.apache.spark.sql.functions._
+    // the health queries return checkpointed (granule-count-sized) results,
+    // so guard the builder recipe they run internally: rank → granule →
+    // min/max zone maps, then the 1-row domain attach over the map relation
+    val keyed = Tables.table(spark, sf, "lineitem").select(
+      col("l_orderkey").as("ok"), col("l_linenumber").as("ln"),
+      col("l_quantity").cast("long").as("qty"),
+      (col("l_extendedprice") * 100).cast("long").as("pc"))
+      .withColumn("zk", Layout.zkey2(
+        Layout.quantize(col("qty"), 0d, 51d, 8),
+        Layout.quantize(col("pc").cast("double") / 100d, 900d, 105000d, 8), 8))
+    val zm = Rank.globalRank(keyed, Seq(col("zk"), col("ok"), col("ln")), 8)
+      .select(expr(s"(rnk - 1) DIV ${Layout.RowsPerFile}").as("f"), col("qty"), col("pc"))
+      .groupBy(col("f"))
+      .agg(min(col("qty")).as("qmin"), max(col("qty")).as("qmax"),
+        min(col("pc")).as("pmin"), max(col("pc")).as("pmax"))
+    val p = plan(zm)
+    assert(p.contains("partial_min") && p.contains("partial_max"),
+      s"zone-map min/max must combine map-side\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    // the domain attach: 1-row aggregate cross-joined in — must broadcast
+    val dom = keyed.agg((max(col("qty")) - min(col("qty")) + 1).as("qdom"))
+    val attached = zm.crossJoin(broadcast(dom))
+      .agg(count(lit(1)).as("n_files"), first(col("qdom")).as("dom"))
+    val p2 = plan(attached)
+    assert(nodes(p2, "BroadcastNestedLoopJoin") <= nodes(p2, "BroadcastExchange"),
+      s"the 1-row attach must ride a broadcast\n$p2")
+    assert(!p2.contains("CartesianProduct"), p2)
+  }
+
   test("semdedup: within-cluster pair stage is an equi-join, never a nested loop") {
     import org.apache.spark.sql.functions.col
     val emb = Tables.table(spark, sf, "embeddings")
