@@ -87,6 +87,46 @@ object CompactionStream {
           StructField("grp", LongType)))))
   }
 
+  final case class FileRow(source: String, doc_id: Long, bytes: Long)
+  final case class Assigned(source: String, doc_id: Long, bytes: Long, grp: Long)
+  final case class DirState(cum: Long)
+
+  /** The SAME next-fit planner as a true stateful streaming operator:
+    * `flatMapGroupsWithState` keyed by directory, state = ONE long (the
+    * directory's running byte total) in the state store — so the plan
+    * survives driver restarts exactly-once through checkpointing (RocksDB
+    * toggle included), where [[compactionGate]]'s driver-held map is
+    * rebuilt-from-scratch state. Per group per batch: sort the batch's
+    * files by commit sequence (micro-batch-sized), assign
+    * `grp = cum DIV target`, advance the total. Emits each file's
+    * assignment in Append mode — assignments are immutable once made
+    * (next-fit never revisits a placed file), which is what makes Append
+    * correct here.
+    */
+  def compactionAssignments(manifest: DataFrame,
+      target: Long = graft.ops.Layout.CompactTargetBytes): org.apache.spark.sql.Dataset[Assigned] = {
+    val sess = manifest.sparkSession
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    import sess.implicits._
+    manifest
+      .select(col("source"), col("doc_id"),
+        length(col("text")).cast(LongType).as("bytes"))
+      .as[FileRow]
+      .groupByKey(_.source)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (src: String, files: Iterator[FileRow],
+            state: org.apache.spark.sql.streaming.GroupState[DirState]) => {
+          var cum = state.getOption.map(_.cum).getOrElse(0L)
+          val out = files.toSeq.sortBy(_.doc_id).map { f =>
+            val g = cum / target
+            cum += f.bytes
+            Assigned(src, f.doc_id, f.bytes, g)
+          }
+          state.update(DirState(cum))
+          out.iterator
+        })
+  }
+
   /** Aggregate per-file assignments into the batch planner's group rows —
     * apply to [[compactionGate]] output to compare against
     * [[graft.ops.Layout.qCompactionPlan]] directly.

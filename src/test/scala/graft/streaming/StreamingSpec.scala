@@ -278,6 +278,37 @@ class StreamingSpec extends SparkFunSuite {
     assert(splits.count(_.exists(_.getString(3) == "src0")) > 1)
   }
 
+  test("stateful compaction assignments equal the batch plan via the state store") {
+    import spark.implicits._
+    // same two directories as the foreachBatch gate, but through
+    // flatMapGroupsWithState — one long of state per directory
+    val docs = graft.ops.Tables.table(spark, sf, "documents")
+      .filter(col("source").isin("src2", "src3"))
+      .select(col("doc_id"), col("text"), col("lang"), col("source"), col("n_chars"))
+      .orderBy(col("doc_id")).collect()
+    val splits = Seq(docs.take(9), docs.slice(9, 28), docs.drop(28))
+    val dir = tmpDir("compaction-fmgws")
+    splits.foreach { chunk =>
+      chunk.toSeq.map(r => (r.getLong(0), r.getString(1), r.getString(2),
+          r.getString(3), r.getLong(4)))
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+        .coalesce(1).write.mode("append").parquet(dir)
+      Thread.sleep(60)
+    }
+    // one file per trigger => the per-directory state genuinely spans batches
+    val stream = spark.readStream.schema(IngestDedup.docSchema)
+      .option("maxFilesPerTrigger", "1").parquet(dir)
+    val assigned = EventStreams.runToMemory(
+      CompactionStream.compactionAssignments(stream).toDF(),
+      "t_compaction_fmgws", outputMode = "append")
+    val streamed = CompactionStream.toGroupPlan(assigned)
+      .collect().map(_.toSeq).toSeq
+    val batch = graft.ops.Layout.qCompactionPlan(spark, sf)
+      .filter(col("source").isin("src2", "src3"))
+      .collect().map(_.toSeq).toSeq
+    assert(streamed === batch)
+  }
+
   test("streaming shard router agrees with the batch rendezvous assignment") {
     import spark.implicits._
     val docs = graft.ops.Tables.table(spark, sf, "documents").limit(50)
