@@ -590,9 +590,12 @@ object Checks {
           countDistinct(col("v")).as("n_distinct"),
           sum(when(col("prev").isNull || col("prev") =!= col("v"), 1L)
             .otherwise(0L)).as("runs"))
+        // greatest(n, 1): an EMPTY table must degrade to an all-zero report
+        // row, not abort the whole multi-column audit with ANSI
+        // DIVIDE_BY_ZERO (same discipline as the FK audit's orphan_bp)
         .select(lit(c).as("col_name"), col("n"), col("n_distinct"), col("runs"),
-          expr("n_distinct * 10000 DIV n").as("dict_bp"),
-          expr("runs * 10000 DIV n").as("rle_bp"))
+          expr("n_distinct * 10000 DIV greatest(n, 1)").as("dict_bp"),
+          expr("runs * 10000 DIV greatest(n, 1)").as("rle_bp"))
     }
     branches.reduce(_ union _).orderBy(col("col_name"))
   }
@@ -602,8 +605,8 @@ object Checks {
       s"""SELECT '$c' AS col_name, count(*) AS n,
          |  CAST(count(DISTINCT v) AS BIGINT) AS n_distinct,
          |  CAST(sum(chg) AS BIGINT) AS runs,
-         |  CAST(count(DISTINCT v) * 10000 // count(*) AS BIGINT) AS dict_bp,
-         |  CAST(CAST(sum(chg) AS BIGINT) * 10000 // count(*) AS BIGINT) AS rle_bp
+         |  CAST(count(DISTINCT v) * 10000 // greatest(count(*), 1) AS BIGINT) AS dict_bp,
+         |  CAST(CAST(sum(chg) AS BIGINT) * 10000 // greatest(count(*), 1) AS BIGINT) AS rle_bp
          |FROM (
          |  SELECT v, CASE WHEN lag(v) OVER (PARTITION BY l_orderkey ORDER BY l_linenumber, v)
          |                      IS DISTINCT FROM v THEN 1 ELSE 0 END AS chg

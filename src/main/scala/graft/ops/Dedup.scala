@@ -573,8 +573,10 @@ object Dedup {
     val totals = broadcast(docs.agg(count(lit(1)).as("total_docs")))
     val exact = docs.groupBy(col("text"))
       .agg(count(lit(1)).as("k"), max(col("n_toks")).as("ntok"))
-      .agg(sum(col("k") - 1).as("n_docs_removed"),
-        sum((col("k") - 1) * col("ntok")).as("n_tokens_removed"))
+      // coalesce: on an EMPTY corpus the global sum is NULL — degrade the
+      // report row to zeros (paired with the greatest() divisor guard below)
+      .agg(coalesce(sum(col("k") - 1), lit(0L)).as("n_docs_removed"),
+        coalesce(sum((col("k") - 1) * col("ntok")), lit(0L)).as("n_tokens_removed"))
       .select(lit("exact").as("strategy"), col("n_docs_removed"), col("n_tokens_removed"))
     val pairs = TextDedup.jaccardPairs(
       docs, col("doc_id"), col("text"), ShingleK, JaccardThreshold)
@@ -587,7 +589,10 @@ object Dedup {
     exact.union(nearDup)
       .crossJoin(totals)
       .select(col("strategy"), col("n_docs_removed"), col("n_tokens_removed"),
-        expr("(n_docs_removed * 10000) DIV total_docs").as("removed_bp"))
+        // greatest(total_docs, 1): an EMPTY corpus must degrade to 0-bp
+        // report rows, not abort the savings report with ANSI
+        // DIVIDE_BY_ZERO (same discipline as the FK audit's orphan_bp)
+        expr("(n_docs_removed * 10000) DIV greatest(total_docs, 1)").as("removed_bp"))
       .orderBy(col("strategy"))
   }
 
@@ -624,7 +629,7 @@ object Dedup {
        |  SELECT 'near_dup' AS strategy, n_docs_removed, n_tokens_removed FROM nd
        |)
        |SELECT strategy, n_docs_removed, n_tokens_removed,
-       |  CAST((n_docs_removed * 10000) // total_docs AS BIGINT) AS removed_bp
+       |  CAST((n_docs_removed * 10000) // greatest(total_docs, 1) AS BIGINT) AS removed_bp
        |FROM u CROSS JOIN tot ORDER BY strategy""".stripMargin
 
   /** Incremental ingest dedup ([[TextDedup.minhashLshIncremental]]):

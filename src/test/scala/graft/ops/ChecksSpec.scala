@@ -9,6 +9,26 @@ import org.apache.spark.sql.functions._
   */
 class ChecksSpec extends SparkFunSuite {
 
+  test("audit reports degrade gracefully on empty tables (no ANSI divide-by-zero)") {
+    val sf = "/root/testdata/sf0.001"
+    val d = tmpDir("empty-tables")
+    Tables.table(spark, sf, "lineitem").limit(0)
+      .write.parquet(s"$d/lineitem.parquet")
+    Tables.table(spark, sf, "documents").limit(0)
+      .write.parquet(s"$d/documents.parquet")
+    // encoding audit: one row per audited column, zeros — not an abort
+    val enc = Checks.qEncodingStats(spark, d).collect()
+    assert(enc.length === Checks.EncodingCols.length)
+    enc.foreach { r =>
+      assert(r.getAs[Long]("n") === 0L)
+      assert(r.getAs[Long]("dict_bp") === 0L)
+    }
+    // dedup savings report: both strategy rows at 0 removed — not an abort
+    val sav = Dedup.qDedupSavings(spark, d).collect()
+    assert(sav.length === 2)
+    sav.foreach(r => assert(r.getAs[Long]("removed_bp") === 0L))
+  }
+
   test("row checks count planted violations exactly") {
     import spark.implicits._
     val df = Seq((1, 10.0), (2, -3.0), (3, 200.0), (4, 50.0)).toDF("id", "v")
