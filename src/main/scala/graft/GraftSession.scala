@@ -18,6 +18,12 @@ object GraftSession {
       "vec_dot",
       (exprs: Seq[Expression]) => functions.VecDot(exprs(0), exprs(1)),
       "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "hilbert_key",
+      (exprs: Seq[Expression]) => functions.HilbertKey(
+        exprs(0), exprs(1),
+        exprs(2).eval(null).asInstanceOf[Number].intValue()),
+      "built-in")
   }
 
   /** Builder with the engine's recommended configuration; callers add
@@ -46,6 +52,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
         classOf[VecDot].getName, "vec_dot"),
       (exprs: Seq[Expression]) => VecDot(exprs(0), exprs(1))))
+    e.injectFunction((
+      org.apache.spark.sql.catalyst.FunctionIdentifier("hilbert_key"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[graft.functions.HilbertKey].getName, "hilbert_key"),
+      (exprs: Seq[Expression]) => graft.functions.HilbertKey(
+        exprs(0), exprs(1),
+        exprs(2).eval(null).asInstanceOf[Number].intValue())))
     e.injectPlannerStrategy(_ => new graft.plans.TopKPerKeyStrategy)
     e.injectOptimizerRule(_ => graft.plans.NativeTopKRule)
   }

@@ -69,16 +69,24 @@ object Layout {
     * consecutive row granules get strictly compact boxes — measurably
     * tighter `avg_width_bp` in [[qClusteringHealth]].
     *
-    * Implementation: the classic xy→d recurrence (s halving each round,
-    * quadrant digit `(3·rx) xor ry`, conditional flip+swap rotation) — but
-    * as ONE PROJECTION PER BIT-LEVEL over the DataFrame rather than a
-    * single nested Column: each level's (x, y) state feeds the next level
-    * through a named column, keeping the expression DAG linear in `bits`
-    * (a single Column would duplicate the state subtree ~4× per level —
+    * This is the PURE-DataFrame form (no session extensions needed): the
+    * classic xy→d recurrence (s halving each round, quadrant digit
+    * `(3·rx) xor ry`, conditional flip+swap rotation) as ONE PROJECTION
+    * PER BIT-LEVEL, each level's (x, y) state feeding the next through a
+    * named column — keeping the expression DAG linear in `bits` (a single
+    * nested Column would duplicate the state subtree ~4× per level:
     * 4^bits nodes). Catalyst keeps the chain linear (CollapseProject does
     * not inline non-cheap multiply-referenced aliases) and whole-stage
-    * codegen fuses all levels into one pass of straight-line long
-    * arithmetic.
+    * codegen fuses all levels. The engine's primary form is the native
+    * codegen expression [[graft.functions.HilbertKey]] (one call, one
+    * Project; registered as SQL `hilbert_key`), spec-pinned equal to this
+    * chain over the exhaustive grid.
+    *
+    * CAVEAT of the chain form: a filter placed directly on `out` makes
+    * predicate pushdown substitute the alias back through every level —
+    * re-creating the 4^bits expression this shape exists to avoid. Sort
+    * or materialize (checkpoint) before filtering on the key, or use the
+    * native expression, which has no such hazard.
     */
   def withHilbertKey(df: DataFrame, a: Column, b: Column, bits: Int, out: String): DataFrame = {
     require(bits >= 1 && bits <= 31, s"bits must be in [1,31], got $bits")
@@ -160,13 +168,13 @@ object Layout {
     * spec-pinned over the exhaustive 256×256 grid (LayoutSpec).
     */
   def qHilbertKey(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
-    val ev = Tables.events(spark, dir)
+    Tables.events(spark, dir)
       .filter(col("event_id") % 7 === 0)
       .select(
         col("event_id"),
         quantize(col("user_id"), 0d, 256d, 8).as("qa"),
         unix_timestamp(col("ts")).bitwiseAND(lit(255L)).as("qb"))
-    withHilbertKey(ev, col("qa"), col("qb"), 8, "hkey")
+      .withColumn("hkey", graft.functions.HilbertKey(col("qa"), col("qb"), 8))
       .orderBy(col("event_id"))
   }
 
@@ -193,12 +201,12 @@ object Layout {
       col("l_orderkey").as("ok"), col("l_linenumber").as("ln"),
       col("l_quantity").cast(LongType).as("qty"),
       (col("l_extendedprice") * 100).cast(LongType).as("pc"))
-    val q = li.select(col("ok"), col("ln"), col("qty"), col("pc"),
+    li.select(col("ok"), col("ln"), col("qty"), col("pc"),
       quantize(col("qty"), 0d, 51d, 8).as("qa"),
       quantize(col("pc").cast(DoubleType) / 100d, 900d, 105000d, 8).as("qb"))
-    withHilbertKey(q, col("qa"), col("qb"), 8, "hk")
       .select(col("ok"), col("ln"), col("qty"), col("pc"),
-        zkey2(col("qa"), col("qb"), 8).as("zk"), col("hk"))
+        zkey2(col("qa"), col("qb"), 8).as("zk"),
+        graft.functions.HilbertKey(col("qa"), col("qb"), 8).as("hk"))
   }
 
   /** Lay `keyed` out under `sortCols`, carve into [[RowsPerFile]]-row

@@ -69,6 +69,27 @@ class LayoutSpec extends SparkFunSuite {
     assert(badSteps === 0L)
   }
 
+  test("native hilbert_key expression equals the projection chain on the full grid") {
+    val grid = spark.range(256 * 256)
+      .select((col("id") / 256).cast("long").as("a"),
+        (col("id") % 256).cast("long").as("b"))
+    // localCheckpoint before filtering: predicate pushdown would otherwise
+    // substitute the chain alias through all 8 projections (the 4^bits
+    // re-expansion the scaladoc warns about)
+    val both = Layout.withHilbertKey(grid, col("a"), col("b"), 8, "chain")
+      .withColumn("native", graft.functions.HilbertKey(col("a"), col("b"), 8))
+      .localCheckpoint()
+    assert(both.filter(col("chain") =!= col("native")).count() === 0L)
+    // and through the SQL registration: same frame, no join
+    graft.GraftSession.registerFunctions(spark)
+    grid.createOrReplaceTempView("hgrid")
+    val sqlMismatch = spark.sql(
+      "SELECT a, b, hilbert_key(a, b, 8) AS hd FROM hgrid")
+      .withColumn("native", graft.functions.HilbertKey(col("a"), col("b"), 8))
+      .filter(col("hd") =!= col("native")).count()
+    assert(sqlMismatch === 0L)
+  }
+
   test("hilbert layout dominates morton on worst-dimension box width") {
     val m = Layout.qClusteringHealth(spark, sf).collect()
       .map(r => (r.getString(0), r.getString(1)) -> r.getAs[Long]("avg_width_bp")).toMap
