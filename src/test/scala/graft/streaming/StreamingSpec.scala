@@ -309,6 +309,43 @@ class StreamingSpec extends SparkFunSuite {
     assert(streamed === batch)
   }
 
+  test("stateful compaction planner holds its directory totals in RocksDB too") {
+    import spark.implicits._
+    val prev = EventStreams.useRocksDBStateStore(spark)
+    try {
+      val docs = graft.ops.Tables.table(spark, sf, "documents")
+        .filter(col("source").isin("src4"))
+        .select(col("doc_id"), col("text"), col("lang"), col("source"), col("n_chars"))
+        .orderBy(col("doc_id")).collect()
+      val splits = Seq(docs.take(8), docs.drop(8))
+      val dir = tmpDir("compaction-rocksdb")
+      splits.foreach { chunk =>
+        chunk.toSeq.map(r => (r.getLong(0), r.getString(1), r.getString(2),
+            r.getString(3), r.getLong(4)))
+          .toDF("doc_id", "text", "lang", "source", "n_chars")
+          .coalesce(1).write.mode("append").parquet(dir)
+        Thread.sleep(60)
+      }
+      val stream = spark.readStream.schema(IngestDedup.docSchema)
+        .option("maxFilesPerTrigger", "1").parquet(dir)
+      val assigned = EventStreams.runToMemory(
+        CompactionStream.compactionAssignments(stream).toDF(),
+        "t_compaction_rocksdb", outputMode = "append")
+      val streamed = CompactionStream.toGroupPlan(assigned)
+        .collect().map(_.toSeq).toSeq
+      val batch = graft.ops.Layout.qCompactionPlan(spark, sf)
+        .filter(col("source") === "src4")
+        .collect().map(_.toSeq).toSeq
+      assert(streamed === batch)
+    } finally {
+      val key = "spark.sql.streaming.stateStore.providerClass"
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
+
   test("streaming shard router agrees with the batch rendezvous assignment") {
     import spark.implicits._
     val docs = graft.ops.Tables.table(spark, sf, "documents").limit(50)
