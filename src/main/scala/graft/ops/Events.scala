@@ -1061,7 +1061,113 @@ object Events {
       |FROM dau d JOIN wau w2 USING (day)
       |ORDER BY day""".stripMargin
 
+  /** LINEAR-INTERPOLATION gap fill — the companion to [[qEventsDensify]]
+    * (which zero-fills): per event type, an hourly revenue series with
+    * gaps is completed by linearly interpolating between the surrounding
+    * observations (flat extrapolation at the edges), each output row
+    * labeled `obs` / `interp` / `edge`. This is the standard sensor /
+    * finance resampling step before models that assume a regular grid.
+    *
+    * Exact-integer discipline: observed values are exact-decimal cent
+    * sums; the interpolation slope-step is computed magnitude-first
+    * (`|Δv|·(h−h₀) DIV span`) with a CASE sign, because Spark `DIV`
+    * truncates toward zero while DuckDB `//` floors — they agree only on
+    * non-negatives (the [[Sketches]] signed-division rule).
+    *
+    * Scale: the observation aggregate is the one data pass; the dense
+    * grid is (hours × types) — time-domain-sized metadata — and the
+    * prev/next scans are two windows over that grid partitioned by type,
+    * never over events. Observations are sparsified (every 7th event) so
+    * real gaps exist at every SF.
+    */
+  def qInterpolate(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ev = events(spark, dir).filter(col("event_id") % 7 === 0)
+      .select(date_trunc("hour", col("ts")).as("h"), col("event_type"),
+        Tables.dec(col("value")).as("v"))
+    val obs = ev.groupBy(col("h"), col("event_type"))
+      .agg((sum(col("v")) * 100).cast(LongType).as("cents"))
+    val bounds = ev.agg(min(col("h")).as("lo"), max(col("h")).as("hi"))
+    val hours = bounds
+      .select(explode(sequence(col("lo"), col("hi"), expr("interval 1 hour"))).as("h"))
+    val types = ev.select(col("event_type")).distinct()
+    val grid = hours.crossJoin(types)
+      .join(broadcast(obs), Seq("h", "event_type"), "left")
+      .withColumn("hu", expr("unix_timestamp(h) DIV 3600"))
+    val wPrev = Window.partitionBy(col("event_type")).orderBy(col("hu"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val wNext = Window.partitionBy(col("event_type")).orderBy(col("hu"))
+      .rowsBetween(0, Window.unboundedFollowing)
+    grid
+      .withColumn("pv", last(col("cents"), ignoreNulls = true).over(wPrev))
+      .withColumn("ph", last(when(col("cents").isNotNull, col("hu")), ignoreNulls = true).over(wPrev))
+      .withColumn("nv", first(col("cents"), ignoreNulls = true).over(wNext))
+      .withColumn("nh", first(when(col("cents").isNotNull, col("hu")), ignoreNulls = true).over(wNext))
+      .select(fmt(col("h")).as("hour"), col("event_type"),
+        expr("""CASE
+          WHEN cents IS NOT NULL THEN cents
+          WHEN pv IS NULL THEN nv
+          WHEN nv IS NULL THEN pv
+          ELSE pv + (CASE WHEN nv < pv THEN -1 ELSE 1 END) *
+               (abs(nv - pv) * (hu - ph) DIV (nh - ph))
+          END""").as("value_cents"),
+        expr("""CASE
+          WHEN cents IS NOT NULL THEN 'obs'
+          WHEN pv IS NULL OR nv IS NULL THEN 'edge'
+          ELSE 'interp' END""").as("kind"))
+      .orderBy(col("hour"), col("event_type"))
+  }
+
+  val qInterpolateSql: String =
+    """WITH e AS (
+      |  SELECT date_trunc('hour', date_trunc('microseconds', ts)) AS h, event_type,
+      |    CAST(value AS DECIMAL(18,2)) AS v
+      |  FROM events WHERE event_id % 7 = 0
+      |), obs AS (
+      |  SELECT h, event_type, CAST(sum(v) * 100 AS BIGINT) AS cents
+      |  FROM e GROUP BY 1, 2
+      |), hours AS (
+      |  SELECT unnest(generate_series(min(h), max(h), INTERVAL 1 HOUR)) AS h FROM e
+      |), types AS (
+      |  SELECT DISTINCT event_type FROM e
+      |), grid AS (
+      |  SELECT hours.h, types.event_type, obs.cents,
+      |    CAST(epoch(hours.h) AS BIGINT) // 3600 AS hu
+      |  FROM hours CROSS JOIN types
+      |  LEFT JOIN obs ON obs.h = hours.h AND obs.event_type = types.event_type
+      |), scanned AS (
+      |  SELECT h, event_type, cents, hu,
+      |    last_value(cents IGNORE NULLS) OVER
+      |      (PARTITION BY event_type ORDER BY hu
+      |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+      |    last_value(CASE WHEN cents IS NOT NULL THEN hu END IGNORE NULLS) OVER
+      |      (PARTITION BY event_type ORDER BY hu
+      |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ph,
+      |    first_value(cents IGNORE NULLS) OVER
+      |      (PARTITION BY event_type ORDER BY hu
+      |       ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+      |    first_value(CASE WHEN cents IS NOT NULL THEN hu END IGNORE NULLS) OVER
+      |      (PARTITION BY event_type ORDER BY hu
+      |       ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nh
+      |  FROM grid
+      |)
+      |SELECT strftime(h, '%Y-%m-%d %H:%M:%S') AS hour, event_type,
+      |  CASE
+      |    WHEN cents IS NOT NULL THEN cents
+      |    WHEN pv IS NULL THEN nv
+      |    WHEN nv IS NULL THEN pv
+      |    ELSE pv + (CASE WHEN nv < pv THEN -1 ELSE 1 END) *
+      |         (abs(nv - pv) * (hu - ph) // (nh - ph))
+      |  END AS value_cents,
+      |  CASE
+      |    WHEN cents IS NOT NULL THEN 'obs'
+      |    WHEN pv IS NULL OR nv IS NULL THEN 'edge'
+      |    ELSE 'interp' END AS kind
+      |FROM scanned
+      |ORDER BY hour, event_type""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_interpolate" -> (qInterpolate _),
     "q_dau_wau" -> (qDauWau _),
     "q_cohort_ltv" -> (qCohortLtv _),
     "q_rfm_segments" -> (qRfmSegments _),
@@ -1088,6 +1194,7 @@ object Events {
   )
 
   def oracle: Map[String, String] = Map(
+    "q_interpolate" -> qInterpolateSql,
     "q_dau_wau" -> qDauWauSql,
     "q_cohort_ltv" -> qCohortLtvSql,
     "q_rfm_segments" -> qRfmSegmentsSql,

@@ -214,6 +214,42 @@ class EventsSpec extends SparkFunSuite {
     assert(got.toSeq == Seq((1L, 6L, 2L)))
   }
 
+  test("interpolation: filled values are bracketed, grid complete, obs preserved") {
+    val sf = "/root/testdata/sf0.001"
+    val rows = Events.qInterpolate(spark, sf).collect()
+    assert(rows.nonEmpty && rows.forall(!_.isNullAt(2)), "grid must be fully filled")
+    rows.groupBy(_.getString(1)).foreach { case (_, series) =>
+      val s = series.sortBy(_.getString(0))
+      // every type covers the identical full hourly grid
+      assert(s.map(_.getString(0)).distinct.length === s.length)
+      // interpolated points lie within [min, max] of the bracketing obs:
+      // walk the series and check each interp against its neighbors
+      var prevObs: Option[Long] = None
+      val pending = scala.collection.mutable.ArrayBuffer.empty[Long]
+      s.foreach { r =>
+        val v = r.getAs[Long]("value_cents")
+        r.getAs[String]("kind") match {
+          case "obs" =>
+            prevObs.foreach { p =>
+              pending.foreach(x =>
+                assert(x >= math.min(p, v) && x <= math.max(p, v),
+                  s"interp $x outside [$p, $v]"))
+            }
+            pending.clear(); prevObs = Some(v)
+          case "interp" => pending += v
+          case "edge" => // flat extrapolation checked below
+        }
+      }
+      // edges equal the nearest observation
+      val obsVals = s.filter(_.getAs[String]("kind") == "obs")
+        .map(_.getAs[Long]("value_cents"))
+      s.takeWhile(_.getAs[String]("kind") == "edge")
+        .foreach(r => assert(r.getAs[Long]("value_cents") === obsVals.head))
+      s.reverse.takeWhile(_.getAs[String]("kind") == "edge")
+        .foreach(r => assert(r.getAs[Long]("value_cents") === obsVals.last))
+    }
+  }
+
   test("session patterns: a session break prevents a cross-session match") {
     import spark.implicits._
     // user 1: view at t0, purchase 45 min later -> separate 30-min-gap
