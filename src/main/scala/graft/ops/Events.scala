@@ -1166,8 +1166,52 @@ object Events {
       |FROM scanned
       |ORDER BY hour, event_type""".stripMargin
 
+  /** M4 DOWNSAMPLING (Jugel et al., "M4: A Visualization-Oriented Time
+    * Series Data Aggregation", PVLDB 7(10), 2014): per series per pixel
+    * bucket, keep exactly the first, last, min, and max points — the
+    * smallest reduction that renders a line chart pixel-identically to the
+    * full series. At 100 TB this IS how a dashboard reads a time series:
+    * the 4-point-per-bucket aggregate pushes down to a scan + partial agg
+    * (one shuffle at bucket granularity, output = pixels × series rows),
+    * instead of shipping millions of raw points to a renderer.
+    *
+    * first/last ride `min_by`/`max_by` over a packed total-order key
+    * (`epoch_seconds·10^7 + event_id` — unique, fits a long at this
+    * generator's id range; a production deployment packs (ts, seq) wider
+    * or uses a struct key), so the choice is deterministic in both
+    * engines (DuckDB `arg_min`/`arg_max`). Values are exact cents.
+    */
+  def qM4Downsample(spark: SparkSession, dir: String): DataFrame = {
+    val ev = events(spark, dir)
+      .select(col("event_type"),
+        (Tables.dec(col("value")) * 100).cast(LongType).as("cents"),
+        expr("unix_timestamp(ts) DIV 86400").as("b"),
+        expr("unix_timestamp(ts) * 10000000 + event_id").as("o"))
+    ev.groupBy(col("event_type"), col("b"))
+      .agg(count(lit(1)).as("n"),
+        min(col("cents")).as("v_min"), max(col("cents")).as("v_max"),
+        min_by(col("cents"), col("o")).as("v_first"),
+        max_by(col("cents"), col("o")).as("v_last"))
+      .orderBy(col("event_type"), col("b"))
+  }
+
+  val qM4DownsampleSql: String =
+    """WITH e AS (
+      |  SELECT event_type,
+      |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents,
+      |    CAST(floor(epoch(date_trunc('microseconds', ts))) AS BIGINT) // 86400 AS b,
+      |    CAST(floor(epoch(date_trunc('microseconds', ts))) AS BIGINT) * 10000000 + event_id AS o
+      |  FROM events
+      |)
+      |SELECT event_type, b, CAST(count(*) AS BIGINT) AS n,
+      |  min(cents) AS v_min, max(cents) AS v_max,
+      |  arg_min(cents, o) AS v_first, arg_max(cents, o) AS v_last
+      |FROM e GROUP BY event_type, b
+      |ORDER BY event_type, b""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_interpolate" -> (qInterpolate _),
+    "q_m4_downsample" -> (qM4Downsample _),
     "q_dau_wau" -> (qDauWau _),
     "q_cohort_ltv" -> (qCohortLtv _),
     "q_rfm_segments" -> (qRfmSegments _),
@@ -1195,6 +1239,7 @@ object Events {
 
   def oracle: Map[String, String] = Map(
     "q_interpolate" -> qInterpolateSql,
+    "q_m4_downsample" -> qM4DownsampleSql,
     "q_dau_wau" -> qDauWauSql,
     "q_cohort_ltv" -> qCohortLtvSql,
     "q_rfm_segments" -> qRfmSegmentsSql,

@@ -250,6 +250,29 @@ class EventsSpec extends SparkFunSuite {
     }
   }
 
+  test("m4 downsample keeps exactly the first/last/min/max of every bucket") {
+    val sf = "/root/testdata/sf0.001"
+    val raw = graft.ops.Tables.events(spark, sf)
+      .select(col("event_type"), col("event_id"),
+        (graft.ops.Tables.dec(col("value")) * 100).cast("long").as("cents"),
+        expr("unix_timestamp(ts) DIV 86400").as("b"),
+        expr("unix_timestamp(ts) * 10000000 + event_id").as("o"))
+      .collect()
+      .groupBy(r => (r.getString(0), r.getAs[Long]("b")))
+    val m4 = Events.qM4Downsample(spark, sf).collect()
+    assert(m4.length === raw.size)
+    m4.foreach { r =>
+      val pts = raw((r.getString(0), r.getAs[Long]("b")))
+      val vals = pts.map(_.getAs[Long]("cents"))
+      assert(r.getAs[Long]("n") === pts.length.toLong)
+      assert(r.getAs[Long]("v_min") === vals.min)
+      assert(r.getAs[Long]("v_max") === vals.max)
+      val byO = pts.sortBy(_.getAs[Long]("o"))
+      assert(r.getAs[Long]("v_first") === byO.head.getAs[Long]("cents"))
+      assert(r.getAs[Long]("v_last") === byO.last.getAs[Long]("cents"))
+    }
+  }
+
   test("session patterns: a session break prevents a cross-session match") {
     import spark.implicits._
     // user 1: view at t0, purchase 45 min later -> separate 30-min-gap
