@@ -56,6 +56,28 @@ object EventStreams {
     }
   }
 
+  /** Streaming M4 downsampling — the live-dashboard dual of
+    * [[graft.ops.Events.qM4Downsample]]: per (series, pixel bucket), the
+    * first/last/min/max points maintained as a streaming aggregation. All
+    * four statistics are MERGEABLE (min/max trivially; first/last as
+    * min_by/max_by over the packed total-order key), so each micro-batch
+    * folds into per-bucket state of constant size — the chart stays
+    * pixel-exact while ingest runs, with state bounded by pixels × series
+    * regardless of event volume. Complete output mode re-emits the small
+    * bucket relation; results equal the one-shot batch aggregate under
+    * any trigger split (spec-pinned — that IS mergeability).
+    */
+  def m4Buckets(events: DataFrame): DataFrame =
+    events.select(col("event_type"),
+      (graft.ops.Tables.dec(col("value")) * 100).cast(LongType).as("cents"),
+      expr("unix_timestamp(ts) DIV 86400").as("b"),
+      expr("unix_timestamp(ts) * 10000000 + event_id").as("o"))
+      .groupBy(col("event_type"), col("b"))
+      .agg(count(lit(1)).as("n"),
+        min(col("cents")).as("v_min"), max(col("cents")).as("v_max"),
+        min_by(col("cents"), col("o")).as("v_first"),
+        max_by(col("cents"), col("o")).as("v_last"))
+
   /** Watermarked tumbling-window counts per event type. */
   def hourlyCounts(events: DataFrame): DataFrame =
     events

@@ -184,6 +184,25 @@ class StreamingSpec extends SparkFunSuite {
     assert(got == want && want > 0)
   }
 
+  test("streaming M4 buckets equal the batch downsample across trigger splits") {
+    // stage the events file as TWO arrivals split by event id parity so the
+    // per-bucket state genuinely merges across micro-batches
+    val d = tmpDir("m4-stream")
+    val raw = graft.ops.Tables.events(spark, sf)
+    raw.filter(col("event_id") % 2 === 0).coalesce(1)
+      .write.mode("append").parquet(d)
+    Thread.sleep(60)
+    raw.filter(col("event_id") % 2 =!= 0).coalesce(1)
+      .write.mode("append").parquet(d)
+    val got = EventStreams.runToMemory(
+      EventStreams.m4Buckets(EventStreams.eventStream(spark, d)),
+      "t_m4", outputMode = "complete")
+      .collect().map(_.toSeq).toSet
+    val want = graft.ops.Events.qM4Downsample(spark, sf)
+      .collect().map(_.toSeq).toSet
+    assert(got === want)
+  }
+
   test("streaming ingest dedup flags exact corpus duplicates on arrival") {
     import spark.implicits._
     val corpus = graft.ops.Tables.table(spark, sf, "documents")
