@@ -918,7 +918,61 @@ object Corpus {
        |FROM r$DoremiRounds ORDER BY source""".stripMargin
   }
 
+  /** LEAVE-ONE-OUT target encoding — the leakage-safe categorical feature
+    * for tabular model training: a category's encoded value for row i is
+    * the target mean of the category EXCLUDING row i (naive target
+    * encoding leaks the row's own label into its feature — the classic
+    * CV-inflation bug), shrunk toward the global prior with an m-estimate
+    * (m = 100) so rare categories don't memorize their few labels:
+    * `enc = (Σy − y_i + m·prior) / (n − 1 + m)`, all in exact basis
+    * points. Target: order-is-urgent; category: customer market segment.
+    *
+    * Scale: one broadcast dimension join + one category-sized statistics
+    * relation broadcast back — a single data scan end to end, no window,
+    * no shuffle of the fact table. The emitted sample (every 97th order)
+    * hash-pins the per-row arithmetic.
+    */
+  def qTargetEncode(spark: SparkSession, dir: String): DataFrame = {
+    val o = table(spark, dir, "orders").select(col("o_orderkey"), col("o_custkey"),
+      when(col("o_orderpriority").startsWith("1"), 1L).otherwise(0L).as("y"))
+    val c = table(spark, dir, "customer")
+      .select(col("c_custkey"), col("c_mktsegment").as("cat"))
+    val rows = o.join(broadcast(c), col("o_custkey") === col("c_custkey"))
+    val stats = rows.groupBy(col("cat"))
+      .agg(count(lit(1)).as("n_cat"), sum(col("y")).as("sum_y"))
+    val tot = rows.agg(count(lit(1)).as("n_all"), sum(col("y")).as("y_all"))
+    rows.join(broadcast(stats), Seq("cat"))
+      .crossJoin(broadcast(tot)) // 1-row scalar attach
+      .withColumn("loo_bp", expr("(sum_y - y) * 10000 DIV greatest(n_cat - 1, 1)"))
+      .withColumn("enc_bp",
+        expr("((sum_y - y) * 10000 + 100 * (y_all * 10000 DIV n_all)) DIV (n_cat - 1 + 100)"))
+      .filter(col("o_orderkey") % 97 === 0)
+      .select(col("o_orderkey"), col("cat"), col("y"), col("n_cat"),
+        col("loo_bp"), col("enc_bp"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  val qTargetEncodeSql: String =
+    """WITH r AS (
+      |  SELECT o_orderkey, c_mktsegment AS cat,
+      |    CASE WHEN o_orderpriority LIKE '1%' THEN 1 ELSE 0 END AS y
+      |  FROM orders JOIN customer ON o_custkey = c_custkey
+      |), s AS (
+      |  SELECT cat, CAST(count(*) AS BIGINT) AS n_cat,
+      |    CAST(sum(y) AS BIGINT) AS sum_y
+      |  FROM r GROUP BY cat
+      |), t AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS n_all, CAST(sum(y) AS BIGINT) AS y_all FROM r
+      |)
+      |SELECT o_orderkey, cat, CAST(y AS BIGINT) AS y, n_cat,
+      |  CAST((sum_y - y) * 10000 // greatest(n_cat - 1, 1) AS BIGINT) AS loo_bp,
+      |  CAST(((sum_y - y) * 10000 + 100 * (y_all * 10000 // n_all)) // (n_cat - 1 + 100) AS BIGINT) AS enc_bp
+      |FROM r JOIN s USING (cat) CROSS JOIN t
+      |WHERE o_orderkey % 97 = 0
+      |ORDER BY o_orderkey""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_target_encode" -> (qTargetEncode _),
     "q_doremi_weights" -> (qDoremiWeights _),
     "q_dsir_weights" -> (qDsirWeights _),
     "q_score_qnorm" -> (qScoreQnorm _),
@@ -939,6 +993,7 @@ object Corpus {
     "q_contamination" -> (qContamination _))
 
   def oracle: Map[String, String] = Map(
+    "q_target_encode" -> qTargetEncodeSql,
     "q_doremi_weights" -> qDoremiWeightsSql,
     "q_dsir_weights" -> qDsirWeightsSql,
     "q_score_qnorm" -> qScoreQnormSql,

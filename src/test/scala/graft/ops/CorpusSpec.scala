@@ -11,6 +11,37 @@ import org.apache.spark.sql.functions._
   */
 class CorpusSpec extends SparkFunSuite {
 
+  test("target encoding is leave-one-out: the row's own label never leaks in") {
+    val sf = "/root/testdata/sf0.001"
+    val all = Tables.table(spark, sf, "orders")
+      .join(Tables.table(spark, sf, "customer"),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("o_orderkey"), col("c_mktsegment").as("cat"),
+        when(col("o_orderpriority").startsWith("1"), 1L).otherwise(0L).as("y"))
+      .collect()
+    val byCat = all.groupBy(_.getString(1))
+    val out = Corpus.qTargetEncode(spark, sf).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val cat = r.getString(1)
+      val members = byCat(cat)
+      val sumY = members.map(_.getLong(2)).sum
+      val n = members.length.toLong
+      val y = r.getAs[Long]("y")
+      // LOO: subtracting THIS row's label, never another's
+      assert(r.getAs[Long]("loo_bp") === (sumY - y) * 10000 / math.max(n - 1, 1))
+      // two same-category rows with different labels must encode differently
+      members.map(_.getLong(2)).distinct.sorted.toList match {
+        case List(0L, 1L) =>
+          val encs = out.filter(_.getString(1) == cat).map(o =>
+            o.getAs[Long]("y") -> o.getAs[Long]("loo_bp")).toMap
+          if (encs.size == 2) assert(encs(0L) > encs(1L),
+            "excluding a positive label must lower the LOO mean")
+        case _ =>
+      }
+    }
+  }
+
   private val sf = "/root/testdata/sf0.001"
 
   test("split leakage: only the cross-split near-dup pair surfaces") {
