@@ -158,6 +158,39 @@ object Sketches {
       .orderBy(col("source"))
   }
 
+  /** The register relation via the NATIVE aggregate
+    * [[graft.functions.HllRegsAgg]]: one `(source, 256-byte sketch)` row
+    * per source crosses the exchange instead of `sources × m` bucket
+    * groups, then the sketch is unpacked back to `(source, bucket, m_j)`
+    * rows (a sources×m-sized posexplode — report-scale). Spec-pinned
+    * register-identical to [[hllRegisters]].
+    */
+  def hllRegistersNative(src: DataFrame): DataFrame =
+    src
+      .select(col("source"), h60(col("s")).as("h"))
+      .groupBy(col("source"))
+      .agg(graft.functions.HllRegsAgg(col("h"), HllM, HllP, HllScaleExp).as("regs"))
+      .select(col("source"), posexplode(col("regs")).as(Seq("bucket", "m_j")))
+      .filter(col("m_j") > 0)
+      .select(col("source"), col("bucket").cast("int").as("bucket"),
+        col("m_j").cast("int").as("m_j"))
+
+  /** [[qSketchHll]] served by the native sketch aggregate — same output,
+    * same oracle (the SQL register formulation IS the semantics spec the
+    * aggregate must reproduce), different physical shape: the shuffle
+    * carries whole mergeable sketches, the canonical 100 TB build.
+    */
+  def qSketchHllNative(spark: SparkSession, dir: String): DataFrame = {
+    val src = sourceShingles(spark, dir)
+    val exact = src
+      .groupBy(col("source")).agg(count(lit(1)).as("exact_distinct"))
+    hllEstimate(hllRegistersNative(src)).join(exact, Seq("source"))
+      .select(col("source"), col("buckets_hit"), col("z_scaled"),
+        col("est_distinct"), col("exact_distinct"))
+      .withColumn("err_bp", errBp("est_distinct", "exact_distinct"))
+      .orderBy(col("source"))
+  }
+
   val qSketchHllSql: String = {
     s"""WITH sh AS (${shinglePostingsSql}),
        |src AS (
@@ -715,6 +748,7 @@ object Sketches {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_sketch_hll" -> (qSketchHll _),
+    "q_sketch_hll_native" -> (qSketchHllNative _),
     "q_sketch_kmv" -> (qSketchKmv _),
     "q_sketch_cms" -> (qSketchCms _),
     "q_sketch_overlap" -> (qSketchOverlap _),
@@ -725,6 +759,7 @@ object Sketches {
 
   def oracle: Map[String, String] = Map(
     "q_sketch_hll" -> qSketchHllSql,
+    "q_sketch_hll_native" -> qSketchHllSql,
     "q_sketch_kmv" -> qSketchKmvSql,
     "q_sketch_cms" -> qSketchCmsSql,
     "q_sketch_overlap" -> qSketchOverlapSql,

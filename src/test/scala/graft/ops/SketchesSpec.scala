@@ -33,6 +33,17 @@ class SketchesSpec extends SparkFunSuite {
     assert(eFull == eMerged)
   }
 
+  test("native hll aggregate is register-identical to the SQL formulation") {
+    val src = Sketches.sourceShingles(spark, sf)
+    val sql = Sketches.hllRegisters(src)
+    val native = Sketches.hllRegistersNative(src)
+    assert(sql.exceptAll(native).isEmpty && native.exceptAll(sql).isEmpty)
+    // and the equality is partition-layout invariant (the buffer merge
+    // path, not just single-partition update)
+    val nativeWide = Sketches.hllRegistersNative(src.repartition(13, col("s")))
+    assert(sql.exceptAll(nativeWide).isEmpty && nativeWide.exceptAll(sql).isEmpty)
+  }
+
   test("cms counters merge: cellwise sum of part counters equals union counters") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
     val postings = TextDedup.shingles(docs, col("doc_id"), col("text"), Dedup.ShingleK)
