@@ -242,6 +242,60 @@ object JoinShapes {
       .orderBy(col("source"))
   }
 
+  /** Incremental JOIN-VIEW maintenance under a DIMENSION update — the
+    * fan-out case [[qAggRefresh]] doesn't exercise: when a dimension row
+    * changes, every fact row enriched from it is stale at once. The
+    * enriched view (orders ⋈ customer) is computed once and STORED; a
+    * deterministic dimension delta (every 7th customer re-segmented) then
+    * refreshes it as
+    * `view' = (view ANTI-JOIN Δdim-keys) ∪ (facts SEMI Δdim ⋈ Δdim)` —
+    * the stored view is scanned once with the delta keys BROADCAST into
+    * the anti filter, and only the affected facts re-enrich. The oracle
+    * is the full recompute against the updated dimension: hash equality
+    * IS the view-maintenance contract.
+    *
+    * Scale: refresh cost = one stored-view scan (broadcast-filtered) +
+    * O(affected facts) — never a re-join of the full fact table against
+    * the full dimension. This is the delta-join identity
+    * `Δ(A ⋈ B) = A ⋈ ΔB` specialized to key-replacing dimension upserts.
+    */
+  def qViewRefresh(spark: SparkSession, dir: String): DataFrame = {
+    val orders = table(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"), dec(col("o_totalprice")).as("price"))
+    val cust = table(spark, dir, "customer")
+      .select(col("c_custkey"), col("c_mktsegment"))
+    val viewDir = graft.ScratchDirs("join-view")
+    orders.join(cust, col("o_custkey") === col("c_custkey"))
+      .select(col("o_orderkey"), col("o_custkey"),
+        col("c_mktsegment").as("segment"), col("price"))
+      .write.mode("overwrite").parquet(s"$viewDir/view.parquet")
+    val stored = spark.read.parquet(s"$viewDir/view.parquet")
+    val deltaDim = cust.filter(col("c_custkey") % 7 === 0)
+      .select(col("c_custkey"), lit("RESEGMENTED").as("c_mktsegment"))
+    val refreshed = stored
+      .join(broadcast(deltaDim.select(col("c_custkey").as("k"))),
+        col("o_custkey") === col("k"), "left_anti")
+      .unionByName(
+        orders.join(broadcast(deltaDim), col("o_custkey") === col("c_custkey"))
+          .select(col("o_orderkey"), col("o_custkey"),
+            col("c_mktsegment").as("segment"), col("price")))
+    refreshed.groupBy(col("segment"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("price")).cast(org.apache.spark.sql.types.DoubleType).as("sum_price"))
+      .orderBy(col("segment"))
+  }
+
+  val qViewRefreshSql: String =
+    """WITH dim AS (
+      |  SELECT c_custkey,
+      |    CASE WHEN c_custkey % 7 = 0 THEN 'RESEGMENTED' ELSE c_mktsegment END AS segment
+      |  FROM customer
+      |)
+      |SELECT segment, CAST(count(*) AS BIGINT) AS n_orders,
+      |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+      |FROM orders JOIN dim ON o_custkey = c_custkey
+      |GROUP BY segment ORDER BY segment""".stripMargin
+
   /** The oracle is deliberately the FULL recompute — incremental == full
     * is the correctness contract of view maintenance.
     */
@@ -375,6 +429,7 @@ object JoinShapes {
     "q_bloom_join" -> (qBloomJoin _),
     "q_merge_upsert" -> (qMergeUpsert _),
     "q_agg_refresh" -> (qAggRefresh _),
+    "q_view_refresh" -> (qViewRefresh _),
     "q_merge_cdc" -> (qMergeCdc _))
 
   def oracle: Map[String, String] = Map(
@@ -386,5 +441,6 @@ object JoinShapes {
     "q_bloom_join" -> qBloomJoinSql,
     "q_merge_upsert" -> qMergeUpsertSql,
     "q_agg_refresh" -> qAggRefreshSql,
+    "q_view_refresh" -> qViewRefreshSql,
     "q_merge_cdc" -> qMergeCdcSql)
 }

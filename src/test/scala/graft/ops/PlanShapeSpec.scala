@@ -420,6 +420,21 @@ class PlanShapeSpec extends SparkFunSuite {
     assert(!p2.contains("CartesianProduct"), p2)
   }
 
+  test("view refresh: stored view scanned once, delta keys broadcast into the anti join") {
+    val p = plan(JoinShapes.qViewRefresh(spark, sf))
+    // the anti filter and the re-enrichment both ride broadcasts — the
+    // stored view and the fact table are never shuffled on the join key
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"), p)
+    val anti = p.linesIterator.count(l =>
+      l.contains("BroadcastHashJoin") && l.contains("LeftAnti"))
+    assert(anti >= 1, s"anti join must broadcast the delta keys\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"refresh must not key-shuffle the stored view or facts\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+    // and the stored view parquet is one of the scans
+    assert(p.contains("view.parquet"), p)
+  }
+
   test("semdedup: within-cluster pair stage is an equi-join, never a nested loop") {
     import org.apache.spark.sql.functions.col
     val emb = Tables.table(spark, sf, "embeddings")
