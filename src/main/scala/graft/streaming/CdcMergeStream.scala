@@ -51,6 +51,54 @@ object CdcMergeStream {
         coalesce(col("s_ver"), col("ver")).as("ver"))
   }
 
+  /** Streaming JOIN-VIEW maintenance under a dimension-update feed — the
+    * arrival-time dual of [[graft.ops.JoinShapes.qViewRefresh]]: each
+    * micro-batch of dimension upserts `(key, attrs)` refreshes the carried
+    * enriched view with the same delta-join identity —
+    * `view' = (view ANTI batch-keys) ∪ (facts SEMI batch ⋈ batch)` — so
+    * per-batch cost is one broadcast-filtered view scan + the affected
+    * facts, never a full re-join. Because each refresh step equals the
+    * full recompute against the dimension-so-far (the batch identity,
+    * applied inductively), the final streamed view equals the one-shot
+    * batch refresh under any split of the dimension feed (spec-pinned).
+    *
+    * `facts` must carry the fact columns + `dimKey`; `dimBatch` rows are
+    * `(dimKey, enrich-cols…)`; `enrich` builds the enriched row from a
+    * (facts ⋈ dim-rows) frame.
+    */
+  def runViewRefresh(
+      spark: SparkSession,
+      dimDir: String,
+      dimSchema: org.apache.spark.sql.types.StructType,
+      checkpoint: String,
+      initialView: DataFrame,
+      facts: DataFrame,
+      dimKey: String,
+      enrich: DataFrame => DataFrame): DataFrame = {
+    @volatile var view = initialView.localCheckpoint()
+    val factsStable = facts.localCheckpoint()
+    val stream = spark.readStream
+      .schema(dimSchema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(dimDir)
+    val q = stream.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val keys = batch.select(col(dimKey)).distinct().localCheckpoint()
+        val refreshedPart = enrich(
+          factsStable.join(broadcast(batch), Seq(dimKey)))
+        view = view
+          .join(broadcast(keys), Seq(dimKey), "left_anti")
+          .unionByName(refreshedPart)
+          .localCheckpoint()
+        ()
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    view
+  }
+
   /** Stream the change-log parquet directory into `initial` with one MERGE
     * per micro-batch (AvailableNow — returns the final target after
     * catch-up). `maxFilesPerTrigger=1` keeps one file per micro-batch so

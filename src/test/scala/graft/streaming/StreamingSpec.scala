@@ -265,6 +265,44 @@ class StreamingSpec extends SparkFunSuite {
       "stitched doc is partially novel")
   }
 
+  test("streaming view refresh equals the full recompute under a split dim feed") {
+    import org.apache.spark.sql.types._
+    val orders = graft.ops.Tables.table(spark, sf, "orders")
+      .select(col("o_orderkey"), col("o_custkey").as("custkey"),
+        graft.ops.Tables.dec(col("o_totalprice")).as("price"))
+    val cust = graft.ops.Tables.table(spark, sf, "customer")
+      .select(col("c_custkey").as("custkey"), col("c_mktsegment"))
+    val initialView = orders.join(cust, Seq("custkey"))
+      .select(col("o_orderkey"), col("custkey"),
+        col("c_mktsegment").as("segment"), col("price"))
+    // dimension-update feed: every 7th customer re-segmented, delivered
+    // across TWO files => two refresh micro-batches
+    val updates = cust.filter(col("custkey") % 7 === 0)
+      .withColumn("c_mktsegment", lit("RESEGMENTED"))
+    val dimDir = tmpDir("view-refresh-dim")
+    updates.filter(col("custkey") % 14 === 0).coalesce(1)
+      .write.mode("append").parquet(dimDir)
+    Thread.sleep(60)
+    updates.filter(col("custkey") % 14 =!= 0).coalesce(1)
+      .write.mode("append").parquet(dimDir)
+    val dimSchema = StructType(Seq(StructField("custkey", LongType),
+      StructField("c_mktsegment", StringType)))
+    val got = CdcMergeStream.runViewRefresh(
+      spark, dimDir, dimSchema, tmpDir("view-refresh-ckpt"),
+      initialView, orders, "custkey",
+      joined => joined.select(col("o_orderkey"), col("custkey"),
+        col("c_mktsegment").as("segment"), col("price")))
+      .select(col("o_orderkey"), col("custkey"), col("segment"), col("price"))
+    // oracle: full recompute against the fully-updated dimension
+    val updatedDim = cust.withColumn("c_mktsegment",
+      when(col("custkey") % 7 === 0, lit("RESEGMENTED")).otherwise(col("c_mktsegment")))
+    val want = orders.join(updatedDim, Seq("custkey"))
+      .select(col("o_orderkey"), col("custkey"),
+        col("c_mktsegment").as("segment"), col("price"))
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+    assert(got.count() === initialView.count(), "refresh must not change view size")
+  }
+
   test("streaming compaction planner reproduces the batch plan across trigger splits") {
     import spark.implicits._
     // two partition directories committed interleaved across three arrival
