@@ -17,7 +17,14 @@ import org.apache.spark.sql.functions._
   *    (dup-rate and max-df invariant while the corpus grows 10×);
   *  - embeddings ×10: per-replica component rotation (within-replica
   *    geometry preserved, cross-replica decorrelated);
-  *  - all other tables copied unchanged (dimensions don't scale with SF).
+  *  - orders ×10 (round 11): per-replica orderkey offsets on the SAME
+  *    base as lineitem so the lineitem⋈orders FK stays aligned; custkey,
+  *    dates and amounts unchanged (each customer simply owns 10× orders);
+  *  - events ×10 (round 11): per-replica event-id and user-id namespaces —
+  *    10× more user series with identical per-series temporal shape, the
+  *    scaling under which the VARIANT / interpolate / M4 / funnel / CUSUM
+  *    family is designed to be linear (per-series state constant);
+  *  - true dimensions copied unchanged (they don't scale with SF).
   *
   * Replica 0 is the identity, so every pinned query id (`QueryIds`,
   * Bm25QueryTerms anchors, …) still resolves at the probe scale.
@@ -33,7 +40,13 @@ object ScaleProbe {
     new java.io.File(dstDir).mkdirs()
 
     val li = spark.read.parquet(s"$srcDir/lineitem.parquet")
-    val maxOk = li.agg(max(col("l_orderkey"))).collect()(0).getLong(0) + 1
+    val ord = spark.read.parquet(s"$srcDir/orders.parquet")
+    // one shared orderkey offset base across lineitem AND orders keeps
+    // the FK aligned in every replica (orders may hold keys past
+    // lineitem's max — customers whose order shipped nothing yet)
+    val maxOk = math.max(
+      li.agg(max(col("l_orderkey"))).collect()(0).getLong(0),
+      ord.agg(max(col("o_orderkey"))).collect()(0).getLong(0)) + 1
     val maxPk = li.agg(max(col("l_partkey"))).collect()(0).getLong(0) + 1
     li.crossJoin(reps(spark))
       .withColumn("l_orderkey", col("l_orderkey") + col("k") * maxOk)
@@ -54,6 +67,20 @@ object ScaleProbe {
       .drop("k")
       .write.mode("overwrite").parquet(s"$dstDir/documents.parquet")
 
+    ord.crossJoin(reps(spark))
+      .withColumn("o_orderkey", col("o_orderkey") + col("k") * maxOk)
+      .drop("k")
+      .write.mode("overwrite").parquet(s"$dstDir/orders.parquet")
+
+    val ev = spark.read.parquet(s"$srcDir/events.parquet")
+    val maxEid = ev.agg(max(col("event_id"))).collect()(0).getLong(0) + 1
+    val maxUid = ev.agg(max(col("user_id"))).collect()(0).getLong(0) + 1
+    ev.crossJoin(reps(spark))
+      .withColumn("event_id", col("event_id") + col("k") * maxEid)
+      .withColumn("user_id", col("user_id") + col("k") * maxUid)
+      .drop("k")
+      .write.mode("overwrite").parquet(s"$dstDir/events.parquet")
+
     val emb = spark.read.parquet(s"$srcDir/embeddings.parquet")
     val dim = emb.select(size(col("embedding"))).limit(1).collect()(0).getInt(0)
     val maxVec = emb.agg(max(col("vec_id"))).collect()(0).getLong(0) + 1
@@ -67,7 +94,7 @@ object ScaleProbe {
       .drop("k")
       .write.mode("overwrite").parquet(s"$dstDir/embeddings.parquet")
 
-    Seq("region", "nation", "customer", "supplier", "part", "orders", "events")
+    Seq("region", "nation", "customer", "supplier", "part")
       .foreach { name =>
         val src = java.nio.file.Paths.get(s"$srcDir/$name.parquet")
         if (java.nio.file.Files.isRegularFile(src))

@@ -661,11 +661,11 @@ object Dedup {
     */
   def qDedupIndexed(spark: SparkSession, dir: String): DataFrame = {
     val docs = table(spark, dir, "documents")
-    val indexDir = graft.ScratchDirs("dedup-lsh-index")
-    TextDedup.writeLshIndex(
-      docs.filter(pmod(col("doc_id"), lit(5)) =!= 0),
-      col("doc_id"), col("text"), indexDir,
-      TextDedup.MinHashConfig(shingleK = ShingleK))
+    val indexDir = graft.ServingIndexes.ensure("dedup-lsh-index", dir)(d =>
+      TextDedup.writeLshIndex(
+        docs.filter(pmod(col("doc_id"), lit(5)) =!= 0),
+        col("doc_id"), col("text"), d,
+        TextDedup.MinHashConfig(shingleK = ShingleK)))
     TextDedup.minhashLshIncrementalFromIndex(
       docs.filter(pmod(col("doc_id"), lit(5)) === 0),
       col("doc_id"), col("text"), indexDir,

@@ -516,12 +516,129 @@ object Layout {
        |FROM c GROUP BY source, grp
        |ORDER BY source, grp""".stripMargin
 
+  /** Re-cluster trigger: fire maintenance when the append-drift raises the
+    * mean zone-map width by at least this many basis points (averaged over
+    * the two clustered dimensions). The 10%-unclustered-append scenario
+    * measures ~900+ bp at every SF, so the registered query exercises the
+    * FIRING branch; the no-op branch (fresh table, drift ≈ 0) is
+    * spec-pinned.
+    */
+  val DriftThresholdBp = 250L
+
+  /** Rows per restore-plan compaction group (8 × [[RowsPerFile]] granules
+    * per rewrite task).
+    */
+  val ReclusterGroupRows = 4096
+
+  /** The RE-CLUSTER MAINTENANCE DECISION over a (ok, ln, qty, pc, hk,
+    * segment) relation — segment 0 = the Hilbert-clustered base, 1 = rows
+    * appended since, in commit order:
+    *
+    *   measure: [[qLayoutDrift]]'s width statistics for the counterfactual
+    *   fully-clustered layout vs the as-appended layout, collapsed to one
+    *   `drift_bp` scalar (mean over both dimensions of the bp regression);
+    *
+    *   act: when `drift_bp` ≥ the threshold, emit the Hilbert-RESTORE
+    *   plan — every row ranked by (hk, ok, ln) and carved into
+    *   `groupRows`-row rewrite groups with their hk ranges, i.e. the group
+    *   manifest a table service hands to [[compact]]-style rewrite tasks
+    *   (each group = one output file span in curve order). Below the
+    *   threshold the result is EMPTY — no maintenance due.
+    *
+    * The gate is IN-PLAN (the drift scalar rides a broadcast 1-row cross
+    * join into the plan's filter), so the whole decision is one
+    * declarative query the oracle replays — no driver branching on data.
+    *
+    * Scale: two zone-map passes + one [[Rank.globalRank]] pass over the
+    * table (all range-exchange, no single-reducer window); the emitted
+    * plan is manifest-sized. The drift measure is the cheap standing
+    * query; the restore ranking only needs to run when it fires — a
+    * driver COULD short-circuit on the scalar, but the declarative form
+    * costs one extra rank pass only in the firing case, where the rewrite
+    * it plans dwarfs it.
+    */
+  private[graft] def reclusterDecision(keyed: DataFrame, thresholdBp: Long,
+      groupRows: Int): DataFrame = {
+    val appendOrder = Seq(col("segment"),
+      when(col("segment") === 0, col("hk")).otherwise(lit(0L)),
+      col("ok"), col("ln"))
+    val stats = healthStats(keyed, Seq(
+      ("clustered", granuleZoneMaps(keyed, Seq(col("hk"), col("ok"), col("ln")))),
+      ("after_append", granuleZoneMaps(keyed, appendOrder))))
+    val drift = stats.agg(
+      expr("sum(CASE WHEN layout = 'after_append' THEN avg_width_bp " +
+        "ELSE -avg_width_bp END) DIV 2").as("drift_bp"))
+    Rank.globalRank(keyed, Seq(col("hk"), col("ok"), col("ln")), 32)
+      .select(expr(s"(rnk - 1) DIV $groupRows").as("grp"), col("hk"))
+      .groupBy(col("grp"))
+      .agg(count(lit(1)).as("n_rows"),
+        min(col("hk")).as("hk_lo"), max(col("hk")).as("hk_hi"))
+      .crossJoin(broadcast(drift)) // 1-row scalar attach
+      .filter(col("drift_bp") >= thresholdBp)
+      .select(col("grp"), col("n_rows"), col("hk_lo"), col("hk_hi"), col("drift_bp"))
+      .orderBy(col("grp"))
+  }
+
+  /** [[reclusterDecision]] on [[qLayoutDrift]]'s 10%-append scenario: the
+    * drift trigger WIRED TO its repair — the maintenance loop closed. The
+    * streaming dual ([[graft.streaming.ReclusterStream]]) runs the same
+    * decision as appends arrive.
+    */
+  def qReclusterPlan(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
+    val keyed = keyedLineitem(spark, dir)
+      .withColumn("segment", expr("CASE WHEN ok % 10 = 0 THEN 1 ELSE 0 END"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    TextDedup.materializeAndRelease(
+      reclusterDecision(keyed, DriftThresholdBp, ReclusterGroupRows), keyed)
+  }
+
+  /** Oracle: the [[qLayoutDriftSql]] width replay collapsed to the drift
+    * scalar, the restore ranking as one total-order window, the gate as
+    * the same scalar cross join.
+    */
+  val qReclusterPlanSql: String = {
+    val statsBranches = for {
+      (layout, files) <- Seq(("clustered", "hi_files"), ("after_append", "dr_files"))
+      (dim, width, dom) <- Seq(("qty", "qmax - qmin + 1", "qdom"),
+        ("price", "pmax - pmin + 1", "pdom"))
+    } yield healthBranch(layout, files, dim, width, dom)
+    s"""WITH $zoneMapCtes, dr AS (
+       |  SELECT qty, pc, (row_number() OVER (ORDER BY
+       |    CASE WHEN ok % 10 = 0 THEN 1 ELSE 0 END,
+       |    CASE WHEN ok % 10 = 0 THEN 0 ELSE hk END, ok, ln) - 1) // $RowsPerFile AS f
+       |  FROM k
+       |), dr_files AS (
+       |  SELECT f, min(qty) AS qmin, max(qty) AS qmax,
+       |    min(pc) AS pmin, max(pc) AS pmax
+       |  FROM dr GROUP BY f
+       |), dom AS (
+       |  SELECT max(qty) - min(qty) + 1 AS qdom, max(pc) - min(pc) + 1 AS pdom FROM k
+       |), stats AS (
+       |${statsBranches.mkString("\nUNION ALL\n")}
+       |), drift AS (
+       |  SELECT CAST(sum(CASE WHEN layout = 'after_append' THEN avg_width_bp
+       |                       ELSE -avg_width_bp END) // 2 AS BIGINT) AS drift_bp
+       |  FROM stats
+       |), ranked AS (
+       |  SELECT hk, (row_number() OVER (ORDER BY hk, ok, ln) - 1) // $ReclusterGroupRows AS grp
+       |  FROM k
+       |), plan AS (
+       |  SELECT grp, count(*) AS n_rows, min(hk) AS hk_lo, max(hk) AS hk_hi
+       |  FROM ranked GROUP BY grp
+       |)
+       |SELECT p.grp, p.n_rows, p.hk_lo, p.hk_hi, d.drift_bp
+       |FROM plan p CROSS JOIN drift d
+       |WHERE d.drift_bp >= $DriftThresholdBp
+       |ORDER BY p.grp""".stripMargin
+  }
+
   def queries: Map[String, (org.apache.spark.sql.SparkSession, String) => DataFrame] =
     Map("q_zorder_key" -> (qZOrderKey _), "q_skipping_stats" -> (qSkippingStats _),
       "q_hilbert_key" -> (qHilbertKey _),
       "q_clustering_health" -> (qClusteringHealth _),
       "q_layout_drift" -> (qLayoutDrift _),
-      "q_compaction_plan" -> (qCompactionPlan _))
+      "q_compaction_plan" -> (qCompactionPlan _),
+      "q_recluster_plan" -> (qReclusterPlan _))
 
   def oracle: Map[String, String] = Map(
     "q_zorder_key" -> qZOrderKeySql,
@@ -529,7 +646,8 @@ object Layout {
     "q_hilbert_key" -> qHilbertKeySql,
     "q_clustering_health" -> qClusteringHealthSql,
     "q_layout_drift" -> qLayoutDriftSql,
-    "q_compaction_plan" -> qCompactionPlanSql)
+    "q_compaction_plan" -> qCompactionPlanSql,
+    "q_recluster_plan" -> qReclusterPlanSql)
 
   /** Compact a directory of (typically many small) parquet files into
     * ~`targetBytes` output files — the small-files problem: a 100 TB table

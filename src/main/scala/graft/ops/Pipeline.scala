@@ -84,15 +84,15 @@ object Pipeline {
        |     + CAST(len(t) >= 10 AND len(t) <= 1000 AS INTEGER)) / 4 AS quality_score,
        |    ${TextAnalysis.langPredSql} AS pred
        |  FROM cnts
-       |), gated AS (
+       |), gated AS MATERIALIZED (
        |  SELECT doc_id, text, t, n_tokens, quality_score,
        |    md5(array_to_string(t, ' ')) AS fp
        |  FROM scored WHERE pred = 'en' AND quality_score >= $QualityMin
        |), keep AS (
        |  SELECT fp, min(doc_id) AS doc_id FROM gated GROUP BY fp
-       |), ek AS (
+       |), ek AS MATERIALIZED (
        |  SELECT g.* FROM gated g JOIN keep USING (fp, doc_id)
-       |), sh AS (
+       |), sh AS MATERIALIZED (
        |  SELECT doc_id, unnest(list_distinct(list_transform(
        |    range(len(t) - ${k - 1}),
        |    i -> array_to_string(t[i+1:i+$k], ' ')))) AS s
@@ -114,7 +114,7 @@ object Pipeline {
        |  SELECT doc_id, doc_id FROM ek
        |  UNION
        |  SELECT e.dst, w.lbl FROM walk w JOIN edges e ON e.src = w.id
-       |), canon AS (
+       |), canon AS MATERIALIZED (
        |  SELECT id, min(lbl) AS canonical FROM walk GROUP BY id
        |)
        |SELECT g.doc_id, g.fp, g.n_tokens, g.quality_score
@@ -176,11 +176,278 @@ object Pipeline {
        |ORDER BY va, vb""".stripMargin
   }
 
+  /** THE END-TO-END CORPUS BUILD (round 11): every stage a 100 TB
+    * training-data pipeline runs, chained as one registered query —
+    *
+    *   0. eval-set exclusion (doc_id ≡ 0 mod 20 is the benchmark stand-in)
+    *   1. quality gate + 2. language gate (narrow per-row projections)
+    *   3. exact dedup        (min-id survivor per md5 fingerprint)
+    *   4. near-dup dedup     (capped inverted-index Jaccard pairs →
+    *                          connected components, min-id survivors)
+    *   5. semantic dedup     (cluster-bounded cosine pairs over the
+    *                          survivors' embeddings → components; docs
+    *                          without an embedding pass through)
+    *   6. decontamination    (drop any survivor sharing a 3-shingle with
+    *                          the eval set — broadcast bench-gram join)
+    *   7. temperature mixing (per-source md5-keep at
+    *                          thr = ⌊10⁴·√(n_min/n_src)⌋, the
+    *                          [[Corpus.qSampleTemperature]] discipline)
+    *   8. split assignment   (md5 80/10/10 — [[Corpus.splitCol]])
+    *   9. sequence packing   (concat-then-chunk at [[Corpus.PackBudget]]
+    *                          tokens within 8 md5 shards per split)
+    *
+    * Output: one row per (split, shard, chunk) with doc/token counts and
+    * the id range — a compact relation that changes if ANY stage's
+    * decision changes, so the hash gate covers the whole composition.
+    *
+    * Plan shape (the integration claim): stages 1-3 are one scan of the
+    * train corpus into a persisted `gated` relation; every later stage
+    * reads survivors from that cache or from pair relations that are
+    * already sub-quadratic by construction ([[TextDedup.jaccardPairs]]'s
+    * hot-posting cap, [[VectorSearch.clusterCosinePairs]]'s k~√n
+    * buckets). The documented extra corpus reads are exactly two: the
+    * eval split's shingle scan (stage 6's bench grams — a different WHERE
+    * than the train scan) and the survivor re-shingle (stage 6 probes
+    * shingles of ~deduped survivors, far smaller than the stage-4 index).
+    * Temperature rates and the bench-gram set ride as broadcasts; nothing
+    * corpus-sized crosses a driver boundary ([[TextDedup.canonicalize]]'s
+    * edge sniff is pair-plan-sized and cap-guarded).
+    */
+  def qPipelineFull(spark: SparkSession, dir: String): DataFrame = {
+    val docs = table(spark, dir, "documents")
+    // stage 0: the eval stand-in never enters the training corpus
+    val train = docs.filter(pmod(col("doc_id"), lit(20)) =!= 0)
+    val withT = train.select(col("doc_id"), col("source"), col("text"),
+      tokens(col("text")).as("t"))
+
+    // stages 1+2: quality + language gates (one narrow projection)
+    val gated = withT
+      .withColumn("n_tokens", size(col("t")).cast(LongType))
+      .withColumn("quality_score",
+        TextAnalysis.qualityScoreC(
+          TextAnalysis.stopRatioC(col("t")),
+          TextAnalysis.typeTokenRatioC(col("t")),
+          TextAnalysis.lengthOkC(col("t"))))
+      .filter(TextAnalysis.langPredC(col("t")) === "en" &&
+        col("quality_score") >= QualityMin)
+      .withColumn("fp", md5(concat_ws(" ", col("t"))))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+    // stage 3: exact dedup — min doc_id survives per fingerprint
+    val keep = gated.groupBy(col("fp")).agg(min(col("doc_id")).as("doc_id"))
+    val exactKept = gated.join(keep, Seq("fp", "doc_id"), "left_semi")
+
+    // stage 4: near-dup components over exact survivors, min-id survivors
+    val pairs = TextDedup.jaccardPairs(
+      exactKept, col("doc_id"), col("text"), Dedup.ShingleK, Dedup.JaccardThreshold)
+    val canon = TextDedup.canonicalize(pairs, exactKept.select(col("doc_id").as("id")))
+    val nearKept = exactKept.join(
+      canon.filter(col("canonical") === col("id")).select(col("id").as("doc_id")),
+      Seq("doc_id"), "left_semi")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+    // stage 5: semantic dedup over the survivors that HAVE an embedding
+    // (vec_id ≡ doc_id on this corpus); min-id component survivor, docs
+    // without a vector pass through untouched
+    val embKept = table(spark, dir, "embeddings")
+      .join(nearKept.select(col("doc_id").as("vec_id")), Seq("vec_id"), "left_semi")
+    val semPairs = VectorSearch.clusterCosinePairs(
+      embKept, col("vec_id"), col("embedding"), Dedup.CosineThreshold,
+      probes = Dedup.ClusterPairProbes)
+    val semCanon = TextDedup.canonicalize(semPairs, embKept.select(col("vec_id").as("id")))
+    val semDropped = semCanon.filter(col("canonical") =!= col("id"))
+      .select(col("id").as("doc_id"))
+    val semKept = nearKept.join(semDropped, Seq("doc_id"), "left_anti")
+
+    // stage 6: decontamination — any shared 3-shingle with the eval set
+    // disqualifies; the eval gram set is dimension-sized → broadcast
+    val benchSh = TextDedup.shingles(
+      docs.filter(pmod(col("doc_id"), lit(20)) === 0),
+      col("doc_id"), col("text"), Dedup.ShingleK)
+    val benchGrams = broadcast(benchSh.select(col("s")).distinct())
+    val survSh = TextDedup.shingles(semKept, col("doc_id"), col("text"), Dedup.ShingleK)
+    val contaminated = survSh.join(benchGrams, Seq("s"))
+      .select(col("id").as("doc_id")).distinct()
+    val clean = semKept.join(contaminated, Seq("doc_id"), "left_anti")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+    // stage 7: temperature mixing as a deterministic per-source md5 keep
+    val sizes = clean.groupBy(col("source")).agg(count(lit(1)).as("n_src"))
+    val minN = sizes.agg(min(col("n_src")).as("n_min"))
+    val rates = sizes.crossJoin(broadcast(minN))
+      .select(col("source"),
+        floor(lit(10000d) * sqrt(col("n_min").cast("double") / col("n_src").cast("double")))
+          .as("thr"))
+    val sampled = clean.join(broadcast(rates), "source")
+      .filter(
+        pmod(conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10).cast("long"),
+          lit(10000)) < col("thr"))
+
+    // stages 8+9: split assignment, then concat-then-chunk packing within
+    // 8 md5 shards PER SPLIT (parallel across the cluster, no global sort)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("split"), col("shard")).orderBy(col("doc_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val out = sampled
+      .select(col("doc_id"), col("n_tokens"),
+        Corpus.splitCol(col("doc_id")).as("split"),
+        pmod(conv(substring(md5(col("doc_id").cast("string")), 9, 4), 16, 10).cast("long"),
+          lit(8)).as("shard"))
+      .withColumn("start_tok", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .withColumn("chunk_id", floor(col("start_tok") / lit(Corpus.PackBudget)))
+      .groupBy(col("split"), col("shard"), col("chunk_id"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"),
+        min(col("doc_id")).as("min_doc"), max(col("doc_id")).as("max_doc"))
+      .orderBy(col("split"), col("shard"), col("chunk_id"))
+    TextDedup.materializeAndRelease(out, gated, nearKept, clean, benchSh, survSh)
+  }
+
+  /** DuckDB mirror of all ten stages: the near-dup and semantic component
+    * closures as recursive CTEs, the Lloyd chain of the semantic stage
+    * replayed over exactly the survivors' vectors
+    * ([[Similarity.ivfChainSql]] with the stage-4 survivor set as its
+    * corpus filter), every keep-decision the same md5 arithmetic.
+    */
+  val qPipelineFullSql: String = {
+    val de = TextAnalysis.sqlStopCount(TextAnalysis.StopwordsDe)
+    val en = TextAnalysis.sqlStopCount(TextAnalysis.StopwordsEn)
+    val es = TextAnalysis.sqlStopCount(TextAnalysis.StopwordsEs)
+    val fr = TextAnalysis.sqlStopCount(TextAnalysis.StopwordsFr)
+    val k = Dedup.ShingleK
+    val cfg = VectorSearch.IvfConfig()
+    val semWhere = "WHERE vec_id IN (SELECT doc_id FROM nk)"
+    s"""WITH RECURSIVE base AS (
+       |  SELECT doc_id, source, text, regexp_split_to_array(lower(text), '\\s+') AS t
+       |  FROM documents WHERE doc_id % 20 <> 0
+       |), cnts AS (
+       |  SELECT doc_id, source, text, t,
+       |    $de AS c_de, $en AS c_en, $es AS c_es, $fr AS c_fr
+       |  FROM base
+       |), scored AS (
+       |  SELECT doc_id, source, text, t, len(t) AS n_tokens,
+       |    (CAST(c_en AS DOUBLE) / CAST(len(t) AS DOUBLE) * 2
+       |     + CAST(len(list_distinct(t)) AS DOUBLE) / CAST(len(t) AS DOUBLE)
+       |     + CAST(len(t) >= 10 AND len(t) <= 1000 AS INTEGER)) / 4 AS quality_score,
+       |    ${TextAnalysis.langPredSql} AS pred
+       |  FROM cnts
+       |), gated AS MATERIALIZED (
+       |  SELECT doc_id, source, text, t, n_tokens,
+       |    md5(array_to_string(t, ' ')) AS fp
+       |  FROM scored WHERE pred = 'en' AND quality_score >= $QualityMin
+       |), keep AS (
+       |  SELECT fp, min(doc_id) AS doc_id FROM gated GROUP BY fp
+       |), ek AS MATERIALIZED (
+       |  SELECT g.* FROM gated g JOIN keep USING (fp, doc_id)
+       |), sh AS MATERIALIZED (
+       |  SELECT doc_id, unnest(list_distinct(list_transform(
+       |    range(len(t) - ${k - 1}),
+       |    i -> array_to_string(t[i+1:i+$k], ' ')))) AS s
+       |  FROM ek WHERE len(t) >= $k
+       |), sizes AS (
+       |  SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
+       |), commons AS (
+       |  SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS common
+       |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2
+       |), pairs AS (
+       |  SELECT da, db
+       |  FROM commons JOIN sizes x ON da = x.doc_id JOIN sizes y ON db = y.doc_id
+       |  WHERE CAST(common AS DOUBLE) / CAST(x.n + y.n - common AS DOUBLE) >= ${Dedup.JaccardThreshold}
+       |), edges AS (
+       |  SELECT da AS src, db AS dst FROM pairs
+       |  UNION ALL SELECT db AS src, da AS dst FROM pairs
+       |), walk(id, lbl) AS (
+       |  SELECT doc_id, doc_id FROM ek
+       |  UNION
+       |  SELECT e.dst, w.lbl FROM walk w JOIN edges e ON e.src = w.id
+       |), canon AS MATERIALIZED (
+       |  SELECT id, min(lbl) AS canonical FROM walk GROUP BY id
+       |), nk AS MATERIALIZED (
+       |  SELECT g.* FROM ek g JOIN canon c ON g.doc_id = c.id AND c.canonical = g.doc_id
+       |), ${Similarity.ivfChainSql(cfg, semWhere, materialized = true)}, probe AS (
+       |  SELECT vec_id, j AS bucket FROM (
+       |    SELECT vec_id, j, row_number() OVER (PARTITION BY vec_id ORDER BY dist, j) AS rn
+       |    FROM distF)
+       |  WHERE rn <= ${Dedup.ClusterPairProbes}
+       |), scand AS (
+       |  SELECT DISTINCT a.vec_id AS va, b.vec_id AS vb
+       |  FROM probe a JOIN probe b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+       |), nv AS MATERIALIZED (
+       |  SELECT vec_id, embedding,
+       |    sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+       |  FROM embeddings $semWhere
+       |), sempairs AS (
+       |  SELECT c.va, c.vb
+       |  FROM scand c JOIN nv a ON a.vec_id = c.va JOIN nv b ON b.vec_id = c.vb
+       |  WHERE round(list_sum(list_transform(list_zip(a.embedding, b.embedding),
+       |      p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))) / (a.nrm * b.nrm), 6)
+       |    >= ${Dedup.CosineThreshold}
+       |), semedges AS (
+       |  SELECT va AS src, vb AS dst FROM sempairs
+       |  UNION ALL SELECT vb AS src, va AS dst FROM sempairs
+       |), semwalk(id, lbl) AS (
+       |  SELECT vec_id, vec_id FROM nv
+       |  UNION
+       |  SELECT e.dst, w.lbl FROM semwalk w JOIN semedges e ON e.src = w.id
+       |), semdrop AS (
+       |  SELECT id AS doc_id FROM (
+       |    SELECT id, min(lbl) AS canonical FROM semwalk GROUP BY id)
+       |  WHERE canonical <> id
+       |), sk AS MATERIALIZED (
+       |  SELECT * FROM nk WHERE doc_id NOT IN (SELECT doc_id FROM semdrop)
+       |), bench AS (
+       |  SELECT DISTINCT unnest(list_distinct(list_transform(
+       |    range(len(t) - ${k - 1}),
+       |    i -> array_to_string(t[i+1:i+$k], ' ')))) AS s
+       |  FROM (SELECT regexp_split_to_array(lower(text), '\\s+') AS t
+       |        FROM documents WHERE doc_id % 20 = 0)
+       |  WHERE len(t) >= $k
+       |), ssh AS (
+       |  SELECT doc_id, unnest(list_distinct(list_transform(
+       |    range(len(t) - ${k - 1}),
+       |    i -> array_to_string(t[i+1:i+$k], ' ')))) AS s
+       |  FROM sk WHERE len(t) >= $k
+       |), contam AS (
+       |  SELECT DISTINCT ssh.doc_id FROM ssh JOIN bench USING (s)
+       |), clean AS MATERIALIZED (
+       |  SELECT * FROM sk WHERE doc_id NOT IN (SELECT doc_id FROM contam)
+       |), src_sizes AS (
+       |  SELECT source, count(*) AS n_src FROM clean GROUP BY 1
+       |), mn AS (SELECT min(n_src) AS n_min FROM src_sizes),
+       |rates AS (
+       |  SELECT source,
+       |    CAST(floor(10000 * sqrt(CAST(n_min AS DOUBLE) / CAST(n_src AS DOUBLE))) AS BIGINT) AS thr
+       |  FROM src_sizes, mn
+       |), sampled AS MATERIALIZED (
+       |  SELECT c.doc_id, c.n_tokens,
+       |    ${Corpus.splitColSql("c.doc_id")} AS split,
+       |    CAST(concat('0x', substring(md5(CAST(c.doc_id AS VARCHAR)), 9, 4)) AS BIGINT) % 8
+       |      AS shard
+       |  FROM clean c JOIN rates r ON r.source = c.source
+       |  WHERE CAST(concat('0x', substring(md5(CAST(c.doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+       |      % 10000 < r.thr
+       |), chunks AS (
+       |  SELECT split, shard, doc_id, n_tokens,
+       |    COALESCE(sum(n_tokens) OVER (PARTITION BY split, shard ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start_tok
+       |  FROM sampled
+       |)
+       |SELECT split, shard,
+       |  CAST(floor(start_tok / ${Corpus.PackBudget}) AS BIGINT) AS chunk_id,
+       |  count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+       |  min(doc_id) AS min_doc, max(doc_id) AS max_doc
+       |FROM chunks
+       |GROUP BY 1, 2, 3
+       |ORDER BY 1, 2, 3""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_pipeline_corpus" -> (qPipelineCorpus _),
-    "q_pipeline_crossmodal" -> (qPipelineCrossmodal _))
+    "q_pipeline_crossmodal" -> (qPipelineCrossmodal _),
+    "q_pipeline_full" -> (qPipelineFull _))
 
   def oracle: Map[String, String] = Map(
     "q_pipeline_corpus" -> qPipelineCorpusSql,
-    "q_pipeline_crossmodal" -> qPipelineCrossmodalSql)
+    "q_pipeline_crossmodal" -> qPipelineCrossmodalSql,
+    "q_pipeline_full" -> qPipelineFullSql)
 }

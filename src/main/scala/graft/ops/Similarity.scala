@@ -111,8 +111,8 @@ object Similarity {
     */
   def qSimIvfIndexed(spark: SparkSession, dir: String): DataFrame = {
     val emb = table(spark, dir, "embeddings")
-    val indexDir = graft.ScratchDirs("ivf-index")
-    VectorSearch.writeIvfIndex(emb, col("vec_id"), col("embedding"), indexDir)
+    val indexDir = graft.ServingIndexes.ensure("ivf-index", dir)(d =>
+      VectorSearch.writeIvfIndex(emb, col("vec_id"), col("embedding"), d))
     rename(VectorSearch.ivfTopKFromIndex(
       emb, col("vec_id"), col("embedding"), indexDir, QueryIds, K))
   }
@@ -126,7 +126,17 @@ object Similarity {
     * Spark's expanded `N²Σx² − 2NΣSx + ΣS²` exactly because both are
     * exact integer sums before the one division.
     */
-  private[ops] def ivfChainSql(cfg: VectorSearch.IvfConfig, where: String = ""): String = {
+  /** `materialized = true` emits every chain CTE `AS MATERIALIZED`: inside
+    * a `WITH RECURSIVE` clause DuckDB inlines (not materializes) CTE
+    * references, so embedding this chain in a recursive oracle
+    * ([[Pipeline.qPipelineFullSql]]) without the hint expands each of the
+    * chain's many self-references into the full upstream subtree —
+    * measured as thousands of duplicate parquet scans ("too many open
+    * files") before producing a row. Standalone oracles don't need it.
+    */
+  private[ops] def ivfChainSql(cfg: VectorSearch.IvfConfig, where: String = "",
+      materialized: Boolean = false): String = {
+    val m = if (materialized) "MATERIALIZED " else ""
     val q = (1L << cfg.quantBits).toString
     // numCentroids = 0 (the derived default) replays Spark's
     // max(floor(√n), 16) as a scalar subquery over the SAME corpus subset;
@@ -136,17 +146,17 @@ object Similarity {
       else "(SELECT greatest(CAST(floor(sqrt(CAST(count(*) AS DOUBLE))) AS BIGINT), 16) " +
         s"FROM embeddings $where)"
     def iteration(i: Int): String =
-      s"""dist$i AS (
+      s"""dist$i AS $m(
          |  SELECT xq.vec_id, c.j,
          |    CAST(sum((c.n * xq.x - c.s) * (c.n * xq.x - c.s)) AS DOUBLE)
          |      / CAST(max(c.n) * max(c.n) AS DOUBLE) AS dist
          |  FROM xq JOIN cent$i c USING (d) GROUP BY 1, 2
-         |), assign$i AS (
+         |), assign$i AS $m(
          |  SELECT vec_id, j AS c FROM (
          |    SELECT vec_id, j, row_number() OVER (PARTITION BY vec_id ORDER BY dist, j) AS rn
          |    FROM dist$i)
          |  WHERE rn = 1
-         |), cent${i + 1} AS (
+         |), cent${i + 1} AS $m(
          |  SELECT m.j, m.d, m.s, m.n FROM (
          |    SELECT a.c AS j, xq.d, sum(xq.x) AS s, count(*) AS n
          |    FROM xq JOIN assign$i a USING (vec_id) GROUP BY 1, 2) m
@@ -155,22 +165,22 @@ object Similarity {
          |  WHERE c.j NOT IN (SELECT DISTINCT c FROM assign$i)
          |)""".stripMargin
     val f = cfg.iters // final centroid generation index
-    s"""xq AS (
+    s"""xq AS $m(
        |  SELECT vec_id, d,
        |    CAST(floor(CAST(embedding[CAST(d + 1 AS INT)] AS DOUBLE) * $q) AS BIGINT) AS x
        |  FROM embeddings CROSS JOIN range(${cfg.dim}) rd(d) $where
-       |), cent0 AS (
+       |), cent0 AS $m(
        |  SELECT j, d, x AS s, CAST(1 AS BIGINT) AS n FROM (
        |    SELECT vec_id, d, x, dense_rank() OVER (ORDER BY vec_id) - 1 AS j
        |    FROM xq)
        |  WHERE j < $kExpr
        |), ${(0 until cfg.iters).map(iteration).mkString(", ")},
-       |distF AS (
+       |distF AS $m(
        |  SELECT xq.vec_id, c.j,
        |    CAST(sum((c.n * xq.x - c.s) * (c.n * xq.x - c.s)) AS DOUBLE)
        |      / CAST(max(c.n) * max(c.n) AS DOUBLE) AS dist
        |  FROM xq JOIN cent$f c USING (d) GROUP BY 1, 2
-       |), assignF AS (
+       |), assignF AS $m(
        |  SELECT vec_id, j AS c FROM (
        |    SELECT vec_id, j, row_number() OVER (PARTITION BY vec_id ORDER BY dist, j) AS rn
        |    FROM distF)
@@ -252,18 +262,19 @@ object Similarity {
     * and the banded signatures of [[VectorSearch.writeLshIndex]] — so the
     * per-call cost is two stored-index probes plus the fusion join; no
     * Lloyd training, no signature recomputation (the r9 shape re-ran both
-    * full pipelines per call). The registered query builds the two indexes
-    * once (self-contained-query contract; production serves a standing
-    * index) and fuses the serving paths, bit-identical to fusing the
-    * in-session searches because both FromIndex paths are bit-identical to
-    * their trainers.
+    * full pipelines per call). The registered query serves both rankings
+    * from the session's shared standing indexes ([[graft.ServingIndexes]]
+    * — built by whichever indexed query touches this corpus first) and
+    * fuses the serving paths, bit-identical to fusing the in-session
+    * searches because both FromIndex paths are bit-identical to their
+    * trainers.
     */
   def qRankFusion(spark: SparkSession, dir: String): DataFrame = {
     val emb = table(spark, dir, "embeddings")
-    val ivfDir = graft.ScratchDirs("fusion-ivf-index")
-    val lshDir = graft.ScratchDirs("fusion-lsh-index")
-    VectorSearch.writeIvfIndex(emb, col("vec_id"), col("embedding"), ivfDir)
-    VectorSearch.writeLshIndex(emb, col("vec_id"), col("embedding"), lshDir)
+    val ivfDir = graft.ServingIndexes.ensure("ivf-index", dir)(d =>
+      VectorSearch.writeIvfIndex(emb, col("vec_id"), col("embedding"), d))
+    val lshDir = graft.ServingIndexes.ensure("lsh-index", dir)(d =>
+      VectorSearch.writeLshIndex(emb, col("vec_id"), col("embedding"), d))
     fuseRrf(
       rename(VectorSearch.ivfTopKFromIndex(
         emb, col("vec_id"), col("embedding"), ivfDir, QueryIds, K)),
@@ -606,8 +617,8 @@ object Similarity {
   def qSemdedupIndexed(spark: SparkSession, dir: String): DataFrame = {
     val emb = table(spark, dir, "embeddings")
     val corpus = emb.filter(pmod(col("vec_id"), lit(5)) =!= 0)
-    val indexDir = graft.ScratchDirs("semdedup-ivf-index")
-    VectorSearch.writeIvfIndex(corpus, col("vec_id"), col("embedding"), indexDir)
+    val indexDir = graft.ServingIndexes.ensure("semdedup-ivf-index", dir)(d =>
+      VectorSearch.writeIvfIndex(corpus, col("vec_id"), col("embedding"), d))
     VectorSearch.semDedupIncrementalFromIndex(
       corpus, emb.filter(pmod(col("vec_id"), lit(5)) === 0),
       col("vec_id"), col("embedding"), indexDir, SemThreshold)
@@ -678,8 +689,8 @@ object Similarity {
     */
   def qSimPqIndexed(spark: SparkSession, dir: String): DataFrame = {
     val emb = table(spark, dir, "embeddings")
-    val indexDir = graft.ScratchDirs("pq-index")
-    VectorSearch.writePqIndex(emb, col("vec_id"), col("embedding"), indexDir)
+    val indexDir = graft.ServingIndexes.ensure("pq-index", dir)(d =>
+      VectorSearch.writePqIndex(emb, col("vec_id"), col("embedding"), d))
     rename(VectorSearch.pqTopKFromIndex(
       emb, col("vec_id"), col("embedding"), indexDir, QueryIds, K,
       shortlist = PqShortlist))
@@ -890,12 +901,12 @@ object Similarity {
     */
   def qAnnRecallIndexed(spark: SparkSession, dir: String): DataFrame = {
     val emb = table(spark, dir, "embeddings")
-    val ivfDir = graft.ScratchDirs("audit-ivf-index")
-    val lshDir = graft.ScratchDirs("audit-lsh-index")
-    val pqDir = graft.ScratchDirs("audit-pq-index")
-    VectorSearch.writeIvfIndex(emb, col("vec_id"), col("embedding"), ivfDir)
-    VectorSearch.writeLshIndex(emb, col("vec_id"), col("embedding"), lshDir)
-    VectorSearch.writePqIndex(emb, col("vec_id"), col("embedding"), pqDir)
+    val ivfDir = graft.ServingIndexes.ensure("ivf-index", dir)(d =>
+      VectorSearch.writeIvfIndex(emb, col("vec_id"), col("embedding"), d))
+    val lshDir = graft.ServingIndexes.ensure("lsh-index", dir)(d =>
+      VectorSearch.writeLshIndex(emb, col("vec_id"), col("embedding"), d))
+    val pqDir = graft.ServingIndexes.ensure("pq-index", dir)(d =>
+      VectorSearch.writePqIndex(emb, col("vec_id"), col("embedding"), d))
     annRecallOver(emb, QueryIds,
       rename(VectorSearch.ivfTopKFromIndex(
         emb, col("vec_id"), col("embedding"), ivfDir, QueryIds, K)),

@@ -9,7 +9,11 @@ tooling, not library code) — the recipe documented in BASELINE.md round 9:
   (dup-rate and max-df invariant while the corpus grows 10x).
 - embeddings x10: per-replica component rotation (within-replica geometry
   preserved, cross-replica decorrelated).
-- all other tables copied unchanged.
+- orders x10 (round 11): per-replica orderkey offsets on the SAME base as
+  lineitem, so the lineitem<->orders FK stays aligned in every replica.
+- events x10 (round 11): per-replica event-id and user-id namespaces --
+  10x more user series with identical per-series temporal shape.
+- true dimension tables copied unchanged.
 
 Usage: python3 tools/make_sf1.py [/root/testdata/sf0.1] [/tmp/sf1]
 """
@@ -29,16 +33,36 @@ def main():
     con = duckdb.connect()
     con.execute(f"CREATE VIEW reps AS SELECT unnest(range({REPLICAS})) AS k")
 
+    ok_base = con.execute(f"""
+      SELECT greatest(
+        (SELECT max(l_orderkey) FROM '{src}/lineitem.parquet'),
+        (SELECT max(o_orderkey) FROM '{src}/orders.parquet')) + 1""").fetchone()[0]
     con.execute(f"""
       COPY (
         SELECT li.* REPLACE (
-          l_orderkey + k * (SELECT max(l_orderkey) + 1 FROM '{src}/lineitem.parquet') AS l_orderkey,
+          l_orderkey + k * {ok_base} AS l_orderkey,
           CASE WHEN l_partkey % 50 = 0 THEN l_partkey
                ELSE l_partkey + k * (SELECT max(l_partkey) + 1 FROM '{src}/lineitem.parquet')
           END AS l_partkey)
         FROM '{src}/lineitem.parquet' li CROSS JOIN reps
       ) TO '{dst}/lineitem.parquet' (FORMAT PARQUET)""")
     print("lineitem x%d" % REPLICAS)
+
+    con.execute(f"""
+      COPY (
+        SELECT o.* REPLACE (o_orderkey + k * {ok_base} AS o_orderkey)
+        FROM '{src}/orders.parquet' o CROSS JOIN reps
+      ) TO '{dst}/orders.parquet' (FORMAT PARQUET)""")
+    print("orders x%d" % REPLICAS)
+
+    con.execute(f"""
+      COPY (
+        SELECT e.* REPLACE (
+          event_id + k * (SELECT max(event_id) + 1 FROM '{src}/events.parquet') AS event_id,
+          user_id + k * (SELECT max(user_id) + 1 FROM '{src}/events.parquet') AS user_id)
+        FROM '{src}/events.parquet' e CROSS JOIN reps
+      ) TO '{dst}/events.parquet' (FORMAT PARQUET)""")
+    print("events x%d" % REPLICAS)
 
     con.execute(f"""
       COPY (
@@ -63,8 +87,7 @@ def main():
       ) TO '{dst}/embeddings.parquet' (FORMAT PARQUET)""")
     print("embeddings x%d" % REPLICAS)
 
-    for name in ["region", "nation", "customer", "supplier", "part",
-                 "orders", "events"]:
+    for name in ["region", "nation", "customer", "supplier", "part"]:
         shutil.copy(src / f"{name}.parquet", dst / f"{name}.parquet")
     print("dimension/other tables copied")
 
