@@ -196,7 +196,7 @@ object Layout {
     * price-cents plus the Morton key over their quantized forms — the shared
     * input relation of [[qSkippingStats]] and [[qClusteringHealth]].
     */
-  private def keyedLineitem(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
+  private[graft] def keyedLineitem(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
     val li = Tables.table(spark, dir, "lineitem").select(
       col("l_orderkey").as("ok"), col("l_linenumber").as("ln"),
       col("l_quantity").cast(LongType).as("qty"),
@@ -557,17 +557,26 @@ object Layout {
     * costs one extra rank pass only in the firing case, where the rewrite
     * it plans dwarfs it.
     */
-  private[graft] def reclusterDecision(keyed: DataFrame, thresholdBp: Long,
-      groupRows: Int): DataFrame = {
+  /** The standing drift measurement alone (1-row `drift_bp`) — the cheap
+    * query a maintenance service polls; [[reclusterDecision]] attaches it
+    * to the restore plan, and [[graft.streaming.ReclusterStream]] observes
+    * it per arrival batch.
+    */
+  private[graft] def reclusterDrift(keyed: DataFrame): DataFrame = {
     val appendOrder = Seq(col("segment"),
       when(col("segment") === 0, col("hk")).otherwise(lit(0L)),
       col("ok"), col("ln"))
     val stats = healthStats(keyed, Seq(
       ("clustered", granuleZoneMaps(keyed, Seq(col("hk"), col("ok"), col("ln")))),
       ("after_append", granuleZoneMaps(keyed, appendOrder))))
-    val drift = stats.agg(
+    stats.agg(
       expr("sum(CASE WHEN layout = 'after_append' THEN avg_width_bp " +
         "ELSE -avg_width_bp END) DIV 2").as("drift_bp"))
+  }
+
+  private[graft] def reclusterDecision(keyed: DataFrame, thresholdBp: Long,
+      groupRows: Int): DataFrame = {
+    val drift = reclusterDrift(keyed)
     Rank.globalRank(keyed, Seq(col("hk"), col("ok"), col("ln")), 32)
       .select(expr(s"(rnk - 1) DIV $groupRows").as("grp"), col("hk"))
       .groupBy(col("grp"))

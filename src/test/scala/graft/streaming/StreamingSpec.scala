@@ -727,4 +727,65 @@ class StreamingSpec extends SparkFunSuite {
       (1L, 10.0, 0L), (2L, 77.0, 3L), (3L, 30.0, 0L),
       (4L, 40.0, 0L), (5L, 51.0, 1L), (6L, 60.0, 1L)))
   }
+
+  test("streaming recluster gate fires on drift and equals the batch restore plan") {
+    // the batch scenario split along the arrival axis: base = the ok%10≠0
+    // rows (Hilbert-clustered table), delta = the ok%10=0 append arriving
+    // in three micro-batches of ascending orderkey (commit order)
+    val keyed = graft.ops.Layout.keyedLineitem(spark, sf)
+    val base = keyed.filter(pmod(col("ok"), lit(10)) =!= 0)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val delta = keyed.filter(pmod(col("ok"), lit(10)) === 0)
+      .orderBy(col("ok"), col("ln")).collect()
+    val dir = tmpDir("recluster-gate")
+    val cuts = Seq(delta.take(delta.length / 3),
+      delta.slice(delta.length / 3, 2 * delta.length / 3),
+      delta.drop(2 * delta.length / 3))
+    cuts.zipWithIndex.foreach { case (chunk, i) =>
+      val rows = spark.createDataFrame(
+        spark.sparkContext.parallelize(chunk.toSeq, 1), keyed.schema)
+      rows.coalesce(1).write.mode("append").parquet(dir)
+      Thread.sleep(60) // distinct mtimes => deterministic arrival order
+    }
+    val (standing, obs) = ReclusterStream.reclusterGate(
+      spark, base, dir, tmpDir("recluster-gate-ckpt"))
+    // after the final commit the standing plan IS the batch decision
+    val batch = graft.ops.Layout.qReclusterPlan(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    assert(standing.collect().map(_.toSeq).toSeq === batch)
+    assert(batch.nonEmpty, "scenario must exercise the firing branch")
+    // drift grows with the unclustered backlog (not strictly monotone —
+    // granule boundaries shift as the delta grows — but the full backlog
+    // must sit well above the first commit's)
+    assert(obs.size == cuts.count(_.nonEmpty))
+    assert(obs.last.driftBp > obs.head.driftBp,
+      s"drift trace: ${obs.map(_.driftBp)}")
+    assert(obs.last.triggered)
+    base.unpersist()
+  }
+
+  test("streaming recluster gate stays quiet on a still-clustered table") {
+    // appends that arrive ALREADY in curve order barely widen the zone
+    // maps: the delta is the table's hk-top tail re-keyed so COMMIT order
+    // (ok, ln) equals curve order — a writer that pre-sorts its commits.
+    // The append layout then matches the clustered counterfactual up to
+    // granule-boundary alignment → drift ≈ 0, below threshold, no plan.
+    val keyed = graft.ops.Layout.keyedLineitem(spark, sf)
+    val inOrder = keyed.orderBy(col("hk"), col("ok"), col("ln")).collect()
+    val cut = (inOrder.length * 9) / 10
+    val base = spark.createDataFrame(
+      spark.sparkContext.parallelize(inOrder.take(cut).toSeq, 4), keyed.schema)
+    val win = org.apache.spark.sql.expressions.Window
+      .orderBy(col("hk"), col("ok"), col("ln"))
+    val dir = tmpDir("recluster-quiet")
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(inOrder.drop(cut).toSeq, 1), keyed.schema)
+      .withColumn("ok", lit(10000000L) + row_number().over(win).cast("long"))
+      .coalesce(1).write.mode("append").parquet(dir)
+    val (standing, obs) = ReclusterStream.reclusterGate(
+      spark, base, dir, tmpDir("recluster-quiet-ckpt"))
+    assert(standing.isEmpty, "curve-ordered appends must not schedule a rewrite")
+    assert(obs.nonEmpty && obs.forall(!_.triggered),
+      s"drift trace: ${obs.map(_.driftBp)}")
+  }
 }
