@@ -39,6 +39,18 @@ object EmbedStats {
   val OutlierMaxMembers: Long = 1L << 13
   val PcMaxVectors: Long = 1L << 16
 
+  /** Label-size ceiling for [[qEmbedCentroids]] (round-11 envelope audit,
+    * SCALE.md): a centroid-sum component is ≤ M·2^[[QuantBits]], so the
+    * norm accumulation Σ_d s² is ≤ M²·2^(2·QuantBits)·dim = M²·2^34 —
+    * past 2^63 once M > ~2^14.5 members. This is the suite's CLOSEST
+    * envelope (only ~8× headroom over the sf1 corpus, and reachable at
+    * the next 10×), hence an active guard rather than a scaladoc note;
+    * the dot side is covered by the same ceiling via Cauchy-Schwarz
+    * (|Σ sa·sb| ≤ √(na2·nb2)). Fix past the ceiling: lift s to
+    * DECIMAL(38,0) or drop QuantBits.
+    */
+  val CentroidMaxMembers: Long = 1L << 14
+
   private[ops] def envelopeGuard(n: org.apache.spark.sql.Column, ceiling: Long,
       what: String, fix: String)(value: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     when(n > lit(ceiling),
@@ -78,7 +90,9 @@ object EmbedStats {
   def qEmbedCentroids(spark: SparkSession, dir: String): DataFrame = {
     val sums = labelSums(spark, dir)
     val norms = sums.groupBy(col("label"))
-      .agg(sum(col("s") * col("s")).as("n2"), max(col("n")).as("n_members"))
+      .agg(sum(envelopeGuard(col("n"), CentroidMaxMembers,
+        "embed centroids: label size", "lift s to DECIMAL(38,0) or drop quantBits")(
+        col("s") * col("s"))).as("n2"), max(col("n")).as("n_members"))
     val pairs = sums.select(col("label").as("label_a"), col("d"), col("s").as("sa"))
       .join(sums.select(col("label").as("label_b"), col("d"), col("s").as("sb")), Seq("d"))
       .filter(col("label_a") < col("label_b"))

@@ -84,4 +84,20 @@ class EmbedStatsSpec extends SparkFunSuite {
       Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ messages(x.getCause))
     assert(messages(e).exists(_.contains("exceeds the exact-integer envelope")), e.toString)
   }
+
+  test("centroid norms are envelope-guarded against oversized labels (round-11 audit)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // the suite's closest envelope: Σ_d s² wraps past ~2^14.5 members —
+    // the guard must trip on the label size, not wrap silently
+    val df = Seq((EmbedStats.CentroidMaxMembers + 1, 7L)).toDF("n", "s")
+    val guarded = EmbedStats.envelopeGuard(col("n"), EmbedStats.CentroidMaxMembers,
+      "embed centroids: label size", "lift s to DECIMAL(38,0)")(col("s") * col("s"))
+    val e = intercept[Exception] { df.select(guarded.as("v")).collect() }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ messages(x.getCause))
+    assert(messages(e).exists(_.contains("embed centroids: label size")), e.toString)
+    // the real corpus sits inside the envelope: the query still runs
+    assert(EmbedStats.qEmbedCentroids(spark, "/root/testdata/sf0.001").count() > 0)
+  }
 }
