@@ -971,7 +971,170 @@ object Corpus {
       |WHERE o_orderkey % 97 = 0
       |ORDER BY o_orderkey""".stripMargin
 
+  /** Window / stride (tokens) for [[qChunkWindows]]. */
+  val ChunkW = 64
+  val ChunkS = 48
+
+  /** RAG-STYLE CHUNKING: split every document into [[ChunkW]]-token
+    * windows at [[ChunkS]]-token stride (16-token overlap), emitting one
+    * row per chunk with its position, length and content fingerprint —
+    * the chunk table an embedding/retrieval pipeline materializes before
+    * vectorizing a corpus. Chunk count per doc is ⌈n/stride⌉ (the final
+    * window may be short); the fingerprint is the md5 of the chunk's
+    * tokens, so downstream chunk-level dedup is a plain groupBy.
+    *
+    * Scale: a pure per-row explode (`transform(sequence(...))` over the
+    * token array, whole-stage codegen'd) — no shuffle until the
+    * presentation sort; output is Σ⌈n/S⌉ rows, ~n/S·|corpus|, linear.
+    */
+  def qChunkWindows(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "documents")
+      .select(col("doc_id"), tokens(col("text")).as("t"))
+      .withColumn("n", size(col("t")))
+      .filter(col("n") > 0)
+      .select(col("doc_id"),
+        posexplode(transform(
+          sequence(lit(0), ((col("n") - 1) / lit(ChunkS)).cast("int")),
+          i => slice(col("t"), i * ChunkS + 1, lit(ChunkW)))).as(Seq("ci", "c")))
+      .select(col("doc_id"), col("ci").cast("long").as("chunk_idx"),
+        (col("ci") * ChunkS).cast("long").as("start_tok"),
+        size(col("c")).cast("long").as("n_tokens"),
+        md5(concat_ws(" ", col("c"))).as("fp"))
+      .orderBy(col("doc_id"), col("chunk_idx"))
+
+  val qChunkWindowsSql: String =
+    s"""WITH d AS (
+       |  SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS t FROM documents
+       |), c AS (
+       |  SELECT doc_id, t, unnest(range(((len(t) - 1) // $ChunkS) + 1)) AS ci
+       |  FROM d WHERE len(t) > 0
+       |)
+       |SELECT doc_id, CAST(ci AS BIGINT) AS chunk_idx,
+       |  CAST(ci * $ChunkS AS BIGINT) AS start_tok,
+       |  CAST(len(t[ci * $ChunkS + 1 : ci * $ChunkS + $ChunkW]) AS BIGINT) AS n_tokens,
+       |  md5(array_to_string(t[ci * $ChunkS + 1 : ci * $ChunkS + $ChunkW], ' ')) AS fp
+       |FROM c ORDER BY doc_id, chunk_idx""".stripMargin
+
+  /** TOKEN-BUDGET WATER-FILLING: allocate a corpus-wide token budget
+    * (60% of the total here) across sources by the water-filling rule —
+    * every source gets min(its tokens, L) where the integer waterline L
+    * is the largest level the budget can fund. The allocation that
+    * equalizes marginal take across sources: big crawls are capped at L,
+    * small curated sources are taken whole — the budgeted dual of
+    * [[qMixTemperature]]'s proportional reweighting.
+    *
+    * L is found CLOSED-FORM, not iteratively: with sources sorted by
+    * size, the first row j where `(B − prefix_{j−1}) DIV remaining < n_j`
+    * pins the waterline segment (everything smaller is fully funded,
+    * everything from j on is capped); no row before j can fire — while
+    * full funding remains feasible the candidate stays ≥ n_j. One
+    * |sources|-row window pass; every quantity an exact long.
+    */
+  def qTokenWaterfill(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val perSrc = table(spark, dir, "documents")
+      .groupBy(col("source"))
+      .agg(sum(size(tokens(col("text"))).cast("long")).as("n"))
+    val tot = perSrc.agg((sum(col("n")) * 6).as("b6"))
+      .select(expr("b6 DIV 10").as("budget"))
+    val w = Window.orderBy(col("n"), col("source"))
+    val rows = perSrc.crossJoin(broadcast(tot))
+      .withColumn("j", row_number().over(w).cast("long"))
+      .withColumn("pfx", coalesce(
+        sum(col("n")).over(w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("nsrc", count(lit(1)).over(
+        Window.partitionBy().rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+      .withColumn("cand", expr("(budget - pfx) DIV (nsrc - j + 1)"))
+    val wl = rows.agg(
+      min(when(col("cand") < col("n"), struct(col("j"), col("cand")))).as("first"),
+      max(col("n")).as("nmax"))
+      .select(coalesce(col("first.cand"), col("nmax")).as("waterline"))
+    rows.crossJoin(broadcast(wl))
+      .select(col("source"), col("n").as("n_tokens"),
+        least(col("n"), col("waterline")).as("alloc"),
+        (col("n") - least(col("n"), col("waterline"))).as("spilled"),
+        col("waterline"), col("budget"))
+      .orderBy(col("source"))
+  }
+
+  val qTokenWaterfillSql: String =
+    """WITH per_src AS (
+      |  SELECT source,
+      |    CAST(sum(len(regexp_split_to_array(lower(text), '\s+'))) AS BIGINT) AS n
+      |  FROM documents GROUP BY 1
+      |), tot AS (SELECT CAST(sum(n) * 6 // 10 AS BIGINT) AS budget FROM per_src),
+      |rows_ AS (
+      |  SELECT source, n, budget,
+      |    row_number() OVER (ORDER BY n, source) AS j,
+      |    COALESCE(sum(n) OVER (ORDER BY n, source
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS pfx,
+      |    count(*) OVER () AS nsrc
+      |  FROM per_src CROSS JOIN tot
+      |), wl AS (
+      |  SELECT coalesce(
+      |    (SELECT (budget - pfx) // (nsrc - j + 1) FROM rows_
+      |     WHERE (budget - pfx) // (nsrc - j + 1) < n ORDER BY j LIMIT 1),
+      |    (SELECT max(n) FROM rows_)) AS waterline
+      |)
+      |SELECT source, n AS n_tokens,
+      |  CAST(least(n, waterline) AS BIGINT) AS alloc,
+      |  CAST(n - least(n, waterline) AS BIGINT) AS spilled,
+      |  CAST(waterline AS BIGINT) AS waterline, budget
+      |FROM rows_ CROSS JOIN wl
+      |ORDER BY source""".stripMargin
+
+  /** Sample size for [[qSamplePriority]]. */
+  val PriorityK = 20
+
+  /** PRIORITY SAMPLING (Duffield-Lund-Thorup): a weighted
+    * WITHOUT-replacement sample of exactly k documents — each doc gets
+    * priority `w / u` (weight over a uniform draw) and the top-k
+    * priorities win; the scheme whose inclusion probabilities make
+    * subset-sum estimates near-optimal. The "uniform draw" is the house
+    * md5 discipline (52 bits of `md5("prio:" + doc_id)`, +1 to dodge
+    * zero), so the sample is deterministic, repartition-invariant and
+    * engine-replayable; the priority itself is the EXACT integer
+    * `(w << 52) DIV u` — no float anywhere, so ranking is bit-stable.
+    *
+    * Envelope: `w · 2^52` needs w < 2^11 (n_chars here tops out < 1024);
+    * the guard raises rather than wraps (SCALE.md audit discipline).
+    *
+    * Scale: one projection + one top-k (rides [[graft.plans.TopKPerKey]]
+    * partial/final through the native rule when keyed; here a plain
+    * global ORDER BY LIMIT k, which Spark runs as TakeOrdered — no full
+    * sort).
+    */
+  def qSamplePriority(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "documents")
+      .select(col("doc_id"), col("source"), col("n_chars").as("w"),
+        (pmod(conv(substring(md5(concat(lit("prio:"), col("doc_id").cast("string"))), 1, 13),
+          16, 10).cast("long"), lit(1L << 52)) + 1).as("u"))
+      .withColumn("priority",
+        EmbedStats.envelopeGuard(col("w"), (1L << 11) - 1,
+          "priority sample: weight", "drop the 52-bit scale to 40 bits")(
+          expr(s"(w * ${1L << 52}) DIV u")))
+      .orderBy(col("priority").desc, col("doc_id"))
+      .limit(PriorityK)
+      .select(col("doc_id"), col("source"), col("w").as("n_chars"),
+        col("u"), col("priority"))
+
+  val qSamplePrioritySql: String =
+    s"""WITH p AS (
+       |  SELECT doc_id, source, n_chars AS w,
+       |    CAST(concat('0x', substring(md5(concat('prio:', CAST(doc_id AS VARCHAR))), 1, 13))
+       |      AS BIGINT) % ${1L << 52} + 1 AS u
+       |  FROM documents
+       |)
+       |SELECT doc_id, source, w AS n_chars, u,
+       |  CAST((w * ${1L << 52}) // u AS BIGINT) AS priority
+       |FROM p
+       |ORDER BY priority DESC, doc_id
+       |LIMIT $PriorityK""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_chunk_windows" -> (qChunkWindows _),
+    "q_token_waterfill" -> (qTokenWaterfill _),
+    "q_sample_priority" -> (qSamplePriority _),
     "q_target_encode" -> (qTargetEncode _),
     "q_doremi_weights" -> (qDoremiWeights _),
     "q_dsir_weights" -> (qDsirWeights _),
@@ -993,6 +1156,9 @@ object Corpus {
     "q_contamination" -> (qContamination _))
 
   def oracle: Map[String, String] = Map(
+    "q_chunk_windows" -> qChunkWindowsSql,
+    "q_token_waterfill" -> qTokenWaterfillSql,
+    "q_sample_priority" -> qSamplePrioritySql,
     "q_target_encode" -> qTargetEncodeSql,
     "q_doremi_weights" -> qDoremiWeightsSql,
     "q_dsir_weights" -> qDsirWeightsSql,

@@ -908,7 +908,86 @@ object Dedup {
        |WHERE containment >= $ContainmentThreshold
        |ORDER BY src, dst""".stripMargin
 
+  /** Segment length (tokens) and boilerplate document-frequency floor for
+    * [[qSegmentDedup]].
+    */
+  val SegLen = 8
+  val SegBoilerDf = 3
+
+  /** SEGMENT-LEVEL BOILERPLATE REMOVAL — the paragraph/line-dedup stage of
+    * a crawl-cleaning pipeline (the CCNet / RefinedWeb move), at
+    * sub-document granularity the whole-doc dedup family can't reach:
+    * split every document into NON-overlapping [[SegLen]]-token segments,
+    * count each distinct segment's corpus-wide occurrences, and mark
+    * segments appearing ≥ [[SegBoilerDf]] times as boilerplate (shared
+    * footers, licence blocks, navigation chrome). Emits the per-document
+    * removal report: tokens kept/dropped and the drop share in basis
+    * points — what the cleaned corpus would look like, before committing
+    * to a rewrite.
+    *
+    * Scale: one segment explode (linear, ~n/[[SegLen]] rows), one
+    * map-side-combinable df aggregation, and one semi-join of the segment
+    * stream against the HOT fingerprint set — which is tiny by
+    * construction (a fingerprint enters it only by repeating ≥ 3×), so it
+    * broadcasts; the corpus never shuffles on the segment string. The
+    * same hot/rare asymmetry as [[TextDedup.cappedCommons]], used in the
+    * opposite direction.
+    */
+  def qSegmentDedup(spark: SparkSession, dir: String): DataFrame = {
+    val segs = table(spark, dir, "documents")
+      .select(col("doc_id"), TextOps.tokens(col("text")).as("t"))
+      .withColumn("n", size(col("t")).cast("long"))
+      .select(col("doc_id"), col("n"),
+        explode(transform(
+          sequence(lit(0), ((col("n") - 1) / lit(SegLen)).cast("int")),
+          i => slice(col("t"), i * SegLen + 1, lit(SegLen)))).as("seg"))
+      .select(col("doc_id"), col("n"),
+        md5(concat_ws(" ", col("seg"))).as("fp"),
+        size(col("seg")).cast("long").as("seg_len"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val hot = broadcast(
+      segs.groupBy(col("fp")).agg(count(lit(1)).as("df"))
+        .filter(col("df") >= SegBoilerDf)
+        .select(col("fp")))
+    val dropped = segs.join(hot, Seq("fp"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("seg_len")).as("dropped_tokens"))
+    val out = segs.groupBy(col("doc_id"))
+      .agg(max(col("n")).as("n_tokens"), count(lit(1)).as("n_segments"))
+      .join(dropped, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"), col("n_segments"),
+        coalesce(col("dropped_tokens"), lit(0L)).as("dropped_tokens"))
+      .withColumn("kept_tokens", col("n_tokens") - col("dropped_tokens"))
+      .withColumn("drop_bp", expr("dropped_tokens * 10000 DIV n_tokens"))
+      .orderBy(col("doc_id"))
+    TextDedup.materializeAndRelease(out, segs)
+  }
+
+  val qSegmentDedupSql: String =
+    s"""WITH d AS (
+       |  SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS t FROM documents
+       |), segs AS (
+       |  SELECT doc_id, len(t) AS n,
+       |    md5(array_to_string(t[ci * $SegLen + 1 : ci * $SegLen + $SegLen], ' ')) AS fp,
+       |    len(t[ci * $SegLen + 1 : ci * $SegLen + $SegLen]) AS seg_len
+       |  FROM (SELECT doc_id, t, unnest(range(((len(t) - 1) // $SegLen) + 1)) AS ci FROM d)
+       |), hot AS (
+       |  SELECT fp FROM segs GROUP BY fp HAVING count(*) >= $SegBoilerDf
+       |), dropped AS (
+       |  SELECT doc_id, CAST(sum(seg_len) AS BIGINT) AS dropped_tokens
+       |  FROM segs JOIN hot USING (fp) GROUP BY doc_id
+       |)
+       |SELECT s.doc_id, CAST(max(s.n) AS BIGINT) AS n_tokens,
+       |  count(*) AS n_segments,
+       |  coalesce(max(dr.dropped_tokens), 0) AS dropped_tokens,
+       |  CAST(max(s.n) - coalesce(max(dr.dropped_tokens), 0) AS BIGINT) AS kept_tokens,
+       |  CAST(coalesce(max(dr.dropped_tokens), 0) * 10000 // max(s.n) AS BIGINT) AS drop_bp
+       |FROM segs s LEFT JOIN dropped dr ON dr.doc_id = s.doc_id
+       |GROUP BY s.doc_id
+       |ORDER BY s.doc_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_segment_dedup" -> (qSegmentDedup _),
     "q_dedup_containment" -> (qDedupContainment _),
     "q_source_pairs" -> (qSourcePairs _),
     "q_bitext_mine" -> (qBitextMine _),
@@ -933,6 +1012,7 @@ object Dedup {
   )
 
   def oracle: Map[String, String] = Map(
+    "q_segment_dedup" -> qSegmentDedupSql,
     "q_dedup_containment" -> qDedupContainmentSql,
     "q_source_pairs" -> qSourcePairsSql,
     "q_bitext_mine" -> qBitextMineSql,

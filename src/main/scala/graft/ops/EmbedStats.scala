@@ -282,13 +282,178 @@ object EmbedStats {
        |ORDER BY pc1_score DESC, vec_id LIMIT 10""".stripMargin
   }
 
+  /** CLUSTER-QUALITY INDEX (Davies-Bouldin, squared-scatter variant): for
+    * every label cluster, the worst ratio of combined within-cluster
+    * scatter to centroid separation over all partners —
+    * `R_ij = (S_i² + S_j²) / d²(c_i, c_j)` — the "are these clusters
+    * actually separated?" verdict a pipeline runs before trusting labels
+    * (or k-means output) for stratified sampling or semantic dedup. The
+    * squared formulation keeps everything an exact RATIO OF INTEGERS:
+    * with A_i = n_i·q_i − Σ_d s_i² (n· the squared scatter numerator) and
+    * D_ij = Σ_d (s_i·n_j − s_j·n_i)², the ratio collapses to
+    * `(A_i·n_j² + A_j·n_i²) / D_ij` — one double division + round(6) at
+    * the very end, so the result hash-gates (a mean-|distance| flavor
+    * would need a per-member sqrt and a float sum across the group:
+    * order-dependent, unhashable).
+    *
+    * Cross terms reach (s·n)² ≈ 10^21 > 2^63, so the accumulations run in
+    * DECIMAL(38,0) (DuckDB HUGEINT) — the envelope-audit escape hatch
+    * applied, not just documented.
+    *
+    * Scale: one corpus scan → (labels·dim) sums + labels-sized q; the
+    * pair join is labels²·dim rows — dimension-sized. Never touches
+    * corpus rows twice.
+    */
+  def qClusterQuality(spark: SparkSession, dir: String): DataFrame = {
+    val dec38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    // ONE corpus pass: the per-(label, d) sums carry Σx² alongside Σx, so
+    // scatter and separation both derive from this labels·dim relation
+    val sums = quantized(spark, dir).groupBy(col("label"), col("d"))
+      .agg(sum(col("x")).as("s"), sum((col("x") * col("x")).cast(dec38)).as("sq"),
+        count(lit(1)).as("n"))
+      .localCheckpoint() // labels·dim rows; three consumers below
+    val a = sums.groupBy(col("label"))
+      .agg(sum(col("s").cast(dec38) * col("s").cast(dec38)).as("s2"),
+        sum(col("sq")).as("q"), max(col("n")).as("m"))
+      .select(col("label"), col("m"),
+        (col("m").cast(dec38) * col("q") - col("s2")).as("a"))
+    val dd = sums.select(col("label").as("la"), col("d"),
+        col("s").as("sa"), col("n").as("na"))
+      .join(sums.select(col("label").as("lb"), col("d"),
+        col("s").as("sb"), col("n").as("nb")), Seq("d"))
+      .filter(col("la") < col("lb"))
+      .select(col("la"), col("lb"), col("na"), col("nb"),
+        ((col("sa").cast(dec38) * col("nb") - col("sb").cast(dec38) * col("na")) *
+          (col("sa").cast(dec38) * col("nb") - col("sb").cast(dec38) * col("na"))).as("t"))
+      .groupBy(col("la"), col("lb"), col("na"), col("nb"))
+      .agg(sum(col("t")).as("dd"))
+    val ratios = dd
+      .join(broadcast(a.select(col("label").as("la"), col("a").as("aa"))), Seq("la"))
+      .join(broadcast(a.select(col("label").as("lb"), col("a").as("ab"))), Seq("lb"))
+      .select(col("la"), col("lb"),
+        round((col("aa") * col("nb").cast(dec38) * col("nb").cast(dec38) +
+          col("ab") * col("na").cast(dec38) * col("na").cast(dec38)).cast("double")
+          / col("dd").cast("double"), 6).as("ratio"))
+    val both = ratios.select(col("la").as("label"), col("lb").as("partner"), col("ratio"))
+      .union(ratios.select(col("lb").as("label"), col("la").as("partner"), col("ratio")))
+    val w = Window.partitionBy(col("label")).orderBy(col("ratio").desc, col("partner"))
+    both.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .join(a.select(col("label"), col("m").as("n_members")), "label")
+      .select(col("label"), col("n_members"), col("partner").as("worst_partner"),
+        col("ratio").as("db_ratio"))
+      .orderBy(col("label"))
+  }
+
+  val qClusterQualitySql: String = {
+    val q = 1L << QuantBits
+    s"""WITH xq AS (
+       |  SELECT vec_id, label,
+       |    generate_subscripts(embedding, 1) AS d,
+       |    CAST(floor(CAST(unnest(embedding) AS DOUBLE) * $q) AS BIGINT) AS x
+       |  FROM embeddings
+       |), sums AS (
+       |  SELECT label, d, CAST(sum(x) AS HUGEINT) AS s,
+       |    CAST(sum(CAST(x AS HUGEINT) * x) AS HUGEINT) AS sq, count(*) AS n
+       |  FROM xq GROUP BY 1, 2
+       |), a AS (
+       |  SELECT label, m, CAST(m AS HUGEINT) * q - s2 AS a FROM (
+       |    SELECT label, sum(s * s) AS s2, sum(sq) AS q, max(n) AS m
+       |    FROM sums GROUP BY 1)
+       |), dd AS (
+       |  SELECT l.label AS la, r.label AS lb, max(l.n) AS na, max(r.n) AS nb,
+       |    sum((l.s * r.n - r.s * l.n) * (l.s * r.n - r.s * l.n)) AS dd
+       |  FROM sums l JOIN sums r ON l.d = r.d AND l.label < r.label
+       |  GROUP BY 1, 2
+       |), ratios AS (
+       |  SELECT la, lb,
+       |    round(CAST(x.a * CAST(nb AS HUGEINT) * nb + y.a * CAST(na AS HUGEINT) * na
+       |        AS DOUBLE) / CAST(dd.dd AS DOUBLE), 6) AS ratio
+       |  FROM dd JOIN a x ON x.label = dd.la JOIN a y ON y.label = dd.lb
+       |), bidir AS (
+       |  SELECT la AS label, lb AS partner, ratio FROM ratios
+       |  UNION ALL SELECT lb, la, ratio FROM ratios
+       |), pick AS (
+       |  SELECT bidir.*, row_number() OVER (
+       |    PARTITION BY label ORDER BY ratio DESC, partner) AS rn
+       |  FROM bidir
+       |)
+       |SELECT p.label, CAST(a.m AS BIGINT) AS n_members,
+       |  p.partner AS worst_partner, p.ratio AS db_ratio
+       |FROM pick p JOIN a ON a.label = p.label
+       |WHERE p.rn = 1
+       |ORDER BY p.label""".stripMargin
+  }
+
+  /** INT8 QUANTIZATION CALIBRATION: per-dimension affine (min/max) int8
+    * codebooks over the corpus plus the exact reconstruction-error
+    * profile — the calibration pass a serving system runs before shipping
+    * an 8-bit vector store. Runs ENTIRELY in the already-quantized
+    * integer domain (`x = floor(v·2^14)`): `code = (x−min)·255 DIV range`,
+    * `deq = min + code·range DIV 255`, so codes, dequantized values and
+    * every error statistic are exact integers — no float rounding
+    * conventions in play anywhere (the audit is of the quantizer, not of
+    * float noise).
+    *
+    * Scale: min/max and the error sums are one map-side-combinable pass;
+    * the 64-row extremes relation broadcasts back for the error
+    * projection. Output is dim-sized.
+    */
+  def qQuantCalib(spark: SparkSession, dir: String): DataFrame = {
+    val base = quantized(spark, dir)
+    val ext = base.groupBy(col("d"))
+      .agg(min(col("x")).as("vmin"), max(col("x")).as("vmax"),
+        count(lit(1)).as("n_values"))
+    base.join(broadcast(ext), "d")
+      .select(col("d").cast("long").as("d"), col("n_values"),
+        col("vmin"), col("vmax"),
+        abs(col("x") - (col("vmin") +
+          expr("(((x - vmin) * 255) DIV greatest(vmax - vmin, 1))" +
+            " * greatest(vmax - vmin, 1) DIV 255"))).as("e"))
+      .groupBy(col("d"), col("n_values"), col("vmin"), col("vmax"))
+      .agg(sum(col("e")).as("sum_abs_err"), max(col("e")).as("max_err"))
+      .withColumn("mean_err_micro", expr("sum_abs_err * 1000000 DIV n_values"))
+      .select(col("d"), col("vmin"), col("vmax"), col("n_values"),
+        col("sum_abs_err"), col("max_err"), col("mean_err_micro"))
+      .orderBy(col("d"))
+  }
+
+  val qQuantCalibSql: String = {
+    val q = 1L << QuantBits
+    s"""WITH xq AS (
+       |  SELECT vec_id,
+       |    generate_subscripts(embedding, 1) - 1 AS d,
+       |    CAST(floor(CAST(unnest(embedding) AS DOUBLE) * $q) AS BIGINT) AS x
+       |  FROM embeddings
+       |), ext AS (
+       |  SELECT d, min(x) AS vmin, max(x) AS vmax, count(*) AS n_values
+       |  FROM xq GROUP BY 1
+       |), e AS (
+       |  SELECT xq.d, ext.n_values, ext.vmin, ext.vmax,
+       |    abs(x - (vmin + (((x - vmin) * 255) // greatest(vmax - vmin, 1))
+       |      * greatest(vmax - vmin, 1) // 255)) AS e
+       |  FROM xq JOIN ext USING (d)
+       |)
+       |SELECT CAST(d AS BIGINT) AS d, vmin, vmax,
+       |  CAST(n_values AS BIGINT) AS n_values,
+       |  CAST(sum(e) AS BIGINT) AS sum_abs_err, CAST(max(e) AS BIGINT) AS max_err,
+       |  CAST(sum(e) * 1000000 // n_values AS BIGINT) AS mean_err_micro
+       |FROM e
+       |GROUP BY e.d, e.vmin, e.vmax, e.n_values
+       |ORDER BY d""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_embed_centroids" -> (qEmbedCentroids _),
     "q_embed_outliers" -> (qEmbedOutliers _),
-    "q_embed_pc1" -> (qEmbedPc1 _))
+    "q_embed_pc1" -> (qEmbedPc1 _),
+    "q_cluster_quality" -> (qClusterQuality _),
+    "q_quant_calib" -> (qQuantCalib _))
 
   def oracle: Map[String, String] = Map(
     "q_embed_centroids" -> qEmbedCentroidsSql,
     "q_embed_outliers" -> qEmbedOutliersSql,
-    "q_embed_pc1" -> qEmbedPc1Sql)
+    "q_embed_pc1" -> qEmbedPc1Sql,
+    "q_cluster_quality" -> qClusterQualitySql,
+    "q_quant_calib" -> qQuantCalibSql)
 }

@@ -949,7 +949,76 @@ object Similarity {
        |      % $AnnSampleMod = 0
        |ORDER BY method, q_vec_id""".stripMargin
 
+  /** Truncation width for [[qMatryoshkaRecall]]. */
+  val MatDims = 16
+
+  /** MATRYOSHKA TRUNCATION AUDIT: top-k agreement between search over the
+    * FULL embedding and search over its first [[MatDims]] components —
+    * the acceptance gate for serving truncated (matryoshka/MRL-style)
+    * representations: if recall@k at 16 of 64 dims holds, the vector
+    * store shrinks 4× and every distance costs a quarter. Same audit
+    * discipline as [[qAnnRecall]] (exact basis points, oracle replays
+    * both searches); the truncated search is the SAME brute-force
+    * operator handed `slice(embedding, 1, 16)` — truncation is a column
+    * expression, not a new engine path.
+    *
+    * Scale: two query-bounded exact searches (at 100 TB, hand the sliced
+    * column to the IVF/PQ paths instead — the operator composes with any
+    * of them); the recall join is queries×k rows.
+    */
+  def qMatryoshkaRecall(spark: SparkSession, dir: String): DataFrame = {
+    val emb = table(spark, dir, "embeddings")
+    // localCheckpoint: both recall branches reference the full ranking
+    val full = rename(VectorSearch.cosineTopK(
+      emb, col("vec_id"), col("embedding"), QueryIds, K))
+      .select(col("q_vec_id"), col("vec_id")).localCheckpoint()
+    val trunc = rename(VectorSearch.cosineTopK(
+      emb, col("vec_id"), slice(col("embedding"), 1, MatDims), QueryIds, K))
+      .select(col("q_vec_id"), col("vec_id"))
+    val hits = full.join(trunc, Seq("q_vec_id", "vec_id"))
+      .groupBy(col("q_vec_id")).agg(count(lit(1)).as("hits"))
+    full.select(col("q_vec_id")).distinct()
+      .join(hits, Seq("q_vec_id"), "left")
+      .select(col("q_vec_id"), coalesce(col("hits"), lit(0L)).as("hits"))
+      .withColumn("recall_bp", expr(s"hits * 10000 DIV $K"))
+      .orderBy(col("q_vec_id"))
+  }
+
+  /** Oracle: the full-vector replay is [[qSimTopKSql]] verbatim; the
+    * truncated replay is the same chain over `embedding[1:16]`.
+    */
+  val qMatryoshkaRecallSql: String =
+    s"""WITH tn AS (
+       |  SELECT vec_id, embedding[1:$MatDims] AS e,
+       |    sqrt(list_sum(list_transform(embedding[1:$MatDims],
+       |      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+       |  FROM embeddings
+       |), tp AS (
+       |  SELECT q.vec_id AS q_vec_id, v.vec_id,
+       |    round(list_sum(list_transform(list_zip(q.e, v.e),
+       |        z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE))) / (q.nrm * v.nrm), 6) AS cos_sim
+       |  FROM tn q JOIN tn v ON v.vec_id <> q.vec_id
+       |  WHERE q.vec_id IN (${QueryIds.mkString(", ")})
+       |), tr AS (
+       |  SELECT tp.*, row_number() OVER (PARTITION BY q_vec_id ORDER BY cos_sim DESC, vec_id) AS rnk
+       |  FROM tp
+       |), trunc AS (
+       |  SELECT q_vec_id, vec_id FROM tr WHERE rnk <= $K
+       |), full_ AS (
+       |  SELECT q_vec_id, vec_id FROM ($qSimTopKSql) f
+       |)
+       |SELECT e.q_vec_id,
+       |  CAST(coalesce(h.hits, 0) AS BIGINT) AS hits,
+       |  CAST(coalesce(h.hits, 0) * 10000 // $K AS BIGINT) AS recall_bp
+       |FROM (SELECT DISTINCT q_vec_id FROM full_) e
+       |LEFT JOIN (
+       |  SELECT f.q_vec_id, count(*) AS hits
+       |  FROM full_ f JOIN trunc t ON t.q_vec_id = f.q_vec_id AND t.vec_id = f.vec_id
+       |  GROUP BY 1) h ON h.q_vec_id = e.q_vec_id
+       |ORDER BY e.q_vec_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_matryoshka_recall" -> (qMatryoshkaRecall _),
     "q_ann_recall" -> (qAnnRecall _),
     "q_ann_recall_sampled" -> (qAnnRecallSampled _),
     "q_ann_recall_indexed" -> (qAnnRecallIndexed _),
@@ -969,6 +1038,7 @@ object Similarity {
   )
 
   def oracle: Map[String, String] = Map(
+    "q_matryoshka_recall" -> qMatryoshkaRecallSql,
     "q_ann_recall" -> qAnnRecallSql,
     "q_ann_recall_sampled" -> qAnnRecallSampledSql,
     // the indexed audit is bit-identical to the in-session audit — every
