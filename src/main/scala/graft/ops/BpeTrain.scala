@@ -229,12 +229,25 @@ object BpeTrain {
       val (a, b) = (m.getString(1), m.getString(2))
       replace(acc, lit(s" $a $b "), lit(s" $a$b "))
     }
+    // per-word encode folded INSIDE the token array (`transform` +
+    // `aggregate`) instead of an explode: a Generate here would re-evaluate
+    // the per-DOC language prediction once per output WORD (the round-10
+    // GenerateExec lesson, SCALE.md) — measured 23.7 s vs 3 s at sf0.1
+    def encLen(w: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+      val r0 = concat(lit(" "), regexp_replace(w, "(.)", "$1 "))
+      val rN = merges.foldLeft(r0) { (acc, m) =>
+        val (a, b) = (m.getString(1), m.getString(2))
+        replace(acc, lit(s" $a $b "), lit(s" $a$b "))
+      }
+      size(split(trim(rN), " ")).cast("long")
+    }
     docs
       .select(TextOps.tokens(col("text")).as("t"))
-      .select(TextAnalysis.langPredC(col("t")).as("lang"), explode(col("t")).as("w"))
-      .select(col("lang"), size(split(trim(reprN), " ")).cast("long").as("na"))
+      .select(TextAnalysis.langPredC(col("t")).as("lang"),
+        size(col("t")).cast("long").as("nw"),
+        aggregate(col("t"), lit(0L), (acc, w) => acc + encLen(w)).as("na"))
       .groupBy(col("lang"))
-      .agg(count(lit(1)).as("n_words"), sum(col("na")).as("n_bpe_tokens"))
+      .agg(sum(col("nw")).as("n_words"), sum(col("na")).as("n_bpe_tokens"))
       .withColumn("fertility_micro", expr("n_bpe_tokens * 1000000 DIV n_words"))
       .orderBy(col("lang"))
   }
