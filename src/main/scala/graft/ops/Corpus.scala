@@ -1083,6 +1083,66 @@ object Corpus {
       |FROM rows_ CROSS JOIN wl
       |ORDER BY source""".stripMargin
 
+  /** CHUNK-LEVEL DUPLICATION PROFILE: the dedup view of the
+    * [[qChunkWindows]] chunk table — per source, how many retrieval
+    * chunks are corpus-wide duplicates (their content fingerprint occurs
+    * ≥ 2×). Whole-document dedup misses this entirely (two distinct docs
+    * sharing one boilerplate chunk), and a vector store pays for every
+    * duplicate chunk twice — once in storage, once in degraded retrieval
+    * diversity. Reported in exact basis points.
+    *
+    * Scale: the chunk explode is linear ([[qChunkWindows]]); the dup set
+    * is a map-side-combinable df aggregate whose ≥2 survivors are small
+    * by construction → broadcast semi-join back, the
+    * [[Dedup.qSegmentDedup]] hot/rare asymmetry.
+    */
+  def qChunkDedup(spark: SparkSession, dir: String): DataFrame = {
+    val chunks = table(spark, dir, "documents")
+      .select(col("doc_id"), col("source"), tokens(col("text")).as("t"))
+      .withColumn("n", size(col("t")))
+      .filter(col("n") > 0)
+      .select(col("doc_id"), col("source"),
+        explode(transform(
+          sequence(lit(0), ((col("n") - 1) / lit(ChunkS)).cast("int")),
+          i => slice(col("t"), i * ChunkS + 1, lit(ChunkW)))).as("c"))
+      .select(col("source"), md5(concat_ws(" ", col("c"))).as("fp"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val dup = broadcast(
+      chunks.groupBy(col("fp")).agg(count(lit(1)).as("df"))
+        .filter(col("df") >= 2).select(col("fp")))
+    val out = chunks
+      .join(dup, Seq("fp"), "left_semi")
+      .groupBy(col("source")).agg(count(lit(1)).as("n_dup_chunks"))
+      .join(chunks.groupBy(col("source")).agg(count(lit(1)).as("n_chunks")),
+        Seq("source"), "right")
+      .select(col("source"), col("n_chunks"),
+        coalesce(col("n_dup_chunks"), lit(0L)).as("n_dup_chunks"))
+      .withColumn("dup_share_bp", expr("n_dup_chunks * 10000 DIV n_chunks"))
+      .orderBy(col("source"))
+    TextDedup.materializeAndRelease(out, chunks)
+  }
+
+  val qChunkDedupSql: String =
+    s"""WITH d AS (
+       |  SELECT doc_id, source, regexp_split_to_array(lower(text), '\\s+') AS t
+       |  FROM documents
+       |), chunks AS (
+       |  SELECT source,
+       |    md5(array_to_string(t[ci * $ChunkS + 1 : ci * $ChunkS + $ChunkW], ' ')) AS fp
+       |  FROM (SELECT source, t, unnest(range(((len(t) - 1) // $ChunkS) + 1)) AS ci
+       |        FROM d WHERE len(t) > 0)
+       |), dup AS (
+       |  SELECT fp FROM chunks GROUP BY fp HAVING count(*) >= 2
+       |)
+       |SELECT c.source, count(*) AS n_chunks,
+       |  CAST(sum(CASE WHEN dup.fp IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_dup_chunks,
+       |  CAST(sum(CASE WHEN dup.fp IS NOT NULL THEN 1 ELSE 0 END) * 10000 // count(*)
+       |    AS BIGINT) AS dup_share_bp
+       |FROM chunks c LEFT JOIN dup ON dup.fp = c.fp
+       |GROUP BY c.source
+       |ORDER BY c.source""".stripMargin
+
   /** Sample size for [[qSamplePriority]]. */
   val PriorityK = 20
 
@@ -1133,6 +1193,7 @@ object Corpus {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_chunk_windows" -> (qChunkWindows _),
+    "q_chunk_dedup" -> (qChunkDedup _),
     "q_token_waterfill" -> (qTokenWaterfill _),
     "q_sample_priority" -> (qSamplePriority _),
     "q_target_encode" -> (qTargetEncode _),
@@ -1157,6 +1218,7 @@ object Corpus {
 
   def oracle: Map[String, String] = Map(
     "q_chunk_windows" -> qChunkWindowsSql,
+    "q_chunk_dedup" -> qChunkDedupSql,
     "q_token_waterfill" -> qTokenWaterfillSql,
     "q_sample_priority" -> qSamplePrioritySql,
     "q_target_encode" -> qTargetEncodeSql,

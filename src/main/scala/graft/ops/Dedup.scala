@@ -154,6 +154,68 @@ object Dedup {
        |FROM hist ORDER BY bucket""".stripMargin
   }
 
+  /** PAIR-JOIN COST ESTIMATE — the dedup PLANNER's number: from the
+    * shingle document-frequency profile alone (no pair join run),
+    * the exact candidate-pair count the capped inverted-index join will
+    * generate — `Σ C(df,2)` over rare postings plus `Σ (df−1)` chain
+    * pairs over hot ones — next to the uncapped `Σ C(df,2)` it replaces.
+    * This is the estimate a pipeline reads BEFORE committing a near-dup
+    * pass on a new corpus ([[qShingleDfProfile]] gives the shape; this
+    * gives the bill), and the cost-based-optimizer statistic for the
+    * dedup operator — the text-side dual of the AMS join-size sketch.
+    *
+    * Scale: one shingle scan → one df aggregate → a 1-row conditional
+    * aggregate; sums run in DECIMAL(38,0)/HUGEINT (Σ df² exceeds a long
+    * once any posting passes ~3·10^9 — the envelope-audit discipline).
+    */
+  def qPairCost(spark: SparkSession, dir: String): DataFrame = {
+    val dec38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    val cap = TextDedup.DefaultBucketCap
+    val sh = TextDedup.shingles(
+      table(spark, dir, "documents"), col("doc_id"), col("text"), ShingleK)
+    val df = sh.groupBy(col("s")).agg(count(lit(1)).as("df"))
+    val pairs2 = col("df").cast(dec38) * (col("df") - 1).cast(dec38) // 2·C(df,2)
+    val out = df.agg(
+      sum(when(col("df") <= cap, pairs2).otherwise(lit(0).cast(dec38))).as("r2"),
+      sum(when(col("df") > cap, (col("df") - 1).cast(dec38))
+        .otherwise(lit(0).cast(dec38))).as("chain"),
+      sum(pairs2).as("u2"))
+      .select((col("r2") / 2).cast("long").as("rare_pairs"),
+        col("chain").cast("long").as("hot_chain_pairs"),
+        (col("u2") / 2).cast("long").as("uncapped_pairs"))
+      .withColumn("capped_pairs", expr("rare_pairs + hot_chain_pairs"))
+      .withColumn("savings_bp",
+        expr("(uncapped_pairs - capped_pairs) * 10000 DIV greatest(uncapped_pairs, 1)"))
+    TextDedup.materializeAndRelease(out, sh)
+  }
+
+  val qPairCostSql: String = {
+    val cap = TextDedup.DefaultBucketCap
+    s"""WITH sh AS (
+       |  SELECT doc_id, unnest(list_distinct(list_transform(
+       |    range(len(t) - ${ShingleK - 1}),
+       |    i -> array_to_string(t[i+1:i+$ShingleK], ' ')))) AS s
+       |  FROM (SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS t
+       |        FROM documents) tok
+       |  WHERE len(t) >= $ShingleK
+       |), df AS (
+       |  SELECT s, CAST(count(*) AS HUGEINT) AS df FROM sh GROUP BY 1
+       |), agg AS (
+       |  SELECT
+       |    CAST(sum(CASE WHEN df <= $cap THEN df * (df - 1) ELSE 0 END) // 2 AS BIGINT)
+       |      AS rare_pairs,
+       |    CAST(sum(CASE WHEN df > $cap THEN df - 1 ELSE 0 END) AS BIGINT)
+       |      AS hot_chain_pairs,
+       |    CAST(sum(df * (df - 1)) // 2 AS BIGINT) AS uncapped_pairs
+       |  FROM df
+       |)
+       |SELECT rare_pairs, hot_chain_pairs, uncapped_pairs,
+       |  rare_pairs + hot_chain_pairs AS capped_pairs,
+       |  CAST((uncapped_pairs - (rare_pairs + hot_chain_pairs)) * 10000
+       |    // greatest(uncapped_pairs, 1) AS BIGINT) AS savings_bp
+       |FROM agg""".stripMargin
+  }
+
   /** Jaccard THRESHOLD SWEEP — the dedup tuning curve: pair and document
     * counts at each candidate threshold, from ONE capped pair relation
     * (the expensive commons pass runs once; each threshold is a cheap
@@ -988,6 +1050,7 @@ object Dedup {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_segment_dedup" -> (qSegmentDedup _),
+    "q_pair_cost" -> (qPairCost _),
     "q_dedup_containment" -> (qDedupContainment _),
     "q_source_pairs" -> (qSourcePairs _),
     "q_bitext_mine" -> (qBitextMine _),
@@ -1013,6 +1076,7 @@ object Dedup {
 
   def oracle: Map[String, String] = Map(
     "q_segment_dedup" -> qSegmentDedupSql,
+    "q_pair_cost" -> qPairCostSql,
     "q_dedup_containment" -> qDedupContainmentSql,
     "q_source_pairs" -> qSourcePairsSql,
     "q_bitext_mine" -> qBitextMineSql,

@@ -395,4 +395,76 @@ class CorpusSpec extends SparkFunSuite {
     assert(real.find(_._1 == maxTok).get._2 <= 1000L)
     assert(real.find(_._1 == minTok).get._2 >= 1000L)
   }
+
+  test("waterfill: allocation respects the budget and the waterline semantics") {
+    val sf = "/root/testdata/sf0.001"
+    val rows = Corpus.qTokenWaterfill(spark, sf).collect().toSeq
+    assert(rows.nonEmpty)
+    val budget = rows.head.getLong(5)
+    val totalAlloc = rows.map(_.getLong(2)).sum
+    val waterline = rows.head.getLong(4)
+    // never overspends, and the leftover is smaller than funding ONE more
+    // unit across the capped sources (the integer-waterline residue)
+    assert(totalAlloc <= budget)
+    val capped = rows.count(r => r.getLong(1) > waterline)
+    // integer-waterline residue: funding one more unit across the capped
+    // sources would overshoot (only meaningful when something is capped)
+    if (capped > 0)
+      assert(budget - totalAlloc < capped,
+        s"budget=$budget alloc=$totalAlloc capped=$capped")
+    // waterfill semantics: below the line fully funded, above it capped AT the line
+    rows.foreach { r =>
+      val (n, alloc) = (r.getLong(1), r.getLong(2))
+      if (n <= waterline) assert(alloc == n) else assert(alloc == waterline)
+    }
+  }
+
+  test("waterfill on equal sources spends the budget exactly at the derived line") {
+    val s2 = spark
+    import s2.implicits._
+    // 3 sources x 50 tokens each; budget = 60% of 150 = 90 -> waterline
+    // floor(90/3) = 30 < 50, so every source is capped at exactly 30 and
+    // the budget is spent to the last token (equal sizes leave no residue)
+    val docs = Seq.tabulate(30)(i => (i.toLong, s"src${i % 3}", "a b c d e"))
+      .toDF("doc_id", "source", "text")
+    val dir = tmpDir("waterfill-eq")
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = Corpus.qTokenWaterfill(spark, dir).collect().toSeq
+    assert(rows.size == 3)
+    assert(rows.forall(_.getLong(4) == 30L), "waterline = budget/3")
+    assert(rows.forall(_.getLong(2) == 30L), "each source capped at the line")
+    assert(rows.map(_.getLong(2)).sum == rows.head.getLong(5))
+  }
+
+  test("priority sample is exactly k, weight-biased, and id-stable") {
+    val sf = "/root/testdata/sf0.001"
+    val rows = Corpus.qSamplePriority(spark, sf).collect().toSeq
+    assert(rows.size == Corpus.PriorityK)
+    // priorities strictly ordered by construction (ties broken by doc_id
+    // upstream; the emitted relation must be re-runnable bit-identically)
+    val again = Corpus.qSamplePriority(spark, sf).collect().toSeq
+    assert(rows.map(_.toSeq) == again.map(_.toSeq))
+    // weight bias: the sampled mean n_chars exceeds the corpus mean
+    val corpusMean = Tables.table(spark, sf, "documents")
+      .agg(avg(col("n_chars"))).collect()(0).getDouble(0)
+    val sampleMean = rows.map(_.getLong(2)).sum.toDouble / rows.size
+    assert(sampleMean > corpusMean,
+      s"weighted sample mean $sampleMean should exceed corpus mean $corpusMean")
+  }
+
+  test("chunk windows tile every document with the documented stride") {
+    val sf = "/root/testdata/sf0.001"
+    val rows = Corpus.qChunkWindows(spark, sf).collect().toSeq
+    rows.groupBy(_.getLong(0)).foreach { case (_, chunks) =>
+      val sorted = chunks.sortBy(_.getLong(1))
+      sorted.zipWithIndex.foreach { case (r, i) =>
+        assert(r.getLong(1) == i, "chunk indexes are dense from 0")
+        assert(r.getLong(2) == i.toLong * Corpus.ChunkS)
+        assert(r.getLong(3) >= 1 && r.getLong(3) <= Corpus.ChunkW)
+      }
+      // a NON-last chunk always covers more than one stride (else no
+      // further chunk would have started); only the last may be shorter
+      sorted.init.foreach(r => assert(r.getLong(3) > Corpus.ChunkS))
+    }
+  }
 }
