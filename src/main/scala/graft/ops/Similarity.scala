@@ -949,6 +949,77 @@ object Similarity {
        |      % $AnnSampleMod = 0
        |ORDER BY method, q_vec_id""".stripMargin
 
+  /** IVF INDEX REFRESH lifecycle: build the index on the standing corpus
+    * (vec_id ≢ 0 mod 5), APPEND the new ingest batch (≡ 0 mod 5) via
+    * [[VectorSearch.refreshIvfIndex]] — frozen centroids, O(batch) cost —
+    * then serve top-k over the full table from the refreshed index. The
+    * missing quarter of the index lifecycle (build / serve / audit /
+    * REFRESH), matching what BM25 already has
+    * ([[TextAnalysis]].refreshSearchIndex). The oracle replays the chain:
+    * Lloyd on the corpus subset only, the batch assigned to those frozen
+    * centroids, serving over the union — so the hash proves the refresh
+    * appended exactly the assignments a frozen-centroid retrain would
+    * have produced.
+    */
+  def qSimIvfRefresh(spark: SparkSession, dir: String): DataFrame = {
+    val emb = table(spark, dir, "embeddings")
+    val indexDir = graft.ServingIndexes.ensure("ivf-refresh-index", dir) { d =>
+      VectorSearch.writeIvfIndex(
+        emb.filter(pmod(col("vec_id"), lit(5)) =!= 0), col("vec_id"), col("embedding"), d)
+      VectorSearch.refreshIvfIndex(
+        emb.filter(pmod(col("vec_id"), lit(5)) === 0), col("vec_id"), col("embedding"), d)
+    }
+    rename(VectorSearch.ivfTopKFromIndex(
+      emb, col("vec_id"), col("embedding"), indexDir, QueryIds, K))
+  }
+
+  val qSimIvfRefreshSql: String = {
+    val cfg = VectorSearch.IvfConfig()
+    val q = (1L << cfg.quantBits).toString
+    val f = cfg.iters
+    s"""WITH ${ivfChainSql(cfg, "WHERE vec_id % 5 <> 0")}, xqi AS (
+       |  SELECT vec_id, d,
+       |    CAST(floor(CAST(embedding[CAST(d + 1 AS INT)] AS DOUBLE) * $q) AS BIGINT) AS x
+       |  FROM embeddings CROSS JOIN range(${cfg.dim}) rdi(d) WHERE vec_id % 5 = 0
+       |), disti AS (
+       |  SELECT xqi.vec_id, c.j,
+       |    CAST(sum((c.n * xqi.x - c.s) * (c.n * xqi.x - c.s)) AS DOUBLE)
+       |      / CAST(max(c.n) * max(c.n) AS DOUBLE) AS dist
+       |  FROM xqi JOIN cent$f c USING (d) GROUP BY 1, 2
+       |), assigni AS (
+       |  SELECT vec_id, j AS c FROM (
+       |    SELECT vec_id, j, row_number() OVER (PARTITION BY vec_id ORDER BY dist, j) AS rn
+       |    FROM disti)
+       |  WHERE rn = 1
+       |), allassign AS (
+       |  SELECT * FROM assignF UNION ALL SELECT * FROM assigni
+       |), alldist AS (
+       |  SELECT * FROM distF UNION ALL SELECT * FROM disti
+       |), probe AS (
+       |  SELECT vec_id AS q_vec_id, j AS bucket FROM (
+       |    SELECT vec_id, j, row_number() OVER (PARTITION BY vec_id ORDER BY dist, j) AS rn
+       |    FROM alldist WHERE vec_id IN (${QueryIds.mkString(", ")}))
+       |  WHERE rn <= ${cfg.nprobe}
+       |), cand AS (
+       |  SELECT DISTINCT p.q_vec_id, a.vec_id
+       |  FROM probe p JOIN allassign a ON a.c = p.bucket AND a.vec_id <> p.q_vec_id
+       |), nv AS (
+       |  SELECT vec_id, embedding,
+       |    sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+       |  FROM embeddings
+       |), pp AS (
+       |  SELECT cand.q_vec_id, cand.vec_id,
+       |    round(list_sum(list_transform(list_zip(qv.embedding, v.embedding),
+       |        z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE))) / (qv.nrm * v.nrm), 6) AS cos_sim
+       |  FROM cand JOIN nv qv ON qv.vec_id = cand.q_vec_id JOIN nv v ON v.vec_id = cand.vec_id
+       |), rr AS (
+       |  SELECT pp.*, row_number() OVER (PARTITION BY q_vec_id ORDER BY cos_sim DESC, vec_id) AS rnk
+       |  FROM pp
+       |)
+       |SELECT q_vec_id, rnk, vec_id, cos_sim FROM rr WHERE rnk <= $K
+       |ORDER BY q_vec_id, rnk""".stripMargin
+  }
+
   /** Truncation width for [[qMatryoshkaRecall]]. */
   val MatDims = 16
 
@@ -1019,6 +1090,7 @@ object Similarity {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_matryoshka_recall" -> (qMatryoshkaRecall _),
+    "q_sim_ivf_refresh" -> (qSimIvfRefresh _),
     "q_ann_recall" -> (qAnnRecall _),
     "q_ann_recall_sampled" -> (qAnnRecallSampled _),
     "q_ann_recall_indexed" -> (qAnnRecallIndexed _),
@@ -1039,6 +1111,7 @@ object Similarity {
 
   def oracle: Map[String, String] = Map(
     "q_matryoshka_recall" -> qMatryoshkaRecallSql,
+    "q_sim_ivf_refresh" -> qSimIvfRefreshSql,
     "q_ann_recall" -> qAnnRecallSql,
     "q_ann_recall_sampled" -> qAnnRecallSampledSql,
     // the indexed audit is bit-identical to the in-session audit — every

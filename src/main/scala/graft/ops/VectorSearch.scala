@@ -601,6 +601,35 @@ object VectorSearch {
     result
   }
 
+  /** APPEND-ONLY IVF index refresh — the ingest path of a production
+    * vector store: new vectors are assigned to the STORED centroids
+    * (frozen — no retraining) and their bucket rows appended to the
+    * index; serving then sees corpus ∪ batch through the same
+    * [[ivfTopKFromIndex]]. This is the standard freshness/quality trade
+    * (FAISS `add` vs `train`): recall on the new vectors is whatever the
+    * old centroids give them, and the [[graft.ops.Similarity.qAnnRecall]]
+    * audits decide when drift justifies a retrain — the vector dual of
+    * the BM25 `refreshSearchIndex` and the layout pack's re-cluster
+    * trigger.
+    *
+    * Cost is O(batch): one scan of the batch against the centroid array
+    * (a broadcast-sized literal), one append write. Nothing touches the
+    * existing corpus or its stored buckets. Assignment uses the identical
+    * (dist, j) rule as the trainer, so refresh-then-serve is bit-equal to
+    * assigning the union with frozen centroids (spec-pinned), and the
+    * DuckDB oracle replays it from the training chain.
+    */
+  def refreshIvfIndex(newBatch: DataFrame, id: Column, vec: Column, indexDir: String,
+      cfg: IvfConfig = IvfConfig()): Unit = {
+    val spark = newBatch.sparkSession
+    val centroids = loadCentroids(spark, indexDir)
+    val corpus = ivfCorpus(newBatch, id, vec, cfg)
+    corpus.withColumn("bucket", ivfAssignment(cfg)(centroids))
+      .select(col("id"), col("bucket"))
+      .write.mode("append").parquet(s"$indexDir/buckets.parquet")
+    corpus.unpersist()
+  }
+
   /** SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning at
     * web-scale through semantic deduplication"): cluster-scoped SEMANTIC
     * near-dup pruning — the embedding-space complement of the lexical

@@ -107,4 +107,33 @@ class ClusterPairsAndServeSpec extends SparkFunSuite {
       .collect()(0)
     assert(row.getLong(1) == 0L && row.getLong(2) == 0L && row.getLong(3) == 0L)
   }
+
+  test("ivf refresh: append-only ingest is split-invariant and serves batch vectors") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val corpus = emb.filter(pmod(col("vec_id"), lit(5)) =!= 0)
+    val batch = emb.filter(pmod(col("vec_id"), lit(5)) === 0)
+    val qids = Similarity.QueryIds
+    val one = tmpDir("ivf-refresh-one")
+    VectorSearch.writeIvfIndex(corpus, col("vec_id"), col("embedding"), one)
+    VectorSearch.refreshIvfIndex(batch, col("vec_id"), col("embedding"), one)
+    val servedOne = VectorSearch.ivfTopKFromIndex(
+      emb, col("vec_id"), col("embedding"), one, qids, Similarity.K).collect().toSeq
+    // the same ingest split into two commits must serve identically —
+    // append-only refresh is order/split-invariant because assignment is
+    // per-vector against frozen centroids
+    val two = tmpDir("ivf-refresh-two")
+    VectorSearch.writeIvfIndex(corpus, col("vec_id"), col("embedding"), two)
+    VectorSearch.refreshIvfIndex(
+      batch.filter(col("vec_id") < 250), col("vec_id"), col("embedding"), two)
+    VectorSearch.refreshIvfIndex(
+      batch.filter(col("vec_id") >= 250), col("vec_id"), col("embedding"), two)
+    val servedTwo = VectorSearch.ivfTopKFromIndex(
+      emb, col("vec_id"), col("embedding"), two, qids, Similarity.K).collect().toSeq
+    assert(servedOne == servedTwo)
+    assert(servedOne.nonEmpty)
+    // freshness: refreshed serving can return batch-side neighbors — the
+    // whole point of the refresh (corpus-only serving cannot)
+    assert(servedOne.exists(_.getLong(2) % 5 == 0),
+      "no batch vector ever served — refresh appended nothing visible")
+  }
 }
