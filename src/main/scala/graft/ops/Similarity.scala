@@ -973,6 +973,24 @@ object Similarity {
       emb, col("vec_id"), col("embedding"), indexDir, QueryIds, K))
   }
 
+  /** LSH dual of [[qSimIvfRefresh]]: corpus build + ingest-batch append,
+    * serve over the union from the stored signatures. LSH carries no
+    * trained state, so the refreshed index is bit-identical to a one-shot
+    * build and the query SHARES [[qSimLshTopKSql]] — the hash gate proves
+    * the append really reconstructed the full signature table.
+    */
+  def qSimLshRefresh(spark: SparkSession, dir: String): DataFrame = {
+    val emb = table(spark, dir, "embeddings")
+    val indexDir = graft.ServingIndexes.ensure("lsh-refresh-index", dir) { d =>
+      VectorSearch.writeLshIndex(
+        emb.filter(pmod(col("vec_id"), lit(5)) =!= 0), col("vec_id"), col("embedding"), d)
+      VectorSearch.refreshLshIndex(
+        emb.filter(pmod(col("vec_id"), lit(5)) === 0), col("vec_id"), col("embedding"), d)
+    }
+    rename(VectorSearch.lshTopKFromIndex(
+      emb, col("vec_id"), col("embedding"), indexDir, QueryIds, K))
+  }
+
   val qSimIvfRefreshSql: String = {
     val cfg = VectorSearch.IvfConfig()
     val q = (1L << cfg.quantBits).toString
@@ -1091,6 +1109,7 @@ object Similarity {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_matryoshka_recall" -> (qMatryoshkaRecall _),
     "q_sim_ivf_refresh" -> (qSimIvfRefresh _),
+    "q_sim_lsh_refresh" -> (qSimLshRefresh _),
     "q_ann_recall" -> (qAnnRecall _),
     "q_ann_recall_sampled" -> (qAnnRecallSampled _),
     "q_ann_recall_indexed" -> (qAnnRecallIndexed _),
@@ -1112,6 +1131,9 @@ object Similarity {
   def oracle: Map[String, String] = Map(
     "q_matryoshka_recall" -> qMatryoshkaRecallSql,
     "q_sim_ivf_refresh" -> qSimIvfRefreshSql,
+    // refresh-built LSH index is bit-identical to the one-shot build
+    // (training-free signatures), so it shares the plain search's oracle
+    "q_sim_lsh_refresh" -> qSimLshTopKSql,
     "q_ann_recall" -> qAnnRecallSql,
     "q_ann_recall_sampled" -> qAnnRecallSampledSql,
     // the indexed audit is bit-identical to the in-session audit — every

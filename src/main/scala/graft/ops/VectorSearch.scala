@@ -813,6 +813,20 @@ object VectorSearch {
       .select(col("id"), col("band"), col("bv"))
       .write.mode("overwrite").parquet(s"$indexDir/sigs.parquet")
 
+  /** Append-only LSH index refresh — the ingest path: the batch's banded
+    * signatures appended to the stored table at O(batch) cost. Unlike the
+    * IVF dual ([[refreshIvfIndex]]) there is NO freshness/quality trade:
+    * LSH has no trained state (planes are md5-derived), so an index built
+    * by any sequence of refreshes is bit-identical to a one-shot build
+    * over the union — serving from it equals the in-session [[lshTopK]]
+    * exactly, and the refresh query shares the plain search's oracle.
+    */
+  def refreshLshIndex(newBatch: DataFrame, id: Column, vec: Column, indexDir: String,
+      cfg: LshConfig = LshConfig()): Unit =
+    bandedSignatures(withNorm(newBatch, id, vec), cfg)
+      .select(col("id"), col("band"), col("bv"))
+      .write.mode("append").parquet(s"$indexDir/sigs.parquet")
+
   /** Serve top-k from a PERSISTED LSH index (see [[writeLshIndex]]): query
     * signatures are looked up IN the stored table (queries are corpus
     * members, exactly as [[lshTopK]] treats them), candidates come from the

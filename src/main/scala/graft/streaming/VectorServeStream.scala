@@ -88,6 +88,45 @@ object VectorServeStream {
           StructField("best_cos", DoubleType), StructField("n_dups", LongType)))))
   }
 
+  /** Streaming INDEX INGEST — the arrival-time dual of
+    * [[graft.ops.VectorSearch.refreshIvfIndex]]: embedding batches stream
+    * in and each micro-batch's vectors are assigned to the STORED
+    * centroids (frozen) and appended to the index, so the serving fleet
+    * sees every ingested vector one trigger after it lands. Because
+    * append-only refresh is split-invariant (per-vector assignment
+    * against frozen centroids — the batch spec pins it), the index after
+    * the stream is bit-identical to a single one-shot refresh of the
+    * union, under ANY trigger/file split.
+    *
+    * Scale: per micro-batch cost is O(batch) against a broadcast-sized
+    * centroid literal; the stored corpus buckets are never read or
+    * rewritten. Returns the number of micro-batches applied.
+    */
+  def ingestIvfBatches(
+      spark: SparkSession,
+      embDir: String,
+      checkpoint: String,
+      indexDir: String,
+      cfg: graft.ops.VectorSearch.IvfConfig = graft.ops.VectorSearch.IvfConfig()): Long = {
+    val applied = new java.util.concurrent.atomic.AtomicLong()
+    val stream = spark.readStream
+      .schema(embeddingSchema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(embDir)
+    val q = stream.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.ops.VectorSearch.refreshIvfIndex(
+          batch, col("vec_id"), col("embedding"), indexDir, cfg)
+        applied.incrementAndGet()
+        ()
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    applied.get()
+  }
+
   /** Serve every request file under `requestDir` (AvailableNow catch-up;
     * one file per micro-batch) and return the accumulated results.
     */

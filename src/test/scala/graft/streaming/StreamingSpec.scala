@@ -754,6 +754,43 @@ class StreamingSpec extends SparkFunSuite {
     assert(splits.forall(_.nonEmpty))
   }
 
+  test("streaming IVF ingest leaves an index identical to the one-shot refresh") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val corpus = emb.filter(pmod(col("vec_id"), lit(5)) =!= 0)
+    val batch = emb.filter(pmod(col("vec_id"), lit(5)) === 0)
+      .orderBy(col("vec_id")).collect()
+    val qids = graft.ops.Similarity.QueryIds
+    // streamed: the ingest arrives in three commits
+    val streamedIdx = tmpDir("ivf-ingest-stream")
+    graft.ops.VectorSearch.writeIvfIndex(
+      corpus, col("vec_id"), col("embedding"), streamedIdx)
+    val dir = tmpDir("ivf-ingest-feed")
+    val cuts = Seq(batch.take(130), batch.slice(130, 300), batch.drop(300))
+    cuts.foreach { c =>
+      spark.createDataFrame(spark.sparkContext.parallelize(c.toSeq, 1), emb.schema)
+        .coalesce(1).write.mode("append").parquet(dir)
+      Thread.sleep(60)
+    }
+    val n = VectorServeStream.ingestIvfBatches(
+      spark, dir, tmpDir("ivf-ingest-ckpt"), streamedIdx)
+    assert(n == 3, s"expected 3 micro-batches, saw $n")
+    // batch reference: one-shot build + single refresh
+    val oneIdx = tmpDir("ivf-ingest-oneshot")
+    graft.ops.VectorSearch.writeIvfIndex(
+      corpus, col("vec_id"), col("embedding"), oneIdx)
+    graft.ops.VectorSearch.refreshIvfIndex(
+      emb.filter(pmod(col("vec_id"), lit(5)) === 0),
+      col("vec_id"), col("embedding"), oneIdx)
+    val served = graft.ops.VectorSearch.ivfTopKFromIndex(
+      emb, col("vec_id"), col("embedding"), streamedIdx, qids,
+      graft.ops.Similarity.K).collect().toSeq
+    val oneShot = graft.ops.VectorSearch.ivfTopKFromIndex(
+      emb, col("vec_id"), col("embedding"), oneIdx, qids,
+      graft.ops.Similarity.K).collect().toSeq
+    assert(served == oneShot)
+    assert(served.nonEmpty)
+  }
+
   test("streaming recluster gate fires on drift and equals the batch restore plan") {
     // the batch scenario split along the arrival axis: base = the ok%10≠0
     // rows (Hilbert-clustered table), delta = the ok%10=0 append arriving
