@@ -701,19 +701,32 @@ object Similarity {
     * per-subspace code assignment, then the ADC score with every division
     * and addition in the same pinned order as the Spark expression.
     */
-  val qSimPqTopKSql: String = {
+  /** The PQ serving oracle, parameterized by a TRAINING-subset filter:
+    * with `trainWhere` empty this is the plain [[qSimPqTopK]] replay;
+    * with a filter, codebooks train on the subset only while codes cover
+    * every vector — exactly the build-then-append lifecycle of
+    * [[qSimPqRefresh]] (fresh-encode-with-final-codebooks is the rule on
+    * BOTH paths, so assigning the union to the frozen codebooks mirrors
+    * build + refresh bit-for-bit).
+    */
+  private def pqServeSqlFor(trainWhere: String): String = {
     val cfg = VectorSearch.PqConfig()
     val q = (1L << cfg.quantBits).toString
     val m = cfg.subspaces
 
     def subspaceChain(j: Int): String = {
       val off = j * cfg.subDim
+      val trainSrc = if (trainWhere.isEmpty) s"xq$j" else s"xt$j"
+      val trainCte =
+        if (trainWhere.isEmpty) ""
+        else s"""xt$j AS (SELECT * FROM xq$j $trainWhere),
+                |""".stripMargin
       def iteration(i: Int): String =
         s"""d${j}_$i AS (
            |  SELECT xq.vec_id, c.j,
            |    CAST(sum((c.n * xq.x - c.s) * (c.n * xq.x - c.s)) AS DOUBLE)
            |      / CAST(max(c.n) * max(c.n) AS DOUBLE) AS dist
-           |  FROM xq$j xq JOIN c${j}_$i c USING (d) GROUP BY 1, 2
+           |  FROM $trainSrc xq JOIN c${j}_$i c USING (d) GROUP BY 1, 2
            |), a${j}_$i AS (
            |  SELECT vec_id, j AS c FROM (
            |    SELECT vec_id, j, row_number() OVER (PARTITION BY vec_id ORDER BY dist, j) AS rn
@@ -722,7 +735,7 @@ object Similarity {
            |), c${j}_${i + 1} AS (
            |  SELECT m.j, m.d, m.s, m.n FROM (
            |    SELECT a.c AS j, xq.d, sum(xq.x) AS s, count(*) AS n
-           |    FROM xq$j xq JOIN a${j}_$i a USING (vec_id) GROUP BY 1, 2) m
+           |    FROM $trainSrc xq JOIN a${j}_$i a USING (vec_id) GROUP BY 1, 2) m
            |  UNION ALL
            |  SELECT c.j, c.d, c.s, c.n FROM c${j}_$i c
            |  WHERE c.j NOT IN (SELECT DISTINCT c FROM a${j}_$i)
@@ -732,11 +745,11 @@ object Similarity {
          |  SELECT vec_id, d,
          |    CAST(floor(CAST(embedding[CAST(d + ${off + 1} AS INT)] AS DOUBLE) * $q) AS BIGINT) AS x
          |  FROM embeddings CROSS JOIN range(${cfg.subDim}) rd$j(d)
-         |), c${j}_0 AS (
+         |), ${trainCte}c${j}_0 AS (
          |  SELECT j, d, x AS s, CAST(1 AS BIGINT) AS n FROM (
          |    SELECT vec_id, d, x, dense_rank() OVER (ORDER BY vec_id) - 1 AS j
-         |    FROM xq$j
-         |    WHERE vec_id IN (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT ${cfg.codebookSize}))
+         |    FROM $trainSrc
+         |    WHERE vec_id IN (SELECT vec_id FROM embeddings $trainWhere ORDER BY vec_id LIMIT ${cfg.codebookSize}))
          |), ${(0 until cfg.iters).map(iteration).mkString(", ")},
          |dF$j AS (
          |  SELECT xq.vec_id, c.j,
@@ -806,6 +819,27 @@ object Similarity {
        |SELECT q_vec_id, rnk, vec_id, cos_sim FROM r WHERE rnk <= $K
        |ORDER BY q_vec_id, rnk""".stripMargin
   }
+
+  val qSimPqTopKSql: String = pqServeSqlFor("")
+
+  /** PQ dual of [[qSimIvfRefresh]]: codebooks train on the standing
+    * corpus, the ingest batch is ENCODED with those frozen codebooks at
+    * O(batch) cost and its codes appended, serving covers the union.
+    */
+  def qSimPqRefresh(spark: SparkSession, dir: String): DataFrame = {
+    val emb = table(spark, dir, "embeddings")
+    val indexDir = graft.ServingIndexes.ensure("pq-refresh-index", dir) { d =>
+      VectorSearch.writePqIndex(
+        emb.filter(pmod(col("vec_id"), lit(5)) =!= 0), col("vec_id"), col("embedding"), d)
+      VectorSearch.refreshPqIndex(
+        emb.filter(pmod(col("vec_id"), lit(5)) === 0), col("vec_id"), col("embedding"), d)
+    }
+    rename(VectorSearch.pqTopKFromIndex(
+      emb, col("vec_id"), col("embedding"), indexDir, QueryIds, K,
+      shortlist = PqShortlist))
+  }
+
+  val qSimPqRefreshSql: String = pqServeSqlFor("WHERE vec_id % 5 <> 0")
 
   /** ANN RECALL AUDIT — approximate-vs-exact top-k agreement per query,
     * in exact basis points: recall@k of the LSH, IVF and PQ paths against
@@ -1110,6 +1144,7 @@ object Similarity {
     "q_matryoshka_recall" -> (qMatryoshkaRecall _),
     "q_sim_ivf_refresh" -> (qSimIvfRefresh _),
     "q_sim_lsh_refresh" -> (qSimLshRefresh _),
+    "q_sim_pq_refresh" -> (qSimPqRefresh _),
     "q_ann_recall" -> (qAnnRecall _),
     "q_ann_recall_sampled" -> (qAnnRecallSampled _),
     "q_ann_recall_indexed" -> (qAnnRecallIndexed _),
@@ -1134,6 +1169,7 @@ object Similarity {
     // refresh-built LSH index is bit-identical to the one-shot build
     // (training-free signatures), so it shares the plain search's oracle
     "q_sim_lsh_refresh" -> qSimLshTopKSql,
+    "q_sim_pq_refresh" -> qSimPqRefreshSql,
     "q_ann_recall" -> qAnnRecallSql,
     "q_ann_recall_sampled" -> qAnnRecallSampledSql,
     // the indexed audit is bit-identical to the in-session audit — every

@@ -1122,17 +1122,40 @@ object VectorSearch {
   /** [[pqTopKFromIndex]] minus the final materialization — exposed for
     * the plan guard on the stored-index serving read profile.
     */
+  private def loadPqCodebooks(spark: org.apache.spark.sql.SparkSession,
+      indexDir: String, cfg: PqConfig): Array[Array[Centroid]] = {
+    val cbRows = spark.read.parquet(s"$indexDir/codebooks.parquet").collect()
+    val byJ = cbRows.groupBy(_.getAs[Int]("j"))
+    Array.tabulate(cfg.subspaces) { j =>
+      byJ(j).sortBy(_.getAs[Int]("c"))
+        .map(r => Centroid(r.getSeq[Long](r.fieldIndex("s")).toArray, r.getAs[Long]("n")))
+    }
+  }
+
+  /** Append-only PQ index refresh — the ingest batch ENCODED with the
+    * stored (frozen) codebooks and its codes appended, O(batch) cost:
+    * the same fresh-encode-with-final-codebooks rule the builder applies,
+    * so build + any refresh sequence equals encoding the union once
+    * (split-invariance spec-pinned; the [[refreshIvfIndex]] freshness
+    * trade applies identically — recall on new vectors is what the old
+    * codebooks give them, the recall audits schedule the retrain).
+    */
+  def refreshPqIndex(newBatch: DataFrame, id: Column, vec: Column, indexDir: String,
+      cfg: PqConfig = PqConfig()): Unit = {
+    val spark = newBatch.sparkSession
+    val codebooks = loadPqCodebooks(spark, indexDir, cfg)
+    val corpus = pqCorpus(newBatch, id, vec, cfg)
+    pqEncode(corpus, codebooks, cfg)
+      .write.mode("append").parquet(s"$indexDir/codes.parquet")
+    corpus.unpersist()
+  }
+
   private[ops] def pqTopKFromIndexPlan(df: DataFrame, id: Column, vec: Column,
       indexDir: String, queryIds: Seq[Long], k: Int, cfg: PqConfig = PqConfig(),
       shortlist: Int = 0): DataFrame = {
     val spark = df.sparkSession
     val scale = (1L << cfg.quantBits).toDouble
-    val cbRows = spark.read.parquet(s"$indexDir/codebooks.parquet").collect()
-    val byJ = cbRows.groupBy(_.getAs[Int]("j"))
-    val codebooks = Array.tabulate(cfg.subspaces) { j =>
-      byJ(j).sortBy(_.getAs[Int]("c"))
-        .map(r => Centroid(r.getSeq[Long](r.fieldIndex("s")).toArray, r.getAs[Long]("n")))
-    }
+    val codebooks = loadPqCodebooks(spark, indexDir, cfg)
     val encoded = spark.read.parquet(s"$indexDir/codes.parquet")
     val queries = df.select(id.as("qid"), vec.as("v"))
       .filter(col("qid").isin(queryIds: _*))

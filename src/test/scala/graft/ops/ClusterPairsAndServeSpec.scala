@@ -136,4 +136,28 @@ class ClusterPairsAndServeSpec extends SparkFunSuite {
     assert(servedOne.exists(_.getLong(2) % 5 == 0),
       "no batch vector ever served — refresh appended nothing visible")
   }
+
+  test("pq refresh: append-only code ingest is split-invariant") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val corpus = emb.filter(pmod(col("vec_id"), lit(5)) =!= 0)
+    val batch = emb.filter(pmod(col("vec_id"), lit(5)) === 0)
+    val qids = Similarity.QueryIds
+    val one = tmpDir("pq-refresh-one")
+    VectorSearch.writePqIndex(corpus, col("vec_id"), col("embedding"), one)
+    VectorSearch.refreshPqIndex(batch, col("vec_id"), col("embedding"), one)
+    val servedOne = VectorSearch.pqTopKFromIndex(
+      emb, col("vec_id"), col("embedding"), one, qids, Similarity.K,
+      shortlist = Similarity.PqShortlist).collect().toSeq
+    val two = tmpDir("pq-refresh-two")
+    VectorSearch.writePqIndex(corpus, col("vec_id"), col("embedding"), two)
+    VectorSearch.refreshPqIndex(
+      batch.filter(col("vec_id") < 250), col("vec_id"), col("embedding"), two)
+    VectorSearch.refreshPqIndex(
+      batch.filter(col("vec_id") >= 250), col("vec_id"), col("embedding"), two)
+    val servedTwo = VectorSearch.pqTopKFromIndex(
+      emb, col("vec_id"), col("embedding"), two, qids, Similarity.K,
+      shortlist = Similarity.PqShortlist).collect().toSeq
+    assert(servedOne == servedTwo)
+    assert(servedOne.nonEmpty)
+  }
 }
