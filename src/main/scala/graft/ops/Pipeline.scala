@@ -441,12 +441,259 @@ object Pipeline {
        |ORDER BY 1, 2, 3""".stripMargin
   }
 
+  /** ARRIVAL-TIME CORPUS INTAKE — the gate-composition dual of
+    * [[qPipelineFull]]: where the composite cleans a STANDING corpus
+    * against itself, the intake gates an INGEST BATCH against standing
+    * corpus artifacts, one verdict row per arrival with the first stage
+    * that rejected it:
+    *
+    *   quality/lang (per-row) → exact_dup (corpus fingerprint semi-join)
+    *   → near_dup (stored MinHash-LSH index probe) → semantic_dup (stored
+    *   IVF index probe; arrivals without an embedding pass) →
+    *   contaminated (broadcast bench-gram join) → clean (+ split/shard
+    *   routing; chunk assignment composes downstream via
+    *   [[graft.streaming.PackStream]]).
+    *
+    * Every verdict depends only on the arrival and the STANDING corpus —
+    * arrivals never pair with each other — so the per-batch gate equals
+    * the one-shot batch gate of the whole feed under ANY trigger split
+    * (the [[graft.streaming.IntakeStream]] spec pins it), and per-batch
+    * cost is O(batch) probes against persisted artifacts.
+    */
+  /** Admission bar for [[intakeBatch]] — looser than [[QualityMin]]: an
+    * intake service admits borderline documents and lets the dedup /
+    * contamination stages decide (the one-shot corpus clean can afford a
+    * harsher gate because it sees the whole corpus at once), and the
+    * looser bar keeps every downstream stage exercised by the oracle.
+    */
+  val IntakeQualityMin = 0.35
+
+  /** Contamination bar for [[intakeBatch]]: an arrival is rejected when it
+    * shares at least this many distinct 3-shingles with the eval set —
+    * single-shingle collisions are common-phrase noise on any corpus, so
+    * the one-shingle rule would quarantine most of a clean feed (measured
+    * 80% at sf0.01); three matching shingles is the q_contamination-style
+    * evidence threshold.
+    */
+  val IntakeContamMinShingles = 3
+
+  def intakeBatch(arrivals: DataFrame, corpusFps: DataFrame,
+      lshIndexDir: String, embLookup: DataFrame, corpusEmb: DataFrame,
+      ivfIndexDir: String, benchGrams: DataFrame): DataFrame = {
+    val withT = arrivals
+      .select(col("doc_id"), col("source"), col("text"), tokens(col("text")).as("t"))
+      .withColumn("n_tokens", size(col("t")).cast(LongType))
+      .withColumn("quality_score",
+        TextAnalysis.qualityScoreC(
+          TextAnalysis.stopRatioC(col("t")),
+          TextAnalysis.typeTokenRatioC(col("t")),
+          TextAnalysis.lengthOkC(col("t"))))
+      .withColumn("lang", TextAnalysis.langPredC(col("t")))
+      .withColumn("fp", md5(concat_ws(" ", col("t"))))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val gated = withT.filter(col("lang") === "en" && col("quality_score") >= IntakeQualityMin)
+    val exactDup = gated
+      .join(broadcast(corpusFps.select(col("fp"))), Seq("fp"), "left_semi")
+      .select(col("doc_id"), lit("exact_dup").as("r"))
+    val afterExact = gated.join(exactDup.select("doc_id"), Seq("doc_id"), "left_anti")
+    val nearDup = TextDedup.minhashLshIncrementalFromIndex(
+      afterExact, col("doc_id"), col("text"), lshIndexDir,
+      TextDedup.MinHashConfig(shingleK = Dedup.ShingleK), Dedup.JaccardThreshold)
+      .select(col("id").as("doc_id"), lit("near_dup").as("r"))
+    val afterNear = afterExact.join(nearDup.select("doc_id"), Seq("doc_id"), "left_anti")
+    // arrival vectors come from the embeddings TABLE keyed by doc_id
+    // (vec_id ≡ doc_id on this corpus); arrivals without one pass through
+    val withVec = afterNear
+      .join(embLookup.select(col("vec_id").as("doc_id"), col("embedding")), Seq("doc_id"))
+      .select(col("doc_id").as("vec_id"), col("embedding"))
+    val semDup = VectorSearch.semDedupIncrementalFromIndex(
+      corpusEmb, withVec, col("vec_id"), col("embedding"), ivfIndexDir,
+      Similarity.SemThreshold)
+      .select(col("id").as("doc_id"), lit("semantic_dup").as("r"))
+    val afterSem = afterNear.join(semDup.select("doc_id"), Seq("doc_id"), "left_anti")
+    val survSh = TextDedup.shingles(afterSem, col("doc_id"), col("text"), Dedup.ShingleK)
+    val contam = survSh.join(broadcast(benchGrams.select(col("s"))), Seq("s"))
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= IntakeContamMinShingles)
+      .select(col("id").as("doc_id"), lit("contaminated").as("r"))
+    val flagged = exactDup.unionByName(nearDup).unionByName(semDup).unionByName(contam)
+    val out = withT
+      .select(col("doc_id"), col("n_tokens"),
+        when(col("lang") =!= "en", "lang")
+          .when(col("quality_score") < IntakeQualityMin, "quality").as("gate_r"))
+      .join(flagged, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("gate_r"), col("r"), lit("clean")).as("reason"))
+      .withColumn("accepted", (col("reason") === "clean").cast(LongType))
+      .withColumn("split",
+        when(col("reason") === "clean", Corpus.splitCol(col("doc_id"))))
+      .withColumn("shard",
+        when(col("reason") === "clean",
+          pmod(conv(substring(md5(col("doc_id").cast("string")), 9, 4), 16, 10).cast("long"),
+            lit(8))))
+      .orderBy(col("doc_id"))
+    TextDedup.materializeAndRelease(out, withT, survSh)
+  }
+
+  /** [[intakeBatch]] bound to the standing split: corpus = doc_id ≢ 0
+    * mod 5 (with its session-shared dedup-LSH and semantic-IVF artifacts
+    * — the SAME [[graft.ServingIndexes]] builds the individual gate
+    * queries use), arrivals = doc_id ≡ 0 mod 5, eval stand-in = corpus
+    * docs ≡ 0 mod 7.
+    */
+  def qIntake(spark: SparkSession, dir: String): DataFrame = {
+    val docs = table(spark, dir, "documents")
+    val corpus = docs.filter(pmod(col("doc_id"), lit(5)) =!= 0)
+    val arrivals = docs.filter(pmod(col("doc_id"), lit(5)) === 0)
+    val emb = table(spark, dir, "embeddings")
+    val corpusEmb = emb.filter(pmod(col("vec_id"), lit(5)) =!= 0)
+    val lshDir = graft.ServingIndexes.ensure("dedup-lsh-index", dir)(d =>
+      TextDedup.writeLshIndex(corpus, col("doc_id"), col("text"), d,
+        TextDedup.MinHashConfig(shingleK = Dedup.ShingleK)))
+    val ivfDir = graft.ServingIndexes.ensure("semdedup-ivf-index", dir)(d =>
+      VectorSearch.writeIvfIndex(corpusEmb, col("vec_id"), col("embedding"), d))
+    val corpusFps = corpus.select(md5(concat_ws(" ", tokens(col("text")))).as("fp"))
+    val benchSh = TextDedup.shingles(
+      corpus.filter(pmod(col("doc_id"), lit(7)) === 0),
+      col("doc_id"), col("text"), Dedup.ShingleK)
+    val benchGrams = benchSh.select(col("s")).distinct()
+    val out = intakeBatch(arrivals, corpusFps, lshDir, emb, corpusEmb, ivfDir, benchGrams)
+    benchSh.unpersist()
+    out
+  }
+
+  /** DuckDB replay of the whole cascade with the SAME stage priority:
+    * the near-dup stage replays as the exact cross-corpus Jaccard (the
+    * [[Dedup.qDedupIncrementalSql]] discipline — LSH recall ≈ 1 at these
+    * thresholds on this corpus), the semantic stage as the corpus-trained
+    * Lloyd chain probed by the arrivals, contamination and the gates as
+    * pure projections.
+    */
+  val qIntakeSql: String = {
+    val de = TextAnalysis.sqlStopCount(TextAnalysis.StopwordsDe)
+    val en = TextAnalysis.sqlStopCount(TextAnalysis.StopwordsEn)
+    val es = TextAnalysis.sqlStopCount(TextAnalysis.StopwordsEs)
+    val fr = TextAnalysis.sqlStopCount(TextAnalysis.StopwordsFr)
+    val k = Dedup.ShingleK
+    val cfg = VectorSearch.IvfConfig()
+    val q = (1L << cfg.quantBits).toString
+    val f = cfg.iters
+    s"""WITH ${Similarity.ivfChainSql(cfg, "WHERE vec_id % 5 <> 0", materialized = true)},
+       |arr AS MATERIALIZED (
+       |  SELECT doc_id, source, text, regexp_split_to_array(lower(text), '\\s+') AS t
+       |  FROM documents WHERE doc_id % 5 = 0
+       |), acc AS MATERIALIZED (
+       |  SELECT doc_id, text, t, len(t) AS n_tokens,
+       |    (CAST($en AS DOUBLE) / CAST(len(t) AS DOUBLE) * 2
+       |     + CAST(len(list_distinct(t)) AS DOUBLE) / CAST(len(t) AS DOUBLE)
+       |     + CAST(len(t) >= 10 AND len(t) <= 1000 AS INTEGER)) / 4 AS quality_score,
+       |    ${TextAnalysis.langPredSql} AS pred,
+       |    md5(array_to_string(t, ' ')) AS fp
+       |  FROM (SELECT doc_id, source, text, t, $de AS c_de, $en AS c_en,
+       |          $es AS c_es, $fr AS c_fr FROM arr) arrc
+       |), gated AS MATERIALIZED (
+       |  SELECT * FROM acc WHERE pred = 'en' AND quality_score >= $IntakeQualityMin
+       |), cfp AS (
+       |  SELECT DISTINCT md5(array_to_string(regexp_split_to_array(lower(text), '\\s+'), ' ')) AS fp
+       |  FROM documents WHERE doc_id % 5 <> 0
+       |), exact_dup AS MATERIALIZED (
+       |  SELECT doc_id FROM gated WHERE fp IN (SELECT fp FROM cfp)
+       |), ash AS MATERIALIZED (
+       |  SELECT doc_id, unnest(list_distinct(list_transform(
+       |    range(len(t) - ${k - 1}), i -> array_to_string(t[i+1:i+$k], ' ')))) AS s
+       |  FROM gated WHERE len(t) >= $k AND doc_id NOT IN (SELECT doc_id FROM exact_dup)
+       |), csh AS MATERIALIZED (
+       |  SELECT doc_id, unnest(list_distinct(list_transform(
+       |    range(len(t) - ${k - 1}), i -> array_to_string(t[i+1:i+$k], ' ')))) AS s
+       |  FROM (SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS t
+       |        FROM documents WHERE doc_id % 5 <> 0) c
+       |  WHERE len(t) >= $k
+       |), asz AS (SELECT doc_id, count(*) AS n FROM ash GROUP BY 1),
+       |csz AS (SELECT doc_id, count(*) AS n FROM csh GROUP BY 1),
+       |near_dup AS MATERIALIZED (
+       |  SELECT DISTINCT cm.di AS doc_id FROM (
+       |    SELECT a.doc_id AS di, c.doc_id AS dc, count(*) AS common
+       |    FROM ash a JOIN csh c ON a.s = c.s GROUP BY 1, 2) cm
+       |  JOIN asz x ON cm.di = x.doc_id JOIN csz y ON cm.dc = y.doc_id
+       |  WHERE CAST(common AS DOUBLE) / CAST(x.n + y.n - common AS DOUBLE)
+       |    >= ${Dedup.JaccardThreshold}
+       |), seminc AS MATERIALIZED (
+       |  SELECT vec_id, d,
+       |    CAST(floor(CAST(embedding[CAST(d + 1 AS INT)] AS DOUBLE) * $q) AS BIGINT) AS x
+       |  FROM embeddings CROSS JOIN range(${cfg.dim}) rdi(d)
+       |  WHERE vec_id IN (SELECT doc_id FROM gated
+       |                   WHERE doc_id NOT IN (SELECT doc_id FROM exact_dup)
+       |                     AND doc_id NOT IN (SELECT doc_id FROM near_dup))
+       |), disti AS MATERIALIZED (
+       |  SELECT seminc.vec_id, c.j,
+       |    CAST(sum((c.n * seminc.x - c.s) * (c.n * seminc.x - c.s)) AS DOUBLE)
+       |      / CAST(max(c.n) * max(c.n) AS DOUBLE) AS dist
+       |  FROM seminc JOIN cent$f c USING (d) GROUP BY 1, 2
+       |), probei AS (
+       |  SELECT vec_id AS id_i, j AS bucket FROM (
+       |    SELECT vec_id, j, row_number() OVER (PARTITION BY vec_id ORDER BY dist, j) AS rn
+       |    FROM disti)
+       |  WHERE rn <= ${cfg.nprobe}
+       |), nvv AS MATERIALIZED (
+       |  SELECT vec_id, embedding,
+       |    sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+       |  FROM embeddings
+       |), semantic_dup AS MATERIALIZED (
+       |  SELECT DISTINCT p.id_i AS doc_id
+       |  FROM probei p JOIN assignF a ON a.c = p.bucket
+       |  JOIN nvv i ON i.vec_id = p.id_i JOIN nvv cv ON cv.vec_id = a.vec_id
+       |  WHERE round(list_sum(list_transform(list_zip(i.embedding, cv.embedding),
+       |      z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE))) / (i.nrm * cv.nrm), 6)
+       |    >= ${Similarity.SemThreshold}
+       |), bench AS (
+       |  SELECT DISTINCT s FROM csh WHERE doc_id % 7 = 0
+       |), contaminated AS MATERIALIZED (
+       |  SELECT ash.doc_id FROM ash JOIN bench USING (s)
+       |  WHERE ash.doc_id NOT IN (SELECT doc_id FROM near_dup)
+       |    AND ash.doc_id NOT IN (SELECT doc_id FROM semantic_dup)
+       |  GROUP BY ash.doc_id
+       |  HAVING count(*) >= $IntakeContamMinShingles
+       |)
+       |SELECT a.doc_id, CAST(a.n_tokens AS BIGINT) AS n_tokens,
+       |  CASE WHEN a.pred <> 'en' THEN 'lang'
+       |       WHEN a.quality_score < $IntakeQualityMin THEN 'quality'
+       |       WHEN a.doc_id IN (SELECT doc_id FROM exact_dup) THEN 'exact_dup'
+       |       WHEN a.doc_id IN (SELECT doc_id FROM near_dup) THEN 'near_dup'
+       |       WHEN a.doc_id IN (SELECT doc_id FROM semantic_dup) THEN 'semantic_dup'
+       |       WHEN a.doc_id IN (SELECT doc_id FROM contaminated) THEN 'contaminated'
+       |       ELSE 'clean' END AS reason,
+       |  CAST(CASE WHEN a.pred = 'en' AND a.quality_score >= $IntakeQualityMin
+       |       AND a.doc_id NOT IN (SELECT doc_id FROM exact_dup)
+       |       AND a.doc_id NOT IN (SELECT doc_id FROM near_dup)
+       |       AND a.doc_id NOT IN (SELECT doc_id FROM semantic_dup)
+       |       AND a.doc_id NOT IN (SELECT doc_id FROM contaminated)
+       |    THEN 1 ELSE 0 END AS BIGINT) AS accepted,
+       |  CASE WHEN a.pred = 'en' AND a.quality_score >= $IntakeQualityMin
+       |       AND a.doc_id NOT IN (SELECT doc_id FROM exact_dup)
+       |       AND a.doc_id NOT IN (SELECT doc_id FROM near_dup)
+       |       AND a.doc_id NOT IN (SELECT doc_id FROM semantic_dup)
+       |       AND a.doc_id NOT IN (SELECT doc_id FROM contaminated)
+       |    THEN ${Corpus.splitColSql("a.doc_id")} END AS split,
+       |  CASE WHEN a.pred = 'en' AND a.quality_score >= $IntakeQualityMin
+       |       AND a.doc_id NOT IN (SELECT doc_id FROM exact_dup)
+       |       AND a.doc_id NOT IN (SELECT doc_id FROM near_dup)
+       |       AND a.doc_id NOT IN (SELECT doc_id FROM semantic_dup)
+       |       AND a.doc_id NOT IN (SELECT doc_id FROM contaminated)
+       |    THEN CAST(concat('0x', substring(md5(CAST(a.doc_id AS VARCHAR)), 9, 4)) AS BIGINT) % 8
+       |  END AS shard
+       |FROM acc a
+       |ORDER BY a.doc_id""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_intake" -> (qIntake _),
     "q_pipeline_corpus" -> (qPipelineCorpus _),
     "q_pipeline_crossmodal" -> (qPipelineCrossmodal _),
     "q_pipeline_full" -> (qPipelineFull _))
 
   def oracle: Map[String, String] = Map(
+    "q_intake" -> qIntakeSql,
     "q_pipeline_corpus" -> qPipelineCorpusSql,
     "q_pipeline_crossmodal" -> qPipelineCrossmodalSql,
     "q_pipeline_full" -> qPipelineFullSql)

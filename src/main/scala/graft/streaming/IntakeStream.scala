@@ -1,0 +1,66 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Streaming corpus INTAKE — the arrival-time face of
+  * [[graft.ops.Pipeline.intakeBatch]] and the composition of this
+  * engine's standing gates into one ingest front door: every arriving
+  * document flows quality/lang → exact-dup (corpus fingerprints) →
+  * near-dup (stored MinHash-LSH index) → semantic-dup (stored IVF index)
+  * → decontamination (bench grams) and leaves with a verdict row; clean
+  * documents carry their split/shard routing (chunk assignment composes
+  * downstream via [[PackStream]]).
+  *
+  * Stream == batch holds exactly because every verdict depends only on
+  * the arrival and the STANDING corpus artifacts — arrivals never pair
+  * with each other — so gating per micro-batch equals the one-shot batch
+  * gate of the whole feed under any trigger split (spec-pinned).
+  *
+  * Scale: per batch, O(batch) index probes (the LSH/IVF serving paths are
+  * corpus-size-independent by construction) plus broadcast joins against
+  * the fingerprint/gram sets; no state beyond the stored artifacts, so a
+  * restart resumes from the checkpoint with nothing to rebuild.
+  */
+object IntakeStream {
+
+  /** Run the intake gate over `docDir` (documents-shaped arrival files)
+    * and return the accumulated verdict rows.
+    */
+  def intakeGate(
+      spark: SparkSession,
+      docDir: String,
+      checkpoint: String,
+      corpusFps: DataFrame,
+      lshIndexDir: String,
+      embLookup: DataFrame,
+      corpusEmb: DataFrame,
+      ivfIndexDir: String,
+      benchGrams: DataFrame): DataFrame = {
+    import IngestDedup.docSchema
+    @volatile var results: Option[DataFrame] = None
+    val stream = spark.readStream
+      .schema(docSchema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(docDir)
+    val q = stream.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val verdicts = graft.ops.Pipeline.intakeBatch(
+          batch, corpusFps, lshIndexDir, embLookup, corpusEmb, ivfIndexDir,
+          benchGrams)
+        results = Some(results.fold(verdicts)(_.union(verdicts).localCheckpoint()))
+        ()
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    results.getOrElse(
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        StructType(Seq(StructField("doc_id", LongType),
+          StructField("n_tokens", LongType), StructField("reason", StringType),
+          StructField("accepted", LongType), StructField("split", StringType),
+          StructField("shard", LongType)))))
+  }
+}

@@ -754,6 +754,51 @@ class StreamingSpec extends SparkFunSuite {
     assert(splits.forall(_.nonEmpty))
   }
 
+  test("streaming intake gate equals the one-shot batch intake across trigger splits") {
+    import spark.implicits._
+    val docs = graft.ops.Tables.table(spark, sf, "documents")
+    val corpus = docs.filter(pmod(col("doc_id"), lit(5)) =!= 0)
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val corpusEmb = emb.filter(pmod(col("vec_id"), lit(5)) =!= 0)
+    // standing artifacts — the same builds the individual gate queries use
+    val lshDir = tmpDir("intake-lsh")
+    graft.ops.TextDedup.writeLshIndex(corpus, col("doc_id"), col("text"), lshDir,
+      graft.ops.TextDedup.MinHashConfig(shingleK = graft.ops.Dedup.ShingleK))
+    val ivfDir = tmpDir("intake-ivf")
+    graft.ops.VectorSearch.writeIvfIndex(
+      corpusEmb, col("vec_id"), col("embedding"), ivfDir)
+    val corpusFps = corpus
+      .select(md5(concat_ws(" ", graft.ops.TextOps.tokens(col("text")))).as("fp"))
+      .localCheckpoint()
+    val benchGrams = graft.ops.TextDedup.shingles(
+      corpus.filter(pmod(col("doc_id"), lit(7)) === 0),
+      col("doc_id"), col("text"), graft.ops.Dedup.ShingleK)
+      .select(col("s")).distinct().localCheckpoint()
+    // the feed: arrivals split across three commits
+    val arrivals = docs.filter(pmod(col("doc_id"), lit(5)) === 0)
+      .select(col("doc_id"), col("text"), col("lang"), col("source"), col("n_chars"))
+      .orderBy(col("doc_id")).collect()
+    val dir = tmpDir("intake-feed")
+    Seq(arrivals.take(30), arrivals.slice(30, 71), arrivals.drop(71)).foreach { c =>
+      c.toSeq.map(r => (r.getLong(0), r.getString(1), r.getString(2),
+          r.getString(3), r.getLong(4)))
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+        .coalesce(1).write.mode("append").parquet(dir)
+      Thread.sleep(60)
+    }
+    val streamed = IntakeStream.intakeGate(
+      spark, dir, tmpDir("intake-ckpt"), corpusFps, lshDir, emb, corpusEmb,
+      ivfDir, benchGrams)
+      .orderBy(col("doc_id")).collect().map(_.toSeq).toSeq
+    val batch = graft.ops.Pipeline.qIntake(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    assert(streamed === batch)
+    // the feed exercised more than the per-row gates
+    val reasons = streamed.map(_(2)).toSet
+    assert(reasons.contains("clean") && reasons.contains("near_dup"),
+      s"degenerate feed: $reasons")
+  }
+
   test("streaming IVF ingest leaves an index identical to the one-shot refresh") {
     val emb = spark.read.parquet(s"$sf/embeddings.parquet")
     val corpus = emb.filter(pmod(col("vec_id"), lit(5)) =!= 0)
