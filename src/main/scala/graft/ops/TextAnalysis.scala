@@ -1739,7 +1739,153 @@ object TextAnalysis {
        |FROM cells ORDER BY bucket, is_dup""".stripMargin
   }
 
+  /** QUALITY SMOOTHING over the near-dup graph: for every document with
+    * at least one near-duplicate, its own quality score next to the mean
+    * quality of its neighbors (both in exact millionths — the micro-unit
+    * discipline) and the signed gap. A document scoring far BELOW its
+    * near-dup cluster is a truncated/mangled copy (drop it, keep the
+    * neighbor); far above, the cluster is dragging a good document into a
+    * dedup decision it shouldn't lose. This is one graph-smoothing hop of
+    * label propagation applied to quality — the cross-check between the
+    * quality gate and the dedup stage that neither runs alone.
+    *
+    * Scale: rides the capped pair relation ([[TextDedup.jaccardPairs]] —
+    * the expensive pass is already bounded); the smoothing itself is one
+    * pair-sized aggregation plus a doc-dimension join. Exact integers
+    * throughout: quality in micro, the neighbor mean as `Σq·1 DIV n`.
+    */
+  def qQualitySmoothing(spark: SparkSession, dir: String): DataFrame = {
+    val docs = table(spark, dir, "documents")
+    val quality = docs
+      .select(col("doc_id"), tokens(col("text")).as("t"))
+      .select(col("doc_id"),
+        floor(qualityScoreC(stopRatioC(col("t")), typeTokenRatioC(col("t")),
+          lengthOkC(col("t"))) * 1000000).cast("long").as("q_micro"))
+    val pairs = TextDedup.jaccardPairs(
+      docs, col("doc_id"), col("text"), Dedup.ShingleK, Dedup.JaccardThreshold)
+    val edges = pairs.select(col("id_a").as("doc_id"), col("id_b").as("nb"))
+      .union(pairs.select(col("id_b").as("doc_id"), col("id_a").as("nb")))
+    val nbAvg = edges
+      .join(quality.select(col("doc_id").as("nb"), col("q_micro").as("nb_q")), Seq("nb"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_neighbors"), sum(col("nb_q")).as("nb_sum"))
+      .withColumn("nb_mean_micro", expr("nb_sum DIV n_neighbors"))
+    nbAvg.join(quality, Seq("doc_id"))
+      .select(col("doc_id"), col("n_neighbors"), col("q_micro"),
+        col("nb_mean_micro"),
+        (col("q_micro") - col("nb_mean_micro")).as("gap_micro"))
+      .orderBy(col("doc_id"))
+  }
+
+  val qQualitySmoothingSql: String = {
+    val de = sqlStopCount(StopwordsDe)
+    val en = sqlStopCount(StopwordsEn)
+    val es = sqlStopCount(StopwordsEs)
+    val fr = sqlStopCount(StopwordsFr)
+    val k = Dedup.ShingleK
+    s"""WITH base AS (
+       |  SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS t FROM documents
+       |), quality AS (
+       |  SELECT doc_id,
+       |    CAST(floor((CAST($en AS DOUBLE) / CAST(len(t) AS DOUBLE) * 2
+       |     + CAST(len(list_distinct(t)) AS DOUBLE) / CAST(len(t) AS DOUBLE)
+       |     + CAST(len(t) >= 10 AND len(t) <= 1000 AS INTEGER)) / 4 * 1000000) AS BIGINT)
+       |      AS q_micro
+       |  FROM (SELECT doc_id, t, $de AS c_de, $en AS c_en, $es AS c_es, $fr AS c_fr
+       |        FROM base) c
+       |), sh AS (
+       |  SELECT doc_id, unnest(list_distinct(list_transform(
+       |    range(len(t) - ${k - 1}), i -> array_to_string(t[i+1:i+$k], ' ')))) AS s
+       |  FROM base WHERE len(t) >= $k
+       |), sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+       |pairs AS (
+       |  SELECT da, db FROM (
+       |    SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS common
+       |    FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+       |    GROUP BY 1, 2) cm
+       |  JOIN sizes x ON da = x.doc_id JOIN sizes y ON db = y.doc_id
+       |  WHERE CAST(common AS DOUBLE) / CAST(x.n + y.n - common AS DOUBLE)
+       |    >= ${Dedup.JaccardThreshold}
+       |), edges AS (
+       |  SELECT da AS doc_id, db AS nb FROM pairs
+       |  UNION ALL SELECT db, da FROM pairs
+       |), nbavg AS (
+       |  SELECT e.doc_id, count(*) AS n_neighbors,
+       |    CAST(sum(q.q_micro) // count(*) AS BIGINT) AS nb_mean_micro
+       |  FROM edges e JOIN quality q ON q.doc_id = e.nb
+       |  GROUP BY 1
+       |)
+       |SELECT n.doc_id, n.n_neighbors, q.q_micro, n.nb_mean_micro,
+       |  q.q_micro - n.nb_mean_micro AS gap_micro
+       |FROM nbavg n JOIN quality q USING (doc_id)
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  /** SPLIT CONTENT-DRIFT audit: the [[qSourceDrift]] divergence applied to
+    * the train/test assignment — the tokens whose frequency differs most
+    * between the two splits, by the exact-integer cross-product score
+    * `|n_train·N_test − n_test·N_train|`. An md5 split SHOULD read as
+    * noise here; a top token with an extreme one-sided count means the
+    * split correlates with content (leakage of a systematic kind the
+    * pair-level [[Dedup
+    * .qDedupNgramJaccard]]-based q_split_leakage can't see) — the check a
+    * pipeline runs before trusting held-out numbers.
+    *
+    * Scale: one token scan into (split, token) counts, two broadcast
+    * 1-row totals, one full-outer merge of two dimension-sized count
+    * relations, top-20.
+    */
+  def qSplitDrift(spark: SparkSession, dir: String): DataFrame = {
+    val c = table(spark, dir, "documents")
+      .select(Corpus.splitCol(col("doc_id")).as("split"),
+        explode(tokens(col("text"))).as("w"))
+      .filter(col("split").isin("train", "test"))
+      .groupBy(col("split"), col("w")).agg(count(lit(1)).as("c"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val tot = c.groupBy(col("split")).agg(sum(col("c")).as("n"))
+    val a = tot.filter(col("split") === "train").select(col("n").as("na"))
+    val b = tot.filter(col("split") === "test").select(col("n").as("nb"))
+    val ca = c.filter(col("split") === "train").select(col("w").as("wa"), col("c").as("ca"))
+    val cb = c.filter(col("split") === "test").select(col("w").as("wb"), col("c").as("cb"))
+    val out = ca.join(cb, col("wa") === col("wb"), "full_outer")
+      .select(coalesce(col("wa"), col("wb")).as("token"),
+        coalesce(col("ca"), lit(0L)).as("n_train"),
+        coalesce(col("cb"), lit(0L)).as("n_test"))
+      .crossJoin(broadcast(a))
+      .crossJoin(broadcast(b))
+      .select(col("token"), col("n_train"), col("n_test"),
+        abs(col("n_train") * col("nb") - col("n_test") * col("na")).as("drift"))
+      .orderBy(col("drift").desc, col("token"))
+      .limit(20)
+    TextDedup.materializeAndRelease(out, c)
+  }
+
+  val qSplitDriftSql: String =
+    s"""WITH tok AS (
+       |  SELECT ${Corpus.splitColSql("doc_id")} AS split,
+       |    unnest(regexp_split_to_array(lower(text), '\\s+')) AS w
+       |  FROM documents
+       |), c AS (
+       |  SELECT split, w, count(*) AS c FROM tok
+       |  WHERE split IN ('train', 'test') GROUP BY 1, 2
+       |), tot AS (
+       |  SELECT split, CAST(sum(c) AS BIGINT) AS n FROM c GROUP BY 1
+       |), a AS (SELECT n AS na FROM tot WHERE split = 'train'),
+       |b AS (SELECT n AS nb FROM tot WHERE split = 'test'),
+       |ca AS (SELECT w, c FROM c WHERE split = 'train'),
+       |cb AS (SELECT w, c FROM c WHERE split = 'test')
+       |SELECT coalesce(ca.w, cb.w) AS token,
+       |  CAST(coalesce(ca.c, 0) AS BIGINT) AS n_train,
+       |  CAST(coalesce(cb.c, 0) AS BIGINT) AS n_test,
+       |  CAST(abs(coalesce(ca.c, 0) * nb - coalesce(cb.c, 0) * na) AS BIGINT) AS drift
+       |FROM ca FULL OUTER JOIN cb ON ca.w = cb.w
+       |CROSS JOIN a CROSS JOIN b
+       |ORDER BY drift DESC, token
+       |LIMIT 20""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_quality_smoothing" -> (qQualitySmoothing _),
+    "q_split_drift" -> (qSplitDrift _),
     "q_quality_dup_matrix" -> (qQualityDupMatrix _),
     "q_quality_buckets" -> (qQualityBuckets _),
     "q_vocab_coverage" -> (qVocabCoverage _),
@@ -1777,6 +1923,8 @@ object TextAnalysis {
   )
 
   def oracle: Map[String, String] = Map(
+    "q_quality_smoothing" -> qQualitySmoothingSql,
+    "q_split_drift" -> qSplitDriftSql,
     "q_quality_buckets" -> qQualityBucketsSql,
     "q_quality_dup_matrix" -> qQualityDupMatrixSql,
     "q_vocab_coverage" -> qVocabCoverageSql,
