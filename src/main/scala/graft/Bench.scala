@@ -102,7 +102,10 @@ object Bench {
     val sf1Forced = Set(
       "q_dedup_embedding", "q_pipeline_crossmodal",
       "q_variant_extract", "q_interpolate", "q_m4_downsample",
-      "q_target_encode", "q_events_funnel", "q_cusum_shift")
+      "q_target_encode", "q_events_funnel", "q_cusum_shift",
+      // round 11: the two composites — their sub-linearity claims are the
+      // integration story, so the probe audits them regardless of rank
+      "q_pipeline_full", "q_intake")
     val (sf1Rows, sf1Skipped, sf1Dir) = if (!sf1Enabled) (Seq.empty, Seq.empty, "") else {
       val dst = sys.env.getOrElse("SPARK_GRAFT_SF1_DIR", "/tmp/graft-sf1")
       ScaleProbe.synthesize(spark, sfDir, dst)

@@ -1209,7 +1209,71 @@ object Events {
       |FROM e GROUP BY event_type, b
       |ORDER BY event_type, b""".stripMargin
 
+  /** Candidate session gaps (seconds) for [[qSessionSweep]]. */
+  val SessionGapsSec = Seq(600L, 1800L, 3600L, 7200L)
+
+  /** SESSION-GAP TUNING SWEEP — the sessionization dual of
+    * [[Dedup.qDedupThresholdSweep]]: session counts and mean
+    * events-per-session at each candidate inactivity gap, all from ONE
+    * per-user lag pass (the expensive sort runs once; each gap is a cheap
+    * conditional re-aggregation over the inter-event gap relation, since
+    * `sessions(G) = users + |{gaps > G}|`). The report a pipeline reads
+    * before committing a session window to its funnel/attribution
+    * queries. Exact integers: gaps in microseconds, the mean in
+    * millionths.
+    */
+  def qSessionSweep(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ev = events(spark, dir)
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val gaps = ev
+      .select(col("user_id"), col("ts"), col("event_id"))
+      .withColumn("gap_us",
+        unix_micros(col("ts")) - unix_micros(lag(col("ts"), 1).over(w)))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val totals = gaps.agg(count(lit(1)).as("n_events"),
+      countDistinct(col("user_id")).as("n_users"))
+    val out = gaps
+      .select(col("gap_us"),
+        explode(typedLit(SessionGapsSec)).as("gap_s"))
+      .groupBy(col("gap_s"))
+      .agg(coalesce(sum(when(col("gap_us") > col("gap_s") * 1000000L, 1L)
+        .otherwise(0L)), lit(0L)).as("n_breaks"))
+      .crossJoin(broadcast(totals))
+      .select(col("gap_s"),
+        (col("n_users") + col("n_breaks")).as("n_sessions"),
+        expr("n_events * 1000000 DIV (n_users + n_breaks)")
+          .as("events_per_session_micro"))
+      .orderBy(col("gap_s"))
+    TextDedup.materializeAndRelease(out, gaps)
+  }
+
+  val qSessionSweepSql: String = {
+    val gapsList = SessionGapsSec.mkString(", ")
+    s"""WITH g AS (
+       |  SELECT user_id,
+       |    epoch_us(ts) - epoch_us(lag(ts, 1) OVER (
+       |      PARTITION BY user_id ORDER BY ts, event_id)) AS gap_us
+       |  FROM events
+       |), tot AS (
+       |  SELECT count(*) AS n_events, count(DISTINCT user_id) AS n_users FROM g
+       |), x AS (
+       |  SELECT CAST(g0 AS BIGINT) AS gap_s, gap_us
+       |  FROM g CROSS JOIN unnest(ARRAY[$gapsList]) AS t(g0)
+       |)
+       |SELECT CAST(gap_s AS BIGINT) AS gap_s,
+       |  CAST(tot.n_users + sum(CASE WHEN gap_us > gap_s * 1000000 THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS n_sessions,
+       |  CAST(tot.n_events * 1000000
+       |    // (tot.n_users + sum(CASE WHEN gap_us > gap_s * 1000000 THEN 1 ELSE 0 END))
+       |    AS BIGINT) AS events_per_session_micro
+       |FROM x CROSS JOIN tot
+       |GROUP BY gap_s, tot.n_users, tot.n_events
+       |ORDER BY gap_s""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_session_sweep" -> (qSessionSweep _),
     "q_interpolate" -> (qInterpolate _),
     "q_m4_downsample" -> (qM4Downsample _),
     "q_dau_wau" -> (qDauWau _),
@@ -1238,6 +1302,7 @@ object Events {
   )
 
   def oracle: Map[String, String] = Map(
+    "q_session_sweep" -> qSessionSweepSql,
     "q_interpolate" -> qInterpolateSql,
     "q_m4_downsample" -> qM4DownsampleSql,
     "q_dau_wau" -> qDauWauSql,
