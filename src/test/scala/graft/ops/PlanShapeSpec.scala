@@ -3,6 +3,7 @@ package graft.ops
 import graft.SparkFunSuite
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.execution.ExplainMode
+import org.apache.spark.sql.functions._
 
 /** Physical-plan regression guards for the properties that make these
   * queries scale: filter/projection pushdown into the parquet scan,
@@ -543,5 +544,60 @@ class PlanShapeSpec extends SparkFunSuite {
       .withColumn("round_id", lit("2024-07-07")).withColumn("model_id", lit("teamabc"))
     val p = plan(df)
     assert(!p.contains("Exchange"), p)
+  }
+
+  test("chunk windows: pure explode, no exchange before the presentation sort") {
+    val df = Corpus.qChunkWindows(spark, sf)
+    val pl = plan(df)
+    // exactly the presentation sort's range exchange; the chunk explode
+    // itself is a map-side Generate over the token array (count exchange
+    // NODES via the details-section headers, not raw substring hits)
+    val exchanges = "\\(\\d+\\) Exchange".r.findAllIn(pl).length
+    assert(exchanges <= 1, s"chunking must not shuffle: $exchanges exchanges\n$pl")
+    assert(pl.contains("Generate"), pl)
+  }
+
+  test("token waterfill: rates and waterline ride broadcasts, one source-sized window") {
+    val pl = plan(Corpus.qTokenWaterfill(spark, sf))
+    val bc = pl.linesIterator.count(_.contains("BroadcastExchange"))
+    assert(bc >= 2, s"budget + waterline should attach as broadcasts\n$pl")
+    assert(!pl.contains("SortMergeJoin"), s"nothing here is big enough to sort-merge\n$pl")
+  }
+
+  test("segment dedup: hot fingerprints broadcast back, corpus never shuffles on the segment string") {
+    val segs = Dedup.qSegmentDedup(spark, sf) // materialized relation; plan the builder instead
+    assert(segs.count() > 0)
+    // builder-shaped probe: the hot-set join must be a broadcast hash join
+    val docs = Tables.table(spark, sf, "documents")
+      .select(col("doc_id"), TextOps.tokens(col("text")).as("t"))
+      .withColumn("n", size(col("t")).cast("long"))
+      .select(col("doc_id"), col("n"),
+        explode(transform(sequence(lit(0), ((col("n") - 1) / lit(Dedup.SegLen)).cast("int")),
+          i => slice(col("t"), i * Dedup.SegLen + 1, lit(Dedup.SegLen)))).as("seg"))
+      .select(col("doc_id"), md5(concat_ws(" ", col("seg"))).as("fp"))
+    val hot = broadcast(docs.groupBy(col("fp")).agg(count(lit(1)).as("df"))
+      .filter(col("df") >= Dedup.SegBoilerDf).select(col("fp")))
+    val pl = plan(docs.join(hot, Seq("fp")))
+    assert(pl.contains("BroadcastHashJoin"), pl)
+    assert(!pl.contains("SortMergeJoin"), pl)
+  }
+
+  test("intake: near-dup/semantic probes serve from stored artifacts, gram set broadcast") {
+    // the composed cascade materializes via localCheckpoints; pin the
+    // decisive sub-plan — the contamination join of arrival shingles
+    // against the (bounded) bench-gram set must broadcast the gram side
+    val docs = Tables.table(spark, sf, "documents")
+    val corpus = docs.filter(pmod(col("doc_id"), lit(5)) =!= 0)
+    val benchSh = TextDedup.shingles(
+      corpus.filter(pmod(col("doc_id"), lit(7)) === 0),
+      col("doc_id"), col("text"), Dedup.ShingleK)
+    val grams = benchSh.select(col("s")).distinct()
+    val arrSh = TextDedup.shingles(
+      docs.filter(pmod(col("doc_id"), lit(5)) === 0),
+      col("doc_id"), col("text"), Dedup.ShingleK)
+    val pl = plan(arrSh.join(broadcast(grams), Seq("s")))
+    assert(pl.contains("BroadcastHashJoin"), pl)
+    assert(!pl.contains("SortMergeJoin"), pl)
+    benchSh.unpersist(); arrSh.unpersist()
   }
 }
