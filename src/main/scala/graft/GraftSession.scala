@@ -24,6 +24,10 @@ object GraftSession {
         exprs(0), exprs(1),
         exprs(2).eval(null).asInstanceOf[Number].intValue()),
       "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "token_count",
+      (exprs: Seq[Expression]) => functions.TokenCount(exprs(0)),
+      "built-in")
   }
 
   /** Builder with the engine's recommended configuration; callers add
@@ -39,6 +43,7 @@ object GraftSession {
 
   /** Column-API surface for the custom expressions. */
   def vec_dot(a: Column, b: Column): Column = VecDot(a, b)
+  def token_count(s: Column): Column = functions.TokenCount(s)
 }
 
 /** `SparkSessionExtensions` hook — usable via
@@ -59,6 +64,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (exprs: Seq[Expression]) => graft.functions.HilbertKey(
         exprs(0), exprs(1),
         exprs(2).eval(null).asInstanceOf[Number].intValue())))
+    e.injectFunction((
+      org.apache.spark.sql.catalyst.FunctionIdentifier("token_count"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[graft.functions.TokenCount].getName, "token_count"),
+      (exprs: Seq[Expression]) => graft.functions.TokenCount(exprs(0))))
     e.injectPlannerStrategy(_ => new graft.plans.TopKPerKeyStrategy)
     e.injectOptimizerRule(_ => graft.plans.NativeTopKRule)
   }

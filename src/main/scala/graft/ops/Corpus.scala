@@ -107,7 +107,7 @@ object Corpus {
       .select(col("doc_id"),
         pmod(conv(substring(md5(col("doc_id").cast("string")), 9, 4), 16, 10).cast("long"),
           lit(8)).as("shard"),
-        size(tokens(col("text"))).cast("long").as("n_tokens"))
+        graft.functions.TokenCount(col("text")).cast("long").as("n_tokens"))
       .withColumn("start_tok", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
       .withColumn("chunk_id", floor(col("start_tok") / lit(PackBudget)))
       .groupBy(col("shard"), col("chunk_id"))
@@ -447,7 +447,7 @@ object Corpus {
   def qTokenBudget(spark: SparkSession, dir: String): DataFrame = {
     val docs = table(spark, dir, "documents")
     val perSrc = docs.groupBy(col("source"))
-      .agg(sum(size(tokens(col("text"))).cast("long")).as("c"))
+      .agg(sum(graft.functions.TokenCount(col("text")).cast("long")).as("c"))
     val tot = perSrc.agg(sum(col("c")).as("t"))
     val based = perSrc.crossJoin(broadcast(tot))
       .select(col("source"), col("c"),
@@ -517,7 +517,7 @@ object Corpus {
   def mixTemperature(docs: DataFrame): DataFrame = {
     val perSrc = docs.groupBy(col("source"))
       .agg(count(lit(1)).as("n_docs"),
-        sum(size(tokens(col("text"))).cast("long")).as("n_tokens"))
+        sum(graft.functions.TokenCount(col("text")).cast("long")).as("n_tokens"))
       .withColumn("w", floor(sqrt((col("n_tokens") * lit(1000000L)).cast("double"))).cast("long"))
     val tot = perSrc.agg(sum(col("w")).as("sw"), sum(col("n_tokens")).as("sn"))
     perSrc.crossJoin(broadcast(tot))
@@ -613,7 +613,7 @@ object Corpus {
         when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test"))
       .groupBy(col("split"), col("source"))
       .agg(count(lit(1)).as("n_docs"),
-        sum(size(tokens(col("text"))).cast("long")).as("n_tokens"))
+        sum(graft.functions.TokenCount(col("text")).cast("long")).as("n_tokens"))
       .orderBy(col("split"), col("source"))
   }
 
@@ -643,7 +643,7 @@ object Corpus {
     */
   def qPaddingWaste(spark: SparkSession, dir: String): DataFrame = {
     val docs = table(spark, dir, "documents")
-      .select(size(tokens(col("text"))).cast("long").as("n"))
+      .select(graft.functions.TokenCount(col("text")).cast("long").as("n"))
     docs
       .select(col("n"), explode(typedLit(PaddingChunks.map(_.toLong))).as("c"))
       .select(col("c"),
@@ -1034,7 +1034,7 @@ object Corpus {
     import org.apache.spark.sql.expressions.Window
     val perSrc = table(spark, dir, "documents")
       .groupBy(col("source"))
-      .agg(sum(size(tokens(col("text"))).cast("long")).as("n"))
+      .agg(sum(graft.functions.TokenCount(col("text")).cast("long")).as("n"))
     val tot = perSrc.agg((sum(col("n")) * 6).as("b6"))
       .select(expr("b6 DIV 10").as("budget"))
     val w = Window.orderBy(col("n"), col("source"))

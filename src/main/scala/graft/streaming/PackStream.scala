@@ -55,7 +55,7 @@ object PackStream {
           .select(col("doc_id"),
             pmod(conv(substring(md5(col("doc_id").cast("string")), 9, 4), 16, 10)
               .cast("long"), lit(8)).as("shard"),
-            size(graft.ops.TextOps.tokens(col("text"))).cast(LongType).as("n_tokens"))
+            graft.functions.TokenCount(col("text")).cast(LongType).as("n_tokens"))
           .withColumn("cum", sum(col("n_tokens")).over(w))
           .join(broadcast(base), Seq("shard"), "left")
           .na.fill(0L, Seq("base"))
