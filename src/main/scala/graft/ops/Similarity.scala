@@ -1072,6 +1072,58 @@ object Similarity {
        |ORDER BY q_vec_id, rnk""".stripMargin
   }
 
+  /** REFRESH-RECALL AUDIT — the retrain trigger for the append-only index
+    * lifecycle: recall@k of the REFRESHED IVF index (corpus-trained
+    * centroids, ingest batch assigned frozen — [[qSimIvfRefresh]]'s
+    * artifact, shared via [[graft.ServingIndexes]]) against the exact
+    * top-k. [[VectorSearch.refreshIvfIndex]]'s scaladoc names the
+    * freshness/quality trade; this query MEASURES it — when the number
+    * drifts below the serving bar, schedule the retrain (the vector dual
+    * of the layout pack's drift-triggered re-cluster). Same exact-bp
+    * audit discipline as [[qAnnRecall]].
+    */
+  def qRefreshRecall(spark: SparkSession, dir: String): DataFrame = {
+    val emb = table(spark, dir, "embeddings")
+    val indexDir = graft.ServingIndexes.ensure("ivf-refresh-index", dir) { d =>
+      VectorSearch.writeIvfIndex(
+        emb.filter(pmod(col("vec_id"), lit(5)) =!= 0), col("vec_id"), col("embedding"), d)
+      VectorSearch.refreshIvfIndex(
+        emb.filter(pmod(col("vec_id"), lit(5)) === 0), col("vec_id"), col("embedding"), d)
+    }
+    val exact = rename(VectorSearch.cosineTopK(
+      emb, col("vec_id"), col("embedding"), QueryIds, K))
+      .select(col("q_vec_id"), col("vec_id")).localCheckpoint()
+    val served = rename(VectorSearch.ivfTopKFromIndex(
+      emb, col("vec_id"), col("embedding"), indexDir, QueryIds, K))
+      .select(col("q_vec_id"), col("vec_id"))
+    val hits = exact.join(served, Seq("q_vec_id", "vec_id"))
+      .groupBy(col("q_vec_id")).agg(count(lit(1)).as("hits"))
+    exact.select(col("q_vec_id")).distinct()
+      .join(hits, Seq("q_vec_id"), "left")
+      .select(col("q_vec_id"), coalesce(col("hits"), lit(0L)).as("hits"))
+      .withColumn("recall_bp", expr(s"hits * 10000 DIV $K"))
+      .orderBy(col("q_vec_id"))
+  }
+
+  /** Oracle: the verified refresh-serving replay joined against the exact
+    * replay — the [[qAnnRecallSql]] branch shape.
+    */
+  val qRefreshRecallSql: String =
+    s"""WITH exact AS (
+       |  SELECT q_vec_id, vec_id FROM ($qSimTopKSql) x
+       |), approx AS (
+       |  SELECT q_vec_id, vec_id FROM ($qSimIvfRefreshSql) y
+       |)
+       |SELECT e.q_vec_id,
+       |  CAST(coalesce(h.hits, 0) AS BIGINT) AS hits,
+       |  CAST(coalesce(h.hits, 0) * 10000 // $K AS BIGINT) AS recall_bp
+       |FROM (SELECT DISTINCT q_vec_id FROM exact) e
+       |LEFT JOIN (
+       |  SELECT a.q_vec_id, count(*) AS hits
+       |  FROM approx a JOIN exact ON exact.q_vec_id = a.q_vec_id AND exact.vec_id = a.vec_id
+       |  GROUP BY 1) h ON h.q_vec_id = e.q_vec_id
+       |ORDER BY e.q_vec_id""".stripMargin
+
   /** Truncation width for [[qMatryoshkaRecall]]. */
   val MatDims = 16
 
@@ -1145,6 +1197,7 @@ object Similarity {
     "q_sim_ivf_refresh" -> (qSimIvfRefresh _),
     "q_sim_lsh_refresh" -> (qSimLshRefresh _),
     "q_sim_pq_refresh" -> (qSimPqRefresh _),
+    "q_refresh_recall" -> (qRefreshRecall _),
     "q_ann_recall" -> (qAnnRecall _),
     "q_ann_recall_sampled" -> (qAnnRecallSampled _),
     "q_ann_recall_indexed" -> (qAnnRecallIndexed _),
@@ -1170,6 +1223,7 @@ object Similarity {
     // (training-free signatures), so it shares the plain search's oracle
     "q_sim_lsh_refresh" -> qSimLshTopKSql,
     "q_sim_pq_refresh" -> qSimPqRefreshSql,
+    "q_refresh_recall" -> qRefreshRecallSql,
     "q_ann_recall" -> qAnnRecallSql,
     "q_ann_recall_sampled" -> qAnnRecallSampledSql,
     // the indexed audit is bit-identical to the in-session audit — every
