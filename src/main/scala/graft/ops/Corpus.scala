@@ -1030,11 +1030,18 @@ object Corpus {
     * full funding remains feasible the candidate stays ≥ n_j. One
     * |sources|-row window pass; every quantity an exact long.
     */
-  def qTokenWaterfill(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val perSrc = table(spark, dir, "documents")
+  def qTokenWaterfill(spark: SparkSession, dir: String): DataFrame =
+    waterfillFrom(table(spark, dir, "documents")
       .groupBy(col("source"))
-      .agg(sum(graft.functions.TokenCount(col("text")).cast("long")).as("n"))
+      .agg(sum(graft.functions.TokenCount(col("text")).cast("long")).as("n")))
+
+  /** The closed-form allocation over ANY (source, n) totals relation —
+    * shared by the batch query and the streaming maintenance gate
+    * ([[graft.streaming.WaterfillStream]]), which carries the per-source
+    * totals across micro-batches and re-derives the plan per commit.
+    */
+  def waterfillFrom(perSrc: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val tot = perSrc.agg((sum(col("n")) * 6).as("b6"))
       .select(expr("b6 DIV 10").as("budget"))
     val w = Window.orderBy(col("n"), col("source"))

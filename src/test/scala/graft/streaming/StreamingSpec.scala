@@ -754,6 +754,30 @@ class StreamingSpec extends SparkFunSuite {
     assert(splits.forall(_.nonEmpty))
   }
 
+  test("streaming waterfill maintenance equals the batch allocation across trigger splits") {
+    import spark.implicits._
+    val docs = graft.ops.Tables.table(spark, sf, "documents")
+      .select(col("doc_id"), col("text"), col("lang"), col("source"), col("n_chars"))
+      .orderBy(col("doc_id")).collect()
+    val dir = tmpDir("waterfill-feed")
+    Seq(docs.take(100), docs.slice(100, 320), docs.drop(320)).foreach { c =>
+      c.toSeq.map(r => (r.getLong(0), r.getString(1), r.getString(2),
+          r.getString(3), r.getLong(4)))
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+        .coalesce(1).write.mode("append").parquet(dir)
+      Thread.sleep(60)
+    }
+    val (standing, trace) = WaterfillStream.waterfillGate(
+      spark, dir, tmpDir("waterfill-ckpt"))
+    val streamed = standing.orderBy(col("source")).collect().map(_.toSeq).toSeq
+    val batch = graft.ops.Corpus.qTokenWaterfill(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    assert(streamed === batch)
+    assert(trace.size == 3, s"one waterline per commit: $trace")
+    // the budget floats with the corpus: the waterline grows as it fills
+    assert(trace.last >= trace.head, s"trace: $trace")
+  }
+
   test("streaming intake gate equals the one-shot batch intake across trigger splits") {
     import spark.implicits._
     val docs = graft.ops.Tables.table(spark, sf, "documents")
