@@ -1231,9 +1231,19 @@ object Events {
       .withColumn("gap_us",
         unix_micros(col("ts")) - unix_micros(lag(col("ts"), 1).over(w)))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    TextDedup.materializeAndRelease(sessionSweepFrom(gaps), gaps)
+  }
+
+  /** The sweep aggregation over ANY (user_id, gap_us) relation (one row
+    * per event; gap_us null for a user's first event) — shared by the
+    * batch query and the streaming gap stream
+    * ([[graft.streaming.SessionStream]]), whose per-user one-timestamp
+    * state emits the identical relation at arrival time.
+    */
+  def sessionSweepFrom(gaps: DataFrame): DataFrame = {
     val totals = gaps.agg(count(lit(1)).as("n_events"),
       countDistinct(col("user_id")).as("n_users"))
-    val out = gaps
+    gaps
       .select(col("gap_us"),
         explode(typedLit(SessionGapsSec)).as("gap_s"))
       .groupBy(col("gap_s"))
@@ -1245,7 +1255,6 @@ object Events {
         expr("n_events * 1000000 DIV (n_users + n_breaks)")
           .as("events_per_session_micro"))
       .orderBy(col("gap_s"))
-    TextDedup.materializeAndRelease(out, gaps)
   }
 
   val qSessionSweepSql: String = {

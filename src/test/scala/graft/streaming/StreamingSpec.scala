@@ -754,6 +754,45 @@ class StreamingSpec extends SparkFunSuite {
     assert(splits.forall(_.nonEmpty))
   }
 
+  test("streaming session-gap state reproduces the batch sweep across time-sliced commits") {
+    import spark.implicits._
+    // events arrive in global ts order (per-user order follows), split
+    // into three time slices — the per-user one-timestamp state must
+    // bridge the slice boundaries so cross-slice gaps are still seen
+    val ev = graft.ops.Tables.events(spark, sf)
+      .select(col("event_id"), col("ts"), col("user_id"))
+      .orderBy(col("ts"), col("event_id")).collect()
+    val dir = tmpDir("session-feed")
+    Seq(ev.take(300), ev.slice(300, 700), ev.drop(700)).foreach { c =>
+      c.toSeq.map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2)))
+        .toDF("event_id", "ts", "user_id")
+        .coalesce(1).write.mode("append").parquet(dir)
+      Thread.sleep(60)
+    }
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("event_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("ts",
+        org.apache.spark.sql.types.TimestampType),
+      org.apache.spark.sql.types.StructField("user_id",
+        org.apache.spark.sql.types.LongType)))
+    val gaps = SessionStream.gapAssignments(
+      spark.readStream.schema(schema).option("maxFilesPerTrigger", "1").parquet(dir))
+    val ckpt = tmpDir("session-ckpt")
+    val q = gaps.writeStream.format("memory").queryName("session_gaps")
+      .outputMode("append")
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val streamed = graft.ops.Events.sessionSweepFrom(
+      spark.table("session_gaps").select(col("user_id"), col("gap_us")))
+      .collect().map(_.toSeq).toSeq
+    val batch = graft.ops.Events.qSessionSweep(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    assert(streamed === batch)
+  }
+
   test("streaming waterfill maintenance equals the batch allocation across trigger splits") {
     import spark.implicits._
     val docs = graft.ops.Tables.table(spark, sf, "documents")
