@@ -57,6 +57,9 @@ object Bench {
     // plans). A periodic explicit GC lets the cleaner drain; ~50 ms every
     // 24 queries, repaid many times over in the probe.
     var sinceGc = 0
+    // counts QUERIES, not attempts (ADVICE r11): called once per query
+    // below, so with best-of-N this really is every 24 queries as the
+    // BASELINE notes state.
     def maybeGc(): Unit = { sinceGc += 1; if (sinceGc >= 24) { sinceGc = 0; System.gc() } }
     val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       val attempts = (1 to runs).map { _ =>
@@ -72,9 +75,9 @@ object Bench {
         // memory for later queries (the roaming mid-suite slowdowns).
         // Safe between queries: every result was fully materialized above.
         Caches.releaseAll(spark)
-        maybeGc()
         (elapsed, calib)
       }
+      maybeGc()
       val (best, calibAtBest) = attempts.minBy(_._1)
       (name, best, calibAtBest, attempts.map(_._2))
     }
@@ -166,7 +169,27 @@ object Bench {
         val skip = sf1Skipped.map("\"" + _ + "\"").mkString("[", ",", "]")
         s""","sf1_ratios":$ratios,"sf1_secs":$secs,"sf1_skipped":$skip,"sf1_dir":"$sf1Dir""""
       }
-    println(s"""{"metric":"total","value":${sec(total)},"unit":"sec","queries":$qs,"calib_ms":$calibQs,"calib":$calibStats,"runs":$runs,"sf":"$sfDir"$sf1Json}""")
+    val totalLine = s"""{"metric":"total","value":${sec(total)},"unit":"sec","queries":$qs,"calib_ms":$calibQs,"calib":$calibStats,"runs":$runs,"sf":"$sfDir"$sf1Json}"""
+    println(totalLine)
+    // The per-round harness keeps only the TAIL of stdout (2000 chars), so
+    // the full 261-query map above never survives into BENCH_r{N}.json —
+    // which made sub-top-10 round-over-round triage blind (VERDICT r11
+    // item 7: this round's two regressions were invisible in r10's
+    // record). Persist the full line to the repo: BENCH_FULL.json is the
+    // latest run, BENCH_HISTORY.jsonl accumulates one line per run so
+    // tools/bench_diff.py can compare ANY two runs on the full map.
+    try {
+      val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_FULL", "BENCH_FULL.json")
+      java.nio.file.Files.write(java.nio.file.Paths.get(out),
+        (totalLine + "\n").getBytes("UTF-8"))
+      val hist = java.nio.file.Paths.get(
+        sys.env.getOrElse("SPARK_GRAFT_BENCH_HISTORY", "BENCH_HISTORY.jsonl"))
+      java.nio.file.Files.write(hist, (totalLine + "\n").getBytes("UTF-8"),
+        java.nio.file.StandardOpenOption.CREATE,
+        java.nio.file.StandardOpenOption.APPEND)
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] full-JSON persist failed: ${e.getMessage}")
+    }
     // Truncation-proof recap: harnesses that keep only the TAIL of stdout
     // lose the head of the (long) line above — and with it the total.
     // Repeat the headline numbers in a second, short line printed LAST so
@@ -180,7 +203,7 @@ object Bench {
           .map { case (k, _, r) => "\"" + k + "\":" + r2(r) }.mkString("{", ",", "}")
         s""","sf1_n":${sf1Rows.size},"sf1_worst_ratios":$worst"""
       }
-    println(s"""{"metric":"total_recap","value":${sec(total)},"unit":"sec","n_queries":${results.size},"runs":$runs,"sf":"$sfDir","calib":$calibStats,"top10":$top10$sf1Recap}""")
+    println(s"""{"metric":"total_recap","value":${sec(total)},"unit":"sec","n_queries":${results.size},"runs":$runs,"sf":"$sfDir","calib":$calibStats,"full":"BENCH_FULL.json","top10":$top10$sf1Recap}""")
     spark.stop()
   }
 }

@@ -27,16 +27,32 @@ object ServingIndexes {
 
   private val built = TrieMap.empty[(String, String), String]
 
+  /** Collision-proof scratch-name suffix for a data directory: md5 over the
+    * full path string, so two directories can never share a scratch path the
+    * way a 32-bit hashCode could (ADVICE r11 — a collision would silently
+    * serve a wrong-corpus index while the memo still pointed at it).
+    */
+  private def dirDigest(dataDir: String): String = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    md.digest(dataDir.getBytes("UTF-8")).map("%02x".format(_)).mkString
+  }
+
   /** The stored-index directory for artifact `key` over `dataDir`,
     * running `build` into a fresh scratch directory on first use only.
-    * A failed build is not memoized (the next caller retrains).
+    * A failed build is not memoized (the next caller retrains). First
+    * builds are serialized under a monitor: TrieMap.getOrElseUpdate may
+    * evaluate the thunk more than once under concurrent callers, and two
+    * concurrent trainers writing the same artifact path could interleave
+    * half-written files — builds are rare (once per artifact per session),
+    * so a coarse lock costs nothing.
     */
   def ensure(key: String, dataDir: String)(build: String => Unit): String =
-    built.getOrElseUpdate((key, dataDir), {
-      val dir = ScratchDirs(
-        key + "-" + java.lang.Integer.toHexString(dataDir.hashCode))
-      build(dir)
-      dir
+    built.get((key, dataDir)).getOrElse(synchronized {
+      built.getOrElseUpdate((key, dataDir), {
+        val dir = ScratchDirs(key + "-" + dirDigest(dataDir))
+        build(dir)
+        dir
+      })
     })
 
   /** Test hook: forget every memoized build (the scratch files remain;

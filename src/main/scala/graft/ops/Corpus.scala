@@ -1099,9 +1099,12 @@ object Corpus {
     * diversity. Reported in exact basis points.
     *
     * Scale: the chunk explode is linear ([[qChunkWindows]]); the dup set
-    * is a map-side-combinable df aggregate whose ≥2 survivors are small
-    * by construction → broadcast semi-join back, the
-    * [[Dedup.qSegmentDedup]] hot/rare asymmetry.
+    * is a map-side-combinable df aggregate. Unlike the df≥3 hot sets
+    * elsewhere, the ≥2 survivor set is NOT bounded by construction — it
+    * scales with the corpus's duplication mass — so the semi-join back is
+    * left UNHINTED: AQE broadcasts it when it measures small and falls
+    * back to a shuffle join on a duplication-heavy corpus where a forced
+    * broadcast would OOM the driver (ADVICE r11).
     */
   def qChunkDedup(spark: SparkSession, dir: String): DataFrame = {
     val chunks = table(spark, dir, "documents")
@@ -1114,9 +1117,8 @@ object Corpus {
           i => slice(col("t"), i * ChunkS + 1, lit(ChunkW)))).as("c"))
       .select(col("source"), md5(concat_ws(" ", col("c"))).as("fp"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val dup = broadcast(
-      chunks.groupBy(col("fp")).agg(count(lit(1)).as("df"))
-        .filter(col("df") >= 2).select(col("fp")))
+    val dup = chunks.groupBy(col("fp")).agg(count(lit(1)).as("df"))
+      .filter(col("df") >= 2).select(col("fp"))
     val out = chunks
       .join(dup, Seq("fp"), "left_semi")
       .groupBy(col("source")).agg(count(lit(1)).as("n_dup_chunks"))

@@ -723,11 +723,7 @@ object Dedup {
     */
   def qDedupIndexed(spark: SparkSession, dir: String): DataFrame = {
     val docs = table(spark, dir, "documents")
-    val indexDir = graft.ServingIndexes.ensure("dedup-lsh-index", dir)(d =>
-      TextDedup.writeLshIndex(
-        docs.filter(pmod(col("doc_id"), lit(5)) =!= 0),
-        col("doc_id"), col("text"), d,
-        TextDedup.MinHashConfig(shingleK = ShingleK)))
+    val indexDir = Artifacts.ensureDedupLsh(spark, dir)
     TextDedup.minhashLshIncrementalFromIndex(
       docs.filter(pmod(col("doc_id"), lit(5)) === 0),
       col("doc_id"), col("text"), indexDir,

@@ -560,25 +560,34 @@ object Graph {
     * tie-break variant is reproducible at any parallelism, the same
     * discipline as [[pageRankInt]]).
     *
-    * Each round is one join (labels into edges, shuffle on src), one
-    * count aggregate on (dst,label), and one per-node argmax window
-    * (partitioned by node — no global window). Labels localCheckpoint
-    * per round. Round count is fixed — LPA oscillates on bipartite
-    * structures, so bounded rounds is the standard production choice.
+    * Each round is one join (labels into edges — the edge side is cached
+    * PRE-PARTITIONED on src, so only the node-sized label relation
+    * exchanges per round), one count aggregate on (dst,label), and one
+    * per-node argmax as a second HASH aggregate: `max(struct(c, -label))`
+    * picks the highest count then the smallest label — same result as
+    * the row_number window it replaces, without the window's
+    * per-partition SORT over the edge-sized (v,label,c) relation. That
+    * sort was the r11 scale defect (q_label_prop sf1 14.55×, the suite's
+    * worst ratio): at 10× data over a fixed partition count the sort
+    * runs spill passes that grow super-linearly, while a hash argmax
+    * stays one linear probe — and it partially combines map-side, which
+    * the sort never did. Labels localCheckpoint per round. Round count
+    * is fixed — LPA oscillates on bipartite structures, so bounded
+    * rounds is the standard production choice.
     */
   def labelPropagation(edges: DataFrame, rounds: Int): DataFrame = {
     val e = edges.select(col("src"), col("dst"))
+      .repartition(col("src"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     var labels = e.select(col("src").as("v")).distinct()
       .withColumn("label", col("v")).localCheckpoint()
-    val w = Window.partitionBy(col("v")).orderBy(col("c").desc, col("label"))
     for (_ <- 1 to rounds) {
       labels = e.join(labels, e("src") === labels("v"))
         .groupBy(e("dst").as("v"), col("label"))
         .agg(count(lit(1)).as("c"))
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") === 1)
-        .select(col("v"), col("label"))
+        .groupBy(col("v"))
+        .agg(max(struct(col("c"), (-col("label")).as("neg_label"))).as("m"))
+        .select(col("v"), (-col("m.neg_label")).as("label"))
         .localCheckpoint()
     }
     // the final labels are already materialized by the eager checkpoint

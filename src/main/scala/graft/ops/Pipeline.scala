@@ -548,11 +548,8 @@ object Pipeline {
     val arrivals = docs.filter(pmod(col("doc_id"), lit(5)) === 0)
     val emb = table(spark, dir, "embeddings")
     val corpusEmb = emb.filter(pmod(col("vec_id"), lit(5)) =!= 0)
-    val lshDir = graft.ServingIndexes.ensure("dedup-lsh-index", dir)(d =>
-      TextDedup.writeLshIndex(corpus, col("doc_id"), col("text"), d,
-        TextDedup.MinHashConfig(shingleK = Dedup.ShingleK)))
-    val ivfDir = graft.ServingIndexes.ensure("semdedup-ivf-index", dir)(d =>
-      VectorSearch.writeIvfIndex(corpusEmb, col("vec_id"), col("embedding"), d))
+    val lshDir = Artifacts.ensureDedupLsh(spark, dir)
+    val ivfDir = Artifacts.ensureSemdedupIvf(spark, dir)
     val corpusFps = corpus.select(md5(concat_ws(" ", tokens(col("text")))).as("fp"))
     val benchSh = TextDedup.shingles(
       corpus.filter(pmod(col("doc_id"), lit(7)) === 0),

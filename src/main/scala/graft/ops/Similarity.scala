@@ -111,8 +111,7 @@ object Similarity {
     */
   def qSimIvfIndexed(spark: SparkSession, dir: String): DataFrame = {
     val emb = table(spark, dir, "embeddings")
-    val indexDir = graft.ServingIndexes.ensure("ivf-index", dir)(d =>
-      VectorSearch.writeIvfIndex(emb, col("vec_id"), col("embedding"), d))
+    val indexDir = Artifacts.ensureIvf(spark, dir)
     rename(VectorSearch.ivfTopKFromIndex(
       emb, col("vec_id"), col("embedding"), indexDir, QueryIds, K))
   }
@@ -271,10 +270,8 @@ object Similarity {
     */
   def qRankFusion(spark: SparkSession, dir: String): DataFrame = {
     val emb = table(spark, dir, "embeddings")
-    val ivfDir = graft.ServingIndexes.ensure("ivf-index", dir)(d =>
-      VectorSearch.writeIvfIndex(emb, col("vec_id"), col("embedding"), d))
-    val lshDir = graft.ServingIndexes.ensure("lsh-index", dir)(d =>
-      VectorSearch.writeLshIndex(emb, col("vec_id"), col("embedding"), d))
+    val ivfDir = Artifacts.ensureIvf(spark, dir)
+    val lshDir = Artifacts.ensureLsh(spark, dir)
     fuseRrf(
       rename(VectorSearch.ivfTopKFromIndex(
         emb, col("vec_id"), col("embedding"), ivfDir, QueryIds, K)),
@@ -617,8 +614,7 @@ object Similarity {
   def qSemdedupIndexed(spark: SparkSession, dir: String): DataFrame = {
     val emb = table(spark, dir, "embeddings")
     val corpus = emb.filter(pmod(col("vec_id"), lit(5)) =!= 0)
-    val indexDir = graft.ServingIndexes.ensure("semdedup-ivf-index", dir)(d =>
-      VectorSearch.writeIvfIndex(corpus, col("vec_id"), col("embedding"), d))
+    val indexDir = Artifacts.ensureSemdedupIvf(spark, dir)
     VectorSearch.semDedupIncrementalFromIndex(
       corpus, emb.filter(pmod(col("vec_id"), lit(5)) === 0),
       col("vec_id"), col("embedding"), indexDir, SemThreshold)
@@ -689,8 +685,7 @@ object Similarity {
     */
   def qSimPqIndexed(spark: SparkSession, dir: String): DataFrame = {
     val emb = table(spark, dir, "embeddings")
-    val indexDir = graft.ServingIndexes.ensure("pq-index", dir)(d =>
-      VectorSearch.writePqIndex(emb, col("vec_id"), col("embedding"), d))
+    val indexDir = Artifacts.ensurePq(spark, dir)
     rename(VectorSearch.pqTopKFromIndex(
       emb, col("vec_id"), col("embedding"), indexDir, QueryIds, K,
       shortlist = PqShortlist))
@@ -828,12 +823,7 @@ object Similarity {
     */
   def qSimPqRefresh(spark: SparkSession, dir: String): DataFrame = {
     val emb = table(spark, dir, "embeddings")
-    val indexDir = graft.ServingIndexes.ensure("pq-refresh-index", dir) { d =>
-      VectorSearch.writePqIndex(
-        emb.filter(pmod(col("vec_id"), lit(5)) =!= 0), col("vec_id"), col("embedding"), d)
-      VectorSearch.refreshPqIndex(
-        emb.filter(pmod(col("vec_id"), lit(5)) === 0), col("vec_id"), col("embedding"), d)
-    }
+    val indexDir = Artifacts.ensurePqRefresh(spark, dir)
     rename(VectorSearch.pqTopKFromIndex(
       emb, col("vec_id"), col("embedding"), indexDir, QueryIds, K,
       shortlist = PqShortlist))
@@ -935,12 +925,9 @@ object Similarity {
     */
   def qAnnRecallIndexed(spark: SparkSession, dir: String): DataFrame = {
     val emb = table(spark, dir, "embeddings")
-    val ivfDir = graft.ServingIndexes.ensure("ivf-index", dir)(d =>
-      VectorSearch.writeIvfIndex(emb, col("vec_id"), col("embedding"), d))
-    val lshDir = graft.ServingIndexes.ensure("lsh-index", dir)(d =>
-      VectorSearch.writeLshIndex(emb, col("vec_id"), col("embedding"), d))
-    val pqDir = graft.ServingIndexes.ensure("pq-index", dir)(d =>
-      VectorSearch.writePqIndex(emb, col("vec_id"), col("embedding"), d))
+    val ivfDir = Artifacts.ensureIvf(spark, dir)
+    val lshDir = Artifacts.ensureLsh(spark, dir)
+    val pqDir = Artifacts.ensurePq(spark, dir)
     annRecallOver(emb, QueryIds,
       rename(VectorSearch.ivfTopKFromIndex(
         emb, col("vec_id"), col("embedding"), ivfDir, QueryIds, K)),
@@ -997,12 +984,7 @@ object Similarity {
     */
   def qSimIvfRefresh(spark: SparkSession, dir: String): DataFrame = {
     val emb = table(spark, dir, "embeddings")
-    val indexDir = graft.ServingIndexes.ensure("ivf-refresh-index", dir) { d =>
-      VectorSearch.writeIvfIndex(
-        emb.filter(pmod(col("vec_id"), lit(5)) =!= 0), col("vec_id"), col("embedding"), d)
-      VectorSearch.refreshIvfIndex(
-        emb.filter(pmod(col("vec_id"), lit(5)) === 0), col("vec_id"), col("embedding"), d)
-    }
+    val indexDir = Artifacts.ensureIvfRefresh(spark, dir)
     rename(VectorSearch.ivfTopKFromIndex(
       emb, col("vec_id"), col("embedding"), indexDir, QueryIds, K))
   }
@@ -1015,12 +997,7 @@ object Similarity {
     */
   def qSimLshRefresh(spark: SparkSession, dir: String): DataFrame = {
     val emb = table(spark, dir, "embeddings")
-    val indexDir = graft.ServingIndexes.ensure("lsh-refresh-index", dir) { d =>
-      VectorSearch.writeLshIndex(
-        emb.filter(pmod(col("vec_id"), lit(5)) =!= 0), col("vec_id"), col("embedding"), d)
-      VectorSearch.refreshLshIndex(
-        emb.filter(pmod(col("vec_id"), lit(5)) === 0), col("vec_id"), col("embedding"), d)
-    }
+    val indexDir = Artifacts.ensureLshRefresh(spark, dir)
     rename(VectorSearch.lshTopKFromIndex(
       emb, col("vec_id"), col("embedding"), indexDir, QueryIds, K))
   }
@@ -1084,12 +1061,7 @@ object Similarity {
     */
   def qRefreshRecall(spark: SparkSession, dir: String): DataFrame = {
     val emb = table(spark, dir, "embeddings")
-    val indexDir = graft.ServingIndexes.ensure("ivf-refresh-index", dir) { d =>
-      VectorSearch.writeIvfIndex(
-        emb.filter(pmod(col("vec_id"), lit(5)) =!= 0), col("vec_id"), col("embedding"), d)
-      VectorSearch.refreshIvfIndex(
-        emb.filter(pmod(col("vec_id"), lit(5)) === 0), col("vec_id"), col("embedding"), d)
-    }
+    val indexDir = Artifacts.ensureIvfRefresh(spark, dir)
     val exact = rename(VectorSearch.cosineTopK(
       emb, col("vec_id"), col("embedding"), QueryIds, K))
       .select(col("q_vec_id"), col("vec_id")).localCheckpoint()

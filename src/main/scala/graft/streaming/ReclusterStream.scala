@@ -69,9 +69,14 @@ object ReclusterStream {
         // 1-row control-plane scalar: the standing drift after this commit
         val drift = Layout.reclusterDrift(keyed).collect()(0).getLong(0)
         val fire = drift >= thresholdBp
-        if (fire)
-          standing = Some(
-            Layout.reclusterDecision(keyed, thresholdBp, groupRows).localCheckpoint())
+        // Re-decide EVERY commit (clearing on non-firing ones): the batch
+        // decision is empty below threshold, so a drift that crossed in an
+        // early batch and fell back by the last must leave no standing plan
+        // — otherwise the stream==batch contract breaks (ADVICE r11).
+        standing =
+          if (fire)
+            Some(Layout.reclusterDecision(keyed, thresholdBp, groupRows).localCheckpoint())
+          else None
         keyed.unpersist()
         obs += DriftObs(bid, drift, fire)
         ()

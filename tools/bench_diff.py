@@ -14,6 +14,17 @@ import sys
 
 
 def load(path):
+    # BENCH_HISTORY.jsonl holds one full "total" line per run; select one
+    # with path@IDX (python indexing, e.g. BENCH_HISTORY.jsonl@-2 for the
+    # second-most-recent run). Default: the last total line in the file.
+    idx = -1
+    if "@" in path and not path.endswith(".json@"):
+        base, _, tail = path.rpartition("@")
+        try:
+            idx = int(tail)
+            path = base
+        except ValueError:
+            pass
     text = open(path).read()
     # accept: raw bench log, the JSON line itself, or the driver wrapper
     try:
@@ -24,11 +35,9 @@ def load(path):
             return d
     except json.JSONDecodeError:
         pass
-    m = None
-    for m in re.finditer(r'\{"metric":"total",.*', text):
-        pass
-    if m is not None:
-        return json.loads(m.group(0))
+    totals = [m.group(0) for m in re.finditer(r'\{"metric":"total",.*', text)]
+    if totals:
+        return json.loads(totals[idx])
     # left-truncated driver tail: fall back to the recap (top10 only)
     m = re.search(r'\{"metric":"total_recap".*', text)
     if m is None:
