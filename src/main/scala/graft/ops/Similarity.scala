@@ -1068,13 +1068,23 @@ object Similarity {
     val served = rename(VectorSearch.ivfTopKFromIndex(
       emb, col("vec_id"), col("embedding"), indexDir, QueryIds, K))
       .select(col("q_vec_id"), col("vec_id"))
+    recallBpOver(exact, served)
+      .select(col("q_vec_id"), col("hits"), col("recall_bp"))
+      .orderBy(col("q_vec_id"))
+  }
+
+  /** Per-query recall@k of `served` against `exact` (both (q_vec_id,
+    * vec_id) relations, queries×k rows): hit count + exact basis points.
+    * Shared by [[qRefreshRecall]], [[qRecallRetrain]] and the streaming
+    * retrain gate.
+    */
+  private[graft] def recallBpOver(exact: DataFrame, served: DataFrame): DataFrame = {
     val hits = exact.join(served, Seq("q_vec_id", "vec_id"))
       .groupBy(col("q_vec_id")).agg(count(lit(1)).as("hits"))
     exact.select(col("q_vec_id")).distinct()
       .join(hits, Seq("q_vec_id"), "left")
       .select(col("q_vec_id"), coalesce(col("hits"), lit(0L)).as("hits"))
       .withColumn("recall_bp", expr(s"hits * 10000 DIV $K"))
-      .orderBy(col("q_vec_id"))
   }
 
   /** Oracle: the verified refresh-serving replay joined against the exact
@@ -1095,6 +1105,84 @@ object Similarity {
        |  FROM approx a JOIN exact ON exact.q_vec_id = a.q_vec_id AND exact.vec_id = a.vec_id
        |  GROUP BY 1) h ON h.q_vec_id = e.q_vec_id
        |ORDER BY e.q_vec_id""".stripMargin
+
+  /** Retrain bar for [[qRecallRetrain]], in basis points: a refreshed
+    * index whose mean recall@k falls below this serves degraded results
+    * and must be retrained from scratch.
+    */
+  val RetrainBarBp = 7000L
+
+  /** RECALL-TRIGGERED RETRAIN — the maintenance composite that CLOSES the
+    * index lifecycle loop (VERDICT r11 item 6): build → serve → append-only
+    * refresh → recall audit → and now the audit's verdict ACTING. The
+    * append-only refresh ([[qSimIvfRefresh]]) froze the corpus-trained
+    * centroids, so its recall decays as the ingested batch drifts from the
+    * training distribution; [[qRefreshRecall]] measures that decay; this
+    * query wires the measurement to the repair: when the refreshed index's
+    * mean recall@k drops below [[RetrainBarBp]], serving switches to the
+    * FULLY RETRAINED index (trained over corpus ∪ batch — the
+    * session-shared `ivf-index` artifact, [[Artifacts.ensureIvf]]), else it
+    * keeps serving the refreshed artifact. The vector dual of
+    * [[Layout.qReclusterPlan]]'s drift→restore loop, and exactly the
+    * freshness/quality policy a production ANN fleet runs between
+    * scheduled retrains.
+    *
+    * The decision stays IN-PLAN (a 1-row mean-recall scalar broadcast onto
+    * both serving branches, each filtered by the verdict — no driver
+    * collect); the serving paths are stored-index reads that never train
+    * (plan-guarded like every FromIndex path). Both artifacts come from
+    * the train-once session registry, so the "rebuild" costs nothing extra
+    * across the suite; the CONDITIONAL rebuild-only-when-fired shape is
+    * the streaming dual's job ([[graft.streaming.RetrainStream]]), where
+    * the gate retrains imperatively per firing commit.
+    */
+  def qRecallRetrain(spark: SparkSession, dir: String): DataFrame = {
+    val emb = table(spark, dir, "embeddings")
+    val refreshDir = Artifacts.ensureIvfRefresh(spark, dir)
+    val retrainedDir = Artifacts.ensureIvf(spark, dir)
+    val exact = rename(VectorSearch.cosineTopK(
+      emb, col("vec_id"), col("embedding"), QueryIds, K))
+      .select(col("q_vec_id"), col("vec_id")).localCheckpoint()
+    val audited = rename(VectorSearch.ivfTopKFromIndex(
+      emb, col("vec_id"), col("embedding"), refreshDir, QueryIds, K))
+      .select(col("q_vec_id"), col("vec_id"))
+    val dec = recallBpOver(exact, audited)
+      .agg(expr("sum(recall_bp) DIV count(*)").as("mean_recall_bp"))
+      .withColumn("retrained",
+        when(col("mean_recall_bp") < RetrainBarBp, 1L).otherwise(0L))
+    val srvRetrained = rename(VectorSearch.ivfTopKFromIndex(
+      emb, col("vec_id"), col("embedding"), retrainedDir, QueryIds, K))
+    val srvRefreshed = rename(VectorSearch.ivfTopKFromIndex(
+      emb, col("vec_id"), col("embedding"), refreshDir, QueryIds, K))
+    srvRetrained.crossJoin(broadcast(dec)).filter(col("retrained") === 1)
+      .unionByName(
+        srvRefreshed.crossJoin(broadcast(dec)).filter(col("retrained") === 0))
+      .select(col("q_vec_id"), col("rnk"), col("vec_id"), col("cos_sim"),
+        col("mean_recall_bp"), col("retrained"))
+      .orderBy(col("q_vec_id"), col("rnk"))
+  }
+
+  /** Oracle: the recall replay collapses to the 1-row mean, the verdict
+    * picks between the full-corpus-trained serving replay and the
+    * refreshed-index serving replay — the same scalar-gated UNION shape
+    * as [[Layout.qReclusterPlanSql]].
+    */
+  val qRecallRetrainSql: String =
+    s"""WITH rec AS (
+       |  SELECT recall_bp FROM ($qRefreshRecallSql) r
+       |), dec AS (
+       |  SELECT CAST(sum(recall_bp) // count(*) AS BIGINT) AS mean_recall_bp,
+       |    CASE WHEN sum(recall_bp) // count(*) < $RetrainBarBp THEN 1 ELSE 0 END AS fire
+       |  FROM rec
+       |), pick AS (
+       |  SELECT * FROM ($qSimIvfTopKSql) a WHERE (SELECT fire FROM dec) = 1
+       |  UNION ALL
+       |  SELECT * FROM ($qSimIvfRefreshSql) b WHERE (SELECT fire FROM dec) = 0
+       |)
+       |SELECT p.q_vec_id, p.rnk, p.vec_id, p.cos_sim,
+       |  d.mean_recall_bp, CAST(d.fire AS BIGINT) AS retrained
+       |FROM pick p CROSS JOIN dec d
+       |ORDER BY p.q_vec_id, p.rnk""".stripMargin
 
   /** Truncation width for [[qMatryoshkaRecall]]. */
   val MatDims = 16
@@ -1170,6 +1258,7 @@ object Similarity {
     "q_sim_lsh_refresh" -> (qSimLshRefresh _),
     "q_sim_pq_refresh" -> (qSimPqRefresh _),
     "q_refresh_recall" -> (qRefreshRecall _),
+    "q_recall_retrain" -> (qRecallRetrain _),
     "q_ann_recall" -> (qAnnRecall _),
     "q_ann_recall_sampled" -> (qAnnRecallSampled _),
     "q_ann_recall_indexed" -> (qAnnRecallIndexed _),
@@ -1196,6 +1285,7 @@ object Similarity {
     "q_sim_lsh_refresh" -> qSimLshTopKSql,
     "q_sim_pq_refresh" -> qSimPqRefreshSql,
     "q_refresh_recall" -> qRefreshRecallSql,
+    "q_recall_retrain" -> qRecallRetrainSql,
     "q_ann_recall" -> qAnnRecallSql,
     "q_ann_recall_sampled" -> qAnnRecallSampledSql,
     // the indexed audit is bit-identical to the in-session audit — every

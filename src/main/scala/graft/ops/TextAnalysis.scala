@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -873,8 +874,16 @@ object TextAnalysis {
     * and pays exactly that one join before the per-doc aggregate. No
     * floats, no windows, no driver state.
     */
-  def qLmTrigramScore(spark: SparkSession, dir: String): DataFrame = {
-    val tri = table(spark, dir, "documents")
+  def qLmTrigramScore(spark: SparkSession, dir: String): DataFrame =
+    lmTrigramDocScores(table(spark, dir, "documents")).orderBy(col("doc_id"))
+
+  /** Per-document stupid-backoff trigram fluency — the shared core of
+    * [[qLmTrigramScore]] and the [[qPplBuckets]] mixture report. Returns
+    * the materialized (doc_id, n_trigrams, mean_score_micro) relation
+    * with its internal caches released.
+    */
+  private[ops] def lmTrigramDocScores(docs: DataFrame): DataFrame = {
+    val tri = docs
       .select(col("doc_id"), tokens(col("text")).as("t"))
       .filter(size(col("t")) >= 3)
       .select(col("doc_id"), explode(expr(
@@ -904,7 +913,6 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n_trigrams"), sum(col("s_micro")).as("sum_micro"))
       .select(col("doc_id"), col("n_trigrams"),
         expr("sum_micro DIV n_trigrams").as("mean_score_micro"))
-      .orderBy(col("doc_id"))
     TextDedup.materializeAndRelease(out, tri, c3)
   }
 
@@ -932,6 +940,150 @@ object TextAnalysis {
       |SELECT doc_id, count(*) AS n_trigrams,
       |  CAST(CAST(sum(s_micro) AS BIGINT) // count(*) AS BIGINT) AS mean_score_micro
       |FROM s GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  /** PERPLEXITY-BUCKETED MIXTURE (the CCNet shape): split every source's
+    * documents into head / middle / tail terciles by LM fluency (the
+    * stupid-backoff trigram score — higher = more fluent = "head") and
+    * report each bucket's document and token mass plus its score range —
+    * the table a pipeline reads to decide which perplexity slice of each
+    * source to train on, and the standard way a web corpus is quality-
+    * partitioned before mixing. Bucket boundaries are PER SOURCE (CCNet
+    * buckets against each source's own distribution, not a global one),
+    * assigned by exact integer rank arithmetic `(rank−1)·3 DIV n_src` —
+    * no percentile estimation, bit-stable across engines.
+    *
+    * Scale: the score relation is [[lmTrigramDocScores]] (one corpus
+    * tokenize, distinct-trigram joins); bucketing is one per-source
+    * window (rank + count — source-bounded partitions, no global
+    * window); the report is one aggregate. Documents under 3 tokens
+    * carry no trigram score and are excluded (inner join), same as the
+    * score query itself.
+    */
+  def qPplBuckets(spark: SparkSession, dir: String): DataFrame = {
+    val docs = table(spark, dir, "documents")
+    val scores = lmTrigramDocScores(docs)
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("mean_score_micro").desc, col("doc_id"))
+    docs.select(col("doc_id"), col("source"),
+        size(tokens(col("text"))).cast("long").as("n_tokens"))
+      .join(scores, Seq("doc_id"))
+      .withColumn("rnk", row_number().over(w))
+      .withColumn("n_src", count(lit(1)).over(Window.partitionBy(col("source"))))
+      .withColumn("bucket", expr(
+        "CASE (rnk - 1) * 3 DIV n_src WHEN 0 THEN 'head' WHEN 1 THEN 'middle' ELSE 'tail' END"))
+      .groupBy(col("source"), col("bucket"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"),
+        min(col("mean_score_micro")).as("min_score_micro"),
+        max(col("mean_score_micro")).as("max_score_micro"))
+      .orderBy(col("source"), col("bucket"))
+  }
+
+  /** Oracle: the trigram-score replay bucketed by the same per-source
+    * integer-rank terciles.
+    */
+  val qPplBucketsSql: String =
+    s"""WITH sc AS (
+       |  SELECT * FROM ($qLmTrigramScoreSql) s
+       |), d AS (
+       |  SELECT doc_id, source,
+       |    len(regexp_split_to_array(lower(text), '\\s+')) AS n_tokens
+       |  FROM documents
+       |), j AS (
+       |  SELECT d.source, d.n_tokens, sc.mean_score_micro,
+       |    row_number() OVER (PARTITION BY d.source
+       |      ORDER BY sc.mean_score_micro DESC, sc.doc_id) AS rnk,
+       |    count(*) OVER (PARTITION BY d.source) AS n_src
+       |  FROM d JOIN sc ON sc.doc_id = d.doc_id
+       |), b AS (
+       |  SELECT source,
+       |    CASE (rnk - 1) * 3 // n_src WHEN 0 THEN 'head' WHEN 1 THEN 'middle'
+       |      ELSE 'tail' END AS bucket,
+       |    n_tokens, mean_score_micro
+       |  FROM j
+       |)
+       |SELECT source, bucket, count(*) AS n_docs,
+       |  CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+       |  min(mean_score_micro) AS min_score_micro,
+       |  max(mean_score_micro) AS max_score_micro
+       |FROM b GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  /** The keyword→topic taxonomy for [[qTopicTags]] — the tiny curated
+    * dimension every taxonomy tagger ships (FlashText/Aho-Corasick over a
+    * keyword list); broadcast by construction. Shared verbatim with the
+    * oracle so the engines cannot drift.
+    */
+  val TopicKeywords: Seq[(String, String)] = Seq(
+    "join" -> "relational", "merge" -> "relational", "group" -> "relational",
+    "agg" -> "relational", "filter" -> "relational", "sort" -> "relational",
+    "scan" -> "storage", "column" -> "storage", "table" -> "storage",
+    "row" -> "storage", "key" -> "storage", "part" -> "storage",
+    "hash" -> "storage",
+    "stream" -> "streaming", "batch" -> "streaming", "window" -> "streaming",
+    "query" -> "search", "vector" -> "search")
+
+  /** KEYWORD-TAXONOMY TOPIC TAGGING: tag every document with its dominant
+    * topic — the topic whose keywords it mentions most (ties to the
+    * lexicographically smallest topic), against the curated
+    * [[TopicKeywords]] taxonomy — and report each source's topic mixture
+    * in exact basis points. This is the domain-classification step a
+    * training pipeline runs before domain mixing (DoReMi weights, topic
+    * quotas): cheap, transparent, and auditable, where a learned
+    * classifier is none of those.
+    *
+    * Scale: one token explode joined against the BROADCAST taxonomy
+    * (tiny by construction), one (doc, topic) count, one per-doc argmax
+    * as a hash aggregate (`min(struct(-c, topic))` — the
+    * [[Graph.labelPropagation]] discipline, no window sort), one mixture
+    * aggregate with a per-source window over ≤ |topics| rows. Documents
+    * mentioning no keyword are untagged and excluded; `share_bp` is of
+    * TAGGED documents.
+    */
+  def qTopicTags(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val kw = TopicKeywords.toDF("w", "topic")
+    val hits = table(spark, dir, "documents")
+      .select(col("doc_id"), col("source"), explode(tokens(col("text"))).as("w"))
+      .join(broadcast(kw), Seq("w"))
+      .groupBy(col("doc_id"), col("source"), col("topic"))
+      .agg(count(lit(1)).as("c"))
+    val dominant = hits
+      .groupBy(col("doc_id"), col("source"))
+      .agg(min(struct((-col("c")).as("negc"), col("topic"))).as("m"))
+      .select(col("source"), col("m.topic").as("topic"))
+    dominant.groupBy(col("source"), col("topic"))
+      .agg(count(lit(1)).as("n_docs"))
+      .withColumn("n_src",
+        sum(col("n_docs")).over(Window.partitionBy(col("source"))))
+      .select(col("source"), col("topic"), col("n_docs"),
+        expr("n_docs * 10000 DIV n_src").as("share_bp"))
+      .orderBy(col("source"), col("topic"))
+  }
+
+  val qTopicTagsSql: String = {
+    val vals = TopicKeywords
+      .map { case (w, t) => s"('$w', '$t')" }.mkString(", ")
+    s"""WITH kw(w, topic) AS (
+       |  SELECT * FROM (VALUES $vals) v(w, topic)
+       |), tok AS (
+       |  SELECT doc_id, source,
+       |    unnest(regexp_split_to_array(lower(text), '\\s+')) AS w
+       |  FROM documents
+       |), hits AS (
+       |  SELECT doc_id, source, topic, count(*) AS c
+       |  FROM tok JOIN kw USING (w) GROUP BY 1, 2, 3
+       |), dom AS (
+       |  SELECT source, topic FROM (
+       |    SELECT source, topic,
+       |      row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, topic) AS rn
+       |    FROM hits) WHERE rn = 1
+       |), agg AS (
+       |  SELECT source, topic, count(*) AS n_docs FROM dom GROUP BY 1, 2
+       |)
+       |SELECT source, topic, n_docs,
+       |  CAST(n_docs * 10000 // (sum(n_docs) OVER (PARTITION BY source)) AS BIGINT)
+       |    AS share_bp
+       |FROM agg ORDER BY source, topic""".stripMargin
+  }
 
   /** Vocabulary size for [[qVocabOov]] (top-K tokens by corpus count). */
   val VocabK = 10
@@ -1924,6 +2076,8 @@ object TextAnalysis {
     "q_vocab_oov" -> (qVocabOov _),
     "q_lm_bigram_score" -> (qLmBigramScore _),
     "q_lm_trigram_score" -> (qLmTrigramScore _),
+    "q_ppl_buckets" -> (qPplBuckets _),
+    "q_topic_tags" -> (qTopicTags _),
     "q_collocations" -> (qCollocations _),
     "q_text_repetition" -> (qTextRepetition _),
     "q_text_scrub" -> (qTextScrub _),
@@ -1965,6 +2119,8 @@ object TextAnalysis {
     "q_vocab_oov" -> qVocabOovSql,
     "q_lm_bigram_score" -> qLmBigramScoreSql,
     "q_lm_trigram_score" -> qLmTrigramScoreSql,
+    "q_ppl_buckets" -> qPplBucketsSql,
+    "q_topic_tags" -> qTopicTagsSql,
     "q_collocations" -> qCollocationsSql,
     "q_text_repetition" -> qTextRepetitionSql,
     "q_text_scrub" -> qTextScrubSql,

@@ -959,4 +959,57 @@ class StreamingSpec extends SparkFunSuite {
     assert(obs.nonEmpty && obs.forall(!_.triggered),
       s"drift trace: ${obs.map(_.driftBp)}")
   }
+
+  test("streaming recall-triggered retrain gate equals the batch composite") {
+    val emb = graft.ops.Tables.table(spark, sf, "embeddings")
+    val corpus = emb.filter(pmod(col("vec_id"), lit(5)) =!= 0)
+    val incoming = emb.filter(pmod(col("vec_id"), lit(5)) === 0)
+    // two files → two micro-batches, so the standing plan is re-decided
+    // across commits before the final comparison
+    val dir = tmpDir("retrain-emb")
+    incoming.filter(col("vec_id") % 2 === 0).coalesce(1).write.mode("append").parquet(dir)
+    incoming.filter(col("vec_id") % 2 =!= 0).coalesce(1).write.mode("append").parquet(dir)
+    val scratch = tmpDir("retrain-idx")
+    val (standing, obs) = RetrainStream.retrainGate(
+      spark, dir, tmpDir("retrain-ckpt"),
+      corpus, col("vec_id"), col("embedding"), scratch)
+    val batch = graft.ops.Similarity.qRecallRetrain(spark, sf)
+    assert(standing.collect().map(_.toSeq).toSeq ===
+      batch.collect().map(_.toSeq).toSeq,
+      "after the last commit the standing serving plan must be " +
+        "bit-identical to the batch composite")
+    assert(obs.last.retrained,
+      s"sf0.001 refresh recall sits below the bar — the gate must fire: $obs")
+    // the expensive retrain ran ONLY on firing commits: one index
+    // generation per firing observation
+    val gens = new java.io.File(scratch).listFiles
+      .map(_.getName).count(_.startsWith("gen-"))
+    assert(gens == obs.count(_.retrained), s"gens=$gens obs=$obs")
+  }
+
+  test("retrain gate keeps serving the refreshed index when recall meets the bar") {
+    import graft.ops.{Similarity, VectorSearch}
+    val emb = graft.ops.Tables.table(spark, sf, "embeddings")
+    val corpus = emb.filter(pmod(col("vec_id"), lit(5)) =!= 0)
+    val incoming = emb.filter(pmod(col("vec_id"), lit(5)) === 0)
+    val dir = tmpDir("retrain-quiet-emb")
+    incoming.coalesce(1).write.mode("append").parquet(dir)
+    val scratch = tmpDir("retrain-quiet-idx")
+    val (standing, obs) = RetrainStream.retrainGate(
+      spark, dir, tmpDir("retrain-quiet-ckpt"),
+      corpus, col("vec_id"), col("embedding"), scratch, barBp = 0L)
+    assert(obs.nonEmpty && obs.forall(!_.retrained))
+    assert(new java.io.File(scratch).listFiles
+      .forall(!_.getName.startsWith("gen-")), "no generation may be trained")
+    // the quiet branch serves the REFRESHED artifact over the full corpus
+    val want = VectorSearch.ivfTopKFromIndex(
+      emb, col("vec_id"), col("embedding"), s"$scratch/refresh",
+      Similarity.QueryIds, Similarity.K)
+      .withColumnRenamed("qid", "q_vec_id").withColumnRenamed("id", "vec_id")
+      .withColumn("mean_recall_bp", lit(obs.last.meanRecallBp))
+      .withColumn("retrained", lit(0L))
+      .orderBy(col("q_vec_id"), col("rnk"))
+    assert(standing.collect().map(_.toSeq).toSeq ===
+      want.collect().map(_.toSeq).toSeq)
+  }
 }
