@@ -59,7 +59,8 @@ object IntakeProbe {
         col("doc_id"), col("text"), Dedup.ShingleK)
       val benchGrams = benchSh.select(col("s")).distinct().localCheckpoint()
       benchSh.unpersist()
-      Caches.releaseAll(spark)
+      // no Caches.releaseAll here — it would drop the localCheckpoint
+      // blocks of the standing relations this probe just staged
       System.gc()
       val t0 = System.nanoTime()
       Pipeline.intakeBatch(arrivals, corpusFps, lshDir, emb, corpusEmb, ivfDir, benchGrams)
