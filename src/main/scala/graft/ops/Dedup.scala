@@ -65,6 +65,60 @@ object Dedup {
   /** Maximal duplicated 8-token spans (within- OR cross-document) — the
     * exact-substring dedup pass; see [[TextDedup.duplicatedSpans]].
     */
+  /** SOURCE→SOURCE DUPLICATION FLOW — provenance attribution for the
+    * near-dup mass: for every pair above the Jaccard threshold, the
+    * min-id member is the survivor ("original") and the other the
+    * removed copy, and the pair counts as flow FROM the copy's source TO
+    * the survivor's source. The matrix tells a pipeline WHICH crawls
+    * plagiarize which (diagonal = within-source boilerplate, off-diagonal
+    * = cross-source syndication) — the attribution report behind a
+    * source-level dedup or licensing decision, complementing
+    * [[qDedupMixture]]'s survivor policy and [[Corpus.qChunkDedup]]'s
+    * chunk-level share. `share_bp` is of the outflowing source's total
+    * duplicated-pair mass.
+    *
+    * Scale: rides the capped pair relation (the [[qDedupThresholdSweep]]
+    * bound); the source attach is two joins against the doc→source
+    * projection, and the matrix aggregate is |sources|²-bounded with a
+    * per-row window over ≤ |sources| rows.
+    */
+  def qSourceDupFlow(spark: SparkSession, dir: String): DataFrame = {
+    val docs = table(spark, dir, "documents")
+    val pairs = TextDedup.jaccardPairs(
+      docs, col("doc_id"), col("text"), ShingleK, JaccardThreshold)
+    val src = docs.select(col("doc_id"), col("source"))
+    pairs
+      .join(src.toDF("id_a", "to_source"), Seq("id_a"))
+      .join(src.toDF("id_b", "from_source"), Seq("id_b"))
+      .groupBy(col("from_source"), col("to_source"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .withColumn("n_from", sum(col("n_pairs"))
+        .over(org.apache.spark.sql.expressions.Window.partitionBy(col("from_source"))))
+      .select(col("from_source"), col("to_source"), col("n_pairs"),
+        expr("n_pairs * 10000 DIV n_from").as("share_bp"))
+      .orderBy(col("from_source"), col("to_source"))
+  }
+
+  /** Oracle: the exact pair replay ([[qDedupNgramSql]] — id_a < id_b by
+    * construction, so da is always the survivor) attributed by source.
+    */
+  val qSourceDupFlowSql: String =
+    s"""WITH pairs AS (
+       |  SELECT da, db FROM ($qDedupNgramSql) p
+       |), src AS (
+       |  SELECT doc_id, source FROM documents
+       |), flow AS (
+       |  SELECT b.source AS from_source, a.source AS to_source,
+       |    count(*) AS n_pairs
+       |  FROM pairs JOIN src a ON a.doc_id = da JOIN src b ON b.doc_id = db
+       |  GROUP BY 1, 2
+       |)
+       |SELECT from_source, to_source, n_pairs,
+       |  CAST(n_pairs * 10000
+       |    // (sum(n_pairs) OVER (PARTITION BY from_source)) AS BIGINT)
+       |    AS share_bp
+       |FROM flow ORDER BY from_source, to_source""".stripMargin
+
   def qDupSpans(spark: SparkSession, dir: String): DataFrame =
     TextDedup.duplicatedSpans(
       table(spark, dir, "documents"), col("doc_id"), col("text"), DupSpanL)
@@ -1079,6 +1133,7 @@ object Dedup {
     "q_shingle_df_profile" -> (qShingleDfProfile _),
     "q_dedup_threshold_sweep" -> (qDedupThresholdSweep _),
     "q_dedup_minhash_lsh" -> (qDedupMinhashLsh _),
+    "q_source_dup_flow" -> (qSourceDupFlow _),
     "q_dedup_simhash" -> (qDedupSimhash _),
     "q_dedup_embedding" -> (qDedupEmbedding _),
     "q_dedup_incremental" -> (qDedupIncremental _),
@@ -1107,6 +1162,7 @@ object Dedup {
     // MinHash+LSH has the same final semantics as the exact pair query —
     // LSH recall at J≥0.8 is 1-2e-4 (and ~1 for the J≥0.97 pairs present).
     "q_dedup_minhash_lsh" -> qDedupNgramSql,
+    "q_source_dup_flow" -> qSourceDupFlowSql,
     "q_dedup_simhash" -> qDedupSimhashSql,
     "q_dedup_embedding" -> qDedupEmbeddingSql,
     "q_dedup_incremental" -> qDedupIncrementalSql,

@@ -1038,18 +1038,25 @@ object TextAnalysis {
     * mentioning no keyword are untagged and excluded; `share_bp` is of
     * TAGGED documents.
     */
-  def qTopicTags(spark: SparkSession, dir: String): DataFrame = {
+  /** Per-document dominant topic against [[TopicKeywords]] — the shared
+    * core of [[qTopicTags]] and [[qMixReweight]]. Untagged documents (no
+    * keyword hit) are absent.
+    */
+  private[ops] def dominantTopics(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val kw = TopicKeywords.toDF("w", "topic")
-    val hits = table(spark, dir, "documents")
+    table(spark, dir, "documents")
       .select(col("doc_id"), col("source"), explode(tokens(col("text"))).as("w"))
       .join(broadcast(kw), Seq("w"))
       .groupBy(col("doc_id"), col("source"), col("topic"))
       .agg(count(lit(1)).as("c"))
-    val dominant = hits
       .groupBy(col("doc_id"), col("source"))
       .agg(min(struct((-col("c")).as("negc"), col("topic"))).as("m"))
-      .select(col("source"), col("m.topic").as("topic"))
+      .select(col("doc_id"), col("source"), col("m.topic").as("topic"))
+  }
+
+  def qTopicTags(spark: SparkSession, dir: String): DataFrame = {
+    val dominant = dominantTopics(spark, dir)
     dominant.groupBy(col("source"), col("topic"))
       .agg(count(lit(1)).as("n_docs"))
       .withColumn("n_src",
@@ -1059,10 +1066,13 @@ object TextAnalysis {
       .orderBy(col("source"), col("topic"))
   }
 
-  val qTopicTagsSql: String = {
+  /** The shared dominant-topic CTE chain (`kw`, `tok`, `hits`, `dom`) of
+    * the [[qTopicTags]] and [[qMixReweight]] oracles.
+    */
+  private def topicDomCtes: String = {
     val vals = TopicKeywords
       .map { case (w, t) => s"('$w', '$t')" }.mkString(", ")
-    s"""WITH kw(w, topic) AS (
+    s"""kw(w, topic) AS (
        |  SELECT * FROM (VALUES $vals) v(w, topic)
        |), tok AS (
        |  SELECT doc_id, source,
@@ -1076,14 +1086,54 @@ object TextAnalysis {
        |    SELECT source, topic,
        |      row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, topic) AS rn
        |    FROM hits) WHERE rn = 1
-       |), agg AS (
+       |)""".stripMargin
+  }
+
+  val qTopicTagsSql: String =
+    s"""WITH $topicDomCtes, agg AS (
        |  SELECT source, topic, count(*) AS n_docs FROM dom GROUP BY 1, 2
        |)
        |SELECT source, topic, n_docs,
        |  CAST(n_docs * 10000 // (sum(n_docs) OVER (PARTITION BY source)) AS BIGINT)
        |    AS share_bp
        |FROM agg ORDER BY source, topic""".stripMargin
+
+  /** TARGET-MIXTURE REWEIGHTING: per (source, topic) cell, the importance
+    * weight that makes each source's TAGGED documents sample to a UNIFORM
+    * topic mixture — `weight_micro = n_src · 10⁶ DIV (n_topics_src ·
+    * n_cell)`, the inverse-frequency weight against the per-source uniform
+    * target over the topics that source actually contains. This is the
+    * domain-rebalancing step downstream of topic tagging (the per-topic
+    * dual of [[Corpus]]'s per-source DoReMi / temperature weights): a
+    * sampler drawing each document with probability ∝ its cell weight
+    * expects equal mass per topic within every source. Exact integer
+    * micro-units end-to-end.
+    *
+    * Scale: rides [[dominantTopics]] (broadcast taxonomy + two hash
+    * aggregates); the weight arithmetic is one per-source window over
+    * ≤ |topics| rows.
+    */
+  def qMixReweight(spark: SparkSession, dir: String): DataFrame = {
+    val srcW = Window.partitionBy(col("source"))
+    dominantTopics(spark, dir)
+      .groupBy(col("source"), col("topic"))
+      .agg(count(lit(1)).as("n_docs"))
+      .withColumn("n_src", sum(col("n_docs")).over(srcW))
+      .withColumn("n_topics_src", count(lit(1)).over(srcW))
+      .select(col("source"), col("topic"), col("n_docs"),
+        expr("n_src * 1000000 DIV (n_topics_src * n_docs)").as("weight_micro"))
+      .orderBy(col("source"), col("topic"))
   }
+
+  val qMixReweightSql: String =
+    s"""WITH $topicDomCtes, agg AS (
+       |  SELECT source, topic, count(*) AS n_docs FROM dom GROUP BY 1, 2
+       |)
+       |SELECT source, topic, n_docs,
+       |  CAST(sum(n_docs) OVER (PARTITION BY source) * 1000000
+       |    // (count(*) OVER (PARTITION BY source) * n_docs) AS BIGINT)
+       |    AS weight_micro
+       |FROM agg ORDER BY source, topic""".stripMargin
 
   /** Vocabulary size for [[qVocabOov]] (top-K tokens by corpus count). */
   val VocabK = 10
@@ -2078,6 +2128,7 @@ object TextAnalysis {
     "q_lm_trigram_score" -> (qLmTrigramScore _),
     "q_ppl_buckets" -> (qPplBuckets _),
     "q_topic_tags" -> (qTopicTags _),
+    "q_mix_reweight" -> (qMixReweight _),
     "q_collocations" -> (qCollocations _),
     "q_text_repetition" -> (qTextRepetition _),
     "q_text_scrub" -> (qTextScrub _),
@@ -2121,6 +2172,7 @@ object TextAnalysis {
     "q_lm_trigram_score" -> qLmTrigramScoreSql,
     "q_ppl_buckets" -> qPplBucketsSql,
     "q_topic_tags" -> qTopicTagsSql,
+    "q_mix_reweight" -> qMixReweightSql,
     "q_collocations" -> qCollocationsSql,
     "q_text_repetition" -> qTextRepetitionSql,
     "q_text_scrub" -> qTextScrubSql,
