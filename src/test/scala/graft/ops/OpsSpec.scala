@@ -299,4 +299,22 @@ class OpsSpec extends SparkFunSuite {
       if (mt != "video") assert(r.getAs[Int]("n_frames") == 1)
     }
   }
+
+  test("source dup flow: pairs count FROM the copy's source TO the survivor's") {
+    import spark.implicits._
+    // one cross-source near-dup pair: doc 1 (srcA, survivor: min id) and
+    // doc 5 (srcB, removed copy) are identical; docs 2/6 are noise with
+    // no shared shingles. Flow must be exactly srcB -> srcA, share 10000.
+    val txt = "alpha beta gamma delta epsilon zeta eta theta"
+    val docs = Seq(
+      (1L, txt, "srcA"), (2L, "p q r s t u v w", "srcA"),
+      (5L, txt, "srcB"), (6L, "one two three four five six seven eight", "srcB"))
+      .map { case (id, t, s) => (id, t, "en", s, 10L) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dir = tmpDir("dup-flow")
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = Dedup.qSourceDupFlow(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(out.toSeq === Seq(("srcB", "srcA", 1L, 10000L)))
+  }
 }

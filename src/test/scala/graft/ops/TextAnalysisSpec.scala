@@ -399,4 +399,72 @@ class TextAnalysisSpec extends SparkFunSuite {
       TextAnalysis.Bm25QueryTerms.exists(t => texts(id).toLowerCase.split("\\s+").contains(t))
     })
   }
+
+  test("ppl buckets: per-source terciles are exact integer-rank splits") {
+    import spark.implicits._
+    // 6 scoreable docs in one source → terciles of exactly 2/2/2; doc 7
+    // has <3 tokens (no trigram) and must vanish from the report.
+    // Fluency order is deterministic: doc 1/2 duplicate each other
+    // (trigrams corpus-supported → high conditional), docs 3-6 are
+    // hapax-trigram docs scored by backoff.
+    val docs = (Seq(
+      (1L, "alpha beta gamma alpha beta gamma"),
+      (2L, "alpha beta gamma alpha beta gamma"),
+      (3L, "p q r s t u"), (4L, "one two three four five six"),
+      (5L, "aa bb cc dd ee ff"), (6L, "k l m n o pp"),
+      (7L, "too short")))
+      .map { case (id, t) => (id, t, "en", "src0", 10L) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dir = tmpDir("ppl-buckets")
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = TextAnalysis.qPplBuckets(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq
+    assert(out.map(_._2).sorted === Seq("head", "middle", "tail"))
+    assert(out.forall(_._3 == 2L), s"6 docs → 2 per tercile: $out")
+    // the duplicated (most fluent) docs land in head: head's min score is
+    // the suite max
+    val byBucket = TextAnalysis.qPplBuckets(spark, dir).collect()
+      .map(r => r.getString(1) -> (r.getLong(4), r.getLong(5))).toMap
+    assert(byBucket("head")._1 >= byBucket("middle")._2)
+    assert(byBucket("middle")._1 >= byBucket("tail")._2)
+  }
+
+  test("topic tags: dominant topic wins by count then lexicographic tie-break") {
+    import spark.implicits._
+    val docs = Seq(
+      // 2×storage ("scan table") vs 1×relational ("join") → storage
+      (1L, "scan table join zz zz"),
+      // 1×relational ("join") vs 1×streaming ("stream") tie → relational
+      (2L, "join stream zz zz zz"),
+      // no keyword at all → untagged, absent from the report
+      (3L, "zz yy xx ww vv"))
+      .map { case (id, t) => (id, t, "en", "src0", 10L) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dir = tmpDir("topic-tags")
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = TextAnalysis.qTopicTags(spark, dir).collect()
+      .map(r => (r.getString(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(out.toSet === Set(("relational", 1L, 5000L), ("storage", 1L, 5000L)))
+  }
+
+  test("mix reweight: expected post-weight topic masses are uniform per source") {
+    import spark.implicits._
+    // src0: 3 relational docs + 1 storage doc → weights 1e6·4/(2·3) and
+    // 1e6·4/(2·1); expected mass per topic = n_cell·w equalizes.
+    val docs = Seq(
+      (1L, "join aa"), (2L, "merge bb"), (3L, "filter cc"), (4L, "scan dd"))
+      .map { case (id, t) => (id, t, "en", "src0", 10L) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dir = tmpDir("mix-reweight")
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = TextAnalysis.qMixReweight(spark, dir).collect()
+      .map(r => (r.getString(1), (r.getLong(2), r.getLong(3)))).toMap
+    assert(out("relational") === ((3L, 4000000L / 6L)))
+    assert(out("storage") === ((1L, 4000000L / 2L)))
+    // expected post-weight mass n_cell · w is uniform across topics up to
+    // the integer-floor remainder (< n_cell micro-units)
+    val masses = out.values.map { case (n, w) => n * w }
+    assert(masses.max - masses.min < out.values.map(_._1).max,
+      s"masses: $out")
+  }
 }
