@@ -108,7 +108,12 @@ object Bench {
       "q_target_encode", "q_events_funnel", "q_cusum_shift",
       // round 11: the two composites — their sub-linearity claims are the
       // integration story, so the probe audits them regardless of rank
-      "q_pipeline_full", "q_intake")
+      "q_pipeline_full", "q_intake",
+      // round 12: the two r11 weak items — their fixes (hash-argmax LPA,
+      // single-build packed-key trigram) dropped them below the top-20
+      // cutoff, which would make their ratios invisible exactly when the
+      // record needs to show the fix held
+      "q_label_prop", "q_lm_trigram_score")
     val (sf1Rows, sf1Skipped, sf1Dir) = if (!sf1Enabled) (Seq.empty, Seq.empty, "") else {
       val dst = sys.env.getOrElse("SPARK_GRAFT_SF1_DIR", "/tmp/graft-sf1")
       ScaleProbe.synthesize(spark, sfDir, dst)

@@ -1042,10 +1042,18 @@ object TextAnalysis {
     * core of [[qTopicTags]] and [[qMixReweight]]. Untagged documents (no
     * keyword hit) are absent.
     */
-  private[ops] def dominantTopics(spark: SparkSession, dir: String): DataFrame = {
+  private[ops] def dominantTopics(spark: SparkSession, dir: String): DataFrame =
+    dominantTopicsOf(table(spark, dir, "documents"))
+
+  /** [[dominantTopics]] over an arbitrary (doc_id, source, text) relation —
+    * the form the arrival-time monitors ([[graft.streaming.TopicDriftStream]],
+    * [[qTopicDrift]]'s split sides) feed.
+    */
+  private[graft] def dominantTopicsOf(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
     import spark.implicits._
     val kw = TopicKeywords.toDF("w", "topic")
-    table(spark, dir, "documents")
+    docs
       .select(col("doc_id"), col("source"), explode(tokens(col("text"))).as("w"))
       .join(broadcast(kw), Seq("w"))
       .groupBy(col("doc_id"), col("source"), col("topic"))
@@ -1055,23 +1063,91 @@ object TextAnalysis {
       .select(col("doc_id"), col("source"), col("m.topic").as("topic"))
   }
 
-  def qTopicTags(spark: SparkSession, dir: String): DataFrame = {
-    val dominant = dominantTopics(spark, dir)
-    dominant.groupBy(col("source"), col("topic"))
+  /** Per-(source, topic) share of TAGGED documents in basis points — the
+    * mixture table both [[qTopicTags]] and the drift monitor read.
+    */
+  private[graft] def topicMixtureOf(docs: DataFrame): DataFrame =
+    dominantTopicsOf(docs)
+      .groupBy(col("source"), col("topic"))
       .agg(count(lit(1)).as("n_docs"))
       .withColumn("n_src",
         sum(col("n_docs")).over(Window.partitionBy(col("source"))))
       .select(col("source"), col("topic"), col("n_docs"),
         expr("n_docs * 10000 DIV n_src").as("share_bp"))
-      .orderBy(col("source"), col("topic"))
+
+  /** TOPIC-MIXTURE DRIFT between the standing corpus (doc_id ≢ 0 mod 5 —
+    * the suite's corpus/arrival convention) and the arrival split: per
+    * source, the L1 distance between the two dominant-topic mixtures in
+    * exact basis points, `Σ_topics |share_corpus − share_arrivals|`. This
+    * is the distribution-shift alarm a curation pipeline keeps on every
+    * ingest source — a crawler that silently changed its seed list shows
+    * up here before it shows up in eval — the taxonomy-level sibling of
+    * [[qSourceDrift]]'s token-level divergence. Topics absent on one side
+    * count their full share (a NEW topic is maximal drift for that cell).
+    *
+    * Scale: two broadcast-taxonomy tag passes + a |sources|·|topics|-
+    * bounded full-outer join; the streaming dual
+    * ([[graft.streaming.TopicDriftStream]]) re-measures per commit over
+    * the accumulated arrivals.
+    */
+  def qTopicDrift(spark: SparkSession, dir: String): DataFrame = {
+    val docs = table(spark, dir, "documents")
+    topicDriftOf(
+      docs.filter(pmod(col("doc_id"), lit(5)) =!= 0),
+      docs.filter(pmod(col("doc_id"), lit(5)) === 0))
   }
 
-  /** The shared dominant-topic CTE chain (`kw`, `tok`, `hits`, `dom`) of
-    * the [[qTopicTags]] and [[qMixReweight]] oracles.
+  /** The drift table for any (corpus, arrivals) pair of document
+    * relations: (source, n_topics, drift_bp) sorted by source.
     */
-  private def topicDomCtes: String = {
+  private[graft] def topicDriftOf(corpus: DataFrame, arrivals: DataFrame): DataFrame = {
+    val c = topicMixtureOf(corpus)
+      .select(col("source"), col("topic"), col("share_bp").as("c_bp"))
+    val a = topicMixtureOf(arrivals)
+      .select(col("source"), col("topic"), col("share_bp").as("a_bp"))
+    c.join(a, Seq("source", "topic"), "full_outer")
+      .select(col("source"), col("topic"),
+        coalesce(col("c_bp"), lit(0L)).as("c_bp"),
+        coalesce(col("a_bp"), lit(0L)).as("a_bp"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_topics"),
+        sum(expr("abs(c_bp - a_bp)")).as("drift_bp"))
+      .orderBy(col("source"))
+  }
+
+  val qTopicDriftSql: String = {
+    def side(alias: String, pred: String): String =
+      s"""${alias}_agg AS (
+         |  SELECT source, topic, count(*) AS n_docs FROM dom
+         |  WHERE doc_id $pred GROUP BY 1, 2
+         |), $alias AS (
+         |  SELECT source, topic,
+         |    CAST(n_docs * 10000 // (sum(n_docs) OVER (PARTITION BY source))
+         |      AS BIGINT) AS bp
+         |  FROM ${alias}_agg
+         |)""".stripMargin
+    s"""WITH ${topicDomCtes(withDocId = true)},
+       |${side("cmix", "% 5 <> 0")},
+       |${side("amix", "% 5 = 0")}
+       |SELECT source, CAST(count(*) AS BIGINT) AS n_topics,
+       |  CAST(sum(abs(coalesce(c.bp, 0) - coalesce(a.bp, 0))) AS BIGINT)
+       |    AS drift_bp
+       |FROM cmix c FULL OUTER JOIN amix a USING (source, topic)
+       |GROUP BY source ORDER BY source""".stripMargin
+  }
+
+  def qTopicTags(spark: SparkSession, dir: String): DataFrame =
+    topicMixtureOf(table(spark, dir, "documents"))
+      .orderBy(col("source"), col("topic"))
+
+  /** The shared dominant-topic CTE chain (`kw`, `tok`, `hits`, `dom`) of
+    * the [[qTopicTags]], [[qMixReweight]] and [[qTopicDrift]] oracles;
+    * `withDocId` keeps doc_id in `dom` for split-filtered consumers.
+    */
+  private def topicDomCtes(withDocId: Boolean = false): String = {
     val vals = TopicKeywords
       .map { case (w, t) => s"('$w', '$t')" }.mkString(", ")
+    val docId = if (withDocId) "doc_id, " else ""
     s"""kw(w, topic) AS (
        |  SELECT * FROM (VALUES $vals) v(w, topic)
        |), tok AS (
@@ -1082,15 +1158,15 @@ object TextAnalysis {
        |  SELECT doc_id, source, topic, count(*) AS c
        |  FROM tok JOIN kw USING (w) GROUP BY 1, 2, 3
        |), dom AS (
-       |  SELECT source, topic FROM (
-       |    SELECT source, topic,
+       |  SELECT ${docId}source, topic FROM (
+       |    SELECT doc_id, source, topic,
        |      row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, topic) AS rn
        |    FROM hits) WHERE rn = 1
        |)""".stripMargin
   }
 
   val qTopicTagsSql: String =
-    s"""WITH $topicDomCtes, agg AS (
+    s"""WITH ${topicDomCtes()}, agg AS (
        |  SELECT source, topic, count(*) AS n_docs FROM dom GROUP BY 1, 2
        |)
        |SELECT source, topic, n_docs,
@@ -1126,7 +1202,7 @@ object TextAnalysis {
   }
 
   val qMixReweightSql: String =
-    s"""WITH $topicDomCtes, agg AS (
+    s"""WITH ${topicDomCtes()}, agg AS (
        |  SELECT source, topic, count(*) AS n_docs FROM dom GROUP BY 1, 2
        |)
        |SELECT source, topic, n_docs,
@@ -2129,6 +2205,7 @@ object TextAnalysis {
     "q_ppl_buckets" -> (qPplBuckets _),
     "q_topic_tags" -> (qTopicTags _),
     "q_mix_reweight" -> (qMixReweight _),
+    "q_topic_drift" -> (qTopicDrift _),
     "q_collocations" -> (qCollocations _),
     "q_text_repetition" -> (qTextRepetition _),
     "q_text_scrub" -> (qTextScrub _),
@@ -2173,6 +2250,7 @@ object TextAnalysis {
     "q_ppl_buckets" -> qPplBucketsSql,
     "q_topic_tags" -> qTopicTagsSql,
     "q_mix_reweight" -> qMixReweightSql,
+    "q_topic_drift" -> qTopicDriftSql,
     "q_collocations" -> qCollocationsSql,
     "q_text_repetition" -> qTextRepetitionSql,
     "q_text_scrub" -> qTextScrubSql,

@@ -1012,4 +1012,53 @@ class StreamingSpec extends SparkFunSuite {
     assert(standing.collect().map(_.toSeq).toSeq ===
       want.collect().map(_.toSeq).toSeq)
   }
+
+  test("streaming topic-drift monitor equals the batch drift after the last commit") {
+    import graft.ops.TextAnalysis
+    val docs = graft.ops.Tables.table(spark, sf, "documents")
+    val corpus = docs.filter(pmod(col("doc_id"), lit(5)) =!= 0)
+    val arrivals = docs.filter(pmod(col("doc_id"), lit(5)) === 0)
+    // three files → three micro-batches; the standing table must track
+    // the ACCUMULATED arrivals, not any single batch
+    val dir = tmpDir("topic-drift-docs")
+    (0 to 2).foreach { r =>
+      arrivals.filter(col("doc_id") % 3 === r)
+        .coalesce(1).write.mode("append").parquet(dir)
+    }
+    val (standing, obs) = TopicDriftStream.driftGate(
+      spark, dir, tmpDir("topic-drift-ckpt"), corpus)
+    val batch = TextAnalysis.qTopicDrift(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    assert(standing.orderBy(col("source")).collect().map(_.toSeq).toSeq === batch,
+      "after the last commit the standing drift table IS the batch query")
+    assert(obs.size === 3)
+    // the trace is consistent with the standing table: the last commit's
+    // worst-source reading IS the table's max. (At this fixture scale a
+    // source has only ~5 arrival docs, so 10000-bp small-sample drifts
+    // are genuine — production thresholds pair with a minimum-count
+    // gate, which is the caller's knob, not the monitor's.)
+    val worst = standing.agg(max(col("drift_bp"))).collect()(0).getLong(0)
+    assert(obs.last.maxDriftBp === worst, s"trace: $obs standing max: $worst")
+  }
+
+  test("topic-drift monitor fires on a planted single-topic flood") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, "join aa", "en", "srcX", 10L), (2L, "scan bb", "en", "srcX", 10L),
+      (3L, "stream cc", "en", "srcX", 10L), (4L, "query dd", "en", "srcX", 10L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    // arrivals: every doc lands on ONE topic → L1 drift vs the uniform
+    // 4-topic corpus mixture = |10000-2500| + 3·2500 = 15000 bp
+    val flood = Seq(
+      (11L, "join xx", "en", "srcX", 10L), (12L, "merge yy", "en", "srcX", 10L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dir = tmpDir("topic-flood-docs")
+    flood.coalesce(1).write.mode("append").parquet(dir)
+    val (standing, obs) = TopicDriftStream.driftGate(
+      spark, dir, tmpDir("topic-flood-ckpt"), corpus)
+    val row = standing.collect().map(r =>
+      (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(row === Seq(("srcX", 4L, 15000L)), s"got $row")
+    assert(obs.last.fired)
+  }
 }
