@@ -127,6 +127,68 @@ object VectorServeStream {
     applied.get()
   }
 
+  /** PQ dual of [[ingestIvfBatches]] (round 12 — completes the streaming
+    * ingest family across all three index kinds): embedding batches are
+    * ENCODED with the frozen stored codebooks at O(batch) cost and their
+    * codes appended. Same split-invariance contract: the final index is
+    * bit-identical to a one-shot refresh of the union, because encode is
+    * per-vector against frozen state.
+    */
+  def ingestPqBatches(
+      spark: SparkSession,
+      embDir: String,
+      checkpoint: String,
+      indexDir: String,
+      cfg: graft.ops.VectorSearch.PqConfig = graft.ops.VectorSearch.PqConfig()): Long = {
+    val applied = new java.util.concurrent.atomic.AtomicLong()
+    val stream = spark.readStream
+      .schema(embeddingSchema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(embDir)
+    val q = stream.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.ops.VectorSearch.refreshPqIndex(
+          batch, col("vec_id"), col("embedding"), indexDir, cfg)
+        applied.incrementAndGet()
+        ()
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    applied.get()
+  }
+
+  /** LSH dual of [[ingestIvfBatches]]: batches append their banded
+    * signatures — LSH carries no trained state, so the refreshed index is
+    * bit-identical to a one-shot BUILD of the union, the strongest form
+    * of the split-invariance contract.
+    */
+  def ingestLshBatches(
+      spark: SparkSession,
+      embDir: String,
+      checkpoint: String,
+      indexDir: String,
+      cfg: graft.ops.VectorSearch.LshConfig = graft.ops.VectorSearch.LshConfig()): Long = {
+    val applied = new java.util.concurrent.atomic.AtomicLong()
+    val stream = spark.readStream
+      .schema(embeddingSchema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(embDir)
+    val q = stream.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.ops.VectorSearch.refreshLshIndex(
+          batch, col("vec_id"), col("embedding"), indexDir, cfg)
+        applied.incrementAndGet()
+        ()
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    applied.get()
+  }
+
   /** Serve every request file under `requestDir` (AvailableNow catch-up;
     * one file per micro-batch) and return the accumulated results.
     */

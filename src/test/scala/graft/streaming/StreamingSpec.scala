@@ -899,6 +899,56 @@ class StreamingSpec extends SparkFunSuite {
     assert(served.nonEmpty)
   }
 
+  test("streaming PQ + LSH ingest leave indexes identical to one-shot refreshes") {
+    import graft.ops.VectorSearch
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val corpus = emb.filter(pmod(col("vec_id"), lit(5)) =!= 0)
+    val batch = emb.filter(pmod(col("vec_id"), lit(5)) === 0)
+      .orderBy(col("vec_id")).collect()
+    val qids = graft.ops.Similarity.QueryIds
+    val k = graft.ops.Similarity.K
+    val dir = tmpDir("pq-lsh-ingest-feed")
+    val cuts = Seq(batch.take(130), batch.slice(130, 300), batch.drop(300))
+    cuts.foreach { c =>
+      spark.createDataFrame(spark.sparkContext.parallelize(c.toSeq, 1), emb.schema)
+        .coalesce(1).write.mode("append").parquet(dir)
+      Thread.sleep(60)
+    }
+    // PQ: frozen-codebook encode per commit
+    val pqStream = tmpDir("pq-ingest-stream")
+    VectorSearch.writePqIndex(corpus, col("vec_id"), col("embedding"), pqStream)
+    val nPq = VectorServeStream.ingestPqBatches(
+      spark, dir, tmpDir("pq-ingest-ckpt"), pqStream)
+    assert(nPq == 3, s"expected 3 micro-batches, saw $nPq")
+    val pqOne = tmpDir("pq-ingest-oneshot")
+    VectorSearch.writePqIndex(corpus, col("vec_id"), col("embedding"), pqOne)
+    VectorSearch.refreshPqIndex(
+      emb.filter(pmod(col("vec_id"), lit(5)) === 0),
+      col("vec_id"), col("embedding"), pqOne)
+    val pqServed = VectorSearch.pqTopKFromIndex(
+      emb, col("vec_id"), col("embedding"), pqStream, qids, k,
+      shortlist = graft.ops.Similarity.PqShortlist).collect().toSeq
+    val pqOneShot = VectorSearch.pqTopKFromIndex(
+      emb, col("vec_id"), col("embedding"), pqOne, qids, k,
+      shortlist = graft.ops.Similarity.PqShortlist).collect().toSeq
+    assert(pqServed == pqOneShot)
+    assert(pqServed.nonEmpty)
+    // LSH: training-free append — streamed index ≡ one-shot BUILD of the union
+    val lshStream = tmpDir("lsh-ingest-stream")
+    VectorSearch.writeLshIndex(corpus, col("vec_id"), col("embedding"), lshStream)
+    val nLsh = VectorServeStream.ingestLshBatches(
+      spark, dir, tmpDir("lsh-ingest-ckpt"), lshStream)
+    assert(nLsh == 3)
+    val lshOne = tmpDir("lsh-ingest-oneshot")
+    VectorSearch.writeLshIndex(emb, col("vec_id"), col("embedding"), lshOne)
+    val lshServed = VectorSearch.lshTopKFromIndex(
+      emb, col("vec_id"), col("embedding"), lshStream, qids, k).collect().toSeq
+    val lshOneShot = VectorSearch.lshTopKFromIndex(
+      emb, col("vec_id"), col("embedding"), lshOne, qids, k).collect().toSeq
+    assert(lshServed == lshOneShot)
+    assert(lshServed.nonEmpty)
+  }
+
   test("streaming recluster gate fires on drift and equals the batch restore plan") {
     // the batch scenario split along the arrival axis: base = the ok%10≠0
     // rows (Hilbert-clustered table), delta = the ok%10=0 append arriving
