@@ -165,6 +165,25 @@ object Multimodal {
     * as payload. Headers are assembled as hex strings (codegen concat +
     * unhex), dims big-endian via `lpad(hex(...))`.
     */
+  /** The ITU-T T.81 Annex K.1 luminance quantization base table — the
+    * libjpeg default every quality setting scales (`jcparam.c`
+    * std_luminance_quant_tbl), in natural (row-major) order.
+    */
+  val JpegBaseQuant: Seq[Int] = Seq(
+    16, 11, 10, 16, 24, 40, 51, 61,
+    12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56,
+    14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77,
+    24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101,
+    72, 92, 95, 98, 112, 100, 103, 99)
+
+  /** libjpeg `jpeg_quality_scaling` for Q = doc_id % 85 + 10, as SQL. */
+  private val JpegScaleSql: String =
+    "(CASE WHEN (doc_id % 85 + 10) < 50 THEN 5000 DIV (doc_id % 85 + 10) " +
+      "ELSE 200 - 2 * (doc_id % 85 + 10) END)"
+
   def imageTable(spark: SparkSession, dir: String): DataFrame = {
     val w = (col("doc_id") % 509 + 16).cast("long")
     val h = ((col("doc_id") * 3) % 479 + 16).cast("long")
@@ -175,11 +194,21 @@ object Multimodal {
       lpad(hex(w), 8, "0"), lpad(hex(h), 8, "0"),
       lit("0806000000"), // bit depth 8, RGBA, deflate, adaptive, no interlace
       lit("00000000")) // CRC not validated by header parsing
+    // DQT (round 12): a REAL 64-entry 8-bit luminance quantization table,
+    // scaled from the libjpeg standard base table by the per-doc quality
+    // setting Q = doc_id % 85 + 10 with the exact jpeg_quality_scaling
+    // arithmetic — so [[qJpegQuality]]'s byte-walk estimator has a genuine
+    // encoder signal to invert, and its oracle can replay the table entry
+    // from doc_id arithmetic alone.
+    val dqtBody = concat(JpegBaseQuant.map(v =>
+      lpad(hex(expr(s"least(greatest(($v * $JpegScaleSql + 50) DIV 100, 1), 255)")),
+        2, "0")): _*)
     val jpegHex = concat(
       lit("FFD8"), // SOI
       lit("FFE000104A46494600010100000100010000"), // APP0 JFIF, len 16
       lit("FFFE"), lpad(hex(comLen + 2), 4, "0"),
       lit("41414141414141").substr(lit(1), comLen * 2), // COM body, 1–7 bytes
+      lit("FFDB004300"), dqtBody, // DQT: len 67, Pq/Tq 0, 64 entries
       lit("FFC0001108"), lpad(hex(h), 4, "0"), lpad(hex(w), 4, "0"), // SOF0
       lit("03011100021101031101")) // 3 components
     table(spark, dir, "documents")
@@ -207,6 +236,58 @@ object Multimodal {
         packed.bitwiseAND(lit(0xFFFFFFFFL)).as("height"))
       .orderBy(col("doc_id"))
   }
+
+  /** JPEG ENCODER-QUALITY ESTIMATE — the byte-walk dual of the classic
+    * "what -quality was this saved at" forensic (ImageMagick/identify's
+    * heuristic): read the DC luminance quantizer out of the DQT segment
+    * with the codegen [[graft.functions.JpegDqt]] walk and invert libjpeg's
+    * `jpeg_quality_scaling` in exact integer arithmetic —
+    * `s_est = (100·t0 − 50) DIV 16` (t0 scales the base-table 16), then
+    * `q_est = (200 − s_est) DIV 2` below the 50-quality knee and
+    * `5000 DIV s_est` above it. The report a curation pipeline uses to
+    * route re-compressed/low-quality images out of a training corpus
+    * without decoding a single pixel. The oracle derives the table entry
+    * from the doc_id arithmetic that synthesized it, so the hash match
+    * proves the per-row DQT byte walk AND the estimator; `err_q` bounds
+    * the estimator's floor-rounding loss (≤ ~3 at these settings).
+    *
+    * Scale: one narrow projection over the payload column — the
+    * [[qMultimodalDims]] shape; payload bytes never leave the executor.
+    */
+  def qJpegQuality(spark: SparkSession, dir: String): DataFrame = {
+    val t0 = graft.functions.JpegDqt(col("content"))
+    imageTable(spark, dir)
+      .filter(col("doc_id") % 2 === 1)
+      .select(col("doc_id"), t0.as("t0"))
+      .withColumn("s_est", expr("(100 * t0 - 50) DIV 16"))
+      .select(col("doc_id"), col("t0"),
+        expr("doc_id % 85 + 10").as("q_true"),
+        expr("CASE WHEN s_est <= 100 THEN (200 - s_est) DIV 2 " +
+          "ELSE 5000 DIV s_est END").as("q_est"))
+      .withColumn("err_q", expr("abs(q_true - q_est)"))
+      .orderBy(col("doc_id"))
+  }
+
+  val qJpegQualitySql: String =
+    s"""WITH j AS (
+       |  SELECT doc_id, doc_id % 85 + 10 AS q_true,
+       |    CASE WHEN (doc_id % 85 + 10) < 50 THEN 5000 // (doc_id % 85 + 10)
+       |         ELSE 200 - 2 * (doc_id % 85 + 10) END AS s
+       |  FROM documents WHERE doc_id % 3 = 0 AND doc_id % 2 = 1
+       |), t AS (
+       |  SELECT doc_id, q_true,
+       |    least(greatest((16 * s + 50) // 100, 1), 255) AS t0
+       |  FROM j
+       |), e AS (
+       |  SELECT doc_id, t0, q_true, (100 * t0 - 50) // 16 AS s_est FROM t
+       |)
+       |SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(t0 AS BIGINT) AS t0,
+       |  CAST(q_true AS BIGINT) AS q_true,
+       |  CAST(CASE WHEN s_est <= 100 THEN (200 - s_est) // 2
+       |       ELSE 5000 // s_est END AS BIGINT) AS q_est,
+       |  CAST(abs(q_true - (CASE WHEN s_est <= 100 THEN (200 - s_est) // 2
+       |       ELSE 5000 // s_est END)) AS BIGINT) AS err_q
+       |FROM e ORDER BY doc_id""".stripMargin
 
   val qMultimodalDimsSql: String =
     """SELECT doc_id,
@@ -479,6 +560,7 @@ object Multimodal {
     "q_multimodal_roundtrip" -> (qMultimodalRoundtrip _),
     "q_multimodal_sniff" -> (qMultimodalSniff _),
     "q_multimodal_dims" -> (qMultimodalDims _),
+    "q_jpeg_quality" -> (qJpegQuality _),
     "q_multimodal_wav" -> (qMultimodalWav _),
     "q_multimodal_mp4" -> (qMultimodalMp4 _),
     "q_multimodal_resize" -> (qMultimodalResize _),
@@ -490,6 +572,7 @@ object Multimodal {
     "q_multimodal_roundtrip" -> qMultimodalRoundtripSql,
     "q_multimodal_sniff" -> qMultimodalSniffSql,
     "q_multimodal_dims" -> qMultimodalDimsSql,
+    "q_jpeg_quality" -> qJpegQualitySql,
     "q_multimodal_wav" -> qMultimodalWavSql,
     "q_multimodal_mp4" -> qMultimodalMp4Sql,
     "q_multimodal_resize" -> qMultimodalResizeSql,
