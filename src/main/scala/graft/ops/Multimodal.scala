@@ -475,8 +475,11 @@ object Multimodal {
     * even ids, JPEG SOI+APP0+COM+SOF0 for odd) + the utf-8 text payload;
     * the decimation replays over hex-pair offsets with list lambdas.
     */
-  val qMultimodalResizeSql: String =
-    """WITH img AS (
+  val qMultimodalResizeSql: String = {
+    val base = JpegBaseQuant.mkString("[", ", ", "]")
+    val scaleSql = "(CASE WHEN (doc_id % 85 + 10) < 50 THEN 5000 // (doc_id % 85 + 10) " +
+      "ELSE 200 - 2 * (doc_id % 85 + 10) END)"
+    s"""WITH img AS (
       |  SELECT doc_id,
       |    doc_id % 509 + 16 AS w, (doc_id * 3) % 479 + 16 AS h,
       |    CASE WHEN doc_id % 2 = 0 THEN
@@ -488,6 +491,9 @@ object Multimodal {
       |      concat('FFD8', 'FFE000104A46494600010100000100010000',
       |        'FFFE', lpad(hex(doc_id % 7 + 3), 4, '0'),
       |        substring('41414141414141', 1, CAST((doc_id % 7 + 1) * 2 AS INT)),
+      |        'FFDB004300',
+      |        array_to_string(list_transform($base,
+      |          v -> lpad(hex(least(greatest((v * $scaleSql + 50) // 100, 1), 255)), 2, '0')), ''),
       |        'FFC0001108',
       |        lpad(hex((doc_id * 3) % 479 + 16), 4, '0'),
       |        lpad(hex(doc_id % 509 + 16), 4, '0'),
@@ -512,6 +518,7 @@ object Multimodal {
       |  CAST(list_sum(bytes) AS BIGINT) AS checksum
       |FROM sampled
       |ORDER BY doc_id""".stripMargin
+  }
 
   /** Uniform temporal frame sampling — the "frame-sample" stage of a video
     * preprocessing pipeline (the TSN segment-sampling discipline, Wang et
