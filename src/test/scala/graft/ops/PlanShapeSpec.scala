@@ -600,4 +600,36 @@ class PlanShapeSpec extends SparkFunSuite {
     assert(!pl.contains("SortMergeJoin"), pl)
     benchSh.unpersist(); arrSh.unpersist()
   }
+
+  test("topic tagging joins the taxonomy broadcast and argmaxes without a window sort") {
+    val p = plan(TextAnalysis.qTopicTags(spark, sf))
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    // per-doc dominant topic is a hash aggregate, not a row_number window;
+    // the only window is the |sources|·|topics|-row mixture share
+    assert(!p.contains("row_number"), p)
+  }
+
+  test("ppl buckets: per-source windows never collapse to a single partition") {
+    val p = plan(TextAnalysis.qPplBuckets(spark, sf))
+    assert(!p.contains("Exchange SinglePartition"), p)
+  }
+
+  test("label propagation argmax is a hash aggregate, not a window sort") {
+    val p = plan(Graph.labelPropagation(Graph.coOrderEdges(spark, sf), rounds = 1))
+    assert(!p.contains("Window"), p)
+  }
+
+  test("recall-retrain serving reads stored index relations, never trains in-plan") {
+    val p = plan(Similarity.qRecallRetrain(spark, sf))
+    // both serving branches read MATERIALIZED relations (stored index
+    // loads + the checkpointed exact baseline appear as ExistingRDD
+    // scans) rather than embedding the Lloyd training chain, whose
+    // per-iteration aggregates would dwarf this plan's node count
+    // (~24 partial+final HashAggregates for recall + two serving paths;
+    // one trained index alone adds 2 per Lloyd iteration)
+    assert(p.contains("Scan ExistingRDD"), p)
+    assert(p.linesIterator.count(_.contains("HashAggregate")) < 30, p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
 }
