@@ -51,22 +51,32 @@ object ScaleProbe {
       tables: Set[String]): Unit = {
     new java.io.File(dstDir).mkdirs()
 
-    val li = spark.read.parquet(s"$srcDir/lineitem.parquet")
-    val ord = spark.read.parquet(s"$srcDir/orders.parquet")
-    // one shared orderkey offset base across lineitem AND orders keeps
-    // the FK aligned in every replica (orders may hold keys past
-    // lineitem's max — customers whose order shipped nothing yet)
-    val maxOk = math.max(
-      li.agg(max(col("l_orderkey"))).collect()(0).getLong(0),
-      ord.agg(max(col("o_orderkey"))).collect()(0).getLong(0)) + 1
-    val maxPk = li.agg(max(col("l_partkey"))).collect()(0).getLong(0) + 1
-    if (tables("lineitem")) li.crossJoin(reps(spark))
-      .withColumn("l_orderkey", col("l_orderkey") + col("k") * maxOk)
-      .withColumn("l_partkey",
-        when(pmod(col("l_partkey"), lit(50)) === 0, col("l_partkey"))
-          .otherwise(col("l_partkey") + col("k") * maxPk))
-      .drop("k")
-      .write.mode("overwrite").parquet(s"$dstDir/lineitem.parquet")
+    // Offsets come only from tables that are present in srcDir: a chained
+    // subset synthesis (sf10 → sf100 with orders excluded) must not fail
+    // on a missing orders.parquet it was never asked to replicate. When
+    // both halves of the FK pair exist, the shared orderkey offset base
+    // keeps them aligned in every replica (orders may hold keys past
+    // lineitem's max — customers whose order shipped nothing yet).
+    val liOpt =
+      if (tables("lineitem") || new java.io.File(s"$srcDir/lineitem.parquet").exists())
+        Some(spark.read.parquet(s"$srcDir/lineitem.parquet")) else None
+    val ordOpt =
+      if (tables("orders") || new java.io.File(s"$srcDir/orders.parquet").exists())
+        Some(spark.read.parquet(s"$srcDir/orders.parquet")) else None
+    lazy val maxOk = (
+      liOpt.map(_.agg(max(col("l_orderkey"))).collect()(0).getLong(0)) ++
+      ordOpt.map(_.agg(max(col("o_orderkey"))).collect()(0).getLong(0))).max + 1
+    if (tables("lineitem")) {
+      val li = liOpt.get
+      val maxPk = li.agg(max(col("l_partkey"))).collect()(0).getLong(0) + 1
+      li.crossJoin(reps(spark))
+        .withColumn("l_orderkey", col("l_orderkey") + col("k") * maxOk)
+        .withColumn("l_partkey",
+          when(pmod(col("l_partkey"), lit(50)) === 0, col("l_partkey"))
+            .otherwise(col("l_partkey") + col("k") * maxPk))
+        .drop("k")
+        .write.mode("overwrite").parquet(s"$dstDir/lineitem.parquet")
+    }
 
     if (tables("documents")) {
     val docs = spark.read.parquet(s"$srcDir/documents.parquet")
@@ -81,7 +91,7 @@ object ScaleProbe {
       .write.mode("overwrite").parquet(s"$dstDir/documents.parquet")
     }
 
-    if (tables("orders")) ord.crossJoin(reps(spark))
+    if (tables("orders")) ordOpt.get.crossJoin(reps(spark))
       .withColumn("o_orderkey", col("o_orderkey") + col("k") * maxOk)
       .drop("k")
       .write.mode("overwrite").parquet(s"$dstDir/orders.parquet")

@@ -46,29 +46,41 @@ object Sf10Probe {
     if (!new java.io.File(s"$sf10/lineitem.parquet").exists())
       ScaleProbe.synthesizeTables(spark, sf1, sf10, tables)
 
-    def time(name: String, dir: String): Double = {
+    // A failed run must NOT fold its elapsed wall time into the record
+    // (ADVICE r12): a crash after 40 s would otherwise print as a real
+    // 40 s timing and poison the decade ratio with no marker. Failures
+    // return None and are listed under "failed" in the JSON line.
+    val failed = scala.collection.mutable.LinkedHashSet[String]()
+    def time(name: String, dir: String): Option[Double] = {
       Caches.releaseAll(spark)
       System.gc()
       val t0 = System.nanoTime()
-      try SparkEntry.queries(name)(spark, dir).write.format("noop").mode("overwrite").save()
-      catch { case e: Throwable =>
+      try {
+        SparkEntry.queries(name)(spark, dir).write.format("noop").mode("overwrite").save()
+        Some((System.nanoTime() - t0) / 1e9)
+      } catch { case e: Throwable =>
         System.err.println(s"[sf10] $name @ $dir failed: ${e.getMessage}")
+        failed += s"$name@$dir"
+        None
       }
-      (System.nanoTime() - t0) / 1e9
     }
 
-    def sec(v: Double): String =
-      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    def sec(v: Option[Double]): String = v match {
+      case Some(d) => String.format(java.util.Locale.ROOT, "%.3f", Double.box(d))
+      case None    => "null"
+    }
     val rows = ProbeQueries.map { q =>
       val t1 = time(q, sf1)
       val t10 = time(q, sf10)
-      (q, t1, t10, t10 / math.max(t1, 1e-3))
+      val ratio = for (a <- t1; b <- t10) yield b / math.max(a, 1e-3)
+      (q, t1, t10, ratio)
     }
-    def m(f: ((String, Double, Double, Double)) => String): String =
+    def m(f: ((String, Option[Double], Option[Double], Option[Double])) => String): String =
       rows.map(r => "\"" + r._1 + "\":" + f(r)).mkString("{", ",", "}")
+    val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     println(s"""{"metric":"sf10_probe","cpus":$cpus,"partitions":$parts""" +
       s""","sf1_secs":${m(r => sec(r._2))},"sf10_secs":${m(r => sec(r._3))}""" +
-      s""","decade_ratios":${m(r => sec(r._4))}}""")
+      s""","decade_ratios":${m(r => sec(r._4))},"failed":$failedJson}""")
     spark.stop()
   }
 }

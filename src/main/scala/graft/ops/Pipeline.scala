@@ -500,8 +500,14 @@ object Pipeline {
     // surviving fps broadcast back — per-batch driver/executor state now
     // bounded by the trigger, with the corpus touched only as a streamed
     // single-column scan.
+    // .distinct() is load-bearing: the left-semi preserves corpusFps
+    // multiplicity, so a fingerprint duplicated heavily in the corpus
+    // that also arrives would make broadcast(hitFps) dup-mass-sized —
+    // the driver-OOM shape this flip exists to avoid. Distinct bounds
+    // it by the arrival batch again.
     val hitFps = corpusFps.select(col("fp"))
       .join(broadcast(gated.select(col("fp")).distinct()), Seq("fp"), "left_semi")
+      .distinct()
     val exactDup = gated
       .join(broadcast(hitFps), Seq("fp"), "left_semi")
       .select(col("doc_id"), lit("exact_dup").as("r"))

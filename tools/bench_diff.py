@@ -18,13 +18,17 @@ def load(path):
     # with path@IDX (python indexing, e.g. BENCH_HISTORY.jsonl@-2 for the
     # second-most-recent run). Default: the last total line in the file.
     idx = -1
+    explicit_idx = False
     if "@" in path and not path.endswith(".json@"):
         base, _, tail = path.rpartition("@")
         try:
             idx = int(tail)
             path = base
+            explicit_idx = True
         except ValueError:
-            pass
+            raise SystemExit(
+                f"bad @IDX suffix {tail!r} in {path} (expected an integer, "
+                f"e.g. BENCH_HISTORY.jsonl@-2)")
     text = open(path).read()
     # accept: raw bench log, the JSON line itself, or the driver wrapper
     try:
@@ -37,7 +41,14 @@ def load(path):
         pass
     totals = [m.group(0) for m in re.finditer(r'\{"metric":"total",.*', text)]
     if totals:
+        if not (-len(totals) <= idx < len(totals)):
+            raise SystemExit(
+                f"@{idx} out of range: {path} holds {len(totals)} total "
+                f"line(s) (valid: {-len(totals)}..{len(totals) - 1})")
         return json.loads(totals[idx])
+    if explicit_idx:
+        raise SystemExit(
+            f"@{idx} given but no bench total lines found in {path}")
     # left-truncated driver tail: fall back to the recap (top10 only)
     m = re.search(r'\{"metric":"total_recap".*', text)
     if m is None:
