@@ -94,4 +94,61 @@ object Artifacts {
       VectorSearch.refreshPqIndex(
         emb.filter(pmod(col("vec_id"), lit(5)) === 0), col("vec_id"), col("embedding"), d)
     }
+
+  // ---- session memos for DRIVER-SIDE trained models (VERDICT r12 item 2) ----
+  //
+  // The in-session recall audits (qAnnRecall / qAnnRecallSampled) train
+  // IVF centroids and PQ codebooks from the full embeddings table per
+  // call — within one suite run that was 4 identical trainings for the
+  // top-2 bench costs. The trained state is control-plane metadata
+  // (centroid sums/counts), so it memoizes as a plain JVM object: unlike
+  // a cached DataFrame it SURVIVES Caches.releaseAll between queries,
+  // and unlike the stored indexes it keeps the audits' in-session
+  // train-then-serve semantics (no artifact bytes are read back).
+  // computeIfAbsent gives the same serialized-first-build guarantee
+  // ServingIndexes has; same canonical-builder contract — one builder
+  // per model key lives HERE.
+
+  private val models = new java.util.concurrent.ConcurrentHashMap[String, AnyRef]()
+
+  private def model[T <: AnyRef](key: String, dir: String)(build: => T): T =
+    models.computeIfAbsent(s"$key:$dir", _ => build).asInstanceOf[T]
+
+  /** The session-trained IVF model (resolved config + exact-integer
+    * centroids) over the full embeddings table — training is query-free,
+    * so every audit variant serves from this one model bit-identically.
+    */
+  private[ops] def ivfModel(spark: SparkSession, dir: String): (VectorSearch.IvfConfig, Array[VectorSearch.Centroid]) =
+    model("ivf-model", dir) {
+      VectorSearch.trainIvfModel(
+        table(spark, dir, "embeddings"), col("vec_id"), col("embedding"))
+    }
+
+  /** The session-trained PQ codebooks over the full embeddings table. */
+  private[ops] def pqModel(spark: SparkSession, dir: String): Array[Array[VectorSearch.Centroid]] =
+    model("pq-model", dir) {
+      VectorSearch.trainPqModel(
+        table(spark, dir, "embeddings"), col("vec_id"), col("embedding"))
+    }
+
+  /** The EXACT brute-force cosine top-k baseline for `qids`, stored once
+    * per (qids, dataDir) as a queries×k parquet (`exact.parquet`, columns
+    * `q_vec_id, rnk, vec_id, cos_sim`): five audit queries previously
+    * recomputed this identical corpus scan. On-disk rather than
+    * localCheckpointed because Bench/Verify call Caches.releaseAll
+    * between queries, which drops checkpoint blocks. The sampled audit
+    * passes its own (smaller) qids, so a sampled-only run's baseline cost
+    * scales with the sample, never the full query log.
+    */
+  private[ops] def ensureExactTopK(spark: SparkSession, dir: String,
+      qids: Seq[Long], k: Int): String =
+    graft.ServingIndexes.ensure(s"exact-topk-k$k-q" + qids.mkString("_"), dir) { d =>
+      VectorSearch.cosineTopK(
+          table(spark, dir, "embeddings"), col("vec_id"), col("embedding"), qids, k)
+        .withColumnRenamed("qid", "q_vec_id").withColumnRenamed("id", "vec_id")
+        .write.mode("overwrite").parquet(s"$d/exact.parquet")
+    }
+
+  /** Test hook mirroring [[graft.ServingIndexes.reset]]. */
+  private[graft] def resetModels(): Unit = models.clear()
 }

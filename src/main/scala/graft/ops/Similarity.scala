@@ -876,27 +876,42 @@ object Similarity {
   def qAnnRecallSampled(spark: SparkSession, dir: String): DataFrame =
     annRecall(spark, dir, QueryIds.filter(annSampleKeep))
 
+  /** In-session trainings come from the [[Artifacts]] session-model memo
+    * (VERDICT r12 item 2): training is query-free, so the full and
+    * sampled audits serve from ONE trained IVF model + ONE set of PQ
+    * codebooks per session instead of retraining per call — the audit
+    * keeps its train-then-serve-in-session semantics (nothing read back
+    * from artifact bytes) while a later variant's marginal cost is
+    * serving only. LSH has no trained state (md5-derived planes).
+    */
   private[ops] def annRecall(spark: SparkSession, dir: String, qids: Seq[Long]): DataFrame = {
     val emb = table(spark, dir, "embeddings")
-    annRecallOver(emb, qids,
-      rename(VectorSearch.ivfTopK(emb, col("vec_id"), col("embedding"), qids, K)),
+    annRecallOver(exactBaseline(spark, dir, qids),
+      rename(VectorSearch.ivfTopKWithModel(emb, col("vec_id"), col("embedding"), qids, K,
+        Artifacts.ivfModel(spark, dir))),
       rename(VectorSearch.lshTopK(emb, col("vec_id"), col("embedding"), qids, K)),
-      rename(VectorSearch.pqTopK(emb, col("vec_id"), col("embedding"), qids, K,
-        shortlist = PqShortlist)))
+      rename(VectorSearch.pqTopKWithModel(emb, col("vec_id"), col("embedding"), qids, K,
+        Artifacts.pqModel(spark, dir), shortlist = PqShortlist)))
+  }
+
+  /** The stored exact-cosine baseline for `qids` — queries×k rows
+    * computed once per (qids, dir) per session ([[Artifacts.ensureExactTopK]]);
+    * previously every audit in the family recomputed the identical
+    * brute-force scan (and localCheckpointed it, which the cross-query
+    * Caches.releaseAll would have dropped anyway).
+    */
+  private def exactBaseline(spark: SparkSession, dir: String, qids: Seq[Long]): DataFrame = {
+    val d = Artifacts.ensureExactTopK(spark, dir, qids, K)
+    spark.read.parquet(s"$d/exact.parquet").select(col("q_vec_id"), col("vec_id"))
   }
 
   /** The recall computation over ANY three (q_vec_id, vec_id) rankings —
-    * shared by the in-session audit and the stored-index audit.
+    * shared by the in-session audit and the stored-index audit. `exact`
+    * is the stored baseline relation: reading it per branch re-scans
+    * queries×k parquet rows, not the corpus.
     */
-  private def annRecallOver(emb: DataFrame, qids: Seq[Long],
+  private def annRecallOver(exact: DataFrame,
       ivf: DataFrame, lsh: DataFrame, pq: DataFrame): DataFrame = {
-    // localCheckpoint: the exact relation is queries×k rows, and without
-    // it each recall branch would INLINE (re-run) the brute-force search —
-    // the plan dump showed the baseline scan three times
-    val exact = rename(VectorSearch.cosineTopK(
-      emb, col("vec_id"), col("embedding"), qids, K))
-      .select(col("q_vec_id"), col("vec_id"))
-      .localCheckpoint()
     def recallOf(m: String, approx: DataFrame): DataFrame = {
       val hits = exact
         .join(approx.select(col("q_vec_id"), col("vec_id")), Seq("q_vec_id", "vec_id"))
@@ -928,7 +943,7 @@ object Similarity {
     val ivfDir = Artifacts.ensureIvf(spark, dir)
     val lshDir = Artifacts.ensureLsh(spark, dir)
     val pqDir = Artifacts.ensurePq(spark, dir)
-    annRecallOver(emb, QueryIds,
+    annRecallOver(exactBaseline(spark, dir, QueryIds),
       rename(VectorSearch.ivfTopKFromIndex(
         emb, col("vec_id"), col("embedding"), ivfDir, QueryIds, K)),
       rename(VectorSearch.lshTopKFromIndex(
@@ -1062,9 +1077,7 @@ object Similarity {
   def qRefreshRecall(spark: SparkSession, dir: String): DataFrame = {
     val emb = table(spark, dir, "embeddings")
     val indexDir = Artifacts.ensureIvfRefresh(spark, dir)
-    val exact = rename(VectorSearch.cosineTopK(
-      emb, col("vec_id"), col("embedding"), QueryIds, K))
-      .select(col("q_vec_id"), col("vec_id")).localCheckpoint()
+    val exact = exactBaseline(spark, dir, QueryIds)
     val served = rename(VectorSearch.ivfTopKFromIndex(
       emb, col("vec_id"), col("embedding"), indexDir, QueryIds, K))
       .select(col("q_vec_id"), col("vec_id"))
@@ -1140,9 +1153,7 @@ object Similarity {
     val emb = table(spark, dir, "embeddings")
     val refreshDir = Artifacts.ensureIvfRefresh(spark, dir)
     val retrainedDir = Artifacts.ensureIvf(spark, dir)
-    val exact = rename(VectorSearch.cosineTopK(
-      emb, col("vec_id"), col("embedding"), QueryIds, K))
-      .select(col("q_vec_id"), col("vec_id")).localCheckpoint()
+    val exact = exactBaseline(spark, dir, QueryIds)
     val audited = rename(VectorSearch.ivfTopKFromIndex(
       emb, col("vec_id"), col("embedding"), refreshDir, QueryIds, K))
       .select(col("q_vec_id"), col("vec_id"))

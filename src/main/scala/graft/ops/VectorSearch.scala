@@ -292,7 +292,7 @@ object VectorSearch {
     * members plus the member count — the mean `S/N` is never materialized,
     * so no engine-specific floating-point rounding enters the iteration.
     */
-  private final case class Centroid(s: Array[Long], n: Long)
+  private[ops] final case class Centroid(s: Array[Long], n: Long)
 
   /** IVF-style ANN: coarse-quantize the corpus with k-means (Lloyd
     * iterations expressed as DataFrame jobs, deterministic init from the
@@ -326,6 +326,38 @@ object VectorSearch {
     val corpus = ivfCorpus(df, id, vec, cfg)
     val rcfg = resolveCfg(corpus, cfg)
     val centroids = trainIvfCentroids(corpus, rcfg)
+    val assigned = corpus.withColumn("bucket", ivfAssignment(rcfg)(centroids))
+    val result = ivfServe(assigned, centroids, queryIds, k, rcfg)
+    corpus.unpersist()
+    result
+  }
+
+  /** Train-only IVF entry (VERDICT r12 item 2): the Lloyd loop of
+    * [[ivfTopK]] with no serving — returns the resolved config plus the
+    * exact-integer centroids, a driver-side object small enough
+    * (numCentroids × dim longs) to memoize for a whole session
+    * ([[Artifacts.ivfModel]]). Training is query-free, so one trained
+    * model serves every audit variant (full / sampled) bit-identically.
+    */
+  private[ops] def trainIvfModel(df: DataFrame, id: Column, vec: Column,
+      cfg: IvfConfig = IvfConfig()): (IvfConfig, Array[Centroid]) = {
+    val corpus = ivfCorpus(df, id, vec, cfg)
+    val rcfg = resolveCfg(corpus, cfg)
+    val cents = trainIvfCentroids(corpus, rcfg)
+    corpus.unpersist()
+    (rcfg, cents)
+  }
+
+  /** Serve [[ivfTopK]] from a pre-trained in-session model — bit-identical
+    * to `ivfTopK` run with the same model (assignment and probe are pure
+    * functions of the centroids), minus the training passes. The cost
+    * left is one corpus assignment scan + the per-query probe, so a
+    * SAMPLED audit's marginal cost scales with serving, not training.
+    */
+  private[ops] def ivfTopKWithModel(df: DataFrame, id: Column, vec: Column,
+      queryIds: Seq[Long], k: Int, model: (IvfConfig, Array[Centroid])): DataFrame = {
+    val (rcfg, centroids) = model
+    val corpus = ivfCorpus(df, id, vec, rcfg)
     val assigned = corpus.withColumn("bucket", ivfAssignment(rcfg)(centroids))
     val result = ivfServe(assigned, centroids, queryIds, k, rcfg)
     corpus.unpersist()
@@ -908,12 +940,44 @@ object VectorSearch {
       cfg: PqConfig = PqConfig(), shortlist: Int = 0): DataFrame = {
     val corpus = pqCorpus(df, id, vec, cfg)
     val codebooks = trainPqCodebooks(corpus, cfg)
+    val result = pqServeFromCorpus(df, id, vec, corpus, codebooks, queryIds, k, cfg, shortlist)
+    corpus.unpersist()
+    result
+  }
+
+  /** Train-only PQ entry (VERDICT r12 item 2): the per-subspace Lloyd
+    * loop of [[pqTopK]] with no encode/serve — returns the exact-integer
+    * codebooks, driver-side metadata (subspaces × codebookSize × subDim
+    * longs) memoized per session by [[Artifacts.pqModel]].
+    */
+  private[ops] def trainPqModel(df: DataFrame, id: Column, vec: Column,
+      cfg: PqConfig = PqConfig()): Array[Array[Centroid]] = {
+    val corpus = pqCorpus(df, id, vec, cfg)
+    val cb = trainPqCodebooks(corpus, cfg)
+    corpus.unpersist()
+    cb
+  }
+
+  /** Serve [[pqTopK]] from pre-trained codebooks — bit-identical to
+    * `pqTopK` with the same codebooks (encode and ADC are pure functions
+    * of them); the remaining cost is the encode scan + ADC ranking.
+    */
+  private[ops] def pqTopKWithModel(df: DataFrame, id: Column, vec: Column,
+      queryIds: Seq[Long], k: Int, codebooks: Array[Array[Centroid]],
+      cfg: PqConfig = PqConfig(), shortlist: Int = 0): DataFrame = {
+    val corpus = pqCorpus(df, id, vec, cfg)
+    val result = pqServeFromCorpus(df, id, vec, corpus, codebooks, queryIds, k, cfg, shortlist)
+    corpus.unpersist()
+    result
+  }
+
+  private def pqServeFromCorpus(df: DataFrame, id: Column, vec: Column,
+      corpus: DataFrame, codebooks: Array[Array[Centroid]], queryIds: Seq[Long],
+      k: Int, cfg: PqConfig, shortlist: Int): DataFrame = {
     val encoded = pqEncode(corpus, codebooks, cfg)
     val queries = corpus.filter(col("id").isin(queryIds: _*))
       .select(col("id").as("qid"), col("xq").as("qxq"))
-    val result = pqServe(df, id, vec, queries, codebooks, encoded, queryIds, k, cfg, shortlist)
-    corpus.unpersist()
-    result
+    pqServe(df, id, vec, queries, codebooks, encoded, queryIds, k, cfg, shortlist)
   }
 
   private def pqSub(cfg: PqConfig)(c: Column, j: Int): Column =
