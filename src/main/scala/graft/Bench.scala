@@ -126,23 +126,53 @@ object Bench {
         results.map(_._1).filter(sf1Forced)).distinct
       val byName = results.map(r => r._1 -> r._2).toMap
       val deadline = System.nanoTime() + (sf1Budget * 1e9).toLong
-      val done = scala.collection.mutable.ArrayBuffer.empty[(String, Double, Double)]
+      val done = scala.collection.mutable.ArrayBuffer.empty[(String, Double, Double, Double, Boolean)]
       val skipped = scala.collection.mutable.ArrayBuffer.empty[String]
+      val failed = scala.collection.mutable.ArrayBuffer.empty[String]
+      // Contention-proofing (VERDICT r12 item 1): the r12 record carried
+      // 23× for a plan that measures 2.89× clean, because each sf1 entry
+      // was ONE unflagged run and the box's roaming load landed on it.
+      // Every entry now carries its own sentinel reading; an entry whose
+      // sentinel exceeds the quiet bar (2× the suite's median, floored at
+      // 150 ms) is re-run once, the faster attempt kept, and the entry
+      // listed under "sf1_contended" if its sentinel STILL exceeds the
+      // bar — a hot ratio can no longer be mistaken for a plan property.
+      val suiteCalibs = results.flatMap(_._4).sorted
+      val quietBar =
+        if (suiteCalibs.isEmpty) 0.15
+        else math.max(0.15, 2 * suiteCalibs(suiteCalibs.size / 2))
       targets.foreach { name =>
         if (System.nanoTime() > deadline) skipped += name
         else {
-          val t0 = System.nanoTime()
-          try SparkEntry.queries(name)(spark, dst).write.format("noop").mode("overwrite").save()
-          catch { case e: Throwable =>
-            System.err.println(s"[bench] sf1 $name failed: ${e.getMessage}")
+          def attempt(): Option[(Double, Double)] = {
+            val calib = calibrate()
+            val t0 = System.nanoTime()
+            val ok =
+              try {
+                SparkEntry.queries(name)(spark, dst).write.format("noop").mode("overwrite").save()
+                true
+              } catch { case e: Throwable =>
+                System.err.println(s"[bench] sf1 $name failed: ${e.getMessage}")
+                false
+              }
+            val elapsed = (System.nanoTime() - t0) / 1e9
+            Caches.releaseAll(spark)
+            System.gc()
+            // a failed run's wall time is NOT a timing — drop the entry
+            if (ok) Some((elapsed, calib)) else None
           }
-          val elapsed = (System.nanoTime() - t0) / 1e9
-          Caches.releaseAll(spark)
-          System.gc()
-          done += ((name, elapsed, elapsed / math.max(byName(name), 1e-3)))
+          attempt() match {
+            case None => failed += name
+            case Some(first) =>
+              val best =
+                if (first._2 <= quietBar || System.nanoTime() > deadline) first
+                else attempt().map(s => if (s._1 < first._1) s else first).getOrElse(first)
+              done += ((name, best._1, best._1 / math.max(byName(name), 1e-3),
+                best._2, best._2 > quietBar))
+          }
         }
       }
-      (done.toSeq, skipped.toSeq, dst)
+      (done.toSeq, skipped.toSeq ++ failed.map(_ + ":failed"), dst)
     }
 
     // Locale.ROOT: f"" uses the default locale — a comma decimal separator
@@ -167,12 +197,17 @@ object Bench {
     val sf1Json =
       if (!sf1Enabled) ""
       else {
-        val ratios = sf1Rows.map { case (k, _, r) => "\"" + k + "\":" + r2(r) }
+        val ratios = sf1Rows.map { case (k, _, r, _, _) => "\"" + k + "\":" + r2(r) }
           .mkString("{", ",", "}")
-        val secs = sf1Rows.map { case (k, s, _) => "\"" + k + "\":" + sec(s) }
+        val secs = sf1Rows.map { case (k, s, _, _, _) => "\"" + k + "\":" + sec(s) }
           .mkString("{", ",", "}")
+        val calibs = sf1Rows.map { case (k, _, _, c, _) => "\"" + k + "\":" + ms(c) }
+          .mkString("{", ",", "}")
+        val contended = sf1Rows.collect { case (k, _, _, _, true) => "\"" + k + "\"" }
+          .mkString("[", ",", "]")
         val skip = sf1Skipped.map("\"" + _ + "\"").mkString("[", ",", "]")
-        s""","sf1_ratios":$ratios,"sf1_secs":$secs,"sf1_skipped":$skip,"sf1_dir":"$sf1Dir""""
+        s""","sf1_ratios":$ratios,"sf1_secs":$secs,"sf1_calib_ms":$calibs""" +
+          s""","sf1_contended":$contended,"sf1_skipped":$skip,"sf1_dir":"$sf1Dir""""
       }
     val totalLine = s"""{"metric":"total","value":${sec(total)},"unit":"sec","queries":$qs,"calib_ms":$calibQs,"calib":$calibStats,"runs":$runs,"sf":"$sfDir"$sf1Json}"""
     println(totalLine)
@@ -205,7 +240,7 @@ object Bench {
       if (!sf1Enabled || sf1Rows.isEmpty) ""
       else {
         val worst = sf1Rows.sortBy(-_._3).take(5)
-          .map { case (k, _, r) => "\"" + k + "\":" + r2(r) }.mkString("{", ",", "}")
+          .map { case (k, _, r, _, _) => "\"" + k + "\":" + r2(r) }.mkString("{", ",", "}")
         s""","sf1_n":${sf1Rows.size},"sf1_worst_ratios":$worst"""
       }
     println(s"""{"metric":"total_recap","value":${sec(total)},"unit":"sec","n_queries":${results.size},"runs":$runs,"sf":"$sfDir","calib":$calibStats,"full":"BENCH_FULL.json","top10":$top10$sf1Recap}""")
