@@ -1958,6 +1958,126 @@ object TextAnalysis {
        |FROM r GROUP BY 1 ORDER BY bucket""".stripMargin
   }
 
+  /** Sources labeled "high quality" for the trainable classifier — the
+    * stand-in for CCNet's Wikipedia-domain positives (the synthetic
+    * corpus has no domain column; a fixed five-source slice plays the
+    * reference-corpus role).
+    */
+  val QualityPosSources: Seq[String] = (0 to 4).map(i => s"src$i")
+
+  /** TRAINED quality classifier — the CCNet stage [[qQualityBuckets]]
+    * only proxied: CCNet's actual filter is a CLASSIFIER trained to
+    * separate a high-quality reference corpus from crawl text (Wenzek
+    * et al. 2020, arXiv:1911.00359 §3; fastText linear model over token
+    * counts), not an LM rank. Here: a multinomial Naive-Bayes-weighted
+    * linear model over token counts — TRAIN on the 80% split
+    * (`doc_id % 5 ≠ 0`) labeled pos/neg by source membership
+    * ([[QualityPosSources]] = reference corpus), APPLY to the held-out
+    * 20%, and report the confusion matrix with per-cell score extrema.
+    *
+    * Weights stay in the suite's log-free exact-integer discipline: the
+    * per-token Laplace-smoothed class-likelihood ratio in micro-units,
+    * `w = ((c_pos+1)·(tot_neg+V)·10⁶) DIV ((c_neg+1)·(tot_pos+V))`
+    * (neutral = 10⁶), and a document's score is the integer MEAN token
+    * lift — the arithmetic-mean analogue of the NB log-likelihood-ratio
+    * sum, rank-comparable and bit-identical across engines where
+    * `log()`/libm would diverge (same convention as [[qLmBigramScore]]).
+    * Unseen held-out tokens get the c_pos=c_neg=0 smoothed weight via
+    * the left-join coalesce. Predicted class = score ≥ neutral.
+    *
+    * Magnitude: the weight numerator is ≤ (tot_pos+1)·(tot_neg+V)·10⁶ —
+    * longs hold to ~3·10⁶ train tokens per class; lift to DECIMAL(38,0)
+    * beyond (the [[qLmBigramScore]] bound).
+    *
+    * Scale: training is ONE map-side-combinable aggregate over the
+    * exploded train split (token-vocabulary-sized result); totals are a
+    * 1-row broadcast; the weight table is vocab-sized (Heaps-sublinear
+    * in the corpus) → broadcast into the held-out token stream, so
+    * applying the model is one broadcast-join projection + one per-doc
+    * aggregate — no shuffle on the apply side beyond the final 4-row
+    * confusion matrix.
+    */
+  def qQualityClassifier(spark: SparkSession, dir: String): DataFrame = {
+    val docs = table(spark, dir, "documents")
+      .select(col("doc_id"),
+        when(col("source").isin(QualityPosSources: _*), lit("pos"))
+          .otherwise(lit("neg")).as("actual"),
+        tokens(col("text")).as("t"))
+      .filter(size(col("t")) >= 1)
+    val trainTok = docs.filter(col("doc_id") % 5 =!= 0)
+      .select(col("actual"), explode(col("t")).as("tok"))
+    val counts = trainTok.groupBy(col("tok")).agg(
+      sum(when(col("actual") === "pos", 1L).otherwise(0L)).as("cnt_pos"),
+      sum(when(col("actual") === "neg", 1L).otherwise(0L)).as("cnt_neg"))
+    val totals = counts.agg(
+      sum(col("cnt_pos")).as("tot_pos"), sum(col("cnt_neg")).as("tot_neg"),
+      count(lit(1)).as("v"))
+    val weights = counts.crossJoin(broadcast(totals))
+      .select(col("tok"),
+        expr("((cnt_pos + 1) * (tot_neg + v) * 1000000)" +
+          " DIV ((cnt_neg + 1) * (tot_pos + v))").as("w_micro"))
+    docs.filter(col("doc_id") % 5 === 0)
+      .select(col("doc_id"), col("actual"), explode(col("t")).as("tok"))
+      .join(broadcast(weights), Seq("tok"), "left")
+      .crossJoin(broadcast(totals))
+      .select(col("doc_id"), col("actual"),
+        coalesce(col("w_micro"),
+          expr("((tot_neg + v) * 1000000) DIV (tot_pos + v)")).as("w"))
+      .groupBy(col("doc_id"), col("actual"))
+      .agg(count(lit(1)).as("n_toks"), sum(col("w")).as("sum_w"))
+      .select(col("actual"), expr("sum_w DIV n_toks").as("score_micro"))
+      .select(col("actual"),
+        when(col("score_micro") >= 1000000L, lit("pos"))
+          .otherwise(lit("neg")).as("predicted"),
+        col("score_micro"))
+      .groupBy(col("actual"), col("predicted"))
+      .agg(count(lit(1)).as("n_docs"),
+        min(col("score_micro")).as("min_score_micro"),
+        max(col("score_micro")).as("max_score_micro"))
+      .orderBy(col("actual"), col("predicted"))
+  }
+
+  val qQualityClassifierSql: String = {
+    val pos = QualityPosSources.map("'" + _ + "'").mkString(", ")
+    s"""WITH d AS (
+       |  SELECT doc_id,
+       |    CASE WHEN source IN ($pos) THEN 'pos' ELSE 'neg' END AS actual,
+       |    regexp_split_to_array(lower(text), '\\s+') AS t
+       |  FROM documents
+       |  WHERE len(regexp_split_to_array(lower(text), '\\s+')) >= 1
+       |), traintok AS (
+       |  SELECT actual, unnest(t) AS tok FROM d WHERE doc_id % 5 <> 0
+       |), c AS (
+       |  SELECT tok,
+       |    CAST(sum(CASE WHEN actual = 'pos' THEN 1 ELSE 0 END) AS BIGINT) AS cnt_pos,
+       |    CAST(sum(CASE WHEN actual = 'neg' THEN 1 ELSE 0 END) AS BIGINT) AS cnt_neg
+       |  FROM traintok GROUP BY 1
+       |), tot AS (
+       |  SELECT CAST(sum(cnt_pos) AS BIGINT) AS tot_pos,
+       |    CAST(sum(cnt_neg) AS BIGINT) AS tot_neg,
+       |    CAST(count(*) AS BIGINT) AS v
+       |  FROM c
+       |), w AS (
+       |  SELECT tok, ((cnt_pos + 1) * (tot_neg + v) * 1000000)
+       |    // ((cnt_neg + 1) * (tot_pos + v)) AS w_micro
+       |  FROM c CROSS JOIN tot
+       |), sc AS (
+       |  SELECT h.doc_id, h.actual,
+       |    CAST(count(*) AS BIGINT) AS n_toks,
+       |    CAST(sum(coalesce(w.w_micro,
+       |      ((tot_neg + v) * 1000000) // (tot_pos + v))) AS BIGINT) AS sum_w
+       |  FROM (SELECT doc_id, actual, unnest(t) AS tok FROM d WHERE doc_id % 5 = 0) h
+       |  LEFT JOIN w USING (tok) CROSS JOIN tot
+       |  GROUP BY 1, 2
+       |)
+       |SELECT actual,
+       |  CASE WHEN (sum_w // n_toks) >= 1000000 THEN 'pos' ELSE 'neg' END AS predicted,
+       |  CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(min(sum_w // n_toks) AS BIGINT) AS min_score_micro,
+       |  CAST(max(sum_w // n_toks) AS BIGINT) AS max_score_micro
+       |FROM sc GROUP BY 1, 2 ORDER BY actual, predicted""".stripMargin
+  }
+
   /** QUALITY × DUPLICATION interaction matrix — the corpus-health question
     * behind "dedup before or after quality filtering": are duplicates
     * CONCENTRATED in the tail-quality bucket (cheap templated spam —
@@ -2180,6 +2300,7 @@ object TextAnalysis {
     "q_split_drift" -> (qSplitDrift _),
     "q_quality_dup_matrix" -> (qQualityDupMatrix _),
     "q_quality_buckets" -> (qQualityBuckets _),
+    "q_quality_classifier" -> (qQualityClassifier _),
     "q_vocab_coverage" -> (qVocabCoverage _),
     "q_template_prefixes" -> (qTemplatePrefixes _),
     "q_lang_confusion" -> (qLangConfusion _),
@@ -2222,6 +2343,7 @@ object TextAnalysis {
     "q_quality_smoothing" -> qQualitySmoothingSql,
     "q_split_drift" -> qSplitDriftSql,
     "q_quality_buckets" -> qQualityBucketsSql,
+    "q_quality_classifier" -> qQualityClassifierSql,
     "q_quality_dup_matrix" -> qQualityDupMatrixSql,
     "q_vocab_coverage" -> qVocabCoverageSql,
     "q_template_prefixes" -> qTemplatePrefixesSql,

@@ -467,4 +467,39 @@ class TextAnalysisSpec extends SparkFunSuite {
     assert(masses.max - masses.min < out.values.map(_._1).max,
       s"masses: $out")
   }
+
+  test("quality classifier: NB micro-weights and confusion cells match hand computation") {
+    import spark.implicits._
+    // Train (doc_id % 5 ≠ 0): pos = src0 docs {good×3, nice×2},
+    // neg = srcX docs {bad×3, ugly×2} → tot_pos = tot_neg = 5, V = 4,
+    // so w = ((c_pos+1)·9·10⁶) DIV ((c_neg+1)·9) = ((c_pos+1)·10⁶) DIV (c_neg+1):
+    //   good 4e6, nice 3e6, bad 250000, ugly 333333, unseen 1e6.
+    // Held-out (doc_id % 5 = 0):
+    //   doc 5  (src0, actual pos) "good nice" → mean 3.5e6 → pos  ✓
+    //   doc 10 (srcX, actual neg) "bad spam"  → (250000+1e6)/2 = 625000 → neg ✓
+    //   doc 15 (src0, actual pos) "bad bad"   → 250000 → neg (planted miss)
+    val docs = Seq(
+      (1L, "good good nice", "src0"), (2L, "good nice", "src0"),
+      (3L, "bad bad ugly", "srcX"), (4L, "bad ugly", "srcX"),
+      (5L, "good nice", "src0"), (10L, "bad spam", "srcX"),
+      (15L, "bad bad", "src0"))
+      .map { case (id, t, s) => (id, t, "en", s, 10L) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dir = tmpDir("quality-classifier")
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = TextAnalysis.qQualityClassifier(spark, dir).collect()
+      .map(r => ((r.getString(0), r.getString(1)),
+        (r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(out === Map(
+      ("neg", "neg") -> ((1L, 625000L, 625000L)),
+      ("pos", "neg") -> ((1L, 250000L, 250000L)),
+      ("pos", "pos") -> ((1L, 3500000L, 3500000L))))
+  }
+
+  test("quality classifier is repartition-invariant (exact integer scores)") {
+    val dir = "/root/testdata/sf0.001"
+    val a = TextAnalysis.qQualityClassifier(spark, dir).collect().map(_.toSeq).toSeq
+    val b = TextAnalysis.qQualityClassifier(spark, dir).collect().map(_.toSeq).toSeq
+    assert(a === b && a.nonEmpty)
+  }
 }
