@@ -134,6 +134,76 @@ object Corpus {
        |GROUP BY 1, 2
        |ORDER BY 1, 2""".stripMargin
 
+  /** Epochs materialized by [[qEpochOrder]]. */
+  val EpochCount = 2
+
+  /** Shards per epoch in [[qEpochOrder]]. */
+  val EpochShards = 8
+
+  /** EPOCH-SHUFFLE / training-order operator: the reproducible data
+    * ORDER a training run consumes — per epoch, a deterministic global
+    * shuffle (priority = md5(`epoch:doc_id`), the [[qSampleDet]]
+    * pure-row-function discipline: no PRNG, no partition-order
+    * dependence, so any engine/run/repartitioning reproduces the exact
+    * same epoch order), sharded to [[EpochShards]] worker files by
+    * priority residue, then packed into [[PackBudget]]-token chunks in
+    * shuffle order (the [[qPackSequences]] concat-then-chunk rule) so
+    * shard files come out IN training order. Emits per
+    * (epoch, shard, chunk) the doc count, token total, and the chunk's
+    * FIRST document in training order — the column that pins the order
+    * itself (not just membership) into the hash gate.
+    *
+    * Scale: the only non-map work is the per-(epoch, shard) prefix-sum
+    * window — 2·8 independent partitions, never a global sort — and the
+    * final chunk aggregate. Epochs multiply the stream by a constant
+    * ([[EpochCount]]); token counts are computed once per document
+    * BEFORE the epoch explode (GenerateExec re-evaluates outer
+    * projections per generated row).
+    */
+  def qEpochOrder(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("epoch"), col("shard")).orderBy(col("h"), col("doc_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    table(spark, dir, "documents")
+      .select(col("doc_id"),
+        graft.functions.TokenCount(col("text")).cast("long").as("n_tokens"))
+      .select(col("doc_id"), col("n_tokens"),
+        explode(sequence(lit(0L), lit(EpochCount - 1L))).as("epoch"))
+      .withColumn("h",
+        conv(substring(md5(concat_ws(":", col("epoch"), col("doc_id"))), 1, 8),
+          16, 10).cast("long"))
+      .withColumn("shard", pmod(col("h"), lit(EpochShards)))
+      .withColumn("start_tok", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .withColumn("chunk_id", floor(col("start_tok") / lit(PackBudget)))
+      .groupBy(col("epoch"), col("shard"), col("chunk_id"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"),
+        min_by(col("doc_id"), col("start_tok")).as("first_doc"))
+      .orderBy(col("epoch"), col("shard"), col("chunk_id"))
+  }
+
+  val qEpochOrderSql: String =
+    s"""WITH d AS (
+       |  SELECT doc_id, len(regexp_split_to_array(lower(text), '\\s+')) AS n_tokens
+       |  FROM documents
+       |), e AS (
+       |  SELECT doc_id, n_tokens, unnest(range($EpochCount)) AS epoch FROM d
+       |), h AS (
+       |  SELECT epoch, doc_id, n_tokens,
+       |    CAST(concat('0x', substring(md5(concat(epoch, ':', doc_id)), 1, 8)) AS BIGINT)
+       |      AS h
+       |  FROM e
+       |), o AS (
+       |  SELECT epoch, h % $EpochShards AS shard, doc_id, n_tokens,
+       |    COALESCE(sum(n_tokens) OVER (PARTITION BY epoch, h % $EpochShards
+       |      ORDER BY h, doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start_tok
+       |  FROM h
+       |)
+       |SELECT epoch, shard, CAST(floor(start_tok / $PackBudget) AS BIGINT) AS chunk_id,
+       |  count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+       |  arg_min(doc_id, start_tok) AS first_doc
+       |FROM o GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin
+
   /** Benchmark decontamination: every corpus document sharing at least one
     * distinct word-3-shingle with the "benchmark" subset (doc_id ≡ 0
     * mod 20 stands in for an eval set), with the count of shared shingles.
@@ -1222,6 +1292,7 @@ object Corpus {
     "q_sample_stratified" -> (qSampleStratified _),
     "q_split_assign" -> (qSplitAssign _),
     "q_pack_sequences" -> (qPackSequences _),
+    "q_epoch_order" -> (qEpochOrder _),
     "q_quantile_trim" -> (qQuantileTrim _),
     "q_contamination" -> (qContamination _))
 
@@ -1247,6 +1318,7 @@ object Corpus {
     "q_sample_stratified" -> qSampleStratifiedSql,
     "q_split_assign" -> qSplitAssignSql,
     "q_pack_sequences" -> qPackSequencesSql,
+    "q_epoch_order" -> qEpochOrderSql,
     "q_quantile_trim" -> qQuantileTrimSql,
     "q_contamination" -> qContaminationSql)
 }

@@ -260,6 +260,32 @@ class CorpusSpec extends SparkFunSuite {
     assert(out.sorted === again.sorted)
   }
 
+  test("epoch order: repartition-invariant, epochs conserve mass but permute order") {
+    val out = Corpus.qEpochOrder(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSeq
+    assert(out.nonEmpty)
+    // md5-priority decisions are pure row functions: a re-sliced corpus
+    // produces the identical epoch order (chunks, counts, first docs)
+    val dir = tmpDir("epoch-order")
+    Tables.table(spark, sf, "documents").repartition(13)
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val again = Corpus.qEpochOrder(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSeq
+    assert(out === again)
+    // every epoch consumes the whole corpus exactly once (same doc and
+    // token mass per epoch) ...
+    val byEpoch = out.groupBy(_._1)
+    assert(byEpoch.keySet === (0L until Corpus.EpochCount.toLong).toSet)
+    assert(byEpoch.values.map(_.map(_._4).sum).toSet.size === 1)
+    assert(byEpoch.values.map(_.map(_._5).sum).toSet.size === 1)
+    // ... but the md5(epoch:doc_id) priority re-shuffles it: the
+    // (shard, chunk, first_doc) layout must differ across epochs
+    val layouts = byEpoch.view.mapValues(_.map(t => (t._2, t._3, t._6)).toSet).toMap
+    assert(layouts(0L) !== layouts(1L))
+  }
+
   test("grouped split: every source lands in exactly one split; totals are preserved") {
     val rows = Corpus.qSplitGrouped(spark, sf).collect()
       .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
