@@ -1063,6 +1063,51 @@ class StreamingSpec extends SparkFunSuite {
       want.collect().map(_.toSeq).toSeq)
   }
 
+  test("streaming snapshot diff drains 'deleted' per commit and ends at the batch diff") {
+    import spark.implicits._
+    // replay qSnapshotDiff's exact scenario: prev = docs without the
+    // mod-11 additions, mod-7 docs carrying one extra trailing token;
+    // the NEXT version (docs without the mod-13 deletions) arrives as
+    // the stream, split across three commits
+    val docs = graft.ops.Tables.table(spark, sf, "documents")
+      .select(col("doc_id"), col("source"), col("text"),
+        size(graft.ops.TextOps.tokens(col("text"))).cast("long").as("n_tok"))
+    val prev = docs
+      .filter(pmod(col("doc_id"), lit(11)) =!= 0)
+      .select(col("doc_id").as("k"), col("source").as("grp"),
+        md5(when(pmod(col("doc_id"), lit(7)) === 0, concat(col("text"), lit(" archived")))
+          .otherwise(col("text"))).as("fp"),
+        when(pmod(col("doc_id"), lit(7)) === 0, col("n_tok") + 1)
+          .otherwise(col("n_tok")).as("n_tok"))
+    val arrivals = graft.ops.Tables.table(spark, sf, "documents")
+      .filter(pmod(col("doc_id"), lit(13)) =!= 0)
+      .orderBy(col("doc_id")).collect()
+    val dir = tmpDir("snapdiff-feed")
+    val n = arrivals.length
+    Seq(arrivals.take(n / 3), arrivals.slice(n / 3, 2 * n / 3),
+        arrivals.drop(2 * n / 3)).foreach { c =>
+      c.toSeq.map(r => (r.getLong(0), r.getString(1), r.getString(2),
+          r.getString(3), r.getLong(4)))
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+        .coalesce(1).write.mode("append").parquet(dir)
+      Thread.sleep(60)
+    }
+    val ledgers = SnapshotDiffStream.run(spark, dir, tmpDir("snapdiff-ckpt"), prev)
+    assert(ledgers.size === 3, "expected one ledger per trigger commit")
+    // final ledger == the one-shot batch reconcile
+    val got = ledgers.last.collect().map(_.toSeq).toSet
+    val want = graft.ops.Checks.qSnapshotDiff(spark, sf)
+      .collect().map(_.toSeq).toSet
+    assert(got === want)
+    // 'deleted' drains monotonically as arrivals accumulate
+    val deletedPerCommit = ledgers.map(
+      _.filter(col("status") === "deleted")
+        .agg(coalesce(sum(col("n_docs")), lit(0L))).head().getLong(0))
+    assert(deletedPerCommit.zip(deletedPerCommit.tail).forall { case (a, b) => b <= a },
+      s"deleted did not drain: $deletedPerCommit")
+    assert(deletedPerCommit.head > deletedPerCommit.last)
+  }
+
   test("streaming topic-drift monitor equals the batch drift after the last commit") {
     import graft.ops.TextAnalysis
     val docs = graft.ops.Tables.table(spark, sf, "documents")
