@@ -562,6 +562,66 @@ object Multimodal {
       |WHERE d.doc_id % 3 = 2
       |ORDER BY d.doc_id, f.frame_idx""".stripMargin
 
+  /** Uniform temporal AUDIO sampling — the audio dual of
+    * [[qMultimodalFrames]], completing the media-prep family: split each
+    * clip into k=8 equal segments and emit each segment's CENTER as an
+    * exact SAMPLE INDEX (the TSN center-sampling discipline applied to
+    * waveforms — what a speech/audio pretraining stack feeds its encoder
+    * windows). The clip extent is NOT metadata handed in: sample count =
+    * `data_len DIV blockAlign` where `data_len` comes out of the actual
+    * RIFF chunk walk ([[graft.functions.WavDataLen]] over [[wavTable]]'s
+    * real LIST/fmt/data structure) and blockAlign out of the `fmt `
+    * fields ([[graft.functions.WavMeta]]) — decode→sample end-to-end
+    * minus only the PCM codec. Each center carries its byte offset
+    * (`sample_idx · blockAlign` — the exact fetch plan a downstream
+    * decode stage seeks to) and its timestamp in exact integer
+    * microseconds (`sample_idx · 10⁶ DIV rate`).
+    *
+    * Shape at 100 TB: one narrow projection + a k-row `explode` per clip
+    * (no shuffle, no UDF); both walkers are codegen byte walks computed
+    * ONCE per clip BEFORE the explode (GenerateExec re-evaluates outer
+    * projections per generated row).
+    */
+  def qMultimodalAudioFrames(spark: SparkSession, dir: String): DataFrame = {
+    val packed = graft.functions.WavMeta(col("content"))
+    wavTable(spark, dir)
+      .select(col("doc_id"),
+        shiftrightunsigned(packed, 32).as("sample_rate"),
+        shiftrightunsigned(packed, 16).bitwiseAND(lit(0xFFFFL)).as("channels"),
+        packed.bitwiseAND(lit(0xFFFFL)).as("bits_per_sample"),
+        graft.functions.WavDataLen(col("content")).as("data_len"))
+      .withColumn("block_align", expr("channels * (bits_per_sample DIV 8)"))
+      .withColumn("n_samples", expr("data_len DIV block_align"))
+      .select(col("doc_id"), col("sample_rate"), col("block_align"),
+        col("n_samples"), explode(sequence(lit(0L), lit(7L))).as("frame_idx"))
+      .withColumn("sample_idx", expr("(2 * frame_idx + 1) * n_samples DIV 16"))
+      .withColumn("byte_off", expr("sample_idx * block_align"))
+      .withColumn("ts_us", expr("sample_idx * 1000000 DIV sample_rate"))
+      .select(col("doc_id"), col("frame_idx"), col("sample_rate"),
+        col("n_samples"), col("sample_idx"), col("byte_off"), col("ts_us"))
+      .orderBy(col("doc_id"), col("frame_idx"))
+  }
+
+  val qMultimodalAudioFramesSql: String =
+    """WITH w AS (
+      |  SELECT doc_id,
+      |    CAST(8000 + (doc_id % 40) * 1000 AS BIGINT) AS sample_rate,
+      |    CAST((doc_id % 2 + 1) * (doc_id % 3 + 1) AS BIGINT) AS block_align,
+      |    CAST(octet_length(encode(text))
+      |      // ((doc_id % 2 + 1) * (doc_id % 3 + 1)) AS BIGINT) AS n_samples
+      |  FROM documents WHERE doc_id % 3 = 1
+      |), s AS (
+      |  SELECT doc_id, frame_idx, sample_rate, n_samples,
+      |    CAST((2 * frame_idx + 1) * n_samples // 16 AS BIGINT) AS sample_idx,
+      |    block_align
+      |  FROM w CROSS JOIN range(8) f(frame_idx)
+      |)
+      |SELECT doc_id, frame_idx, sample_rate, n_samples, sample_idx,
+      |  CAST(sample_idx * block_align AS BIGINT) AS byte_off,
+      |  CAST(sample_idx * 1000000 // sample_rate AS BIGINT) AS ts_us
+      |FROM s
+      |ORDER BY doc_id, frame_idx""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_multimodal_features" -> (qMultimodalFeatures _),
     "q_multimodal_roundtrip" -> (qMultimodalRoundtrip _),
@@ -572,6 +632,7 @@ object Multimodal {
     "q_multimodal_mp4" -> (qMultimodalMp4 _),
     "q_multimodal_resize" -> (qMultimodalResize _),
     "q_multimodal_frames" -> (qMultimodalFrames _),
+    "q_multimodal_audio_frames" -> (qMultimodalAudioFrames _),
   )
 
   def oracle: Map[String, String] = Map(
@@ -584,5 +645,6 @@ object Multimodal {
     "q_multimodal_mp4" -> qMultimodalMp4Sql,
     "q_multimodal_resize" -> qMultimodalResizeSql,
     "q_multimodal_frames" -> qMultimodalFramesSql,
+    "q_multimodal_audio_frames" -> qMultimodalAudioFramesSql,
   )
 }

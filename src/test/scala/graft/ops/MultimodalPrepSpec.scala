@@ -65,4 +65,51 @@ class MultimodalPrepSpec extends SparkFunSuite {
       assert(seq.zip(seq.tail).forall { case (a, b) => a < b })
     }
   }
+
+  test("wav data-len walks past padded chunks; null without a data chunk") {
+    def le32(n: Int) = Array[Byte](n.toByte, (n >> 8).toByte, (n >> 16).toByte, (n >> 24).toByte)
+    def cc(s: String) = s.getBytes("US-ASCII")
+    val fmt = cc("fmt ") ++ le32(16) ++ new Array[Byte](16)
+    val payload = "abcdefghij".getBytes("US-ASCII") // 10 data bytes
+    // LIST chunk of ODD size 5 → the walk must skip its pad byte to land
+    // on fmt, then data
+    val odd = cc("LIST") ++ le32(5) ++ "INFOX".getBytes("US-ASCII") ++ Array[Byte](0)
+    val body = odd ++ fmt ++ cc("data") ++ le32(payload.length) ++ payload
+    val wav = cc("RIFF") ++ le32(4 + body.length) ++ cc("WAVE") ++ body
+    assert(graft.functions.WavDataLen.dataLen(wav) === 10L)
+    // fmt-only file: parseable WAV, but no data chunk → null (-1)
+    val noData = cc("RIFF") ++ le32(4 + fmt.length) ++ cc("WAVE") ++ fmt
+    assert(graft.functions.WavDataLen.dataLen(noData) === -1L)
+    // data chunk whose declared size overruns the payload → reject
+    val overrun = cc("RIFF") ++ le32(4 + fmt.length + 8) ++ cc("WAVE") ++
+      fmt ++ cc("data") ++ le32(99)
+    assert(graft.functions.WavDataLen.dataLen(overrun) === -1L)
+  }
+
+  test("audio frame grid: 8 in-range sample centers, byte offsets on block boundaries") {
+    val rows = Multimodal.qMultimodalAudioFrames(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getAs[Long]("doc_id")).foreach { case (_, frames) =>
+      assert(frames.length === 8)
+      val sorted = frames.sortBy(_.getAs[Long]("frame_idx"))
+      val n = sorted.head.getAs[Long]("n_samples")
+      val rate = sorted.head.getAs[Long]("sample_rate")
+      val blockAlign = sorted.head.getAs[Long]("byte_off") match {
+        case 0L => 1L // first center at sample 0 — recover align below
+        case _ => sorted.head.getAs[Long]("byte_off") / sorted.head.getAs[Long]("sample_idx")
+      }
+      sorted.zipWithIndex.foreach { case (f, i) =>
+        val idx = (2L * i + 1) * n / 16
+        assert(f.getAs[Long]("sample_idx") === idx)
+        assert(idx >= 0 && idx < n) // centers never touch either endpoint
+        assert(f.getAs[Long]("ts_us") === idx * 1000000L / rate)
+        if (f.getAs[Long]("sample_idx") > 0)
+          assert(f.getAs[Long]("byte_off") % f.getAs[Long]("sample_idx") === 0L ||
+            f.getAs[Long]("byte_off") === f.getAs[Long]("sample_idx") * blockAlign)
+      }
+      // non-decreasing seek plan (short clips can repeat a center sample)
+      val seq = sorted.map(_.getAs[Long]("byte_off"))
+      assert(seq.zip(seq.tail).forall { case (a, b) => a <= b })
+    }
+  }
 }
