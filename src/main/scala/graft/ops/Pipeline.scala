@@ -213,6 +213,22 @@ object Pipeline {
     * corpus-sized crosses a driver boundary ([[TextDedup.canonicalize]]'s
     * edge sniff is pair-plan-sized and cap-guarded).
     */
+  /** Per-stage row counts of the last [[qPipelineFull]] run — the
+    * operational metrics an unobservable 10-stage pipeline at 100 TB
+    * cannot do without. Served from the composite's OWN stage caches
+    * after the one materialization pass (memory-speed scans; the corpus
+    * parquet is never re-read), because `Dataset.observe` is unusable at
+    * these boundaries: the component-sniff's `limit` action partially
+    * fills the stage caches, and an Observation pins whatever its first
+    * completed query accumulated — a partial fill would be reported as
+    * the stage count (measured: a limit-5 over an observed cached range
+    * records 250 of 1000). The intake composite, whose observed node
+    * lives only in its single final query, uses the real observe pattern
+    * ([[lastIntakeMetrics]]). Keys: `rows_gated`, `rows_exact_kept`,
+    * `rows_near_kept`, `rows_sem_kept`, `rows_clean`, `rows_sampled`.
+    */
+  @volatile var lastPipelineMetrics: Option[Map[String, Any]] = None
+
   def qPipelineFull(spark: SparkSession, dir: String): DataFrame = {
     val docs = table(spark, dir, "documents")
     // stage 0: the eval stand-in never enters the training corpus
@@ -233,9 +249,14 @@ object Pipeline {
       .withColumn("fp", md5(concat_ws(" ", col("t"))))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
-    // stage 3: exact dedup — min doc_id survives per fingerprint
+    // stage 3: exact dedup — min doc_id survives per fingerprint.
+    // Persisted: both the stage-4 pair build and its survivor semi-join
+    // consume it, and without the cache the dedup aggregate would run
+    // twice inside the one final job (it also anchors the stage count
+    // observation to exactly one execution).
     val keep = gated.groupBy(col("fp")).agg(min(col("doc_id")).as("doc_id"))
     val exactKept = gated.join(keep, Seq("fp", "doc_id"), "left_semi")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     // stage 4: near-dup components over exact survivors, min-id survivors
     val pairs = TextDedup.jaccardPairs(
@@ -257,7 +278,11 @@ object Pipeline {
     val semCanon = TextDedup.canonicalize(semPairs, embKept.select(col("vec_id").as("id")))
     val semDropped = semCanon.filter(col("canonical") =!= col("id"))
       .select(col("id").as("doc_id"))
+    // Persisted: consumed by both the stage-6 survivor re-shingle and the
+    // contamination anti-join — without the cache the whole semantic-pair
+    // machinery above would execute twice in the one final job.
     val semKept = nearKept.join(semDropped, Seq("doc_id"), "left_anti")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     // stage 6: decontamination — any shared 3-shingle with the eval set
     // disqualifies; the eval gram set is dimension-sized → broadcast
@@ -299,7 +324,21 @@ object Pipeline {
       .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"),
         min(col("doc_id")).as("min_doc"), max(col("doc_id")).as("max_doc"))
       .orderBy(col("split"), col("shard"), col("chunk_id"))
-    TextDedup.materializeAndRelease(out, gated, nearKept, clean, benchSh, survSh)
+    val res = out.localCheckpoint()
+    // stage counts off the just-filled caches (memory-speed; corpus
+    // parquet untouched), THEN release — the last result row derives
+    // rows_sampled from the checkpointed chunk table itself
+    lastPipelineMetrics = Some(Map(
+      "rows_gated" -> gated.count(),
+      "rows_exact_kept" -> exactKept.count(),
+      "rows_near_kept" -> nearKept.count(),
+      "rows_sem_kept" -> semKept.count(),
+      "rows_clean" -> clean.count(),
+      "rows_sampled" -> res.agg(coalesce(sum(col("n_docs")), lit(0L)))
+        .head().getLong(0)))
+    Seq(gated, exactKept, nearKept, semKept, clean, benchSh, survSh)
+      .foreach(_.unpersist())
+    res
   }
 
   /** DuckDB mirror of all ten stages: the near-dup and semantic component
@@ -555,8 +594,32 @@ object Pipeline {
           pmod(conv(substring(md5(col("doc_id").cast("string")), 9, 4), 16, 10).cast("long"),
             lit(8))))
       .orderBy(col("doc_id"))
-    TextDedup.materializeAndRelease(out, withT, survSh)
+    // Per-gate verdict counts observed ON the verdict node during the one
+    // materialization pass — the intake's operational dashboard without a
+    // second scan of the batch (in the streaming dual this runs per
+    // micro-batch; [[lastIntakeMetrics]] then holds the LAST batch).
+    def nReason(r: String) = coalesce(
+      sum(when(col("reason") === r, 1L).otherwise(0L)), lit(0L)).as(s"n_$r")
+    val obs = new org.apache.spark.sql.Observation()
+    val observed = out.observe(obs,
+      count(lit(1)).as("rows_arrived"),
+      nReason("clean"), nReason("exact_dup"), nReason("near_dup"),
+      nReason("semantic_dup"), nReason("contaminated"),
+      nReason("lang"), nReason("quality"),
+      coalesce(sum(when(col("reason") === "clean", col("n_tokens")).otherwise(0L)),
+        lit(0L)).as("clean_tokens"))
+    val res = TextDedup.materializeAndRelease(observed, withT, survSh)
+    lastIntakeMetrics = Some(obs.get)
+    res
   }
+
+  /** Per-gate verdict counts of the last [[intakeBatch]] run (keys:
+    * `rows_arrived`, `n_clean`, `n_exact_dup`, `n_near_dup`,
+    * `n_semantic_dup`, `n_contaminated`, `n_lang`, `n_quality`,
+    * `clean_tokens`) — the [[lastPipelineMetrics]] discipline applied to
+    * the intake front door.
+    */
+  @volatile var lastIntakeMetrics: Option[Map[String, Any]] = None
 
   /** [[intakeBatch]] bound to the standing split: corpus = doc_id ≢ 0
     * mod 5 (with its session-shared dedup-LSH and semantic-IVF artifacts

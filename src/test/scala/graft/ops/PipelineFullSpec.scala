@@ -37,6 +37,48 @@ class PipelineFullSpec extends SparkFunSuite {
     assert(a == b)
   }
 
+  test("pipeline stage metrics match independently recomputed stage counts") {
+    val out = Pipeline.qPipelineFull(spark, sf).collect().toSeq
+    val m = Pipeline.lastPipelineMetrics.get.view.mapValues(_.asInstanceOf[Long]).toMap
+    // independent recomputes of the boundaries a plain scan can rebuild
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .filter(pmod(col("doc_id"), lit(20)) =!= 0)
+      .select(col("doc_id"), TextOps.tokens(col("text")).as("t"))
+    val gatedInd = docs
+      .withColumn("q", TextAnalysis.qualityScoreC(
+        TextAnalysis.stopRatioC(col("t")),
+        TextAnalysis.typeTokenRatioC(col("t")),
+        TextAnalysis.lengthOkC(col("t"))))
+      .filter(TextAnalysis.langPredC(col("t")) === "en" &&
+        col("q") >= Pipeline.QualityMin)
+      .select(col("doc_id"), md5(concat_ws(" ", col("t"))).as("fp"))
+    assert(m("rows_gated") === gatedInd.count())
+    assert(m("rows_exact_kept") === gatedInd.select(col("fp")).distinct().count())
+    // the packed output is the sampled set, chunk-partitioned
+    assert(m("rows_sampled") === out.map(_.getLong(3)).sum)
+    // the cascade only ever drops documents
+    val chain = Seq(m("rows_gated"), m("rows_exact_kept"), m("rows_near_kept"),
+      m("rows_sem_kept"), m("rows_clean"), m("rows_sampled"))
+    assert(chain.zip(chain.tail).forall { case (a, b) => b <= a }, s"chain: $chain")
+    assert(chain.last > 0)
+  }
+
+  test("intake observe-metrics equal a recount of the verdict table") {
+    val out = Pipeline.qIntake(spark, sf).collect().toSeq
+    val m = Pipeline.lastIntakeMetrics.get.view.mapValues(_.asInstanceOf[Long]).toMap
+    assert(m("rows_arrived") === out.size.toLong)
+    val byReason = out.groupBy(_.getString(2)).view.mapValues(_.size.toLong).toMap
+    Seq("clean", "exact_dup", "near_dup", "semantic_dup",
+        "contaminated", "lang", "quality").foreach { r =>
+      assert(m(s"n_$r") === byReason.getOrElse(r, 0L), s"reason $r")
+    }
+    assert(m("rows_arrived") ===
+      Seq("clean", "exact_dup", "near_dup", "semantic_dup",
+        "contaminated", "lang", "quality").map(r => m(s"n_$r")).sum)
+    assert(m("clean_tokens") ===
+      out.filter(_.getString(2) == "clean").map(_.getLong(1)).sum)
+  }
+
   test("packing invariant: chunk_id equals floor of the doc-order token prefix") {
     // within every (split, shard), chunk token totals reconstruct the
     // prefix sums: chunk c starts at the cumulative tokens of chunks < c
