@@ -562,6 +562,77 @@ object Multimodal {
       |WHERE d.doc_id % 3 = 2
       |ORDER BY d.doc_id, f.frame_idx""".stripMargin
 
+  /** JPEG rows carrying a REAL EXIF APP1 segment: a complete TIFF
+    * structure (byte-order header, magic 42, IFD0) whose byte order
+    * ALTERNATES per row — `II` little-endian for even doc_ids, `MM`
+    * big-endian for odd — and whose IFD0 leads with an unrelated ASCII
+    * `Make` entry (offset-valued) so a correct parse must honor the
+    * declared endianness and SCAN entries rather than read a fixed slot.
+    * Orientation (tag 0x0112) is the pure doc_id function `doc_id%8+1`,
+    * covering all 8 flip/rotate states; the document text rides behind a
+    * minimal SOF0 as payload.
+    */
+  def exifTable(spark: SparkSession, dir: String): DataFrame = {
+    val orient = (col("doc_id") % 8 + 1).cast("long")
+    // TIFF block: hdr(8) + count(2) + 2 entries(24) + next(4) = 38;
+    // the Make string ("GRAFT\0", 6 bytes) sits at offset 38 → APP1
+    // length = 2 + 6 + 44 = 52 = 0x0034
+    val tiffLe = concat(
+      lit("49492A0008000000"), // II, 42, IFD0 @ 8
+      lit("0200"), // 2 entries
+      lit("0F01"), lit("0200"), lit("06000000"), lit("26000000"), // Make ASCII(6) @ 38
+      lit("1201"), lit("0300"), lit("01000000"),
+      concat(lpad(hex(orient), 2, "0"), lit("000000")), // SHORT left-justified LE
+      lit("00000000"), // next IFD
+      lit("475241465400")) // "GRAFT\0"
+    val tiffBe = concat(
+      lit("4D4D002A00000008"), // MM, 42, IFD0 @ 8
+      lit("0002"),
+      lit("010F"), lit("0002"), lit("00000006"), lit("00000026"),
+      lit("0112"), lit("0003"), lit("00000001"),
+      concat(lit("00"), lpad(hex(orient), 2, "0"), lit("0000")), // SHORT left-justified BE
+      lit("00000000"),
+      lit("475241465400"))
+    val w = (col("doc_id") % 509 + 16).cast("long")
+    val h = ((col("doc_id") * 3) % 479 + 16).cast("long")
+    val jpegHex = concat(
+      lit("FFD8"), // SOI
+      lit("FFE10034457869660000"), // APP1, len 52, "Exif\0\0"
+      when(col("doc_id") % 2 === 0, tiffLe).otherwise(tiffBe),
+      lit("FFC0001108"), lpad(hex(h), 4, "0"), lpad(hex(w), 4, "0"), // SOF0
+      lit("03011100021101031101"))
+    table(spark, dir, "documents")
+      .filter(col("doc_id") % 3 === 0)
+      .select(col("doc_id"),
+        unhex(concat(jpegHex, hex(encode(col("text"), "UTF-8")))).as("content"))
+  }
+
+  /** EXIF orientation decode — the rotate-before-resize input of the
+    * image-prep path: parse tag 0x0112 out of the APP1 TIFF structure
+    * with the codegen [[graft.functions.ExifOrient]] expression, honoring
+    * the per-row byte order. As with [[qMultimodalDims]], the oracle
+    * derives byte order and orientation INDEPENDENTLY from doc_id
+    * arithmetic, so the hash match proves the dual-endianness IFD walk on
+    * every row. One narrow projection, no shuffle before the sort.
+    */
+  def qMultimodalExif(spark: SparkSession, dir: String): DataFrame = {
+    val packed = graft.functions.ExifOrient(col("content"))
+    exifTable(spark, dir)
+      .select(col("doc_id"),
+        when(shiftrightunsigned(packed, 16) === 0L, "II").otherwise("MM")
+          .as("byte_order"),
+        packed.bitwiseAND(lit(0xFFFFL)).as("orientation"))
+      .orderBy(col("doc_id"))
+  }
+
+  val qMultimodalExifSql: String =
+    """SELECT doc_id,
+      |  CASE WHEN doc_id % 2 = 0 THEN 'II' ELSE 'MM' END AS byte_order,
+      |  CAST(doc_id % 8 + 1 AS BIGINT) AS orientation
+      |FROM documents
+      |WHERE doc_id % 3 = 0
+      |ORDER BY doc_id""".stripMargin
+
   /** Uniform temporal AUDIO sampling — the audio dual of
     * [[qMultimodalFrames]], completing the media-prep family: split each
     * clip into k=8 equal segments and emit each segment's CENTER as an
@@ -633,6 +704,7 @@ object Multimodal {
     "q_multimodal_resize" -> (qMultimodalResize _),
     "q_multimodal_frames" -> (qMultimodalFrames _),
     "q_multimodal_audio_frames" -> (qMultimodalAudioFrames _),
+    "q_multimodal_exif" -> (qMultimodalExif _),
   )
 
   def oracle: Map[String, String] = Map(
@@ -646,5 +718,6 @@ object Multimodal {
     "q_multimodal_resize" -> qMultimodalResizeSql,
     "q_multimodal_frames" -> qMultimodalFramesSql,
     "q_multimodal_audio_frames" -> qMultimodalAudioFramesSql,
+    "q_multimodal_exif" -> qMultimodalExifSql,
   )
 }

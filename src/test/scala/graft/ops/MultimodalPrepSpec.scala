@@ -86,6 +86,43 @@ class MultimodalPrepSpec extends SparkFunSuite {
     assert(graft.functions.WavDataLen.dataLen(overrun) === -1L)
   }
 
+  test("exif walk honors both byte orders, skips foreign tags, rejects malformed") {
+    def hexBytes(s: String) = s.replaceAll("\\s", "").grouped(2)
+      .map(Integer.parseInt(_, 16).toByte).toArray
+    // II: Make entry first, orientation 6 → walk must skip entry 0
+    val le = hexBytes(
+      "FFD8 FFE10034 457869660000" +
+        "49492A0008000000 0200" +
+        "0F010200 06000000 26000000" +
+        "12010300 01000000 06000000" +
+        "00000000 475241465400" + "FFC00011080010001003011100021101031101")
+    assert(graft.functions.ExifOrient.packedOrient(le) === ((0L << 16) | 6L))
+    // MM: same structure big-endian, orientation 3
+    val be = hexBytes(
+      "FFD8 FFE10034 457869660000" +
+        "4D4D002A00000008 0002" +
+        "010F0002 00000006 00000026" +
+        "01120003 00000001 00030000" +
+        "00000000 475241465400" + "FFC00011080010001003011100021101031101")
+    assert(graft.functions.ExifOrient.packedOrient(be) === ((1L << 16) | 3L))
+    // APP1 present but no orientation tag in IFD0 → null (-1)
+    val noTag = hexBytes(
+      "FFD8 FFE10028 457869660000" +
+        "49492A0008000000 0100" +
+        "0F010200 06000000 1A000000" +
+        "00000000 475241465400")
+    assert(graft.functions.ExifOrient.packedOrient(noTag) === -1L)
+    // orientation out of the 1..8 domain → reject
+    val bad = le.clone(); bad(42) = 9.toByte // II value byte of tag 0x0112
+    assert(graft.functions.ExifOrient.packedOrient(bad) === -1L)
+    // JPEG without APP1 (straight to SOF0) → null
+    val plain = hexBytes("FFD8 FFC00011080010001003011100021101031101")
+    assert(graft.functions.ExifOrient.packedOrient(plain) === -1L)
+    // truncated TIFF header → reject, no out-of-bounds
+    assert(graft.functions.ExifOrient.packedOrient(
+      hexBytes("FFD8 FFE10008 457869660000 4949")) === -1L)
+  }
+
   test("audio frame grid: 8 in-range sample centers, byte offsets on block boundaries") {
     val rows = Multimodal.qMultimodalAudioFrames(spark, sf).collect()
     assert(rows.nonEmpty)
