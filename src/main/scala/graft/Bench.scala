@@ -113,7 +113,10 @@ object Bench {
       // single-build packed-key trigram) dropped them below the top-20
       // cutoff, which would make their ratios invisible exactly when the
       // record needs to show the fix held
-      "q_label_prop", "q_lm_trigram_score")
+      "q_label_prop", "q_lm_trigram_score",
+      // round 13: the new broadcast-apply classifier and the per-epoch
+      // window packer — first decade measured the round they land
+      "q_quality_classifier", "q_epoch_order")
     val (sf1Rows, sf1Skipped, sf1Dir) = if (!sf1Enabled) (Seq.empty, Seq.empty, "") else {
       val dst = sys.env.getOrElse("SPARK_GRAFT_SF1_DIR", "/tmp/graft-sf1")
       ScaleProbe.synthesize(spark, sfDir, dst)
