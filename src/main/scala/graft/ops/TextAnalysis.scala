@@ -1958,6 +1958,61 @@ object TextAnalysis {
        |FROM r GROUP BY 1 ORDER BY bucket""".stripMargin
   }
 
+  /** Epochs in the [[qCurriculumMix]] competence schedule. */
+  val CurriculumEpochs = 4
+
+  /** COMPETENCE-BASED CURRICULUM schedule (Platanios et al. 2019,
+    * arXiv:1903.09848): early training sees only the EASIEST slice of the
+    * corpus and the admissible pool grows linearly to the full corpus —
+    * epoch e of E admits the documents whose global easy-first rank
+    * satisfies `rnk·E ≤ N·(e+1)` (exact integer inequality, no float
+    * thresholds). Difficulty is the suite's LM fluency stand-in
+    * ([[qLmBigramScore]], high lift = formulaic/easy); the output is the
+    * schedule itself — per epoch the admitted doc/bigram mass, the cutoff
+    * rank, and the admitted score range — which is what a data loader
+    * consumes ([[Corpus.qEpochOrder]] then orders each epoch's pool).
+    *
+    * Scale: scoring is the one-pass bigram pipeline; ranking is
+    * [[Rank.globalRank]] (range-partitioned two-pass, no single-reducer
+    * window); the epoch explode multiplies the RANKED relation by the
+    * constant E and feeds one E-row aggregate.
+    */
+  def qCurriculumMix(spark: SparkSession, dir: String): DataFrame = {
+    val ranked = Rank.globalRank(qLmBigramScore(spark, dir),
+      Seq(col("mean_lift_micro").desc, col("doc_id")), 8).persist()
+    ranked
+      .crossJoin(broadcast(ranked.agg(max(col("rnk")).as("n"))))
+      .select(col("rnk"), col("n_bigrams"), col("mean_lift_micro"), col("n"),
+        explode(sequence(lit(0L), lit(CurriculumEpochs - 1L))).as("epoch"))
+      .filter(col("rnk") * CurriculumEpochs <= col("n") * (col("epoch") + 1))
+      .groupBy(col("epoch"))
+      .agg(count(lit(1)).as("n_docs"), max(col("rnk")).as("cutoff_rank"),
+        sum(col("n_bigrams")).as("n_bigrams"),
+        min(col("mean_lift_micro")).as("min_score_micro"),
+        max(col("mean_lift_micro")).as("max_score_micro"))
+      .orderBy(col("epoch"))
+  }
+
+  val qCurriculumMixSql: String = {
+    val scored = qLmBigramScoreSql.replace(
+      "\nFROM lifts GROUP BY doc_id ORDER BY doc_id", "\nFROM lifts GROUP BY doc_id")
+    s"""WITH scored AS (
+       |$scored
+       |), r AS (
+       |  SELECT doc_id, n_bigrams, mean_lift_micro,
+       |    row_number() OVER (ORDER BY mean_lift_micro DESC, doc_id) AS rnk,
+       |    count(*) OVER () AS n
+       |  FROM scored
+       |)
+       |SELECT epoch, count(*) AS n_docs, CAST(max(rnk) AS BIGINT) AS cutoff_rank,
+       |  CAST(sum(n_bigrams) AS BIGINT) AS n_bigrams,
+       |  CAST(min(mean_lift_micro) AS BIGINT) AS min_score_micro,
+       |  CAST(max(mean_lift_micro) AS BIGINT) AS max_score_micro
+       |FROM r CROSS JOIN (SELECT unnest(range($CurriculumEpochs)) AS epoch) e
+       |WHERE rnk * $CurriculumEpochs <= n * (epoch + 1)
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
   /** Sources labeled "high quality" for the trainable classifier — the
     * stand-in for CCNet's Wikipedia-domain positives (the synthetic
     * corpus has no domain column; a fixed five-source slice plays the
@@ -2301,6 +2356,7 @@ object TextAnalysis {
     "q_quality_dup_matrix" -> (qQualityDupMatrix _),
     "q_quality_buckets" -> (qQualityBuckets _),
     "q_quality_classifier" -> (qQualityClassifier _),
+    "q_curriculum_mix" -> (qCurriculumMix _),
     "q_vocab_coverage" -> (qVocabCoverage _),
     "q_template_prefixes" -> (qTemplatePrefixes _),
     "q_lang_confusion" -> (qLangConfusion _),
@@ -2344,6 +2400,7 @@ object TextAnalysis {
     "q_split_drift" -> qSplitDriftSql,
     "q_quality_buckets" -> qQualityBucketsSql,
     "q_quality_classifier" -> qQualityClassifierSql,
+    "q_curriculum_mix" -> qCurriculumMixSql,
     "q_quality_dup_matrix" -> qQualityDupMatrixSql,
     "q_vocab_coverage" -> qVocabCoverageSql,
     "q_template_prefixes" -> qTemplatePrefixesSql,

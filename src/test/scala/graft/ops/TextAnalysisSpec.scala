@@ -496,6 +496,25 @@ class TextAnalysisSpec extends SparkFunSuite {
       ("pos", "pos") -> ((1L, 3500000L, 3500000L))))
   }
 
+  test("curriculum schedule: pools nest, grow to the full corpus, easy slice first") {
+    val dir = "/root/testdata/sf0.001"
+    val out = TextAnalysis.qCurriculumMix(spark, dir).collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getLong(4), r.getLong(5))))
+      .sortBy(_._1)
+    assert(out.map(_._1) === (0L until TextAnalysis.CurriculumEpochs.toLong))
+    val n = out.last._2._1 // final epoch admits every scored doc
+    // exact integer cutoffs: epoch e admits rnk·E ≤ N·(e+1) documents
+    out.foreach { case (e, (nDocs, cutoff, _, _)) =>
+      assert(nDocs === n * (e + 1) / TextAnalysis.CurriculumEpochs)
+      assert(cutoff === nDocs) // ranks are dense from 1 → cutoff = pool size
+    }
+    // pools NEST: each epoch's admitted score floor only ever decreases
+    // (harder docs admitted later), and the easy ceiling is shared
+    val minScores = out.map(_._2._3)
+    assert(minScores.zip(minScores.tail).forall { case (a, b) => b <= a })
+    assert(out.map(_._2._4).distinct.size === 1)
+  }
+
   test("quality classifier is repartition-invariant (exact integer scores)") {
     val dir = "/root/testdata/sf0.001"
     val a = TextAnalysis.qQualityClassifier(spark, dir).collect().map(_.toSeq).toSeq
