@@ -24,9 +24,17 @@ import org.apache.spark.sql.SparkSession
   */
 object Sf10Probe {
 
-  val ProbeQueries = Seq(
+  val DefaultProbeQueries = Seq(
     "q_pagerank", "q_label_prop", "q_triangles",
     "q_dedup_threshold_sweep", "q_dedup_embedding")
+
+  /** Override with SPARK_GRAFT_SF10_QUERIES=a,b,c — the probed queries
+    * must read only the synthesized tables (lineitem, documents,
+    * embeddings). */
+  def probeQueries: Seq[String] =
+    sys.env.get("SPARK_GRAFT_SF10_QUERIES")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+      .getOrElse(DefaultProbeQueries)
 
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -69,7 +77,7 @@ object Sf10Probe {
       case Some(d) => String.format(java.util.Locale.ROOT, "%.3f", Double.box(d))
       case None    => "null"
     }
-    val rows = ProbeQueries.map { q =>
+    val rows = probeQueries.map { q =>
       val t1 = time(q, sf1)
       val t10 = time(q, sf10)
       val ratio = for (a <- t1; b <- t10) yield b / math.max(a, 1e-3)
