@@ -324,21 +324,27 @@ object Pipeline {
       .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"),
         min(col("doc_id")).as("min_doc"), max(col("doc_id")).as("max_doc"))
       .orderBy(col("split"), col("shard"), col("chunk_id"))
-    val res = out.localCheckpoint()
     // stage counts off the just-filled caches (memory-speed; corpus
-    // parquet untouched), THEN release — the last result row derives
-    // rows_sampled from the checkpointed chunk table itself
-    lastPipelineMetrics = Some(Map(
-      "rows_gated" -> gated.count(),
-      "rows_exact_kept" -> exactKept.count(),
-      "rows_near_kept" -> nearKept.count(),
-      "rows_sem_kept" -> semKept.count(),
-      "rows_clean" -> clean.count(),
-      "rows_sampled" -> res.agg(coalesce(sum(col("n_docs")), lit(0L)))
-        .head().getLong(0)))
-    Seq(gated, exactKept, nearKept, semKept, clean, benchSh, survSh)
-      .foreach(_.unpersist())
-    res
+    // parquet untouched), release in a finally so a failed run cannot
+    // leave seven corpus-scale caches behind; metrics cleared first so a
+    // failure never leaves the PREVIOUS run's numbers attributed to this
+    // one
+    lastPipelineMetrics = None
+    try {
+      val res = out.localCheckpoint()
+      lastPipelineMetrics = Some(Map(
+        "rows_gated" -> gated.count(),
+        "rows_exact_kept" -> exactKept.count(),
+        "rows_near_kept" -> nearKept.count(),
+        "rows_sem_kept" -> semKept.count(),
+        "rows_clean" -> clean.count(),
+        "rows_sampled" -> res.agg(coalesce(sum(col("n_docs")), lit(0L)))
+          .head().getLong(0)))
+      res
+    } finally {
+      Seq(gated, exactKept, nearKept, semKept, clean, benchSh, survSh)
+        .foreach(_.unpersist())
+    }
   }
 
   /** DuckDB mirror of all ten stages: the near-dup and semantic component

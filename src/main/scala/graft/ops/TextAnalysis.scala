@@ -1925,7 +1925,7 @@ object TextAnalysis {
   def qQualityBuckets(spark: SparkSession, dir: String): DataFrame = {
     val ranked = Rank.globalRank(qLmBigramScore(spark, dir),
       Seq(col("mean_lift_micro").desc, col("doc_id")), 8).persist()
-    ranked
+    val out = ranked
       .crossJoin(broadcast(ranked.agg(max(col("rnk")).as("n"))))
       .select(
         expr("CASE WHEN ((rnk - 1) * 3) DIV n = 0 THEN 'head' " +
@@ -1936,6 +1936,7 @@ object TextAnalysis {
         min(col("mean_lift_micro")).as("min_score_micro"),
         max(col("mean_lift_micro")).as("max_score_micro"))
       .orderBy(col("bucket"))
+    TextDedup.materializeAndRelease(out, ranked)
   }
 
   val qQualityBucketsSql: String = {
@@ -1980,7 +1981,7 @@ object TextAnalysis {
   def qCurriculumMix(spark: SparkSession, dir: String): DataFrame = {
     val ranked = Rank.globalRank(qLmBigramScore(spark, dir),
       Seq(col("mean_lift_micro").desc, col("doc_id")), 8).persist()
-    ranked
+    val out = ranked
       .crossJoin(broadcast(ranked.agg(max(col("rnk")).as("n"))))
       .select(col("rnk"), col("n_bigrams"), col("mean_lift_micro"), col("n"),
         explode(sequence(lit(0L), lit(CurriculumEpochs - 1L))).as("epoch"))
@@ -1991,6 +1992,7 @@ object TextAnalysis {
         min(col("mean_lift_micro")).as("min_score_micro"),
         max(col("mean_lift_micro")).as("max_score_micro"))
       .orderBy(col("epoch"))
+    TextDedup.materializeAndRelease(out, ranked)
   }
 
   val qCurriculumMixSql: String = {

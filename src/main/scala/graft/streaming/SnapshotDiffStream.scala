@@ -14,13 +14,17 @@ import org.apache.spark.sql.streaming.Trigger
   *
   * The ledger is maintained INCREMENTALLY, never by re-running the
   * full-outer reconcile: per commit the delta batch is resolved per key
-  * (greatest `(fp, n_tok)` struct — deterministic under any within-batch
-  * row order), looked up against the previous snapshot once, and folded
-  * into per-(group, status) counters as +new-status / −old-status /
-  * −deleted transitions. A key re-arriving in a later commit replaces its
-  * earlier verdict (last commit wins), which keeps the final ledger equal
-  * to the one-shot batch diff of the full feed under ANY trigger split —
-  * spec-pinned against [[graft.ops.Checks.qSnapshotDiff]].
+  * by the greatest `(fp, n_tok, grp)` struct — and a re-arriving key's
+  * STORED winner re-enters that same resolve as one more candidate row,
+  * so the standing verdict for a key is always the max-struct over every
+  * row ever delivered for it. Max is associative, commutative and
+  * idempotent, which is exactly what makes the final ledger equal to the
+  * one-shot batch diff of the resolved feed under ANY trigger split
+  * (last-commit-wins would not be: it disagrees with the within-commit
+  * rule whenever a split separates two versions of a key) — spec-pinned
+  * against [[graft.ops.Checks.qSnapshotDiff]]. The resolved winner is
+  * looked up against the previous snapshot once and folded into
+  * per-(group, status) counters as +new / −old / −deleted transitions.
   *
   * Scale: per commit, one batch-sized lookup join against the snapshot
   * (key-partitioned; bucket-pinned on a cluster, so the snapshot is
@@ -51,24 +55,42 @@ object SnapshotDiffStream {
         col("n_docs"), col("token_delta"))
       .localCheckpoint()
     @volatile var counters: DataFrame = init
-    @volatile var state: DataFrame = spark.emptyDataFrame // (k,grp,status,tc,tp) of arrived keys
+    // arrived-key state: (k, grp, status, tc, tp, fp) — fp kept so a
+    // re-arrival can re-enter the max-struct resolve below
+    @volatile var state: DataFrame = spark.emptyDataFrame
     val emissions = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
-    val stream = spark.readStream
+    // a file-source checkpoint skips already-committed batches on resume,
+    // but this ledger's counters/state live in the driver and restart
+    // from init — resuming would silently under-count. Fail fast instead.
+    val commitsDir = new java.io.File(checkpoint, "commits")
+    require(!commitsDir.exists() || commitsDir.list().forall(_.startsWith(".")),
+      s"checkpoint $checkpoint already holds committed batches; the diff " +
+        "ledger is in-memory and cannot resume — pass a fresh checkpoint")
+    val q = spark.readStream
       .schema(IngestDedup.docSchema)
       .option("maxFilesPerTrigger", "1")
       .parquet(docDir)
-    val q = stream.writeStream
+      .writeStream
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        // within-batch per-key resolve: greatest (fp, n_tok, grp) wins
-        val b = batch.select(col("doc_id").as("k"), col("source").as("grp_c"),
-            md5(col("text")).as("fp_c"),
-            size(graft.ops.TextOps.tokens(col("text"))).cast("long").as("tc"))
+        // per-key resolve: greatest (fp, n_tok, grp) wins — with each
+        // re-arriving key's STORED winner as one more candidate, so the
+        // rule is the same within and across commits (split-invariant)
+        val cand = batch.select(col("doc_id").as("k"), col("source").as("grp_c"),
+          md5(col("text")).as("fp_c"),
+          size(graft.ops.TextOps.tokens(col("text"))).cast("long").as("tc"))
+        val withOld =
+          if (state.columns.isEmpty) cand
+          else cand.unionByName(
+            state.join(cand.select(col("k")), Seq("k"), "left_semi")
+              .select(col("k"), col("grp").as("grp_c"),
+                col("fp").as("fp_c"), col("tc")))
+        val b = withOld
           .groupBy(col("k"))
           .agg(max(struct(col("fp_c"), col("tc"), col("grp_c"))).as("m"))
           .select(col("k"), col("m.grp_c").as("grp_c"),
             col("m.fp_c").as("fp_c"), col("m.tc").as("tc"))
         val bj = b.join(prevK, Seq("k"), "left")
-          .select(col("k"), col("grp_c").as("grp"), col("grp_p"),
+          .select(col("k"), col("grp_c").as("grp"), col("grp_p"), col("fp_c"),
             when(col("fp_p").isNull, "added")
               .when(col("fp_p") =!= col("fp_c"), "changed")
               .otherwise("unchanged").as("status"),
@@ -102,7 +124,7 @@ object SnapshotDiffStream {
             sum(col("token_delta")).as("token_delta"))
           .localCheckpoint()
         val keyed = bj.select(col("k"), col("grp"), col("status"),
-          col("tc"), col("tp"))
+          col("tc"), col("tp"), col("fp_c").as("fp"))
         state =
           (if (state.columns.isEmpty) keyed
            else state.join(bj.select(col("k")), Seq("k"), "left_anti")

@@ -1108,6 +1108,56 @@ class StreamingSpec extends SparkFunSuite {
     assert(deletedPerCommit.head > deletedPerCommit.last)
   }
 
+  test("snapshot diff resolves conflicting re-deliveries split-invariantly") {
+    import spark.implicits._
+    // key 2 arrives with TWO different contents; whichever commit carries
+    // which, the standing verdict must be the max-(fp, n_tok) winner —
+    // the same rule the within-batch resolve applies (last-commit-wins
+    // would give two different ledgers for the two orderings)
+    val prev = Seq((1L, "a", "one two"), (2L, "a", "old content"))
+      .toDF("k", "grp", "text")
+      .select(col("k"), col("grp"), md5(col("text")).as("fp"),
+        size(split(lower(col("text")), "\\s+")).cast("long").as("n_tok"))
+      .localCheckpoint()
+    val vA = (2L, "version alpha of two", "en", "a", 10L)
+    val vB = (2L, "version beta", "en", "a", 10L)
+    val other = (1L, "one two", "en", "a", 7L)
+    def ledger(first: (Long, String, String, String, Long),
+        second: (Long, String, String, String, Long)): Set[Seq[Any]] = {
+      val dir = tmpDir(s"snapconf-${first._2.hashCode}-${second._2.hashCode}")
+      Seq(Seq(other, first), Seq(second)).foreach { c =>
+        c.toDF("doc_id", "text", "lang", "source", "n_chars")
+          .coalesce(1).write.mode("append").parquet(dir)
+        Thread.sleep(60)
+      }
+      SnapshotDiffStream.run(spark, dir, tmpDir(s"snapconf-ckpt-${first._2.hashCode}"), prev)
+        .last.collect().map(_.toSeq).toSet
+    }
+    val ab = ledger(vA, vB)
+    val ba = ledger(vB, vA)
+    assert(ab === ba, "final ledger depends on which commit carried which version")
+    // and the winner is the max-struct one, visible through token_delta:
+    // winner's tc − prev's 2 tokens must be consistent with ONE version
+    val changed = ab.find(r => r(1) == "changed").get
+    assert(Set(2L, 0L).contains(changed(3).asInstanceOf[Long]))
+  }
+
+  test("snapshot diff refuses to resume from a used checkpoint") {
+    import spark.implicits._
+    val prev = Seq((1L, "a", "x y")).toDF("k", "grp", "text")
+      .select(col("k"), col("grp"), md5(col("text")).as("fp"),
+        size(split(lower(col("text")), "\\s+")).cast("long").as("n_tok"))
+    val dir = tmpDir("snapresume-feed")
+    Seq((1L, "x y", "en", "a", 3L)).toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("append").parquet(dir)
+    val ckpt = tmpDir("snapresume-ckpt")
+    SnapshotDiffStream.run(spark, dir, ckpt, prev)
+    val e = intercept[IllegalArgumentException] {
+      SnapshotDiffStream.run(spark, dir, ckpt, prev)
+    }
+    assert(e.getMessage.contains("fresh checkpoint"))
+  }
+
   test("streaming topic-drift monitor equals the batch drift after the last commit") {
     import graft.ops.TextAnalysis
     val docs = graft.ops.Tables.table(spark, sf, "documents")
