@@ -632,4 +632,42 @@ class PlanShapeSpec extends SparkFunSuite {
     assert(p.linesIterator.count(_.contains("HashAggregate")) < 30, p)
     assert(!p.contains("CartesianProduct"), p)
   }
+
+  test("quality classifier applies as a broadcast weight join, never sort-merging the held-out stream") {
+    val p = plan(TextAnalysis.qQualityClassifier(spark, sf))
+    // the vocab-sized weight table and the 1-row totals ride broadcasts
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    // train + apply are hash aggregates with map-side partials
+    assert(p.contains("HashAggregate"), p)
+    assert(!p.contains("row_number"), p)
+  }
+
+  test("epoch order: prefix windows stay per-(epoch,shard), never one partition") {
+    val p = plan(Corpus.qEpochOrder(spark, sf))
+    assert(!p.contains("Exchange SinglePartition"), p)
+    // the epoch multiply is a generate, not a join
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("curriculum mix: epoch explode over the ranked relation, no single-reducer rank window") {
+    val p = plan(TextAnalysis.qCurriculumMix(spark, sf))
+    // ranking is the two-pass range-partitioned globalRank — the plan must
+    // carry NO window function at all (a global row_number would serialize
+    // the corpus through one partition)
+    assert(!p.contains("Window"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("media walkers run as one narrow projection: no shuffle before the presentation sort") {
+    Seq(Multimodal.qMultimodalExif(spark, sf),
+        Multimodal.qMultimodalAudioFrames(spark, sf)).foreach { df =>
+      val p = plan(df)
+      // exactly the exchanges of the final orderBy (range partitioning),
+      // never a hash-partition shuffle of the payload stream
+      assert(!p.contains("Exchange hashpartitioning"), p)
+      assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin"), p)
+    }
+  }
 }
