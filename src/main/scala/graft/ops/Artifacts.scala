@@ -95,6 +95,19 @@ object Artifacts {
         emb.filter(pmod(col("vec_id"), lit(5)) === 0), col("vec_id"), col("embedding"), d)
     }
 
+  /** Trained quality-classifier model: the NB micro-unit weight table +
+    * class totals of [[TextAnalysis.qQualityClassifier]]'s 80%-split
+    * training, stored as `weights.parquet` (tok, w_micro) and
+    * `totals.parquet` (tot_pos, tot_neg, v). Deterministic, so the stored
+    * apply is bit-identical to the in-session train→apply.
+    */
+  def ensureQualityNb(spark: SparkSession, dir: String): String =
+    graft.ServingIndexes.ensure("quality-nb-model", dir) { d =>
+      val (weights, totals) = TextAnalysis.nbTrain(TextAnalysis.nbLabeled(spark, dir))
+      weights.write.mode("overwrite").parquet(s"$d/weights.parquet")
+      totals.write.mode("overwrite").parquet(s"$d/totals.parquet")
+    }
+
   // ---- session memos for DRIVER-SIDE trained models (VERDICT r12 item 2) ----
   //
   // The in-session recall audits (qAnnRecall / qAnnRecallSampled) train

@@ -2054,13 +2054,21 @@ object TextAnalysis {
     * aggregate — no shuffle on the apply side beyond the final 4-row
     * confusion matrix.
     */
-  def qQualityClassifier(spark: SparkSession, dir: String): DataFrame = {
-    val docs = table(spark, dir, "documents")
+  /** The labeled/tokenized documents relation both classifier variants
+    * read: (doc_id, actual ∈ pos/neg, t).
+    */
+  private[graft] def nbLabeled(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "documents")
       .select(col("doc_id"),
         when(col("source").isin(QualityPosSources: _*), lit("pos"))
           .otherwise(lit("neg")).as("actual"),
         tokens(col("text")).as("t"))
       .filter(size(col("t")) >= 1)
+
+  /** Train the NB weight tables over the 80% split of `docs`:
+    * (weights (tok, w_micro), totals (tot_pos, tot_neg, v)).
+    */
+  private[graft] def nbTrain(docs: DataFrame): (DataFrame, DataFrame) = {
     val trainTok = docs.filter(col("doc_id") % 5 =!= 0)
       .select(col("actual"), explode(col("t")).as("tok"))
     val counts = trainTok.groupBy(col("tok")).agg(
@@ -2073,7 +2081,16 @@ object TextAnalysis {
       .select(col("tok"),
         expr("((cnt_pos + 1) * (tot_neg + v) * 1000000)" +
           " DIV ((cnt_neg + 1) * (tot_pos + v))").as("w_micro"))
-    docs.filter(col("doc_id") % 5 === 0)
+    (weights, totals)
+  }
+
+  /** Score `held` (doc_id, actual, t) with the NB weight tables and fold
+    * to the confusion matrix — one broadcast weight join, one per-doc
+    * aggregate, one 4-row aggregate.
+    */
+  private[graft] def nbApply(
+      held: DataFrame, weights: DataFrame, totals: DataFrame): DataFrame =
+    held
       .select(col("doc_id"), col("actual"), explode(col("t")).as("tok"))
       .join(broadcast(weights), Seq("tok"), "left")
       .crossJoin(broadcast(totals))
@@ -2092,6 +2109,29 @@ object TextAnalysis {
         min(col("score_micro")).as("min_score_micro"),
         max(col("score_micro")).as("max_score_micro"))
       .orderBy(col("actual"), col("predicted"))
+
+  def qQualityClassifier(spark: SparkSession, dir: String): DataFrame = {
+    val docs = nbLabeled(spark, dir)
+    val (weights, totals) = nbTrain(docs)
+    nbApply(docs.filter(col("doc_id") % 5 === 0), weights, totals)
+  }
+
+  /** [[qQualityClassifier]] SERVED FROM THE STORED MODEL — the classifier
+    * joining the stored-artifact lifecycle every index family already
+    * has: train once per (corpus, session) through
+    * [[Artifacts.ensureQualityNb]] (weights + totals parquet under the
+    * md5-keyed scratch path), then apply is a pure read→broadcast→score
+    * pass with NO training aggregates in the plan. Training is
+    * deterministic, so the confusion matrix is bit-identical to the
+    * in-session variant and both share one oracle. At 100 TB this is the
+    * shape that matters: the weight table is trained once offline and
+    * every downstream filter pass (or streaming gate) serves it.
+    */
+  def qQualityClassifierIndexed(spark: SparkSession, dir: String): DataFrame = {
+    val d = Artifacts.ensureQualityNb(spark, dir)
+    nbApply(nbLabeled(spark, dir).filter(col("doc_id") % 5 === 0),
+      spark.read.parquet(s"$d/weights.parquet"),
+      spark.read.parquet(s"$d/totals.parquet"))
   }
 
   val qQualityClassifierSql: String = {
@@ -2359,6 +2399,7 @@ object TextAnalysis {
     "q_quality_buckets" -> (qQualityBuckets _),
     "q_quality_classifier" -> (qQualityClassifier _),
     "q_curriculum_mix" -> (qCurriculumMix _),
+    "q_quality_classifier_indexed" -> (qQualityClassifierIndexed _),
     "q_vocab_coverage" -> (qVocabCoverage _),
     "q_template_prefixes" -> (qTemplatePrefixes _),
     "q_lang_confusion" -> (qLangConfusion _),
@@ -2403,6 +2444,7 @@ object TextAnalysis {
     "q_quality_buckets" -> qQualityBucketsSql,
     "q_quality_classifier" -> qQualityClassifierSql,
     "q_curriculum_mix" -> qCurriculumMixSql,
+    "q_quality_classifier_indexed" -> qQualityClassifierSql,
     "q_quality_dup_matrix" -> qQualityDupMatrixSql,
     "q_vocab_coverage" -> qVocabCoverageSql,
     "q_template_prefixes" -> qTemplatePrefixesSql,

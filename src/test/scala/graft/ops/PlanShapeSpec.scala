@@ -660,6 +660,21 @@ class PlanShapeSpec extends SparkFunSuite {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("stored-model classifier serves without training aggregates in the plan") {
+    val p = plan(TextAnalysis.qQualityClassifierIndexed(spark, sf))
+    // apply reads the stored weight/total parquets and broadcasts them;
+    // the training pass (explode→count aggregate over the 80% split)
+    // must NOT be in the serving plan — the weights scan replaces it
+    assert(p.contains("weights.parquet"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    // the in-session variant trains in-plan: 2 corpus scans vs 1 here
+    val scans = p.linesIterator.count(_.contains("Scan parquet"))
+    val trained = plan(TextAnalysis.qQualityClassifier(spark, sf))
+      .linesIterator.count(_.contains("Scan parquet"))
+    assert(scans < trained, s"served=$scans trained=$trained")
+  }
+
   test("media walkers run as one narrow projection: no shuffle before the presentation sort") {
     Seq(Multimodal.qMultimodalExif(spark, sf),
         Multimodal.qMultimodalAudioFrames(spark, sf)).foreach { df =>

@@ -1108,6 +1108,39 @@ class StreamingSpec extends SparkFunSuite {
     assert(deletedPerCommit.head > deletedPerCommit.last)
   }
 
+  test("streaming quality gate scores arrivals identically to the one-shot batch apply") {
+    import spark.implicits._
+    val modelDir = graft.ops.Artifacts.ensureQualityNb(spark, sf)
+    // feed: the held-out 20% split, delivered across three commits
+    val arrivals = graft.ops.Tables.table(spark, sf, "documents")
+      .filter(pmod(col("doc_id"), lit(5)) === 0)
+      .orderBy(col("doc_id")).collect()
+    val dir = tmpDir("quality-serve-feed")
+    val n = arrivals.length
+    Seq(arrivals.take(n / 3), arrivals.slice(n / 3, 2 * n / 3),
+        arrivals.drop(2 * n / 3)).foreach { c =>
+      c.toSeq.map(r => (r.getLong(0), r.getString(1), r.getString(2),
+          r.getString(3), r.getLong(4)))
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+        .coalesce(1).write.mode("append").parquet(dir)
+      Thread.sleep(60)
+    }
+    val streamed = QualityServeStream.run(spark, dir, tmpDir("quality-serve-ckpt"), modelDir)
+      .orderBy(col("doc_id")).collect().map(_.toSeq).toSeq
+    val batch = QualityServeStream.scoreBatch(spark,
+        graft.ops.Tables.table(spark, sf, "documents")
+          .filter(pmod(col("doc_id"), lit(5)) === 0), modelDir)
+      .orderBy(col("doc_id")).collect().map(_.toSeq).toSeq
+    assert(streamed === batch && streamed.nonEmpty)
+    // both verdicts occur — the gate actually separates
+    assert(streamed.map(_(3)).toSet === Set("pos", "neg"))
+    // per-doc scores fold to the same confusion matrix the oracle-gated
+    // indexed query reports
+    val viaQuery = graft.ops.TextAnalysis.qQualityClassifierIndexed(spark, sf)
+      .agg(sum(col("n_docs"))).head().getLong(0)
+    assert(viaQuery === streamed.size.toLong)
+  }
+
   test("snapshot diff resolves conflicting re-deliveries split-invariantly") {
     import spark.implicits._
     // key 2 arrives with TWO different contents; whichever commit carries
