@@ -34,6 +34,7 @@ object Sf10Probe {
   def probeQueries: Seq[String] =
     sys.env.get("SPARK_GRAFT_SF10_QUERIES")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+      .filter(_.nonEmpty) // "" would silently run a zero-query probe
       .getOrElse(DefaultProbeQueries)
 
   def main(args: Array[String]): Unit = {

@@ -1979,6 +1979,18 @@ object TextAnalysis {
     * constant E and feeds one E-row aggregate.
     */
   def qCurriculumMix(spark: SparkSession, dir: String): DataFrame = {
+    val (out, ranked) = curriculumMixLazy(spark, dir)
+    TextDedup.materializeAndRelease(out, ranked)
+  }
+
+  /** The UNmaterialized curriculum plan + its persisted rank input —
+    * exposed so the plan-shape guard can explain the real plan
+    * ([[qCurriculumMix]] returns a localCheckpointed result, whose
+    * explain is just the post-checkpoint RDD scan). Callers own
+    * unpersisting `ranked`.
+    */
+  private[graft] def curriculumMixLazy(
+      spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
     val ranked = Rank.globalRank(qLmBigramScore(spark, dir),
       Seq(col("mean_lift_micro").desc, col("doc_id")), 8).persist()
     val out = ranked
@@ -1992,7 +2004,7 @@ object TextAnalysis {
         min(col("mean_lift_micro")).as("min_score_micro"),
         max(col("mean_lift_micro")).as("max_score_micro"))
       .orderBy(col("epoch"))
-    TextDedup.materializeAndRelease(out, ranked)
+    (out, ranked)
   }
 
   val qCurriculumMixSql: String = {
@@ -2084,25 +2096,38 @@ object TextAnalysis {
     (weights, totals)
   }
 
+  /** The ONE place the NB scoring formula lives (smoothed unseen-token
+    * default, integer mean token lift) — shared by the confusion-matrix
+    * apply, the stored-model serve, and the streaming gate, so the
+    * threshold/smoothing cannot silently diverge between them: exploded
+    * token rows (`keyCols` + `tok`) → per-key `(n_toks, score_micro)`.
+    */
+  private[graft] def nbScore(tokRows: DataFrame, keyCols: Seq[String],
+      weights: DataFrame, totals: DataFrame): DataFrame =
+    tokRows
+      .join(broadcast(weights), Seq("tok"), "left")
+      .crossJoin(broadcast(totals))
+      .select(keyCols.map(col) :+
+        coalesce(col("w_micro"),
+          expr("((tot_neg + v) * 1000000) DIV (tot_pos + v)")).as("w"): _*)
+      .groupBy(keyCols.map(col): _*)
+      .agg(count(lit(1)).as("n_toks"), sum(col("w")).as("sum_w"))
+      .select(keyCols.map(col) :+ col("n_toks") :+
+        expr("sum_w DIV n_toks").as("score_micro"): _*)
+
+  /** The pos/neg decision shared with [[nbScore]]'s consumers. */
+  private[graft] def nbVerdict(score: Column): Column =
+    when(score >= 1000000L, "pos").otherwise("neg")
+
   /** Score `held` (doc_id, actual, t) with the NB weight tables and fold
     * to the confusion matrix — one broadcast weight join, one per-doc
     * aggregate, one 4-row aggregate.
     */
   private[graft] def nbApply(
       held: DataFrame, weights: DataFrame, totals: DataFrame): DataFrame =
-    held
-      .select(col("doc_id"), col("actual"), explode(col("t")).as("tok"))
-      .join(broadcast(weights), Seq("tok"), "left")
-      .crossJoin(broadcast(totals))
-      .select(col("doc_id"), col("actual"),
-        coalesce(col("w_micro"),
-          expr("((tot_neg + v) * 1000000) DIV (tot_pos + v)")).as("w"))
-      .groupBy(col("doc_id"), col("actual"))
-      .agg(count(lit(1)).as("n_toks"), sum(col("w")).as("sum_w"))
-      .select(col("actual"), expr("sum_w DIV n_toks").as("score_micro"))
-      .select(col("actual"),
-        when(col("score_micro") >= 1000000L, lit("pos"))
-          .otherwise(lit("neg")).as("predicted"),
+    nbScore(held.select(col("doc_id"), col("actual"), explode(col("t")).as("tok")),
+        Seq("doc_id", "actual"), weights, totals)
+      .select(col("actual"), nbVerdict(col("score_micro")).as("predicted"),
         col("score_micro"))
       .groupBy(col("actual"), col("predicted"))
       .agg(count(lit(1)).as("n_docs"),

@@ -22,50 +22,56 @@ import org.apache.spark.sql.streaming.Trigger
 object QualityServeStream {
 
   /** Per-document scores (doc_id, n_toks, score_micro, verdict) of one
-    * batch against the stored model at `modelDir`.
+    * batch against already-loaded weight tables. The scoring formula
+    * itself is [[graft.ops.TextAnalysis.nbScore]]/[[graft.ops.TextAnalysis.nbVerdict]]
+    * — the SAME code the oracle-gated classifier queries run, so the
+    * gate's verdicts cannot drift from theirs.
     */
-  def scoreBatch(spark: SparkSession, batch: DataFrame, modelDir: String): DataFrame = {
-    val weights = spark.read.parquet(s"$modelDir/weights.parquet")
-    val totals = spark.read.parquet(s"$modelDir/totals.parquet")
-    batch
-      .select(col("doc_id"), graft.ops.TextOps.tokens(col("text")).as("t"))
-      .filter(size(col("t")) >= 1)
-      .select(col("doc_id"), explode(col("t")).as("tok"))
-      .join(broadcast(weights), Seq("tok"), "left")
-      .crossJoin(broadcast(totals))
-      .select(col("doc_id"),
-        coalesce(col("w_micro"),
-          expr("((tot_neg + v) * 1000000) DIV (tot_pos + v)")).as("w"))
-      .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_toks"), sum(col("w")).as("sum_w"))
-      .select(col("doc_id"), col("n_toks"),
-        expr("sum_w DIV n_toks").as("score_micro"))
-      .withColumn("verdict",
-        when(col("score_micro") >= 1000000L, "pos").otherwise("neg"))
-  }
+  def scoreBatch(batch: DataFrame, weights: DataFrame, totals: DataFrame): DataFrame =
+    graft.ops.TextAnalysis.nbScore(
+        batch
+          .select(col("doc_id"), graft.ops.TextOps.tokens(col("text")).as("t"))
+          .filter(size(col("t")) >= 1)
+          .select(col("doc_id"), explode(col("t")).as("tok")),
+        Seq("doc_id"), weights, totals)
+      .withColumn("verdict", graft.ops.TextAnalysis.nbVerdict(col("score_micro")))
+
+  /** [[scoreBatch]] reading the model from `modelDir`. */
+  def scoreBatch(spark: SparkSession, batch: DataFrame, modelDir: String): DataFrame =
+    scoreBatch(batch,
+      spark.read.parquet(s"$modelDir/weights.parquet"),
+      spark.read.parquet(s"$modelDir/totals.parquet"))
 
   /** Run the gate over `docDir` (documents-shaped arrival files) and
-    * return the accumulated per-document verdict rows.
+    * return the accumulated per-document verdict rows. The model parquets
+    * are read once; per-batch results checkpoint individually and union
+    * once at the end (re-checkpointing the accumulated union per batch
+    * would copy O(batches²) rows).
     */
   def run(spark: SparkSession, docDir: String, checkpoint: String,
       modelDir: String): DataFrame = {
-    @volatile var results: Option[DataFrame] = None
+    // verdicts accumulate in the driver — a resumed checkpoint would
+    // silently skip batches
+    StreamGuards.requireFreshCheckpoint(spark, checkpoint)
+    val weights = spark.read.parquet(s"$modelDir/weights.parquet").localCheckpoint()
+    val totals = spark.read.parquet(s"$modelDir/totals.parquet").localCheckpoint()
+    val parts = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     val q = spark.readStream
       .schema(IngestDedup.docSchema)
       .option("maxFilesPerTrigger", "1")
       .parquet(docDir)
       .writeStream
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        val scored = scoreBatch(spark, batch, modelDir).localCheckpoint()
-        results = Some(results.fold(scored)(_.unionByName(scored).localCheckpoint()))
+        parts += scoreBatch(batch, weights, totals).localCheckpoint()
         ()
       }
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    results.getOrElse(scoreBatch(spark,
-      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-        IngestDedup.docSchema), modelDir))
+    parts.reduceOption(_.unionByName(_)).getOrElse(
+      scoreBatch(spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        IngestDedup.docSchema), weights, totals))
   }
 }

@@ -59,13 +59,9 @@ object SnapshotDiffStream {
     // re-arrival can re-enter the max-struct resolve below
     @volatile var state: DataFrame = spark.emptyDataFrame
     val emissions = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
-    // a file-source checkpoint skips already-committed batches on resume,
-    // but this ledger's counters/state live in the driver and restart
-    // from init — resuming would silently under-count. Fail fast instead.
-    val commitsDir = new java.io.File(checkpoint, "commits")
-    require(!commitsDir.exists() || commitsDir.list().forall(_.startsWith(".")),
-      s"checkpoint $checkpoint already holds committed batches; the diff " +
-        "ledger is in-memory and cannot resume — pass a fresh checkpoint")
+    // the ledger's counters/state live in the driver and restart from
+    // init — a resumed checkpoint would silently under-count
+    StreamGuards.requireFreshCheckpoint(spark, checkpoint)
     val q = spark.readStream
       .schema(IngestDedup.docSchema)
       .option("maxFilesPerTrigger", "1")

@@ -652,12 +652,20 @@ class PlanShapeSpec extends SparkFunSuite {
   }
 
   test("curriculum mix: epoch explode over the ranked relation, no single-reducer rank window") {
-    val p = plan(TextAnalysis.qCurriculumMix(spark, sf))
-    // ranking is the two-pass range-partitioned globalRank — the plan must
-    // carry NO window function at all (a global row_number would serialize
-    // the corpus through one partition)
-    assert(!p.contains("Window"), p)
-    assert(!p.contains("CartesianProduct"), p)
+    // qCurriculumMix returns a localCheckpointed result whose explain is
+    // just the RDD scan — guard the LAZY plan instead
+    val (out, ranked) = TextAnalysis.curriculumMixLazy(spark, sf)
+    try {
+      val p = plan(out)
+      // the plan is real (the epoch aggregate is visible) ...
+      assert(p.contains("HashAggregate"), p)
+      assert(p.contains("Generate"), p)
+      // ... and ranking is the two-pass range-partitioned globalRank — NO
+      // window function anywhere (a global row_number would serialize the
+      // corpus through one partition)
+      assert(!p.contains("Window"), p)
+      assert(!p.contains("CartesianProduct"), p)
+    } finally ranked.unpersist()
   }
 
   test("stored-model classifier serves without training aggregates in the plan") {

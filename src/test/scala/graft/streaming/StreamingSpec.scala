@@ -1141,6 +1141,21 @@ class StreamingSpec extends SparkFunSuite {
     assert(viaQuery === streamed.size.toLong)
   }
 
+  test("quality gate refuses to resume from a used checkpoint") {
+    import spark.implicits._
+    val modelDir = graft.ops.Artifacts.ensureQualityNb(spark, sf)
+    val dir = tmpDir("quality-resume-feed")
+    Seq((5L, "some text here", "en", "src0", 9L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("append").parquet(dir)
+    val ckpt = tmpDir("quality-resume-ckpt")
+    QualityServeStream.run(spark, dir, ckpt, modelDir)
+    val e = intercept[IllegalArgumentException] {
+      QualityServeStream.run(spark, dir, ckpt, modelDir)
+    }
+    assert(e.getMessage.contains("fresh checkpoint"))
+  }
+
   test("snapshot diff resolves conflicting re-deliveries split-invariantly") {
     import spark.implicits._
     // key 2 arrives with TWO different contents; whichever commit carries
