@@ -204,6 +204,55 @@ object Corpus {
        |  arg_min(doc_id, start_tok) AS first_doc
        |FROM o GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin
 
+  /** Training-order MIXING audit over [[qEpochOrder]]'s shard assignment —
+    * the check a reproducible epoch shuffle has to pass before anyone
+    * trains on it: a shard dominated by one source feeds the optimizer
+    * long runs of correlated gradients (the failure global shuffles exist
+    * to prevent), and because the md5 priority is a pure row function the
+    * audit is itself engine-reproducible. Per (epoch, shard): document
+    * count, distinct sources present, the largest single-source count,
+    * and the Simpson concentration NUMERATOR `Σ cnt²` — an exact-integer
+    * dominance measure (uniform mixing over s sources ⇒ Σcnt² ≈ n²/s;
+    * one-source capture ⇒ n²), so drift is visible without a single
+    * float/log in the gate (the [[qEpochOrder]] discipline).
+    *
+    * Scale: two map-side-combinable hash aggregates — the first's output
+    * is (epochs·shards·sources)-sized, the second's (epochs·shards) —
+    * and the epoch explode rides the same narrow projection as
+    * [[qEpochOrder]]; no window, no sort, no per-doc state.
+    */
+  def qEpochMixing(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "documents")
+      .select(col("doc_id"), col("source"),
+        explode(sequence(lit(0L), lit(EpochCount - 1L))).as("epoch"))
+      .withColumn("shard",
+        pmod(conv(substring(md5(concat_ws(":", col("epoch"), col("doc_id"))), 1, 8),
+          16, 10).cast("long"), lit(EpochShards)))
+      .groupBy(col("epoch"), col("shard"), col("source"))
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy(col("epoch"), col("shard"))
+      .agg(sum(col("cnt")).as("n_docs"),
+        count(lit(1)).as("n_sources"),
+        max(col("cnt")).as("max_source_docs"),
+        sum(col("cnt") * col("cnt")).as("simpson_num"))
+      .orderBy(col("epoch"), col("shard"))
+
+  val qEpochMixingSql: String =
+    s"""WITH e AS (
+       |  SELECT doc_id, source, unnest(range($EpochCount)) AS epoch FROM documents
+       |), a AS (
+       |  SELECT epoch,
+       |    CAST(concat('0x', substring(md5(concat(epoch, ':', doc_id)), 1, 8)) AS BIGINT)
+       |      % $EpochShards AS shard,
+       |    source, CAST(count(*) AS BIGINT) AS cnt
+       |  FROM e GROUP BY 1, 2, 3
+       |)
+       |SELECT epoch, shard, CAST(sum(cnt) AS BIGINT) AS n_docs,
+       |  CAST(count(*) AS BIGINT) AS n_sources,
+       |  CAST(max(cnt) AS BIGINT) AS max_source_docs,
+       |  CAST(sum(cnt * cnt) AS BIGINT) AS simpson_num
+       |FROM a GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   /** Benchmark decontamination: every corpus document sharing at least one
     * distinct word-3-shingle with the "benchmark" subset (doc_id ≡ 0
     * mod 20 stands in for an eval set), with the count of shared shingles.
@@ -1293,6 +1342,7 @@ object Corpus {
     "q_split_assign" -> (qSplitAssign _),
     "q_pack_sequences" -> (qPackSequences _),
     "q_epoch_order" -> (qEpochOrder _),
+    "q_epoch_mixing" -> (qEpochMixing _),
     "q_quantile_trim" -> (qQuantileTrim _),
     "q_contamination" -> (qContamination _))
 
@@ -1319,6 +1369,7 @@ object Corpus {
     "q_split_assign" -> qSplitAssignSql,
     "q_pack_sequences" -> qPackSequencesSql,
     "q_epoch_order" -> qEpochOrderSql,
+    "q_epoch_mixing" -> qEpochMixingSql,
     "q_quantile_trim" -> qQuantileTrimSql,
     "q_contamination" -> qContaminationSql)
 }

@@ -633,6 +633,136 @@ object Multimodal {
       |WHERE doc_id % 3 = 0
       |ORDER BY doc_id""".stripMargin
 
+  // ---- EXIF metadata fixture (DateTime + GPS sub-IFD) -------------------
+
+  /** Constant u16/u32 hex in the row's byte order (fixture builder). */
+  private def hx16(v: Int, le: Boolean): String = {
+    val s = f"$v%04X"
+    if (le) s.substring(2) + s.substring(0, 2) else s
+  }
+  private def hx32(v: Long, le: Boolean): String = {
+    val s = f"$v%08X"
+    if (le) s.substring(6) + s.substring(4, 6) + s.substring(2, 4) + s.substring(0, 2)
+    else s
+  }
+  /** A full constant IFD entry: tag, type, count, value/offset. */
+  private def ifdEntry(le: Boolean, tag: Int, typ: Int, cnt: Long, v: Long): String =
+    hx16(tag, le) + hx16(typ, le) + hx32(cnt, le) + hx32(v, le)
+  /** Column-valued u32 hex in the row's byte order. */
+  private def u32Hex(v: Column, le: Boolean): Column = {
+    val be = lpad(hex(v), 8, "0")
+    if (!le) be
+    else concat(substring(be, 7, 2), substring(be, 5, 2),
+      substring(be, 3, 2), substring(be, 1, 2))
+  }
+
+  /** JPEG rows carrying the FULL EXIF metadata structure the deep walks
+    * parse — IFD0 (Make @offset, Orientation inline, DateTime ASCII(20)
+    * @offset, GPS-IFD POINTER) plus the GPS **sub-IFD** (lat/lon refs
+    * inline, lat/lon as offset-valued RATIONAL×3 — six u32 (num, den)
+    * pairs each), byte order alternating `II`/`MM` per row as in
+    * [[exifTable]]. Layout (TIFF-relative): IFD0@8 (4 entries), GPS
+    * IFD@62 (4 entries), Make@116, DateTime@122, lat rationals@142, lon
+    * rationals@166, total 190 bytes → APP1 length 198. Every field is a
+    * pure doc_id function (second rationals carry den = 100 so the
+    * micro-arcsecond DIV is exact), so the oracle replays the decode
+    * from arithmetic alone.
+    */
+  def exifMetaTable(spark: SparkSession, dir: String): DataFrame = {
+    val orient = (col("doc_id") % 8 + 1).cast("long")
+    val dtStr = format_string("%04d:%02d:%02d %02d:%02d:%02d",
+      col("doc_id") % 26 + 2000, col("doc_id") % 12 + 1, col("doc_id") % 28 + 1,
+      col("doc_id") % 24, col("doc_id") % 60, (col("doc_id") * 7) % 60)
+    val dtHex = concat(hex(encode(dtStr, "UTF-8")), lit("00"))
+    val latRefHex = when(expr("(doc_id DIV 3) % 2 = 1"), lit("53")) // 'S'
+      .otherwise(lit("4E")) // 'N'
+    val lonRefHex = when(expr("(doc_id DIV 5) % 2 = 1"), lit("57")) // 'W'
+      .otherwise(lit("45")) // 'E'
+    def rats(le: Boolean): Column = concat(
+      u32Hex((col("doc_id") % 90).cast("long"), le), hx32c(1L, le),
+      u32Hex((col("doc_id") % 60).cast("long"), le), hx32c(1L, le),
+      u32Hex(((col("doc_id") * 13) % 6000).cast("long"), le), hx32c(100L, le),
+      u32Hex((col("doc_id") % 180).cast("long"), le), hx32c(1L, le),
+      u32Hex(((col("doc_id") * 3) % 60).cast("long"), le), hx32c(1L, le),
+      u32Hex(((col("doc_id") * 17) % 6000).cast("long"), le), hx32c(100L, le))
+    def tiff(le: Boolean): Column = {
+      val orientVal =
+        if (le) concat(lpad(hex(orient), 2, "0"), lit("000000"))
+        else concat(lit("00"), lpad(hex(orient), 2, "0"), lit("0000"))
+      concat(
+        lit(if (le) "49492A0008000000" else "4D4D002A00000008"),
+        lit(hx16(4, le)), // IFD0: 4 entries
+        lit(ifdEntry(le, 0x010F, 2, 6, 116)), // Make ASCII(6) @116
+        lit(hx16(0x0112, le) + hx16(3, le) + hx32(1, le)), orientVal,
+        lit(ifdEntry(le, 0x0132, 2, 20, 122)), // DateTime ASCII(20) @122
+        lit(ifdEntry(le, 0x8825, 4, 1, 62)), // GPS IFD pointer → 62
+        lit("00000000"), // IFD0 next
+        lit(hx16(4, le)), // GPS IFD: 4 entries
+        lit(hx16(1, le) + hx16(2, le) + hx32(2, le)), latRefHex, lit("000000"),
+        lit(ifdEntry(le, 0x0002, 5, 3, 142)), // GPSLatitude RATIONAL×3 @142
+        lit(hx16(3, le) + hx16(2, le) + hx32(2, le)), lonRefHex, lit("000000"),
+        lit(ifdEntry(le, 0x0004, 5, 3, 166)), // GPSLongitude RATIONAL×3 @166
+        lit("00000000"), // GPS IFD next
+        lit("475241465400"), // "GRAFT\0" @116
+        dtHex, // @122
+        rats(le)) // @142 (lat), @166 (lon)
+    }
+    val w = (col("doc_id") % 509 + 16).cast("long")
+    val h = ((col("doc_id") * 3) % 479 + 16).cast("long")
+    val jpegHex = concat(
+      lit("FFD8"), // SOI
+      lit("FFE100C6457869660000"), // APP1, len 198, "Exif\0\0"
+      when(col("doc_id") % 2 === 0, tiff(le = true)).otherwise(tiff(le = false)),
+      lit("FFC0001108"), lpad(hex(h), 4, "0"), lpad(hex(w), 4, "0"), // SOF0
+      lit("03011100021101031101"))
+    table(spark, dir, "documents")
+      .filter(col("doc_id") % 3 === 1)
+      .select(col("doc_id"),
+        unhex(concat(jpegHex, hex(encode(col("text"), "UTF-8")))).as("content"))
+  }
+
+  private def hx32c(v: Long, le: Boolean): Column = lit(hx32(v, le))
+
+  /** EXIF capture-time + GPS decode — the geo/time columns an image
+    * ingest keys dedup windows and geo-bucketing on, parsed end-to-end
+    * out of the APP1 bytes: [[graft.functions.ExifDateTime]] (the
+    * offset-valued ASCII(20) walk) packed as `yyyymmddHHMMSS`,
+    * [[graft.functions.ExifGps]] (IFD0 → GPS sub-IFD pointer →
+    * ref-signed offset-valued RATIONAL×3) in exact signed
+    * micro-arcseconds, plus [[graft.functions.ExifOrient]] over the SAME
+    * richer IFD0 (the inline-SHORT walk must skip the offset-valued
+    * entries around it). The oracle derives all four columns
+    * independently from doc_id arithmetic, so the hash match proves the
+    * dual-endianness multi-IFD walk on every row. One narrow codegen
+    * projection, no shuffle before the sort.
+    */
+  def qMultimodalExifMeta(spark: SparkSession, dir: String): DataFrame = {
+    val packed = graft.functions.ExifOrient(col("content"))
+    exifMetaTable(spark, dir)
+      .select(col("doc_id"),
+        graft.functions.ExifMeta.dateTime(col("content")).as("dt_packed"),
+        graft.functions.ExifMeta.gpsLat(col("content")).as("lat_uas"),
+        graft.functions.ExifMeta.gpsLon(col("content")).as("lon_uas"),
+        packed.bitwiseAND(lit(0xFFFFL)).as("orientation"))
+      .orderBy(col("doc_id"))
+  }
+
+  val qMultimodalExifMetaSql: String =
+    """SELECT doc_id,
+      |  CAST((2000 + doc_id % 26) * 10000000000 + (doc_id % 12 + 1) * 100000000
+      |    + (doc_id % 28 + 1) * 1000000 + (doc_id % 24) * 10000
+      |    + (doc_id % 60) * 100 + (doc_id * 7) % 60 AS BIGINT) AS dt_packed,
+      |  CAST((CASE WHEN (doc_id // 3) % 2 = 1 THEN -1 ELSE 1 END) *
+      |    ((doc_id % 90) * 3600000000 + (doc_id % 60) * 60000000
+      |     + ((doc_id * 13) % 6000) * 10000) AS BIGINT) AS lat_uas,
+      |  CAST((CASE WHEN (doc_id // 5) % 2 = 1 THEN -1 ELSE 1 END) *
+      |    ((doc_id % 180) * 3600000000 + ((doc_id * 3) % 60) * 60000000
+      |     + ((doc_id * 17) % 6000) * 10000) AS BIGINT) AS lon_uas,
+      |  CAST(doc_id % 8 + 1 AS BIGINT) AS orientation
+      |FROM documents
+      |WHERE doc_id % 3 = 1
+      |ORDER BY doc_id""".stripMargin
+
   /** Uniform temporal AUDIO sampling — the audio dual of
     * [[qMultimodalFrames]], completing the media-prep family: split each
     * clip into k=8 equal segments and emit each segment's CENTER as an
@@ -705,6 +835,7 @@ object Multimodal {
     "q_multimodal_frames" -> (qMultimodalFrames _),
     "q_multimodal_audio_frames" -> (qMultimodalAudioFrames _),
     "q_multimodal_exif" -> (qMultimodalExif _),
+    "q_multimodal_exif_meta" -> (qMultimodalExifMeta _),
   )
 
   def oracle: Map[String, String] = Map(
@@ -719,5 +850,6 @@ object Multimodal {
     "q_multimodal_frames" -> qMultimodalFramesSql,
     "q_multimodal_audio_frames" -> qMultimodalAudioFramesSql,
     "q_multimodal_exif" -> qMultimodalExifSql,
+    "q_multimodal_exif_meta" -> qMultimodalExifMetaSql,
   )
 }

@@ -774,15 +774,147 @@ object Pipeline {
        |ORDER BY a.doc_id""".stripMargin
   }
 
+  /** CLASSIFIER-GATED pipeline variant — the CCNet head applied as the
+    * corpus FILTER it actually is in production (Wenzek et al. 2020,
+    * arXiv:1911.00359 §3: the trained quality model gates the crawl; the
+    * heuristic gates of [[qPipelineFull]] are the fallback). Serves the
+    * STORED NB model ([[Artifacts.ensureQualityNb]] — train once per
+    * corpus, every pass reads the weight table), scores EVERY document
+    * with the one shared scoring formula ([[TextAnalysis.nbScore]] — the
+    * same integer mean-token-lift the confusion matrix and streaming gate
+    * use, so this filter cannot diverge from the audited classifier),
+    * keeps the `pos` verdicts, exact-dedups the survivors (min-id per
+    * md5 token fingerprint), and folds to a per-source acceptance
+    * summary: kept count, post-dedup survivor count, survivor token
+    * mass, and the kept-score extrema — the table a data-mixture owner
+    * reads to see what the classifier admits from each source.
+    *
+    * Plan shape: the weight table is vocab-sized (Heaps-sublinear) →
+    * broadcast into the one exploded-token scan; scoring is one
+    * map-side-combinable per-doc aggregate; the gate is a filter on the
+    * (doc-sized) scored relation, persisted because the survivor
+    * semi-join and both per-source summaries consume it; nothing
+    * corpus-sized crosses the driver. At 100 TB this is exactly one
+    * corpus scan + one doc-sized shuffle (score groupBy) + one
+    * fingerprint-sized shuffle (dedup), the minimum the semantics admit.
+    */
+  /** The unmaterialized scored relation [[qPipelineGated]] gates on —
+    * split out ([[contaminationPlan]] pattern) so plan-shape specs can
+    * assert the stored-model broadcast join shape before the checkpoint
+    * turns the plan into an RDD scan.
+    */
+  private[ops] def gatedScored(spark: SparkSession, dir: String): DataFrame = {
+    val d = Artifacts.ensureQualityNb(spark, dir)
+    val weights = spark.read.parquet(s"$d/weights.parquet")
+    val totals = spark.read.parquet(s"$d/totals.parquet")
+    val docs = table(spark, dir, "documents")
+      .select(col("doc_id"), col("source"), tokens(col("text")).as("t"))
+      .filter(size(col("t")) >= 1)
+    TextAnalysis.nbScore(
+      docs.withColumn("fp", md5(concat_ws(" ", col("t"))))
+        .select(col("doc_id"), col("source"), col("fp"), explode(col("t")).as("tok")),
+      Seq("doc_id", "source", "fp"), weights, totals)
+  }
+
+  def qPipelineGated(spark: SparkSession, dir: String): DataFrame = {
+    val kept = gatedScored(spark, dir)
+      .filter(TextAnalysis.nbVerdict(col("score_micro")) === "pos")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val surv = kept.join(
+        kept.groupBy(col("fp")).agg(min(col("doc_id")).as("doc_id")),
+        Seq("fp", "doc_id"), "left_semi")
+      val perSrcKept = kept.groupBy(col("source")).agg(
+        count(lit(1)).as("n_kept"),
+        min(col("score_micro")).as("min_score_micro"),
+        max(col("score_micro")).as("max_score_micro"))
+      val perSrcSurv = surv.groupBy(col("source")).agg(
+        count(lit(1)).as("n_surv"), sum(col("n_toks")).as("n_toks_surv"))
+      // left join: a source whose kept docs all lose their fingerprint's
+      // min-id race still reports its n_kept row (with zero survivors)
+      perSrcKept.join(perSrcSurv, Seq("source"), "left")
+        .select(col("source"), col("n_kept"),
+          coalesce(col("n_surv"), lit(0L)).as("n_surv"),
+          coalesce(col("n_toks_surv"), lit(0L)).as("n_toks_surv"),
+          col("min_score_micro"), col("max_score_micro"))
+        .orderBy(col("source"))
+        .localCheckpoint()
+    } finally kept.unpersist()
+  }
+
+  /** DuckDB mirror: the NB train CTEs are [[TextAnalysis.qQualityClassifierSql]]'s
+    * (deterministic training ⇒ the stored model replays exactly), scoring
+    * runs over ALL documents, then the same gate → dedup → per-source fold.
+    */
+  val qPipelineGatedSql: String = {
+    val pos = TextAnalysis.QualityPosSources.map("'" + _ + "'").mkString(", ")
+    s"""WITH d AS (
+       |  SELECT doc_id, source,
+       |    CASE WHEN source IN ($pos) THEN 'pos' ELSE 'neg' END AS actual,
+       |    regexp_split_to_array(lower(text), '\\s+') AS t
+       |  FROM documents
+       |  WHERE len(regexp_split_to_array(lower(text), '\\s+')) >= 1
+       |), traintok AS (
+       |  SELECT actual, unnest(t) AS tok FROM d WHERE doc_id % 5 <> 0
+       |), c AS (
+       |  SELECT tok,
+       |    CAST(sum(CASE WHEN actual = 'pos' THEN 1 ELSE 0 END) AS BIGINT) AS cnt_pos,
+       |    CAST(sum(CASE WHEN actual = 'neg' THEN 1 ELSE 0 END) AS BIGINT) AS cnt_neg
+       |  FROM traintok GROUP BY 1
+       |), tot AS (
+       |  SELECT CAST(sum(cnt_pos) AS BIGINT) AS tot_pos,
+       |    CAST(sum(cnt_neg) AS BIGINT) AS tot_neg,
+       |    CAST(count(*) AS BIGINT) AS v
+       |  FROM c
+       |), w AS (
+       |  SELECT tok, ((cnt_pos + 1) * (tot_neg + v) * 1000000)
+       |    // ((cnt_neg + 1) * (tot_pos + v)) AS w_micro
+       |  FROM c CROSS JOIN tot
+       |), sc AS (
+       |  SELECT x.doc_id, x.source, x.fp,
+       |    CAST(count(*) AS BIGINT) AS n_toks,
+       |    CAST(sum(coalesce(w.w_micro,
+       |      ((tot_neg + v) * 1000000) // (tot_pos + v))) AS BIGINT) AS sum_w
+       |  FROM (SELECT doc_id, source, md5(array_to_string(t, ' ')) AS fp,
+       |          unnest(t) AS tok FROM d) x
+       |  LEFT JOIN w USING (tok) CROSS JOIN tot
+       |  GROUP BY 1, 2, 3
+       |), kept AS (
+       |  SELECT doc_id, source, fp, n_toks, sum_w // n_toks AS score
+       |  FROM sc WHERE sum_w // n_toks >= 1000000
+       |), surv AS (
+       |  SELECT k.* FROM kept k
+       |  JOIN (SELECT fp, min(doc_id) AS doc_id FROM kept GROUP BY 1) m
+       |    USING (fp, doc_id)
+       |), per_kept AS (
+       |  SELECT source, CAST(count(*) AS BIGINT) AS n_kept,
+       |    CAST(min(score) AS BIGINT) AS min_score_micro,
+       |    CAST(max(score) AS BIGINT) AS max_score_micro
+       |  FROM kept GROUP BY 1
+       |), per_surv AS (
+       |  SELECT source, CAST(count(*) AS BIGINT) AS n_surv,
+       |    CAST(sum(n_toks) AS BIGINT) AS n_toks_surv
+       |  FROM surv GROUP BY 1
+       |)
+       |SELECT source, n_kept,
+       |  CAST(coalesce(n_surv, 0) AS BIGINT) AS n_surv,
+       |  CAST(coalesce(n_toks_surv, 0) AS BIGINT) AS n_toks_surv,
+       |  min_score_micro, max_score_micro
+       |FROM per_kept LEFT JOIN per_surv USING (source)
+       |ORDER BY source""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_intake" -> (qIntake _),
     "q_pipeline_corpus" -> (qPipelineCorpus _),
     "q_pipeline_crossmodal" -> (qPipelineCrossmodal _),
+    "q_pipeline_gated" -> (qPipelineGated _),
     "q_pipeline_full" -> (qPipelineFull _))
 
   def oracle: Map[String, String] = Map(
     "q_intake" -> qIntakeSql,
     "q_pipeline_corpus" -> qPipelineCorpusSql,
     "q_pipeline_crossmodal" -> qPipelineCrossmodalSql,
+    "q_pipeline_gated" -> qPipelineGatedSql,
     "q_pipeline_full" -> qPipelineFullSql)
 }

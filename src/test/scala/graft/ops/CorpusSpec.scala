@@ -286,6 +286,32 @@ class CorpusSpec extends SparkFunSuite {
     assert(layouts(0L) !== layouts(1L))
   }
 
+  test("epoch mixing: reconciles with the epoch order; Simpson bounds hold per shard") {
+    val mix = Corpus.qEpochMixing(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getAs[Long]("n_docs"), r.getAs[Long]("n_sources"),
+          r.getAs[Long]("max_source_docs"), r.getAs[Long]("simpson_num"))).toMap
+    assert(mix.nonEmpty)
+    // the audit counts exactly the documents the epoch order assigns: per
+    // (epoch, shard), chunk doc-counts sum to the audit's n_docs
+    val order = Corpus.qEpochOrder(spark, sf).collect()
+      .groupBy(r => (r.getLong(0), r.getLong(1)))
+      .view.mapValues(_.map(_.getAs[Long]("n_docs")).sum).toMap
+    assert(mix.keySet === order.keySet)
+    mix.foreach { case (k, (n, _, _, _)) => assert(order(k) === n, s"shard $k") }
+    // exact-integer dominance bounds: max² ≤ Σcnt² ≤ max·n (equality on
+    // the right iff one source holds the shard), and Cauchy–Schwarz
+    // Σcnt² ≥ ⌈n²/s⌉ (uniform mixing floor)
+    mix.foreach { case (k, (n, s, mx, simp)) =>
+      assert(s >= 1 && mx >= 1 && mx <= n, s"shard $k")
+      assert(simp >= mx * mx && simp <= mx * n, s"shard $k")
+      assert(simp >= (n * n + s - 1) / s, s"shard $k")
+    }
+    // the shuffle actually mixes: no shard is captured by a single source
+    // (Σcnt² = n² is the degenerate layout the audit exists to flag)
+    mix.foreach { case (k, (n, _, _, simp)) => assert(simp < n * n, s"shard $k") }
+  }
+
   test("grouped split: every source lands in exactly one split; totals are preserved") {
     val rows = Corpus.qSplitGrouped(spark, sf).collect()
       .map(r => (r.getString(0), r.getString(1), r.getLong(2)))

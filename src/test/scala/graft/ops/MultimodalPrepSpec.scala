@@ -123,6 +123,74 @@ class MultimodalPrepSpec extends SparkFunSuite {
       hexBytes("FFD8 FFE10008 457869660000 4949")) === -1L)
   }
 
+  test("exif meta: datetime + gps sub-IFD decode matches doc_id arithmetic on every row") {
+    val rows = Multimodal.exifMetaTable(spark, sf)
+      .select(col("doc_id"), col("content")).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      val b = r.getAs[Array[Byte]]("content")
+      val dt = (2000 + id % 26) * 10000000000L + (id % 12 + 1) * 100000000L +
+        (id % 28 + 1) * 1000000L + (id % 24) * 10000L + (id % 60) * 100L + (id * 7) % 60
+      assert(graft.functions.ExifMeta.packedDateTime(b) === dt, s"doc $id")
+      val lat = (if ((id / 3) % 2 == 1) -1L else 1L) *
+        ((id % 90) * 3600000000L + (id % 60) * 60000000L + ((id * 13) % 6000) * 10000L)
+      val lon = (if ((id / 5) % 2 == 1) -1L else 1L) *
+        ((id % 180) * 3600000000L + ((id * 3) % 60) * 60000000L + ((id * 17) % 6000) * 10000L)
+      assert(graft.functions.ExifMeta.gpsMicroArcsec(b, lon = false) === lat, s"doc $id")
+      assert(graft.functions.ExifMeta.gpsMicroArcsec(b, lon = true) === lon, s"doc $id")
+      // the inline-SHORT orientation walk still lands among the
+      // offset-valued entries of the richer IFD0
+      assert((graft.functions.ExifOrient.packedOrient(b) & 0xFFFFL) === id % 8 + 1)
+    }
+  }
+
+  test("exif meta: malformed payloads reject per-field, no out-of-bounds") {
+    import graft.functions.ExifMeta
+    val rows = Multimodal.exifMetaTable(spark, sf)
+      .select(col("doc_id"), col("content")).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Array[Byte]]("content")).toMap
+    val None_ = Long.MinValue
+    // absolute offsets: SOI(2) + APP1 hdr(4) + "Exif\0\0"(6) → TIFF at 12
+    val tiff = 12
+    Seq(rows.keys.find(_ % 2 == 0).get, rows.keys.find(_ % 2 == 1).get).foreach { id =>
+      val good = rows(id)
+      // zero latitude-degree DENOMINATOR (bytes 4..8 of the rational block
+      // at tiff+142) → latitude rejects, longitude and datetime unaffected
+      val denZero = good.clone()
+      (0 until 4).foreach(i => denZero(tiff + 142 + 4 + i) = 0)
+      assert(ExifMeta.gpsMicroArcsec(denZero, lon = false) === None_)
+      assert(ExifMeta.gpsMicroArcsec(denZero, lon = true) ===
+        ExifMeta.gpsMicroArcsec(good, lon = true))
+      assert(ExifMeta.packedDateTime(denZero) === ExifMeta.packedDateTime(good))
+      // u32 NUMERATOR above the u31 overflow-safe bound → reject
+      val big = good.clone()
+      (0 until 4).foreach(i => big(tiff + 142 + i) = 0xFF.toByte)
+      assert(ExifMeta.gpsMicroArcsec(big, lon = false) === None_)
+      // latitude ref char outside N/S (value byte of GPS entry 0 at
+      // tiff+64+8) → reject
+      val badRef = good.clone(); badRef(tiff + 64 + 8) = 'X'.toByte
+      assert(ExifMeta.gpsMicroArcsec(badRef, lon = false) === None_)
+      assert(ExifMeta.gpsMicroArcsec(badRef, lon = true) ===
+        ExifMeta.gpsMicroArcsec(good, lon = true))
+      // GPS-pointer entry with a non-pointer TYPE (0x0606 reads the same
+      // in either byte order) → both coordinates reject
+      val badPtr = good.clone()
+      badPtr(tiff + 46 + 2) = 0x06.toByte; badPtr(tiff + 46 + 3) = 0x06.toByte
+      assert(ExifMeta.gpsMicroArcsec(badPtr, lon = false) === None_)
+      assert(ExifMeta.gpsMicroArcsec(badPtr, lon = true) === None_)
+      // datetime separator corrupted (tiff+122+4) → datetime rejects,
+      // coordinates unaffected
+      val badSep = good.clone(); badSep(tiff + 122 + 4) = '-'.toByte
+      assert(ExifMeta.packedDateTime(badSep) === -1L)
+      assert(ExifMeta.gpsMicroArcsec(badSep, lon = false) ===
+        ExifMeta.gpsMicroArcsec(good, lon = false))
+      // truncation inside the TIFF block → clean reject, no OOB read
+      assert(ExifMeta.packedDateTime(good.take(tiff + 150)) === -1L)
+      assert(ExifMeta.gpsMicroArcsec(good.take(tiff + 150), lon = true) === None_)
+    }
+  }
+
   test("audio frame grid: 8 in-range sample centers, byte offsets on block boundaries") {
     val rows = Multimodal.qMultimodalAudioFrames(spark, sf).collect()
     assert(rows.nonEmpty)

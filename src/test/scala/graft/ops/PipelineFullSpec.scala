@@ -63,6 +63,26 @@ class PipelineFullSpec extends SparkFunSuite {
     assert(chain.last > 0)
   }
 
+  test("classifier gate: totals reconcile with an independent stored-model scoring pass") {
+    val rows = Pipeline.qPipelineGated(spark, sf).collect().toSeq
+    assert(rows.nonEmpty)
+    // gate invariants: only pos verdicts pass (score ≥ neutral), dedup
+    // only drops, and every survivor carries ≥1 token
+    rows.foreach { r =>
+      assert(r.getAs[Long]("min_score_micro") >= 1000000L)
+      assert(r.getAs[Long]("n_surv") >= 0L &&
+        r.getAs[Long]("n_surv") <= r.getAs[Long]("n_kept"))
+      assert(r.getAs[Long]("n_toks_surv") >= r.getAs[Long]("n_surv"))
+    }
+    // independent recount off the same stored model: kept mass and the
+    // post-dedup survivor mass (distinct fingerprints among kept)
+    val scored = Pipeline.gatedScored(spark, sf)
+      .filter(TextAnalysis.nbVerdict(col("score_micro")) === "pos")
+    assert(rows.map(_.getAs[Long]("n_kept")).sum === scored.count())
+    assert(rows.map(_.getAs[Long]("n_surv")).sum ===
+      scored.select(col("fp")).distinct().count())
+  }
+
   test("intake observe-metrics equal a recount of the verdict table") {
     val out = Pipeline.qIntake(spark, sf).collect().toSeq
     val m = Pipeline.lastIntakeMetrics.get.view.mapValues(_.asInstanceOf[Long]).toMap

@@ -683,8 +683,31 @@ class PlanShapeSpec extends SparkFunSuite {
     assert(scans < trained, s"served=$scans trained=$trained")
   }
 
+  test("classifier-gated pipeline scores from the stored model with a broadcast weight join") {
+    val p = plan(Pipeline.gatedScored(spark, sf))
+    // the gate SERVES the trained model: weight/total parquets are
+    // scanned and broadcast; no training aggregate, no sort-merge join,
+    // no window anywhere on the scoring path
+    assert(p.contains("weights.parquet"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(!p.contains("Window"), p)
+    // exactly one corpus scan feeds the exploded-token stream
+    assert(p.linesIterator.count(_.contains("documents.parquet")) === 1, p)
+  }
+
+  test("epoch mixing audit: two hash aggregates, no window, no single-partition funnel") {
+    val p = plan(Corpus.qEpochMixing(spark, sf))
+    assert(p.contains("HashAggregate"), p)
+    assert(p.contains("Generate"), p) // the epoch explode
+    assert(!p.contains("Window"), p)
+    assert(!p.contains("SinglePartition"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("media walkers run as one narrow projection: no shuffle before the presentation sort") {
     Seq(Multimodal.qMultimodalExif(spark, sf),
+        Multimodal.qMultimodalExifMeta(spark, sf),
         Multimodal.qMultimodalAudioFrames(spark, sf)).foreach { df =>
       val p = plan(df)
       // exactly the exchanges of the final orderBy (range partitioning),
