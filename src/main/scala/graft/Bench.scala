@@ -116,7 +116,11 @@ object Bench {
       "q_label_prop", "q_lm_trigram_score",
       // round 13: the new broadcast-apply classifier and the per-epoch
       // window packer — first decade measured the round they land
-      "q_quality_classifier", "q_epoch_order")
+      "q_quality_classifier", "q_epoch_order",
+      // round 13c: classifier-as-filter composite and the mixing audit —
+      // first decade measured the round they land (exif_meta is a pure
+      // narrow codegen walk; the media family's linearity is established)
+      "q_pipeline_gated", "q_epoch_mixing")
     val (sf1Rows, sf1Skipped, sf1Dir) = if (!sf1Enabled) (Seq.empty, Seq.empty, "") else {
       val dst = sys.env.getOrElse("SPARK_GRAFT_SF1_DIR", "/tmp/graft-sf1")
       ScaleProbe.synthesize(spark, sfDir, dst)

@@ -253,6 +253,58 @@ object Corpus {
        |  CAST(sum(cnt * cnt) AS BIGINT) AS simpson_num
        |FROM a GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  /** LENGTH-BUCKETED batching audit — the alternative to sequence packing
+    * ([[qPackSequences]]) a training stack actually chooses between:
+    * batch documents whole, grouped into power-of-two token-length
+    * buckets, and pay padding up to the bucket ceiling instead of
+    * splitting documents across chunk boundaries. Per bucket: document
+    * count, real token mass, the padded mass `n_docs · bucket`, and the
+    * waste — the exact-integer table that, read against
+    * [[qPaddingWaste]], decides pack-vs-bucket for a corpus. The bucket
+    * ceiling is a branch ladder (16 … 4096, else 8192) rather than a
+    * float `log2`, so both engines bucket bit-identically.
+    *
+    * Shape at 100 TB: one narrow projection (native
+    * [[graft.functions.TokenCount]], no tokenize-explode) into one
+    * map-side-combinable hash aggregate with ≤ 10 output rows.
+    */
+  def qBatchBuckets(spark: SparkSession, dir: String): DataFrame = {
+    val n = graft.functions.TokenCount(col("text")).cast("long")
+    val bucket = Seq(16L, 32L, 64L, 128L, 256L, 512L, 1024L, 2048L, 4096L)
+      .foldRight(lit(8192L): Column)((b, acc) => when(col("n_tokens") <= b, b).otherwise(acc))
+    table(spark, dir, "documents")
+      .select(n.as("n_tokens"))
+      .withColumn("bucket", bucket)
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("n_tokens"),
+        (count(lit(1)) * col("bucket")).as("padded_tokens"),
+        (count(lit(1)) * col("bucket") - sum(col("n_tokens"))).as("waste_tokens"))
+      .select(col("bucket"), col("n_docs"), col("n_tokens"),
+        col("padded_tokens"), col("waste_tokens"))
+      .orderBy(col("bucket"))
+  }
+
+  val qBatchBucketsSql: String =
+    """WITH d AS (
+      |  SELECT len(regexp_split_to_array(lower(text), '\s+')) AS n_tokens
+      |  FROM documents
+      |), b AS (
+      |  SELECT n_tokens,
+      |    CASE WHEN n_tokens <= 16 THEN 16 WHEN n_tokens <= 32 THEN 32
+      |         WHEN n_tokens <= 64 THEN 64 WHEN n_tokens <= 128 THEN 128
+      |         WHEN n_tokens <= 256 THEN 256 WHEN n_tokens <= 512 THEN 512
+      |         WHEN n_tokens <= 1024 THEN 1024 WHEN n_tokens <= 2048 THEN 2048
+      |         WHEN n_tokens <= 4096 THEN 4096 ELSE 8192 END AS bucket
+      |  FROM d
+      |)
+      |SELECT CAST(bucket AS BIGINT) AS bucket,
+      |  CAST(count(*) AS BIGINT) AS n_docs,
+      |  CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+      |  CAST(count(*) * bucket AS BIGINT) AS padded_tokens,
+      |  CAST(count(*) * bucket - sum(n_tokens) AS BIGINT) AS waste_tokens
+      |FROM b GROUP BY b.bucket ORDER BY 1""".stripMargin
+
   /** Benchmark decontamination: every corpus document sharing at least one
     * distinct word-3-shingle with the "benchmark" subset (doc_id ≡ 0
     * mod 20 stands in for an eval set), with the count of shared shingles.
@@ -1343,6 +1395,7 @@ object Corpus {
     "q_pack_sequences" -> (qPackSequences _),
     "q_epoch_order" -> (qEpochOrder _),
     "q_epoch_mixing" -> (qEpochMixing _),
+    "q_batch_buckets" -> (qBatchBuckets _),
     "q_quantile_trim" -> (qQuantileTrim _),
     "q_contamination" -> (qContamination _))
 
@@ -1370,6 +1423,7 @@ object Corpus {
     "q_pack_sequences" -> qPackSequencesSql,
     "q_epoch_order" -> qEpochOrderSql,
     "q_epoch_mixing" -> qEpochMixingSql,
+    "q_batch_buckets" -> qBatchBucketsSql,
     "q_quantile_trim" -> qQuantileTrimSql,
     "q_contamination" -> qContaminationSql)
 }

@@ -312,6 +312,34 @@ class CorpusSpec extends SparkFunSuite {
     mix.foreach { case (k, (n, _, _, simp)) => assert(simp < n * n, s"shard $k") }
   }
 
+  test("batch buckets: minimal power-of-two ceilings, exact padding accounting") {
+    val rows = Corpus.qBatchBuckets(spark, sf).collect()
+      .map(r => r.getAs[Long]("bucket") ->
+        (r.getAs[Long]("n_docs"), r.getAs[Long]("n_tokens"),
+          r.getAs[Long]("padded_tokens"), r.getAs[Long]("waste_tokens"))).toMap
+    assert(rows.nonEmpty)
+    val ladder = Seq(16L, 32L, 64L, 128L, 256L, 512L, 1024L, 2048L, 4096L, 8192L)
+    assert(rows.keySet.subsetOf(ladder.toSet))
+    rows.foreach { case (b, (n, toks, padded, waste)) =>
+      assert(padded === n * b, s"bucket $b")
+      assert(waste === padded - toks, s"bucket $b")
+      // every doc fits its ceiling and (unless in the floor bucket) would
+      // NOT fit the next one down — the ceilings are minimal
+      assert(toks <= padded, s"bucket $b")
+      if (b > 16L) assert(toks > n * (b / 2), s"bucket $b not minimal")
+    }
+    // bucketing is total: every document lands in exactly one bucket
+    val total = spark.read.parquet(s"$sf/documents.parquet").count()
+    assert(rows.values.map(_._1).sum === total)
+    // an independent JVM recount of one bucket's membership agrees
+    val counts = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("text")).collect()
+      .map(_.getString(0).toLowerCase.split("\\s+").count(_.nonEmpty))
+    def ceilPow2(n: Int): Long = ladder.find(_ >= n).getOrElse(8192L)
+    val expect = counts.groupBy(c => ceilPow2(c)).view.mapValues(_.length.toLong).toMap
+    assert(rows.view.mapValues(_._1).toMap === expect)
+  }
+
   test("grouped split: every source lands in exactly one split; totals are preserved") {
     val rows = Corpus.qSplitGrouped(spark, sf).collect()
       .map(r => (r.getString(0), r.getString(1), r.getLong(2)))

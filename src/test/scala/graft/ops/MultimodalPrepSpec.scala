@@ -191,6 +191,33 @@ class MultimodalPrepSpec extends SparkFunSuite {
     }
   }
 
+  test("exif burst dedup: collision groups match a JVM replay of the decoded keys") {
+    val rows = Multimodal.qExifBurstDedup(spark, sf).collect()
+      .map(r => (r.getAs[Long]("lat_cell"), r.getAs[Long]("lon_cell"),
+        r.getAs[Long]("hour")) ->
+        (r.getAs[Long]("n_photos"), r.getAs[Long]("survivor"),
+          r.getAs[Long]("n_dropped"))).toMap
+    // the fixture's 500-doc range contains real bursts (ids 360 apart
+    // share every key component) — the collision filter must fire
+    assert(rows.nonEmpty)
+    rows.foreach { case (k, (n, _, dropped)) =>
+      assert(n >= 2L, s"group $k"); assert(dropped === n - 1, s"group $k")
+    }
+    // independent replay: group the arithmetic-derived keys in the JVM
+    val ids = Multimodal.exifMetaTable(spark, sf)
+      .select(col("doc_id")).collect().map(_.getLong(0))
+    val expect = ids.groupBy { id =>
+      val lat = (if ((id / 3) % 2 == 1) -1L else 1L) *
+        ((id % 90) * 3600000000L + (id % 60) * 60000000L + ((id * 13) % 6000) * 10000L)
+      val lon = (if ((id / 5) % 2 == 1) -1L else 1L) *
+        ((id % 180) * 3600000000L + ((id * 3) % 60) * 60000000L + ((id * 17) % 6000) * 10000L)
+      ((lat + 324000000000L) / 36000000000L, (lon + 648000000000L) / 36000000000L,
+        id % 24)
+    }.filter(_._2.length >= 2)
+      .map { case (k, g) => k -> (g.length.toLong, g.min, g.length.toLong - 1) }
+    assert(rows === expect)
+  }
+
   test("audio frame grid: 8 in-range sample centers, byte offsets on block boundaries") {
     val rows = Multimodal.qMultimodalAudioFrames(spark, sf).collect()
     assert(rows.nonEmpty)

@@ -705,6 +705,20 @@ class PlanShapeSpec extends SparkFunSuite {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("batch buckets / burst dedup: one hash aggregate, no explode, no window, no join") {
+    Seq(Corpus.qBatchBuckets(spark, sf),
+        Multimodal.qExifBurstDedup(spark, sf)).foreach { df =>
+      val p = plan(df)
+      assert(p.contains("HashAggregate"), p)
+      // token counting is the native expression, geo/time keys are byte
+      // walks — neither tokenizes-and-explodes
+      assert(!p.contains("Generate"), p)
+      assert(!p.contains("Window"), p)
+      assert(!p.contains("Join"), p)
+      assert(!p.contains("SinglePartition"), p)
+    }
+  }
+
   test("media walkers run as one narrow projection: no shuffle before the presentation sort") {
     Seq(Multimodal.qMultimodalExif(spark, sf),
         Multimodal.qMultimodalExifMeta(spark, sf),
