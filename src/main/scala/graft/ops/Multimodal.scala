@@ -780,16 +780,27 @@ object Multimodal {
     * key → count filter; group cardinality is bounded by cells×hours,
     * never by photo pairs.
     */
-  def qExifBurstDedup(spark: SparkSession, dir: String): DataFrame =
-    exifMetaTable(spark, dir)
+  /** `(doc_id, lat_cell, lon_cell, hour)` decoded from photo bytes — the
+    * ONE place the burst key formula lives, shared by the batch audit and
+    * the streaming ingest gate ([[graft.streaming.ExifIngestStream]]) so
+    * the cell/hour discipline cannot diverge between them. Rows whose
+    * payload does not decode (any walk null) are DROPPED — the gate's
+    * quarantine path, not its dedup path.
+    */
+  def burstKeys(photos: DataFrame): DataFrame =
+    photos
       .select(col("doc_id"),
         graft.functions.ExifMeta.dateTime(col("content")).as("dt"),
         graft.functions.ExifMeta.gpsLat(col("content")).as("lat"),
         graft.functions.ExifMeta.gpsLon(col("content")).as("lon"))
+      .filter(col("dt").isNotNull && col("lat").isNotNull && col("lon").isNotNull)
       .select(col("doc_id"),
         expr("(lat + 324000000000) DIV 36000000000").as("lat_cell"),
         expr("(lon + 648000000000) DIV 36000000000").as("lon_cell"),
         expr("dt DIV 10000 % 100").as("hour"))
+
+  def qExifBurstDedup(spark: SparkSession, dir: String): DataFrame =
+    burstKeys(exifMetaTable(spark, dir))
       .groupBy(col("lat_cell"), col("lon_cell"), col("hour"))
       .agg(count(lit(1)).as("n_photos"),
         min(col("doc_id")).as("survivor"),

@@ -862,6 +862,61 @@ class StreamingSpec extends SparkFunSuite {
       s"degenerate feed: $reasons")
   }
 
+  test("streaming burst gate equals the one-shot batch audit across trigger splits") {
+    val photos = graft.ops.Multimodal.exifMetaTable(spark, sf)
+      .select(col("doc_id"), col("content"))
+      .orderBy(col("doc_id")).collect()
+    val want = graft.ops.Multimodal.qExifBurstDedup(spark, sf)
+      .collect().map(_.toSeq).toSet
+    Seq(Seq(photos.take(80), photos.drop(80)),
+        Seq(photos.take(40), photos.slice(40, 111), photos.drop(111))).foreach { split =>
+      val dir = tmpDir("burst-feed")
+      split.foreach { c =>
+        spark.createDataFrame(
+          spark.sparkContext.parallelize(c.toSeq, 1),
+          ExifIngestStream.photoSchema)
+          .coalesce(1).write.mode("append").parquet(dir)
+        Thread.sleep(60) // distinct mtimes => deterministic arrival order
+      }
+      val (verdicts, registry) =
+        ExifIngestStream.burstGate(spark, dir, tmpDir("burst-ckpt"))
+      // id-ordered arrivals ⇒ first-arrival survivors are min-id
+      // survivors ⇒ the final registry's collision groups ARE the batch
+      // audit's rows, under either split
+      val got = registry.filter(col("n_photos") >= 2)
+        .select(col("lat_cell"), col("lon_cell"), col("hour"),
+          col("n_photos"), col("survivor"),
+          (col("n_photos") - 1).as("n_dropped"))
+        .collect().map(_.toSeq).toSet
+      assert(got === want)
+      // verdict discipline: every decodable arrival verdicts exactly once;
+      // admitted iff it is its group's survivor; dups carry the survivor
+      val vs = verdicts.collect()
+      assert(vs.length === photos.length)
+      val surv = registry.collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getLong(2)) -> r.getAs[Long]("survivor")).toMap
+      vs.foreach { r =>
+        val k = (r.getLong(1), r.getLong(2), r.getLong(3))
+        if (r.getAs[Boolean]("admitted")) {
+          assert(r.isNullAt(4)); assert(surv(k) === r.getLong(0))
+        } else assert(r.getLong(4) === surv(k))
+      }
+      // registry mass equals the arrival count — nothing double-counted
+      assert(registry.collect().map(_.getAs[Long]("n_photos")).sum === photos.length)
+    }
+    // a corrupt payload is quarantined: keys drop it, registry unmoved
+    val dir2 = tmpDir("burst-feed-bad")
+    val bad = Array((photos.head.getLong(0) + 1000000L,
+      "not a jpeg at all".getBytes("UTF-8")))
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(
+        bad.toSeq.map(t => org.apache.spark.sql.Row(t._1, t._2)), 1),
+      ExifIngestStream.photoSchema)
+      .coalesce(1).write.mode("append").parquet(dir2)
+    val (v2, r2) = ExifIngestStream.burstGate(spark, dir2, tmpDir("burst-ckpt-bad"))
+    assert(v2.count() === 0L && r2.count() === 0L)
+  }
+
   test("streaming IVF ingest leaves an index identical to the one-shot refresh") {
     val emb = spark.read.parquet(s"$sf/embeddings.parquet")
     val corpus = emb.filter(pmod(col("vec_id"), lit(5)) =!= 0)
