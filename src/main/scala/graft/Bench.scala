@@ -117,10 +117,12 @@ object Bench {
       // round 13: the new broadcast-apply classifier and the per-epoch
       // window packer — first decade measured the round they land
       "q_quality_classifier", "q_epoch_order",
-      // round 13c: classifier-as-filter composite and the mixing audit —
-      // first decade measured the round they land (exif_meta is a pure
-      // narrow codegen walk; the media family's linearity is established)
-      "q_pipeline_gated", "q_epoch_mixing")
+      // round 13c: every new query measures its first decade the round it
+      // lands — the composite, both single-aggregate audits, and the
+      // burst walk+aggregate (exif_meta itself is a pure narrow codegen
+      // walk; the media family's per-row linearity is established)
+      "q_pipeline_gated", "q_epoch_mixing", "q_batch_buckets",
+      "q_exif_burst_dedup")
     val (sf1Rows, sf1Skipped, sf1Dir) = if (!sf1Enabled) (Seq.empty, Seq.empty, "") else {
       val dst = sys.env.getOrElse("SPARK_GRAFT_SF1_DIR", "/tmp/graft-sf1")
       ScaleProbe.synthesize(spark, sfDir, dst)

@@ -88,10 +88,13 @@ case class ExifGps(child: Expression, lon: Boolean) extends UnaryExpression {
     copy(child = newChild)
 }
 
-/** Shared TIFF/IFD byte-walk helpers for the EXIF metadata expressions.
-  * Self-contained (the [[ExifOrient]] walk stays untouched); every read is
-  * bounds-checked against the APP1 segment end so a truncated or hostile
-  * payload returns the absent sentinel instead of reading out of range.
+/** THE TIFF/IFD byte walk of the EXIF expression family — one marker
+  * scan, header parse, and entry scan shared by [[ExifOrient]],
+  * [[ExifDateTime]] and [[ExifGps]] so the parse discipline cannot drift
+  * between them. Every read is bounds-checked against the APP1 segment
+  * end IN LONG ARITHMETIC (a hostile offset near Int.MaxValue must not
+  * wrap the check), so a truncated or crafted payload returns the absent
+  * sentinel instead of reading out of range.
   */
 object ExifMeta {
 
@@ -110,7 +113,7 @@ object ExifMeta {
   /** Locate the TIFF block inside the APP1 EXIF segment:
     * returns `tiffStart << 32 | segEnd` (both ints), or -1.
     */
-  private def findTiff(b: Array[Byte]): Long = {
+  private[functions] def findTiff(b: Array[Byte]): Long = {
     if (b.length < 4 || (b(0) & 0xff) != 0xff || (b(1) & 0xff) != 0xd8) return -1L
     var i = 2
     while (i + 4 <= b.length && (b(i) & 0xff) == 0xff) {
@@ -127,18 +130,18 @@ object ExifMeta {
     -1L
   }
 
-  private def u16(b: Array[Byte], i: Int, le: Boolean): Int =
+  private[functions] def u16(b: Array[Byte], i: Int, le: Boolean): Int =
     if (le) (b(i) & 0xff) | ((b(i + 1) & 0xff) << 8)
     else ((b(i) & 0xff) << 8) | (b(i + 1) & 0xff)
 
-  private def u32(b: Array[Byte], i: Int, le: Boolean): Long =
+  private[functions] def u32(b: Array[Byte], i: Int, le: Boolean): Long =
     if (le) (b(i) & 0xffL) | ((b(i + 1) & 0xffL) << 8) |
       ((b(i + 2) & 0xffL) << 16) | ((b(i + 3) & 0xffL) << 24)
     else ((b(i) & 0xffL) << 24) | ((b(i + 1) & 0xffL) << 16) |
       ((b(i + 2) & 0xffL) << 8) | (b(i + 3) & 0xffL)
 
   /** TIFF header check; returns IFD0 absolute position or -1. */
-  private def ifd0(b: Array[Byte], tiff: Int, end: Int): Int = {
+  private[functions] def ifd0(b: Array[Byte], tiff: Int, end: Int): Int = {
     if (tiff + 8 > end) return -1
     val le =
       if (b(tiff) == 'I' && b(tiff + 1) == 'I') true
@@ -149,10 +152,10 @@ object ExifMeta {
     if (off < 8L || tiff + off + 2L > end) -1 else tiff + off.toInt
   }
 
-  private def isLe(b: Array[Byte], tiff: Int): Boolean = b(tiff) == 'I'
+  private[functions] def isLe(b: Array[Byte], tiff: Int): Boolean = b(tiff) == 'I'
 
   /** Scan the IFD at `ifd` for `tag`; returns the ENTRY position or -1. */
-  private def findEntry(b: Array[Byte], ifd: Int, end: Int, le: Boolean,
+  private[functions] def findEntry(b: Array[Byte], ifd: Int, end: Int, le: Boolean,
       tag: Int): Int = {
     if (ifd < 0 || ifd + 2 > end) return -1
     val n = u16(b, ifd, le)
@@ -179,8 +182,11 @@ object ExifMeta {
     // ASCII(20): "YYYY:MM:DD HH:MM:SS\0" — 20 > 4, so the value field is
     // an offset into the TIFF block
     if (e < 0 || u16(b, e + 2, le) != 2 || u32(b, e + 4, le) != 20L) return -1L
-    val s = tiff + u32(b, e + 8, le).toInt
-    if (s < tiff || s + 20 > end) return -1L
+    // offset arithmetic in Long: an offset near 2^31 must fail the bound,
+    // not wrap it
+    val sL = tiff + u32(b, e + 8, le)
+    if (sL < tiff || sL + 20L > end) return -1L
+    val s = sL.toInt
     def dig(i: Int): Int = { val c = b(s + i) - '0'; if (c < 0 || c > 9) -1 else c }
     def num(i: Int, n: Int): Long = {
       var v = 0L; var k = 0
@@ -228,8 +234,9 @@ object ExifMeta {
     // RATIONAL(5) × 3 at an offset: (deg num, den)(min num, den)(sec num, den)
     val eC = findEntry(b, gIfd, end, le, if (lon) 0x0004 else 0x0002)
     if (eC < 0 || u16(b, eC + 2, le) != 5 || u32(b, eC + 4, le) != 3L) return None_
-    val r = tiff + u32(b, eC + 8, le).toInt
-    if (r < tiff || r + 24 > end) return None_
+    val rL = tiff + u32(b, eC + 8, le)
+    if (rL < tiff || rL + 24L > end) return None_
+    val r = rL.toInt
     var uas = 0L
     var t = 0
     while (t < 3) {

@@ -56,55 +56,24 @@ object ExifOrient {
   def apply(c: Column): Column =
     ColumnBridge.column(ExifOrient(ColumnBridge.expression(c)))
 
-  /** Packed byte-order + orientation, -1 if absent or malformed. */
+  /** Packed byte-order + orientation, -1 if absent or malformed — the
+    * IFD0 SHORT read over the ONE shared walk ([[ExifMeta]]'s marker
+    * scan / header parse / entry scan), so the family's parse discipline
+    * lives in a single place.
+    */
   def packedOrient(b: Array[Byte]): Long = {
-    if (b.length < 4 || (b(0) & 0xff) != 0xff || (b(1) & 0xff) != 0xd8) return -1L
-    var i = 2
-    while (i + 4 <= b.length && (b(i) & 0xff) == 0xff) {
-      val m = b(i + 1) & 0xff
-      if (m == 0xda || m == 0xd9) return -1L // entropy data / EOI: no EXIF
-      val segLen = ((b(i + 2) & 0xff) << 8) | (b(i + 3) & 0xff)
-      if (segLen < 2 || i + 2 + segLen > b.length) return -1L
-      if (m == 0xe1 && segLen >= 16 &&
-          b(i + 4) == 'E' && b(i + 5) == 'x' && b(i + 6) == 'i' && b(i + 7) == 'f' &&
-          b(i + 8) == 0 && b(i + 9) == 0)
-        return fromTiff(b, i + 10, i + 2 + segLen)
-      i += 2 + segLen
-    }
-    -1L
-  }
-
-  /** Parse orientation out of the TIFF structure in b[tiff, end). */
-  private def fromTiff(b: Array[Byte], tiff: Int, end: Int): Long = {
-    if (tiff + 8 > end) return -1L
-    val le =
-      if (b(tiff) == 'I' && b(tiff + 1) == 'I') true
-      else if (b(tiff) == 'M' && b(tiff + 1) == 'M') false
-      else return -1L
-    def u16(i: Int): Int =
-      if (le) (b(i) & 0xff) | ((b(i + 1) & 0xff) << 8)
-      else ((b(i) & 0xff) << 8) | (b(i + 1) & 0xff)
-    def u32(i: Int): Long =
-      if (le) (b(i) & 0xffL) | ((b(i + 1) & 0xffL) << 8) |
-        ((b(i + 2) & 0xffL) << 16) | ((b(i + 3) & 0xffL) << 24)
-      else ((b(i) & 0xffL) << 24) | ((b(i + 1) & 0xffL) << 16) |
-        ((b(i + 2) & 0xffL) << 8) | (b(i + 3) & 0xffL)
-    if (u16(tiff + 2) != 42) return -1L
-    val ifdOff = u32(tiff + 4)
-    if (ifdOff < 8 || tiff + ifdOff + 2 > end) return -1L
-    val ifd = tiff + ifdOff.toInt
-    val n = u16(ifd)
-    var j = 0
-    while (j < n) {
-      val e = ifd + 2 + 12 * j
-      if (e + 12 > end) return -1L
-      // SHORT values sit left-justified in the 4-byte value field
-      if (u16(e) == 0x0112 && u16(e + 2) == 3 && u32(e + 4) == 1L) {
-        val v = u16(e + 8)
-        return if (v >= 1 && v <= 8) ((if (le) 0L else 1L) << 16) | v else -1L
-      }
-      j += 1
-    }
-    -1L
+    val loc = ExifMeta.findTiff(b)
+    if (loc < 0L) return -1L
+    val tiff = (loc >>> 32).toInt
+    val end = (loc & 0xffffffffL).toInt
+    val le = ExifMeta.isLe(b, tiff)
+    val i0 = ExifMeta.ifd0(b, tiff, end)
+    if (i0 < 0) return -1L
+    val e = ExifMeta.findEntry(b, i0, end, le, 0x0112)
+    // SHORT(3) count 1, value left-justified in the 4-byte field
+    if (e < 0 || ExifMeta.u16(b, e + 2, le) != 3 ||
+        ExifMeta.u32(b, e + 4, le) != 1L) return -1L
+    val v = ExifMeta.u16(b, e + 8, le)
+    if (v >= 1 && v <= 8) ((if (le) 0L else 1L) << 16) | v else -1L
   }
 }

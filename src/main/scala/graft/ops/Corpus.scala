@@ -140,6 +140,17 @@ object Corpus {
   /** Shards per epoch in [[qEpochOrder]]. */
   val EpochShards = 8
 
+  /** THE epoch-shuffle priority — md5(`epoch:doc_id`) first-8-hex as a
+    * long — in one place (Spark column + SQL fragment) so the order
+    * ([[qEpochOrder]]) and the audit over it ([[qEpochMixing]]) cannot
+    * silently decouple. Expects `epoch` and `doc_id` columns in scope.
+    */
+  private def epochHash: Column =
+    conv(substring(md5(concat_ws(":", col("epoch"), col("doc_id"))), 1, 8),
+      16, 10).cast("long")
+  private val epochHashSql =
+    "CAST(concat('0x', substring(md5(concat(epoch, ':', doc_id)), 1, 8)) AS BIGINT)"
+
   /** EPOCH-SHUFFLE / training-order operator: the reproducible data
     * ORDER a training run consumes — per epoch, a deterministic global
     * shuffle (priority = md5(`epoch:doc_id`), the [[qSampleDet]]
@@ -169,9 +180,7 @@ object Corpus {
         graft.functions.TokenCount(col("text")).cast("long").as("n_tokens"))
       .select(col("doc_id"), col("n_tokens"),
         explode(sequence(lit(0L), lit(EpochCount - 1L))).as("epoch"))
-      .withColumn("h",
-        conv(substring(md5(concat_ws(":", col("epoch"), col("doc_id"))), 1, 8),
-          16, 10).cast("long"))
+      .withColumn("h", epochHash)
       .withColumn("shard", pmod(col("h"), lit(EpochShards)))
       .withColumn("start_tok", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
       .withColumn("chunk_id", floor(col("start_tok") / lit(PackBudget)))
@@ -189,8 +198,7 @@ object Corpus {
        |  SELECT doc_id, n_tokens, unnest(range($EpochCount)) AS epoch FROM d
        |), h AS (
        |  SELECT epoch, doc_id, n_tokens,
-       |    CAST(concat('0x', substring(md5(concat(epoch, ':', doc_id)), 1, 8)) AS BIGINT)
-       |      AS h
+       |    $epochHashSql AS h
        |  FROM e
        |), o AS (
        |  SELECT epoch, h % $EpochShards AS shard, doc_id, n_tokens,
@@ -225,9 +233,7 @@ object Corpus {
     table(spark, dir, "documents")
       .select(col("doc_id"), col("source"),
         explode(sequence(lit(0L), lit(EpochCount - 1L))).as("epoch"))
-      .withColumn("shard",
-        pmod(conv(substring(md5(concat_ws(":", col("epoch"), col("doc_id"))), 1, 8),
-          16, 10).cast("long"), lit(EpochShards)))
+      .withColumn("shard", pmod(epochHash, lit(EpochShards)))
       .groupBy(col("epoch"), col("shard"), col("source"))
       .agg(count(lit(1)).as("cnt"))
       .groupBy(col("epoch"), col("shard"))
@@ -241,9 +247,7 @@ object Corpus {
     s"""WITH e AS (
        |  SELECT doc_id, source, unnest(range($EpochCount)) AS epoch FROM documents
        |), a AS (
-       |  SELECT epoch,
-       |    CAST(concat('0x', substring(md5(concat(epoch, ':', doc_id)), 1, 8)) AS BIGINT)
-       |      % $EpochShards AS shard,
+       |  SELECT epoch, $epochHashSql % $EpochShards AS shard,
        |    source, CAST(count(*) AS BIGINT) AS cnt
        |  FROM e GROUP BY 1, 2, 3
        |)
@@ -262,7 +266,10 @@ object Corpus {
     * waste — the exact-integer table that, read against
     * [[qPaddingWaste]], decides pack-vs-bucket for a corpus. The bucket
     * ceiling is a branch ladder (16 … 4096, else 8192) rather than a
-    * float `log2`, so both engines bucket bit-identically.
+    * float `log2`, so both engines bucket bit-identically; 8192 is the
+    * MAX-SEQUENCE-LENGTH bucket — a longer document is truncated to it
+    * (the standard max-len policy), so its token contribution is
+    * `least(n_tokens, bucket)` and waste is ≥ 0 in every bucket.
     *
     * Shape at 100 TB: one narrow projection (native
     * [[graft.functions.TokenCount]], no tokenize-explode) into one
@@ -277,9 +284,10 @@ object Corpus {
       .withColumn("bucket", bucket)
       .groupBy(col("bucket"))
       .agg(count(lit(1)).as("n_docs"),
-        sum(col("n_tokens")).as("n_tokens"),
+        sum(least(col("n_tokens"), col("bucket"))).as("n_tokens"),
         (count(lit(1)) * col("bucket")).as("padded_tokens"),
-        (count(lit(1)) * col("bucket") - sum(col("n_tokens"))).as("waste_tokens"))
+        (count(lit(1)) * col("bucket") -
+          sum(least(col("n_tokens"), col("bucket")))).as("waste_tokens"))
       .select(col("bucket"), col("n_docs"), col("n_tokens"),
         col("padded_tokens"), col("waste_tokens"))
       .orderBy(col("bucket"))
@@ -300,9 +308,9 @@ object Corpus {
       |)
       |SELECT CAST(bucket AS BIGINT) AS bucket,
       |  CAST(count(*) AS BIGINT) AS n_docs,
-      |  CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+      |  CAST(sum(least(n_tokens, bucket)) AS BIGINT) AS n_tokens,
       |  CAST(count(*) * bucket AS BIGINT) AS padded_tokens,
-      |  CAST(count(*) * bucket - sum(n_tokens) AS BIGINT) AS waste_tokens
+      |  CAST(count(*) * bucket - sum(least(n_tokens, bucket)) AS BIGINT) AS waste_tokens
       |FROM b GROUP BY b.bucket ORDER BY 1""".stripMargin
 
   /** Benchmark decontamination: every corpus document sharing at least one

@@ -763,29 +763,17 @@ object Multimodal {
       |WHERE doc_id % 3 = 1
       |ORDER BY doc_id""".stripMargin
 
-  /** BURST dedup over decoded EXIF metadata — the image-corpus duplicate
-    * pattern no text fingerprint catches: a camera firing N shots of the
-    * same scene produces pixel-distinct files whose CAPTURE CONTEXT
-    * coincides, so image pipelines dedup on (place, time) cells before
-    * any expensive visual hash. Groups photos by 10°-geo-cell + capture
-    * hour — every key decoded FROM THE BYTES by the [[exifMetaTable]]
-    * walks ([[graft.functions.ExifGps]] micro-arcseconds sign-shifted to
-    * non-negative so integer DIV is floor in both engines;
-    * [[graft.functions.ExifDateTime]]'s packed decimal sliced by
-    * DIV/mod) — and emits only the collision groups with their min-id
-    * survivor and the duplicate count the dedup would drop.
-    *
-    * Shape at 100 TB: one narrow codegen projection (three byte walks,
-    * no decode) → one map-side-combinable hash aggregate on the cell
-    * key → count filter; group cardinality is bounded by cells×hours,
-    * never by photo pairs.
-    */
   /** `(doc_id, lat_cell, lon_cell, hour)` decoded from photo bytes — the
     * ONE place the burst key formula lives, shared by the batch audit and
     * the streaming ingest gate ([[graft.streaming.ExifIngestStream]]) so
     * the cell/hour discipline cannot diverge between them. Rows whose
-    * payload does not decode (any walk null) are DROPPED — the gate's
-    * quarantine path, not its dedup path.
+    * payload does not decode OR decodes to an out-of-range coordinate
+    * (|lat| > 90°, |lon| > 180° — values [[graft.functions.ExifGps]]'s
+    * u31 bound admits but no valid GPS IFD produces) are DROPPED — the
+    * gate's quarantine path, not its dedup path. The range guard also
+    * keeps the shifted cell value non-negative, where integer DIV is
+    * floor in BOTH engines (Spark DIV truncates toward zero, DuckDB `//`
+    * floors — they only agree above zero).
     */
   def burstKeys(photos: DataFrame): DataFrame =
     photos
@@ -793,12 +781,29 @@ object Multimodal {
         graft.functions.ExifMeta.dateTime(col("content")).as("dt"),
         graft.functions.ExifMeta.gpsLat(col("content")).as("lat"),
         graft.functions.ExifMeta.gpsLon(col("content")).as("lon"))
-      .filter(col("dt").isNotNull && col("lat").isNotNull && col("lon").isNotNull)
+      .filter(col("dt").isNotNull &&
+        abs(col("lat")) <= lit(324000000000L) &&
+        abs(col("lon")) <= lit(648000000000L))
       .select(col("doc_id"),
         expr("(lat + 324000000000) DIV 36000000000").as("lat_cell"),
         expr("(lon + 648000000000) DIV 36000000000").as("lon_cell"),
         expr("dt DIV 10000 % 100").as("hour"))
 
+  /** BURST dedup over decoded EXIF metadata — the image-corpus duplicate
+    * pattern no text fingerprint catches: a camera firing N shots of the
+    * same scene produces pixel-distinct files whose CAPTURE CONTEXT
+    * coincides, so image pipelines dedup on (place, time) cells before
+    * any expensive visual hash. Groups photos by 10°-geo-cell + capture
+    * hour — every key decoded FROM THE BYTES by the [[burstKeys]]
+    * formula over [[exifMetaTable]] — and emits only the collision
+    * groups with their min-id survivor and the duplicate count the
+    * dedup would drop.
+    *
+    * Shape at 100 TB: one narrow codegen projection (three byte walks,
+    * no decode) → one map-side-combinable hash aggregate on the cell
+    * key → count filter; group cardinality is bounded by cells×hours,
+    * never by photo pairs.
+    */
   def qExifBurstDedup(spark: SparkSession, dir: String): DataFrame =
     burstKeys(exifMetaTable(spark, dir))
       .groupBy(col("lat_cell"), col("lon_cell"), col("hour"))

@@ -331,10 +331,21 @@ class CorpusSpec extends SparkFunSuite {
     // bucketing is total: every document lands in exactly one bucket
     val total = spark.read.parquet(s"$sf/documents.parquet").count()
     assert(rows.values.map(_._1).sum === total)
-    // an independent JVM recount of one bucket's membership agrees
+    // an independent JVM recount of bucket membership, using TokenCount's
+    // actual convention (1 + whitespace-run count, boundary empties kept)
+    def tokCount(s: String): Int = {
+      var runs = 0; var inWs = false
+      s.foreach { c =>
+        val ws = c == ' ' || c == '\t' || c == '\n' || c == '\u000b' ||
+          c == '\f' || c == '\r'
+        if (ws && !inWs) runs += 1
+        inWs = ws
+      }
+      runs + 1
+    }
     val counts = spark.read.parquet(s"$sf/documents.parquet")
       .select(col("text")).collect()
-      .map(_.getString(0).toLowerCase.split("\\s+").count(_.nonEmpty))
+      .map(r => tokCount(r.getString(0)))
     def ceilPow2(n: Int): Long = ladder.find(_ >= n).getOrElse(8192L)
     val expect = counts.groupBy(c => ceilPow2(c)).view.mapValues(_.length.toLong).toMap
     assert(rows.view.mapValues(_._1).toMap === expect)

@@ -188,6 +188,19 @@ class MultimodalPrepSpec extends SparkFunSuite {
       // truncation inside the TIFF block → clean reject, no OOB read
       assert(ExifMeta.packedDateTime(good.take(tiff + 150)) === -1L)
       assert(ExifMeta.gpsMicroArcsec(good.take(tiff + 150), lon = true) === None_)
+      // hostile value-offset near Int.MaxValue: the bounds check must
+      // fail in Long arithmetic, not wrap into an out-of-range read
+      val le = id % 2 == 0
+      val off = 0x7FFFFFE8L
+      val offLe = Array[Byte]((off & 0xff).toByte, ((off >> 8) & 0xff).toByte,
+        ((off >> 16) & 0xff).toByte, ((off >> 24) & 0xff).toByte)
+      val offBytes = if (le) offLe else offLe.reverse
+      val hostileDt = good.clone() // DateTime entry @34, value field @+8
+      (0 until 4).foreach(i => hostileDt(tiff + 34 + 8 + i) = offBytes(i))
+      assert(ExifMeta.packedDateTime(hostileDt) === -1L)
+      val hostileGps = good.clone() // GPSLatitude entry @76, value field @+8
+      (0 until 4).foreach(i => hostileGps(tiff + 76 + 8 + i) = offBytes(i))
+      assert(ExifMeta.gpsMicroArcsec(hostileGps, lon = false) === None_)
     }
   }
 
