@@ -28,7 +28,28 @@ object GraftSession {
       "token_count",
       (exprs: Seq[Expression]) => functions.TokenCount(exprs(0)),
       "built-in")
+    unaryWalkers.foreach { case (name, mk) =>
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        name, (exprs: Seq[Expression]) => mk(exprs(0)), "built-in")
+    }
   }
+
+  /** The unary media byte walkers, registered under their SQL names so
+    * SQL text can run the decode-free prep path
+    * (`SELECT exif_datetime(content) ...`) — same expressions the Column
+    * surfaces wrap.
+    */
+  private[graft] val unaryWalkers: Seq[(String, Expression => Expression)] = Seq(
+    "image_dims" -> (functions.ImageDims(_)),
+    "mp4_meta" -> (functions.Mp4Meta(_)),
+    "wav_meta" -> (functions.WavMeta(_)),
+    "wav_data_len" -> (functions.WavDataLen(_)),
+    "jpeg_dqt" -> (functions.JpegDqt(_)),
+    "exif_orient" -> (functions.ExifOrient(_)),
+    "exif_datetime" -> (functions.ExifDateTime(_)),
+    "exif_gps_lat" -> (functions.ExifGps(_, lon = false)),
+    "exif_gps_lon" -> (functions.ExifGps(_, lon = true)),
+  )
 
   /** Builder with the engine's recommended configuration; callers add
     * master/memory. `nanosAsLong` is set up front so parquet ns timestamps
@@ -69,6 +90,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
         classOf[graft.functions.TokenCount].getName, "token_count"),
       (exprs: Seq[Expression]) => graft.functions.TokenCount(exprs(0))))
+    GraftSession.unaryWalkers.foreach { case (name, mk) =>
+      e.injectFunction((
+        org.apache.spark.sql.catalyst.FunctionIdentifier(name),
+        new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+          mk(org.apache.spark.sql.catalyst.expressions.Literal(null)).getClass.getName,
+          name),
+        (exprs: Seq[Expression]) => mk(exprs(0))))
+    }
     e.injectPlannerStrategy(_ => new graft.plans.TopKPerKeyStrategy)
     e.injectOptimizerRule(_ => graft.plans.NativeTopKRule)
   }

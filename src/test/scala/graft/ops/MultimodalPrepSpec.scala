@@ -231,6 +231,29 @@ class MultimodalPrepSpec extends SparkFunSuite {
     assert(rows === expect)
   }
 
+  test("media walkers are SQL-callable through both registration surfaces") {
+    Multimodal.exifMetaTable(spark, sf).createOrReplaceTempView("t_exif_sql")
+    // the extension injection (GraftExtensions) and the temp-function
+    // registration (registerFunctions) expose the same expressions
+    graft.GraftSession.registerFunctions(spark)
+    val rows = spark.sql(
+      """SELECT doc_id, exif_datetime(content) AS dt,
+        |  exif_gps_lat(content) AS lat, exif_gps_lon(content) AS lon,
+        |  exif_orient(content) & 65535 AS orient,
+        |  image_dims(content) AS dims
+        |FROM t_exif_sql ORDER BY doc_id""".stripMargin).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val id = r.getLong(0)
+      val dt = (2000 + id % 26) * 10000000000L + (id % 12 + 1) * 100000000L +
+        (id % 28 + 1) * 1000000L + (id % 24) * 10000L + (id % 60) * 100L + (id * 7) % 60
+      assert(r.getLong(1) === dt)
+      assert(!r.isNullAt(2) && !r.isNullAt(3))
+      assert(r.getLong(4) === id % 8 + 1)
+      assert(!r.isNullAt(5)) // the SOF0 dims walk sees the same payload
+    }
+  }
+
   test("audio frame grid: 8 in-range sample centers, byte offsets on block boundaries") {
     val rows = Multimodal.qMultimodalAudioFrames(spark, sf).collect()
     assert(rows.nonEmpty)
