@@ -231,6 +231,39 @@ class MultimodalPrepSpec extends SparkFunSuite {
     assert(rows === expect)
   }
 
+  test("exif walks never throw: random payloads and point mutations of valid ones") {
+    import graft.functions.{ExifMeta, ExifOrient}
+    val rnd = new scala.util.Random(13L) // deterministic
+    def walkAll(b: Array[Byte]): Unit = {
+      ExifMeta.packedDateTime(b)
+      ExifMeta.gpsMicroArcsec(b, lon = false)
+      ExifMeta.gpsMicroArcsec(b, lon = true)
+      ExifOrient.packedOrient(b)
+    }
+    // pure-random payloads, some with a JPEG SOI + APP1 prefix so the
+    // scan enters the TIFF parse with garbage behind it
+    (0 until 2000).foreach { i =>
+      val b = new Array[Byte](rnd.nextInt(260))
+      rnd.nextBytes(b)
+      if (i % 3 == 0 && b.length >= 12) {
+        b(0) = 0xFF.toByte; b(1) = 0xD8.toByte; b(2) = 0xFF.toByte
+        b(3) = 0xE1.toByte; b(4) = 0; b(5) = (b.length - 4).toByte
+        b(6) = 'E'; b(7) = 'x'; b(8) = 'i'; b(9) = 'f'; b(10) = 0; b(11) = 0
+      }
+      walkAll(b) // must return, never throw
+    }
+    // single-byte mutations of a VALID payload: every position, a few
+    // values — the walk must reject or reinterpret, never read OOB
+    val good = Multimodal.exifMetaTable(spark, sf)
+      .select(col("content")).head().getAs[Array[Byte]](0)
+    (0 until good.length).foreach { p =>
+      Seq(0x00, 0x7F, 0xFF).foreach { v =>
+        val m = good.clone(); m(p) = v.toByte
+        walkAll(m)
+      }
+    }
+  }
+
   test("media walkers are SQL-callable through both registration surfaces") {
     Multimodal.exifMetaTable(spark, sf).createOrReplaceTempView("t_exif_sql")
     // the extension injection (GraftExtensions) and the temp-function
