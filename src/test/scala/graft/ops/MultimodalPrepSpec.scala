@@ -264,6 +264,24 @@ class MultimodalPrepSpec extends SparkFunSuite {
     }
   }
 
+  test("container walkers never throw: point mutations of valid image/wav/mp4 payloads") {
+    import graft.functions.{ImageDims, JpegDqt, Mp4Meta, WavDataLen, WavMeta}
+    def walkAll(b: Array[Byte]): Unit = {
+      ImageDims.packedDims(b); JpegDqt.firstQuant(b)
+      Mp4Meta.packedMeta(b); WavMeta.packedMeta(b); WavDataLen.dataLen(b)
+    }
+    Seq(Multimodal.imageTable(spark, sf), Multimodal.wavTable(spark, sf),
+        Multimodal.mp4Table(spark, sf)).foreach { t =>
+      val good = t.select(col("content")).head().getAs[Array[Byte]](0)
+      (0 until good.length).foreach { p =>
+        Seq(0x00, 0x7F, 0xFF).foreach { v =>
+          val m = good.clone(); m(p) = v.toByte
+          walkAll(m) // reject or reinterpret, never read OOB
+        }
+      }
+    }
+  }
+
   test("media walkers are SQL-callable through both registration surfaces") {
     Multimodal.exifMetaTable(spark, sf).createOrReplaceTempView("t_exif_sql")
     // the extension injection (GraftExtensions) and the temp-function
