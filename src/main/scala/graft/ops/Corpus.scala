@@ -212,6 +212,31 @@ object Corpus {
        |  arg_min(doc_id, start_tok) AS first_doc
        |FROM o GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin
 
+  /** MATERIALIZE the training order [[qEpochOrder]] plans: write the
+    * corpus as `epoch=<e>/shard=<s>/` parquet with each shard file's ROWS
+    * IN TRAINING ORDER — the artifact a data loader actually consumes
+    * (it reads shard files sequentially; if the file order is not the
+    * epoch order, the reproducibility of the plan never reaches the
+    * trainer). One hash repartition on (epoch, shard) puts each shard in
+    * exactly one task, `sortWithinPartitions` on the md5 priority orders
+    * it, and `partitionBy` lays the directories out — no global sort,
+    * shards write in parallel across the cluster. Returns the written
+    * row count.
+    */
+  def writeEpochShards(spark: SparkSession, dir: String, outDir: String): Long = {
+    val staged = table(spark, dir, "documents")
+      .select(col("doc_id"),
+        graft.functions.TokenCount(col("text")).cast("long").as("n_tokens"),
+        explode(sequence(lit(0L), lit(EpochCount - 1L))).as("epoch"))
+      .withColumn("h", epochHash)
+      .withColumn("shard", pmod(col("h"), lit(EpochShards)))
+      .repartition(col("epoch"), col("shard"))
+      .sortWithinPartitions(col("epoch"), col("shard"), col("h"), col("doc_id"))
+    staged.write.mode("overwrite")
+      .partitionBy("epoch", "shard").parquet(outDir)
+    spark.read.parquet(outDir).count()
+  }
+
   /** Training-order MIXING audit over [[qEpochOrder]]'s shard assignment —
     * the check a reproducible epoch shuffle has to pass before anyone
     * trains on it: a shard dominated by one source feeds the optimizer

@@ -286,6 +286,37 @@ class CorpusSpec extends SparkFunSuite {
     assert(layouts(0L) !== layouts(1L))
   }
 
+  test("epoch shard files come out in training order and cover every epoch exactly once") {
+    val out = tmpDir("epoch-shards")
+    val n = Corpus.writeEpochShards(spark, sf, out)
+    val total = spark.read.parquet(s"$sf/documents.parquet").count()
+    assert(n === total * Corpus.EpochCount)
+    // the expected order per shard, independently recomputed
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id")).collect().map(_.getLong(0))
+    def h(e: Long, id: Long): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$e:$id".getBytes("UTF-8"))
+      java.lang.Long.parseLong(md.take(4).map(b => f"$b%02x").mkString, 16)
+    }
+    (0L until Corpus.EpochCount.toLong).foreach { e =>
+      (0L until Corpus.EpochShards.toLong).foreach { s =>
+        val want = docs.map(id => (h(e, id), id))
+          .filter { case (hh, _) => hh % Corpus.EpochShards == s }
+          .sorted.map(_._2).toSeq
+        // one task wrote the shard, so one file; parquet preserves the
+        // written row order within a file — this IS the loader's view
+        val dir = s"$out/epoch=$e/shard=$s"
+        val files = new java.io.File(dir).listFiles()
+          .filter(_.getName.endsWith(".parquet"))
+        assert(files.length === 1, s"$dir should hold exactly one shard file")
+        val got = spark.read.parquet(files.head.getPath)
+          .select(col("doc_id")).collect().map(_.getLong(0)).toSeq
+        assert(got === want, s"epoch $e shard $s out of training order")
+      }
+    }
+  }
+
   test("epoch mixing: reconciles with the epoch order; Simpson bounds hold per shard") {
     val mix = Corpus.qEpochMixing(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1)) ->
