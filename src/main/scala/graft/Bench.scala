@@ -95,7 +95,9 @@ object Bench {
       case _           => true
     }
     val sf1Top = sys.env.getOrElse("SPARK_GRAFT_SF1_TOP", "20").toInt
-    val sf1Budget = sys.env.getOrElse("SPARK_GRAFT_SF1_BUDGET", "1500").toDouble
+    // 1500 → 2000 with the round-13c best-of-2 probe attempts (the second
+    // attempt rides the first's warm page cache, so <2× in practice)
+    val sf1Budget = sys.env.getOrElse("SPARK_GRAFT_SF1_BUDGET", "2000").toDouble
     // probed regardless of rank: the two round-10 re-registered pair
     // queries (their sub-quadratic claim is exactly what the probe
     // audits), plus one representative per family that reads the
@@ -138,14 +140,19 @@ object Bench {
       val done = scala.collection.mutable.ArrayBuffer.empty[(String, Double, Double, Double, Boolean)]
       val skipped = scala.collection.mutable.ArrayBuffer.empty[String]
       val failed = scala.collection.mutable.ArrayBuffer.empty[String]
-      // Contention-proofing (VERDICT r12 item 1): the r12 record carried
-      // 23× for a plan that measures 2.89× clean, because each sf1 entry
-      // was ONE unflagged run and the box's roaming load landed on it.
-      // Every entry now carries its own sentinel reading; an entry whose
-      // sentinel exceeds the quiet bar (2× the suite's median, floored at
-      // 150 ms) is re-run once, the faster attempt kept, and the entry
-      // listed under "sf1_contended" if its sentinel STILL exceeds the
-      // bar — a hot ratio can no longer be mistaken for a plan property.
+      // Contention-proofing (VERDICT r12 item 1) + attempt SYMMETRY
+      // (round 13c): the r12 record carried 23× for a plan that measures
+      // 2.89× clean (one unflagged run, roaming load); the r13 records
+      // then swung 3.8×–11.4× for the SAME pagerank plan because the
+      // suite leg is best-of-N (warm: footers cached, codegen compiled)
+      // while the sf1 leg was a single COLD attempt retried only when
+      // the sentinel was hot — a warm denominator under a cold numerator
+      // overstates every unretried ratio. Every sf1 entry now gets the
+      // SAME best-of-2 the suite leg got (budget-guarded), carries its
+      // own sentinel reading, and is listed under "sf1_contended" if the
+      // kept attempt's sentinel exceeds the quiet bar (2× the suite's
+      // median, floored at 150 ms) — a hot or cold-start ratio can no
+      // longer be mistaken for a plan property.
       val suiteCalibs = results.flatMap(_._4).sorted
       val quietBar =
         if (suiteCalibs.isEmpty) 0.15
@@ -174,7 +181,7 @@ object Bench {
             case None => failed += name
             case Some(first) =>
               val best =
-                if (first._2 <= quietBar || System.nanoTime() > deadline) first
+                if (System.nanoTime() > deadline) first
                 else attempt().map(s => if (s._1 < first._1) s else first).getOrElse(first)
               done += ((name, best._1, best._1 / math.max(byName(name), 1e-3),
                 best._2, best._2 > quietBar))
