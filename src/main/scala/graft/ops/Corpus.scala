@@ -300,11 +300,18 @@ object Corpus {
     * [[graft.functions.TokenCount]], no tokenize-explode) into one
     * map-side-combinable hash aggregate with ≤ 10 output rows.
     */
-  def qBatchBuckets(spark: SparkSession, dir: String): DataFrame = {
+  /** The bucket table over any documents-shaped relation — the ONE place
+    * the ladder + padding arithmetic lives, shared by [[qBatchBuckets]]
+    * and the streaming dual ([[graft.streaming.PackStream.bucketTable]]).
+    * Works unmodified on a streaming DataFrame: the aggregate is
+    * mergeable and its state is the ≤10-row ladder, the smallest
+    * streaming state in the suite.
+    */
+  private[graft] def bucketAgg(docs: DataFrame): DataFrame = {
     val n = graft.functions.TokenCount(col("text")).cast("long")
     val bucket = Seq(16L, 32L, 64L, 128L, 256L, 512L, 1024L, 2048L, 4096L)
       .foldRight(lit(8192L): Column)((b, acc) => when(col("n_tokens") <= b, b).otherwise(acc))
-    table(spark, dir, "documents")
+    docs
       .select(n.as("n_tokens"))
       .withColumn("bucket", bucket)
       .groupBy(col("bucket"))
@@ -315,8 +322,10 @@ object Corpus {
           sum(least(col("n_tokens"), col("bucket")))).as("waste_tokens"))
       .select(col("bucket"), col("n_docs"), col("n_tokens"),
         col("padded_tokens"), col("waste_tokens"))
-      .orderBy(col("bucket"))
   }
+
+  def qBatchBuckets(spark: SparkSession, dir: String): DataFrame =
+    bucketAgg(table(spark, dir, "documents")).orderBy(col("bucket"))
 
   val qBatchBucketsSql: String =
     """WITH d AS (

@@ -88,4 +88,18 @@ object PackStream {
     assigned.groupBy(col("shard"), col("chunk_id"))
       .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"))
       .orderBy(col("shard"), col("chunk_id"))
+
+  /** Streaming dual of [[graft.ops.Corpus.qBatchBuckets]]: the RUNNING
+    * bucket table over a document feed — the batching-strategy monitor a
+    * corpus owner watches as data arrives (a waste spike in one bucket
+    * says the incoming length mix changed and the max-seq-len / bucket
+    * ladder should be revisited BEFORE the next training run). The one
+    * shared formula ([[graft.ops.Corpus.bucketAgg]]) runs unmodified as
+    * a streaming complete-mode aggregate; its state is the ≤10-row
+    * ladder — counts and token sums are mergeable, so every commit's
+    * table equals the one-shot batch table over everything arrived, by
+    * construction (spec-pinned under trigger splits).
+    */
+  def bucketTable(docStream: DataFrame): DataFrame =
+    graft.ops.Corpus.bucketAgg(docStream)
 }

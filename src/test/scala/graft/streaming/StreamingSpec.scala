@@ -862,6 +862,26 @@ class StreamingSpec extends SparkFunSuite {
       s"degenerate feed: $reasons")
   }
 
+  test("streaming bucket table equals the one-shot batch audit across trigger splits") {
+    val docs = graft.ops.Tables.table(spark, sf, "documents")
+      .select(col("doc_id"), col("text"), col("lang"), col("source"), col("n_chars"))
+      .orderBy(col("doc_id")).collect()
+    val dir = tmpDir("bucket-feed")
+    Seq(docs.take(180), docs.slice(180, 333), docs.drop(333)).foreach { c =>
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(c.toSeq, 1), IngestDedup.docSchema)
+        .coalesce(1).write.mode("append").parquet(dir)
+      Thread.sleep(60)
+    }
+    val got = EventStreams.runToMemory(
+      PackStream.bucketTable(IngestDedup.docStream(spark, dir)),
+      "t_buckets", outputMode = "complete")
+      .collect().map(_.toSeq).toSet
+    val want = graft.ops.Corpus.qBatchBuckets(spark, sf)
+      .collect().map(_.toSeq).toSet
+    assert(got === want)
+  }
+
   test("streaming burst gate equals the one-shot batch audit across trigger splits") {
     val photos = graft.ops.Multimodal.exifMetaTable(spark, sf)
       .select(col("doc_id"), col("content"))
