@@ -87,7 +87,7 @@ object Bench {
     // BENCH_r{N}.json instead of depending on a manual builder probe.
     // SPARK_GRAFT_SF1_PROBE: "auto" (default — run iff the bench dir looks
     // like sf0.1), "0"/"off", or "1". The probe is time-budgeted
-    // (SPARK_GRAFT_SF1_BUDGET sec, default 1500); anything dropped is
+    // (SPARK_GRAFT_SF1_BUDGET sec, default 2000); anything dropped is
     // listed in "sf1_skipped" — no silent caps.
     val sf1Enabled = sys.env.getOrElse("SPARK_GRAFT_SF1_PROBE", "auto") match {
       case "0" | "off" => false

@@ -224,9 +224,13 @@ object Corpus {
     * row count.
     */
   def writeEpochShards(spark: SparkSession, dir: String, outDir: String): Long = {
+    // token counts BEFORE the epoch explode (the qEpochOrder discipline:
+    // the generator's output Project re-evaluates per generated row, so a
+    // same-select TokenCount would re-tokenize each document per epoch)
     val staged = table(spark, dir, "documents")
       .select(col("doc_id"),
-        graft.functions.TokenCount(col("text")).cast("long").as("n_tokens"),
+        graft.functions.TokenCount(col("text")).cast("long").as("n_tokens"))
+      .select(col("doc_id"), col("n_tokens"),
         explode(sequence(lit(0L), lit(EpochCount - 1L))).as("epoch"))
       .withColumn("h", epochHash)
       .withColumn("shard", pmod(col("h"), lit(EpochShards)))
@@ -282,24 +286,6 @@ object Corpus {
        |  CAST(sum(cnt * cnt) AS BIGINT) AS simpson_num
        |FROM a GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
-  /** LENGTH-BUCKETED batching audit — the alternative to sequence packing
-    * ([[qPackSequences]]) a training stack actually chooses between:
-    * batch documents whole, grouped into power-of-two token-length
-    * buckets, and pay padding up to the bucket ceiling instead of
-    * splitting documents across chunk boundaries. Per bucket: document
-    * count, real token mass, the padded mass `n_docs · bucket`, and the
-    * waste — the exact-integer table that, read against
-    * [[qPaddingWaste]], decides pack-vs-bucket for a corpus. The bucket
-    * ceiling is a branch ladder (16 … 4096, else 8192) rather than a
-    * float `log2`, so both engines bucket bit-identically; 8192 is the
-    * MAX-SEQUENCE-LENGTH bucket — a longer document is truncated to it
-    * (the standard max-len policy), so its token contribution is
-    * `least(n_tokens, bucket)` and waste is ≥ 0 in every bucket.
-    *
-    * Shape at 100 TB: one narrow projection (native
-    * [[graft.functions.TokenCount]], no tokenize-explode) into one
-    * map-side-combinable hash aggregate with ≤ 10 output rows.
-    */
   /** The bucket table over any documents-shaped relation — the ONE place
     * the ladder + padding arithmetic lives, shared by [[qBatchBuckets]]
     * and the streaming dual ([[graft.streaming.PackStream.bucketTable]]).
@@ -324,6 +310,24 @@ object Corpus {
         col("padded_tokens"), col("waste_tokens"))
   }
 
+  /** LENGTH-BUCKETED batching audit — the alternative to sequence packing
+    * ([[qPackSequences]]) a training stack actually chooses between:
+    * batch documents whole, grouped into power-of-two token-length
+    * buckets, and pay padding up to the bucket ceiling instead of
+    * splitting documents across chunk boundaries. Per bucket: document
+    * count, real token mass, the padded mass `n_docs · bucket`, and the
+    * waste — the exact-integer table that, read against
+    * [[qPaddingWaste]], decides pack-vs-bucket for a corpus. The bucket
+    * ceiling is a branch ladder (16 … 4096, else 8192) rather than a
+    * float `log2`, so both engines bucket bit-identically; 8192 is the
+    * MAX-SEQUENCE-LENGTH bucket — a longer document is truncated to it
+    * (the standard max-len policy), so its token contribution is
+    * `least(n_tokens, bucket)` and waste is ≥ 0 in every bucket.
+    *
+    * Shape at 100 TB: one narrow projection (native
+    * [[graft.functions.TokenCount]], no tokenize-explode) into one
+    * map-side-combinable hash aggregate with ≤ 10 output rows.
+    */
   def qBatchBuckets(spark: SparkSession, dir: String): DataFrame =
     bucketAgg(table(spark, dir, "documents")).orderBy(col("bucket"))
 

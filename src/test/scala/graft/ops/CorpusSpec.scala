@@ -307,6 +307,7 @@ class CorpusSpec extends SparkFunSuite {
         // one task wrote the shard, so one file; parquet preserves the
         // written row order within a file — this IS the loader's view
         val dir = s"$out/epoch=$e/shard=$s"
+        assert(new java.io.File(dir).isDirectory, s"missing shard dir $dir")
         val files = new java.io.File(dir).listFiles()
           .filter(_.getName.endsWith(".parquet"))
         assert(files.length === 1, s"$dir should hold exactly one shard file")

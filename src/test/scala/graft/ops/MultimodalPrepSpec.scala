@@ -284,8 +284,15 @@ class MultimodalPrepSpec extends SparkFunSuite {
 
   test("media walkers are SQL-callable through both registration surfaces") {
     Multimodal.exifMetaTable(spark, sf).createOrReplaceTempView("t_exif_sql")
-    // the extension injection (GraftExtensions) and the temp-function
-    // registration (registerFunctions) expose the same expressions
+    // the injection path (GraftExtensions) runs for real in the
+    // Verify/Bench sessions (GraftSession.builder); the shared TEST
+    // session is extensions-free, so pin here that every injection
+    // builder constructs — incl. the ExpressionInfo built from a
+    // Literal(null)-instantiated expression — against a fresh
+    // SparkSessionExtensions (this is what session construction executes)
+    new graft.GraftExtensions().apply(
+      new org.apache.spark.sql.SparkSessionExtensions)
+    // the temp-function surface is then exercised end-to-end below
     graft.GraftSession.registerFunctions(spark)
     val rows = spark.sql(
       """SELECT doc_id, exif_datetime(content) AS dt,

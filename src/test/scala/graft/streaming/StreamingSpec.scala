@@ -873,8 +873,13 @@ class StreamingSpec extends SparkFunSuite {
         .coalesce(1).write.mode("append").parquet(dir)
       Thread.sleep(60)
     }
+    // maxFilesPerTrigger=1 forces THREE commits — the cross-commit state
+    // merge is the claim under test, and the default file source would
+    // otherwise swallow all three files in one batch
+    val feed = spark.readStream.schema(IngestDedup.docSchema)
+      .option("maxFilesPerTrigger", "1").parquet(dir)
     val got = EventStreams.runToMemory(
-      PackStream.bucketTable(IngestDedup.docStream(spark, dir)),
+      PackStream.bucketTable(feed),
       "t_buckets", outputMode = "complete")
       .collect().map(_.toSeq).toSet
     val want = graft.ops.Corpus.qBatchBuckets(spark, sf)
