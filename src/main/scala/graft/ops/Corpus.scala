@@ -227,6 +227,10 @@ object Corpus {
     // token counts BEFORE the epoch explode (the qEpochOrder discipline:
     // the generator's output Project re-evaluates per generated row, so a
     // same-select TokenCount would re-tokenize each document per epoch)
+    // row count observed ON THE WRITE (VERDICT r13 item 3): the previous
+    // read-back `spark.read.parquet(outDir).count()` was a second full
+    // pass over the materialized corpus just to return one long
+    val obs = new org.apache.spark.sql.Observation("epoch-shard-rows")
     val staged = table(spark, dir, "documents")
       .select(col("doc_id"),
         graft.functions.TokenCount(col("text")).cast("long").as("n_tokens"))
@@ -236,9 +240,10 @@ object Corpus {
       .withColumn("shard", pmod(col("h"), lit(EpochShards)))
       .repartition(col("epoch"), col("shard"))
       .sortWithinPartitions(col("epoch"), col("shard"), col("h"), col("doc_id"))
+      .observe(obs, count(lit(1)).as("n"))
     staged.write.mode("overwrite")
       .partitionBy("epoch", "shard").parquet(outDir)
-    spark.read.parquet(outDir).count()
+    obs.get("n").asInstanceOf[Long]
   }
 
   /** Training-order MIXING audit over [[qEpochOrder]]'s shard assignment —

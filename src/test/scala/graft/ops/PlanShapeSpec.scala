@@ -651,6 +651,35 @@ class PlanShapeSpec extends SparkFunSuite {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("doc repetition: one corpus scan, no join, no window") {
+    val p = plan(TextAnalysis.qDocRepetition(spark, sf))
+    // every unit kind (line/para/2-3-4-gram) explodes from ONE generator
+    // over one scan — a per-kind scan would multiply the 100 TB read ×5
+    // (count file-index lines: formatted explain prints each scan node
+    // twice, once in the tree and once in the detail section)
+    assert(p.linesIterator.count(_.contains("Location: InMemoryFileIndex")) === 1, p)
+    assert(p.contains("Generate"), p)
+    assert(p.contains("HashAggregate"), p)
+    assert(!p.contains("Join"), p)
+    assert(!p.contains("Window"), p)
+  }
+
+  test("lm-rank family serves from the memoized rank artifact, not a rebuild") {
+    // the four family queries share ONE stored score+rank build
+    // (VERDICT r13 item 1) — their serving plans scan ranked.parquet and
+    // never re-run the bigram pipeline over documents
+    for (df <- Seq(TextAnalysis.qLmBigramScoreServed(spark, sf),
+        TextAnalysis.qQualityBuckets(spark, sf))) {
+      val p = plan(df)
+      assert(p.contains("ranked.parquet"), p)
+      assert(!p.contains("documents.parquet"), p)
+    }
+    // the dup matrix still scans documents for its DUP side, but its rank
+    // side must come from the artifact too
+    val pm = plan(TextAnalysis.qQualityDupMatrix(spark, sf))
+    assert(pm.contains("ranked.parquet"), pm)
+  }
+
   test("curriculum mix: epoch explode over the ranked relation, no single-reducer rank window") {
     // qCurriculumMix returns a localCheckpointed result whose explain is
     // just the RDD scan — guard the LAZY plan instead

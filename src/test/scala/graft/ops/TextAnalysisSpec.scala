@@ -294,6 +294,43 @@ class TextAnalysisSpec extends SparkFunSuite {
     assert(got === Seq(("dear customer", 3L)))
   }
 
+  test("doc repetition: planted duplicate lines/paragraphs decode to exact basis points") {
+    import spark.implicits._
+    // The SF corpus carries no newlines, so the line/paragraph measures
+    // are pinned HERE on planted text (the oracle still compares their
+    // all-zero SF values hash-exactly).
+    val docs = Seq(
+      // lines: "aa bb"×2 + "cc dd" → dup 1/3; dup char mass 10/15;
+      // top bigram "aa bb" (c=2, len 5) over n_chars=17
+      (1L, "aa bb\naa bb\ncc dd", "en", "s", 17L),
+      // paragraphs: "xx"×2 + "yy" → dup 1/3; lines (split on single \n):
+      // xx,"",xx,"",yy → 2 extra occurrences over 5 lines
+      (2L, "xx\n\nxx\n\nyy", "en", "s", 10L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dir = tmpDir("doc-repetition")
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = TextAnalysis.qDocRepetition(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.toSeq.drop(1).map(_.asInstanceOf[Long])).toMap
+    // doc 1: dup_line_bp = (3-2)*10000 DIV 3; dup_line_char_bp = 10*10000 DIV 15
+    assert(rows(1L)(0) === 3333L && rows(1L)(1) === 6666L)
+    assert(rows(1L)(2) === 0L && rows(1L)(3) === 0L) // single paragraph
+    assert(rows(1L)(4) === 2 * 5 * 10000L / 17) // top2: "aa bb" mass 10 over 17 chars
+    // doc 2: dup_para_bp = (3-2)*10000 DIV 3; lines 5 with 2 repeats → 4000
+    assert(rows(2L)(2) === 3333L && rows(2L)(0) === 4000L)
+  }
+
+  test("repetition filter: keep-bucket maxima sit under the Gopher thresholds") {
+    val dir = "/root/testdata/sf0.001"
+    val rows = TextAnalysis.qRepetitionFilter(spark, dir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(rows.keySet === Set("keep", "drop"))
+    assert(rows.values.map(_._1).sum ===
+      TextAnalysis.qDocRepetition(spark, dir).count())
+    // the keep bucket's maxima are the boundary proof of the thresholds
+    val (_, k2, k3, k4) = rows("keep")
+    assert(k2 <= 2000L && k3 <= 1800L && k4 <= 1600L)
+  }
+
   test("quality buckets: thirds are balanced and score-ordered head ≥ middle ≥ tail") {
     val dir = "/root/testdata/sf0.001"
     val got = TextAnalysis.qQualityBuckets(spark, dir).collect()
