@@ -88,19 +88,66 @@ case class ExifGps(child: Expression, lon: Boolean) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** Native codegen'd EXIF thumbnail-IFD (IFD1) decode — the embedded
+  * preview an image pipeline serves for browse/triage without touching
+  * the full-resolution bytes. Walks IFD0's trailing next-IFD pointer to
+  * IFD1 and returns `compression << 48 | offset << 24 | length` (see
+  * [[ExifMeta.thumbPacked]]), null when the chain is absent or any piece
+  * malformed. Same static-helper codegen shape as the sibling walks.
+  */
+case class ExifThumb(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"exif_thumb expects a binary arg, got $other")
+  }
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val v = ExifMeta.thumbPacked(input.asInstanceOf[Array[Byte]])
+    if (v < 0L) null else v
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val p = ctx.freshName("exifThumb")
+      s"""
+         |long $p = graft.functions.ExifMeta.thumbPacked($c);
+         |if ($p < 0L) { ${ev.isNull} = true; } else { ${ev.value} = $p; }
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** THE TIFF/IFD byte walk of the EXIF expression family — one marker
   * scan, header parse, and entry scan shared by [[ExifOrient]],
-  * [[ExifDateTime]] and [[ExifGps]] so the parse discipline cannot drift
-  * between them. Every read is bounds-checked against the APP1 segment
-  * end IN LONG ARITHMETIC (a hostile offset near Int.MaxValue must not
-  * wrap the check), so a truncated or crafted payload returns the absent
-  * sentinel instead of reading out of range.
+  * [[ExifDateTime]], [[ExifGps]] and [[ExifThumb]] so the parse
+  * discipline cannot drift between them. Every read is bounds-checked
+  * against the APP1 segment end IN LONG ARITHMETIC (a hostile offset
+  * near Int.MaxValue must not wrap the check), so a truncated or crafted
+  * payload returns the absent sentinel instead of reading out of range.
+  *
+  * Duplicate-tag rule (ADVICE r13): [[findEntry]] is FIRST-ENTRY-WINS —
+  * the first entry carrying the tag decides, and a mistyped first entry
+  * rejects the whole payload rather than falling through to a later
+  * well-typed duplicate. TIFF requires tags sorted and unique, so a
+  * duplicate tag is already a malformed file; rejecting it is the
+  * conservative uniform rule every walker in this family now shares.
   */
 object ExifMeta {
 
   /** `exif_datetime(content)` as a Column (packed `yyyymmddHHMMSS`). */
   def dateTime(c: Column): Column =
     ColumnBridge.column(ExifDateTime(ColumnBridge.expression(c)))
+
+  /** `exif_thumb(content)` as a Column (packed thumbnail metadata). */
+  def thumb(c: Column): Column =
+    ColumnBridge.column(ExifThumb(ColumnBridge.expression(c)))
 
   /** `exif_gps_lat(content)` as a Column (signed micro-arcseconds). */
   def gpsLat(c: Column): Column =
@@ -199,6 +246,50 @@ object ExifMeta {
     val h = num(11, 2); val mi = num(14, 2); val sec = num(17, 2)
     if (y < 0 || mo < 0 || d < 0 || h < 0 || mi < 0 || sec < 0) return -1L
     y * 10000000000L + mo * 100000000L + d * 1000000L + h * 10000L + mi * 100L + sec
+  }
+
+  /** Thumbnail (IFD1) metadata — completes the TIFF chain family
+    * (IFD0 → GPS sub-IFD → IFD1): IFD0's trailing next-IFD pointer leads
+    * to the thumbnail IFD, whose Compression (0x0103, SHORT, inline),
+    * JPEGInterchangeFormat (0x0201, LONG — the thumbnail's byte offset)
+    * and JPEGInterchangeFormatLength (0x0202, LONG) describe the
+    * embedded preview. Returns `comp << 48 | off << 24 | len` (offset
+    * and length each bounded to u24 — an APP1 segment holds < 2^16
+    * bytes, so real values are far smaller), -1 if absent/malformed or
+    * if the thumbnail bytes would fall outside the segment.
+    */
+  def thumbPacked(b: Array[Byte]): Long = {
+    val loc = findTiff(b)
+    if (loc < 0L) return -1L
+    val tiff = (loc >>> 32).toInt
+    val end = (loc & 0xffffffffL).toInt
+    val le = isLe(b, tiff)
+    val i0 = ifd0(b, tiff, end)
+    if (i0 < 0) return -1L
+    // IFD0's next-IFD pointer sits after its n 12-byte entries
+    val n0 = u16(b, i0, le)
+    val nextPos = i0 + 2 + 12 * n0
+    if (nextPos + 4L > end) return -1L
+    val nextOff = u32(b, nextPos, le)
+    if (nextOff < 8L || tiff + nextOff + 2L > end) return -1L
+    val ifd1 = tiff + nextOff.toInt
+    val eComp = findEntry(b, ifd1, end, le, 0x0103)
+    if (eComp < 0 || u16(b, eComp + 2, le) != 3 || u32(b, eComp + 4, le) != 1L)
+      return -1L
+    val comp = u16(b, eComp + 8, le).toLong
+    val eOff = findEntry(b, ifd1, end, le, 0x0201)
+    if (eOff < 0 || u16(b, eOff + 2, le) != 4 || u32(b, eOff + 4, le) != 1L)
+      return -1L
+    val off = u32(b, eOff + 8, le)
+    val eLen = findEntry(b, ifd1, end, le, 0x0202)
+    if (eLen < 0 || u16(b, eLen + 2, le) != 4 || u32(b, eLen + 4, le) != 1L)
+      return -1L
+    val len = u32(b, eLen + 8, le)
+    // the thumbnail bytes themselves must lie inside the segment (Long
+    // arithmetic: hostile u32 offsets must fail the bound, not wrap it)
+    if (off > 0xffffffL || len > 0xffffffL || len == 0L ||
+        tiff + off + len > end) return -1L
+    (comp << 48) | (off << 24) | len
   }
 
   /** Signed micro-arcseconds from the GPS sub-IFD (lat or lon);

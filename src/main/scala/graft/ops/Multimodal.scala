@@ -774,6 +774,15 @@ object Multimodal {
     * keeps the shifted cell value non-negative, where integer DIV is
     * floor in BOTH engines (Spark DIV truncates toward zero, DuckDB `//`
     * floors — they only agree above zero).
+    *
+    * The time key is INTENTIONALLY hour-of-day (`dt DIV 10000 % 100`),
+    * not the full date-hour (ADVICE r13): burst dedup bins by capture
+    * clock-hour within a cell — a recurring-capture-context rule (same
+    * place, same time of day ⇒ same shot series, e.g. a webcam or
+    * timelapse rig) rather than a single-session rule. Batch audit,
+    * streaming gate, and oracle all share this formula, so the choice is
+    * one line to change if a deployment wants single-session semantics
+    * (`dt DIV 10000`).
     */
   def burstKeys(photos: DataFrame): DataFrame =
     photos
@@ -835,6 +844,153 @@ object Multimodal {
       |  CAST(count(*) - 1 AS BIGINT) AS n_dropped
       |FROM m GROUP BY 1, 2, 3 HAVING count(*) >= 2
       |ORDER BY 1, 2, 3""".stripMargin
+
+  /** JPEG rows carrying an IFD0 → IFD1 (thumbnail) chain — the fixture
+    * for [[graft.functions.ExifThumb]]'s next-IFD walk. Layout
+    * (TIFF-relative): IFD0@8 (1 entry: inline Orientation; next-IFD
+    * pointer → 26), IFD1@26 (3 entries: Compression SHORT inline,
+    * JPEGInterchangeFormat LONG = 68 + pad, JPEGInterchangeFormatLength
+    * LONG; next 0), `pad = doc_id % 8` zero bytes, then the thumbnail
+    * bytes themselves (`len = doc_id % 32 + 4`). Byte order alternates
+    * `II`/`MM` per row; every field is a pure doc_id function so the
+    * oracle replays the decode from arithmetic alone — offset, length
+    * AND compression all vary per row.
+    */
+  def exifThumbTable(spark: SparkSession, dir: String): DataFrame = {
+    val orient = (col("doc_id") % 8 + 1).cast("long")
+    val comp = when(col("doc_id") % 4 === 0, 1L).otherwise(6L)
+    val pad = (col("doc_id") % 8).cast("long")
+    val l = (col("doc_id") % 32 + 4).cast("long")
+    def tiff(le: Boolean): Column = {
+      val orientVal =
+        if (le) concat(lpad(hex(orient), 2, "0"), lit("000000"))
+        else concat(lit("00"), lpad(hex(orient), 2, "0"), lit("0000"))
+      val compVal =
+        if (le) concat(lpad(hex(comp), 2, "0"), lit("000000"))
+        else concat(lit("00"), lpad(hex(comp), 2, "0"), lit("0000"))
+      concat(
+        lit(if (le) "49492A0008000000" else "4D4D002A00000008"),
+        lit(hx16(1, le)), // IFD0: 1 entry
+        lit(hx16(0x0112, le) + hx16(3, le) + hx32(1, le)), orientVal,
+        lit(hx32(26, le)), // IFD0 next → IFD1 @26
+        lit(hx16(3, le)), // IFD1: 3 entries
+        lit(hx16(0x0103, le) + hx16(3, le) + hx32(1, le)), compVal,
+        lit(hx16(0x0201, le) + hx16(4, le) + hx32(1, le)), u32Hex(lit(68L) + pad, le),
+        lit(hx16(0x0202, le) + hx16(4, le) + hx32(1, le)), u32Hex(l, le),
+        lit("00000000"), // IFD1 next
+        expr("repeat('00', CAST(doc_id % 8 AS INT))"), // pad before thumb
+        expr("repeat('A5', CAST(doc_id % 32 + 4 AS INT))")) // thumbnail bytes
+    }
+    val jpegHex = concat(
+      lit("FFD8"), // SOI
+      lit("FFE1"), lpad(hex(lit(76L) + pad + l), 4, "0"), lit("457869660000"),
+      when(col("doc_id") % 2 === 0, tiff(le = true)).otherwise(tiff(le = false)))
+    table(spark, dir, "documents")
+      .filter(col("doc_id") % 3 === 2)
+      .select(col("doc_id"),
+        unhex(concat(jpegHex, hex(encode(col("text"), "UTF-8")))).as("content"))
+  }
+
+  /** EXIF thumbnail decode (VERDICT r13 item 7) — the IFD1 chain walk
+    * over [[exifThumbTable]]: compression, byte offset and length of the
+    * embedded preview unpacked from [[graft.functions.ExifThumb]]'s one
+    * codegen walk, plus IFD0's orientation off the SAME payload (the
+    * next-IFD pointer must not disturb the IFD0 scan). Oracle replays
+    * all four columns from doc_id arithmetic. One narrow codegen
+    * projection, no shuffle before the sort.
+    */
+  def qMultimodalExifThumb(spark: SparkSession, dir: String): DataFrame = {
+    val packed = graft.functions.ExifMeta.thumb(col("content"))
+    val orient = graft.functions.ExifOrient(col("content"))
+    exifThumbTable(spark, dir)
+      .select(col("doc_id"),
+        shiftrightunsigned(packed, 48).as("thumb_comp"),
+        shiftrightunsigned(packed, 24).bitwiseAND(lit(0xFFFFFFL)).as("thumb_off"),
+        packed.bitwiseAND(lit(0xFFFFFFL)).as("thumb_len"),
+        orient.bitwiseAND(lit(0xFFFFL)).as("orientation"))
+      .orderBy(col("doc_id"))
+  }
+
+  val qMultimodalExifThumbSql: String =
+    """SELECT doc_id,
+      |  CAST(CASE WHEN doc_id % 4 = 0 THEN 1 ELSE 6 END AS BIGINT) AS thumb_comp,
+      |  CAST(68 + doc_id % 8 AS BIGINT) AS thumb_off,
+      |  CAST(doc_id % 32 + 4 AS BIGINT) AS thumb_len,
+      |  CAST(doc_id % 8 + 1 AS BIGINT) AS orientation
+      |FROM documents
+      |WHERE doc_id % 3 = 2
+      |ORDER BY doc_id""".stripMargin
+
+  /** GEO-DIVERSITY temperature mix over the EXIF cells (VERDICT r13
+    * item 4) — the multimodal dual of [[Corpus.qSampleTemperature]]: a
+    * photo corpus is rebalanced by GEOGRAPHY the way text is by source.
+    * Cells are [[burstKeys]]'s 10° geo-cells decoded straight from the
+    * EXIF bytes; keep rates are the α = ½ temperature rule normalized so
+    * the SMALLEST cell keeps 100 % (`thr = floor(10⁴·√(n_min/n_cell))`
+    * — one IEEE division + correctly-rounded sqrt, bit-identical across
+    * engines); the keep decision is the suite's md5-bucket row function,
+    * so the realized sample is repartition-invariant and reproducible.
+    * Output per cell: photo count, threshold, kept count and mass.
+    *
+    * Shape at 100 TB: cell sizes are a (≤ 18×36 cells)-sized aggregate
+    * broadcast back to the scan; photos are filtered map-side; the
+    * decode is the same narrow codegen walk the burst gate pays — no
+    * shuffle wider than the cells relation anywhere.
+    */
+  def qGeoDiversityMix(spark: SparkSession, dir: String): DataFrame = {
+    val keys = burstKeys(exifMetaTable(spark, dir))
+    val cells = keys.groupBy(col("lat_cell"), col("lon_cell"))
+      .agg(count(lit(1)).as("n_cell"))
+    val minN = cells.agg(min(col("n_cell")).as("n_min"))
+    val rates = cells.crossJoin(broadcast(minN))
+      .select(col("lat_cell"), col("lon_cell"), col("n_cell"),
+        floor(lit(10000d) *
+          sqrt(col("n_min").cast("double") / col("n_cell").cast("double")))
+          .as("thr"))
+    keys.join(broadcast(rates), Seq("lat_cell", "lon_cell"))
+      .withColumn("bucket",
+        pmod(conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+          .cast("long"), lit(10000)))
+      .filter(col("bucket") < col("thr"))
+      .groupBy(col("lat_cell"), col("lon_cell"))
+      .agg(max(col("n_cell")).as("n_photos"), max(col("thr")).as("thr"),
+        count(lit(1)).as("n_kept"))
+      .orderBy(col("lat_cell"), col("lon_cell"))
+  }
+
+  val qGeoDiversityMixSql: String =
+    """WITH m AS (
+      |  SELECT doc_id,
+      |    (2000 + doc_id % 26) * 10000000000 + (doc_id % 12 + 1) * 100000000
+      |      + (doc_id % 28 + 1) * 1000000 + (doc_id % 24) * 10000
+      |      + (doc_id % 60) * 100 + (doc_id * 7) % 60 AS dt,
+      |    (CASE WHEN (doc_id // 3) % 2 = 1 THEN -1 ELSE 1 END) *
+      |      ((doc_id % 90) * 3600000000 + (doc_id % 60) * 60000000
+      |       + ((doc_id * 13) % 6000) * 10000) AS lat,
+      |    (CASE WHEN (doc_id // 5) % 2 = 1 THEN -1 ELSE 1 END) *
+      |      ((doc_id % 180) * 3600000000 + ((doc_id * 3) % 60) * 60000000
+      |       + ((doc_id * 17) % 6000) * 10000) AS lon
+      |  FROM documents WHERE doc_id % 3 = 1
+      |), k AS (
+      |  SELECT doc_id,
+      |    (lat + 324000000000) // 36000000000 AS lat_cell,
+      |    (lon + 648000000000) // 36000000000 AS lon_cell
+      |  FROM m
+      |), cells AS (
+      |  SELECT lat_cell, lon_cell, count(*) AS n_cell FROM k GROUP BY 1, 2
+      |), mn AS (SELECT min(n_cell) AS n_min FROM cells),
+      |rates AS (
+      |  SELECT lat_cell, lon_cell, n_cell,
+      |    CAST(floor(10000 * sqrt(CAST(n_min AS DOUBLE) / CAST(n_cell AS DOUBLE))) AS BIGINT) AS thr
+      |  FROM cells, mn
+      |)
+      |SELECT k.lat_cell, k.lon_cell, max(r.n_cell) AS n_photos,
+      |  max(r.thr) AS thr, CAST(count(*) AS BIGINT) AS n_kept
+      |FROM k JOIN rates r ON r.lat_cell = k.lat_cell AND r.lon_cell = k.lon_cell
+      |WHERE CAST(concat('0x', substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+      |    % 10000 < r.thr
+      |GROUP BY 1, 2
+      |ORDER BY 1, 2""".stripMargin
 
   /** Uniform temporal AUDIO sampling — the audio dual of
     * [[qMultimodalFrames]], completing the media-prep family: split each
@@ -910,6 +1066,8 @@ object Multimodal {
     "q_multimodal_exif" -> (qMultimodalExif _),
     "q_multimodal_exif_meta" -> (qMultimodalExifMeta _),
     "q_exif_burst_dedup" -> (qExifBurstDedup _),
+    "q_geo_diversity_mix" -> (qGeoDiversityMix _),
+    "q_multimodal_exif_thumb" -> (qMultimodalExifThumb _),
   )
 
   def oracle: Map[String, String] = Map(
@@ -926,5 +1084,7 @@ object Multimodal {
     "q_multimodal_exif" -> qMultimodalExifSql,
     "q_multimodal_exif_meta" -> qMultimodalExifMetaSql,
     "q_exif_burst_dedup" -> qExifBurstDedupSql,
+    "q_geo_diversity_mix" -> qGeoDiversityMixSql,
+    "q_multimodal_exif_thumb" -> qMultimodalExifThumbSql,
   )
 }

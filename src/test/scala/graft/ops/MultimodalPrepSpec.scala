@@ -238,6 +238,7 @@ class MultimodalPrepSpec extends SparkFunSuite {
       ExifMeta.packedDateTime(b)
       ExifMeta.gpsMicroArcsec(b, lon = false)
       ExifMeta.gpsMicroArcsec(b, lon = true)
+      ExifMeta.thumbPacked(b)
       ExifOrient.packedOrient(b)
     }
     // pure-random payloads, some with a JPEG SOI + APP1 prefix so the
@@ -254,12 +255,16 @@ class MultimodalPrepSpec extends SparkFunSuite {
     }
     // single-byte mutations of a VALID payload: every position, a few
     // values — the walk must reject or reinterpret, never read OOB
-    val good = Multimodal.exifMetaTable(spark, sf)
-      .select(col("content")).head().getAs[Array[Byte]](0)
-    (0 until good.length).foreach { p =>
-      Seq(0x00, 0x7F, 0xFF).foreach { v =>
-        val m = good.clone(); m(p) = v.toByte
-        walkAll(m)
+    // (both fixtures: the meta table for the GPS chain, the thumb table
+    // for the IFD1 chain)
+    Seq(Multimodal.exifMetaTable(spark, sf),
+        Multimodal.exifThumbTable(spark, sf)).foreach { t =>
+      val good = t.select(col("content")).head().getAs[Array[Byte]](0)
+      (0 until good.length).foreach { p =>
+        Seq(0x00, 0x7F, 0xFF).foreach { v =>
+          val m = good.clone(); m(p) = v.toByte
+          walkAll(m)
+        }
       }
     }
   }
