@@ -627,6 +627,49 @@ object Pipeline {
     */
   @volatile var lastIntakeMetrics: Option[Map[String, Any]] = None
 
+  /** [[intakeBatch]] with the TRAINED quality classifier as the pre-gate
+    * stage (VERDICT r13 item 6) — the arrival-time composition of
+    * [[qPipelineGated]]'s production filter with the intake cascade:
+    * every arrival is scored against the FROZEN NB weight tables first
+    * (the one shared [[TextAnalysis.nbScore]] formula), `neg` verdicts
+    * leave immediately with reason `classifier` (no index probes paid
+    * for rejected junk — the cheap gate runs before the expensive ones),
+    * and `pos` survivors flow through the unchanged cascade. Because the
+    * classifier is a pure function of (arrival, stored model) and
+    * arrivals never pair with each other, gating per micro-batch equals
+    * the one-shot gate of the whole feed — the stream==batch argument
+    * the spec pins under 2- and 3-way trigger splits.
+    *
+    * Scale per batch: one vocab-sized broadcast into the exploded batch
+    * tokens + one per-doc aggregate on top of [[intakeBatch]]'s costs —
+    * and strictly FEWER index probes, since rejected arrivals never
+    * reach the LSH/IVF serving paths.
+    */
+  def intakeBatchGated(arrivals: DataFrame, weights: DataFrame,
+      totals: DataFrame, corpusFps: DataFrame, lshIndexDir: String,
+      embLookup: DataFrame, corpusEmb: DataFrame, ivfIndexDir: String,
+      benchGrams: DataFrame): DataFrame = {
+    val rejected = TextAnalysis.nbScore(
+        arrivals
+          .select(col("doc_id"), tokens(col("text")).as("t"))
+          .filter(size(col("t")) >= 1)
+          .select(col("doc_id"), explode(col("t")).as("tok")),
+        Seq("doc_id"), weights, totals)
+      .filter(TextAnalysis.nbVerdict(col("score_micro")) === "neg")
+      .select(col("doc_id"), col("n_toks"))
+      .localCheckpoint()
+    val pos = arrivals.join(
+      broadcast(rejected.select(col("doc_id"))), Seq("doc_id"), "left_anti")
+    val inner = intakeBatch(pos, corpusFps, lshIndexDir, embLookup,
+      corpusEmb, ivfIndexDir, benchGrams)
+    inner.unionByName(
+        rejected.select(col("doc_id"), col("n_toks").as("n_tokens"),
+          lit("classifier").as("reason"), lit(0L).as("accepted"),
+          lit(null).cast(StringType).as("split"),
+          lit(null).cast(LongType).as("shard")))
+      .orderBy(col("doc_id"))
+  }
+
   /** [[intakeBatch]] bound to the standing split: corpus = doc_id ≢ 0
     * mod 5 (with its session-shared dedup-LSH and semantic-IVF artifacts
     * — the SAME [[graft.ServingIndexes]] builds the individual gate
@@ -774,6 +817,89 @@ object Pipeline {
        |ORDER BY a.doc_id""".stripMargin
   }
 
+  /** [[intakeBatchGated]] bound to the standing split — [[qIntake]]'s
+    * setup plus the session-stored NB model
+    * ([[Artifacts.ensureQualityNb]], trained on the standing 80 % split,
+    * so the model has never seen the arrival docs it gates).
+    */
+  def qIntakeGated(spark: SparkSession, dir: String): DataFrame = {
+    val docs = table(spark, dir, "documents")
+    val corpus = docs.filter(pmod(col("doc_id"), lit(5)) =!= 0)
+    val arrivals = docs.filter(pmod(col("doc_id"), lit(5)) === 0)
+    val emb = table(spark, dir, "embeddings")
+    val corpusEmb = emb.filter(pmod(col("vec_id"), lit(5)) =!= 0)
+    val lshDir = Artifacts.ensureDedupLsh(spark, dir)
+    val ivfDir = Artifacts.ensureSemdedupIvf(spark, dir)
+    val nbDir = Artifacts.ensureQualityNb(spark, dir)
+    val weights = spark.read.parquet(s"$nbDir/weights.parquet")
+    val totals = spark.read.parquet(s"$nbDir/totals.parquet")
+    val corpusFps = corpus.select(md5(concat_ws(" ", tokens(col("text")))).as("fp"))
+    val benchSh = TextDedup.shingles(
+      corpus.filter(pmod(col("doc_id"), lit(7)) === 0),
+      col("doc_id"), col("text"), Dedup.ShingleK)
+    val benchGrams = benchSh.select(col("s")).distinct()
+    val out = intakeBatchGated(arrivals, weights, totals, corpusFps, lshDir,
+      emb, corpusEmb, ivfDir, benchGrams)
+    benchSh.unpersist()
+    out
+  }
+
+  /** DuckDB replay: the classifier's train/score CTEs (the
+    * [[qPipelineGatedSql]] formulation, trained on the standing split)
+    * compute the rejected arrival set, and the UNgated cascade replay
+    * runs unchanged as a nested CTE with the classifier verdict OVERRIDING
+    * rejected rows — valid because every cascade verdict is per-doc
+    * against the STANDING corpus (arrivals never pair with each other),
+    * so a rejected doc's presence in the inner cascade cannot change any
+    * other doc's verdict.
+    */
+  val qIntakeGatedSql: String = {
+    val pos = TextAnalysis.QualityPosSources.map("'" + _ + "'").mkString(", ")
+    val base = qIntakeSql.replace("\nORDER BY a.doc_id", "")
+    s"""WITH nbd AS (
+       |  SELECT doc_id, source,
+       |    CASE WHEN source IN ($pos) THEN 'pos' ELSE 'neg' END AS actual,
+       |    regexp_split_to_array(lower(text), '\\s+') AS t
+       |  FROM documents
+       |  WHERE len(regexp_split_to_array(lower(text), '\\s+')) >= 1
+       |), nbtrain AS (
+       |  SELECT actual, unnest(t) AS tok FROM nbd WHERE doc_id % 5 <> 0
+       |), nbc AS (
+       |  SELECT tok,
+       |    CAST(sum(CASE WHEN actual = 'pos' THEN 1 ELSE 0 END) AS BIGINT) AS cnt_pos,
+       |    CAST(sum(CASE WHEN actual = 'neg' THEN 1 ELSE 0 END) AS BIGINT) AS cnt_neg
+       |  FROM nbtrain GROUP BY 1
+       |), nbtot AS (
+       |  SELECT CAST(sum(cnt_pos) AS BIGINT) AS tot_pos,
+       |    CAST(sum(cnt_neg) AS BIGINT) AS tot_neg,
+       |    CAST(count(*) AS BIGINT) AS v FROM nbc
+       |), nbw AS (
+       |  SELECT tok, ((cnt_pos + 1) * (tot_neg + v) * 1000000)
+       |    // ((cnt_neg + 1) * (tot_pos + v)) AS w_micro
+       |  FROM nbc CROSS JOIN nbtot
+       |), nbrej AS MATERIALIZED (
+       |  SELECT doc_id FROM (
+       |    SELECT x.doc_id, CAST(count(*) AS BIGINT) AS n_toks,
+       |      CAST(sum(coalesce(nbw.w_micro,
+       |        ((tot_neg + v) * 1000000) // (tot_pos + v))) AS BIGINT) AS sum_w
+       |    FROM (SELECT doc_id, unnest(t) AS tok FROM nbd WHERE doc_id % 5 = 0) x
+       |    LEFT JOIN nbw USING (tok) CROSS JOIN nbtot GROUP BY 1)
+       |  WHERE sum_w // n_toks < 1000000
+       |), base AS (
+       |$base
+       |)
+       |SELECT doc_id, n_tokens,
+       |  CASE WHEN doc_id IN (SELECT doc_id FROM nbrej) THEN 'classifier'
+       |       ELSE reason END AS reason,
+       |  CAST(CASE WHEN doc_id IN (SELECT doc_id FROM nbrej) THEN 0
+       |       ELSE accepted END AS BIGINT) AS accepted,
+       |  CASE WHEN doc_id IN (SELECT doc_id FROM nbrej) THEN NULL
+       |       ELSE split END AS split,
+       |  CASE WHEN doc_id IN (SELECT doc_id FROM nbrej) THEN NULL
+       |       ELSE shard END AS shard
+       |FROM base ORDER BY doc_id""".stripMargin
+  }
+
   /** CLASSIFIER-GATED pipeline variant — the CCNet head applied as the
     * corpus FILTER it actually is in production (Wenzek et al. 2020,
     * arXiv:1911.00359 §3: the trained quality model gates the crawl; the
@@ -906,6 +1032,7 @@ object Pipeline {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_intake" -> (qIntake _),
+    "q_intake_gated" -> (qIntakeGated _),
     "q_pipeline_corpus" -> (qPipelineCorpus _),
     "q_pipeline_crossmodal" -> (qPipelineCrossmodal _),
     "q_pipeline_gated" -> (qPipelineGated _),
@@ -913,6 +1040,7 @@ object Pipeline {
 
   def oracle: Map[String, String] = Map(
     "q_intake" -> qIntakeSql,
+    "q_intake_gated" -> qIntakeGatedSql,
     "q_pipeline_corpus" -> qPipelineCorpusSql,
     "q_pipeline_crossmodal" -> qPipelineCrossmodalSql,
     "q_pipeline_gated" -> qPipelineGatedSql,

@@ -63,4 +63,54 @@ object IntakeStream {
           StructField("accepted", LongType), StructField("split", StringType),
           StructField("shard", LongType)))))
   }
+
+  /** [[intakeGate]] with the trained quality classifier as the PRE-gate
+    * stage (VERDICT r13 item 6): each micro-batch is scored against the
+    * FROZEN NB model from `modelDir` ([[graft.ops.Artifacts.ensureQualityNb]]'s
+    * layout — the model parquets are read once and pinned for the whole
+    * stream, the [[QualityServeStream]] serving shape), `neg` arrivals
+    * verdict immediately as `classifier`, and survivors flow through the
+    * unchanged cascade. The per-batch body is
+    * [[graft.ops.Pipeline.intakeBatchGated]] — the SAME function the
+    * one-shot batch gate runs, so stream == batch under any trigger
+    * split is by construction (and spec-pinned for 2- and 3-way splits).
+    */
+  def intakeGateClassified(
+      spark: SparkSession,
+      docDir: String,
+      checkpoint: String,
+      modelDir: String,
+      corpusFps: DataFrame,
+      lshIndexDir: String,
+      embLookup: DataFrame,
+      corpusEmb: DataFrame,
+      ivfIndexDir: String,
+      benchGrams: DataFrame): DataFrame = {
+    StreamGuards.requireFreshCheckpoint(spark, checkpoint)
+    val weights = spark.read.parquet(s"$modelDir/weights.parquet").localCheckpoint()
+    val totals = spark.read.parquet(s"$modelDir/totals.parquet").localCheckpoint()
+    @volatile var results: Option[DataFrame] = None
+    val q = spark.readStream
+      .schema(IngestDedup.docSchema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(docDir)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val verdicts = graft.ops.Pipeline.intakeBatchGated(
+          batch, weights, totals, corpusFps, lshIndexDir, embLookup,
+          corpusEmb, ivfIndexDir, benchGrams)
+        results = Some(results.fold(verdicts)(_.union(verdicts).localCheckpoint()))
+        ()
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    results.getOrElse(
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        StructType(Seq(StructField("doc_id", LongType),
+          StructField("n_tokens", LongType), StructField("reason", StringType),
+          StructField("accepted", LongType), StructField("split", StringType),
+          StructField("shard", LongType)))))
+  }
 }

@@ -862,6 +862,62 @@ class StreamingSpec extends SparkFunSuite {
       s"degenerate feed: $reasons")
   }
 
+  test("classifier-gated intake stream equals the one-shot gated batch across trigger splits") {
+    import spark.implicits._
+    val docs = graft.ops.Tables.table(spark, sf, "documents")
+    val corpus = docs.filter(pmod(col("doc_id"), lit(5)) =!= 0)
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val corpusEmb = emb.filter(pmod(col("vec_id"), lit(5)) =!= 0)
+    val lshDir = tmpDir("gintake-lsh")
+    graft.ops.TextDedup.writeLshIndex(corpus, col("doc_id"), col("text"), lshDir,
+      graft.ops.TextDedup.MinHashConfig(shingleK = graft.ops.Dedup.ShingleK))
+    val ivfDir = tmpDir("gintake-ivf")
+    graft.ops.VectorSearch.writeIvfIndex(
+      corpusEmb, col("vec_id"), col("embedding"), ivfDir)
+    // the stored NB model — the SAME artifact layout ensureQualityNb writes
+    val nbDir = tmpDir("gintake-nb")
+    val (w, t) = graft.ops.TextAnalysis.nbTrain(
+      graft.ops.TextAnalysis.nbLabeled(spark, sf))
+    w.write.mode("overwrite").parquet(s"$nbDir/weights.parquet")
+    t.write.mode("overwrite").parquet(s"$nbDir/totals.parquet")
+    val corpusFps = corpus
+      .select(md5(concat_ws(" ", graft.ops.TextOps.tokens(col("text")))).as("fp"))
+      .localCheckpoint()
+    val benchGrams = graft.ops.TextDedup.shingles(
+      corpus.filter(pmod(col("doc_id"), lit(7)) === 0),
+      col("doc_id"), col("text"), graft.ops.Dedup.ShingleK)
+      .select(col("s")).distinct().localCheckpoint()
+    val arrivals = docs.filter(pmod(col("doc_id"), lit(5)) === 0)
+      .select(col("doc_id"), col("text"), col("lang"), col("source"), col("n_chars"))
+      .orderBy(col("doc_id")).collect()
+    // the one-shot gated batch of the whole feed
+    val want = graft.ops.Pipeline.intakeBatchGated(
+      docs.filter(pmod(col("doc_id"), lit(5)) === 0),
+      spark.read.parquet(s"$nbDir/weights.parquet"),
+      spark.read.parquet(s"$nbDir/totals.parquet"),
+      corpusFps, lshDir, emb, corpusEmb, ivfDir, benchGrams)
+      .collect().map(_.toSeq).toSeq
+    // the classifier must actually fire on this feed
+    assert(want.exists(_(2) == "classifier"), "degenerate feed: no classifier rejections")
+    assert(want.exists(_(2) == "clean"), "degenerate feed: nothing clean")
+    Seq(Seq(arrivals.take(44), arrivals.drop(44)),
+        Seq(arrivals.take(30), arrivals.slice(30, 71), arrivals.drop(71))).foreach { split =>
+      val dir = tmpDir("gintake-feed")
+      split.foreach { c =>
+        c.toSeq.map(r => (r.getLong(0), r.getString(1), r.getString(2),
+            r.getString(3), r.getLong(4)))
+          .toDF("doc_id", "text", "lang", "source", "n_chars")
+          .coalesce(1).write.mode("append").parquet(dir)
+        Thread.sleep(60)
+      }
+      val streamed = IntakeStream.intakeGateClassified(
+        spark, dir, tmpDir("gintake-ckpt"), nbDir, corpusFps, lshDir, emb,
+        corpusEmb, ivfDir, benchGrams)
+        .orderBy(col("doc_id")).collect().map(_.toSeq).toSeq
+      assert(streamed === want)
+    }
+  }
+
   test("streaming bucket table equals the one-shot batch audit across trigger splits") {
     val docs = graft.ops.Tables.table(spark, sf, "documents")
       .select(col("doc_id"), col("text"), col("lang"), col("source"), col("n_chars"))
