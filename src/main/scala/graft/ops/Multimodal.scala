@@ -921,6 +921,33 @@ object Multimodal {
       |WHERE doc_id % 3 = 2
       |ORDER BY doc_id""".stripMargin
 
+  /** Thumbnail EXTRACTION — serve the embedded preview bytes the IFD1
+    * walk located: slice `content` at the decoded (offset, length) and
+    * emit the served slice as hex plus its length, proving the
+    * locate→fetch path end-to-end (the browse/triage serving plan that
+    * never decodes the full-resolution image). Offset is TIFF-relative;
+    * the TIFF block starts at payload byte 12 (SOI 2 + APP1 marker 2 +
+    * length field 2 + `Exif\0\0` 6), so the 1-based slice position is
+    * `13 + off`. One narrow codegen projection — the full payload never
+    * shuffles; only the u24-bounded preview slice feeds the output.
+    */
+  def qExifThumbBytes(spark: SparkSession, dir: String): DataFrame = {
+    val packed = graft.functions.ExifMeta.thumb(col("content"))
+    exifThumbTable(spark, dir)
+      .select(col("doc_id"), col("content"), packed.as("p"))
+      .select(col("doc_id"),
+        col("p").bitwiseAND(lit(0xFFFFFFL)).as("thumb_len"),
+        hex(expr("substring(content, CAST(13 + ((p >> 24) & 16777215) AS INT), " +
+          "CAST(p & 16777215 AS INT))")).as("thumb_hex"))
+      .orderBy(col("doc_id"))
+  }
+
+  val qExifThumbBytesSql: String =
+    """SELECT doc_id, CAST(doc_id % 32 + 4 AS BIGINT) AS thumb_len,
+      |  repeat('A5', CAST(doc_id % 32 + 4 AS INT)) AS thumb_hex
+      |FROM documents WHERE doc_id % 3 = 2
+      |ORDER BY doc_id""".stripMargin
+
   /** GEO-DIVERSITY temperature mix over the EXIF cells (VERDICT r13
     * item 4) — the multimodal dual of [[Corpus.qSampleTemperature]]: a
     * photo corpus is rebalanced by GEOGRAPHY the way text is by source.
@@ -939,24 +966,38 @@ object Multimodal {
     */
   def qGeoDiversityMix(spark: SparkSession, dir: String): DataFrame = {
     val keys = burstKeys(exifMetaTable(spark, dir))
-    val cells = keys.groupBy(col("lat_cell"), col("lon_cell"))
-      .agg(count(lit(1)).as("n_cell"))
-    val minN = cells.agg(min(col("n_cell")).as("n_min"))
-    val rates = cells.crossJoin(broadcast(minN))
-      .select(col("lat_cell"), col("lon_cell"), col("n_cell"),
-        floor(lit(10000d) *
-          sqrt(col("n_min").cast("double") / col("n_cell").cast("double")))
-          .as("thr"))
-    keys.join(broadcast(rates), Seq("lat_cell", "lon_cell"))
-      .withColumn("bucket",
-        pmod(conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
-          .cast("long"), lit(10000)))
-      .filter(col("bucket") < col("thr"))
+    keys.join(broadcast(cellRates(keys)), Seq("lat_cell", "lon_cell"))
+      .filter(keepBucket(col("doc_id")) < col("thr"))
       .groupBy(col("lat_cell"), col("lon_cell"))
       .agg(max(col("n_cell")).as("n_photos"), max(col("thr")).as("thr"),
         count(lit(1)).as("n_kept"))
       .orderBy(col("lat_cell"), col("lon_cell"))
   }
+
+  /** The per-cell temperature keep thresholds over decoded [[burstKeys]]
+    * rows — the ONE place the geo-rate formula lives, shared by the
+    * batch mix above and the streaming admission gate
+    * ([[graft.streaming.GeoSampleStream]]) so the two cannot diverge:
+    * `(lat_cell, lon_cell, n_cell, thr)` with
+    * `thr = floor(10⁴·√(n_min/n_cell))`.
+    */
+  def cellRates(keys: DataFrame): DataFrame = {
+    val cells = keys.groupBy(col("lat_cell"), col("lon_cell"))
+      .agg(count(lit(1)).as("n_cell"))
+    val minN = cells.agg(min(col("n_cell")).as("n_min"))
+    cells.crossJoin(broadcast(minN))
+      .select(col("lat_cell"), col("lon_cell"), col("n_cell"),
+        floor(lit(10000d) *
+          sqrt(col("n_min").cast("double") / col("n_cell").cast("double")))
+          .as("thr"))
+  }
+
+  /** The suite's md5-bucket keep decision for a doc id (pure row
+    * function — repartition-invariant, reproducible).
+    */
+  def keepBucket(id: Column): Column =
+    pmod(conv(substring(md5(id.cast("string")), 1, 8), 16, 10)
+      .cast("long"), lit(10000))
 
   val qGeoDiversityMixSql: String =
     """WITH m AS (
@@ -1068,6 +1109,7 @@ object Multimodal {
     "q_exif_burst_dedup" -> (qExifBurstDedup _),
     "q_geo_diversity_mix" -> (qGeoDiversityMix _),
     "q_multimodal_exif_thumb" -> (qMultimodalExifThumb _),
+    "q_exif_thumb_bytes" -> (qExifThumbBytes _),
   )
 
   def oracle: Map[String, String] = Map(
@@ -1086,5 +1128,6 @@ object Multimodal {
     "q_exif_burst_dedup" -> qExifBurstDedupSql,
     "q_geo_diversity_mix" -> qGeoDiversityMixSql,
     "q_multimodal_exif_thumb" -> qMultimodalExifThumbSql,
+    "q_exif_thumb_bytes" -> qExifThumbBytesSql,
   )
 }

@@ -651,17 +651,19 @@ class PlanShapeSpec extends SparkFunSuite {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
   }
 
-  test("doc repetition: one corpus scan, no join, no window") {
+  test("doc repetition: one scan, zero shuffle — a pure projection plus the presentation sort") {
     val p = plan(TextAnalysis.qDocRepetition(spark, sf))
-    // every unit kind (line/para/2-3-4-gram) explodes from ONE generator
-    // over one scan — a per-kind scan would multiply the 100 TB read ×5
-    // (count file-index lines: formatted explain prints each scan node
-    // twice, once in the tree and once in the detail section)
+    // the profile is a per-row codegen expression: one scan, no explode,
+    // no aggregate, no join, no window — the ONLY exchange is the final
+    // doc_id presentation sort (count file-index lines: formatted explain
+    // prints each scan node twice, tree + detail section)
     assert(p.linesIterator.count(_.contains("Location: InMemoryFileIndex")) === 1, p)
-    assert(p.contains("Generate"), p)
-    assert(p.contains("HashAggregate"), p)
+    assert(!p.contains("Generate"), p)
+    assert(!p.contains("HashAggregate"), p)
     assert(!p.contains("Join"), p)
     assert(!p.contains("Window"), p)
+    // one exchange prints twice (tree node + detail header)
+    assert(p.linesIterator.count(_.contains("Exchange")) <= 2, p)
   }
 
   test("lm-rank family serves from the memoized rank artifact, not a rebuild") {

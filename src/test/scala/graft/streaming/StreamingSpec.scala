@@ -943,6 +943,45 @@ class StreamingSpec extends SparkFunSuite {
     assert(got === want)
   }
 
+  test("streaming geo admission gate equals the batch temperature mix across trigger splits") {
+    val photosDf = graft.ops.Multimodal.exifMetaTable(spark, sf)
+      .select(col("doc_id"), col("content"))
+    val rates = graft.ops.Multimodal.cellRates(
+      graft.ops.Multimodal.burstKeys(photosDf))
+    val want = graft.ops.Multimodal.qGeoDiversityMix(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getAs[Long]("n_photos"), r.getAs[Long]("n_kept"))).toMap
+    val photos = photosDf.orderBy(col("doc_id")).collect()
+    Seq(Seq(photos.take(80), photos.drop(80)),
+        Seq(photos.take(40), photos.slice(40, 111), photos.drop(111))).foreach { split =>
+      val dir = tmpDir("geo-feed")
+      split.foreach { c =>
+        spark.createDataFrame(
+          spark.sparkContext.parallelize(c.toSeq, 1),
+          ExifIngestStream.photoSchema)
+          .coalesce(1).write.mode("append").parquet(dir)
+        Thread.sleep(60)
+      }
+      val verdicts = GeoSampleStream.run(
+        spark, dir, tmpDir("geo-ckpt"), rates)
+      // every decodable arrival verdicts exactly once
+      assert(verdicts.count() === photos.length.toLong)
+      // the admitted stream IS the batch mix: per-cell admitted counts
+      // equal the one-shot temperature sample (cells with zero admits
+      // are absent from the batch rows — assert them empty streamside)
+      val got = verdicts.filter(col("kept"))
+        .groupBy(col("lat_cell"), col("lon_cell"))
+        .agg(count(lit(1)).as("n_kept"))
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+      assert(got === want.map { case (k, v) => k -> v._2 }.filter(_._2 > 0))
+      // and the feed's per-cell masses match the batch n_photos
+      val masses = verdicts.groupBy(col("lat_cell"), col("lon_cell"))
+        .agg(count(lit(1)).as("n")).collect()
+        .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+      want.foreach { case (k, (nPhotos, _)) => assert(masses(k) === nPhotos) }
+    }
+  }
+
   test("streaming burst gate equals the one-shot batch audit across trigger splits") {
     val photos = graft.ops.Multimodal.exifMetaTable(spark, sf)
       .select(col("doc_id"), col("content"))
