@@ -49,6 +49,8 @@ object GraftSession {
     "exif_datetime" -> (functions.ExifDateTime(_)),
     "exif_gps_lat" -> (functions.ExifGps(_, lon = false)),
     "exif_gps_lon" -> (functions.ExifGps(_, lon = true)),
+    "exif_thumb" -> (functions.ExifThumb(_)),
+    "repetition_profile" -> (functions.RepetitionProfile(_)),
   )
 
   /** Builder with the engine's recommended configuration; callers add

@@ -315,6 +315,18 @@ class MultimodalPrepSpec extends SparkFunSuite {
       assert(r.getLong(4) === id % 8 + 1)
       assert(!r.isNullAt(5)) // the SOF0 dims walk sees the same payload
     }
+    // round 14: the IFD1 walk and the repetition profile ride the same
+    // SQL surface
+    Multimodal.exifThumbTable(spark, sf).createOrReplaceTempView("t_thumb_sql")
+    spark.sql("SELECT doc_id, exif_thumb(content) AS p FROM t_thumb_sql ORDER BY doc_id")
+      .collect().foreach { r =>
+        val id = r.getLong(0)
+        val comp = if (id % 4 == 0) 1L else 6L
+        assert(r.getLong(1) === ((comp << 48) | ((68 + id % 8) << 24) | (id % 32 + 4)))
+      }
+    spark.read.parquet(s"$sf/documents.parquet").createOrReplaceTempView("t_docs_sql")
+    spark.sql("SELECT repetition_profile(text) AS p FROM t_docs_sql LIMIT 5")
+      .collect().foreach(r => assert(r.getSeq[Long](0).length === 7))
   }
 
   test("audio frame grid: 8 in-range sample centers, byte offsets on block boundaries") {
