@@ -1963,14 +1963,21 @@ object TextAnalysis {
   def qDocRepetition(spark: SparkSession, dir: String): DataFrame =
     docRepetitionProfile(spark, dir).orderBy(col("doc_id"))
 
-  private def docRepetitionProfile(spark: SparkSession, dir: String): DataFrame = {
+  private def docRepetitionProfile(spark: SparkSession, dir: String): DataFrame =
+    docRepetitionProfileOf(table(spark, dir, "documents"))
+
+  /** The profile projection over any documents-shaped relation — shared
+    * by the batch queries and the streaming repetition gate
+    * ([[graft.streaming.RepetitionGateStream]]) so the column layout of
+    * the expression's bp vector is unpacked in exactly one place.
+    */
+  private[graft] def docRepetitionProfileOf(docs: DataFrame): DataFrame = {
     val names = Seq("dup_line_bp", "dup_line_char_bp", "dup_para_bp",
       "dup_para_char_bp", "top2_bp", "top3_bp", "top4_bp")
-    table(spark, dir, "documents")
-      .select(col("doc_id") +:
-        names.zipWithIndex.map { case (n, i) =>
-          element_at(graft.functions.RepetitionProfile(col("text")), i + 1).as(n)
-        }: _*)
+    docs.select(col("doc_id") +:
+      names.zipWithIndex.map { case (n, i) =>
+        element_at(graft.functions.RepetitionProfile(col("text")), i + 1).as(n)
+      }: _*)
   }
 
   private def docRepetitionProfileSql(withOrder: Boolean): String = {

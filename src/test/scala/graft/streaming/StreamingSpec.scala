@@ -943,6 +943,33 @@ class StreamingSpec extends SparkFunSuite {
     assert(got === want)
   }
 
+  test("streaming repetition gate equals the batch Gopher filter across trigger splits") {
+    val docs = graft.ops.Tables.table(spark, sf, "documents")
+      .select(col("doc_id"), col("text"), col("lang"), col("source"), col("n_chars"))
+      .orderBy(col("doc_id")).collect()
+    // the one-shot batch filter's verdict counts are the target
+    val want = graft.ops.TextAnalysis.qRepetitionFilter(spark, sf)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(want.keySet === Set("keep", "drop"), s"degenerate corpus: $want")
+    Seq(Seq(docs.take(200), docs.drop(200)),
+        Seq(docs.take(100), docs.slice(100, 333), docs.drop(333))).foreach { split =>
+      val dir = tmpDir("rep-feed")
+      split.foreach { c =>
+        spark.createDataFrame(
+          spark.sparkContext.parallelize(c.toSeq, 1), IngestDedup.docSchema)
+          .coalesce(1).write.mode("append").parquet(dir)
+        Thread.sleep(60)
+      }
+      val verdicts = RepetitionGateStream.run(spark, dir, tmpDir("rep-ckpt"))
+      assert(verdicts.count() === docs.length.toLong)
+      val got = verdicts
+        .groupBy(when(col("kept"), "keep").otherwise("drop").as("verdict"))
+        .agg(count(lit(1)).as("n")).collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(got === want)
+    }
+  }
+
   test("streaming geo admission gate equals the batch temperature mix across trigger splits") {
     val photosDf = graft.ops.Multimodal.exifMetaTable(spark, sf)
       .select(col("doc_id"), col("content"))
