@@ -135,7 +135,7 @@ object Bench {
       // pure narrow codegen walk like exif_meta — per-row linearity
       // established for the family)
       "q_doc_repetition", "q_repetition_filter", "q_geo_diversity_mix",
-      "q_intake_gated")
+      "q_intake_gated", "q_pq_recon_error")
     // targets + denominators + quiet bar are computed HERE (the suite
     // leg owns them); the measurements run in a FORKED fresh JVM
     // (VERDICT r13 item 2 — see Sf1Probe's scaladoc for why), with the

@@ -691,25 +691,17 @@ object Similarity {
       shortlist = PqShortlist))
   }
 
-  /** DuckDB replay of the full PQ pipeline: one k-means CTE chain per
-    * subspace (same exact-integer formulation as the IVF oracle), final
-    * per-subspace code assignment, then the ADC score with every division
-    * and addition in the same pinned order as the Spark expression.
+  /** One subspace's full train+assign CTE chain (shared by the PQ serve
+    * oracle and the recon-error oracle): xq$j (quantized subvectors),
+    * the Lloyd iterations to c{j}_iters, final assignments aF$j, plus
+    * the serve-side ss/contrib/rec CTEs (unreferenced CTEs are inlined
+    * lazily by DuckDB, so reusing the chain for assignment-only
+    * consumers costs nothing).
     */
-  /** The PQ serving oracle, parameterized by a TRAINING-subset filter:
-    * with `trainWhere` empty this is the plain [[qSimPqTopK]] replay;
-    * with a filter, codebooks train on the subset only while codes cover
-    * every vector — exactly the build-then-append lifecycle of
-    * [[qSimPqRefresh]] (fresh-encode-with-final-codebooks is the rule on
-    * BOTH paths, so assigning the union to the frozen codebooks mirrors
-    * build + refresh bit-for-bit).
-    */
-  private def pqServeSqlFor(trainWhere: String): String = {
+  private def pqSubspaceChainSql(j: Int, trainWhere: String): String = {
     val cfg = VectorSearch.PqConfig()
     val q = (1L << cfg.quantBits).toString
-    val m = cfg.subspaces
-
-    def subspaceChain(j: Int): String = {
+    locally {
       val off = j * cfg.subDim
       val trainSrc = if (trainWhere.isEmpty) s"xq$j" else s"xt$j"
       val trainCte =
@@ -771,8 +763,23 @@ object Similarity {
          |  FROM aF$j a JOIN ss$j ss ON ss.c = a.c
          |)""".stripMargin
     }
+  }
 
-    val chains = (0 until m).map(subspaceChain).mkString(", ")
+  /** DuckDB replay of the full PQ pipeline: one k-means CTE chain per
+    * subspace (same exact-integer formulation as the IVF oracle), final
+    * per-subspace code assignment, then the ADC score with every division
+    * and addition in the same pinned order as the Spark expression.
+    * Parameterized by a TRAINING-subset filter: with `trainWhere` empty
+    * this is the plain [[qSimPqTopK]] replay; with a filter, codebooks
+    * train on the subset only while codes cover every vector — exactly
+    * the build-then-append lifecycle of [[qSimPqRefresh]]
+    * (fresh-encode-with-final-codebooks is the rule on BOTH paths).
+    */
+  private def pqServeSqlFor(trainWhere: String): String = {
+    val cfg = VectorSearch.PqConfig()
+    val q = (1L << cfg.quantBits).toString
+    val m = cfg.subspaces
+    val chains = (0 until m).map(j => pqSubspaceChainSql(j, trainWhere)).mkString(", ")
     val termSum = (0 until m).map(j => s"c$j.term").reduce((a, b) => s"($a + $b)")
     val recSum = (0 until m).map(j => s"r$j.r").reduce((a, b) => s"($a + $b)")
     val contribJoins = (1 until m)
@@ -1263,6 +1270,43 @@ object Similarity {
        |  GROUP BY 1) h ON h.q_vec_id = e.q_vec_id
        |ORDER BY e.q_vec_id""".stripMargin
 
+  /** PQ reconstruction-error audit over the session-trained codebooks
+    * ([[Artifacts.pqModel]] — the same memoized training the recall
+    * audits serve from, so the audit measures the codebooks actually in
+    * use). See [[VectorSearch.pqReconError]] for the exact-integer
+    * error definition and the 100 TB shape.
+    */
+  def qPqReconError(spark: SparkSession, dir: String): DataFrame =
+    VectorSearch.pqReconError(
+      table(spark, dir, "embeddings"), col("vec_id"), col("embedding"),
+      Artifacts.pqModel(spark, dir))
+
+  /** DuckDB replay: the shared per-subspace train+assign chains, then
+    * per assigned (vec, cell) the same integer D summed per cell.
+    */
+  val qPqReconErrorSql: String = {
+    val cfg = VectorSearch.PqConfig()
+    val m = cfg.subspaces
+    val f = cfg.iters
+    val chains = (0 until m).map(j => pqSubspaceChainSql(j, "")).mkString(", ")
+    val errs = (0 until m).map { j =>
+      s"""err$j AS (
+         |  SELECT $j AS subspace, a.c AS cell, a.vec_id,
+         |    CAST(sum((c.n * xq.x - c.s) * (c.n * xq.x - c.s)) AS BIGINT) AS err,
+         |    CAST(max(c.n) AS BIGINT) AS cell_n
+         |  FROM aF$j a JOIN c${j}_$f c ON c.j = a.c
+         |  JOIN xq$j xq ON xq.vec_id = a.vec_id AND xq.d = c.d
+         |  GROUP BY 1, 2, 3
+         |)""".stripMargin
+    }.mkString(", ")
+    s"""WITH $chains, $errs,
+       |allr AS (${(0 until m).map(j => s"SELECT * FROM err$j").mkString(" UNION ALL ")})
+       |SELECT CAST(subspace AS BIGINT) AS subspace, CAST(cell AS BIGINT) AS cell,
+       |  CAST(count(*) AS BIGINT) AS n_vecs, CAST(sum(err) AS BIGINT) AS err_sum,
+       |  CAST(max(cell_n) AS BIGINT) AS cell_n
+       |FROM allr GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_matryoshka_recall" -> (qMatryoshkaRecall _),
     "q_sim_ivf_refresh" -> (qSimIvfRefresh _),
@@ -1278,6 +1322,7 @@ object Similarity {
     "q_sim_ivf_topk" -> (qSimIvfTopK _),
     "q_sim_pq_topk" -> (qSimPqTopK _),
     "q_sim_pq_indexed" -> (qSimPqIndexed _),
+    "q_pq_recon_error" -> (qPqReconError _),
     "q_sim_ivf_indexed" -> (qSimIvfIndexed _),
     "q_semdedup" -> (qSemdedup _),
     "q_semdedup_incremental" -> (qSemdedupIncremental _),
@@ -1309,6 +1354,7 @@ object Similarity {
     // the indexed path is bit-identical to the in-session PQ pipeline —
     // the persisted index stores the same exact-integer statistics
     "q_sim_pq_indexed" -> qSimPqTopKSql,
+    "q_pq_recon_error" -> qPqReconErrorSql,
     "q_sim_ivf_indexed" -> qSimIvfTopKSql,
     "q_semdedup" -> qSemdedupSql,
     "q_semdedup_incremental" -> qSemdedupIncrementalSql,

@@ -1019,6 +1019,53 @@ object VectorSearch {
     (array_position(dists, array_min(dists)) - 1).cast("int")
   }
 
+  /** PQ QUANTIZATION-ERROR audit over trained codebooks — the
+    * index-quality table a serving owner reads before trusting (or
+    * re-sizing) a PQ deployment: per (subspace, cell) the member count,
+    * the cell's N, and the EXACT integer error numerator
+    * `err_sum = Σ_members D` with `D = N²·Σx² − 2N·Σ(S·x) + ΣS²`
+    * (= `N²·Σ(x − S/N)²`, the same scaled distance the assignment
+    * compares). Mean squared quantization error per cell is
+    * `err_sum / (n_vecs · N² · 2^(2·quantBits))` — left in exact pieces
+    * so the row hash-gates cross-engine (a float mean would not).
+    * Magnitude: D ≤ N²·2^(2·quantBits+2)·subDim; the sum adds ≤ cell
+    * members on top — same envelope as [[ivfTopK]]'s distances, bucket
+    * (or lower quantBits) beyond N ≈ 2^13.
+    *
+    * Shape at 100 TB: one scan of the cached quantized corpus, a
+    * subspaces-sized explode, one map-side-combinable aggregate to
+    * (subspaces × codebookSize) rows. Codebooks are control-plane
+    * literals — no join anywhere.
+    */
+  private[ops] def pqReconError(df: DataFrame, id: Column, vec: Column,
+      codebooks: Array[Array[Centroid]], cfg: PqConfig = PqConfig()): DataFrame = {
+    val corpus = pqCorpus(df, id, vec, cfg)
+    def intDist(j: Int, c: Centroid): Column = {
+      val b = TextOps.dot(typedLit(c.s.map(_.toDouble).toSeq), col(s"x$j")).cast("long")
+      val c2 = c.s.map(v => v * v).sum
+      lit(c.n * c.n) * col(s"a2_$j") - lit(2 * c.n) * b + lit(c2)
+    }
+    val perSub = (0 until cfg.subspaces).map { j =>
+      val cents = codebooks(j)
+      val dists = array(cents.map(c =>
+        intDist(j, c).cast("double") / lit((c.n * c.n).toDouble)).toIndexedSeq: _*)
+      val errs = array(cents.map(c => intDist(j, c)).toIndexedSeq: _*)
+      val ns = array(cents.map(c => lit(c.n)).toIndexedSeq: _*)
+      val pos = array_position(dists, array_min(dists)).cast("int")
+      struct(lit(j.toLong).as("subspace"), (pos - 1).cast("long").as("cell"),
+        element_at(errs, pos).as("err"), element_at(ns, pos).as("cell_n"))
+    }
+    val out = corpus
+      .select(explode(array(perSub: _*)).as("e"))
+      .select(col("e.subspace").as("subspace"), col("e.cell").as("cell"),
+        col("e.err").as("err"), col("e.cell_n").as("cell_n"))
+      .groupBy(col("subspace"), col("cell"))
+      .agg(count(lit(1)).as("n_vecs"), sum(col("err")).as("err_sum"),
+        max(col("cell_n")).as("cell_n"))
+      .orderBy(col("subspace"), col("cell"))
+    TextDedup.materializeAndRelease(out, corpus)
+  }
+
   /** Train all subspace codebooks together — ONE corpus pass per Lloyd
     * iteration (not one per subspace): each row computes its code in
     * every subspace, the component sums group by (subspace, code, dim).

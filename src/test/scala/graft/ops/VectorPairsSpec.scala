@@ -21,6 +21,24 @@ class VectorPairsSpec extends SparkFunSuite {
   private def collectPairs(df: org.apache.spark.sql.DataFrame): Seq[(Long, Long, Double)] =
     df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
 
+  test("pq recon error: cells partition the corpus per subspace, bounded by the codebook") {
+    val cfg = VectorSearch.PqConfig()
+    val rows = Similarity.qPqReconError(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    val n = emb.count()
+    rows.groupBy(_._1).foreach { case (j, cells) =>
+      // every vector lands in exactly one cell of every subspace
+      assert(cells.map(_._3).sum === n, s"subspace $j")
+      assert(cells.length <= cfg.codebookSize, s"subspace $j")
+      // cell indices are codebook positions; errors are non-negative ints
+      cells.foreach { case (_, c, _, err, cn) =>
+        assert(c >= 0 && c < cfg.codebookSize)
+        assert(err >= 0L && cn >= 1L)
+      }
+    }
+    assert(rows.map(_._1).distinct.sorted === (0 until cfg.subspaces).map(_.toLong))
+  }
+
   test("blocked all-pairs equals the brute-force baseline bit-exactly") {
     for (blocks <- Seq(1, 5, 16)) {
       val brute = collectPairs(VectorSearch.cosinePairs(
