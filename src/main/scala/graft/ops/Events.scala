@@ -1281,8 +1281,60 @@ object Events {
        |ORDER BY gap_s""".stripMargin
   }
 
+  /** K-ANONYMITY audit (Sweeney 2002, IJUFKS 10(5) — the re-identification
+    * gate a dataset passes before release): build each user's
+    * QUASI-IDENTIFIER profile from behavioral columns — dominant event
+    * type (deterministic argmax: count desc, then type — via the native
+    * bounded-heap [[graft.plans.TopKPerKey]], k = 1) and the activity
+    * bucket `least(n_events DIV 10, 10)` — and report every profile's
+    * population with its `at_risk = n_users < k` flag (k = 5, the
+    * conventional floor): a profile shared by fewer than k users
+    * re-identifies them to anyone holding the side table.
+    *
+    * Shape at 100 TB: two map-side-combinable aggregates (user×type,
+    * user) + the bounded-heap argmax (map-side partial heaps of 1 row
+    * per user-partition) + one profile-sized aggregate; output bounded
+    * by |types| × 11 buckets. No window, no self-join.
+    */
+  def qKAnonymity(spark: SparkSession, dir: String): DataFrame = {
+    val ev = table(spark, dir, "events")
+    val typeCounts = ev.groupBy(col("user_id"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"))
+    val top = graft.plans.TopKPerKey
+      .perKey(typeCounts, Seq(col("user_id")),
+        Seq(col("cnt").desc, col("event_type").asc), k = 1)
+      .select(col("user_id"), col("event_type").as("top_type"))
+    val activity = ev.groupBy(col("user_id")).agg(count(lit(1)).as("n_events"))
+    top.join(activity, "user_id")
+      .select(col("top_type"),
+        least(expr("n_events DIV 10"), lit(10L)).as("act_bucket"))
+      .groupBy(col("top_type"), col("act_bucket"))
+      .agg(count(lit(1)).as("n_users"))
+      .withColumn("at_risk", col("n_users") < 5)
+      .orderBy(col("top_type"), col("act_bucket"))
+  }
+
+  val qKAnonymitySql: String =
+    """WITH tc AS (
+      |  SELECT user_id, event_type, count(*) AS cnt FROM events GROUP BY 1, 2
+      |), top AS (
+      |  SELECT user_id, event_type AS top_type FROM (
+      |    SELECT user_id, event_type,
+      |      row_number() OVER (PARTITION BY user_id ORDER BY cnt DESC, event_type) AS rn
+      |    FROM tc)
+      |  WHERE rn = 1
+      |), act AS (
+      |  SELECT user_id, count(*) AS n_events FROM events GROUP BY 1
+      |)
+      |SELECT top_type, CAST(least(n_events // 10, 10) AS BIGINT) AS act_bucket,
+      |  CAST(count(*) AS BIGINT) AS n_users, count(*) < 5 AS at_risk
+      |FROM top JOIN act USING (user_id)
+      |GROUP BY 1, 2
+      |ORDER BY 1, 2""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_session_sweep" -> (qSessionSweep _),
+    "q_k_anonymity" -> (qKAnonymity _),
     "q_interpolate" -> (qInterpolate _),
     "q_m4_downsample" -> (qM4Downsample _),
     "q_dau_wau" -> (qDauWau _),
@@ -1312,6 +1364,7 @@ object Events {
 
   def oracle: Map[String, String] = Map(
     "q_session_sweep" -> qSessionSweepSql,
+    "q_k_anonymity" -> qKAnonymitySql,
     "q_interpolate" -> qInterpolateSql,
     "q_m4_downsample" -> qM4DownsampleSql,
     "q_dau_wau" -> qDauWauSql,
