@@ -465,12 +465,18 @@ object TextAnalysis {
         expr("((2*n - 2*df + 1) * 44 * tf * avgdl_milli * 10000) DIV " +
           "((2*df + 1) * (20 * tf * avgdl_milli + 6 * avgdl_milli + 18 * dl * 1000))")
           .as("bp"))
+    // global top-k via orderBy+limit (TakeOrderedAndProject: per-partition
+    // heaps), NOT a bare row_number window — common query terms match a
+    // corpus-sized candidate set, and an unpartitioned window would drag
+    // it all through one partition (the r14 bench-log warning). The rank
+    // window then runs over ≤ k rows.
     val w = org.apache.spark.sql.expressions.Window
       .orderBy(col("score_bp").desc, col("doc_id"))
     contrib.groupBy(col("doc_id"))
       .agg(sum(col("bp")).as("score_bp"), count(lit(1)).as("n_terms"))
+      .orderBy(col("score_bp").desc, col("doc_id"))
+      .limit(k)
       .withColumn("rnk", row_number().over(w).cast("long"))
-      .filter(col("rnk") <= k)
       .select(col("rnk"), col("doc_id"), col("score_bp"), col("n_terms"))
       .orderBy(col("rnk"))
   }
@@ -641,12 +647,15 @@ object TextAnalysis {
           .select(col("doc_id"), (col("pos") - i).as("start")),
         Seq("doc_id", "start"))
     }
+    // same top-k discipline as bm25Serve: heap-based orderBy+limit first,
+    // the rank window only over the ≤ k survivors
     val w = org.apache.spark.sql.expressions.Window
       .orderBy(col("n_occurrences").desc, col("doc_id"))
     matches.groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_occurrences"), min(col("start")).cast("long").as("first_pos"))
+      .orderBy(col("n_occurrences").desc, col("doc_id"))
+      .limit(k)
       .withColumn("rnk", row_number().over(w).cast("long"))
-      .filter(col("rnk") <= k)
       .select(col("rnk"), col("doc_id"), col("n_occurrences"), col("first_pos"))
       .orderBy(col("rnk"))
   }

@@ -651,6 +651,21 @@ class PlanShapeSpec extends SparkFunSuite {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("bm25/phrase top-k: heap-based TakeOrdered feeds the rank window, never a corpus-wide window") {
+    for (df <- Seq(TextAnalysis.qBm25TopK(spark, sf),
+        TextAnalysis.qPhraseSearch(spark, sf))) {
+      val p = plan(df)
+      // the global top-k is per-partition heaps; the single-partition rank
+      // window sees only the k survivors (in the formatted tree, parents
+      // print first — the Window must sit ABOVE the TakeOrdered it feeds on)
+      assert(p.contains("TakeOrderedAndProject"), p)
+      val tree = p.linesIterator.takeWhile(!_.startsWith("(")).toSeq
+      val wIdx = tree.indexWhere(_.contains("Window"))
+      val tIdx = tree.indexWhere(_.contains("TakeOrderedAndProject"))
+      assert(tIdx >= 0 && (wIdx === -1 || wIdx < tIdx), p)
+    }
+  }
+
   test("doc repetition: one scan, zero shuffle — a pure projection plus the presentation sort") {
     val p = plan(TextAnalysis.qDocRepetition(spark, sf))
     // the profile is a per-row codegen expression: one scan, no explode,
