@@ -1028,9 +1028,15 @@ object VectorSearch {
     * compares). Mean squared quantization error per cell is
     * `err_sum / (n_vecs · N² · 2^(2·quantBits))` — left in exact pieces
     * so the row hash-gates cross-engine (a float mean would not).
-    * Magnitude: D ≤ N²·2^(2·quantBits+2)·subDim; the sum adds ≤ cell
-    * members on top — same envelope as [[ivfTopK]]'s distances, bucket
-    * (or lower quantBits) beyond N ≈ 2^13.
+    * Magnitude: D ≤ N²·2^(2·quantBits+2)·subDim — the SAME long envelope
+    * as [[ivfTopK]]/[[pqTopK]]'s assignment arithmetic (cells up to
+    * N ≈ 2^13 members at quantBits = 14; lower quantBits to trade
+    * resolution for cluster headroom). MEASURED at the second decade
+    * (Sf10Probe r14): at sf10 the 16 cells hold ~31k vectors each and
+    * the audit aborts LOUDLY with the ANSI long-overflow error (the
+    * `2N·Σ(S·x)` term) — never a silent wrong answer; a deployment at
+    * that cell size runs the PQ family at quantBits ≤ 10, where the
+    * envelope holds to N ≈ 2^17.
     *
     * Shape at 100 TB: one scan of the cached quantized corpus, a
     * subspaces-sized explode, one map-side-combinable aggregate to
