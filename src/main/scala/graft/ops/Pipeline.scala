@@ -706,7 +706,6 @@ object Pipeline {
     val k = Dedup.ShingleK
     val cfg = VectorSearch.IvfConfig()
     val q = (1L << cfg.quantBits).toString
-    val f = cfg.iters
     s"""WITH ${Similarity.ivfChainSql(cfg, "WHERE vec_id % 5 <> 0", materialized = true)},
        |arr AS MATERIALIZED (
        |  SELECT doc_id, source, text, regexp_split_to_array(lower(text), '\\s+') AS t
@@ -754,10 +753,7 @@ object Pipeline {
        |                   WHERE doc_id NOT IN (SELECT doc_id FROM exact_dup)
        |                     AND doc_id NOT IN (SELECT doc_id FROM near_dup))
        |), disti AS MATERIALIZED (
-       |  SELECT seminc.vec_id, c.j,
-       |    CAST(sum((c.n * seminc.x - c.s) * (c.n * seminc.x - c.s)) AS DOUBLE)
-       |      / CAST(max(c.n) * max(c.n) AS DOUBLE) AS dist
-       |  FROM seminc JOIN cent$f c USING (d) GROUP BY 1, 2
+       |  ${Similarity.ivfDistSql("seminc", "centgF")}
        |), probei AS (
        |  SELECT vec_id AS id_i, j AS bucket FROM (
        |    SELECT vec_id, j, row_number() OVER (PARTITION BY vec_id ORDER BY dist, j) AS rn

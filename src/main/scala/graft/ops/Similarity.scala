@@ -120,10 +120,12 @@ object Similarity {
     * ([[qSimIvfTopKSql]], [[qSemdedupSql]]): yields `xq` (quantized
     * components), `cent0..cent<iters>` ((sum-vector, count) centroid
     * generations — each Lloyd iteration one dist→assign→recompute CTE
-    * block), `distF` and the final cluster assignment `assignF (vec_id,
-    * c)`. The scaled-integer distance `sum((N·x − S)²) / N²` matches
-    * Spark's expanded `N²Σx² − 2NΣSx + ΣS²` exactly because both are
-    * exact integer sums before the one division.
+    * block), `centgF` (the g/r-decomposed final centroids), `distF` and
+    * the final cluster assignment `assignF (vec_id, c)`. Distances use
+    * the overflow-free [[ivfDistSql]] formulation, matching Spark's
+    * [[VectorSearch.partsDist]] bit-for-bit: the same exact-integer sums
+    * (HUGEINT here, per-row dots there) through the same pinned IEEE op
+    * sequence.
     */
   /** `materialized = true` emits every chain CTE `AS MATERIALIZED`: inside
     * a `WITH RECURSIVE` clause DuckDB inlines (not materializes) CTE
@@ -133,6 +135,55 @@ object Similarity {
     * measured as thousands of duplicate parquet scans ("too many open
     * files") before producing a row. Standalone oracles don't need it.
     */
+  /** The g/r floor decomposition of a centroid table `(j, d, s, n)` —
+    * the SQL dual of [[VectorSearch.centroidParts]]: shift by
+    * `n·2^(quantBits+2)` so the numerator is non-negative (truncating and
+    * flooring division agree), then `g = u div n − shift`, `r = u mod n`.
+    */
+  private[ops] def centgSql(src: String, quantBits: Int): String = {
+    val sh = 4L << quantBits
+    s"SELECT j, d, n, ((s + n * $sh) // n) - $sh AS g, (s + n * $sh) % n AS r FROM $src"
+  }
+
+  /** Overflow-free scaled distance of every `xqSrc` row to every `centgSrc`
+    * centroid — the SQL dual of [[VectorSearch.partsDist]], same pinned
+    * IEEE op order: the three sums are exact HUGEINT integers (each term a
+    * small product: `(x−g)² ≤ 2^(2·quantBits+6)`, `(x−g)·r ≤ 2^(quantBits+3)·N`,
+    * `r² < N²`), then one cast/division per term and two adds. Replaces
+    * the `(n·x − s)²` form whose per-term product bound cells to
+    * N ≈ 2^13 (the r14 sf10 abort).
+    */
+  private[ops] def ivfDistSql(xqSrc: String, centgSrc: String): String =
+    s"""SELECT $xqSrc.vec_id, cg.j,
+       |    (CAST(sum(($xqSrc.x - cg.g) * ($xqSrc.x - cg.g)) AS DOUBLE)
+       |      - 2.0 * (CAST(sum(($xqSrc.x - cg.g) * cg.r) AS DOUBLE) / CAST(max(cg.n) AS DOUBLE)))
+       |    + CAST(sum(cg.r * cg.r) AS DOUBLE)
+       |      / (CAST(max(cg.n) AS DOUBLE) * CAST(max(cg.n) AS DOUBLE)) AS dist
+       |  FROM $xqSrc JOIN $centgSrc cg USING (d) GROUP BY 1, 2""".stripMargin
+
+  /** The per-centroid `ΣS²/N² = (Σg² + 2·(Σg·r/N)) + Σr²/N²` scalar over a
+    * decomposed centroid table — the SQL dual of the Spark serving paths'
+    * driver-precomputed rec term (same IEEE op sequence).
+    */
+  private[ops] def centRecSql(centgSrc: String): String =
+    s"""SELECT j, (CAST(sum(g * g) AS DOUBLE)
+       |      + 2.0 * (CAST(sum(g * r) AS DOUBLE) / CAST(max(n) AS DOUBLE)))
+       |    + CAST(sum(r * r) AS DOUBLE)
+       |      / (CAST(max(n) AS DOUBLE) * CAST(max(n) AS DOUBLE)) AS rec
+       |  FROM $centgSrc GROUP BY 1""".stripMargin
+
+  /** The per-(row, centroid) mean dot `Σx·S/N = Σx·g + Σx·r/N` over a
+    * decomposed centroid table joined through an assignment `(vec_id, c)`
+    * relation — the SQL dual of the Spark serving paths' `dg + dr/n`.
+    */
+  private[ops] def centDotSql(xqSrc: String, centgSrc: String, assignSrc: String): String =
+    s"""SELECT $xqSrc.vec_id, a.c,
+       |    CAST(sum($xqSrc.x * cg.g) AS DOUBLE)
+       |      + (CAST(sum($xqSrc.x * cg.r) AS DOUBLE) / CAST(max(cg.n) AS DOUBLE)) AS dt
+       |  FROM $xqSrc JOIN $assignSrc a USING (vec_id)
+       |  JOIN $centgSrc cg ON cg.j = a.c AND cg.d = $xqSrc.d
+       |  GROUP BY 1, 2""".stripMargin
+
   private[ops] def ivfChainSql(cfg: VectorSearch.IvfConfig, where: String = "",
       materialized: Boolean = false): String = {
     val m = if (materialized) "MATERIALIZED " else ""
@@ -145,11 +196,10 @@ object Similarity {
       else "(SELECT greatest(CAST(floor(sqrt(CAST(count(*) AS DOUBLE))) AS BIGINT), 16) " +
         s"FROM embeddings $where)"
     def iteration(i: Int): String =
-      s"""dist$i AS $m(
-         |  SELECT xq.vec_id, c.j,
-         |    CAST(sum((c.n * xq.x - c.s) * (c.n * xq.x - c.s)) AS DOUBLE)
-         |      / CAST(max(c.n) * max(c.n) AS DOUBLE) AS dist
-         |  FROM xq JOIN cent$i c USING (d) GROUP BY 1, 2
+      s"""centg$i AS $m(
+         |  ${centgSql(s"cent$i", cfg.quantBits)}
+         |), dist$i AS $m(
+         |  ${ivfDistSql("xq", s"centg$i")}
          |), assign$i AS $m(
          |  SELECT vec_id, j AS c FROM (
          |    SELECT vec_id, j, row_number() OVER (PARTITION BY vec_id ORDER BY dist, j) AS rn
@@ -174,11 +224,10 @@ object Similarity {
        |    FROM xq)
        |  WHERE j < $kExpr
        |), ${(0 until cfg.iters).map(iteration).mkString(", ")},
-       |distF AS $m(
-       |  SELECT xq.vec_id, c.j,
-       |    CAST(sum((c.n * xq.x - c.s) * (c.n * xq.x - c.s)) AS DOUBLE)
-       |      / CAST(max(c.n) * max(c.n) AS DOUBLE) AS dist
-       |  FROM xq JOIN cent$f c USING (d) GROUP BY 1, 2
+       |centgF AS $m(
+       |  ${centgSql(s"cent$f", cfg.quantBits)}
+       |), distF AS $m(
+       |  ${ivfDistSql("xq", "centgF")}
        |), assignF AS $m(
        |  SELECT vec_id, j AS c FROM (
        |    SELECT vec_id, j, row_number() OVER (PARTITION BY vec_id ORDER BY dist, j) AS rn
@@ -548,25 +597,24 @@ object Similarity {
 
   /** DuckDB replay: the shared [[ivfChainSql]] Lloyd chain gives the
     * cluster assignment; centroid similarity is the exact-integer
-    * `dot(x, S_c) / (√Σx²·√ΣS²)` (identical rounding to Spark); the
-    * within-cluster pair relation and the pairwise-dominance anti-join
-    * mirror the operator's single-pass survivor rule.
+    * `(Σx·g + Σx·r/N) / (√Σx² · √(ΣS²/N²))` via the overflow-free g/r
+    * decomposition ([[centDotSql]]/[[centRecSql]] — identical IEEE op
+    * order to Spark's centSims); the within-cluster pair relation and the
+    * pairwise-dominance anti-join mirror the operator's single-pass
+    * survivor rule.
     */
   val qSemdedupSql: String = {
     val cfg = VectorSearch.IvfConfig()
-    val f = cfg.iters
-    s"""WITH ${ivfChainSql(cfg)}, cnorm AS (
-       |  SELECT j, sqrt(CAST(sum(s * s) AS DOUBLE)) AS cn FROM cent$f GROUP BY 1
+    s"""WITH ${ivfChainSql(cfg)}, crec AS (
+       |  ${centRecSql("centgF")}
        |), a2 AS (
        |  SELECT vec_id, CAST(sum(x * x) AS BIGINT) AS a2 FROM xq GROUP BY 1
        |), cdot AS (
-       |  SELECT xq.vec_id, a.c, CAST(sum(xq.x * c.s) AS BIGINT) AS dt
-       |  FROM xq JOIN assignF a USING (vec_id) JOIN cent$f c ON c.j = a.c AND c.d = xq.d
-       |  GROUP BY 1, 2
+       |  ${centDotSql("xq", "centgF", "assignF")}
        |), centsim AS (
        |  SELECT cdot.vec_id, cdot.c AS cluster,
-       |    round(CAST(cdot.dt AS DOUBLE) / (sqrt(CAST(a2.a2 AS DOUBLE)) * cnorm.cn), 6) AS cent_sim
-       |  FROM cdot JOIN a2 USING (vec_id) JOIN cnorm ON cnorm.j = cdot.c
+       |    round(cdot.dt / (sqrt(CAST(a2.a2 AS DOUBLE)) * sqrt(crec.rec)), 6) AS cent_sim
+       |  FROM cdot JOIN a2 USING (vec_id) JOIN crec ON crec.j = cdot.c
        |), nv AS (
        |  SELECT vec_id, embedding,
        |    sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
@@ -629,16 +677,12 @@ object Similarity {
   val qSemdedupIncrementalSql: String = {
     val cfg = VectorSearch.IvfConfig()
     val q = (1L << cfg.quantBits).toString
-    val f = cfg.iters
     s"""WITH ${ivfChainSql(cfg, "WHERE vec_id % 5 <> 0")}, xqi AS (
        |  SELECT vec_id, d,
        |    CAST(floor(CAST(embedding[CAST(d + 1 AS INT)] AS DOUBLE) * $q) AS BIGINT) AS x
        |  FROM embeddings CROSS JOIN range(${cfg.dim}) rdi(d) WHERE vec_id % 5 = 0
        |), disti AS (
-       |  SELECT xqi.vec_id, c.j,
-       |    CAST(sum((c.n * xqi.x - c.s) * (c.n * xqi.x - c.s)) AS DOUBLE)
-       |      / CAST(max(c.n) * max(c.n) AS DOUBLE) AS dist
-       |  FROM xqi JOIN cent$f c USING (d) GROUP BY 1, 2
+       |  ${ivfDistSql("xqi", "centgF")}
        |), probei AS (
        |  SELECT vec_id AS id_i, j AS bucket FROM (
        |    SELECT vec_id, j, row_number() OVER (PARTITION BY vec_id ORDER BY dist, j) AS rn
@@ -693,10 +737,13 @@ object Similarity {
 
   /** One subspace's full train+assign CTE chain (shared by the PQ serve
     * oracle and the recon-error oracle): xq$j (quantized subvectors),
-    * the Lloyd iterations to c{j}_iters, final assignments aF$j, plus
-    * the serve-side ss/contrib/rec CTEs (unreferenced CTEs are inlined
-    * lazily by DuckDB, so reusing the chain for assignment-only
-    * consumers costs nothing).
+    * the Lloyd iterations to c{j}_iters, final assignments aF$j and the
+    * g/r-decomposed final codebook cgF$j, plus the serve-side contrib/rec
+    * CTEs (unreferenced CTEs are inlined lazily by DuckDB, so reusing the
+    * chain for assignment-only consumers costs nothing). Distances and
+    * scores use the overflow-free [[ivfDistSql]]/[[centDotSql]]/
+    * [[centRecSql]] formulation — same pinned IEEE op order as Spark's
+    * partsDist/ADC expressions.
     */
   private def pqSubspaceChainSql(j: Int, trainWhere: String): String = {
     val cfg = VectorSearch.PqConfig()
@@ -709,11 +756,10 @@ object Similarity {
         else s"""xt$j AS (SELECT * FROM xq$j $trainWhere),
                 |""".stripMargin
       def iteration(i: Int): String =
-        s"""d${j}_$i AS (
-           |  SELECT xq.vec_id, c.j,
-           |    CAST(sum((c.n * xq.x - c.s) * (c.n * xq.x - c.s)) AS DOUBLE)
-           |      / CAST(max(c.n) * max(c.n) AS DOUBLE) AS dist
-           |  FROM $trainSrc xq JOIN c${j}_$i c USING (d) GROUP BY 1, 2
+        s"""cg${j}_$i AS (
+           |  ${centgSql(s"c${j}_$i", cfg.quantBits)}
+           |), d${j}_$i AS (
+           |  ${ivfDistSql(trainSrc, s"cg${j}_$i")}
            |), a${j}_$i AS (
            |  SELECT vec_id, j AS c FROM (
            |    SELECT vec_id, j, row_number() OVER (PARTITION BY vec_id ORDER BY dist, j) AS rn
@@ -738,29 +784,29 @@ object Similarity {
          |    FROM $trainSrc
          |    WHERE vec_id IN (SELECT vec_id FROM embeddings $trainWhere ORDER BY vec_id LIMIT ${cfg.codebookSize}))
          |), ${(0 until cfg.iters).map(iteration).mkString(", ")},
-         |dF$j AS (
-         |  SELECT xq.vec_id, c.j,
-         |    CAST(sum((c.n * xq.x - c.s) * (c.n * xq.x - c.s)) AS DOUBLE)
-         |      / CAST(max(c.n) * max(c.n) AS DOUBLE) AS dist
-         |  FROM xq$j xq JOIN c${j}_$f c USING (d) GROUP BY 1, 2
+         |cgF$j AS (
+         |  ${centgSql(s"c${j}_$f", cfg.quantBits)}
+         |), dF$j AS (
+         |  ${ivfDistSql(s"xq$j", s"cgF$j")}
          |), aF$j AS (
          |  SELECT vec_id, j AS c FROM (
          |    SELECT vec_id, j, row_number() OVER (PARTITION BY vec_id ORDER BY dist, j) AS rn
          |    FROM dF$j)
          |  WHERE rn = 1
-         |), ss$j AS (
-         |  SELECT j AS c, sum(s * s) AS ss, max(n) AS n FROM c${j}_$f GROUP BY 1
+         |), recc$j AS (
+         |  ${centRecSql(s"cgF$j")}
          |), contrib$j AS (
          |  SELECT qx.vec_id AS q_vec_id, a.vec_id,
-         |    CAST(sum(qx.x * c.s) AS DOUBLE) / CAST(max(c.n) AS DOUBLE) AS term
+         |    CAST(sum(qx.x * cg.g) AS DOUBLE)
+         |      + (CAST(sum(qx.x * cg.r) AS DOUBLE) / CAST(max(cg.n) AS DOUBLE)) AS term
          |  FROM aF$j a
-         |  JOIN c${j}_$f c ON c.j = a.c
-         |  JOIN xq$j qx ON qx.d = c.d
+         |  JOIN cgF$j cg ON cg.j = a.c
+         |  JOIN xq$j qx ON qx.d = cg.d
          |  WHERE qx.vec_id IN (${QueryIds.mkString(", ")}) AND a.vec_id <> qx.vec_id
          |  GROUP BY 1, 2
          |), rec$j AS (
-         |  SELECT a.vec_id, CAST(ss.ss AS DOUBLE) / CAST(ss.n * ss.n AS DOUBLE) AS r
-         |  FROM aF$j a JOIN ss$j ss ON ss.c = a.c
+         |  SELECT a.vec_id, rc.rec AS r
+         |  FROM aF$j a JOIN recc$j rc ON rc.j = a.c
          |)""".stripMargin
     }
   }
@@ -1027,16 +1073,12 @@ object Similarity {
   val qSimIvfRefreshSql: String = {
     val cfg = VectorSearch.IvfConfig()
     val q = (1L << cfg.quantBits).toString
-    val f = cfg.iters
     s"""WITH ${ivfChainSql(cfg, "WHERE vec_id % 5 <> 0")}, xqi AS (
        |  SELECT vec_id, d,
        |    CAST(floor(CAST(embedding[CAST(d + 1 AS INT)] AS DOUBLE) * $q) AS BIGINT) AS x
        |  FROM embeddings CROSS JOIN range(${cfg.dim}) rdi(d) WHERE vec_id % 5 = 0
        |), disti AS (
-       |  SELECT xqi.vec_id, c.j,
-       |    CAST(sum((c.n * xqi.x - c.s) * (c.n * xqi.x - c.s)) AS DOUBLE)
-       |      / CAST(max(c.n) * max(c.n) AS DOUBLE) AS dist
-       |  FROM xqi JOIN cent$f c USING (d) GROUP BY 1, 2
+       |  ${ivfDistSql("xqi", "centgF")}
        |), assigni AS (
        |  SELECT vec_id, j AS c FROM (
        |    SELECT vec_id, j, row_number() OVER (PARTITION BY vec_id ORDER BY dist, j) AS rn
@@ -1281,28 +1323,35 @@ object Similarity {
       table(spark, dir, "embeddings"), col("vec_id"), col("embedding"),
       Artifacts.pqModel(spark, dir))
 
-  /** DuckDB replay: the shared per-subspace train+assign chains, then
-    * per assigned (vec, cell) the same integer D summed per cell.
+  /** DuckDB replay: the shared per-subspace train+assign chains, then per
+    * assigned (vec, cell) the same exact integer error pieces `Σ(x−g)²` /
+    * `Σ(x−g)·r` / `Σr²` summed per cell (HUGEINT-exact, surfaced as
+    * DOUBLE via the same single round-to-nearest cast Spark applies to
+    * its DECIMAL(38,0) sums).
     */
   val qPqReconErrorSql: String = {
     val cfg = VectorSearch.PqConfig()
     val m = cfg.subspaces
-    val f = cfg.iters
     val chains = (0 until m).map(j => pqSubspaceChainSql(j, "")).mkString(", ")
     val errs = (0 until m).map { j =>
       s"""err$j AS (
          |  SELECT $j AS subspace, a.c AS cell, a.vec_id,
-         |    CAST(sum((c.n * xq.x - c.s) * (c.n * xq.x - c.s)) AS BIGINT) AS err,
-         |    CAST(max(c.n) AS BIGINT) AS cell_n
-         |  FROM aF$j a JOIN c${j}_$f c ON c.j = a.c
-         |  JOIN xq$j xq ON xq.vec_id = a.vec_id AND xq.d = c.d
+         |    CAST(sum((xq.x - cg.g) * (xq.x - cg.g)) AS BIGINT) AS err_a,
+         |    CAST(sum((xq.x - cg.g) * cg.r) AS BIGINT) AS err_b,
+         |    CAST(sum(cg.r * cg.r) AS BIGINT) AS cell_r2,
+         |    CAST(max(cg.n) AS BIGINT) AS cell_n
+         |  FROM aF$j a JOIN cgF$j cg ON cg.j = a.c
+         |  JOIN xq$j xq ON xq.vec_id = a.vec_id AND xq.d = cg.d
          |  GROUP BY 1, 2, 3
          |)""".stripMargin
     }.mkString(", ")
     s"""WITH $chains, $errs,
        |allr AS (${(0 until m).map(j => s"SELECT * FROM err$j").mkString(" UNION ALL ")})
        |SELECT CAST(subspace AS BIGINT) AS subspace, CAST(cell AS BIGINT) AS cell,
-       |  CAST(count(*) AS BIGINT) AS n_vecs, CAST(sum(err) AS BIGINT) AS err_sum,
+       |  CAST(count(*) AS BIGINT) AS n_vecs,
+       |  CAST(sum(err_a) AS DOUBLE) AS err_a_sum,
+       |  CAST(sum(err_b) AS DOUBLE) AS err_b_sum,
+       |  CAST(max(cell_r2) AS BIGINT) AS cell_r2,
        |  CAST(max(cell_n) AS BIGINT) AS cell_n
        |FROM allr GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
   }

@@ -267,7 +267,7 @@ object VectorSearch {
     * scaling contract: with k ~ √n the within-cluster pair stage is bounded
     * by Σ|cluster|² ≈ n²/k = n^1.5 and per-cluster membership stays ~√n, so
     * neither the pair quadratic nor the exact-integer distance envelope
-    * (N² · 2^(2·quantBits+2) · dim must fit a long — see [[ivfTopK]])
+    * (Σr² ≤ dim·N² must fit a long, N ≈ 2^28 — see [[CentroidParts]])
     * degrades as the corpus grows. A fixed k would quietly turn the bound
     * into n²/k at 100×. Pass an explicit positive value to pin k (specs,
     * planted fixtures). The DuckDB oracles replay the same derivation as
@@ -294,6 +294,87 @@ object VectorSearch {
     */
   private[ops] final case class Centroid(s: Array[Long], n: Long)
 
+  /** Floor decomposition of a centroid's component means — the round-15
+    * overflow-free reformulation of every distance/score compare.
+    *
+    * `s_d / n = g_d + r_d / n` with integer `g_d = floor(s_d / n)` and
+    * remainder `r_d = s_d − n·g_d ∈ [0, n)`, computed on BOTH engines as
+    * `(s + n·SHIFT) div n − SHIFT` / `(s + n·SHIFT) mod n` with
+    * `SHIFT = 2^(quantBits+2)` so the shifted numerator is non-negative
+    * and truncating vs flooring division agree (Spark `DIV` truncates,
+    * DuckDB `//` floors; they only coincide for non-negative operands).
+    *
+    * The derived exact-long sufficient statistics replace `ΣS²` (whose
+    * long envelope bound cluster size to N ≈ 2^13 at quantBits = 14 — the
+    * r14 sf10 abort): |g_d| ≤ 2^(quantBits+2) is N-FREE, so
+    *   `sumG2 = Σg² ≤ dim·2^(2·quantBits+4)`          (N-free),
+    *   `sumGR = Σg·r ≤ dim·2^(quantBits+2)·N`          (long-safe to N ≈ 2^40),
+    *   `sumR2 = Σr² ≤ dim·N²`                          (long-safe to N ≈ 2^28.5,
+    * ~380M members per cell — 4 orders of magnitude past the ~31k/cell a
+    * 10⁹-vector √n-bucketed store sits at). All three accumulate in BigInt
+    * on the driver and FAIL LOUDLY (targeted message, never a wrap) if a
+    * cell ever exceeds the stated bound.
+    */
+  private[ops] final case class CentroidParts(n: Long, g: Array[Long], r: Array[Long],
+      sumG2: Long, sumGR: Long, sumR2: Long)
+
+  private[ops] def centroidParts(c: Centroid, quantBits: Int): CentroidParts = {
+    val shift = 4L << quantBits
+    val dim = c.s.length
+    val g = new Array[Long](dim)
+    val r = new Array[Long](dim)
+    var g2, gr, r2 = BigInt(0)
+    var i = 0
+    while (i < dim) {
+      val u = c.s(i) + c.n * shift
+      require(u >= 0, s"centroid component mean ${c.s(i)}/${c.n} below -2^(quantBits+2): " +
+        "raise the CentroidParts SHIFT (embedding components are assumed in [-4, 4])")
+      val gi = u / c.n - shift
+      val ri = u % c.n
+      g(i) = gi; r(i) = ri
+      g2 += BigInt(gi) * gi; gr += BigInt(gi) * ri; r2 += BigInt(ri) * ri
+      i += 1
+    }
+    def fit(v: BigInt, what: String): Long = {
+      require(v.isValidLong, s"centroid $what=$v exceeds the long envelope " +
+        s"(n=${c.n}, dim=$dim, quantBits=$quantBits): a cell this large (N > ~2^28) " +
+        "needs more/rebalanced IVF cells, not a wider integer")
+      v.toLong
+    }
+    CentroidParts(c.n, g, r, fit(g2, "sum_g2"), fit(gr, "sum_gr"), fit(r2, "sum_r2"))
+  }
+
+  /** Overflow-free scaled distance `Σ_d (x_d − s_d/n)²` of a quantized row
+    * to a centroid mean, in PINNED-ORDER double arithmetic over
+    * exactly-computed longs (every operand below is an exact integer):
+    *   A = Σ(x−g)² = a2 − 2·Σx·g + Σg²   (N-free),
+    *   B = Σ(x−g)·r = Σx·r − Σg·r        (≤ dim·2^(quantBits+3)·N),
+    *   dist = (A − 2.0·(B / n)) + Σr² / (n·n)
+    * with each double op (cast, one division per term, the two adds) an
+    * IEEE-754 operation both engines replay bit-identically — the DuckDB
+    * oracle computes the same longs via HUGEINT sums and the same final
+    * expression (see Similarity.ivfDistSelectSql). Replaces the
+    * `(N²·Σx² − 2N·ΣSx + ΣS²)/N²` form whose `2N·ΣSx` long product bound
+    * cells to N ≈ 2^13 (the r14 sf10 abort).
+    */
+  private[ops] def partsDist(p: CentroidParts, x: Column, a2: Column): Column = {
+    val (aP, bP) = partsAB(p, x, a2)
+    val nD = p.n.toDouble
+    (aP.cast("double") - lit(2.0) * (bP.cast("double") / lit(nD))) +
+      lit(p.sumR2).cast("double") / lit(nD * nD)
+  }
+
+  /** The two exact-long row×centroid terms of [[partsDist]]:
+    * `A = Σ(x−g)²` (N-free) and `B = Σ(x−g)·r` (long-safe to N ≈ 2^40) —
+    * exposed separately so [[pqReconError]] can aggregate them
+    * order-independently across members.
+    */
+  private[ops] def partsAB(p: CentroidParts, x: Column, a2: Column): (Column, Column) = {
+    val dotG = TextOps.dot(typedLit(p.g.map(_.toDouble).toSeq), x).cast("long")
+    val dotR = TextOps.dot(typedLit(p.r.map(_.toDouble).toSeq), x).cast("long")
+    (a2 - lit(2L) * dotG + lit(p.sumG2), dotR - lit(p.sumGR))
+  }
+
   /** IVF-style ANN: coarse-quantize the corpus with k-means (Lloyd
     * iterations expressed as DataFrame jobs, deterministic init from the
     * smallest ids), then search only the `nprobe` nearest centroid buckets
@@ -309,17 +390,16 @@ object VectorSearch {
     * clustering bit-reproducible by any engine (the DuckDB oracle replays
     * it as chained CTEs): components quantize to `x_d = floor(v_d·2^quantBits)`,
     * a centroid is `(S, N)` (member component-sums + count), and the
-    * squared distance to the mean `S/N`, scaled by `N²`, is the integer
-    *   `D = N²·Σx² − 2N·Σ(S·x) + ΣS²  ( = N²·Σ(x − S/N)² )`.
-    * Assignment compares `D/N²` after ONE double division each — every
-    * input to the division is an exactly-computed integer, so the compared
+    * squared distance to the mean `Σ(x − S/N)²` is compared in
+    * PINNED-ORDER double arithmetic over exactly-computed longs via the
+    * floor decomposition `S/N = g + r/N` — see [[CentroidParts]] and
+    * [[partsDist]]. Every summed term is an exact integer (so sums are
+    * order-independent in both engines) and the final per-centroid scalar
+    * is the same IEEE-754 op sequence in Spark and DuckDB, so the compared
     * doubles (and argmin tie-breaks on centroid index) are deterministic.
-    * Magnitude envelope: |x| < 2^quantBits, so
-    * `D ≤ N²·dim·(2·2^quantBits)² = N²·2^(2·quantBits+2)·dim` — with
-    * quantBits=14, dim=64 that is `N²·2^36`, ANSI-safe in a long for
-    * clusters up to N ≈ 2^13 (~8k) members; lower quantBits to trade
-    * quantization resolution for cluster-size headroom (quantBits=10 →
-    * N ≈ 2^17).
+    * Cell-size envelope: long-safe to N ≈ 2^28 members per cell (~380M;
+    * the `Σr² ≤ dim·N²` term), guarded LOUDLY on the driver — the r14
+    * `N ≈ 2^13` ANSI-overflow ceiling (`2N·ΣSx`) is gone.
     */
   def ivfTopK(df: DataFrame, id: Column, vec: Column, queryIds: Seq[Long], k: Int,
       cfg: IvfConfig = IvfConfig()): DataFrame = {
@@ -379,20 +459,15 @@ object VectorSearch {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
   }
 
-  /** D/N² per centroid, every integer exact (see scaladoc envelope).
-    * The centroid vector is ONE array literal (typedLit), not a
-    * CreateArray of `dim` lit() nodes — janino compiles a constant
-    * reference instead of a 64-term expression per centroid. Σx² comes
-    * from the persisted a2 column, computed once per row.
+  /** Scaled distance per centroid via [[partsDist]] (overflow-free,
+    * pinned-order — see [[CentroidParts]]). The g/r centroid vectors are
+    * ONE array literal each (typedLit), not a CreateArray of `dim` lit()
+    * nodes — janino compiles a constant reference instead of a 64-term
+    * expression per centroid. Σx² comes from the persisted a2 column,
+    * computed once per row.
     */
-  private def ivfDists(cents: Array[Centroid]): Array[Column] =
-    cents.map { c =>
-      val b = TextOps.dot(typedLit(c.s.map(_.toDouble).toSeq), col("xq"))
-        .cast("long") // Σ(S·x)
-      val c2 = c.s.map(v => v * v).sum // ΣS²
-      (lit(c.n * c.n) * col("a2") - lit(2 * c.n) * b + lit(c2)).cast("double") /
-        lit((c.n * c.n).toDouble)
-    }
+  private def ivfDists(cents: Array[Centroid], quantBits: Int): Array[Column] =
+    cents.map(c => partsDist(centroidParts(c, quantBits), col("xq"), col("a2")))
 
   /** Argmin via array functions — a when()-chain reduce would duplicate
     * the accumulator subtree per step (exponential expression size);
@@ -400,7 +475,7 @@ object VectorSearch {
     * mirrored by ORDER BY dist, j in the oracle.
     */
   private def ivfAssignment(cfg: IvfConfig)(cents: Array[Centroid]): Column = {
-    val dists = array(ivfDists(cents).toIndexedSeq: _*)
+    val dists = array(ivfDists(cents, cfg.quantBits).toIndexedSeq: _*)
     (array_position(dists, array_min(dists)) - 1).cast("int")
   }
 
@@ -446,7 +521,8 @@ object VectorSearch {
     * incremental semantic-dedup probe.
     */
   private def probeBucketsCol(cents: Array[Centroid], cfg: IvfConfig): Column = {
-    val ds = ivfDists(cents).zipWithIndex.map { case (d, j) => struct(d.as("d"), lit(j).as("j")) }
+    val ds = ivfDists(cents, cfg.quantBits).zipWithIndex
+      .map { case (d, j) => struct(d.as("d"), lit(j).as("j")) }
     slice(transform(array_sort(array(ds.toIndexedSeq: _*)), s => s("j")), 1, cfg.nprobe)
   }
 
@@ -690,9 +766,10 @@ object VectorSearch {
     *     keeps BOTH ends (a,c are not near-dups of each other — pairwise
     *     dominance, deliberately not whole-component collapse).
     *
-    * Centroid similarity is exact-integer before one division: quantized
-    * `dot(x, S_c)` over `sqrt(Σx²)·sqrt(ΣS²)`, rounded to 6 — identical in
-    * any engine. Recall caveat (inherent to SemDeDup): a near-dup pair
+    * Centroid similarity is pinned-order double arithmetic over
+    * exactly-computed integers (the g + r/n decomposition of
+    * [[CentroidParts]]), rounded to 6 — identical in any engine, with no
+    * cluster-size ceiling below the loud N ≈ 2^28 driver guard. Recall caveat (inherent to SemDeDup): a near-dup pair
     * split across two clusters is not tested; the paper accepts this (dup
     * pairs have near-identical embeddings, so they co-assign except on
     * centroid boundaries).
@@ -717,19 +794,21 @@ object VectorSearch {
     val corpus = ivfCorpus(df, id, vec, cfg)
     val rcfg = resolveCfg(corpus, cfg)
     val centroids = trainIvfCentroids(corpus, rcfg)
-    // per-centroid cosine-to-centroid: each an exact integer dot and two
-    // exact integer norms before the one double division (round 6).
-    // ΣS² accumulates in BigInt: component sums S grow with cluster size N
-    // (|S| ≤ N·2^quantBits), so the long path would silently wrap past
-    // N ≈ 2^(31.5 − quantBits)·√dim members (~23k at quantBits=14, dim=64)
-    // while the DuckDB oracle widens to HUGEINT — BigInt keeps both sides
-    // on the same round-to-nearest double of the EXACT integer. (The √n
-    // centroid derivation already keeps N near √n, but skew is free to
-    // violate that.)
+    // per-centroid cosine-to-centroid via the g + r/n mean decomposition
+    // (see CentroidParts): cos = (Σx·g + Σx·r/N) / (√Σx² · √(ΣS²/N²)) with
+    // both dots exact integers in double accumulation (the old Σx·S long
+    // lost exactness past N ≈ 2^19 members) and ΣS²/N² the same
+    // pinned-order per-centroid scalar the ADC rec term uses — every
+    // double op replayed identically by the DuckDB oracle's crec/cdot
+    // CTEs, so the round-6 value is bit-equal cross-engine with no
+    // cluster-size ceiling below the loud N ≈ 2^28 driver guard.
     val centSims = centroids.map { c =>
-      val dt = TextOps.dot(typedLit(c.s.map(_.toDouble).toSeq), col("xq")).cast("long")
-      val cNorm = math.sqrt(c.s.map(v => BigInt(v) * BigInt(v)).sum.toDouble)
-      round(dt.cast("double") / (sqrt(col("a2").cast("double")) * lit(cNorm)), 6)
+      val p = centroidParts(c, rcfg.quantBits)
+      val dg = TextOps.dot(typedLit(p.g.map(_.toDouble).toSeq), col("xq"))
+      val dr = TextOps.dot(typedLit(p.r.map(_.toDouble).toSeq), col("xq"))
+      val nD = p.n.toDouble
+      val rec = (p.sumG2.toDouble + 2.0 * (p.sumGR.toDouble / nD)) + p.sumR2.toDouble / (nD * nD)
+      round((dg + (dr / lit(nD))) / (sqrt(col("a2").cast("double")) * lit(math.sqrt(rec))), 6)
     }
     // referenced by both pair sides, the dominance lookup and the output —
     // persist so the centroid-distance expressions evaluate once per row
@@ -925,10 +1004,12 @@ object VectorSearch {
     * envelope): components quantize to integers, every codebook is `(S, N)`
     * sums+counts, and the score
     *   `cos ≈ (Σ_j I_j/N_j) / (sqrt(Σq²) · sqrt(Σ_j SS_j/N_j²))`
-    * is built from exactly-computed integer dot products `I_j = Σ qx·S`,
-    * `SS_j = Σ S²` with one pinned-order division/sqrt per term — every
-    * double op is replayed identically by the DuckDB oracle, so even this
-    * APPROXIMATE index is hash-gated, not rows-only.
+    * is built from the overflow-free `g + r/n` mean decomposition
+    * ([[CentroidParts]]): `I_j/N = Σqx·g + Σqx·r/N`, `SS_j/N²` the
+    * pinned-order per-cell scalar — every summed operand an exact integer,
+    * every double op replayed identically by the DuckDB oracle, so even
+    * this APPROXIMATE index is hash-gated, not rows-only, with no
+    * cell-size ceiling below the loud N ≈ 2^28 driver guard.
     *
     * `shortlist > k` enables the standard refine stage: rank the whole
     * corpus by ADC on the compressed codes, then re-rank only the
@@ -1005,38 +1086,36 @@ object VectorSearch {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
   }
 
-  /** Scaled integer distance D/N² of subspace j's subvector to centroid
-    * (S, N) — see ivfTopK's scaladoc for the exactness envelope. Σx_j²
+  /** Scaled distance of subspace j's subvector to centroid (S, N) via the
+    * overflow-free [[partsDist]] (see [[CentroidParts]] — PQ cells hold
+    * ~corpus/codebookSize members, so the old `ΣS²`/`2N·ΣSx` long
+    * envelope bound PRECISELY at the 10⁹-vector target scale). Σx_j²
     * comes from the persisted a2_j column, computed once per row.
     */
   private def pqAssignment(cfg: PqConfig)(j: Int, cents: Array[Centroid]): Column = {
-    val dists = array(cents.map { c =>
-      val b = TextOps.dot(typedLit(c.s.map(_.toDouble).toSeq), col(s"x$j")).cast("long")
-      val c2 = c.s.map(v => v * v).sum
-      (lit(c.n * c.n) * col(s"a2_$j") - lit(2 * c.n) * b + lit(c2)).cast("double") /
-        lit((c.n * c.n).toDouble)
-    }.toIndexedSeq: _*)
+    val dists = array(cents.map(c =>
+      partsDist(centroidParts(c, cfg.quantBits), col(s"x$j"), col(s"a2_$j"))).toIndexedSeq: _*)
     (array_position(dists, array_min(dists)) - 1).cast("int")
   }
 
   /** PQ QUANTIZATION-ERROR audit over trained codebooks — the
     * index-quality table a serving owner reads before trusting (or
     * re-sizing) a PQ deployment: per (subspace, cell) the member count,
-    * the cell's N, and the EXACT integer error numerator
-    * `err_sum = Σ_members D` with `D = N²·Σx² − 2N·Σ(S·x) + ΣS²`
-    * (= `N²·Σ(x − S/N)²`, the same scaled distance the assignment
-    * compares). Mean squared quantization error per cell is
-    * `err_sum / (n_vecs · N² · 2^(2·quantBits))` — left in exact pieces
-    * so the row hash-gates cross-engine (a float mean would not).
-    * Magnitude: D ≤ N²·2^(2·quantBits+2)·subDim — the SAME long envelope
-    * as [[ivfTopK]]/[[pqTopK]]'s assignment arithmetic (cells up to
-    * N ≈ 2^13 members at quantBits = 14; lower quantBits to trade
-    * resolution for cluster headroom). MEASURED at the second decade
-    * (Sf10Probe r14): at sf10 the 16 cells hold ~31k vectors each and
-    * the audit aborts LOUDLY with the ANSI long-overflow error (the
-    * `2N·Σ(S·x)` term) — never a silent wrong answer; a deployment at
-    * that cell size runs the PQ family at quantBits ≤ 10, where the
-    * envelope holds to N ≈ 2^17.
+    * the cell's N, and the EXACT integer error pieces of the overflow-free
+    * decomposition (see [[CentroidParts]]):
+    *   `err_a_sum = Σ_members Σ_d(x−g)²`  (each member term N-free),
+    *   `err_b_sum = Σ_members Σ_d(x−g)·r`,
+    *   `cell_r2  = Σ_d r²` (per-cell constant).
+    * Mean squared quantization error per cell is
+    *   `(err_a_sum − 2·err_b_sum/N + n_vecs·cell_r2/N²) / (n_vecs · 2^(2·quantBits))`
+    * — left in pieces so the row hash-gates cross-engine. The member sums
+    * accumulate EXACTLY as DECIMAL(38,0)/HUGEINT (order-independent, no
+    * long ceiling at a 10⁹-row corpus) and surface as DOUBLE via ONE
+    * round-to-nearest cast of the same exact integer on both engines
+    * (Spark never outputs decimal — the driver coerces DuckDB decimals to
+    * float); the r14 formulation's `2N·ΣSx` long envelope aborted this
+    * audit at sf10's ~31k-member cells — the decomposition removes that
+    * ceiling entirely (cells safe to N ≈ 2^28, driver-guarded loud).
     *
     * Shape at 100 TB: one scan of the cached quantized corpus, a
     * subspaces-sized explode, one map-side-combinable aggregate to
@@ -1046,27 +1125,44 @@ object VectorSearch {
   private[ops] def pqReconError(df: DataFrame, id: Column, vec: Column,
       codebooks: Array[Array[Centroid]], cfg: PqConfig = PqConfig()): DataFrame = {
     val corpus = pqCorpus(df, id, vec, cfg)
-    def intDist(j: Int, c: Centroid): Column = {
-      val b = TextOps.dot(typedLit(c.s.map(_.toDouble).toSeq), col(s"x$j")).cast("long")
-      val c2 = c.s.map(v => v * v).sum
-      lit(c.n * c.n) * col(s"a2_$j") - lit(2 * c.n) * b + lit(c2)
-    }
+    // Stage 1 names each subspace's argmin cell ONCE (`cell$j`); stage 2
+    // references it as a plain attribute. The multiple non-cheap uses of
+    // the code keep CollapseProject from inlining the argmin subtree back
+    // into every struct field — the inlined form multiplied the k-cell
+    // distance tree per field and blew the default driver heap during
+    // planning/codegen (measured: 8g OOM, restructured form fits easily).
+    val partsByJ = (0 until cfg.subspaces).map(j =>
+      codebooks(j).map(c => centroidParts(c, cfg.quantBits)))
+    val staged = corpus.select(
+      (0 until cfg.subspaces).map(j => pqAssignment(cfg)(j, codebooks(j)).as(s"cell$j")) ++
+        (0 until cfg.subspaces).flatMap(j => Seq(col(s"x$j"), col(s"a2_$j"))): _*)
     val perSub = (0 until cfg.subspaces).map { j =>
-      val cents = codebooks(j)
-      val dists = array(cents.map(c =>
-        intDist(j, c).cast("double") / lit((c.n * c.n).toDouble)).toIndexedSeq: _*)
-      val errs = array(cents.map(c => intDist(j, c)).toIndexedSeq: _*)
-      val ns = array(cents.map(c => lit(c.n)).toIndexedSeq: _*)
-      val pos = array_position(dists, array_min(dists)).cast("int")
-      struct(lit(j.toLong).as("subspace"), (pos - 1).cast("long").as("cell"),
-        element_at(errs, pos).as("err"), element_at(ns, pos).as("cell_n"))
+      val parts = partsByJ(j)
+      val one = col(s"cell$j") + 1
+      val gMat = typedLit(parts.map(_.g.map(_.toDouble).toSeq).toSeq)
+      val rMat = typedLit(parts.map(_.r.map(_.toDouble).toSeq).toSeq)
+      val g2A = typedLit(parts.map(_.sumG2).toSeq)
+      val grA = typedLit(parts.map(_.sumGR).toSeq)
+      val r2A = typedLit(parts.map(_.sumR2).toSeq)
+      val nA = typedLit(parts.map(_.n).toSeq)
+      val dg = TextOps.dot(col(s"x$j"), element_at(gMat, one)).cast("long")
+      val dr = TextOps.dot(col(s"x$j"), element_at(rMat, one)).cast("long")
+      struct(lit(j.toLong).as("subspace"), col(s"cell$j").cast("long").as("cell"),
+        (col(s"a2_$j") - lit(2L) * dg + element_at(g2A, one)).as("err_a"),
+        (dr - element_at(grA, one)).as("err_b"),
+        element_at(r2A, one).as("cell_r2"),
+        element_at(nA, one).as("cell_n"))
     }
-    val out = corpus
+    val out = staged
       .select(explode(array(perSub: _*)).as("e"))
       .select(col("e.subspace").as("subspace"), col("e.cell").as("cell"),
-        col("e.err").as("err"), col("e.cell_n").as("cell_n"))
+        col("e.err_a").as("err_a"), col("e.err_b").as("err_b"),
+        col("e.cell_r2").as("cell_r2"), col("e.cell_n").as("cell_n"))
       .groupBy(col("subspace"), col("cell"))
-      .agg(count(lit(1)).as("n_vecs"), sum(col("err")).as("err_sum"),
+      .agg(count(lit(1)).as("n_vecs"),
+        sum(col("err_a").cast("decimal(38,0)")).cast("double").as("err_a_sum"),
+        sum(col("err_b").cast("decimal(38,0)")).cast("double").as("err_b_sum"),
+        max(col("cell_r2")).as("cell_r2"),
         max(col("cell_n")).as("cell_n"))
       .orderBy(col("subspace"), col("cell"))
     TextDedup.materializeAndRelease(out, corpus)
@@ -1149,16 +1245,31 @@ object VectorSearch {
   private[ops] def pqServePlan(df: DataFrame, id: Column, vec: Column, queries: DataFrame,
       codebooks: Array[Array[Centroid]], encoded: DataFrame, queryIds: Seq[Long],
       k: Int, cfg: PqConfig, shortlist: Int): DataFrame = {
+    // Overflow-free ADC terms via the g + r/n mean decomposition (see
+    // CentroidParts): I_j/N = Σqx·g + Σqx·r/N with both dots exact
+    // integers in double accumulation (the old Σqx·S lost exactness past
+    // N ≈ 2^19 members and its ΣS² driver sum wrapped silently at
+    // N ≈ 2^14.5 — both bound below the 10⁹-vector PQ cell size of
+    // ~corpus/codebookSize). Every double op is pinned-order and replayed
+    // identically by the DuckDB oracle's contrib/rec CTEs.
+    val partsByJ = (0 until cfg.subspaces).map(j =>
+      codebooks(j).map(c => centroidParts(c, cfg.quantBits)))
     def contrib(j: Int): Column = {
-      val sLit = typedLit(codebooks(j).map(_.s.map(_.toDouble).toSeq).toSeq)
-      val nLit = typedLit(codebooks(j).map(_.n.toDouble).toSeq)
-      val ij = TextOps.dot(pqSub(cfg)(col("qxq"), j), element_at(sLit, col(s"code$j") + 1))
-      ij / element_at(nLit, col(s"code$j") + 1)
+      val gLit = typedLit(partsByJ(j).map(_.g.map(_.toDouble).toSeq).toSeq)
+      val rLit = typedLit(partsByJ(j).map(_.r.map(_.toDouble).toSeq).toSeq)
+      val nLit = typedLit(partsByJ(j).map(_.n.toDouble).toSeq)
+      val dg = TextOps.dot(pqSub(cfg)(col("qxq"), j), element_at(gLit, col(s"code$j") + 1))
+      val dr = TextOps.dot(pqSub(cfg)(col("qxq"), j), element_at(rLit, col(s"code$j") + 1))
+      dg + (dr / element_at(nLit, col(s"code$j") + 1))
     }
     def reconNorm2(j: Int): Column = {
-      val ssLit = typedLit(codebooks(j).map(c => c.s.map(v => v * v).sum.toDouble).toSeq)
-      val n2Lit = typedLit(codebooks(j).map(c => (c.n * c.n).toDouble).toSeq)
-      element_at(ssLit, col(s"code$j") + 1) / element_at(n2Lit, col(s"code$j") + 1)
+      // ΣS²/N² = (Σg² + 2·(Σg·r / N)) + Σr²/N² — driver-precomputed per
+      // cell with the same IEEE op sequence the oracle's rec CTE uses
+      val recLit = typedLit(partsByJ(j).map { p =>
+        val nD = p.n.toDouble
+        (p.sumG2.toDouble + 2.0 * (p.sumGR.toDouble / nD)) + p.sumR2.toDouble / (nD * nD)
+      }.toSeq)
+      element_at(recLit, col(s"code$j") + 1)
     }
     val score = round(
       (0 until cfg.subspaces).map(contrib).reduce(_ + _) /

@@ -24,16 +24,24 @@ class VectorPairsSpec extends SparkFunSuite {
   test("pq recon error: cells partition the corpus per subspace, bounded by the codebook") {
     val cfg = VectorSearch.PqConfig()
     val rows = Similarity.qPqReconError(spark, sf).collect()
-      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4), r.getLong(5), r.getLong(6)))
     val n = emb.count()
     rows.groupBy(_._1).foreach { case (j, cells) =>
       // every vector lands in exactly one cell of every subspace
       assert(cells.map(_._3).sum === n, s"subspace $j")
       assert(cells.length <= cfg.codebookSize, s"subspace $j")
-      // cell indices are codebook positions; errors are non-negative ints
-      cells.foreach { case (_, c, _, err, cn) =>
+      cells.foreach { case (_, c, nVecs, errA, errB, cellR2, cellN) =>
+        // cell indices are codebook positions; counts are positive
         assert(c >= 0 && c < cfg.codebookSize)
-        assert(err >= 0L && cn >= 1L)
+        assert(nVecs >= 1L && cellN >= 1L && cellR2 >= 0L)
+        // the decomposed pieces reconstruct a non-negative total squared
+        // error: Σ_members Σ_d (x − S/N)² = errA − 2·errB/N + nVecs·Σr²/N²
+        val nD = cellN.toDouble
+        val recon = errA - 2.0 * (errB / nD) + nVecs * (cellR2 / (nD * nD))
+        assert(recon >= -1e-6, s"subspace $j cell $c reconstructed error $recon < 0")
+        // errA alone is Σ(x−g)² ≥ 0 — the N-free piece
+        assert(errA >= 0.0)
       }
     }
     assert(rows.map(_._1).distinct.sorted === (0 until cfg.subspaces).map(_.toLong))
