@@ -104,6 +104,65 @@ object Artifacts {
     * projections of the standing split, so the stored bytes are
     * bit-stable regardless of which query triggers the build.
     */
+  /** Arrival-side intake artifacts (round 15 — the arrival dual of
+    * [[ensureIntakeStanding]], VERDICT r14 item 2): the intake cascade
+    * previously recomputed the arrival tokenize/quality/langid/fp scan,
+    * the MinHash shingles + banded signatures, and the IVF probe ranking
+    * on EVERY q_intake / q_intake_gated run. All four relations are pure
+    * per-document functions of the arrival split (probes additionally of
+    * the frozen semdedup-IVF centroids), so they are bit-stable
+    * regardless of which query triggers the build, and serving them
+    * semi-joined to a survivor subset equals recomputing on that subset.
+    */
+  def ensureIntakeArrivals(spark: SparkSession, dir: String): String = {
+    val ivfDir = ensureSemdedupIvf(spark, dir) // hoisted build dependency
+    graft.ServingIndexes.ensure("intake-arrivals", dir) { d =>
+      val arrivals = table(spark, dir, "documents")
+        .filter(pmod(col("doc_id"), lit(5)) === 0)
+      Pipeline.arrivalMeta(arrivals)
+        .select(col("doc_id"), col("n_tokens"), col("quality_score"),
+          col("lang"), col("fp"))
+        .write.mode("overwrite").parquet(s"$d/meta.parquet")
+      val shI = TextDedup.shingles(arrivals, col("doc_id"), col("text"), Dedup.ShingleK)
+      shI.write.mode("overwrite").parquet(s"$d/shingles.parquet")
+      TextDedup.bandedSignatures(shI,
+          TextDedup.MinHashConfig(shingleK = Dedup.ShingleK))
+        .write.mode("overwrite").parquet(s"$d/bands.parquet")
+      shI.unpersist()
+      VectorSearch.ivfProbeBucketsFromIndex(
+          table(spark, dir, "embeddings")
+            .filter(pmod(col("vec_id"), lit(5)) === 0),
+          col("vec_id"), col("embedding"), ivfDir)
+        .write.mode("overwrite").parquet(s"$d/probes.parquet")
+      // NB classifier scores of every arrival against the session model —
+      // pure in (arrival split, stored model) and the model is itself a
+      // deterministic per-dir artifact, so the scores are bit-stable too;
+      // the gated intake otherwise re-paid the token-explode × vocab-join
+      // scoring pass per run
+      val nbDir = ensureQualityNb(spark, dir)
+      TextAnalysis.nbScore(
+          arrivals
+            .select(col("doc_id"), TextOps.tokens(col("text")).as("t"))
+            .filter(size(col("t")) >= 1)
+            .select(col("doc_id"), explode(col("t")).as("tok")),
+          Seq("doc_id"),
+          spark.read.parquet(s"$nbDir/weights.parquet"),
+          spark.read.parquet(s"$nbDir/totals.parquet"))
+        .write.mode("overwrite").parquet(s"$d/nbscores.parquet")
+    }
+  }
+
+  /** Load [[ensureIntakeArrivals]] as the cascade's [[Pipeline.ArrivalPrep]]. */
+  private[ops] def intakeArrivalPrep(spark: SparkSession, dir: String): Pipeline.ArrivalPrep = {
+    val d = ensureIntakeArrivals(spark, dir)
+    Pipeline.ArrivalPrep(
+      meta = spark.read.parquet(s"$d/meta.parquet"),
+      shingles = spark.read.parquet(s"$d/shingles.parquet"),
+      bands = spark.read.parquet(s"$d/bands.parquet"),
+      probes = spark.read.parquet(s"$d/probes.parquet"),
+      nbScores = spark.read.parquet(s"$d/nbscores.parquet"))
+  }
+
   def ensureIntakeStanding(spark: SparkSession, dir: String): String =
     graft.ServingIndexes.ensure("intake-standing", dir) { d =>
       val corpus = table(spark, dir, "documents")

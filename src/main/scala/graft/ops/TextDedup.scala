@@ -400,15 +400,39 @@ object TextDedup {
       incoming: DataFrame, id: Column, text: Column,
       cfg: MinHashConfig, threshold: Double): DataFrame = {
     val shI = shingles(incoming, id, text, cfg.shingleK)
-    val candidates = bandedSignatures(shI, cfg)
+    val out = incrementalProbePrepared(
+      cappedC, shC, sizesC, shI, bandedSignatures(shI, cfg), threshold)
+    materializeAndRelease(out, shI)
+  }
+
+  /** [[incrementalProbe]] over PRE-COMPUTED incoming shingles (`shI`:
+    * id, s) and banded signatures (`bandsI`: id, band, bv) — the seam the
+    * intake cascade's session-memoized arrival artifacts serve through
+    * (round 15: the arrival dual of the stored corpus index; signatures
+    * are pure per-document functions, so a superset relation semi-joined
+    * to the current survivor set is bit-identical to recomputing from the
+    * survivors). Lazy — the caller owns materialization and any caches
+    * behind shI/bandsI.
+    */
+  private[ops] def incrementalProbePrepared(
+      cappedC: DataFrame, shC: DataFrame, sizesC: DataFrame,
+      shI: DataFrame, bandsI: DataFrame, threshold: Double): DataFrame = {
+    val candidates = bandsI
       .select(col("id").as("id_i"), col("band"), col("bv"))
       .join(cappedC.select(col("id").as("id_c"), col("band"), col("bv")),
         Seq("band", "bv"))
       .select(col("id_i"), col("id_c"))
       .distinct()
+    // verification touches only candidate corpus docs: semi-join the
+    // (corpus-sized) shingle relation down to the batch-bounded candidate
+    // id set BEFORE the exact-overlap join — at 100 TB this is the
+    // difference between shuffling the whole stored shingle table per
+    // ingest batch and reading just the probed postings
+    val shCNeeded = shC.select(col("id").as("id_c"), col("s"))
+      .join(broadcast(candidates.select(col("id_c")).distinct()), Seq("id_c"), "left_semi")
     val commons = candidates
-      .join(shI.toDF("id_i", "s"), Seq("id_i"))
-      .join(shC.select(col("id").as("id_c"), col("s")), Seq("id_c", "s"))
+      .join(shI.select(col("id").as("id_i"), col("s")), Seq("id_i"))
+      .join(shCNeeded, Seq("id_c", "s"))
       .groupBy(col("id_i"), col("id_c")).agg(count(lit(1)).as("common"))
     val verified = commons
       .join(shI.groupBy(col("id")).agg(count(lit(1)).as("ni")).toDF("id_i", "ni"), Seq("id_i"))
@@ -417,13 +441,29 @@ object TextDedup {
         (col("common").cast(DoubleType) /
           (col("ni") + col("nc") - col("common")).cast(DoubleType)).as("jaccard"))
       .filter(col("jaccard") >= threshold)
-    val out = verified
+    verified
       .groupBy(col("id_i"))
       .agg(min(col("id_c")).as("dup_of"), max(col("jaccard")).as("best_jaccard"),
         count(lit(1)).as("n_dups"))
       .withColumnRenamed("id_i", "id")
       .orderBy(col("id"))
-    materializeAndRelease(out, shI)
+  }
+
+  /** Serve an ingest probe from the stored index AND pre-computed arrival
+    * relations — [[minhashLshIncrementalFromIndex]] with the arrival-side
+    * shingle/signature work already paid (session artifact or a prior
+    * stage). Bit-identical to the from-index path over the same ids.
+    */
+  def minhashLshIncrementalFromIndexPrepared(
+      shI: DataFrame, bandsI: DataFrame, indexDir: String,
+      threshold: Double = 0.8): DataFrame = {
+    val spark = shI.sparkSession
+    incrementalProbePrepared(
+      spark.read.parquet(s"$indexDir/banded.parquet"),
+      spark.read.parquet(s"$indexDir/shingles.parquet"),
+      spark.read.parquet(s"$indexDir/sizes.parquet"),
+      shI, bandsI, threshold)
+      .localCheckpoint()
   }
 
   /** Persist the LSH dedup index — the dedup-side dual of the PQ/IVF ANN
