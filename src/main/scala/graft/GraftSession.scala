@@ -51,6 +51,7 @@ object GraftSession {
     "exif_gps_lon" -> (functions.ExifGps(_, lon = true)),
     "exif_thumb" -> (functions.ExifThumb(_)),
     "repetition_profile" -> (functions.RepetitionProfile(_)),
+    "html_text" -> (functions.HtmlText(_)),
   )
 
   /** Builder with the engine's recommended configuration; callers add

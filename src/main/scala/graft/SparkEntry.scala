@@ -25,7 +25,8 @@ object SparkEntry {
       ops.JoinShapes.queries ++ ops.Corpus.queries ++ ops.SqlSurface.queries ++
       ops.Layout.queries ++ ops.Winnow.queries ++ ops.Checks.queries ++
       ops.FuzzyJoin.queries ++ ops.Graph.queries ++ ops.BpeTrain.queries ++
-      ops.EmbedStats.queries ++ ops.Sketches.queries ++ ops.SemiStructured.queries
+      ops.EmbedStats.queries ++ ops.Sketches.queries ++ ops.SemiStructured.queries ++
+      ops.HtmlExtract.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -37,5 +38,6 @@ object SparkEntry {
       ops.JoinShapes.oracle ++ ops.Corpus.oracle ++ ops.SqlSurface.oracle ++
       ops.Layout.oracle ++ ops.Winnow.oracle ++ ops.Checks.oracle ++
       ops.FuzzyJoin.oracle ++ ops.Graph.oracle ++ ops.BpeTrain.oracle ++
-      ops.EmbedStats.oracle ++ ops.Sketches.oracle ++ ops.SemiStructured.oracle
+      ops.EmbedStats.oracle ++ ops.Sketches.oracle ++ ops.SemiStructured.oracle ++
+      ops.HtmlExtract.oracle
 }
