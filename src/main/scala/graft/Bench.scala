@@ -135,7 +135,12 @@ object Bench {
       // pure narrow codegen walk like exif_meta — per-row linearity
       // established for the family)
       "q_doc_repetition", "q_repetition_filter", "q_geo_diversity_mix",
-      "q_intake_gated", "q_pq_recon_error")
+      "q_intake_gated", "q_pq_recon_error",
+      // round 15: the full nine-gate composite and the HTML boilerplate
+      // report measure their first decade the round they land
+      // (q_html_extract itself is a pure narrow codegen walk — per-row
+      // linearity established for the walker family)
+      "q_intake_full", "q_html_boilerplate")
     // targets + denominators + quiet bar are computed HERE (the suite
     // leg owns them); the measurements run in a FORKED fresh JVM
     // (VERDICT r13 item 2 — see Sf1Probe's scaladoc for why), with the

@@ -775,6 +775,69 @@ object Pipeline {
       .orderBy(col("doc_id"))
   }
 
+  /** The FULL intake cascade (round 15 — VERDICT r14 item 4): every
+    * standing gate of the engine composed into one ingest front door with
+    * verdict provenance, ordered cheapest-first:
+    *
+    *   repetition (Gopher §A1.1 — a pure row expression, the cheapest
+    *   gate, so repeated junk never reaches the classifier) → classifier
+    *   (frozen NB model) → quality/lang → exact_dup → near_dup →
+    *   semantic_dup → contaminated → geo_sampled (multimodal path:
+    *   arrivals carrying a geo-tagged photo admit at the FROZEN
+    *   standing-corpus temperature rates — the [[Multimodal.cellRates]]
+    *   formula, md5-bucket decision, so over-represented regions are
+    *   down-sampled at the door) → clean.
+    *
+    * Stream == batch still holds: every verdict (including geo — the
+    * rates are frozen standing state, the keep decision a pure row
+    * function) depends only on the arrival and standing artifacts.
+    *
+    * @param photoCells (doc_id, lat_cell, lon_cell) for arrivals carrying
+    *   a geo-tagged photo (the [[Multimodal.burstKeys]] decode); arrivals
+    *   absent from it skip the geo stage
+    * @param geoRates frozen (lat_cell, lon_cell, thr) standing-corpus
+    *   admission thresholds; cells unseen in the standing corpus admit
+    */
+  def intakeBatchFull(arrivals: DataFrame, prep: Option[ArrivalPrep],
+      weights: DataFrame, totals: DataFrame, corpusFps: DataFrame,
+      lshIndexDir: String, embLookup: DataFrame, corpusEmb: DataFrame,
+      ivfIndexDir: String, benchGrams: DataFrame,
+      photoCells: DataFrame, geoRates: DataFrame): DataFrame = {
+    val repDropped = arrivals
+      .join(TextAnalysis.docRepetitionProfileOf(arrivals)
+          .filter(not(expr(TextAnalysis.RepetitionKeep)))
+          .select(col("doc_id")),
+        Seq("doc_id"), "left_semi")
+      .select(col("doc_id"), size(tokens(col("text"))).cast(LongType).as("n_tokens"))
+      .localCheckpoint()
+    val pos = arrivals.join(
+      broadcast(repDropped.select(col("doc_id"))), Seq("doc_id"), "left_anti")
+    val gatedOut = intakeBatchGatedImpl(pos, prep, weights, totals, corpusFps,
+      lshIndexDir, embLookup, corpusEmb, ivfIndexDir, benchGrams)
+    // geo admission applies to otherwise-clean photo-carrying arrivals:
+    // thresholds broadcast (≤ 18×36 cells), decision a pure row function
+    val geoThr = photoCells
+      .join(broadcast(geoRates.select(col("lat_cell"), col("lon_cell"), col("thr"))),
+        Seq("lat_cell", "lon_cell"), "left")
+      .select(col("doc_id"), col("thr"))
+    val geoGated = gatedOut
+      .join(geoThr, Seq("doc_id"), "left")
+      .withColumn("geo_drop",
+        col("reason") === "clean" && col("thr").isNotNull &&
+          Multimodal.keepBucket(col("doc_id")) >= col("thr"))
+      .select(col("doc_id"), col("n_tokens"),
+        when(col("geo_drop"), "geo_sampled").otherwise(col("reason")).as("reason"),
+        when(col("geo_drop"), 0L).otherwise(col("accepted")).as("accepted"),
+        when(col("geo_drop"), lit(null).cast(StringType)).otherwise(col("split")).as("split"),
+        when(col("geo_drop"), lit(null).cast(LongType)).otherwise(col("shard")).as("shard"))
+    geoGated.unionByName(
+        repDropped.select(col("doc_id"), col("n_tokens"),
+          lit("repetition").as("reason"), lit(0L).as("accepted"),
+          lit(null).cast(StringType).as("split"),
+          lit(null).cast(LongType).as("shard")))
+      .orderBy(col("doc_id"))
+  }
+
   /** [[intakeBatch]] bound to the standing split: corpus = doc_id ≢ 0
     * mod 5 (with its session-shared dedup-LSH and semantic-IVF artifacts
     * — the SAME [[graft.ServingIndexes]] builds the individual gate
@@ -939,6 +1002,99 @@ object Pipeline {
       spark.read.parquet(s"$standing/grams.parquet"))
   }
 
+  /** [[intakeBatchFull]] bound to the standing split: [[qIntakeGated]]'s
+    * setup plus the arrival photo cells (the [[Multimodal.burstKeys]]
+    * EXIF decode over the photo-carrying arrivals) and the frozen
+    * standing-corpus geo admission rates.
+    */
+  def qIntakeFull(spark: SparkSession, dir: String): DataFrame = {
+    val docs = table(spark, dir, "documents")
+    val arrivals = docs.filter(pmod(col("doc_id"), lit(5)) === 0)
+    val emb = table(spark, dir, "embeddings")
+    val corpusEmb = emb.filter(pmod(col("vec_id"), lit(5)) =!= 0)
+    val lshDir = Artifacts.ensureDedupLsh(spark, dir)
+    val ivfDir = Artifacts.ensureSemdedupIvf(spark, dir)
+    val nbDir = Artifacts.ensureQualityNb(spark, dir)
+    val standing = Artifacts.ensureIntakeStanding(spark, dir)
+    val photos = Multimodal.burstKeys(Multimodal.exifMetaTable(spark, dir))
+    intakeBatchFull(arrivals, Some(Artifacts.intakeArrivalPrep(spark, dir)),
+      spark.read.parquet(s"$nbDir/weights.parquet"),
+      spark.read.parquet(s"$nbDir/totals.parquet"),
+      spark.read.parquet(s"$standing/fps.parquet"), lshDir,
+      emb, corpusEmb, ivfDir,
+      spark.read.parquet(s"$standing/grams.parquet"),
+      photos.filter(pmod(col("doc_id"), lit(5)) === 0)
+        .select(col("doc_id"), col("lat_cell"), col("lon_cell")),
+      Multimodal.cellRates(photos.filter(pmod(col("doc_id"), lit(5)) =!= 0))
+        .select(col("lat_cell"), col("lon_cell"), col("thr")))
+  }
+
+  /** DuckDB replay of the full cascade: the gated CTE chain plus the
+    * repetition profile over the arrivals (`reprej`) and the geo
+    * admission replay from the doc_id arithmetic ([[Multimodal
+    * .qGeoDiversityMixSql]]'s cell formula with rates frozen over the
+    * standing photos) — verdict priority repetition → classifier →
+    * cascade → geo, valid for the same per-doc-independence reason the
+    * gated oracle documents.
+    */
+  val qIntakeFullSql: String = {
+    val rep = TextAnalysis.docRepetitionProfileSql(
+      withOrder = false, where = "WHERE doc_id % 5 = 0")
+    s"""WITH $intakeGatedCtesSql,
+       |rep AS (
+       |$rep
+       |), reprej AS MATERIALIZED (
+       |  SELECT doc_id FROM rep WHERE NOT (${TextAnalysis.RepetitionKeep})
+       |), gm AS (
+       |  SELECT doc_id,
+       |    (CASE WHEN (doc_id // 3) % 2 = 1 THEN -1 ELSE 1 END) *
+       |      ((doc_id % 90) * 3600000000 + (doc_id % 60) * 60000000
+       |       + ((doc_id * 13) % 6000) * 10000) AS lat,
+       |    (CASE WHEN (doc_id // 5) % 2 = 1 THEN -1 ELSE 1 END) *
+       |      ((doc_id % 180) * 3600000000 + ((doc_id * 3) % 60) * 60000000
+       |       + ((doc_id * 17) % 6000) * 10000) AS lon
+       |  FROM documents WHERE doc_id % 3 = 1
+       |), gk AS (
+       |  SELECT doc_id,
+       |    (lat + 324000000000) // 36000000000 AS lat_cell,
+       |    (lon + 648000000000) // 36000000000 AS lon_cell
+       |  FROM gm
+       |), gcells AS (
+       |  SELECT lat_cell, lon_cell, count(*) AS n_cell
+       |  FROM gk WHERE doc_id % 5 <> 0 GROUP BY 1, 2
+       |), gmn AS (SELECT min(n_cell) AS n_min FROM gcells),
+       |grates AS (
+       |  SELECT lat_cell, lon_cell,
+       |    CAST(floor(10000 * sqrt(CAST(n_min AS DOUBLE) / CAST(n_cell AS DOUBLE))) AS BIGINT) AS thr
+       |  FROM gcells, gmn
+       |), georej AS MATERIALIZED (
+       |  SELECT gk.doc_id
+       |  FROM gk JOIN grates r ON r.lat_cell = gk.lat_cell AND r.lon_cell = gk.lon_cell
+       |  WHERE gk.doc_id % 5 = 0
+       |    AND CAST(concat('0x', substring(md5(CAST(gk.doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+       |      % 10000 >= r.thr
+       |)
+       |SELECT doc_id, n_tokens,
+       |  CASE WHEN doc_id IN (SELECT doc_id FROM reprej) THEN 'repetition'
+       |       WHEN doc_id IN (SELECT doc_id FROM nbrej) THEN 'classifier'
+       |       WHEN reason = 'clean' AND doc_id IN (SELECT doc_id FROM georej)
+       |         THEN 'geo_sampled'
+       |       ELSE reason END AS reason,
+       |  CAST(CASE WHEN doc_id IN (SELECT doc_id FROM reprej)
+       |         OR doc_id IN (SELECT doc_id FROM nbrej)
+       |         OR (reason = 'clean' AND doc_id IN (SELECT doc_id FROM georej)) THEN 0
+       |       ELSE accepted END AS BIGINT) AS accepted,
+       |  CASE WHEN doc_id IN (SELECT doc_id FROM reprej)
+       |         OR doc_id IN (SELECT doc_id FROM nbrej)
+       |         OR (reason = 'clean' AND doc_id IN (SELECT doc_id FROM georej)) THEN NULL
+       |       ELSE split END AS split,
+       |  CASE WHEN doc_id IN (SELECT doc_id FROM reprej)
+       |         OR doc_id IN (SELECT doc_id FROM nbrej)
+       |         OR (reason = 'clean' AND doc_id IN (SELECT doc_id FROM georej)) THEN NULL
+       |       ELSE shard END AS shard
+       |FROM base ORDER BY doc_id""".stripMargin
+  }
+
   /** DuckDB replay: the classifier's train/score CTEs (the
     * [[qPipelineGatedSql]] formulation, trained on the standing split)
     * compute the rejected arrival set, and the UNgated cascade replay
@@ -948,10 +1104,13 @@ object Pipeline {
     * so a rejected doc's presence in the inner cascade cannot change any
     * other doc's verdict.
     */
-  val qIntakeGatedSql: String = {
+  /** The classifier replay CTE chain (`nbd → ... → nbrej`) + the ungated
+    * cascade as `base` — shared by the gated and full intake oracles.
+    */
+  private def intakeGatedCtesSql: String = {
     val pos = TextAnalysis.QualityPosSources.map("'" + _ + "'").mkString(", ")
     val base = qIntakeSql.replace("\nORDER BY a.doc_id", "")
-    s"""WITH nbd AS (
+    s"""nbd AS (
        |  SELECT doc_id, source,
        |    CASE WHEN source IN ($pos) THEN 'pos' ELSE 'neg' END AS actual,
        |    regexp_split_to_array(lower(text), '\\s+') AS t
@@ -982,7 +1141,11 @@ object Pipeline {
        |  WHERE sum_w // n_toks < 1000000
        |), base AS (
        |$base
-       |)
+       |)""".stripMargin
+  }
+
+  val qIntakeGatedSql: String =
+    s"""WITH $intakeGatedCtesSql
        |SELECT doc_id, n_tokens,
        |  CASE WHEN doc_id IN (SELECT doc_id FROM nbrej) THEN 'classifier'
        |       ELSE reason END AS reason,
@@ -993,7 +1156,6 @@ object Pipeline {
        |  CASE WHEN doc_id IN (SELECT doc_id FROM nbrej) THEN NULL
        |       ELSE shard END AS shard
        |FROM base ORDER BY doc_id""".stripMargin
-  }
 
   /** CLASSIFIER-GATED pipeline variant — the CCNet head applied as the
     * corpus FILTER it actually is in production (Wenzek et al. 2020,
@@ -1128,6 +1290,7 @@ object Pipeline {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_intake" -> (qIntake _),
     "q_intake_gated" -> (qIntakeGated _),
+    "q_intake_full" -> (qIntakeFull _),
     "q_pipeline_corpus" -> (qPipelineCorpus _),
     "q_pipeline_crossmodal" -> (qPipelineCrossmodal _),
     "q_pipeline_gated" -> (qPipelineGated _),
@@ -1136,6 +1299,7 @@ object Pipeline {
   def oracle: Map[String, String] = Map(
     "q_intake" -> qIntakeSql,
     "q_intake_gated" -> qIntakeGatedSql,
+    "q_intake_full" -> qIntakeFullSql,
     "q_pipeline_corpus" -> qPipelineCorpusSql,
     "q_pipeline_crossmodal" -> qPipelineCrossmodalSql,
     "q_pipeline_gated" -> qPipelineGatedSql,

@@ -1989,12 +1989,13 @@ object TextAnalysis {
       }: _*)
   }
 
-  private def docRepetitionProfileSql(withOrder: Boolean): String = {
+  private[ops] def docRepetitionProfileSql(withOrder: Boolean,
+      where: String = ""): String = {
     val order = if (withOrder) "\nORDER BY doc_id" else ""
     s"""WITH d AS (
        |  SELECT doc_id, length(text) AS n_chars,
        |    regexp_split_to_array(lower(text), '\\s+') AS t, text
-       |  FROM documents
+       |  FROM documents $where
        |), units AS (
        |  SELECT doc_id, n_chars, 'line' AS kind, unnest(str_split(text, chr(10))) AS u FROM d
        |  UNION ALL

@@ -75,6 +75,59 @@ object IntakeStream {
     * one-shot batch gate runs, so stream == batch under any trigger
     * split is by construction (and spec-pinned for 2- and 3-way splits).
     */
+  /** The FULL cascade stream (round 15): [[intakeGateClassified]] plus
+    * the Gopher repetition pre-gate (runs FIRST — a pure row expression,
+    * the cheapest rejection) and the geo admission stage on the
+    * multimodal path (frozen standing-corpus rates — the
+    * [[GeoSampleStream]] state discipline). Per-batch body is
+    * [[graft.ops.Pipeline.intakeBatchFull]], the same function the
+    * one-shot batch gate runs, so stream == batch under any trigger
+    * split is by construction (spec-pinned for 2- and 3-way splits):
+    * every added verdict is a pure function of (arrival, frozen state).
+    */
+  def intakeGateFull(
+      spark: SparkSession,
+      docDir: String,
+      checkpoint: String,
+      modelDir: String,
+      corpusFps: DataFrame,
+      lshIndexDir: String,
+      embLookup: DataFrame,
+      corpusEmb: DataFrame,
+      ivfIndexDir: String,
+      benchGrams: DataFrame,
+      photoCells: DataFrame,
+      geoRates: DataFrame): DataFrame = {
+    StreamGuards.requireFreshCheckpoint(spark, checkpoint)
+    val weights = spark.read.parquet(s"$modelDir/weights.parquet").localCheckpoint()
+    val totals = spark.read.parquet(s"$modelDir/totals.parquet").localCheckpoint()
+    val frozenCells = photoCells.localCheckpoint()
+    val frozenRates = geoRates.localCheckpoint()
+    @volatile var results: Option[DataFrame] = None
+    val q = spark.readStream
+      .schema(IngestDedup.docSchema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(docDir)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val verdicts = graft.ops.Pipeline.intakeBatchFull(
+          batch, None, weights, totals, corpusFps, lshIndexDir, embLookup,
+          corpusEmb, ivfIndexDir, benchGrams, frozenCells, frozenRates)
+        results = Some(results.fold(verdicts)(_.union(verdicts).localCheckpoint()))
+        ()
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    results.getOrElse(
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        StructType(Seq(StructField("doc_id", LongType),
+          StructField("n_tokens", LongType), StructField("reason", StringType),
+          StructField("accepted", LongType), StructField("split", StringType),
+          StructField("shard", LongType)))))
+  }
+
   def intakeGateClassified(
       spark: SparkSession,
       docDir: String,

@@ -918,6 +918,70 @@ class StreamingSpec extends SparkFunSuite {
     }
   }
 
+  test("full intake stream (repetition + classifier + geo) equals the one-shot batch across trigger splits") {
+    import spark.implicits._
+    val docs = graft.ops.Tables.table(spark, sf, "documents")
+    val corpus = docs.filter(pmod(col("doc_id"), lit(5)) =!= 0)
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val corpusEmb = emb.filter(pmod(col("vec_id"), lit(5)) =!= 0)
+    val lshDir = tmpDir("fintake-lsh")
+    graft.ops.TextDedup.writeLshIndex(corpus, col("doc_id"), col("text"), lshDir,
+      graft.ops.TextDedup.MinHashConfig(shingleK = graft.ops.Dedup.ShingleK))
+    val ivfDir = tmpDir("fintake-ivf")
+    graft.ops.VectorSearch.writeIvfIndex(
+      corpusEmb, col("vec_id"), col("embedding"), ivfDir)
+    val nbDir = tmpDir("fintake-nb")
+    val (w, t) = graft.ops.TextAnalysis.nbTrain(
+      graft.ops.TextAnalysis.nbLabeled(spark, sf))
+    w.write.mode("overwrite").parquet(s"$nbDir/weights.parquet")
+    t.write.mode("overwrite").parquet(s"$nbDir/totals.parquet")
+    val corpusFps = corpus
+      .select(md5(concat_ws(" ", graft.ops.TextOps.tokens(col("text")))).as("fp"))
+      .localCheckpoint()
+    val benchGrams = graft.ops.TextDedup.shingles(
+      corpus.filter(pmod(col("doc_id"), lit(7)) === 0),
+      col("doc_id"), col("text"), graft.ops.Dedup.ShingleK)
+      .select(col("s")).distinct().localCheckpoint()
+    val arrivalsDf = docs.filter(pmod(col("doc_id"), lit(5)) === 0)
+    // PLANTED geo state: every arrival carries a photo in one hot cell
+    // whose frozen admission threshold samples half the md5 buckets out —
+    // forces the geo stage to fire on otherwise-clean arrivals (the real
+    // corpus gates everything before geo at this SF)
+    val photoCells = arrivalsDf.select(col("doc_id"),
+      lit(3L).as("lat_cell"), lit(5L).as("lon_cell")).localCheckpoint()
+    val geoRates = Seq((3L, 5L, 5000L)).toDF("lat_cell", "lon_cell", "thr")
+    val want = graft.ops.Pipeline.intakeBatchFull(
+      arrivalsDf, None,
+      spark.read.parquet(s"$nbDir/weights.parquet"),
+      spark.read.parquet(s"$nbDir/totals.parquet"),
+      corpusFps, lshDir, emb, corpusEmb, ivfDir, benchGrams,
+      photoCells, geoRates)
+      .collect().map(_.toSeq).toSeq
+    val reasons = want.map(_(2)).toSet
+    assert(reasons.contains("repetition"), s"degenerate feed: no repetition drops ($reasons)")
+    assert(reasons.contains("classifier"), s"degenerate feed: no classifier drops ($reasons)")
+    assert(reasons.contains("geo_sampled"), s"planted geo state never fired ($reasons)")
+    val arrivals = arrivalsDf
+      .select(col("doc_id"), col("text"), col("lang"), col("source"), col("n_chars"))
+      .orderBy(col("doc_id")).collect()
+    Seq(Seq(arrivals.take(44), arrivals.drop(44)),
+        Seq(arrivals.take(30), arrivals.slice(30, 71), arrivals.drop(71))).foreach { split =>
+      val dir = tmpDir("fintake-feed")
+      split.foreach { c =>
+        c.toSeq.map(r => (r.getLong(0), r.getString(1), r.getString(2),
+            r.getString(3), r.getLong(4)))
+          .toDF("doc_id", "text", "lang", "source", "n_chars")
+          .coalesce(1).write.mode("append").parquet(dir)
+        Thread.sleep(60)
+      }
+      val streamed = IntakeStream.intakeGateFull(
+        spark, dir, tmpDir("fintake-ckpt"), nbDir, corpusFps, lshDir, emb,
+        corpusEmb, ivfDir, benchGrams, photoCells, geoRates)
+        .orderBy(col("doc_id")).collect().map(_.toSeq).toSeq
+      assert(streamed === want)
+    }
+  }
+
   test("streaming bucket table equals the one-shot batch audit across trigger splits") {
     val docs = graft.ops.Tables.table(spark, sf, "documents")
       .select(col("doc_id"), col("text"), col("lang"), col("source"), col("n_chars"))
