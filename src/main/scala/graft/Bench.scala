@@ -155,7 +155,7 @@ object Bench {
       if (suiteCalibs.isEmpty) 0.15
       else math.max(0.15, 2 * suiteCalibs(suiteCalibs.size / 2))
     }
-    def forkSf1Probe(): Option[String] =
+    def forkSf1Probe(): Option[(String, Seq[(String, Double)])] =
       try {
         val base = java.io.File.createTempFile("graft-sf1-base", ".tsv")
         java.nio.file.Files.write(base.toPath,
@@ -175,8 +175,16 @@ object Bench {
           "java.base/sun.nio.ch", "java.base/sun.nio.cs",
           "java.base/sun.security.action", "java.base/sun.util.calendar",
         ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
+        // child heap: a FRACTION of the parent's (ADVICE r14) — the
+        // parent JVM (suite heap + cached pages) stays resident while the
+        // child runs, so mirroring the full -Xmx can overcommit a box
+        // provisioned for one heap and get the child OOM-killed mid-probe
+        // (pressure the calibration sentinel cannot flag). 60% leaves the
+        // resident parent room; SPARK_GRAFT_SF1_XMX overrides.
+        val childXmx = sys.env.getOrElse("SPARK_GRAFT_SF1_XMX",
+          (Runtime.getRuntime.maxMemory * 6 / 10).toString)
         val cmd = (Seq(javaBin) ++ addOpens ++ Seq(
-          s"-Xmx${Runtime.getRuntime.maxMemory}",
+          s"-Xmx$childXmx",
           "-Dspark.ui.enabled=false", "-Dspark.sql.session.timeZone=UTC",
           "-cp", System.getProperty("java.class.path"),
           "graft.Sf1Probe")).toArray
@@ -195,10 +203,40 @@ object Bench {
         // wall cap = attempt budget + synth/bring-up headroom
         val ok = p.waitFor((sf1Budget * 1.2 + 600).toLong,
           java.util.concurrent.TimeUnit.SECONDS)
-        if (!ok) { p.destroyForcibly(); None }
-        else if (p.exitValue() != 0 || !out.exists()) None
-        else Some(new String(
-          java.nio.file.Files.readAllBytes(out.toPath), "UTF-8"))
+        if (!ok) {
+          p.destroyForcibly()
+          System.err.println("[bench] sf1 fork timed out — killed")
+          None
+        } else if (p.exitValue() != 0 || !out.exists()) {
+          // distinguish a memory-killed fork (SIGKILL → 137) from a
+          // genuine probe failure so a silently-degraded record is
+          // attributable (ADVICE r14)
+          val why = p.exitValue() match {
+            case 137 => "exit 137 (SIGKILL — likely OOM-killed; " +
+              "lower SPARK_GRAFT_SF1_XMX or free memory)"
+            case 0 => "exit 0 but no output file"
+            case other => s"exit $other"
+          }
+          System.err.println(s"[bench] sf1 fork failed: $why")
+          None
+        } else {
+          val fragment = new String(
+            java.nio.file.Files.readAllBytes(out.toPath), "UTF-8")
+          // ratios arrive via the TSV side channel the probe writes next
+          // to the fragment (ADVICE r14 — one serializer, no regex
+          // re-parse of the JSON); absence just drops the recap digest
+          val tsv = new java.io.File(out.getAbsolutePath + ".ratios.tsv")
+          val ratioRows =
+            if (!tsv.exists()) Seq.empty[(String, Double)]
+            else scala.io.Source.fromFile(tsv).getLines().filter(_.nonEmpty)
+              .flatMap { l =>
+                l.split("\t") match {
+                  case Array(k, v) => scala.util.Try((k, v.toDouble)).toOption
+                  case _ => None
+                }
+              }.toSeq
+          Some((fragment, ratioRows))
+        }
       } catch { case e: Throwable =>
         System.err.println(s"[bench] sf1 fork failed: ${e.getMessage}")
         None
@@ -290,10 +328,15 @@ object Bench {
         s""""p90_ms":${ms(pct(0.9))},"max_ms":${ms(allCalibs.lastOption.getOrElse(0.0))}}"""
     val total = results.map(_._2).sum
     def r2(v: Double): String = String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
-    val sf1Json =
-      if (!sf1Enabled) ""
+    // sf1Json is the spliced fragment; sf1RatioRows is the SAME data as
+    // rows for the recap digest — one machine-readable channel (the
+    // probe's ratios TSV / the fallback's own rows) feeds both, instead
+    // of the recap re-parsing ratios out of the serialized JSON with a
+    // format-fragile regex (ADVICE r14).
+    val (sf1Json, sf1RatioRows) =
+      if (!sf1Enabled) ("", Seq.empty[(String, Double)])
       else forkSf1Probe() match {
-        case Some(fragment) => "," + fragment
+        case Some((fragment, ratioRows)) => ("," + fragment, ratioRows)
         case None =>
           val (sf1Rows, sf1Skipped, sf1Dir) = inProcessProbe()
           val ratios = sf1Rows.map { case (k, _, r, _, _) => "\"" + k + "\":" + r2(r) }
@@ -305,9 +348,10 @@ object Bench {
           val contended = sf1Rows.collect { case (k, _, _, _, true) => "\"" + k + "\"" }
             .mkString("[", ",", "]")
           val skip = sf1Skipped.map("\"" + _ + "\"").mkString("[", ",", "]")
-          s""","sf1_ratios":$ratios,"sf1_secs":$secs,"sf1_calib_ms":$calibs""" +
+          (s""","sf1_ratios":$ratios,"sf1_secs":$secs,"sf1_calib_ms":$calibs""" +
             s""","sf1_contended":$contended,"sf1_skipped":$skip,"sf1_dir":"$sf1Dir"""" +
-            s""","sf1_jvm":"shared-fallback""""
+            s""","sf1_jvm":"shared-fallback"""",
+            sf1Rows.map { case (k, _, r, _, _) => (k, r) })
       }
     val totalLine = s"""{"metric":"total","value":${sec(total)},"unit":"sec","queries":$qs,"calib_ms":$calibQs,"calib":$calibStats,"runs":$runs,"sf":"$sfDir"$sf1Json}"""
     println(totalLine)
@@ -336,22 +380,14 @@ object Bench {
     // any tail capture retains them.
     val top10 = results.sortBy(-_._2).take(10)
       .map { case (k, v, _, _) => "\"" + k + "\":" + sec(v) }.mkString("{", ",", "}")
-    // recap's worst-ratio digest parses the ratios back out of the
-    // fragment (the fork path hands the parent a string, not rows)
+    // recap's worst-ratio digest from the machine-readable ratio rows
     val sf1Recap =
-      """"sf1_ratios":\{([^}]*)\}""".r.findFirstMatchIn(sf1Json)
-        .map(_.group(1)).filter(_.nonEmpty).map { body =>
-          val pairs = body.split(",").toSeq.flatMap { kv =>
-            kv.split(":") match {
-              case Array(k, v) =>
-                scala.util.Try((k.replace("\"", ""), v.toDouble)).toOption
-              case _ => None
-            }
-          }
-          val worst = pairs.sortBy(-_._2).take(5)
-            .map { case (k, r) => "\"" + k + "\":" + r2(r) }.mkString("{", ",", "}")
-          s""","sf1_n":${pairs.size},"sf1_worst_ratios":$worst"""
-        }.getOrElse("")
+      if (sf1RatioRows.isEmpty) ""
+      else {
+        val worst = sf1RatioRows.sortBy(-_._2).take(5)
+          .map { case (k, r) => "\"" + k + "\":" + r2(r) }.mkString("{", ",", "}")
+        s""","sf1_n":${sf1RatioRows.size},"sf1_worst_ratios":$worst"""
+      }
     println(s"""{"metric":"total_recap","value":${sec(total)},"unit":"sec","n_queries":${results.size},"runs":$runs,"sf":"$sfDir","calib":$calibStats,"full":"BENCH_FULL.json","top10":$top10$sf1Recap}""")
     spark.stop()
   }

@@ -35,7 +35,7 @@ object IntakeProbe {
     spark.sparkContext.setLogLevel("WARN")
     val sf01 = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val sf1 = sys.env.getOrElse("SPARK_GRAFT_SF1_DIR", "/tmp/graft-sf1")
-    if (!new java.io.File(s"$sf1/lineitem.parquet").exists())
+    if (!ScaleProbe.isSynthesized(sf01, sf1, ScaleProbe.AllTables))
       ScaleProbe.synthesize(spark, sf01, sf1)
 
     // FIXED arrival batch: the sf0.1 arrival split, shared by both runs

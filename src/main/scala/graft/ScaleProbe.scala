@@ -36,10 +36,36 @@ object ScaleProbe {
   private def reps(spark: SparkSession) =
     broadcast(spark.range(Replicas.toLong).toDF("k"))
 
+  /** The full probe-table set [[synthesize]] replicates. */
+  val AllTables: Set[String] =
+    Set("lineitem", "orders", "documents", "events", "embeddings",
+      "region", "nation", "customer", "supplier", "part")
+
+  /** Bump when the replication recipe changes: a stale `_SYNTH_DONE`
+    * from an older recipe must not be reused (ADVICE r14).
+    */
+  private val RecipeVersion = 1
+
+  private def fingerprint(srcDir: String, tables: Set[String]): String =
+    s"v$RecipeVersion src=$srcDir tables=${tables.toSeq.sorted.mkString(",")}"
+
+  /** True iff `dstDir` holds a COMPLETED synthesis of exactly this
+    * (source, tables, recipe) — the `_SYNTH_DONE` marker written as the
+    * LAST step of [[synthesizeTables]]. Gating skips on the marker (not
+    * on the first table file) means an interrupted prior synthesis, or a
+    * dir built from a different source/recipe, resynthesizes instead of
+    * silently serving stale or partial bytes (ADVICE r14: lineitem is
+    * written FIRST, so its existence proves nothing about the rest).
+    */
+  def isSynthesized(srcDir: String, dstDir: String, tables: Set[String]): Boolean = {
+    val m = java.nio.file.Paths.get(dstDir, "_SYNTH_DONE")
+    java.nio.file.Files.exists(m) &&
+      new String(java.nio.file.Files.readAllBytes(m), "UTF-8") ==
+        fingerprint(srcDir, tables)
+  }
+
   def synthesize(spark: SparkSession, srcDir: String, dstDir: String): Unit =
-    synthesizeTables(spark, srcDir, dstDir,
-      Set("lineitem", "orders", "documents", "events", "embeddings",
-        "region", "nation", "customer", "supplier", "part"))
+    synthesizeTables(spark, srcDir, dstDir, AllTables)
 
   /** Subset synthesis (round 12): the sf10 probe only needs the tables
     * its worst-family queries read (lineitem → co-order graph, documents
@@ -133,5 +159,8 @@ object ScaleProbe {
           spark.read.parquet(src.toString)
             .write.mode("overwrite").parquet(s"$dstDir/$name.parquet")
       }
+    // completion marker LAST — see [[isSynthesized]]
+    java.nio.file.Files.write(java.nio.file.Paths.get(dstDir, "_SYNTH_DONE"),
+      fingerprint(srcDir, tables).getBytes("UTF-8"))
   }
 }

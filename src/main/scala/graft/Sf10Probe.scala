@@ -49,10 +49,14 @@ object Sf10Probe {
     val sf01 = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val sf1 = sys.env.getOrElse("SPARK_GRAFT_SF1_DIR", "/tmp/graft-sf1")
     val sf10 = sys.env.getOrElse("SPARK_GRAFT_SF10_DIR", "/tmp/graft-sf10")
-    val tables = Set("lineitem", "documents", "embeddings")
-    if (!new java.io.File(s"$sf1/lineitem.parquet").exists())
+    // extend with SPARK_GRAFT_SF10_TABLES when a probed query reads past
+    // the default worst-family set (e.g. q_k_anonymity → orders)
+    val tables = sys.env.get("SPARK_GRAFT_SF10_TABLES")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+      .getOrElse(Set("lineitem", "documents", "embeddings"))
+    if (!ScaleProbe.isSynthesized(sf01, sf1, ScaleProbe.AllTables))
       ScaleProbe.synthesize(spark, sf01, sf1)
-    if (!new java.io.File(s"$sf10/lineitem.parquet").exists())
+    if (!ScaleProbe.isSynthesized(sf1, sf10, tables))
       ScaleProbe.synthesizeTables(spark, sf1, sf10, tables)
 
     // A failed run must NOT fold its elapsed wall time into the record

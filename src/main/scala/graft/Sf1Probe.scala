@@ -42,7 +42,7 @@ object Sf1Probe {
     spark.sparkContext.setLogLevel("WARN")
     val sf01 = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val dst = sys.env.getOrElse("SPARK_GRAFT_SF1_DIR", "/tmp/graft-sf1")
-    if (!new java.io.File(s"$dst/lineitem.parquet").exists())
+    if (!ScaleProbe.isSynthesized(sf01, dst, ScaleProbe.AllTables))
       ScaleProbe.synthesize(spark, sf01, dst)
     val budget = sys.env.getOrElse("SPARK_GRAFT_SF1_BUDGET", "2000").toDouble
     val quietBar = sys.env.getOrElse("SPARK_GRAFT_SF1_QUIETBAR", "0.15").toDouble
@@ -112,6 +112,11 @@ object Sf1Probe {
     sys.env.get("SPARK_GRAFT_SF1_OUT").foreach { out =>
       java.nio.file.Files.write(java.nio.file.Paths.get(out),
         fragment.getBytes("UTF-8"))
+      // machine-readable ratio side channel for the parent's recap digest
+      // (ADVICE r14 — the parent must not regex-parse the JSON fragment)
+      java.nio.file.Files.write(java.nio.file.Paths.get(out + ".ratios.tsv"),
+        done.map { case (k, _, r, _, _) => s"$k\t${r2(r)}" }
+          .mkString("", "\n", "\n").getBytes("UTF-8"))
     }
     println(s"{$fragment}")
     spark.stop()
