@@ -922,7 +922,7 @@ object Pipeline {
        |                   WHERE doc_id NOT IN (SELECT doc_id FROM exact_dup)
        |                     AND doc_id NOT IN (SELECT doc_id FROM near_dup))
        |), disti AS MATERIALIZED (
-       |  ${Similarity.ivfDistSql("seminc", "centgF")}
+       |  ${Similarity.ivfDistSql("seminc", "centF", "crecF")}
        |), probei AS (
        |  SELECT vec_id AS id_i, j AS bucket FROM (
        |    SELECT vec_id, j, row_number() OVER (PARTITION BY vec_id ORDER BY dist, j) AS rn

@@ -145,21 +145,24 @@ object Similarity {
     s"SELECT j, d, n, ((s + n * $sh) // n) - $sh AS g, (s + n * $sh) % n AS r FROM $src"
   }
 
-  /** Overflow-free scaled distance of every `xqSrc` row to every `centgSrc`
-    * centroid — the SQL dual of [[VectorSearch.partsDist]], same pinned
-    * IEEE op order: the three sums are exact HUGEINT integers (each term a
-    * small product: `(x−g)² ≤ 2^(2·quantBits+6)`, `(x−g)·r ≤ 2^(quantBits+3)·N`,
-    * `r² < N²`), then one cast/division per term and two adds. Replaces
-    * the `(n·x − s)²` form whose per-term product bound cells to
-    * N ≈ 2^13 (the r14 sf10 abort).
+  /** Overflow-free scaled distance of every `xqSrc` row to every `centSrc`
+    * centroid — the SQL dual of [[VectorSearch]]'s singleDotDist, same
+    * pinned IEEE op order: `(Σx² − 2.0·(Σx·s / n)) + rec` where both sums
+    * are exact HUGEINT integers (per-term `x·s ≤ 2^quantBits·N·2^quantBits`,
+    * BIGINT-safe far past any cell bound) and `rec = ΣS²/N²` comes
+    * per-centroid from the g/r-decomposed `crecSrc` ([[centRecSql]]).
+    * Replaces the `(n·x − s)²` form whose per-term product bound cells to
+    * N ≈ 2^13 (the r14 sf10 abort); Spark's `Σx·s` is the long-exact
+    * [[graft.functions.VecDotLong]], covered by the same N ≈ 2^28.5
+    * guard `centroidParts` raises.
     */
-  private[ops] def ivfDistSql(xqSrc: String, centgSrc: String): String =
-    s"""SELECT $xqSrc.vec_id, cg.j,
-       |    (CAST(sum(($xqSrc.x - cg.g) * ($xqSrc.x - cg.g)) AS DOUBLE)
-       |      - 2.0 * (CAST(sum(($xqSrc.x - cg.g) * cg.r) AS DOUBLE) / CAST(max(cg.n) AS DOUBLE)))
-       |    + CAST(sum(cg.r * cg.r) AS DOUBLE)
-       |      / (CAST(max(cg.n) AS DOUBLE) * CAST(max(cg.n) AS DOUBLE)) AS dist
-       |  FROM $xqSrc JOIN $centgSrc cg USING (d) GROUP BY 1, 2""".stripMargin
+  private[ops] def ivfDistSql(xqSrc: String, centSrc: String, crecSrc: String): String =
+    s"""SELECT $xqSrc.vec_id, c.j,
+       |    (CAST(sum($xqSrc.x * $xqSrc.x) AS DOUBLE)
+       |      - 2.0 * (CAST(sum($xqSrc.x * c.s) AS DOUBLE) / CAST(max(c.n) AS DOUBLE)))
+       |    + max(cr.rec) AS dist
+       |  FROM $xqSrc JOIN $centSrc c USING (d) JOIN $crecSrc cr ON cr.j = c.j
+       |  GROUP BY 1, 2""".stripMargin
 
   /** The per-centroid `ΣS²/N² = (Σg² + 2·(Σg·r/N)) + Σr²/N²` scalar over a
     * decomposed centroid table — the SQL dual of the Spark serving paths'
@@ -172,21 +175,30 @@ object Similarity {
        |      / (CAST(max(n) AS DOUBLE) * CAST(max(n) AS DOUBLE)) AS rec
        |  FROM $centgSrc GROUP BY 1""".stripMargin
 
-  /** The per-(row, centroid) mean dot `Σx·S/N = Σx·g + Σx·r/N` over a
-    * decomposed centroid table joined through an assignment `(vec_id, c)`
-    * relation — the SQL dual of the Spark serving paths' `dg + dr/n`.
+  /** The per-(row, centroid) mean dot `Σx·S/N` over a centroid table
+    * joined through an assignment `(vec_id, c)` relation — the SQL dual
+    * of the Spark serving paths' `VecDotLong(x, s) / n` (exact HUGEINT
+    * sum, one rounding at the cast, one division).
     */
-  private[ops] def centDotSql(xqSrc: String, centgSrc: String, assignSrc: String): String =
+  private[ops] def centDotSql(xqSrc: String, centSrc: String, assignSrc: String): String =
     s"""SELECT $xqSrc.vec_id, a.c,
-       |    CAST(sum($xqSrc.x * cg.g) AS DOUBLE)
-       |      + (CAST(sum($xqSrc.x * cg.r) AS DOUBLE) / CAST(max(cg.n) AS DOUBLE)) AS dt
+       |    CAST(sum($xqSrc.x * c.s) AS DOUBLE) / CAST(max(c.n) AS DOUBLE) AS dt
        |  FROM $xqSrc JOIN $assignSrc a USING (vec_id)
-       |  JOIN $centgSrc cg ON cg.j = a.c AND cg.d = $xqSrc.d
+       |  JOIN $centSrc c ON c.j = a.c AND c.d = $xqSrc.d
        |  GROUP BY 1, 2""".stripMargin
 
   private[ops] def ivfChainSql(cfg: VectorSearch.IvfConfig, where: String = "",
       materialized: Boolean = false): String = {
     val m = if (materialized) "MATERIALIZED " else ""
+    // Centroid-scale CTEs materialize UNCONDITIONALLY (k×dim rows — free):
+    // since r15's rec term, dist$i references cent$i through TWO paths
+    // (directly for s/n and via centg→crec for the rec scalar), and
+    // DuckDB INLINES non-materialized CTE references — two paths per
+    // iteration compound to ~3^iters re-expansions of the whole upstream
+    // chain (measured: the 17-oracle parity batch ran >20 min before this
+    // hint vs ~8 min after). Row-scale CTEs (xq/dist/assign) stay lazy —
+    // each has a single reference path.
+    val cm = "MATERIALIZED "
     val q = (1L << cfg.quantBits).toString
     // numCentroids = 0 (the derived default) replays Spark's
     // max(floor(√n), 16) as a scalar subquery over the SAME corpus subset;
@@ -196,16 +208,18 @@ object Similarity {
       else "(SELECT greatest(CAST(floor(sqrt(CAST(count(*) AS DOUBLE))) AS BIGINT), 16) " +
         s"FROM embeddings $where)"
     def iteration(i: Int): String =
-      s"""centg$i AS $m(
+      s"""centg$i AS $cm(
          |  ${centgSql(s"cent$i", cfg.quantBits)}
+         |), crec$i AS $cm(
+         |  ${centRecSql(s"centg$i")}
          |), dist$i AS $m(
-         |  ${ivfDistSql("xq", s"centg$i")}
+         |  ${ivfDistSql("xq", s"cent$i", s"crec$i")}
          |), assign$i AS $m(
          |  SELECT vec_id, j AS c FROM (
          |    SELECT vec_id, j, row_number() OVER (PARTITION BY vec_id ORDER BY dist, j) AS rn
          |    FROM dist$i)
          |  WHERE rn = 1
-         |), cent${i + 1} AS $m(
+         |), cent${i + 1} AS $cm(
          |  SELECT m.j, m.d, m.s, m.n FROM (
          |    SELECT a.c AS j, xq.d, sum(xq.x) AS s, count(*) AS n
          |    FROM xq JOIN assign$i a USING (vec_id) GROUP BY 1, 2) m
@@ -218,16 +232,20 @@ object Similarity {
        |  SELECT vec_id, d,
        |    CAST(floor(CAST(embedding[CAST(d + 1 AS INT)] AS DOUBLE) * $q) AS BIGINT) AS x
        |  FROM embeddings CROSS JOIN range(${cfg.dim}) rd(d) $where
-       |), cent0 AS $m(
+       |), cent0 AS $cm(
        |  SELECT j, d, x AS s, CAST(1 AS BIGINT) AS n FROM (
        |    SELECT vec_id, d, x, dense_rank() OVER (ORDER BY vec_id) - 1 AS j
        |    FROM xq)
        |  WHERE j < $kExpr
        |), ${(0 until cfg.iters).map(iteration).mkString(", ")},
-       |centgF AS $m(
-       |  ${centgSql(s"cent$f", cfg.quantBits)}
+       |centF AS $cm(
+       |  SELECT j, d, s, n FROM cent$f
+       |), centgF AS $cm(
+       |  ${centgSql("centF", cfg.quantBits)}
+       |), crecF AS $cm(
+       |  ${centRecSql("centgF")}
        |), distF AS $m(
-       |  ${ivfDistSql("xq", "centgF")}
+       |  ${ivfDistSql("xq", "centF", "crecF")}
        |), assignF AS $m(
        |  SELECT vec_id, j AS c FROM (
        |    SELECT vec_id, j, row_number() OVER (PARTITION BY vec_id ORDER BY dist, j) AS rn
@@ -605,16 +623,14 @@ object Similarity {
     */
   val qSemdedupSql: String = {
     val cfg = VectorSearch.IvfConfig()
-    s"""WITH ${ivfChainSql(cfg)}, crec AS (
-       |  ${centRecSql("centgF")}
-       |), a2 AS (
+    s"""WITH ${ivfChainSql(cfg)}, a2 AS (
        |  SELECT vec_id, CAST(sum(x * x) AS BIGINT) AS a2 FROM xq GROUP BY 1
        |), cdot AS (
-       |  ${centDotSql("xq", "centgF", "assignF")}
+       |  ${centDotSql("xq", "centF", "assignF")}
        |), centsim AS (
        |  SELECT cdot.vec_id, cdot.c AS cluster,
-       |    round(cdot.dt / (sqrt(CAST(a2.a2 AS DOUBLE)) * sqrt(crec.rec)), 6) AS cent_sim
-       |  FROM cdot JOIN a2 USING (vec_id) JOIN crec ON crec.j = cdot.c
+       |    round(cdot.dt / (sqrt(CAST(a2.a2 AS DOUBLE)) * sqrt(crecF.rec)), 6) AS cent_sim
+       |  FROM cdot JOIN a2 USING (vec_id) JOIN crecF ON crecF.j = cdot.c
        |), nv AS (
        |  SELECT vec_id, embedding,
        |    sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
@@ -682,7 +698,7 @@ object Similarity {
        |    CAST(floor(CAST(embedding[CAST(d + 1 AS INT)] AS DOUBLE) * $q) AS BIGINT) AS x
        |  FROM embeddings CROSS JOIN range(${cfg.dim}) rdi(d) WHERE vec_id % 5 = 0
        |), disti AS (
-       |  ${ivfDistSql("xqi", "centgF")}
+       |  ${ivfDistSql("xqi", "centF", "crecF")}
        |), probei AS (
        |  SELECT vec_id AS id_i, j AS bucket FROM (
        |    SELECT vec_id, j, row_number() OVER (PARTITION BY vec_id ORDER BY dist, j) AS rn
@@ -756,16 +772,18 @@ object Similarity {
         else s"""xt$j AS (SELECT * FROM xq$j $trainWhere),
                 |""".stripMargin
       def iteration(i: Int): String =
-        s"""cg${j}_$i AS (
+        s"""cg${j}_$i AS MATERIALIZED (
            |  ${centgSql(s"c${j}_$i", cfg.quantBits)}
+           |), cr${j}_$i AS MATERIALIZED (
+           |  ${centRecSql(s"cg${j}_$i")}
            |), d${j}_$i AS (
-           |  ${ivfDistSql(trainSrc, s"cg${j}_$i")}
+           |  ${ivfDistSql(trainSrc, s"c${j}_$i", s"cr${j}_$i")}
            |), a${j}_$i AS (
            |  SELECT vec_id, j AS c FROM (
            |    SELECT vec_id, j, row_number() OVER (PARTITION BY vec_id ORDER BY dist, j) AS rn
            |    FROM d${j}_$i)
            |  WHERE rn = 1
-           |), c${j}_${i + 1} AS (
+           |), c${j}_${i + 1} AS MATERIALIZED (
            |  SELECT m.j, m.d, m.s, m.n FROM (
            |    SELECT a.c AS j, xq.d, sum(xq.x) AS s, count(*) AS n
            |    FROM $trainSrc xq JOIN a${j}_$i a USING (vec_id) GROUP BY 1, 2) m
@@ -778,30 +796,29 @@ object Similarity {
          |  SELECT vec_id, d,
          |    CAST(floor(CAST(embedding[CAST(d + ${off + 1} AS INT)] AS DOUBLE) * $q) AS BIGINT) AS x
          |  FROM embeddings CROSS JOIN range(${cfg.subDim}) rd$j(d)
-         |), ${trainCte}c${j}_0 AS (
+         |), ${trainCte}c${j}_0 AS MATERIALIZED (
          |  SELECT j, d, x AS s, CAST(1 AS BIGINT) AS n FROM (
          |    SELECT vec_id, d, x, dense_rank() OVER (ORDER BY vec_id) - 1 AS j
          |    FROM $trainSrc
          |    WHERE vec_id IN (SELECT vec_id FROM embeddings $trainWhere ORDER BY vec_id LIMIT ${cfg.codebookSize}))
          |), ${(0 until cfg.iters).map(iteration).mkString(", ")},
-         |cgF$j AS (
+         |cgF$j AS MATERIALIZED (
          |  ${centgSql(s"c${j}_$f", cfg.quantBits)}
+         |), recc$j AS MATERIALIZED (
+         |  ${centRecSql(s"cgF$j")}
          |), dF$j AS (
-         |  ${ivfDistSql(s"xq$j", s"cgF$j")}
+         |  ${ivfDistSql(s"xq$j", s"c${j}_$f", s"recc$j")}
          |), aF$j AS (
          |  SELECT vec_id, j AS c FROM (
          |    SELECT vec_id, j, row_number() OVER (PARTITION BY vec_id ORDER BY dist, j) AS rn
          |    FROM dF$j)
          |  WHERE rn = 1
-         |), recc$j AS (
-         |  ${centRecSql(s"cgF$j")}
          |), contrib$j AS (
          |  SELECT qx.vec_id AS q_vec_id, a.vec_id,
-         |    CAST(sum(qx.x * cg.g) AS DOUBLE)
-         |      + (CAST(sum(qx.x * cg.r) AS DOUBLE) / CAST(max(cg.n) AS DOUBLE)) AS term
+         |    CAST(sum(qx.x * c.s) AS DOUBLE) / CAST(max(c.n) AS DOUBLE) AS term
          |  FROM aF$j a
-         |  JOIN cgF$j cg ON cg.j = a.c
-         |  JOIN xq$j qx ON qx.d = cg.d
+         |  JOIN c${j}_$f c ON c.j = a.c
+         |  JOIN xq$j qx ON qx.d = c.d
          |  WHERE qx.vec_id IN (${QueryIds.mkString(", ")}) AND a.vec_id <> qx.vec_id
          |  GROUP BY 1, 2
          |), rec$j AS (
@@ -1078,7 +1095,7 @@ object Similarity {
        |    CAST(floor(CAST(embedding[CAST(d + 1 AS INT)] AS DOUBLE) * $q) AS BIGINT) AS x
        |  FROM embeddings CROSS JOIN range(${cfg.dim}) rdi(d) WHERE vec_id % 5 = 0
        |), disti AS (
-       |  ${ivfDistSql("xqi", "centgF")}
+       |  ${ivfDistSql("xqi", "centF", "crecF")}
        |), assigni AS (
        |  SELECT vec_id, j AS c FROM (
        |    SELECT vec_id, j, row_number() OVER (PARTITION BY vec_id ORDER BY dist, j) AS rn

@@ -364,6 +364,33 @@ object VectorSearch {
       lit(p.sumR2).cast("double") / lit(nD * nD)
   }
 
+  /** The per-centroid `ΣS²/N² = (Σg² + 2·(Σg·r/N)) + Σr²/N²` scalar,
+    * driver-computed from the exact-long decomposition sums in the SAME
+    * pinned IEEE op order the oracle's crec/rec CTEs use.
+    */
+  private[ops] def centroidRec(p: CentroidParts): Double = {
+    val nD = p.n.toDouble
+    (p.sumG2.toDouble + 2.0 * (p.sumGR.toDouble / nD)) + p.sumR2.toDouble / (nD * nD)
+  }
+
+  /** The HOT-PATH distance form (one dot per centroid — the r15 A/B
+    * measured the two-dot [[partsDist]] at ~+25% on the IVF-assignment
+    * family, so the assignment/probe/serve paths use this instead):
+    *   `dist = Σx² − 2·(Σx·S / n) + ΣS²/N²`
+    * with `Σx·S` an exact LONG dot ([[graft.functions.VecDotLong]] —
+    * operand-cast long products, exact to the same N ≈ 2^28.5 cell bound
+    * [[centroidParts]] guards loud) and the rec term a driver-precomputed
+    * scalar over the g/r decomposition. Same pinned IEEE op sequence as
+    * the oracle's `(Σx² − 2.0·(Σx·s / n)) + rec`; same overflow-free
+    * envelope as [[partsDist]] (which remains the recon audit's per-term
+    * form).
+    */
+  private def singleDotDist(c: Centroid, p: CentroidParts, x: Column, a2: Column): Column = {
+    val dotS = graft.functions.VecDotLong(typedLit(c.s.map(_.toDouble).toSeq), x)
+    val nD = p.n.toDouble
+    (a2.cast("double") - lit(2.0) * (dotS.cast("double") / lit(nD))) + lit(centroidRec(p))
+  }
+
   /** The two exact-long row×centroid terms of [[partsDist]]:
     * `A = Σ(x−g)²` (N-free) and `B = Σ(x−g)·r` (long-safe to N ≈ 2^40) —
     * exposed separately so [[pqReconError]] can aggregate them
@@ -467,7 +494,7 @@ object VectorSearch {
     * computed once per row.
     */
   private def ivfDists(cents: Array[Centroid], quantBits: Int): Array[Column] =
-    cents.map(c => partsDist(centroidParts(c, quantBits), col("xq"), col("a2")))
+    cents.map(c => singleDotDist(c, centroidParts(c, quantBits), col("xq"), col("a2")))
 
   /** Argmin via array functions — a when()-chain reduce would duplicate
     * the accumulator subtree per step (exponential expression size);
@@ -837,21 +864,19 @@ object VectorSearch {
     val corpus = ivfCorpus(df, id, vec, cfg)
     val rcfg = resolveCfg(corpus, cfg)
     val centroids = trainIvfCentroids(corpus, rcfg)
-    // per-centroid cosine-to-centroid via the g + r/n mean decomposition
-    // (see CentroidParts): cos = (Σx·g + Σx·r/N) / (√Σx² · √(ΣS²/N²)) with
-    // both dots exact integers in double accumulation (the old Σx·S long
-    // lost exactness past N ≈ 2^19 members) and ΣS²/N² the same
-    // pinned-order per-centroid scalar the ADC rec term uses — every
-    // double op replayed identically by the DuckDB oracle's crec/cdot
-    // CTEs, so the round-6 value is bit-equal cross-engine with no
-    // cluster-size ceiling below the loud N ≈ 2^28 driver guard.
+    // per-centroid cosine-to-centroid: cos = (Σx·S / N) / (√Σx² · √(ΣS²/N²))
+    // with Σx·S an exact LONG dot (VecDotLong — exact past double's 2^53,
+    // covered by the same N ≈ 2^28.5 guard centroidParts raises) and
+    // ΣS²/N² the pinned-order per-centroid scalar the ADC rec term uses —
+    // every double op replayed identically by the DuckDB oracle's
+    // crec/cdot CTEs, so the round-6 value is bit-equal cross-engine with
+    // no cluster-size ceiling below the loud driver guard.
     val centSims = centroids.map { c =>
       val p = centroidParts(c, rcfg.quantBits)
-      val dg = TextOps.dot(typedLit(p.g.map(_.toDouble).toSeq), col("xq"))
-      val dr = TextOps.dot(typedLit(p.r.map(_.toDouble).toSeq), col("xq"))
+      val dotS = graft.functions.VecDotLong(typedLit(c.s.map(_.toDouble).toSeq), col("xq"))
       val nD = p.n.toDouble
-      val rec = (p.sumG2.toDouble + 2.0 * (p.sumGR.toDouble / nD)) + p.sumR2.toDouble / (nD * nD)
-      round((dg + (dr / lit(nD))) / (sqrt(col("a2").cast("double")) * lit(math.sqrt(rec))), 6)
+      round((dotS.cast("double") / lit(nD)) /
+        (sqrt(col("a2").cast("double")) * lit(math.sqrt(centroidRec(p)))), 6)
     }
     // referenced by both pair sides, the dominance lookup and the output —
     // persist so the centroid-distance expressions evaluate once per row
@@ -1137,7 +1162,8 @@ object VectorSearch {
     */
   private def pqAssignment(cfg: PqConfig)(j: Int, cents: Array[Centroid]): Column = {
     val dists = array(cents.map(c =>
-      partsDist(centroidParts(c, cfg.quantBits), col(s"x$j"), col(s"a2_$j"))).toIndexedSeq: _*)
+      singleDotDist(c, centroidParts(c, cfg.quantBits), col(s"x$j"), col(s"a2_$j")))
+      .toIndexedSeq: _*)
     (array_position(dists, array_min(dists)) - 1).cast("int")
   }
 
@@ -1288,30 +1314,24 @@ object VectorSearch {
   private[ops] def pqServePlan(df: DataFrame, id: Column, vec: Column, queries: DataFrame,
       codebooks: Array[Array[Centroid]], encoded: DataFrame, queryIds: Seq[Long],
       k: Int, cfg: PqConfig, shortlist: Int): DataFrame = {
-    // Overflow-free ADC terms via the g + r/n mean decomposition (see
-    // CentroidParts): I_j/N = Σqx·g + Σqx·r/N with both dots exact
-    // integers in double accumulation (the old Σqx·S lost exactness past
-    // N ≈ 2^19 members and its ΣS² driver sum wrapped silently at
-    // N ≈ 2^14.5 — both bound below the 10⁹-vector PQ cell size of
-    // ~corpus/codebookSize). Every double op is pinned-order and replayed
-    // identically by the DuckDB oracle's contrib/rec CTEs.
+    // Overflow-free ADC terms: I_j/N = Σqx·S / N with the dot an exact
+    // LONG accumulation (VecDotLong — the old double-accumulated Σqx·S
+    // lost exactness past N ≈ 2^19 members and its ΣS² driver sum wrapped
+    // silently at N ≈ 2^14.5, both bound below the 10⁹-vector PQ cell
+    // size of ~corpus/codebookSize), and ΣS²/N² the pinned-order
+    // per-cell scalar from the g/r decomposition. Every double op is
+    // replayed identically by the DuckDB oracle's contrib/rec CTEs.
     val partsByJ = (0 until cfg.subspaces).map(j =>
       codebooks(j).map(c => centroidParts(c, cfg.quantBits)))
     def contrib(j: Int): Column = {
-      val gLit = typedLit(partsByJ(j).map(_.g.map(_.toDouble).toSeq).toSeq)
-      val rLit = typedLit(partsByJ(j).map(_.r.map(_.toDouble).toSeq).toSeq)
-      val nLit = typedLit(partsByJ(j).map(_.n.toDouble).toSeq)
-      val dg = TextOps.dot(pqSub(cfg)(col("qxq"), j), element_at(gLit, col(s"code$j") + 1))
-      val dr = TextOps.dot(pqSub(cfg)(col("qxq"), j), element_at(rLit, col(s"code$j") + 1))
-      dg + (dr / element_at(nLit, col(s"code$j") + 1))
+      val sLit = typedLit(codebooks(j).map(_.s.map(_.toDouble).toSeq).toSeq)
+      val nLit = typedLit(codebooks(j).map(_.n.toDouble).toSeq)
+      val dotS = graft.functions.VecDotLong(
+        pqSub(cfg)(col("qxq"), j), element_at(sLit, col(s"code$j") + 1))
+      dotS.cast("double") / element_at(nLit, col(s"code$j") + 1)
     }
     def reconNorm2(j: Int): Column = {
-      // ΣS²/N² = (Σg² + 2·(Σg·r / N)) + Σr²/N² — driver-precomputed per
-      // cell with the same IEEE op sequence the oracle's rec CTE uses
-      val recLit = typedLit(partsByJ(j).map { p =>
-        val nD = p.n.toDouble
-        (p.sumG2.toDouble + 2.0 * (p.sumGR.toDouble / nD)) + p.sumR2.toDouble / (nD * nD)
-      }.toSeq)
+      val recLit = typedLit(partsByJ(j).map(centroidRec).toSeq)
       element_at(recLit, col(s"code$j") + 1)
     }
     val score = round(
