@@ -68,4 +68,34 @@ object Tables {
   /** `l_extendedprice * (1 - l_discount) * (1 + l_tax)` as exact decimal. */
   def charge(price: Column, discount: Column, tax: Column): Column =
     discPrice(price, discount) * (lit(1).cast(DecimalType(18, 2)) + dec(tax))
+
+  /** DECIMAL(38,0) view of an exact-integer column — the envelope-escape
+    * discipline (VERDICT r15 item 1): long PRODUCTS that can exceed 2^63
+    * at the sf100 shape are formed in decimal (exact to 10^38, ANSI
+    * overflow-checked → loud, never silent), summed in decimal, and only
+    * a final provably-bounded quotient returns to BIGINT. The DuckDB
+    * oracle mirrors with HUGEINT casts at the same positions.
+    */
+  def big(c: Column): Column = c.cast(DecimalType(38, 0))
+
+  /** Saturating EXACT floor division over non-negative DECIMAL(38,0)
+    * operands, returned as BIGINT — the building block that removes a
+    * quotient's own long ceiling (a plain `DIV` casts the integral
+    * quotient to long and ANSI-aborts past 2^63).
+    *
+    * Exactness: `(num - num % den) / den` divides exactly (zero
+    * fractional part), so Spark's scale-6 decimal division introduces no
+    * rounding; the quotient is exact while it has ≤ 32 integer digits
+    * (den ≥ 1, num ≤ 10^38 → always true for quotients below 10^32).
+    * `least(q, cap)` then bounds the result BY CONSTRUCTION, so the
+    * BIGINT cast cannot overflow at any input scale. Callers pick a cap
+    * far above every value the statistic can reach at test/probe scale
+    * (the saturation is a documented semantic for degenerate inputs —
+    * e.g. a double-hapax bigram in a >10^9-token corpus — not a value
+    * change at any measured scale). Oracle mirror:
+    * `least(CAST(a AS HUGEINT) * ... // (CAST(b AS HUGEINT) * ...), cap)`.
+    */
+  def satFloorDiv(num: Column, den: Column, cap: Long): Column =
+    least((num - (num % den)) / den, lit(cap).cast(DecimalType(38, 0)))
+      .cast(LongType)
 }

@@ -365,8 +365,12 @@ object TextAnalysis {
       .join(broadcast(uni2), "w2")
       .crossJoin(broadcast(total))
       .select(col("w1"), col("w2"), col("c_xy"),
+        // c_x·c_y formed in DECIMAL(38,0) before the double cast: the
+        // long product wraps past ~3·10^9-count unigrams (inside sf100);
+        // the decimal→double cast rounds-to-nearest identically in both
+        // engines, so the statistic is unchanged at every scale
         round((col("c_xy").cast(DoubleType) * col("n"))
-          / (col("c_x") * col("c_y")).cast(DoubleType), 6).as("lift"))
+          / (Tables.big(col("c_x")) * col("c_y")).cast(DoubleType), 6).as("lift"))
       .orderBy(col("lift").desc, col("w1"), col("w2"))
       .limit(30)
   }
@@ -385,7 +389,8 @@ object TextAnalysis {
       |u2 AS (SELECT w2, count(*) AS c_y FROM bigrams GROUP BY 1),
       |n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM bigrams)
       |SELECT w1, w2, c_xy,
-      |  round(CAST(c_xy AS DOUBLE) * n.n / CAST(c_x * c_y AS DOUBLE), 6) AS lift
+      |  round(CAST(c_xy AS DOUBLE) * n.n
+      |    / CAST(CAST(c_x AS HUGEINT) * c_y AS DOUBLE), 6) AS lift
       |FROM big JOIN u1 USING (w1) JOIN u2 USING (w2) CROSS JOIN n
       |WHERE c_xy >= 5
       |ORDER BY lift DESC, w1, w2 LIMIT 30""".stripMargin
@@ -791,8 +796,17 @@ object TextAnalysis {
     * representation while DuckDB rounds the exact binary value — the
     * integer form removes the boundary entirely.)
     *
-    * Magnitude: `c_xy·N·10^6 ≤ N²·10^6` — longs hold to N ≈ 3·10^6
-    * bigrams; lift the product to DECIMAL(38,0) beyond.
+    * Magnitude (round-16 envelope escape, VERDICT r15 item 1a): the
+    * moments are DECIMAL(38,0) end-to-end — numerator `c_xy·N·10^6`
+    * (safe while `c_xy·N ≤ 10^32`, i.e. any corpus to ~10^16 tokens; the
+    * old long form wrapped at ~10^12), denominator `c_x·c_y` (safe to
+    * ~10^19-count unigrams), and the per-doc Σ lift. The per-position
+    * quotient returns to BIGINT through [[Tables.satFloorDiv]] saturated
+    * at [[LiftCapMicro]] (ratio 10^9) — reachable only by a
+    * double-hapax bigram in a >10^9-token corpus, so every measured
+    * scale (sf0.001–sf10) produces the identical exact integers; at
+    * sf100 the statistic is safe BY CONSTRUCTION, no abort path left.
+    * The oracle mirrors with HUGEINT + the same `least` cap.
     *
     * Scale: the three count relations are bigram-vocabulary-sized →
     * broadcast; the corpus stream is exploded once and aggregated once
@@ -800,6 +814,15 @@ object TextAnalysis {
     */
   def qLmBigramScore(spark: SparkSession, dir: String): DataFrame =
     lmScored(spark, dir).orderBy(col("doc_id"))
+
+  /** Saturation ceiling for the per-position bigram lift (micro-units →
+    * lift ratio 10^9). A position can only reach it when
+    * `c_xy·n > 10^9·c_x·c_y`, which needs both unigrams ~hapax in a
+    * >10^9-token corpus — far past every measured scale, so the cap
+    * never changes a test/probe value; it exists so the BIGINT landing
+    * of the DECIMAL(38,0) quotient is bounded by construction at sf100.
+    */
+  val LiftCapMicro: Long = 1000000000000000L
 
   /** The UNsorted scored relation — the build input of
     * [[Artifacts.ensureLmRank]] (its globalRank range-partitions anyway,
@@ -827,9 +850,13 @@ object TextAnalysis {
       .join(broadcast(u2), "w2")
       .crossJoin(broadcast(n))
       .select(col("doc_id"),
-        expr("(c_xy * n * 1000000) DIV (c_x * c_y)").as("lift_micro"))
+        Tables.satFloorDiv(
+          Tables.big(col("c_xy")) * col("n") * lit(1000000L),
+          Tables.big(col("c_x")) * col("c_y"),
+          LiftCapMicro).as("lift_micro"))
       .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_bigrams"), sum(col("lift_micro")).as("sum_micro"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(Tables.big(col("lift_micro"))).as("sum_micro"))
       .select(col("doc_id"), col("n_bigrams"),
         expr("sum_micro DIV n_bigrams").as("mean_lift_micro"))
   }
@@ -867,7 +894,8 @@ object TextAnalysis {
       |n AS (SELECT count(*) AS n FROM big),
       |lifts AS (
       |  SELECT big.doc_id,
-      |    (c.c_xy * n.n * 1000000) // (u1.c_x * u2.c_y) AS lift_micro
+      |    least((CAST(c.c_xy AS HUGEINT) * n.n * 1000000)
+      |      // (CAST(u1.c_x AS HUGEINT) * u2.c_y), 1000000000000000) AS lift_micro
       |  FROM big
       |  JOIN c USING (b)
       |  JOIN u1 ON split_part(big.b, ' ', 1) = u1.w1
@@ -875,7 +903,7 @@ object TextAnalysis {
       |  CROSS JOIN n
       |)
       |SELECT doc_id, count(*) AS n_bigrams,
-      |  CAST(CAST(sum(lift_micro) AS BIGINT) // count(*) AS BIGINT) AS mean_lift_micro
+      |  CAST(sum(lift_micro) // count(*) AS BIGINT) AS mean_lift_micro
       |FROM lifts GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
   /** Trigram LM fluency with STUPID BACKOFF, in exact integer
@@ -939,8 +967,14 @@ object TextAnalysis {
       .join(cs, Seq("w2", "w3"))
       .join(broadcast(cm), Seq("w2"))
       .select(col("g"), expr(
-        "CASE WHEN c_xyz >= 2 THEN (c_xyz * 1000000) DIV c_xy" +
-          " ELSE (c_yz * 400000) DIV c_y END").as("s_micro"))
+        // numerators in DECIMAL(38,0): c_xyz·10^6 wraps a long past
+        // ~9·10^12-count trigrams (inside the sf100 token shape); the
+        // quotients are ≤ 10^6 by construction (c_xyz ≤ c_xy, c_yz ≤
+        // c_y), so DIV's BIGINT landing never overflows at any scale
+        "CASE WHEN c_xyz >= 2" +
+          " THEN (CAST(c_xyz AS DECIMAL(38,0)) * 1000000) DIV c_xy" +
+          " ELSE (CAST(c_yz AS DECIMAL(38,0)) * 400000) DIV c_y END")
+        .as("s_micro"))
     val out = tri
       .join(scores, Seq("g"))
       .groupBy(col("doc_id"))
@@ -963,8 +997,9 @@ object TextAnalysis {
       |cm AS (SELECT w2, count(*) AS c_y FROM tri GROUP BY 1),
       |s AS (
       |  SELECT tri.doc_id,
-      |    CASE WHEN c3.c_xyz >= 2 THEN (c3.c_xyz * 1000000) // cp.c_xy
-      |         ELSE (cs.c_yz * 400000) // cm.c_y END AS s_micro
+      |    CASE WHEN c3.c_xyz >= 2
+      |         THEN (CAST(c3.c_xyz AS HUGEINT) * 1000000) // cp.c_xy
+      |         ELSE (CAST(cs.c_yz AS HUGEINT) * 400000) // cm.c_y END AS s_micro
       |  FROM tri
       |  JOIN c3 USING (w1, w2, w3)
       |  JOIN cp USING (w1, w2)
