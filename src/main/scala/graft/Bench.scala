@@ -226,9 +226,13 @@ object Bench {
           // to the fragment (ADVICE r14 — one serializer, no regex
           // re-parse of the JSON); absence just drops the recap digest
           val tsv = new java.io.File(out.getAbsolutePath + ".ratios.tsv")
+          // readAllBytes + explicit UTF-8: the probe writes the TSV as
+          // UTF-8, and a Source would leak its file handle per bench run
+          // (ADVICE r15)
           val ratioRows =
             if (!tsv.exists()) Seq.empty[(String, Double)]
-            else scala.io.Source.fromFile(tsv).getLines().filter(_.nonEmpty)
+            else new String(java.nio.file.Files.readAllBytes(tsv.toPath), "UTF-8")
+              .linesIterator.filter(_.nonEmpty)
               .flatMap { l =>
                 l.split("\t") match {
                   case Array(k, v) => scala.util.Try((k, v.toDouble)).toOption

@@ -19,9 +19,13 @@ import org.apache.spark.sql.types._
   * inside the target shape); the DuckDB oracle's `sum(x * s)` HUGEINT
   * aggregation produces the same exact integer, so one round-to-nearest
   * cast on each side yields identical doubles. The accumulation is
-  * long-exact while the true dot stays under 2^63 — the IVF/PQ callers'
-  * N ≈ 2^28.5 cell bound (guarded loud in `centroidParts`) implies it.
-  * Same fused-loop codegen shape as [[VecDot]].
+  * long-exact while the true dot stays under 2^63 — `centroidParts`
+  * guards that DIRECTLY per cell (the Σ|s|·xmax dot-envelope raise,
+  * ADVICE r15), so even degenerate near-identical cells cannot reach a
+  * wrapping accumulation. Mismatched vector lengths throw (a silent
+  * min-truncate would be a plausible wrong dot); non-integral
+  * components are the documented caller contract. Same fused-loop
+  * codegen shape as [[VecDot]].
   */
 case class VecDotLong(left: Expression, right: Expression) extends BinaryExpression {
 
@@ -46,7 +50,15 @@ case class VecDotLong(left: Expression, right: Expression) extends BinaryExpress
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    // length mismatch is a caller bug (un-aligned vectors), not data to
+    // silently min-truncate into a plausible wrong dot (ADVICE r15); the
+    // check is once per row, so it costs nothing against the dim-loop.
+    // (Non-integral components remain the documented caller contract —
+    // a per-element integrality test would double the loop's work.)
+    if (x.numElements() != y.numElements())
+      throw new IllegalArgumentException(
+        s"vec_dot_long: mismatched vector lengths ${x.numElements()} vs ${y.numElements()}")
+    val n = x.numElements()
     val lf = elemType(left) == FloatType
     val rf = elemType(right) == FloatType
     var acc = 0L
@@ -68,7 +80,11 @@ case class VecDotLong(left: Expression, right: Expression) extends BinaryExpress
       val lGet = if (elemType(left) == FloatType) s"(double) $a.getFloat($i)" else s"$a.getDouble($i)"
       val rGet = if (elemType(right) == FloatType) s"(double) $b.getFloat($i)" else s"$b.getDouble($i)"
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |if ($a.numElements() != $b.numElements()) {
+         |  throw new IllegalArgumentException(
+         |    "vec_dot_long: mismatched vector lengths " + $a.numElements() + " vs " + $b.numElements());
+         |}
+         |int $n = $a.numElements();
          |long $acc = 0L;
          |for (int $i = 0; $i < $n; $i++) {
          |  $acc += ((long) ($lGet)) * ((long) ($rGet));

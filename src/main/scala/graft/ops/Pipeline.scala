@@ -731,29 +731,36 @@ object Pipeline {
       totals: DataFrame, corpusFps: DataFrame, lshIndexDir: String,
       embLookup: DataFrame, corpusEmb: DataFrame, ivfIndexDir: String,
       benchGrams: DataFrame): DataFrame =
-    intakeBatchGatedImpl(arrivals, None, weights, totals, corpusFps,
+    intakeBatchGatedImpl(arrivals, None, Some((weights, totals)), corpusFps,
       lshIndexDir, embLookup, corpusEmb, ivfIndexDir, benchGrams)
 
   /** [[intakeBatchGated]] served from the session-memoized arrival
-    * artifacts (see [[intakeBatchPrepared]]) — the classifier pre-gate
-    * still runs inline (its verdict is cheap and model-dependent), but
-    * the cascade behind it reads the prepared signature relations.
+    * artifacts (see [[intakeBatchPrepared]]) — the classifier verdicts
+    * come from `prep.nbScores`, which are bound to the session
+    * [[Artifacts.ensureQualityNb]] model; the signature takes NO model
+    * relations (ADVICE r15: the old weights/totals parameters were
+    * silently ignored here, so a caller passing a different model got
+    * the artifact model's verdicts with no error).
     */
   def intakeBatchGatedPrepared(arrivals: DataFrame, prep: ArrivalPrep,
-      weights: DataFrame, totals: DataFrame, corpusFps: DataFrame,
+      corpusFps: DataFrame,
       lshIndexDir: String, embLookup: DataFrame, corpusEmb: DataFrame,
       ivfIndexDir: String, benchGrams: DataFrame): DataFrame =
-    intakeBatchGatedImpl(arrivals, Some(prep), weights, totals, corpusFps,
+    intakeBatchGatedImpl(arrivals, Some(prep), None, corpusFps,
       lshIndexDir, embLookup, corpusEmb, ivfIndexDir, benchGrams)
 
   private def intakeBatchGatedImpl(arrivals: DataFrame, prep: Option[ArrivalPrep],
-      weights: DataFrame, totals: DataFrame, corpusFps: DataFrame,
+      model: Option[(DataFrame, DataFrame)], corpusFps: DataFrame,
       lshIndexDir: String, embLookup: DataFrame, corpusEmb: DataFrame,
       ivfIndexDir: String, benchGrams: DataFrame): DataFrame = {
+    require(prep.isDefined != model.isDefined,
+      "classifier source must be EXACTLY ONE of prepared arrival scores " +
+        "(bound to the session artifact model) or an explicit (weights, totals) model")
     val rejected = (prep match {
       case Some(p) =>
         p.nbScores.join(arrivals.select(col("doc_id")), Seq("doc_id"), "left_semi")
       case None =>
+        val (weights, totals) = model.get
         TextAnalysis.nbScore(
           arrivals
             .select(col("doc_id"), tokens(col("text")).as("t"))
@@ -799,7 +806,7 @@ object Pipeline {
     *   admission thresholds; cells unseen in the standing corpus admit
     */
   def intakeBatchFull(arrivals: DataFrame, prep: Option[ArrivalPrep],
-      weights: DataFrame, totals: DataFrame, corpusFps: DataFrame,
+      model: Option[(DataFrame, DataFrame)], corpusFps: DataFrame,
       lshIndexDir: String, embLookup: DataFrame, corpusEmb: DataFrame,
       ivfIndexDir: String, benchGrams: DataFrame,
       photoCells: DataFrame, geoRates: DataFrame): DataFrame = {
@@ -812,7 +819,7 @@ object Pipeline {
       .localCheckpoint()
     val pos = arrivals.join(
       broadcast(repDropped.select(col("doc_id"))), Seq("doc_id"), "left_anti")
-    val gatedOut = intakeBatchGatedImpl(pos, prep, weights, totals, corpusFps,
+    val gatedOut = intakeBatchGatedImpl(pos, prep, model, corpusFps,
       lshIndexDir, embLookup, corpusEmb, ivfIndexDir, benchGrams)
     // geo admission applies to otherwise-clean photo-carrying arrivals:
     // thresholds broadcast (≤ 18×36 cells), decision a pure row function
@@ -991,12 +998,10 @@ object Pipeline {
     val corpusEmb = emb.filter(pmod(col("vec_id"), lit(5)) =!= 0)
     val lshDir = Artifacts.ensureDedupLsh(spark, dir)
     val ivfDir = Artifacts.ensureSemdedupIvf(spark, dir)
-    val nbDir = Artifacts.ensureQualityNb(spark, dir)
-    val weights = spark.read.parquet(s"$nbDir/weights.parquet")
-    val totals = spark.read.parquet(s"$nbDir/totals.parquet")
+    // classifier model comes through the prepared arrival scores (bound
+    // to ensureQualityNb) — no separate weights/totals reads (ADVICE r15)
     val standing = Artifacts.ensureIntakeStanding(spark, dir)
     intakeBatchGatedPrepared(arrivals, Artifacts.intakeArrivalPrep(spark, dir),
-      weights, totals,
       spark.read.parquet(s"$standing/fps.parquet"), lshDir,
       emb, corpusEmb, ivfDir,
       spark.read.parquet(s"$standing/grams.parquet"))
@@ -1014,12 +1019,9 @@ object Pipeline {
     val corpusEmb = emb.filter(pmod(col("vec_id"), lit(5)) =!= 0)
     val lshDir = Artifacts.ensureDedupLsh(spark, dir)
     val ivfDir = Artifacts.ensureSemdedupIvf(spark, dir)
-    val nbDir = Artifacts.ensureQualityNb(spark, dir)
     val standing = Artifacts.ensureIntakeStanding(spark, dir)
     val photos = Multimodal.burstKeys(Multimodal.exifMetaTable(spark, dir))
-    intakeBatchFull(arrivals, Some(Artifacts.intakeArrivalPrep(spark, dir)),
-      spark.read.parquet(s"$nbDir/weights.parquet"),
-      spark.read.parquet(s"$nbDir/totals.parquet"),
+    intakeBatchFull(arrivals, Some(Artifacts.intakeArrivalPrep(spark, dir)), None,
       spark.read.parquet(s"$standing/fps.parquet"), lshDir,
       emb, corpusEmb, ivfDir,
       spark.read.parquet(s"$standing/grams.parquet"),

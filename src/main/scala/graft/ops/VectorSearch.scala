@@ -341,6 +341,19 @@ object VectorSearch {
         "needs more/rebalanced IVF cells, not a wider integer")
       v.toLong
     }
+    // ADVICE r15 (medium): bound the single-dot path's Σx·s DIRECTLY.
+    // The g/r remainder sums alone are not airtight for VecDotLong — a
+    // degenerate oversized cell of near-identical members (exactly the
+    // dedup regime) has r_d ≈ 0, so sumR2/sumGR stay tiny while the long
+    // Σx·s accumulation wraps silently. The tight per-cell bound is
+    // Σ_d |s_d| · xmax with xmax = 2^(quantBits+2) (the quantized-row
+    // component ceiling), computed here in BigInt so the failure is a
+    // loud targeted raise, never a wrap.
+    val maxDot = c.s.foldLeft(BigInt(0))((a, sd) => a + BigInt(sd).abs) * shift
+    require(maxDot.isValidLong, s"centroid dot envelope " +
+      s"sum|s|*2^(quantBits+2)=$maxDot exceeds the long range " +
+      s"(n=${c.n}, dim=$dim, quantBits=$quantBits): the single-dot distance " +
+      "(VecDotLong) could wrap — split/rebalance this cell")
     CentroidParts(c.n, g, r, fit(g2, "sum_g2"), fit(gr, "sum_gr"), fit(r2, "sum_r2"))
   }
 
@@ -378,8 +391,10 @@ object VectorSearch {
     * family, so the assignment/probe/serve paths use this instead):
     *   `dist = Σx² − 2·(Σx·S / n) + ΣS²/N²`
     * with `Σx·S` an exact LONG dot ([[graft.functions.VecDotLong]] —
-    * operand-cast long products, exact to the same N ≈ 2^28.5 cell bound
-    * [[centroidParts]] guards loud) and the rec term a driver-precomputed
+    * operand-cast long products, bounded DIRECTLY by the Σ|s|·xmax guard
+    * [[centroidParts]] raises loud, so even a degenerate near-identical
+    * cell that slips the remainder sums cannot wrap the dot — ADVICE
+    * r15 medium) and the rec term a driver-precomputed
     * scalar over the g/r decomposition. Same pinned IEEE op sequence as
     * the oracle's `(Σx² − 2.0·(Σx·s / n)) + rec`; same overflow-free
     * envelope as [[partsDist]] (which remains the recon audit's per-term

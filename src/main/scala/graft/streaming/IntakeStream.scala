@@ -111,7 +111,7 @@ object IntakeStream {
       .writeStream
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val verdicts = graft.ops.Pipeline.intakeBatchFull(
-          batch, None, weights, totals, corpusFps, lshIndexDir, embLookup,
+          batch, None, Some((weights, totals)), corpusFps, lshIndexDir, embLookup,
           corpusEmb, ivfIndexDir, benchGrams, frozenCells, frozenRates)
         results = Some(results.fold(verdicts)(_.union(verdicts).localCheckpoint()))
         ()

@@ -39,7 +39,12 @@ class CentroidPartsSpec extends SparkFunSuite {
     }.sum
 
   test("g/r decomposition is the exact floor split for positive and negative sums") {
-    for (seed <- 1 to 20; n <- Seq(1L, 2L, 7L, 1000L, 31000L, 250000000L)) {
+    // 2·10^8 members with FULL-RANGE random component means is the
+    // largest fixture inside the new Σ|s|·xmax dot envelope (ADVICE r15
+    // guard — worst-case spread cells bound at n ≈ 2^28; realistic cells
+    // with |mean| ≪ 4 reach far higher, and 250M at this spread now
+    // correctly raises rather than risking a wrapped VecDotLong)
+    for (seed <- 1 to 20; n <- Seq(1L, 2L, 7L, 1000L, 31000L, 200000000L)) {
       val c = mkCentroid(n, seed)
       val p = VectorSearch.centroidParts(c, quantBits)
       assert(p.n === n)
@@ -105,5 +110,21 @@ class CentroidPartsSpec extends SparkFunSuite {
       VectorSearch.centroidParts(VectorSearch.Centroid(s, n), quantBits)
     }
     assert(ex.getMessage.contains("envelope"), ex.getMessage)
+  }
+
+  test("degenerate near-identical cell: the DOT guard fires even when r ≈ 0 (ADVICE r15)") {
+    // the dedup regime: N ≈ 2^30 members all at the same point → r_d = 0,
+    // so sumR2/sumGR pass trivially — but VecDotLong's Σx·s against this
+    // centroid would wrap a long. The Σ|s|·2^(quantBits+2) guard must
+    // raise LOUDLY instead of letting the dot wrap silently.
+    val n = 1L << 30
+    val s = Array.fill(dim)(n * (3L << quantBits)) // members identical at 3.0·2^qb
+    assert((0 until dim).forall(d => s(d) % n == 0), "fixture: exact members, r=0")
+    val sumR2 = BigInt(0) // by construction — the old guards see nothing
+    assert(sumR2.isValidLong)
+    val ex = intercept[IllegalArgumentException] {
+      VectorSearch.centroidParts(VectorSearch.Centroid(s, n), quantBits)
+    }
+    assert(ex.getMessage.contains("dot envelope"), ex.getMessage)
   }
 }

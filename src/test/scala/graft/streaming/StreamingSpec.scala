@@ -952,8 +952,8 @@ class StreamingSpec extends SparkFunSuite {
     val geoRates = Seq((3L, 5L, 5000L)).toDF("lat_cell", "lon_cell", "thr")
     val want = graft.ops.Pipeline.intakeBatchFull(
       arrivalsDf, None,
-      spark.read.parquet(s"$nbDir/weights.parquet"),
-      spark.read.parquet(s"$nbDir/totals.parquet"),
+      Some((spark.read.parquet(s"$nbDir/weights.parquet"),
+        spark.read.parquet(s"$nbDir/totals.parquet"))),
       corpusFps, lshDir, emb, corpusEmb, ivfDir, benchGrams,
       photoCells, geoRates)
       .collect().map(_.toSeq).toSeq
