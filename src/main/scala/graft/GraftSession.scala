@@ -52,6 +52,7 @@ object GraftSession {
     "exif_thumb" -> (functions.ExifThumb(_)),
     "repetition_profile" -> (functions.RepetitionProfile(_)),
     "html_text" -> (functions.HtmlText(_)),
+    "html_links" -> (functions.HtmlLinks(_)),
   )
 
   /** Builder with the engine's recommended configuration; callers add

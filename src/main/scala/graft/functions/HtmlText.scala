@@ -78,17 +78,17 @@ object HtmlText {
   }
 
   /** (entity-with-semicolon, replacement byte) — the pinned decode set. */
-  private val Entities: Array[(String, Byte)] = Array(
+  private[functions] val Entities: Array[(String, Byte)] = Array(
     ("amp;", '&'.toByte), ("lt;", '<'.toByte), ("gt;", '>'.toByte),
     ("quot;", '"'.toByte), ("apos;", '\''.toByte), ("nbsp;", ' '.toByte))
 
-  private def lower(c: Int): Int = if (c >= 'A' && c <= 'Z') c + 32 else c
+  private[functions] def lower(c: Int): Int = if (c >= 'A' && c <= 'Z') c + 32 else c
 
-  private def isLetter(c: Int): Boolean =
+  private[functions] def isLetter(c: Int): Boolean =
     (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z')
 
   /** True when `b[pos..]` starts with ASCII `s` case-insensitively. */
-  private def startsWithIc(b: Array[Byte], pos: Int, s: String): Boolean = {
+  private[functions] def startsWithIc(b: Array[Byte], pos: Int, s: String): Boolean = {
     if (pos + s.length > b.length) return false
     var k = 0
     while (k < s.length) {
@@ -98,7 +98,7 @@ object HtmlText {
     true
   }
 
-  private def indexOfIc(b: Array[Byte], from: Int, s: String): Int = {
+  private[functions] def indexOfIc(b: Array[Byte], from: Int, s: String): Int = {
     var p = math.max(from, 0)
     while (p <= b.length - s.length) {
       if (startsWithIc(b, p, s)) return p
@@ -108,7 +108,7 @@ object HtmlText {
   }
 
   /** Position just past the next '>' at/after `from` (end of input if none). */
-  private def pastGt(b: Array[Byte], from: Int): Int = {
+  private[functions] def pastGt(b: Array[Byte], from: Int): Int = {
     var p = from
     while (p < b.length && b(p) != '>') p += 1
     math.min(p + 1, b.length)

@@ -42,9 +42,23 @@ object HtmlExtract {
       lit("<!DOCTYPE html><html><head><title>Doc "), d, lit("</title>"),
       lit("<style>body { color: #222; } /* v"),
       expr("doc_id % 13").cast("string"), lit(" */</style>"),
-      lit("<script>var x = "), d, lit("; if (x < 2 && x > 0) { x = 1; }</script>"),
-      lit("</head><body><!-- build "), expr("doc_id % 13").cast("string"), lit(" -->"),
+      // the script and comment each carry a link that must NOT be
+      // extracted (dead regions are skipped whole by both walkers)
+      lit("<script>var x = "), d, lit("; if (x < 2 && x > 0) { x = 1; } " +
+        "var u = '<a href=\"https://dropped.example.com/s\"></a>';</script>"),
+      lit("</head><body><!-- build "), expr("doc_id % 13").cast("string"),
+      lit(" <a href=\"https://dropped.example.com/c\"></a> -->"),
       lit("<nav>Home &gt; Section "), expr("doc_id % 7").cast("string"), lit("</nav>"),
+      // empty-anchor links: zero extracted text (inline tags, no
+      // content), so q_html_extract's oracle is untouched; hrefs feed
+      // q_html_links/q_domain_mix — a 20-site spread, one hot hub
+      // domain with an entity-encoded query string, one relative link
+      lit("<div class=\"links\"><a href=\"https://site"),
+      expr("doc_id % 20").cast("string"),
+      lit(".example.com/page/"), expr("doc_id % 100").cast("string"),
+      lit("\"></a><a href=\"https://hub.example.com/item?id="),
+      expr("doc_id % 50").cast("string"),
+      lit("&amp;ref=nav\"></a><a href=\"/about\"></a></div>"),
       lit("<h1>Title "), d, lit("</h1>"),
       lit("<div class=\"main\"><p>"), esc, lit("</p></div>"),
       lit("<p>Tokens &amp; entities: A&lt;B &quot;q"),
@@ -130,11 +144,109 @@ object HtmlExtract {
        |FROM df, n WHERE df * 10000 >= n_docs * $BoilerplateMinShareBp
        |ORDER BY df DESC, line""".stripMargin
 
+  /** The per-document link relation (doc_id, pos, url) — one codegen
+    * [[graft.functions.HtmlLinks]] walk per row, positions 1-based in
+    * document order. Dead-region links (script/comment) never appear.
+    */
+  def qHtmlLinks(spark: SparkSession, dir: String): DataFrame =
+    pageTable(spark, dir)
+      .select(col("doc_id"),
+        posexplode(graft.functions.HtmlLinks(col("page"))).as(Seq("pos0", "url")))
+      .select(col("doc_id"), (col("pos0") + 1).cast("long").as("pos"), col("url"))
+      .orderBy(col("doc_id"), col("pos"))
+
+  val qHtmlLinksSql: String =
+    """WITH l AS (
+      |  SELECT doc_id, 1 AS pos,
+      |    'https://site' || (doc_id % 20) || '.example.com/page/' || (doc_id % 100) AS url
+      |  FROM documents
+      |  UNION ALL
+      |  SELECT doc_id, 2,
+      |    'https://hub.example.com/item?id=' || (doc_id % 50) || '&ref=nav'
+      |  FROM documents
+      |  UNION ALL
+      |  SELECT doc_id, 3, '/about' FROM documents
+      |)
+      |SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(pos AS BIGINT) AS pos, url
+      |FROM l ORDER BY doc_id, pos""".stripMargin
+
+  /** PER-DOMAIN SOURCE MIX over the URL-level-deduplicated link set —
+    * the crawl-frontier dual of the corpus source-mixing reports
+    * ([[TextAnalysis]] source drift / [[Corpus]] temperature sampling):
+    * distinct URLs and linking documents per domain, the domain's share
+    * of the deduplicated frontier in exact basis points, and the
+    * admission rate a UNIFORM-mixing frontier scheduler would apply
+    * (`admit_bp = min(10^4, ceil(total/n_domains)·10^4 / n_urls)` — hot
+    * domains are throttled toward the per-domain budget, the standard
+    * politeness/diversity shape).
+    *
+    * Scale: the link walk is a row expression; URL-level dedup and both
+    * distinct counts are domain/URL-keyed hash aggregates (map-side
+    * partial, no all-pairs anything). The corpus is scanned ONCE: a URL
+    * determines its domain, so per-domain distinct-URL sets partition
+    * the frontier and the totals row derives from the domain-sized
+    * aggregate (localCheckpointed — it feeds both the output and the
+    * broadcast totals) instead of a second corpus walk.
+    */
+  def qDomainMix(spark: SparkSession, dir: String): DataFrame = {
+    val du = pageTable(spark, dir)
+      .select(col("doc_id"), explode(graft.functions.HtmlLinks(col("page"))).as("url"))
+      .select(col("doc_id"), col("url"),
+        when(locate("://", col("url")) > 0,
+          substring_index(substring_index(col("url"), "://", -1), "/", 1))
+          .otherwise(lit("(relative)")).as("domain"))
+    val per = du.groupBy(col("domain"))
+      .agg(countDistinct(col("url")).as("n_urls"),
+        countDistinct(col("doc_id")).as("n_docs"))
+      .localCheckpoint()
+    val totals = per.agg(sum(col("n_urls")).as("total_urls"),
+      count(lit(1)).as("n_domains"))
+    per.crossJoin(broadcast(totals))
+      .select(col("domain"), col("n_urls"), col("n_docs"),
+        expr("n_urls * 10000 DIV total_urls").as("share_bp"),
+        expr("least(10000, ((total_urls + n_domains - 1) DIV n_domains) * 10000 DIV n_urls)")
+          .as("admit_bp"))
+      .orderBy(col("n_urls").desc, col("domain"))
+  }
+
+  val qDomainMixSql: String =
+    """WITH l AS (
+      |  SELECT doc_id,
+      |    'https://site' || (doc_id % 20) || '.example.com/page/' || (doc_id % 100) AS url
+      |  FROM documents
+      |  UNION ALL
+      |  SELECT doc_id, 'https://hub.example.com/item?id=' || (doc_id % 50) || '&ref=nav'
+      |  FROM documents
+      |  UNION ALL
+      |  SELECT doc_id, '/about' FROM documents
+      |), d AS (
+      |  SELECT doc_id, url,
+      |    CASE WHEN strpos(url, '://') > 0
+      |         THEN string_split(string_split(url, '://')[2], '/')[1]
+      |         ELSE '(relative)' END AS domain
+      |  FROM l
+      |), per AS (
+      |  SELECT domain, count(DISTINCT url) AS n_urls,
+      |    count(DISTINCT doc_id) AS n_docs
+      |  FROM d GROUP BY 1
+      |), t AS (
+      |  SELECT sum(n_urls) AS total_urls, count(*) AS n_domains FROM per
+      |)
+      |SELECT domain, CAST(n_urls AS BIGINT) AS n_urls,
+      |  CAST(n_docs AS BIGINT) AS n_docs,
+      |  CAST(n_urls * 10000 // total_urls AS BIGINT) AS share_bp,
+      |  CAST(least(10000, ((total_urls + n_domains - 1) // n_domains) * 10000 // n_urls) AS BIGINT) AS admit_bp
+      |FROM per, t ORDER BY n_urls DESC, domain""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_html_extract" -> (qHtmlExtract _),
-    "q_html_boilerplate" -> (qHtmlBoilerplate _))
+    "q_html_boilerplate" -> (qHtmlBoilerplate _),
+    "q_html_links" -> (qHtmlLinks _),
+    "q_domain_mix" -> (qDomainMix _))
 
   def oracle: Map[String, String] = Map(
     "q_html_extract" -> qHtmlExtractSql,
-    "q_html_boilerplate" -> qHtmlBoilerplateSql)
+    "q_html_boilerplate" -> qHtmlBoilerplateSql,
+    "q_html_links" -> qHtmlLinksSql,
+    "q_domain_mix" -> qDomainMixSql)
 }
