@@ -402,7 +402,11 @@ object JoinShapes {
     counts.crossJoin(broadcast(totals))
       .select(col("o_custkey"), col("cnt"),
         expr("cnt * 10000 DIV n_rows").as("share_bp"),
-        expr("(cnt * n_keys * 10000) DIV n_rows").as("x_mean_bp"))
+        // cnt·n_keys·10^4 in DECIMAL(38,0) (the r16 envelope
+        // discipline): a hot key over a billion-key fact table wraps
+        // the long product; the quotient is ≤ 10^4·n_keys — long-safe
+        expr("(CAST(cnt AS DECIMAL(38,0)) * n_keys * 10000) DIV n_rows")
+          .as("x_mean_bp"))
       .orderBy(col("cnt").desc, col("o_custkey"))
       .limit(10)
   }
@@ -416,12 +420,49 @@ object JoinShapes {
       |)
       |SELECT o_custkey, cnt,
       |  CAST(cnt * 10000 // n_rows AS BIGINT) AS share_bp,
-      |  CAST((cnt * n_keys * 10000) // n_rows AS BIGINT) AS x_mean_bp
+      |  CAST((CAST(cnt AS HUGEINT) * n_keys * 10000) // n_rows AS BIGINT) AS x_mean_bp
       |FROM c CROSS JOIN t
       |ORDER BY cnt DESC, o_custkey LIMIT 10""".stripMargin
 
+  /** [[Skew.adaptiveJoin]] on orders⨝customer aggregated per market
+    * segment, with the broadcast decision columns surfaced: the oracle
+    * states the PLAIN join plus the same profile arithmetic — the result
+    * must equal it whichever branch the bar picked (on this corpus the
+    * key distribution is near-uniform, so the plain branch carries the
+    * rows; AdaptiveJoinSpec plants a 90%-hot-key fixture to pin the
+    * salted branch firing and its multiset equality).
+    */
+  def qAdaptiveJoin(spark: SparkSession, dir: String): DataFrame =
+    Skew.adaptiveJoin(
+      Tables.table(spark, dir, "orders"), Tables.table(spark, dir, "customer"),
+      "o_custkey", "c_custkey")
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("sum_price"),
+        max(col("salted")).as("salted"), max(col("max_x_mean_bp")).as("max_x_mean_bp"))
+      .orderBy(col("c_mktsegment"))
+
+  val qAdaptiveJoinSql: String =
+    s"""WITH c AS (
+       |  SELECT o_custkey, count(*) AS cnt FROM orders GROUP BY 1
+       |), t AS (
+       |  SELECT CAST(sum(cnt) AS BIGINT) AS n_rows,
+       |    CAST(count(*) AS BIGINT) AS n_keys,
+       |    CAST(max(cnt) AS BIGINT) AS max_cnt FROM c
+       |), d AS (
+       |  SELECT CAST((CAST(max_cnt AS HUGEINT) * n_keys * 10000) // n_rows AS BIGINT)
+       |    AS max_x_mean_bp FROM t
+       |)
+       |SELECT c_mktsegment, count(*) AS n_orders,
+       |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+       |  CAST(CASE WHEN d.max_x_mean_bp >= ${Skew.AdaptiveSaltBarBp} THEN 1 ELSE 0 END AS BIGINT) AS salted,
+       |  d.max_x_mean_bp
+       |FROM orders JOIN customer ON o_custkey = c_custkey CROSS JOIN d
+       |GROUP BY c_mktsegment, d.max_x_mean_bp
+       |ORDER BY c_mktsegment""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_skew_profile" -> (qSkewProfile _),
+    "q_adaptive_join" -> (qAdaptiveJoin _),
     "q_range_join" -> (qRangeJoin _),
     "q_interval_overlap" -> (qIntervalOverlap _),
     "q_salted_join" -> (qSaltedJoin _),
@@ -434,6 +475,7 @@ object JoinShapes {
 
   def oracle: Map[String, String] = Map(
     "q_skew_profile" -> qSkewProfileSql,
+    "q_adaptive_join" -> qAdaptiveJoinSql,
     "q_range_join" -> qRangeJoinSql,
     "q_interval_overlap" -> qIntervalOverlapSql,
     "q_salted_join" -> qSaltedJoinSql,

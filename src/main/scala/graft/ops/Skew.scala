@@ -32,6 +32,55 @@ object Skew {
       .drop("_salt")
   }
 
+  /** Hot-key bar for [[adaptiveJoin]], in basis points of the MEAN key
+    * frequency: a fact key at ≥ 100× the mean is the straggler-reducer
+    * signature ([[JoinShapes.qSkewProfile]]'s x_mean_bp scale), so the
+    * salted path engages at 1,000,000 bp.
+    */
+  val AdaptiveSaltBarBp = 1000000L
+
+  /** SKEW-ADAPTIVE equi-join (round 16, VERDICT r15 item 4): the
+    * [[JoinShapes.qSkewProfile]] measurement WIRED to the join strategy.
+    * The fact side's key profile collapses to a 1-row decision scalar —
+    * `max_x_mean_bp` = the hottest key's multiple of the mean frequency
+    * in exact basis points (DECIMAL(38,0) product, the r16 envelope
+    * discipline) — which broadcasts onto the fact rows and routes EVERY
+    * row through exactly one branch: the plain shuffle join below the
+    * [[AdaptiveSaltBarBp]] bar, [[saltedJoin]] at/above it. The union of
+    * the two branches equals the plain join's row multiset by
+    * construction (one branch always sees zero rows), with the decision
+    * (`max_x_mean_bp`, `salted`) carried on every row for auditability —
+    * the [[Similarity.qRecallRetrain]] in-plan-decision precedent: no
+    * driver collect, the verdict is a broadcast scalar.
+    *
+    * Scale: the profile is one map-side-combined key count + a 1-row
+    * aggregate; the inert branch's join machinery runs over an
+    * AQE-collapsed empty input, so the paid cost is one pass over the
+    * fact rows either way.
+    */
+  def adaptiveJoin(
+      fact: DataFrame,
+      dim: DataFrame,
+      factKey: String,
+      dimKey: String,
+      saltBuckets: Int = 16,
+      barBp: Long = AdaptiveSaltBarBp): DataFrame = {
+    val dec = fact.groupBy(col(factKey)).agg(count(lit(1)).as("cnt"))
+      .agg(sum(col("cnt")).as("n_rows"), count(lit(1)).as("n_keys"),
+        max(col("cnt")).as("max_cnt"))
+      .select(
+        expr("(CAST(max_cnt AS DECIMAL(38,0)) * n_keys * 10000) DIV n_rows")
+          .as("max_x_mean_bp"))
+      .select(col("max_x_mean_bp"),
+        when(col("max_x_mean_bp") >= barBp, 1L).otherwise(0L).as("salted"))
+    val routed = fact.crossJoin(broadcast(dec))
+    val plain = routed.filter(col("salted") === 0)
+      .join(dim, col(factKey) === col(dimKey))
+    val hot = saltedJoin(routed.filter(col("salted") === 1), dim,
+      factKey, dimKey, saltBuckets)
+    plain.unionByName(hot)
+  }
+
   /** Two-phase salted aggregation: partial by (key, salt) then final by
     * key — for severely skewed group-by keys. `aggs` must be decomposable
     * (sum/count/min/max); the caller re-aggregates the partials.
