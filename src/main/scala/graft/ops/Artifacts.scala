@@ -211,6 +211,19 @@ object Artifacts {
       totals.write.mode("overwrite").parquet(s"$d/totals.parquet")
     }
 
+  /** Trained rerank scorer (round 16, VERDICT r15 item 5): the 1-row
+    * integer weight table of [[Similarity.rerankTrain]] over the pool
+    * pair features — the exact-integer class-centroid discriminant
+    * distilled from the blend teacher. Deterministic, so the stored
+    * serve is bit-identical to an in-session train→apply; the store is
+    * what makes q_rerank_scored's serving plan training-free.
+    */
+  def ensureRerankScorer(spark: SparkSession, dir: String): String =
+    graft.ServingIndexes.ensure("rerank-scorer", dir) { d =>
+      Similarity.rerankTrain(Similarity.rerankFeatures(spark, dir))
+        .write.mode("overwrite").parquet(s"$d/weights.parquet")
+    }
+
   // ---- session memos for DRIVER-SIDE trained models (VERDICT r12 item 2) ----
   //
   // The in-session recall audits (qAnnRecall / qAnnRecallSampled) train

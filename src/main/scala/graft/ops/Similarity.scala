@@ -520,7 +520,11 @@ object Similarity {
     * top-[[CrossK]] by the joint score. Joint pair-scoring is what a
     * bi-encoder cannot express and what a cross-encoder model provides.
     *
-    * STUB BOUNDARY (the multimodal-decode discipline): the joint scorer is
+    * STUB BOUNDARY (the multimodal-decode discipline — and since round
+    * 16 no longer the only scorer: [[qRerankScored]] serves a TRAINED
+    * stored model over the same pair features, closing the boundary
+    * end-to-end; this query keeps the transparent blend as the teacher
+    * and the plumbing reference): the joint scorer here is
     * a DETERMINISTIC FAKE — the EXACT-INTEGER blend
     * `ce_score = round(cos·10⁶) + 100·jac_bp` (micro-units of cos + jac;
     * cos is already 6-rounded so ×10⁶ is within 1 ulp of an integer and
@@ -593,6 +597,174 @@ object Similarity {
        |SELECT q_vec_id, CAST(rnk AS BIGINT) AS rnk, vec_id, ce_score FROM (
        |  SELECT scored.*, row_number() OVER (
        |    PARTITION BY q_vec_id ORDER BY ce_score DESC, vec_id) AS rnk
+       |  FROM scored)
+       |WHERE rnk <= $CrossK
+       |ORDER BY q_vec_id, rnk""".stripMargin
+
+  /** PAIR FEATURES for the trained rerank scorer (round 16, VERDICT r15
+    * item 5): each (query, candidate) pool pair's exact-integer feature
+    * vector — embedding cosine in micro-units, distinct-token Jaccard
+    * and length-ratio in basis points. The pool is the same bounded
+    * stage-1 retrieval [[qRerankCross]] uses; the feature join is
+    * pair-keyed against the per-doc token sets, never corpus-sized.
+    */
+  private[ops] def rerankFeatures(spark: SparkSession, dir: String): DataFrame = {
+    val emb = table(spark, dir, "embeddings")
+    val pool = rename(VectorSearch.cosineTopK(
+      emb, col("vec_id"), col("embedding"), QueryIds, CrossPool))
+      .select(col("q_vec_id"), col("vec_id"), col("cos_sim"))
+    val toks = table(spark, dir, "documents")
+      .select(col("doc_id"), array_distinct(TextOps.tokens(col("text"))).as("ts"))
+    pool
+      .join(toks.select(col("doc_id").as("q_vec_id"), col("ts").as("qts")), Seq("q_vec_id"))
+      .join(toks.select(col("doc_id").as("vec_id"), col("ts").as("cts")), Seq("vec_id"))
+      .select(col("q_vec_id"), col("vec_id"),
+        expr("CAST(round(cos_sim * 1000000) AS BIGINT)").as("cos_micro"),
+        expr("CAST(size(array_intersect(qts, cts)) AS BIGINT) * 10000" +
+          " DIV CAST(size(array_union(qts, cts)) AS BIGINT)").as("jac_bp"),
+        expr("CAST(least(size(qts), size(cts)) AS BIGINT) * 10000" +
+          " DIV greatest(CAST(greatest(size(qts), size(cts)) AS BIGINT), 1L)").as("len_bp"))
+  }
+
+  /** TRAIN the linear rerank scorer from a pair-feature relation: the
+    * teacher is [[qRerankCross]]'s blend (`cos_micro + 100·jac_bp`,
+    * top-[[CrossK]] per query = positive), the model is the exact-integer
+    * CLASS-CENTROID DISCRIMINANT — for each feature,
+    * `w_raw = Σ_pos(x)·n_neg − Σ_neg(x)·n_pos` (the positive-vs-negative
+    * centroid difference scaled by n_pos·n_neg, division-free), then
+    * L1-normalized to micro-units via the SHIFTED floor division
+    * `((w_raw + L1)·10^6) DIV L1 − 10^6` (numerator non-negative, so
+    * Spark's truncating DIV and DuckDB's flooring `//` agree — the
+    * negative-operand divergence rule in SURVEY §5). Deterministic,
+    * closed-form, replayed verbatim by the oracle; a 1-row weight table.
+    *
+    * Envelope: the centroid products and the L1-shift numerator run in
+    * DECIMAL(38,0) (the r16 discipline), so training is safe by
+    * construction for any pool size; only the normalized weights
+    * (|w| ≤ 10^6 by the L1 bound) return to BIGINT.
+    */
+  private[ops] def rerankTrain(features: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q_vec_id"))
+      .orderBy((col("cos_micro") + lit(100L) * col("jac_bp")).desc, col("vec_id"))
+    val lab = features
+      .withColumn("y", when(row_number().over(w) <= CrossK, 1L).otherwise(0L))
+    def sp(c: String) = sum(when(col("y") === 1, col(c)).otherwise(0L)).as(s"sp_$c")
+    def sn(c: String) = sum(when(col("y") === 0, col(c)).otherwise(0L)).as(s"sn_$c")
+    lab.agg(sp("cos_micro"), sp("jac_bp"), sp("len_bp"),
+        sn("cos_micro"), sn("jac_bp"), sn("len_bp"),
+        sum(col("y")).as("n_pos"), sum(lit(1L) - col("y")).as("n_neg"))
+      .select(
+        expr("CAST(sp_cos_micro AS DECIMAL(38,0)) * n_neg" +
+          " - CAST(sn_cos_micro AS DECIMAL(38,0)) * n_pos").as("r_cos"),
+        expr("CAST(sp_jac_bp AS DECIMAL(38,0)) * n_neg" +
+          " - CAST(sn_jac_bp AS DECIMAL(38,0)) * n_pos").as("r_jac"),
+        expr("CAST(sp_len_bp AS DECIMAL(38,0)) * n_neg" +
+          " - CAST(sn_len_bp AS DECIMAL(38,0)) * n_pos").as("r_len"))
+      .select(col("r_cos"), col("r_jac"), col("r_len"),
+        greatest(abs(col("r_cos")) + abs(col("r_jac")) + abs(col("r_len")),
+          expr("CAST(1 AS DECIMAL(38,0))")).as("l1"))
+      .select(
+        expr("((r_cos + l1) * 1000000) DIV l1 - 1000000").as("w_cos"),
+        expr("((r_jac + l1) * 1000000) DIV l1 - 1000000").as("w_jac"),
+        expr("((r_len + l1) * 1000000) DIV l1 - 1000000").as("w_len"))
+  }
+
+  /** RERANK with the STORED trained scorer (closing the r15 stub
+    * boundary): stage 1 retrieves the bounded pool, stage 2 scores every
+    * pair with the 1-row weight table from
+    * [[Artifacts.ensureRerankScorer]] broadcast onto the pair features —
+    * `lin_score = w·x` in exact integers (|w| ≤ 10^6, |x| ≤ 10^6 →
+    * |score| ≤ 3·10^12, long-safe always) — and keeps the
+    * top-[[CrossK]]. Serving reads the stored model and never trains
+    * (plan-guarded like the NB classifier: weights scan + broadcast, no
+    * teacher labeling in the plan).
+    */
+  def qRerankScored(spark: SparkSession, dir: String): DataFrame = {
+    val wdir = Artifacts.ensureRerankScorer(spark, dir)
+    val weights = spark.read.parquet(s"$wdir/weights.parquet")
+    val rankW = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q_vec_id")).orderBy(col("lin_score").desc, col("vec_id"))
+    rerankFeatures(spark, dir)
+      .crossJoin(broadcast(weights))
+      .withColumn("lin_score",
+        expr("w_cos * cos_micro + w_jac * jac_bp + w_len * len_bp"))
+      .withColumn("rnk", row_number().over(rankW).cast("long"))
+      .filter(col("rnk") <= CrossK)
+      .select(col("q_vec_id"), col("rnk"), col("vec_id"), col("lin_score"))
+      .orderBy(col("q_vec_id"), col("rnk"))
+  }
+
+  /** Oracle: the pool/feature CTEs of [[qRerankCrossSql]], the teacher
+    * labeling, the division-free centroid discriminant with the same
+    * shifted L1 normalization, and the linear scoring replayed verbatim.
+    */
+  val qRerankScoredSql: String =
+    s"""WITH n AS (
+       |  SELECT vec_id, embedding,
+       |    sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+       |  FROM embeddings
+       |), pool AS (
+       |  SELECT q_vec_id, vec_id, cos_sim FROM (
+       |    SELECT p.*, row_number() OVER (PARTITION BY q_vec_id ORDER BY cos_sim DESC, vec_id) AS rnk
+       |    FROM (
+       |      SELECT q.vec_id AS q_vec_id, v.vec_id,
+       |        round(list_sum(list_transform(list_zip(q.embedding, v.embedding),
+       |            z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE))) / (q.nrm * v.nrm), 6) AS cos_sim
+       |      FROM n q JOIN n v ON v.vec_id <> q.vec_id
+       |      WHERE q.vec_id IN (${QueryIds.mkString(", ")})) p)
+       |  WHERE rnk <= $CrossPool
+       |), toks AS (
+       |  SELECT doc_id, list_distinct(regexp_split_to_array(lower(text), '\\s+')) AS ts
+       |  FROM documents
+       |), feat AS (
+       |  SELECT pool.q_vec_id, pool.vec_id,
+       |    CAST(round(pool.cos_sim * 1000000) AS BIGINT) AS cos_micro,
+       |    CAST(len(list_intersect(qt.ts, ct.ts)) AS BIGINT) * 10000
+       |      // CAST(len(list_distinct(list_concat(qt.ts, ct.ts))) AS BIGINT) AS jac_bp,
+       |    CAST(least(len(qt.ts), len(ct.ts)) AS BIGINT) * 10000
+       |      // greatest(CAST(greatest(len(qt.ts), len(ct.ts)) AS BIGINT), 1) AS len_bp
+       |  FROM pool
+       |  JOIN toks qt ON qt.doc_id = pool.q_vec_id
+       |  JOIN toks ct ON ct.doc_id = pool.vec_id
+       |), lab AS (
+       |  SELECT f.*, CASE WHEN row_number() OVER (
+       |      PARTITION BY q_vec_id
+       |      ORDER BY cos_micro + 100 * jac_bp DESC, vec_id) <= $CrossK
+       |    THEN 1 ELSE 0 END AS y
+       |  FROM feat f
+       |), agg AS (
+       |  SELECT
+       |    CAST(sum(CASE WHEN y = 1 THEN cos_micro ELSE 0 END) AS BIGINT) AS sp_cos,
+       |    CAST(sum(CASE WHEN y = 1 THEN jac_bp ELSE 0 END) AS BIGINT) AS sp_jac,
+       |    CAST(sum(CASE WHEN y = 1 THEN len_bp ELSE 0 END) AS BIGINT) AS sp_len,
+       |    CAST(sum(CASE WHEN y = 0 THEN cos_micro ELSE 0 END) AS BIGINT) AS sn_cos,
+       |    CAST(sum(CASE WHEN y = 0 THEN jac_bp ELSE 0 END) AS BIGINT) AS sn_jac,
+       |    CAST(sum(CASE WHEN y = 0 THEN len_bp ELSE 0 END) AS BIGINT) AS sn_len,
+       |    CAST(sum(y) AS BIGINT) AS n_pos,
+       |    CAST(sum(1 - y) AS BIGINT) AS n_neg
+       |  FROM lab
+       |), raw AS (
+       |  SELECT CAST(sp_cos AS HUGEINT) * n_neg - CAST(sn_cos AS HUGEINT) * n_pos AS r_cos,
+       |    CAST(sp_jac AS HUGEINT) * n_neg - CAST(sn_jac AS HUGEINT) * n_pos AS r_jac,
+       |    CAST(sp_len AS HUGEINT) * n_neg - CAST(sn_len AS HUGEINT) * n_pos AS r_len
+       |  FROM agg
+       |), l1t AS (
+       |  SELECT r_cos, r_jac, r_len,
+       |    greatest(abs(r_cos) + abs(r_jac) + abs(r_len), 1) AS l1 FROM raw
+       |), w AS (
+       |  SELECT CAST(((r_cos + l1) * 1000000) // l1 - 1000000 AS BIGINT) AS w_cos,
+       |    CAST(((r_jac + l1) * 1000000) // l1 - 1000000 AS BIGINT) AS w_jac,
+       |    CAST(((r_len + l1) * 1000000) // l1 - 1000000 AS BIGINT) AS w_len
+       |  FROM l1t
+       |), scored AS (
+       |  SELECT f.q_vec_id, f.vec_id,
+       |    w.w_cos * f.cos_micro + w.w_jac * f.jac_bp + w.w_len * f.len_bp AS lin_score
+       |  FROM feat f CROSS JOIN w
+       |)
+       |SELECT q_vec_id, CAST(rnk AS BIGINT) AS rnk, vec_id, lin_score FROM (
+       |  SELECT scored.*, row_number() OVER (
+       |    PARTITION BY q_vec_id ORDER BY lin_score DESC, vec_id) AS rnk
        |  FROM scored)
        |WHERE rnk <= $CrossK
        |ORDER BY q_vec_id, rnk""".stripMargin
@@ -1397,6 +1569,7 @@ object Similarity {
     "q_rank_fusion" -> (qRankFusion _),
     "q_mmr_rerank" -> (qMmrRerank _),
     "q_rerank_cross" -> (qRerankCross _),
+    "q_rerank_scored" -> (qRerankScored _),
   )
 
   def oracle: Map[String, String] = Map(
@@ -1431,5 +1604,6 @@ object Similarity {
     "q_rank_fusion" -> qRankFusionSql,
     "q_mmr_rerank" -> qMmrRerankSql,
     "q_rerank_cross" -> qRerankCrossSql,
+    "q_rerank_scored" -> qRerankScoredSql,
   )
 }
