@@ -177,6 +177,28 @@ object Artifacts {
       sh.unpersist()
     }
 
+  /** Geo state of the intake cascade (round 16, VERDICT r15 item 7):
+    * `q_intake_full` previously EXIF-walked the whole photo corpus per
+    * run — once for the arrival photo cells and once for the standing
+    * [[Multimodal.cellRates]] thresholds. Both are pure functions of the
+    * photo bytes (the decoded [[Multimodal.burstKeys]] cells of the
+    * arrival split; the frozen admission thresholds of the standing
+    * split), so they memoize like every other intake artifact:
+    * `photoCells.parquet` (doc_id, lat_cell, lon_cell) and
+    * `rates.parquet` (lat_cell, lon_cell, thr).
+    */
+  def ensureGeoCells(spark: SparkSession, dir: String): String =
+    graft.ServingIndexes.ensure("intake-geo-cells", dir) { d =>
+      val photos = Multimodal.burstKeys(Multimodal.exifMetaTable(spark, dir))
+        .localCheckpoint()
+      photos.filter(pmod(col("doc_id"), lit(5)) === 0)
+        .select(col("doc_id"), col("lat_cell"), col("lon_cell"))
+        .write.mode("overwrite").parquet(s"$d/photoCells.parquet")
+      Multimodal.cellRates(photos.filter(pmod(col("doc_id"), lit(5)) =!= 0))
+        .select(col("lat_cell"), col("lon_cell"), col("thr"))
+        .write.mode("overwrite").parquet(s"$d/rates.parquet")
+    }
+
   /** The bigram-LM score + global-rank relation (VERDICT r13 item 1):
     * [[TextAnalysis.qLmBigramScore]]'s exact-integer scored relation with
     * [[Rank.globalRank]]'s `rnk` attached, stored once per (corpus,

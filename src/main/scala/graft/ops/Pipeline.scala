@@ -1020,15 +1020,15 @@ object Pipeline {
     val lshDir = Artifacts.ensureDedupLsh(spark, dir)
     val ivfDir = Artifacts.ensureSemdedupIvf(spark, dir)
     val standing = Artifacts.ensureIntakeStanding(spark, dir)
-    val photos = Multimodal.burstKeys(Multimodal.exifMetaTable(spark, dir))
+    // geo state served from the session artifact (VERDICT r15 item 7) —
+    // the cascade no longer EXIF-walks the photo corpus per run
+    val geo = Artifacts.ensureGeoCells(spark, dir)
     intakeBatchFull(arrivals, Some(Artifacts.intakeArrivalPrep(spark, dir)), None,
       spark.read.parquet(s"$standing/fps.parquet"), lshDir,
       emb, corpusEmb, ivfDir,
       spark.read.parquet(s"$standing/grams.parquet"),
-      photos.filter(pmod(col("doc_id"), lit(5)) === 0)
-        .select(col("doc_id"), col("lat_cell"), col("lon_cell")),
-      Multimodal.cellRates(photos.filter(pmod(col("doc_id"), lit(5)) =!= 0))
-        .select(col("lat_cell"), col("lon_cell"), col("thr")))
+      spark.read.parquet(s"$geo/photoCells.parquet"),
+      spark.read.parquet(s"$geo/rates.parquet"))
   }
 
   /** DuckDB replay of the full cascade: the gated CTE chain plus the
