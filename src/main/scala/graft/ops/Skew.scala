@@ -44,19 +44,22 @@ object Skew {
     * The fact side's key profile collapses to a 1-row decision scalar —
     * `max_x_mean_bp` = the hottest key's multiple of the mean frequency
     * in exact basis points (DECIMAL(38,0) product, the r16 envelope
-    * discipline) — which broadcasts onto the fact rows and routes EVERY
-    * row through exactly one branch: the plain shuffle join below the
-    * [[AdaptiveSaltBarBp]] bar, [[saltedJoin]] at/above it. The union of
-    * the two branches equals the plain join's row multiset by
-    * construction (one branch always sees zero rows), with the decision
-    * (`max_x_mean_bp`, `salted`) carried on every row for auditability —
-    * the [[Similarity.qRecallRetrain]] in-plan-decision precedent: no
-    * driver collect, the verdict is a broadcast scalar.
+    * discipline; localCheckpointed so the profile subtree is paid once)
+    * — which broadcasts onto BOTH join sides as the SALT-BUCKET COUNT:
+    * [[saltBuckets]] at/above the [[AdaptiveSaltBarBp]] bar, 1 below it.
+    * With one bucket the salt column is the constant 0 on both sides, so
+    * the join IS the plain equi-join (same shuffle keys plus a constant);
+    * with n buckets it is [[saltedJoin]]. Either way the result equals
+    * the plain join's row multiset, with the decision (`max_x_mean_bp`,
+    * `salted`) carried on every row for auditability — the
+    * [[Similarity.qRecallRetrain]] in-plan-decision precedent: no driver
+    * collect, the verdict is a broadcast scalar.
     *
     * Scale: the profile is one map-side-combined key count + a 1-row
-    * aggregate; the inert branch's join machinery runs over an
-    * AQE-collapsed empty input, so the paid cost is one pass over the
-    * fact rows either way.
+    * aggregate, and the fact/dim sides are each scanned ONCE — an
+    * earlier two-branch union shape scanned the fact table twice (the
+    * inert branch still read every byte before its filter); folding the
+    * decision into the bucket count removes that.
     */
   def adaptiveJoin(
       fact: DataFrame,
@@ -73,12 +76,19 @@ object Skew {
           .as("max_x_mean_bp"))
       .select(col("max_x_mean_bp"),
         when(col("max_x_mean_bp") >= barBp, 1L).otherwise(0L).as("salted"))
-    val routed = fact.crossJoin(broadcast(dec))
-    val plain = routed.filter(col("salted") === 0)
-      .join(dim, col(factKey) === col(dimKey))
-    val hot = saltedJoin(routed.filter(col("salted") === 1), dim,
-      factKey, dimKey, saltBuckets)
-    plain.unionByName(hot)
+      .localCheckpoint()
+    val nb = when(col("salted") === 1, lit(saltBuckets.toLong)).otherwise(lit(1L))
+    val salted = fact.crossJoin(broadcast(dec))
+      .withColumn("_salt",
+        pmod(xxhash64(monotonically_increasing_id()), nb).cast("int"))
+    val replicated = dim
+      .crossJoin(broadcast(dec.select(nb.as("_nb"))))
+      .withColumn("_salt", explode(expr("sequence(0, CAST(_nb AS INT) - 1)")))
+      .drop("_nb")
+    salted
+      .join(replicated,
+        col(factKey) === col(dimKey) && salted("_salt") === replicated("_salt"))
+      .drop("_salt")
   }
 
   /** Two-phase salted aggregation: partial by (key, salt) then final by
