@@ -95,6 +95,29 @@ object Artifacts {
         emb.filter(pmod(col("vec_id"), lit(5)) === 0), col("vec_id"), col("embedding"), d)
     }
 
+  /** The co-order part GRAPH (round 16 optimization): the canonically
+    * oriented (`src < dst`) co-order edge list
+    * ([[Graph.orientedCoOrderEdges]] at the default basket cap) stored
+    * once per (corpus, session). NINE registered graph queries (pagerank,
+    * triangles, k-core, label propagation, PPR, harmonic centrality, BFS,
+    * assortativity, degree histogram) previously each re-paid the same
+    * lineitem groupBy → sorted-set pair explode → distinct per run —
+    * exactly the edge-list materialization a production graph pipeline
+    * does once per snapshot. Bit-stable: a deterministic projection of
+    * lineitem (distinct oriented long pairs), so every iterative
+    * computation over the stored edges is bit-identical to the inline
+    * build (CoOrderEdgesSpec pins stored == inline).
+    */
+  def ensureCoOrderEdges(spark: SparkSession, dir: String): String =
+    graft.ServingIndexes.ensure("co-order-edges", dir) { d =>
+      Graph.orientedCoOrderEdges(spark, dir)
+        .write.mode("overwrite").parquet(s"$d/edges.parquet")
+    }
+
+  /** Load [[ensureCoOrderEdges]] back as the oriented edge relation. */
+  private[ops] def coOrderOriented(spark: SparkSession, dir: String): org.apache.spark.sql.DataFrame =
+    spark.read.parquet(s"${ensureCoOrderEdges(spark, dir)}/edges.parquet")
+
   /** The intake gates' standing-corpus probe relations — the exact-dup
     * fingerprint multiset (`fps.parquet`) and the benchmark shingle set
     * (`grams.parquet`) both `q_intake` and `q_intake_gated` scan per
@@ -161,6 +184,45 @@ object Artifacts {
       bands = spark.read.parquet(s"$d/bands.parquet"),
       probes = spark.read.parquet(s"$d/probes.parquet"),
       nbScores = spark.read.parquet(s"$d/nbscores.parquet"))
+  }
+
+  /** The dedup CANDIDATE relation (round 16 optimization): the exact
+    * capped-commons overlap table `(id_a, id_b, common)` plus per-doc
+    * shingle-set sizes `(id, n)` over the FULL documents table at the
+    * dedup operating point (k = [[Dedup.ShingleK]],
+    * cap = [[TextDedup.DefaultBucketCap]]). This is the candidates table
+    * a production dedup pipeline materializes once per corpus snapshot:
+    * FOURTEEN registered queries (the ngram-Jaccard pair family, the
+    * components/survivor/mixture/sizes/savings labeling family, the
+    * threshold sweep, containment, split leakage, bitext mining, source
+    * pairs, quality smoothing, the quality×dup matrix) previously each
+    * re-paid the identical tokenize → shingle-explode → inverted-index
+    * self-join from scratch — the same recomputation class the LM-rank
+    * and intake artifacts removed in r13/r15. Bit-stable: exact integer
+    * overlap counts and sizes, deterministic in the corpus, so every
+    * derived Jaccard/containment value is bit-identical to the inline
+    * computation ([[TextDedup.jaccardFromCommons]] is shared by both
+    * paths; DedupCommonsSpec pins stored == inline).
+    */
+  def ensureDedupCommons(spark: SparkSession, dir: String): String =
+    graft.ServingIndexes.ensure("dedup-commons", dir) { d =>
+      val cc = TextDedup.cappedCommons(
+        table(spark, dir, "documents"), col("doc_id"), col("text"),
+        Dedup.ShingleK, TextDedup.DefaultBucketCap)
+      cc.commons.write.mode("overwrite").parquet(s"$d/commons.parquet")
+      cc.sizes.write.mode("overwrite").parquet(s"$d/sizes.parquet")
+      cc.cached.foreach(_.unpersist())
+    }
+
+  /** Load [[ensureDedupCommons]] back as a [[TextDedup.CappedCommons]]
+    * (no live caches — the stored relations are plain parquet scans).
+    */
+  private[ops] def dedupCommons(spark: SparkSession, dir: String): TextDedup.CappedCommons = {
+    val d = ensureDedupCommons(spark, dir)
+    TextDedup.CappedCommons(
+      spark.read.parquet(s"$d/commons.parquet"),
+      spark.read.parquet(s"$d/sizes.parquet"),
+      Seq.empty)
   }
 
   def ensureIntakeStanding(spark: SparkSession, dir: String): String =

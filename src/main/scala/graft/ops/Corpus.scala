@@ -1091,18 +1091,38 @@ object Corpus {
   def qDoremiWeights(spark: SparkSession, dir: String): DataFrame =
     doremiWeights(table(spark, dir, "documents"))
 
-  /** [[qDoremiWeights]]'s iteration over any (source, text) frame. */
+  /** [[qDoremiWeights]]'s iteration over any (source, text) frame.
+    *
+    * One corpus scan (round 16): the token explode feeds a map-side-
+    * combined `(source, token) → cnt` aggregate ONCE; the top-K vocab and
+    * the per-source OOV loss both derive from that persisted relation by
+    * re-aggregation (`count(*)` over instances ≡ `sum(cnt)` — exact
+    * longs, so the result is bit-identical). Before, the unpersisted
+    * token relation was referenced by both subtrees and the corpus was
+    * tokenized+exploded twice per run; the vocab join now probes
+    * distinct (source, token) rows instead of every token instance.
+    *
+    * localCheckpoint, NOT persist: the multiplicative-weights loop below
+    * nests one broadcast build per round, and EVERY build re-plans its
+    * whole subtree — with an InMemoryRelation in that lineage the
+    * repeated cached-plan re-optimization measured 36–58 s at sf0.1
+    * (vs 4.4 s inline, 3.0 s checkpointed). The checkpoint truncates the
+    * lineage to a materialized leaf, so each per-round broadcast plans a
+    * domain-sized subtree.
+    */
   def doremiWeights(docs: DataFrame): DataFrame = {
     val Scale = 1000000L
-    val tok = docs
+    val sw = docs
       .select(col("source"), explode(tokens(col("text"))).as("w"))
-    val vocab = tok.groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+      .groupBy(col("source"), col("w")).agg(count(lit(1)).as("cnt"))
+      .localCheckpoint()
+    val vocab = sw.groupBy(col("w")).agg(sum(col("cnt")).as("cnt"))
       .orderBy(col("cnt").desc, col("w")).limit(DoremiVocabK)
       .select(col("w"), lit(1).as("inv"))
-    val loss = tok.join(broadcast(vocab), Seq("w"), "left")
+    val loss = sw.join(broadcast(vocab), Seq("w"), "left")
       .groupBy(col("source"))
-      .agg(count(lit(1)).as("n_tokens"),
-        sum(when(col("inv").isNull, 1L).otherwise(0L)).as("oov"))
+      .agg(sum(col("cnt")).as("n_tokens"),
+        sum(when(col("inv").isNull, col("cnt")).otherwise(0L)).as("oov"))
       .select(col("source"), expr("oov * 10000 DIV n_tokens").as("loss_bp"))
     val minLoss = loss.agg(min(col("loss_bp")).as("min_bp"))
     var w = loss.crossJoin(broadcast(minLoss))
@@ -1118,10 +1138,12 @@ object Corpus {
           expr(s"w * (ns * ${Scale}L) DIV tot").as("w"))
     }
     val tot = w.agg(sum(col("w")).as("tot"))
-    w.crossJoin(broadcast(tot))
+    val out = w.crossJoin(broadcast(tot))
       .select(col("source"), col("loss_bp"), col("excess_bp"),
         expr(s"w * ${Scale}L DIV tot").as("weight_ppm"))
       .orderBy(col("source"))
+    // source-dimension-sized result; releases the (source, token) cache
+    TextDedup.materializeAndRelease(out, sw)
   }
 
   val qDoremiWeightsSql: String = {

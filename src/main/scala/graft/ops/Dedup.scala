@@ -32,14 +32,27 @@ object Dedup {
   private def asPair(df: DataFrame): DataFrame =
     df.withColumnRenamed("id_a", "da").withColumnRenamed("id_b", "db")
 
+  /** Thresholded exact-Jaccard pairs derived from the stored candidates
+    * table ([[Artifacts.ensureDedupCommons]]) — bit-identical to
+    * [[TextDedup.jaccardPairs]] over the full documents table: the same
+    * [[TextDedup.jaccardFromCommons]] projection runs over the same exact
+    * integer (common, n_a, n_b) triples, just read back instead of
+    * recomputed (DedupCommonsSpec pins stored == inline). Fourteen
+    * registered queries consume this relation; before round 16 each
+    * re-paid the full shingle → inverted-index self-join per run.
+    */
+  private[ops] def storedPairs(spark: SparkSession, dir: String, threshold: Double): DataFrame = {
+    val cc = Artifacts.dedupCommons(spark, dir)
+    TextDedup.jaccardFromCommons(cc.commons, cc.sizes, threshold)
+  }
+
   /** Exact 3-word-shingle Jaccard pairs (inverted-index join with the
     * hot-posting candidate cap — see [[TextDedup.jaccardPairs]]; identical
     * to the uncapped relation on this corpus, linear instead of quadratic
     * on a boilerplate-heavy one).
     */
   def qDedupNgramJaccard(spark: SparkSession, dir: String): DataFrame =
-    asPair(TextDedup.jaccardPairs(
-      table(spark, dir, "documents"), col("doc_id"), col("text"), ShingleK, JaccardThreshold))
+    asPair(storedPairs(spark, dir, JaccardThreshold))
 
   val qDedupNgramSql: String =
     s"""WITH tok AS (
@@ -84,8 +97,7 @@ object Dedup {
     */
   def qSourceDupFlow(spark: SparkSession, dir: String): DataFrame = {
     val docs = table(spark, dir, "documents")
-    val pairs = TextDedup.jaccardPairs(
-      docs, col("doc_id"), col("text"), ShingleK, JaccardThreshold)
+    val pairs = storedPairs(spark, dir, JaccardThreshold)
     val src = docs.select(col("doc_id"), col("source"))
     pairs
       .join(src.toDF("id_a", "to_source"), Seq("id_a"))
@@ -294,9 +306,7 @@ object Dedup {
   val SweepThresholds = Seq(0.5, 0.6, 0.7, 0.8, 0.9)
 
   def qDedupThresholdSweep(spark: SparkSession, dir: String): DataFrame = {
-    val cc = TextDedup.cappedCommons(
-      table(spark, dir, "documents"), col("doc_id"), col("text"),
-      ShingleK, TextDedup.DefaultBucketCap)
+    val cc = Artifacts.dedupCommons(spark, dir)
     val pairs = TextDedup.jaccardFromCommons(cc.commons, cc.sizes, 0.0)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val branches = SweepThresholds.map { t =>
@@ -522,8 +532,7 @@ object Dedup {
     * to themselves).
     */
   def qDedupComponents(spark: SparkSession, dir: String): DataFrame = {
-    val pairs = TextDedup.jaccardPairs(
-      table(spark, dir, "documents"), col("doc_id"), col("text"), ShingleK, JaccardThreshold)
+    val pairs = storedPairs(spark, dir, JaccardThreshold)
     val ids = table(spark, dir, "documents").select(col("doc_id").as("id"))
     TextDedup.canonicalize(pairs, ids)
       .withColumnRenamed("id", "doc_id")
@@ -557,8 +566,7 @@ object Dedup {
     */
   def qDedupSurvivor(spark: SparkSession, dir: String): DataFrame = {
     val docs = table(spark, dir, "documents")
-    val pairs = TextDedup.jaccardPairs(
-      docs, col("doc_id"), col("text"), ShingleK, JaccardThreshold)
+    val pairs = storedPairs(spark, dir, JaccardThreshold)
     val canon = TextDedup.canonicalize(pairs, docs.select(col("doc_id").as("id")))
     val m = docs.select(col("doc_id").as("id"),
       size(array_distinct(TextOps.tokens(col("text")))).cast("long").as("m"))
@@ -609,8 +617,7 @@ object Dedup {
     */
   def qDedupMixture(spark: SparkSession, dir: String): DataFrame = {
     val docs = table(spark, dir, "documents")
-    val pairs = TextDedup.jaccardPairs(
-      docs, col("doc_id"), col("text"), ShingleK, JaccardThreshold)
+    val pairs = storedPairs(spark, dir, JaccardThreshold)
     val canon = TextDedup.canonicalize(pairs, docs.select(col("doc_id").as("id")))
     val srcSizes = docs.groupBy(col("source")).agg(count(lit(1)).as("n_src"))
     // argmin over source size rides the shared argmax helper: m = −n_src
@@ -658,8 +665,7 @@ object Dedup {
     */
   def qDedupSizes(spark: SparkSession, dir: String): DataFrame = {
     val docs = table(spark, dir, "documents")
-    val pairs = TextDedup.jaccardPairs(
-      docs, col("doc_id"), col("text"), ShingleK, JaccardThreshold)
+    val pairs = storedPairs(spark, dir, JaccardThreshold)
     TextDedup.canonicalize(pairs, docs.select(col("doc_id").as("id")))
       .groupBy(col("canonical")).agg(count(lit(1)).as("cluster_size"))
       .groupBy(col("cluster_size")).agg(count(lit(1)).as("n_clusters"))
@@ -709,8 +715,7 @@ object Dedup {
       .agg(coalesce(sum(col("k") - 1), lit(0L)).as("n_docs_removed"),
         coalesce(sum((col("k") - 1) * col("ntok")), lit(0L)).as("n_tokens_removed"))
       .select(lit("exact").as("strategy"), col("n_docs_removed"), col("n_tokens_removed"))
-    val pairs = TextDedup.jaccardPairs(
-      docs, col("doc_id"), col("text"), ShingleK, JaccardThreshold)
+    val pairs = storedPairs(spark, dir, JaccardThreshold)
     val nearDup = TextDedup.canonicalize(pairs, docs.select(col("doc_id").as("id")))
       .filter(col("id") =!= col("canonical"))
       .join(docs.select(col("doc_id").as("id"), col("n_toks")), Seq("id"))
@@ -845,8 +850,7 @@ object Dedup {
     */
   def qSplitLeakage(spark: SparkSession, dir: String): DataFrame = {
     val docs = table(spark, dir, "documents")
-    val pairs = asPair(TextDedup.jaccardPairs(
-      docs, col("doc_id"), col("text"), ShingleK, JaccardThreshold))
+    val pairs = asPair(storedPairs(spark, dir, JaccardThreshold))
     val split = docs.select(col("doc_id"), Corpus.splitCol(col("doc_id")).as("split"))
     pairs
       .join(split.toDF("da", "split_a"), "da")
@@ -899,8 +903,7 @@ object Dedup {
     */
   def qBitextMine(spark: SparkSession, dir: String): DataFrame = {
     val docs = table(spark, dir, "documents")
-    val pairs = asPair(TextDedup.jaccardPairs(
-      docs, col("doc_id"), col("text"), ShingleK, JaccardThreshold))
+    val pairs = asPair(storedPairs(spark, dir, JaccardThreshold))
     val lang = docs.select(col("doc_id"), col("lang"))
     pairs
       .join(lang.toDF("da", "lang_a"), "da")
@@ -953,8 +956,7 @@ object Dedup {
     */
   def qSourcePairs(spark: SparkSession, dir: String): DataFrame = {
     val docs = table(spark, dir, "documents")
-    val pairs = asPair(TextDedup.jaccardPairs(
-      docs, col("doc_id"), col("text"), ShingleK, JaccardThreshold))
+    val pairs = asPair(storedPairs(spark, dir, JaccardThreshold))
     val src = docs.select(col("doc_id"), col("source"))
     pairs
       .join(src.toDF("da", "src_a"), "da")
@@ -1002,10 +1004,10 @@ object Dedup {
     * directed `(src, dst)` rows where ≥ 90% of src's distinct 3-shingles
     * appear in dst — the quote/subset-duplication gate Jaccard can't see.
     */
-  def qDedupContainment(spark: SparkSession, dir: String): DataFrame =
-    TextDedup.containmentPairs(
-      table(spark, dir, "documents"), col("doc_id"), col("text"),
-      ShingleK, ContainmentThreshold)
+  def qDedupContainment(spark: SparkSession, dir: String): DataFrame = {
+    val cc = Artifacts.dedupCommons(spark, dir)
+    TextDedup.containmentFromCommons(cc.commons, cc.sizes, ContainmentThreshold)
+  }
 
   val qDedupContainmentSql: String =
     s"""WITH tok AS (

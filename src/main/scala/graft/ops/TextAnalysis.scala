@@ -2480,8 +2480,7 @@ object TextAnalysis {
       .select(col("doc_id"),
         floor(qualityScoreC(stopRatioC(col("t")), typeTokenRatioC(col("t")),
           lengthOkC(col("t"))) * 1000000).cast("long").as("q_micro"))
-    val pairs = TextDedup.jaccardPairs(
-      docs, col("doc_id"), col("text"), Dedup.ShingleK, Dedup.JaccardThreshold)
+    val pairs = Dedup.storedPairs(spark, dir, Dedup.JaccardThreshold)
     val edges = pairs.select(col("id_a").as("doc_id"), col("id_b").as("nb"))
       .union(pairs.select(col("id_b").as("doc_id"), col("id_a").as("nb")))
     val nbAvg = edges

@@ -204,10 +204,20 @@ object TextDedup {
       k: Int = 3, threshold: Double = 0.9,
       postingCap: Int = DefaultBucketCap): DataFrame = {
     val cc = cappedCommons(docs, id, text, k, postingCap)
-    val joined = cc.commons
-      .join(cc.sizes.toDF("id_a", "na"), Seq("id_a"))
-      .join(cc.sizes.toDF("id_b", "nb"), Seq("id_b"))
-    val directed = joined
+    materializeAndRelease(
+      containmentFromCommons(cc.commons, cc.sizes, threshold), cc.cached: _*)
+  }
+
+  /** The directed containment projection of a commons relation — shared
+    * by [[containmentPairs]] and the stored-candidates path
+    * ([[graft.ops.Artifacts.ensureDedupCommons]]) so both compute the
+    * identical doubles.
+    */
+  private[ops] def containmentFromCommons(
+      commons: DataFrame, sizes: DataFrame, threshold: Double): DataFrame =
+    commons
+      .join(sizes.toDF("id_a", "na"), Seq("id_a"))
+      .join(sizes.toDF("id_b", "nb"), Seq("id_b"))
       .select(explode(array(
         struct(col("id_a").as("src"), col("id_b").as("dst"),
           (col("common").cast(DoubleType) / col("na").cast(DoubleType)).as("containment")),
@@ -217,8 +227,6 @@ object TextDedup {
       .select(col("e.src").as("src"), col("e.dst").as("dst"), col("e.containment").as("containment"))
       .filter(col("containment") >= threshold)
       .orderBy(col("src"), col("dst"))
-    materializeAndRelease(directed, cc.cached: _*)
-  }
 
   /** MinHash + LSH near-dup pairs with exact-Jaccard verification — the
     * 100 TB text-dedup pipeline. Identical final semantics to
