@@ -106,7 +106,7 @@ object Artifacts {
     * does once per snapshot. Bit-stable: a deterministic projection of
     * lineitem (distinct oriented long pairs), so every iterative
     * computation over the stored edges is bit-identical to the inline
-    * build (CoOrderEdgesSpec pins stored == inline).
+    * build (StoredArtifactParitySpec pins stored == inline).
     */
   def ensureCoOrderEdges(spark: SparkSession, dir: String): String =
     graft.ServingIndexes.ensure("co-order-edges", dir) { d =>
@@ -202,7 +202,7 @@ object Artifacts {
     * overlap counts and sizes, deterministic in the corpus, so every
     * derived Jaccard/containment value is bit-identical to the inline
     * computation ([[TextDedup.jaccardFromCommons]] is shared by both
-    * paths; DedupCommonsSpec pins stored == inline).
+    * paths; StoredArtifactParitySpec pins stored == inline).
     */
   def ensureDedupCommons(spark: SparkSession, dir: String): String =
     graft.ServingIndexes.ensure("dedup-commons", dir) { d =>
@@ -335,6 +335,18 @@ object Artifacts {
     model("ivf-model", dir) {
       VectorSearch.trainIvfModel(
         table(spark, dir, "embeddings"), col("vec_id"), col("embedding"))
+    }
+
+  /** The session-trained IVF model over the STANDING embeddings split
+    * (vec_id % 5 != 0) — the incremental semantic gate's corpus side
+    * (round 16: `q_semdedup_incremental` retrained it per run while the
+    * stored-index twin served from `ensureSemdedupIvf`).
+    */
+  private[ops] def ivfModelStanding(spark: SparkSession, dir: String): (VectorSearch.IvfConfig, Array[VectorSearch.Centroid]) =
+    model("ivf-model-standing", dir) {
+      VectorSearch.trainIvfModel(
+        table(spark, dir, "embeddings").filter(pmod(col("vec_id"), lit(5)) =!= 0),
+        col("vec_id"), col("embedding"))
     }
 
   /** The session-trained PQ codebooks over the full embeddings table. */

@@ -37,7 +37,7 @@ object Dedup {
     * [[TextDedup.jaccardPairs]] over the full documents table: the same
     * [[TextDedup.jaccardFromCommons]] projection runs over the same exact
     * integer (common, n_a, n_b) triples, just read back instead of
-    * recomputed (DedupCommonsSpec pins stored == inline). Fourteen
+    * recomputed (StoredArtifactParitySpec pins stored == inline). Fourteen
     * registered queries consume this relation; before round 16 each
     * re-paid the full shingle → inverted-index self-join per run.
     */
@@ -494,7 +494,8 @@ object Dedup {
   def qDedupEmbedding(spark: SparkSession, dir: String): DataFrame =
     VectorSearch.clusterCosinePairs(
       table(spark, dir, "embeddings"), col("vec_id"), col("embedding"), CosineThreshold,
-      probes = ClusterPairProbes)
+      probes = ClusterPairProbes,
+      model = Some(Artifacts.ivfModel(spark, dir)))
       .withColumnRenamed("id_a", "va").withColumnRenamed("id_b", "vb")
 
   /** DuckDB replay: the shared Lloyd chain ([[Similarity.ivfChainSql]])

@@ -175,7 +175,7 @@ object Graph {
     * ([[Artifacts.ensureCoOrderEdges]]) — the registered queries' path:
     * the oriented relation is built once per (corpus, session) and each
     * consumer re-reads a 2-column long parquet instead of re-running the
-    * basket explode (round 16; CoOrderEdgesSpec pins stored == inline).
+    * basket explode (round 16; StoredArtifactParitySpec pins stored == inline).
     */
   private def coOrderEdgesStored(spark: SparkSession, dir: String): DataFrame = {
     val o = Artifacts.coOrderOriented(spark, dir)

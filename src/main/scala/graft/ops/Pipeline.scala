@@ -135,7 +135,8 @@ object Pipeline {
   def qPipelineCrossmodal(spark: SparkSession, dir: String): DataFrame = {
     val pairs = VectorSearch.clusterCosinePairs(
       table(spark, dir, "embeddings"), col("vec_id"), col("embedding"), Dedup.CosineThreshold,
-      probes = Dedup.ClusterPairProbes)
+      probes = Dedup.ClusterPairProbes,
+      model = Some(Artifacts.ivfModel(spark, dir)))
     val feat = table(spark, dir, "documents")
       .select(col("doc_id"), tokens(col("text")).as("t"))
       .select(col("doc_id"),

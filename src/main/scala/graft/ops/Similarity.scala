@@ -782,7 +782,8 @@ object Similarity {
     */
   def qSemdedup(spark: SparkSession, dir: String): DataFrame =
     VectorSearch.semDedup(
-      table(spark, dir, "embeddings"), col("vec_id"), col("embedding"), SemThreshold)
+      table(spark, dir, "embeddings"), col("vec_id"), col("embedding"), SemThreshold,
+      model = Some(Artifacts.ivfModel(spark, dir)))
       .withColumnRenamed("id", "vec_id")
 
   /** DuckDB replay: the shared [[ivfChainSql]] Lloyd chain gives the
@@ -837,7 +838,8 @@ object Similarity {
     VectorSearch.semDedupIncremental(
       emb.filter(pmod(col("vec_id"), lit(5)) =!= 0),
       emb.filter(pmod(col("vec_id"), lit(5)) === 0),
-      col("vec_id"), col("embedding"), SemThreshold)
+      col("vec_id"), col("embedding"), SemThreshold,
+      model = Some(Artifacts.ivfModelStanding(spark, dir)))
       .withColumnRenamed("id", "vec_id")
   }
 

@@ -143,22 +143,29 @@ object VectorSearch {
     * is hash-gated, not rows-only.
     */
   def clusterCosinePairs(df: DataFrame, id: Column, vec: Column, threshold: Double,
-      cfg: IvfConfig = IvfConfig(), probes: Int = 2, blocks: Int = 8): DataFrame = {
-    val (plan, caches) = clusterCosinePairsPlan(df, id, vec, threshold, cfg, probes, blocks)
+      cfg: IvfConfig = IvfConfig(), probes: Int = 2, blocks: Int = 8,
+      model: Option[(IvfConfig, Array[Centroid])] = None): DataFrame = {
+    val (plan, caches) = clusterCosinePairsPlan(df, id, vec, threshold, cfg, probes, blocks, model)
     val out = plan.localCheckpoint()
     caches.foreach(_.unpersist())
     out
   }
 
   /** Un-checkpointed [[clusterCosinePairs]] plan + caches to release
-    * (for plan-shape specs).
+    * (for plan-shape specs). `model` is an optional pre-trained session
+    * model ([[graft.ops.Artifacts.ivfModel]]) — training is query-free and
+    * deterministic, so passing it is bit-identical to training inline
+    * (the [[ivfTopKWithModel]] discipline, extended round 16 to the pair
+    * operators that retrained the same full-corpus model per run).
     */
   private[ops] def clusterCosinePairsPlan(df: DataFrame, id: Column, vec: Column,
       threshold: Double, cfg: IvfConfig, probes: Int,
-      blocks: Int): (DataFrame, Seq[DataFrame]) = {
+      blocks: Int, model: Option[(IvfConfig, Array[Centroid])] = None): (DataFrame, Seq[DataFrame]) = {
     val corpus = ivfCorpus(df, id, vec, cfg)
-    val rcfg = resolveCfg(corpus, cfg)
-    val centroids = trainIvfCentroids(corpus, rcfg)
+    val (rcfg, centroids) = model.getOrElse {
+      val r = resolveCfg(corpus, cfg)
+      (r, trainIvfCentroids(corpus, r))
+    }
     // materialize the multi-probe assignment ONCE (the incremental-gate
     // lesson: a live k-branch distance expression inside the pair join
     // re-evaluates per join-output row)
@@ -612,10 +619,13 @@ object VectorSearch {
     */
   def semDedupIncremental(corpus: DataFrame, incoming: DataFrame,
       id: Column, vec: Column, threshold: Double,
-      cfg: IvfConfig = IvfConfig()): DataFrame = {
+      cfg: IvfConfig = IvfConfig(),
+      model: Option[(IvfConfig, Array[Centroid])] = None): DataFrame = {
     val corpusC = ivfCorpus(corpus, id, vec, cfg)
-    val rcfg = resolveCfg(corpusC, cfg)
-    val centroids = trainIvfCentroids(corpusC, rcfg)
+    val (rcfg, centroids) = model.getOrElse {
+      val r = resolveCfg(corpusC, cfg)
+      (r, trainIvfCentroids(corpusC, r))
+    }
     // materialize the assignment ONCE (the in-memory analogue of the
     // bucket column writeIvfIndex persists): leaving the k-centroid
     // argmin as a live expression inside the probe join re-evaluates it
@@ -863,8 +873,9 @@ object VectorSearch {
     *   {0, 1}, ordered by id
     */
   def semDedup(df: DataFrame, id: Column, vec: Column, threshold: Double,
-      cfg: IvfConfig = IvfConfig(), blocks: Int = 8): DataFrame = {
-    val (plan, caches) = semDedupPlan(df, id, vec, threshold, cfg, blocks)
+      cfg: IvfConfig = IvfConfig(), blocks: Int = 8,
+      model: Option[(IvfConfig, Array[Centroid])] = None): DataFrame = {
+    val (plan, caches) = semDedupPlan(df, id, vec, threshold, cfg, blocks, model)
     val out = plan.localCheckpoint()
     caches.foreach(_.unpersist())
     out
@@ -872,13 +883,17 @@ object VectorSearch {
 
   /** The un-checkpointed plan of [[semDedup]] plus the caches the caller
     * must release — exposed so plan-shape specs can explain the live
-    * relation.
+    * relation. `model`: optional pre-trained session model, bit-identical
+    * to inline training (see [[clusterCosinePairsPlan]]).
     */
   private[ops] def semDedupPlan(df: DataFrame, id: Column, vec: Column, threshold: Double,
-      cfg: IvfConfig, blocks: Int): (DataFrame, Seq[DataFrame]) = {
+      cfg: IvfConfig, blocks: Int,
+      model: Option[(IvfConfig, Array[Centroid])] = None): (DataFrame, Seq[DataFrame]) = {
     val corpus = ivfCorpus(df, id, vec, cfg)
-    val rcfg = resolveCfg(corpus, cfg)
-    val centroids = trainIvfCentroids(corpus, rcfg)
+    val (rcfg, centroids) = model.getOrElse {
+      val r = resolveCfg(corpus, cfg)
+      (r, trainIvfCentroids(corpus, r))
+    }
     // per-centroid cosine-to-centroid: cos = (Σx·S / N) / (√Σx² · √(ΣS²/N²))
     // with Σx·S an exact LONG dot (VecDotLong — exact past double's 2^53,
     // covered by the same N ≈ 2^28.5 guard centroidParts raises) and
