@@ -118,6 +118,50 @@ object Artifacts {
   private[ops] def coOrderOriented(spark: SparkSession, dir: String): org.apache.spark.sql.DataFrame =
     spark.read.parquet(s"${ensureCoOrderEdges(spark, dir)}/edges.parquet")
 
+  /** The LAYOUT-EXPERIMENT state (round 16 optimization): per-layout
+    * granule zone maps of the keyed lineitem scan (`lin`/`zo`/`hi` = the
+    * price-sort, Morton and Hilbert layouts; `append` = the 10%-append
+    * drift scenario), the 1-row normalizing-domain relation (`dom`) and
+    * the Hilbert-restore group manifest (`restore`). Four registered
+    * queries (skipping stats, clustering health, layout drift, recluster
+    * plan) previously each re-ran 2–3 full range-exchange rank passes
+    * over the table per run — these relations are exactly the table-format
+    * METADATA (zone maps, file manifests) a lakehouse keeps persistent.
+    * Bit-stable: every rank pass sorts on a key made total by (ok, ln),
+    * so granule extents are deterministic (StoredArtifactParitySpec).
+    */
+  def ensureLayoutZoneMaps(spark: SparkSession, dir: String): String =
+    graft.ServingIndexes.ensure("layout-zone-maps", dir) { d =>
+      val keyed = Layout.keyedLineitem(spark, dir)
+        .withColumn("segment", expr("CASE WHEN ok % 10 = 0 THEN 1 ELSE 0 END"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val appendOrder = Seq(col("segment"),
+        when(col("segment") === 0, col("hk")).otherwise(lit(0L)),
+        col("ok"), col("ln"))
+      Layout.granuleZoneMaps(keyed, Seq(col("pc"), col("ok"), col("ln")))
+        .write.mode("overwrite").parquet(s"$d/lin.parquet")
+      Layout.granuleZoneMaps(keyed, Seq(col("zk"), col("ok"), col("ln")))
+        .write.mode("overwrite").parquet(s"$d/zo.parquet")
+      Layout.granuleZoneMaps(keyed, Seq(col("hk"), col("ok"), col("ln")))
+        .write.mode("overwrite").parquet(s"$d/hi.parquet")
+      Layout.granuleZoneMaps(keyed, appendOrder)
+        .write.mode("overwrite").parquet(s"$d/append.parquet")
+      Layout.domOf(keyed)
+        .write.mode("overwrite").parquet(s"$d/dom.parquet")
+      Rank.globalRank(keyed, Seq(col("hk"), col("ok"), col("ln")), 32)
+        .select(expr(s"(rnk - 1) DIV ${Layout.ReclusterGroupRows}").as("grp"), col("hk"))
+        .groupBy(col("grp"))
+        .agg(count(lit(1)).as("n_rows"),
+          min(col("hk")).as("hk_lo"), max(col("hk")).as("hk_hi"))
+        .write.mode("overwrite").parquet(s"$d/restore.parquet")
+      keyed.unpersist()
+    }
+
+  /** Load one [[ensureLayoutZoneMaps]] relation back. */
+  private[ops] def layoutRelation(spark: SparkSession, dir: String,
+      name: String): org.apache.spark.sql.DataFrame =
+    spark.read.parquet(s"${ensureLayoutZoneMaps(spark, dir)}/$name.parquet")
+
   /** The intake gates' standing-corpus probe relations — the exact-dup
     * fingerprint multiset (`fps.parquet`) and the benchmark shingle set
     * (`grams.parquet`) both `q_intake` and `q_intake_gated` scan per

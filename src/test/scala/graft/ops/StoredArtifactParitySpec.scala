@@ -45,6 +45,16 @@ class StoredArtifactParitySpec extends SparkFunSuite {
     assert(stored.filter(col("src") >= col("dst")).count() === 0L)
   }
 
+  test("stored layout zone maps == inline granuleZoneMaps (hilbert) and dom") {
+    val keyed = Layout.keyedLineitem(spark, sf)
+    val inline = Layout.granuleZoneMaps(keyed,
+      Seq(col("hk"), col("ok"), col("ln")))
+    val stored = Artifacts.layoutRelation(spark, sf, "hi")
+    assert(sortedRows(stored) === sortedRows(inline))
+    assert(sortedRows(Artifacts.layoutRelation(spark, sf, "dom"))
+      === sortedRows(Layout.domOf(keyed)))
+  }
+
   test("doremi one-scan pre-aggregate: weights unchanged on a hand corpus") {
     import spark.implicits._
     // two sources with different OOV profiles vs the top-K vocab
