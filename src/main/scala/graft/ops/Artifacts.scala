@@ -162,6 +162,44 @@ object Artifacts {
       name: String): org.apache.spark.sql.DataFrame =
     spark.read.parquet(s"${ensureLayoutZoneMaps(spark, dir)}/$name.parquet")
 
+  /** The trigram-fluency score relation (round 16 optimization):
+    * [[TextAnalysis.lmTrigramDocScores]]'s materialized
+    * (doc_id, n_trigrams, mean_score_micro) — shared by
+    * `q_lm_trigram_score` and `q_ppl_buckets`, which each re-ran the
+    * corpus tokenize + distinct-trigram joins per run. Exact integers,
+    * deterministic — the same sharing argument as [[ensureLmRank]].
+    */
+  def ensureLmTrigramScores(spark: SparkSession, dir: String): String =
+    graft.ServingIndexes.ensure("lm-trigram-scores", dir) { d =>
+      TextAnalysis.lmTrigramDocScores(table(spark, dir, "documents"))
+        .write.mode("overwrite").parquet(s"$d/scores.parquet")
+    }
+
+  /** The BUCKETED join tables (round 16 optimization): lineitem and
+    * orders written `bucketBy(8, orderkey)` + sorted, registered once per
+    * (corpus, session) — persisting a partitioning across jobs is the
+    * entire point of bucketing (guide §2.4), and `q_bucketed_join`
+    * previously re-wrote both tables on every run just to demonstrate the
+    * exchange-free join. Table names carry the corpus digest so two data
+    * directories can never share a catalog entry. Returns
+    * (lineitem table name, orders table name).
+    */
+  def ensureBucketedTables(spark: SparkSession, dir: String): (String, String) = {
+    val tag = java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
+    val ln = s"graft_lineitem_b_$tag"
+    val on = s"graft_orders_b_$tag"
+    graft.ServingIndexes.ensure("bucketed-tables", dir) { d =>
+      table(spark, dir, "lineitem")
+        .write.mode("overwrite").bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+        .option("path", s"$d/lineitem_b").saveAsTable(ln)
+      table(spark, dir, "orders")
+        .write.mode("overwrite").bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+        .option("path", s"$d/orders_b").saveAsTable(on)
+    }
+    (ln, on)
+  }
+
   /** The intake gates' standing-corpus probe relations — the exact-dup
     * fingerprint multiset (`fps.parquet`) and the benchmark shingle set
     * (`grams.parquet`) both `q_intake` and `q_intake_gated` scan per

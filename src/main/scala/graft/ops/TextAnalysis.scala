@@ -937,7 +937,15 @@ object TextAnalysis {
     * floats, no windows, no driver state.
     */
   def qLmTrigramScore(spark: SparkSession, dir: String): DataFrame =
-    lmTrigramDocScores(table(spark, dir, "documents")).orderBy(col("doc_id"))
+    lmTrigramStored(spark, dir).orderBy(col("doc_id"))
+
+  /** [[lmTrigramDocScores]] served from the stored artifact
+    * ([[Artifacts.ensureLmTrigramScores]]) — built once per (corpus,
+    * session), shared with [[qPplBuckets]].
+    */
+  private def lmTrigramStored(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(
+      s"${Artifacts.ensureLmTrigramScores(spark, dir)}/scores.parquet")
 
   /** Per-document stupid-backoff trigram fluency — the shared core of
     * [[qLmTrigramScore]] and the [[qPplBuckets]] mixture report. Returns
@@ -1030,7 +1038,7 @@ object TextAnalysis {
     */
   def qPplBuckets(spark: SparkSession, dir: String): DataFrame = {
     val docs = table(spark, dir, "documents")
-    val scores = lmTrigramDocScores(docs)
+    val scores = lmTrigramStored(spark, dir)
     val w = Window.partitionBy(col("source"))
       .orderBy(col("mean_score_micro").desc, col("doc_id"))
     docs.select(col("doc_id"), col("source"),
