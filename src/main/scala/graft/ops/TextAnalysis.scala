@@ -554,16 +554,9 @@ object TextAnalysis {
     * BM25 (shared with [[qBm25TopK]]), so the hash match proves the
     * maintained index is indistinguishable from a rebuild.
     */
-  def qSearchRefresh(spark: SparkSession, dir: String): DataFrame = {
-    val docs = table(spark, dir, "documents")
-    val baseDir = graft.ScratchDirs("bm25-refresh-base")
-    val mergedDir = graft.ScratchDirs("bm25-refresh-merged")
-    writeSearchIndex(docs.filter(pmod(col("doc_id"), lit(5)) =!= 0),
-      col("doc_id"), col("text"), baseDir)
-    refreshSearchIndex(spark, baseDir,
-      docs.filter(pmod(col("doc_id"), lit(5)) === 0), col("doc_id"), col("text"), mergedDir)
-    bm25TopKFromIndex(spark, mergedDir, Bm25QueryTerms, 10)
-  }
+  def qSearchRefresh(spark: SparkSession, dir: String): DataFrame =
+    bm25TopKFromIndex(spark,
+      s"${Artifacts.ensureBm25Refresh(spark, dir)}/merged", Bm25QueryTerms, 10)
 
   /** Serve BM25 top-k from the STORED index (see [[writeSearchIndex]]):
     * reads ONLY the query terms' postings (In-filter pushed to the
@@ -585,11 +578,9 @@ object TextAnalysis {
     * serve the same query — bit-identical to [[qBm25TopK]] (shared
     * oracle).
     */
-  def qBm25Indexed(spark: SparkSession, dir: String): DataFrame = {
-    val indexDir = graft.ScratchDirs("bm25-index")
-    writeSearchIndex(table(spark, dir, "documents"), col("doc_id"), col("text"), indexDir)
-    bm25TopKFromIndex(spark, indexDir, Bm25QueryTerms, 10)
-  }
+  def qBm25Indexed(spark: SparkSession, dir: String): DataFrame =
+    bm25TopKFromIndex(spark,
+      Artifacts.ensureBm25Index(spark, dir), Bm25QueryTerms, 10)
 
   val qBm25TopKSql: String = {
     val in = Bm25QueryTerms.map(t => s"'$t'").mkString(", ")
