@@ -175,6 +175,20 @@ object Artifacts {
         .write.mode("overwrite").parquet(s"$d/scores.parquet")
     }
 
+  /** The maximal duplicated-span relation (round 16 optimization):
+    * [[TextDedup.duplicatedSpans]] over the full documents table at the
+    * dedup window length — shared by `q_dup_spans` and `q_dup_rate`,
+    * which each re-ran the corpus window-explode + island merge per run.
+    * Deterministic (exact integer positions), same sharing argument as
+    * the dedup candidates table.
+    */
+  def ensureDupSpans(spark: SparkSession, dir: String): String =
+    graft.ServingIndexes.ensure("dup-spans", dir) { d =>
+      TextDedup.duplicatedSpans(
+        table(spark, dir, "documents"), col("doc_id"), col("text"), Dedup.DupSpanL)
+        .write.mode("overwrite").parquet(s"$d/spans.parquet")
+    }
+
   /** Stored BM25 inverted index over the full documents table (round 16:
     * `q_bm25_indexed` re-wrote it per run via a raw ScratchDirs path —
     * now the same build-once/serve-many contract as the vector indexes,

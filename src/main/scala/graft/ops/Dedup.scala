@@ -132,9 +132,17 @@ object Dedup {
        |FROM flow ORDER BY from_source, to_source""".stripMargin
 
   def qDupSpans(spark: SparkSession, dir: String): DataFrame =
-    TextDedup.duplicatedSpans(
-      table(spark, dir, "documents"), col("doc_id"), col("text"), DupSpanL)
+    storedDupSpans(spark, dir)
       .withColumnRenamed("id", "doc_id")
+
+  /** [[TextDedup.duplicatedSpans]] served from the stored artifact
+    * ([[Artifacts.ensureDupSpans]]) with the operator's (id, span_start)
+    * order re-applied — shared by the span report and the dup-rate
+    * accounting (round 16).
+    */
+  private def storedDupSpans(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"${Artifacts.ensureDupSpans(spark, dir)}/spans.parquet")
+      .orderBy(col("id"), col("span_start"))
 
   val qDupSpansSql: String =
     s"""WITH tok AS (
@@ -393,8 +401,7 @@ object Dedup {
     val docs = table(spark, dir, "documents")
       .select(col("doc_id"), col("source"),
         size(TextOps.tokens(col("text"))).cast("long").as("n_tok"))
-    val perDoc = TextDedup.duplicatedSpans(
-      table(spark, dir, "documents"), col("doc_id"), col("text"), DupSpanL)
+    val perDoc = storedDupSpans(spark, dir)
       .groupBy(col("id").as("doc_id"))
       .agg(sum(col("span_len")).as("dup_tok"))
     docs.join(perDoc, Seq("doc_id"), "left")

@@ -102,8 +102,9 @@ object Similarity {
     * iterations, bucket assignment, probe set, and re-ranked top-k.
     */
   def qSimIvfTopK(spark: SparkSession, dir: String): DataFrame =
-    rename(VectorSearch.ivfTopK(
-      table(spark, dir, "embeddings"), col("vec_id"), col("embedding"), QueryIds, K))
+    rename(VectorSearch.ivfTopKWithModel(
+      table(spark, dir, "embeddings"), col("vec_id"), col("embedding"), QueryIds, K,
+      Artifacts.ivfModel(spark, dir)))
 
   /** IVF index lifecycle dual of [[qSimPqIndexed]]: persist centroids +
     * bucket assignment, then serve from the stored index — bit-identical
@@ -905,9 +906,9 @@ object Similarity {
   val PqShortlist = 50
 
   def qSimPqTopK(spark: SparkSession, dir: String): DataFrame =
-    rename(VectorSearch.pqTopK(
+    rename(VectorSearch.pqTopKWithModel(
       table(spark, dir, "embeddings"), col("vec_id"), col("embedding"), QueryIds, K,
-      shortlist = PqShortlist))
+      Artifacts.pqModel(spark, dir), shortlist = PqShortlist))
 
   /** PQ index LIFECYCLE: train + encode once into a persisted parquet
     * index (codebooks as exact-integer sufficient statistics, codes as the
