@@ -189,6 +189,21 @@ object Artifacts {
         .write.mode("overwrite").parquet(s"$d/spans.parquet")
     }
 
+  /** The trained BPE merge table (round 16 optimization):
+    * [[BpeTrain.bpeMerges]]'s 10-round merge relation over the full
+    * documents table — three queries (`q_bpe_merges`, `q_bpe_encode`,
+    * `q_bpe_fertility`) each re-ran the word-frequency corpus pass plus
+    * the 10 argmax rounds per run. Deterministic: exact counts, argmax
+    * total-ordered by (count desc, pair asc) — the store is the trained
+    * tokenizer a production pipeline ships.
+    */
+  def ensureBpeMerges(spark: SparkSession, dir: String): String =
+    graft.ServingIndexes.ensure("bpe-merges", dir) { d =>
+      BpeTrain.bpeMerges(table(spark, dir, "documents"),
+          BpeTrain.VocabWords, BpeTrain.MergeRounds)
+        .write.mode("overwrite").parquet(s"$d/merges.parquet")
+    }
+
   /** Stored BM25 inverted index over the full documents table (round 16:
     * `q_bm25_indexed` re-wrote it per run via a raw ScratchDirs path —
     * now the same build-once/serve-many contract as the vector indexes,

@@ -87,9 +87,16 @@ object BpeTrain {
       .orderBy(col("round"))
   }
 
-  /** 10 merge rounds over the 2000 most frequent words of `documents`. */
+  /** 10 merge rounds over the 2000 most frequent words of `documents`.
+    * Served from the stored merge table ([[Artifacts.ensureBpeMerges]] —
+    * trained once per (corpus, session); all three BPE queries share it).
+    */
   def qBpeMerges(spark: SparkSession, dir: String): DataFrame =
-    bpeMerges(table(spark, dir, "documents"), VocabWords, MergeRounds)
+    storedMerges(spark, dir).orderBy(col("round"))
+
+  /** The stored merge table of [[Artifacts.ensureBpeMerges]]. */
+  private def storedMerges(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"${Artifacts.ensureBpeMerges(spark, dir)}/merges.parquet")
 
   /** Every per-round CTE is MATERIALIZED and each is referenced with a
     * single 1-row cross join: a plain (inlined) CTE chain re-expands the
@@ -135,7 +142,7 @@ object BpeTrain {
     */
   def qBpeEncode(spark: SparkSession, dir: String): DataFrame = {
     val docs = table(spark, dir, "documents")
-    val merges = bpeMerges(docs, VocabWords, MergeRounds)
+    val merges = storedMerges(spark, dir)
       .orderBy(col("round")).collect()
     val repr0: org.apache.spark.sql.Column =
       concat(lit(" "), regexp_replace(col("w"), "(.)", "$1 "))
@@ -221,7 +228,7 @@ object BpeTrain {
     */
   def qBpeFertility(spark: SparkSession, dir: String): DataFrame = {
     val docs = table(spark, dir, "documents")
-    val merges = bpeMerges(docs, VocabWords, MergeRounds)
+    val merges = storedMerges(spark, dir)
       .orderBy(col("round")).collect()
     val repr0: org.apache.spark.sql.Column =
       concat(lit(" "), regexp_replace(col("w"), "(.)", "$1 "))
