@@ -27,6 +27,27 @@ object ServingIndexes {
 
   private val built = TrieMap.empty[(String, String), String]
 
+  // wall seconds each first build cost, keyed like `built` — Bench emits
+  // this as "artifact_build_sec" so the record carries the true cost of
+  // every stored artifact instead of hiding it in a discarded best-of-N
+  // first attempt (VERDICT r16 item 3a)
+  private val buildSecs = TrieMap.empty[(String, String), Double]
+
+  /** Per-artifact first-build seconds observed in this JVM, summed over
+    * data directories (the bench runs one directory, so this is normally
+    * the plain per-key cost).
+    */
+  def buildLog: Map[String, Double] =
+    buildSecs.toSeq.groupBy(_._1._1)
+      .map { case (k, rows) => k -> rows.map(_._2).sum }
+
+  /** Record an out-of-band first build (the session-trained models are
+    * memoized as plain JVM objects outside [[ensure]]) so the bench's
+    * `artifact_build_sec` itemization covers every memoized build.
+    */
+  private[graft] def recordBuild(key: String, dataDir: String, secs: Double): Unit =
+    buildSecs((key, dataDir)) = secs
+
   /** Collision-proof scratch-name suffix for a data directory: md5 over the
     * full path string, so two directories can never share a scratch path the
     * way a 32-bit hashCode could (ADVICE r11 — a collision would silently
@@ -50,7 +71,9 @@ object ServingIndexes {
     built.get((key, dataDir)).getOrElse(synchronized {
       built.getOrElseUpdate((key, dataDir), {
         val dir = ScratchDirs(key + "-" + dirDigest(dataDir))
+        val t0 = System.nanoTime()
         build(dir)
+        buildSecs((key, dataDir)) = (System.nanoTime() - t0) / 1e9
         dir
       })
     })
@@ -58,5 +81,5 @@ object ServingIndexes {
   /** Test hook: forget every memoized build (the scratch files remain;
     * the next ensure retrains over them via the writers' overwrite mode).
     */
-  private[graft] def reset(): Unit = built.clear()
+  private[graft] def reset(): Unit = { built.clear(); buildSecs.clear() }
 }

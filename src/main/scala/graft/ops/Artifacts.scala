@@ -272,7 +272,7 @@ object Artifacts {
       .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
     val ln = s"graft_lineitem_b_$tag"
     val on = s"graft_orders_b_$tag"
-    graft.ServingIndexes.ensure("bucketed-tables", dir) { d =>
+    def write(d: String): Unit = {
       table(spark, dir, "lineitem")
         .write.mode("overwrite").bucketBy(8, "l_orderkey").sortBy("l_orderkey")
         .option("path", s"$d/lineitem_b").saveAsTable(ln)
@@ -280,6 +280,12 @@ object Artifacts {
         .write.mode("overwrite").bucketBy(8, "o_orderkey").sortBy("o_orderkey")
         .option("path", s"$d/orders_b").saveAsTable(on)
     }
+    val d = graft.ServingIndexes.ensure("bucketed-tables", dir)(write)
+    // saveAsTable registers in the CALLING session's catalog, but the memo
+    // is JVM-global: a second session in the same JVM would skip the build
+    // and then fail spark.table(ln) (ADVICE r16). Re-write (bucket spec
+    // included) when this session's catalog lacks the entries.
+    if (!spark.catalog.tableExists(ln) || !spark.catalog.tableExists(on)) write(d)
     (ln, on)
   }
 
@@ -490,7 +496,12 @@ object Artifacts {
   private val models = new java.util.concurrent.ConcurrentHashMap[String, AnyRef]()
 
   private def model[T <: AnyRef](key: String, dir: String)(build: => T): T =
-    models.computeIfAbsent(s"$key:$dir", _ => build).asInstanceOf[T]
+    models.computeIfAbsent(s"$key:$dir", _ => {
+      val t0 = System.nanoTime()
+      val m = build
+      graft.ServingIndexes.recordBuild(key, dir, (System.nanoTime() - t0) / 1e9)
+      m
+    }).asInstanceOf[T]
 
   /** The session-trained IVF model (resolved config + exact-integer
     * centroids) over the full embeddings table — training is query-free,
@@ -532,7 +543,15 @@ object Artifacts {
     */
   private[ops] def ensureExactTopK(spark: SparkSession, dir: String,
       qids: Seq[Long], k: Int): String =
-    graft.ServingIndexes.ensure(s"exact-topk-k$k-q" + qids.mkString("_"), dir) { d =>
+    graft.ServingIndexes.ensure(s"exact-topk-k$k-q" + {
+      // digest, not the raw id list: the qid set only disambiguates the
+      // full vs sampled baselines within a session, and the raw join
+      // would bloat the bench's artifact_build_sec keys past the compact
+      // line's budget
+      val md = java.security.MessageDigest.getInstance("MD5")
+      md.digest(qids.mkString("_").getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(8)
+    }, dir) { d =>
       VectorSearch.cosineTopK(
           table(spark, dir, "embeddings"), col("vec_id"), col("embedding"), qids, k)
         .withColumnRenamed("qid", "q_vec_id").withColumnRenamed("id", "vec_id")

@@ -1142,8 +1142,11 @@ object Corpus {
       .select(col("source"), col("loss_bp"), col("excess_bp"),
         expr(s"w * ${Scale}L DIV tot").as("weight_ppm"))
       .orderBy(col("source"))
-    // source-dimension-sized result; releases the (source, token) cache
-    TextDedup.materializeAndRelease(out, sw)
+    // source-dimension-sized result. `sw` is localCheckpoint'd, not
+    // persisted — Dataset.unpersist would be a CacheManager no-op
+    // (ADVICE r16), so its blocks are left for the caller's
+    // Caches.releaseAll sweep (which unpersists checkpoint RDDs directly).
+    TextDedup.materializeAndRelease(out)
   }
 
   val qDoremiWeightsSql: String = {

@@ -131,14 +131,20 @@ object Dedup {
        |    AS share_bp
        |FROM flow ORDER BY from_source, to_source""".stripMargin
 
+  // computes the span pass inline (round 17): the stored-artifact serve
+  // made the registered query a parquet read of its own answer, so its
+  // bench time measured nothing (VERDICT r16 item 1) — the declared work
+  // is the window-explode + island merge and the query must pay for it
   def qDupSpans(spark: SparkSession, dir: String): DataFrame =
-    storedDupSpans(spark, dir)
+    TextDedup.duplicatedSpans(
+      table(spark, dir, "documents"), col("doc_id"), col("text"), DupSpanL)
       .withColumnRenamed("id", "doc_id")
 
   /** [[TextDedup.duplicatedSpans]] served from the stored artifact
-    * ([[Artifacts.ensureDupSpans]]) with the operator's (id, span_start)
-    * order re-applied — shared by the span report and the dup-rate
-    * accounting (round 16).
+    * ([[Artifacts.ensureDupSpans]]) — the dup-rate accounting aggregates
+    * this relation; the build's cost is itemized in the bench record
+    * (`artifact_build_sec`, round 17) instead of hiding in a discarded
+    * first attempt.
     */
   private def storedDupSpans(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(s"${Artifacts.ensureDupSpans(spark, dir)}/spans.parquet")
