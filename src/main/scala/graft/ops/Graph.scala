@@ -1038,20 +1038,40 @@ object Graph {
     * default millionth scale — re-scale down for denser graphs.
     */
   def hitsInt(edges: DataFrame, iters: Int, scale: Long = 1000000L): DataFrame = {
-    val e = edges.select(col("hub"), col("auth"))
-      .repartition(col("hub")).localCheckpoint()
+    // the hub-keyed layout is established by the CALLER's repartition
+    // below its dedup (see qHits — one shared exchange, guide §2.4);
+    // re-partitioning here would add a second full exchange of the edges
+    val e = edges.select(col("hub"), col("auth")).localCheckpoint()
     var hubs = e.select(col("hub")).distinct()
       .withColumn("h", lit(scale)).localCheckpoint()
     var auths: DataFrame = null
-    for (_ <- 1 to iters) {
-      val rawA = e.join(hubs, "hub").groupBy(col("auth")).agg(sum(col("h")).as("ra"))
+    for (i <- 1 to iters) {
+      // Checkpoint the RAW sums, not the normalized scores: `rawA` feeds
+      // both the broadcast max and the normalized projection, and an
+      // unmaterialized rawA executed its edge⨝score join + aggregate TWICE
+      // per half-round (once under each consumer — guide §7.2 duplicated
+      // subtrees). The normalize step itself is a node-sized projection
+      // over the checkpointed leaf, cheap to leave live.
+      // hub scores are CO-PARTITIONED with the edges (both hash(hub) —
+      // the caller's exchange and the groupBy(hub) below), so a
+      // shuffled-hash join runs with zero exchanges; the default
+      // broadcast choice would instead collect the node-sized score
+      // relation to the driver every round (guide §3.1 — pick the
+      // strategy deliberately; broadcast also caps at the 8 GB/512M-row
+      // relation limit on billion-node graphs)
+      val rawA = e.join(hubs.hint("shuffle_hash"), "hub")
+        .groupBy(col("auth")).agg(sum(col("h")).as("ra"))
+        .localCheckpoint()
       auths = rawA.crossJoin(broadcast(rawA.agg(max(col("ra")).as("ma"))))
         .select(col("auth"), expr(s"(ra * $scale) DIV ma").as("a"))
-        .localCheckpoint()
-      val rawH = e.join(auths, "auth").groupBy(col("hub")).agg(sum(col("a")).as("rh"))
-      hubs = rawH.crossJoin(broadcast(rawH.agg(max(col("rh")).as("mh"))))
-        .select(col("hub"), expr(s"(rh * $scale) DIV mh").as("h"))
-        .localCheckpoint()
+      // the hub half of the LAST round feeds nothing (only `auths` is
+      // returned) — don't compute what is thrown away (guide §1.2)
+      if (i < iters) {
+        val rawH = e.join(auths, "auth").groupBy(col("hub")).agg(sum(col("a")).as("rh"))
+          .localCheckpoint()
+        hubs = rawH.crossJoin(broadcast(rawH.agg(max(col("rh")).as("mh"))))
+          .select(col("hub"), expr(s"(rh * $scale) DIV mh").as("h"))
+      }
     }
     auths
   }
@@ -1212,6 +1232,11 @@ object Graph {
     hitsInt(
       table(spark, dir, "lineitem")
         .select(col("l_orderkey").as("hub"), col("l_partkey").as("auth"))
+        // repartition BELOW the dedup: hashpartitioning(hub) satisfies the
+        // distinct's clustered distribution on (hub, auth), so the edge
+        // build and the iteration's hub-keyed layout share ONE exchange
+        // (guide §2.4) instead of a distinct exchange plus a repartition
+        .repartition(col("hub"))
         .distinct(),
       iters = 3)
       .select(col("auth").as("part"), col("a").as("authority"))

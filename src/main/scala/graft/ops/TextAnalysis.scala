@@ -1362,12 +1362,21 @@ object TextAnalysis {
     // broadcast as a 1-row bound (the Corpus quantile-trim discipline)
     val band = dfr.agg(
       greatest(lit(100L), expr("(sum(df) * 20) DIV count(1)")).as("hi"))
+    // Materialized ONCE (round 17): the pruned-weighted posting relation
+    // feeds BOTH sides of the pair self-join, and left live each side
+    // re-ran the df attach and its own copy of the band/N broadcast
+    // builds (guide §7.2 duplicated subtrees — the before-plan carried
+    // every broadcast subtree twice and scanned the tf cache six times).
+    // The checkpointed leaf is what the self-join shuffles, so the pair
+    // stage reads one materialized relation from both sides.
     val post = tf.join(dfr, "w")
       .crossJoin(broadcast(band))
       .filter(col("df") >= 2 && col("df") <= col("hi"))
       .crossJoin(broadcast(n))
       .select(col("doc_id"), col("w"),
         (col("tf") * expr("(n * 1000) DIV df")).as("wt"))
+      .localCheckpoint()
+    tf.unpersist(blocking = false)
     val top = post.toDF("d1", "w", "w1")
       .join(post.toDF("d2", "w", "w2"), Seq("w"))
       .filter(col("d1") < col("d2"))
@@ -1375,11 +1384,12 @@ object TextAnalysis {
       .agg(sum(col("w1") * col("w2")).as("score"))
       .orderBy(col("score").desc, col("d1"), col("d2"))
       .limit(20)
-    // Returned LIVE (no checkpoint): the caller gets an inspectable,
-    // composable plan — PlanShapeSpec certifies the equi-join shape on
-    // it — and pays the computation once at its own sink. The tf cache
-    // is released by the harness unpersist-all after materialization
-    // (Bench/Verify between queries; CacheHygieneSpec pins the contract).
+    // Returned with the pair join LIVE: the caller still gets the
+    // inspectable equi-join plan — PlanShapeSpec certifies the shape on
+    // it — and pays the pair stage once at its own sink. The posting
+    // checkpoint blocks are released by the harness unpersist-all after
+    // materialization (Bench/Verify between queries; CacheHygieneSpec
+    // pins the contract).
     top
   }
 
